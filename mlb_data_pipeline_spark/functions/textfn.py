@@ -1,0 +1,64 @@
+"""Text scalar functions (SURVEY §2.6) — all JVM-side built-ins.
+
+Covers the reference's string surface: cleanup regexes for TTS text
+(reference ``pipeline.py:268-281``), dictionary replacement
+(``config.py:224-233``), key:value extraction from semi-structured text
+(``orchestrator.py:218-247``), tokenization and heuristics for the
+north-star text-analysis operators. No Python UDFs: every function here
+compiles into whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer — the canonical token table builder (T17).
+TOKEN_SPLIT_RE = r"\s+"
+
+# A BPE-ish subword proxy: split on non-alphanumerics, then count
+# 4-char chunks; cheap deterministic stand-in for a real tokenizer.
+WORD_RE = r"[A-Za-z0-9]+"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Approximate subword count: ceil(len(word)/4) summed over words."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.regexp_extract_all(c, F.lit(WORD_RE))
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+
+
+def clean_tts_lines(col: Column | str) -> Column:
+    """Reference TTS cleanup semantics (pipeline.py:268-281): drop
+    horizontal-rule lines of 3+ ``* - _ =`` chars, collapse blank runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    kept = F.filter(lines, lambda ln: ~ln.rlike(r"^[*\-_=]{3,}\s*$"))
+    return F.array_join(F.filter(kept, lambda ln: F.length(F.trim(ln)) > 0), "\n")
+
+
+def dict_replace(col: Column | str, mapping: dict[str, str]) -> Column:
+    """Chained literal replacement (config.py:224-233 format_replacements)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for k, v in mapping.items():
+        c = F.replace(c, F.lit(k), F.lit(v))
+    return c
+
+
+def extract_field(col: Column | str, label: str) -> Column:
+    """``Topic: xyz`` style key:value extraction (orchestrator.py:218-247)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, rf"{label}:\s*([^\n]*)", 1)

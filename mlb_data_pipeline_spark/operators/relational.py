@@ -1,0 +1,105 @@
+"""Composed relational operators that Spark lacks as single primitives.
+
+Each is a pure DataFrame->DataFrame function built from Catalyst
+primitives only (no Python UDFs), so plans stay inside whole-stage
+codegen and scale with partitioning, not driver memory.
+
+Reference parity notes are in each docstring (file:line into
+/root/reference/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(df: DataFrame, group_cols: list[str], order_by: list[Column], k: int, rn_col: str = "rn") -> DataFrame:
+    """Top-k rows per group — the reference's per-query k-NN shape
+    (scripts/rag_pipeline_2.py:46 returns k results per query).
+
+    Scale: a single hash shuffle on the group key; ranking is one pass
+    per partition. For global top-k use ``df.orderBy(...).limit(k)``
+    instead (Spark plans TakeOrderedAndProject — no full sort).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn(rn_col, F.row_number().over(w)).filter(F.col(rn_col) <= k)
+
+
+def asof_latest(df: DataFrame, key_cols: list[str], time_col: str, cutoff, tiebreak: list[str]) -> DataFrame:
+    """As-of join half: latest row per key with time <= cutoff (J7).
+
+    The reference's analogue is "player stats as-of game date"
+    (implied by hw5/player_stats_2024.csv year snapshots). Composed as
+    filter + window rank; the filter prunes before the shuffle, so at
+    100 TB the state is bounded by rows-before-cutoff per key, and the
+    cutoff predicate pushes down into the Parquet scan.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(time_col).desc(), *[F.col(c).desc() for c in tiebreak]
+    )
+    return (
+        df.filter(F.col(time_col) <= F.lit(cutoff))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def band_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    band: float,
+    bucket_width: float,
+) -> DataFrame:
+    """Range (theta) join |left_val - right_val| <= band, as an equi-join.
+
+    Naive non-equi joins plan as BroadcastNestedLoopJoin — O(n*m) and a
+    cluster-killer at scale. Instead we bucket the value axis at
+    ``bucket_width >= band`` and explode each left row into its bucket
+    and the two adjacent buckets; the join is then a plain hash
+    equi-join on the bucket id with a residual band filter. Intermediate
+    size is bounded by 3x the bucket co-membership, not n*m.
+    """
+    lb = F.floor(F.col(left_val) / F.lit(bucket_width)).cast("long")
+    rb = F.floor(F.col(right_val) / F.lit(bucket_width)).cast("long")
+    lexp = left.withColumn("__bucket", F.explode(F.array(lb - 1, lb, lb + 1)))
+    rexp = right.withColumn("__bucket", rb)
+    joined = lexp.join(rexp, "__bucket").filter(
+        F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(band)
+    )
+    return joined.drop("__bucket")
+
+
+def median_exact(df: DataFrame, group_cols: list[str], value_col: str, out_col: str) -> DataFrame:
+    """Exact interpolated median (percentile_cont 0.5) per group (A9).
+
+    Computed from the two middle order statistics with the averaging
+    done in the DECIMAL domain — bit-identical across engines, unlike
+    double interpolation (see functions.numeric). Two window passes on
+    one shuffle of the group key.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy(*group_cols))
+    )
+    lo = F.floor((F.col("__n") + 1) / 2)
+    hi = F.floor((F.col("__n") + 2) / 2)
+    dec_val = F.col(value_col).cast("decimal(18,2)")
+    return (
+        ranked.filter((F.col("__rn") == lo) | (F.col("__rn") == hi))
+        .groupBy(*group_cols)
+        .agg(
+            (
+                (
+                    F.max(F.when(F.col("__rn") == F.floor((F.col("__n") + 1) / 2), dec_val))
+                    + F.max(F.when(F.col("__rn") == F.floor((F.col("__n") + 2) / 2), dec_val))
+                )
+                * F.lit(0.5).cast("decimal(2,1)")
+            )
+            .cast("double")
+            .alias(out_col)
+        )
+    )

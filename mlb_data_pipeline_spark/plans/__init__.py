@@ -1,0 +1,10 @@
+from .registry import REGISTRY, Query, query  # noqa: F401
+
+
+def load_all() -> None:
+    """Import every query module so REGISTRY is fully populated."""
+    from . import relational_queries  # noqa: F401
+    from . import text_queries  # noqa: F401
+    from . import vector_queries  # noqa: F401
+    from . import stream_queries  # noqa: F401
+    from . import northstar_queries  # noqa: F401

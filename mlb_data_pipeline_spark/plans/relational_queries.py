@@ -1,0 +1,750 @@
+"""Relational query set — SURVEY.md §2.10 Q01-Q23 (+ flagship Q00).
+
+Spark side: DataFrame API (declarative; Catalyst handles pushdown /
+join selection / AQE). Oracle side: DuckDB ANSI SQL over the same
+parquet views.
+
+Determinism contract (see functions.numeric):
+* double SUMs go through DECIMAL(18,6) (exact, order-independent),
+  rounded in the decimal domain, cast back to double;
+* averages/ratios are a single IEEE double division of two
+  exact-decimal-derived operands, never re-rounded;
+* integer sums are cast to BIGINT on the oracle side (DuckDB sums
+  integers into HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import dec, dsum
+from ..operators.relational import asof_latest, band_range_join, median_exact, top_k_per_group
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Q00 — flagship: monthly gross revenue by region (SURVEY §7.2)
+# scan → filter → joins (broadcast dims) → agg → sort
+# ---------------------------------------------------------------------------
+
+_Q00_SQL = """
+SELECT r.r_name AS region,
+       CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q00_monthly_revenue_by_region", oracle=_Q00_SQL, covers="S3,P3,J1,J2,A2,O9", bench=True)
+def q00_monthly_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    # Year filter on orders prunes before the big join; dims broadcast.
+    orders_96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust_geo = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        lineitem.join(orders_96, lineitem.l_orderkey == orders_96.o_orderkey)
+        .join(F.broadcast(cust_geo), orders_96.o_custkey == cust_geo.c_custkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        )
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("region", "order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q01 — projection (P1, S3)
+# ---------------------------------------------------------------------------
+
+_Q01_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@query("q01_project_part", oracle=_Q01_SQL, covers="S3,P1")
+def q01_project_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice").orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Q02 — range + between filters (P3, P4)
+# ---------------------------------------------------------------------------
+
+_Q02_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 25
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("q02_filter_lineitem", oracle=_Q02_SQL, covers="P3,P4")
+def q02_filter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 25)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q04 — TPC-H Q1-style pricing summary (A2)
+# ---------------------------------------------------------------------------
+
+_Q04_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q04_pricing_summary", oracle=_Q04_SQL, covers="A2,P3", bench=True)
+def q04_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+    cnt = F.count("*")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * dec((1 - F.col("l_discount")) * (1 + F.col("l_tax")))),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q05 — count distinct (A3)
+# ---------------------------------------------------------------------------
+
+_Q05_SQL = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q05_distinct_customers", oracle=_Q05_SQL, covers="A3")
+def q05_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"), F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q06 — ordered string agg (A5/A6); reference "; ".join(titles)
+#        (mlb_pipeline_dag.py:137)
+# ---------------------------------------------------------------------------
+
+_Q06_SQL = """
+SELECT n.n_name AS nation,
+       string_agg(c.c_name, ';' ORDER BY c.c_name) AS customer_names,
+       COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > 9000
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query("q06_string_agg", oracle=_Q06_SQL, covers="A5,A6,J2")
+def q06_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ";").alias("customer_names"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q07 — rollup (A7)
+# ---------------------------------------------------------------------------
+
+_Q07_SQL = """
+SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal,
+       COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+ORDER BY nation NULLS LAST, segment NULLS LAST
+"""
+
+
+@query("q07_rollup_acctbal", oracle=_Q07_SQL, covers="A7,J2")
+def q07_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"), "c_acctbal")
+        .rollup("nation", "segment")
+        .agg(dsum("c_acctbal").alias("total_acctbal"), F.count("*").alias("n_customers"))
+        .orderBy(F.col("nation").asc_nulls_last(), F.col("segment").asc_nulls_last())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q08 — filtered aggregation (A8)
+# ---------------------------------------------------------------------------
+
+_Q08_SQL = """
+SELECT o_orderstatus,
+       CAST(ROUND(SUM(CASE WHEN o_totalprice > 100000
+                           THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS high_value_total,
+       COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_high,
+       COUNT(CASE WHEN o_totalprice <= 100000 THEN 1 END) AS n_low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("q08_filtered_agg", oracle=_Q08_SQL, covers="A8")
+def q08_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    high = F.col("o_totalprice") > 100000
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum(F.when(high, dec("o_totalprice"))), 2).cast("double").alias("high_value_total"),
+            F.count(F.when(high, F.lit(1))).alias("n_high"),
+            F.count(F.when(~high, F.lit(1))).alias("n_low"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q09 — exact interpolated median per group (A9), decimal-domain midpoint
+# ---------------------------------------------------------------------------
+
+_Q09_SQL = """
+WITH ranked AS (
+  SELECT n.n_name AS nation,
+         CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal) AS rn,
+         COUNT(*) OVER (PARTITION BY n.n_name) AS n
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation,
+       CAST((MAX(CASE WHEN rn = (n + 1) // 2 THEN bal END)
+             + MAX(CASE WHEN rn = (n + 2) // 2 THEN bal END))
+            * CAST(0.5 AS DECIMAL(2,1)) AS DOUBLE) AS median_acctbal
+FROM ranked
+WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@query("q09_median_acctbal", oracle=_Q09_SQL, covers="A9,O3")
+def q09_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation"), "c_acctbal"
+    )
+    return median_exact(joined, ["nation"], "c_acctbal", "median_acctbal").orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# Q10 — pivot (A11)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIAS = {
+    "1-URGENT": "n_urgent",
+    "2-HIGH": "n_high",
+    "3-MEDIUM": "n_medium",
+    "4-NOT SPECIFIED": "n_not_specified",
+    "5-LOW": "n_low",
+}
+
+_Q10_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+       COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
+       COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_medium,
+       COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_not_specified,
+       COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q10_pivot_priority_by_year", oracle=_Q10_SQL, covers="A11")
+def q10_pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    renamed = pivoted.select(
+        "order_year", *[F.col(f"`{p}`").alias(alias) for p, alias in _PRIORITY_ALIAS.items()]
+    )
+    return renamed.orderBy("order_year")
+
+
+# ---------------------------------------------------------------------------
+# Q11 — inner equi-join + agg (J1)
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = """
+SELECT n.n_name AS nation,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query("q11_join_revenue_by_nation", oracle=_Q11_SQL, covers="J1,A2", bench=True)
+def q11_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — broadcast hash join (J2)
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT p.p_brand AS brand,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+@query("q12_broadcast_brand_revenue", oracle=_Q12_SQL, covers="J2,A2", bench=True)
+def q12_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — left outer join keeping zero-order customers (J3)
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
+@query("q13_left_join_order_counts", oracle=_Q13_SQL, covers="J3")
+def q13_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — left semi (J4): customers with >=1 order in a date range
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = customer.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+                AND o.o_orderdate < TIMESTAMP '1999-07-01')
+ORDER BY c_custkey
+"""
+
+
+@query("q14_semi_active_customers", oracle=_Q14_SQL, covers="J4")
+def q14_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01")) & (F.col("o_orderdate") < F.lit("1999-07-01"))
+    )
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — left anti (J5): the reference's keyed-delete semantics
+#        (scripts/scrape_store_embed.py:79)
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@query("q15_anti_orderless_customers", oracle=_Q15_SQL, covers="J5")
+def q15_anti_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — band range join (J6), bucketed to avoid BNLJ
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_pairs
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(a.p_retailprice - b.p_retailprice) <= 0.05
+WHERE a.p_brand < b.p_brand
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q16_price_band_pairs", oracle=_Q16_SQL, covers="J6")
+def q16_price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("a_key"), F.col("p_brand").alias("brand_a"), F.col("p_retailprice").alias("price_a")
+    )
+    b = part.select(
+        F.col("p_partkey").alias("b_key"), F.col("p_brand").alias("brand_b"), F.col("p_retailprice").alias("price_b")
+    )
+    pairs = band_range_join(a, b, "price_a", "price_b", band=0.05, bucket_width=0.05)
+    return (
+        pairs.filter((F.col("a_key") < F.col("b_key")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — as-of: latest order per customer at a cutoff (J7)
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT o.*, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders o
+  WHERE o_orderdate <= TIMESTAMP '1998-01-01'
+)
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+@query("q17_asof_latest_order", oracle=_Q17_SQL, covers="J7,O3")
+def q17_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    latest = asof_latest(orders, ["o_custkey"], "o_orderdate", "1998-01-01", tiebreak=["o_orderkey"])
+    return latest.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice").orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Q18 — small cross join + top-k per group (J9, O3)
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+SELECT nation, r_name AS region, score
+FROM (
+  SELECT n.n_name AS nation, r.r_name,
+         (n.n_nationkey * 7 + r.r_regionkey * 13) % 19 AS score,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY (n.n_nationkey * 7 + r.r_regionkey * 13) % 19 DESC,
+                                     r.r_name) AS rn
+  FROM nation n CROSS JOIN region r
+)
+WHERE rn <= 2
+ORDER BY nation, score DESC, region
+"""
+
+
+@query("q18_crossjoin_topk", oracle=_Q18_SQL, covers="J9,O3")
+def q18_crossjoin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    scored = nation.crossJoin(F.broadcast(region)).select(
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        ((F.col("n_nationkey") * 7 + F.col("r_regionkey") * 13) % 19).alias("score"),
+    )
+    topk = top_k_per_group(scored, ["nation"], [F.col("score").desc(), F.col("region").asc()], k=2)
+    return topk.select("nation", "region", "score").orderBy("nation", F.col("score").desc(), "region")
+
+
+# ---------------------------------------------------------------------------
+# Q19 — global top-k (O1, O2): plans as TakeOrderedAndProject, no full sort
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("q19_top10_orders", oracle=_Q19_SQL, covers="O1,O2,O9")
+def q19_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — rank + row_number within group (O3, O4)
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+SELECT n.n_name AS nation, c.c_custkey, c.c_acctbal,
+       RANK() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC) AS bal_rank,
+       ROW_NUMBER() OVER (PARTITION BY n.n_name
+                          ORDER BY c.c_acctbal DESC, c.c_custkey) AS bal_rn
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+QUALIFY bal_rn <= 5
+ORDER BY nation, bal_rn
+"""
+
+
+@query("q20_rank_customers", oracle=_Q20_SQL, covers="O3,O4")
+def q20_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation"), "c_custkey", "c_acctbal"
+    )
+    w_rank = Window.partitionBy("nation").orderBy(F.col("c_acctbal").desc())
+    w_rn = Window.partitionBy("nation").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        joined.withColumn("bal_rank", F.rank().over(w_rank))
+        .withColumn("bal_rn", F.row_number().over(w_rn))
+        .filter(F.col("bal_rn") <= 5)
+        .orderBy("nation", "bal_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — moving average over daily totals (O5, O6)
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS day_total_dec,
+         COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '1999-04-01'
+  GROUP BY 1
+)
+SELECT order_day,
+       CAST(day_total_dec AS DOUBLE) AS day_total,
+       n_orders,
+       CAST(SUM(day_total_dec) OVER w AS DOUBLE)
+         / SUM(n_orders) OVER w AS avg_order_price_7d
+FROM daily
+WINDOW w AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY order_day
+"""
+
+
+@query("q21_moving_avg_daily", oracle=_Q21_SQL, covers="O5,O6,A2")
+def q21_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= F.lit("1999-01-01")) & (F.col("o_orderdate") < F.lit("1999-04-01")))
+        .groupBy(F.col("o_orderdate").cast("date").alias("order_day"))
+        .agg(F.sum(dec("o_totalprice")).alias("day_total_dec"), F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy("order_day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn(
+            "avg_order_price_7d",
+            F.sum("day_total_dec").over(w).cast("double") / F.sum("n_orders").over(w),
+        )
+        .select(
+            "order_day",
+            F.col("day_total_dec").cast("double").alias("day_total"),
+            "n_orders",
+            "avg_order_price_7d",
+        )
+        .orderBy("order_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — union + dedup (O7): daily-batch append semantics
+#        (mlb_pipeline_dag.py:119)
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_distinct
+FROM (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  UNION ALL
+  SELECT o_orderkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1998-07-01'
+)
+"""
+
+
+@query("q22_union_dedup", oracle=_Q22_SQL, covers="O7,A3")
+def q22_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    slice1 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey")
+    slice2 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01")) & (F.col("o_orderdate") < F.lit("1998-07-01"))
+    ).select("o_orderkey")
+    both = slice1.unionByName(slice2)
+    return both.agg(F.count("*").alias("n_rows"), F.countDistinct("o_orderkey").alias("n_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Q23 — except / intersect (O8)
+# ---------------------------------------------------------------------------
+
+_Q23_SQL = """
+SELECT 'except' AS op, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+UNION ALL
+SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+ORDER BY op
+"""
+
+
+@query("q23_setops", oracle=_Q23_SQL, covers="O8")
+def q23_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ex = rich.exceptAll(building.distinct()).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    inter = rich.intersect(building).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n")
+    return ex.unionByName(inter).orderBy("op")

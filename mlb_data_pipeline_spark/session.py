@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+One global config for the whole engine (BASELINE.md measurement protocol:
+"no per-query tuning"). Arrow on, AQE on, UTC session timezone so
+timestamp results are comparable with the DuckDB oracle (DuckDB timestamps
+are UTC-naive).
+
+At 100 TB the same settings hold except ``shuffle.partitions`` — locally we
+pin it near core count; on a real cluster AQE coalescing makes the initial
+number a ceiling, so a cluster deploy would set it to ~2-3x total cores and
+let ``spark.sql.adaptive.coalescePartitions.enabled`` shrink per-stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "mlb_data_pipeline_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession with the pinned config."""
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,35 @@
+"""Every registered query with an oracle must match DuckDB exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from mlb_data_pipeline_spark.plans import REGISTRY, load_all
+
+from .oracle_harness import compare, duckdb_connect
+
+load_all()
+
+ORACLED = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connect(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity(name, spark, sf_dir, con):
+    q = REGISTRY[name]
+    compare(q.spark(spark, sf_dir), con, q.oracle, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(name, spark, sf_dir):
+    q = REGISTRY[name]
+    df = q.spark(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
