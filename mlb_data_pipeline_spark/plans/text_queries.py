@@ -1,1 +1,250 @@
-"""Placeholder — populated in later milestones."""
+"""Text / JSON / date / array query set — SURVEY §2.10 Q03, Q24-Q28, Q31, Q35.
+
+Covers the reference's text-processing surface (regex cleanup
+``pipeline.py:268-281``, key extraction ``orchestrator.py:218-247``,
+tokenize-and-count over article bodies, JSON encode/decode
+``pipeline.py:46``, weighted topic scoring ``config.py:166-174``)
+re-expressed as JVM-side built-ins over the ``documents`` / ``events`` /
+``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import dec
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Q03 — regex predicate filter (P5, T4)
+# ---------------------------------------------------------------------------
+
+_Q03_SQL = r"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE regexp_matches(text, 'vector\s+\w+\s+join')
+ORDER BY doc_id
+"""
+
+
+@query("q03_regex_filter", oracle=_Q03_SQL, covers="P5,T4")
+def q03_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike(r"vector\s+\w+\s+join"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q24 — tokenize + explode + top token counts (T2, T7, U5)
+# ---------------------------------------------------------------------------
+
+_Q24_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 30
+"""
+
+
+@query("q24_top_tokens", oracle=_Q24_SQL, covers="T2,T7,U5,A2", bench=True)
+def q24_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q25 — regexp_extract structured field (T6, T4)
+# ---------------------------------------------------------------------------
+
+_Q25_SQL = """
+SELECT lang, regexp_extract(text, '(spark|vector|window)', 1) AS keyword, COUNT(*) AS n
+FROM documents
+WHERE regexp_matches(text, '(spark|vector|window)')
+GROUP BY lang, keyword
+ORDER BY lang, keyword
+"""
+
+
+@query("q25_extract_keyword", oracle=_Q25_SQL, covers="T6,T4")
+def q25_extract_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("(spark|vector|window)"))
+        .select("lang", F.regexp_extract("text", "(spark|vector|window)", 1).alias("keyword"))
+        .groupBy("lang", "keyword")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "keyword")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q26 — date trunc + date arithmetic aggregates (T11, T13)
+# ---------------------------------------------------------------------------
+
+_Q26_SQL = """
+SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+       CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+         / COUNT(*) AS avg_ship_delay_days,
+       MIN(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS min_delay,
+       MAX(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS max_delay,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q26_ship_delay_by_month", oracle=_Q26_SQL, covers="T11,T13,J1")
+def q26_ship_delay_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
+        .agg(
+            (F.sum(delay).cast("double") / F.count("*")).alias("avg_ship_delay_days"),
+            F.min(delay).alias("min_delay"),
+            F.max(delay).alias("max_delay"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q27 — from_json over events.props (T14); reference json.dumps/loads
+#        (pipeline.py:46, utils.py:21-24)
+# ---------------------------------------------------------------------------
+
+_Q27_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q27_json_props_bucket", oracle=_Q27_SQL, covers="T14,A2")
+def q27_json_props_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        events.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q28 — array ops over embeddings (T19)
+# ---------------------------------------------------------------------------
+
+_Q28_SQL = """
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_val,
+       CAST(embedding[64] AS DOUBLE) AS last_val,
+       CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+         + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head_sum
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@query("q28_array_ops", oracle=_Q28_SQL, covers="T19")
+def q28_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        el(1).alias("first_val"),
+        el(64).alias("last_val"),
+        (el(1) + el(2) + el(3) + el(4)).alias("head_sum"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Q31 — weighted score via literal map (A10, T20); reference topic_weights
+#        (config.py:166-174)
+# ---------------------------------------------------------------------------
+
+_WEIGHTS = {"click": 1.0, "view": 0.5, "purchase": 5.0, "signup": 2.0, "error": 0.0}
+
+_Q31_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(ROUND(SUM(CAST(value * (CASE event_type
+              WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5 WHEN 'purchase' THEN 5.0
+              WHEN 'signup' THEN 2.0 WHEN 'error' THEN 0.0 END) AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS weighted_score,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q31_weighted_score", oracle=_Q31_SQL, covers="A10,T20")
+def q31_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    weights = F.create_map(*[F.lit(x) for kv in _WEIGHTS.items() for x in kv])
+    weighted = (F.col("value") * weights.getItem(F.col("event_type"))).cast("decimal(18,6)")
+    return (
+        events.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum(weighted), 2).cast("double").alias("weighted_score"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q35 — struct pack + to_json (P9, T9); article-shaped projection
+#        (reference article dict pipeline.py:33-38)
+# ---------------------------------------------------------------------------
+
+_Q35_SQL = """
+SELECT doc_id,
+       to_json(struct_pack(doc_id := doc_id,
+                           title := substr(text, 1, 40),
+                           source := source,
+                           lang := lang,
+                           n_chars := n_chars)) AS article_json
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q35_struct_to_json", oracle=_Q35_SQL, covers="P9,T9,T14")
+def q35_struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    article = F.struct(
+        F.col("doc_id").alias("doc_id"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("source").alias("source"),
+        F.col("lang").alias("lang"),
+        F.col("n_chars").alias("n_chars"),
+    )
+    return docs.select("doc_id", F.to_json(article).alias("article_json")).orderBy("doc_id")

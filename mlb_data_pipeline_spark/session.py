@@ -35,6 +35,9 @@ def get_spark(app_name: str = "mlb_data_pipeline_spark", *, shuffle_partitions: 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Testdata's events.ts is parquet TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read as long and convert in catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
