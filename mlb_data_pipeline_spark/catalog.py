@@ -42,7 +42,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The driver may hand us a vanilla session; this conf is
         # runtime-settable and required to read TIMESTAMP(NANOS) parquet.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Set only when missing so repeated loads don't churn session state.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (nanosAsLong); values are exact

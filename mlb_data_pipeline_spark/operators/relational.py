@@ -52,19 +52,43 @@ def band_range_join(
     left_val: str,
     right_val: str,
     band: float,
-    bucket_width: float,
+    scale: int = 2,
 ) -> DataFrame:
     """Range (theta) join |left_val - right_val| <= band, as an equi-join.
 
     Naive non-equi joins plan as BroadcastNestedLoopJoin — O(n*m) and a
-    cluster-killer at scale. Instead we bucket the value axis at
-    ``bucket_width >= band`` and explode each left row into its bucket
-    and the two adjacent buckets; the join is then a plain hash
-    equi-join on the bucket id with a residual band filter. Intermediate
-    size is bounded by 3x the bucket co-membership, not n*m.
+    cluster-killer at scale. Instead we bucket the value axis and explode
+    each left row into its bucket and the two adjacent buckets; the join
+    is then a plain hash equi-join on the bucket id with a residual band
+    filter. Intermediate size is bounded by 3x the bucket co-membership,
+    not n*m.
+
+    Bucketing happens in an exact integer domain (values rounded at
+    ``scale`` decimals to longs, bucket = integer floor-div): with
+    ``width > band`` in that domain, two in-band integers are at most one
+    bucket apart by construction. Doing this on raw doubles instead is
+    subtly wrong — floor(x/width) can land a value at an exact multiple
+    of width in the bucket below, putting an in-band pair 2 buckets apart
+    and silently dropping it. The residual filter still compares the
+    original double values, so results are exact for data with at most
+    ``scale`` decimal places (and a pair-safe over-approximation plus
+    exact residual otherwise, provided the rounding slack of 1 ulp-cent
+    stays under ``width - band``; the +2 margin below covers it).
     """
-    lb = F.floor(F.col(left_val) / F.lit(bucket_width)).cast("long")
-    rb = F.floor(F.col(right_val) / F.lit(bucket_width)).cast("long")
+    m = 10**scale
+    band_i = int(round(band * m))
+    width_i = band_i + 2  # > band_i + rounding slack → adjacency guaranteed
+    li = F.round(F.col(left_val) * m).cast("long")
+    ri = F.round(F.col(right_val) * m).cast("long")
+
+    # exact floor division on longs (`/` on longs is double division in
+    # Spark; (x - pmod(x, w)) is an exact multiple of w, so the quotient
+    # is exact and pmod gives floor semantics for negatives too)
+    def fdiv(x):
+        return ((x - F.pmod(x, F.lit(width_i))) / width_i).cast("long")
+
+    lb = fdiv(li)
+    rb = fdiv(ri)
     lexp = left.withColumn("__bucket", F.explode(F.array(lb - 1, lb, lb + 1)))
     rexp = right.withColumn("__bucket", rb)
     joined = lexp.join(rexp, "__bucket").filter(

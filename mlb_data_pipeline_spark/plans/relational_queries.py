@@ -53,7 +53,10 @@ def q00_monthly_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
 
-    # Year filter on orders prunes before the big join; dims broadcast.
+    # Year filter on orders prunes before the big join. Only the fixed-size
+    # dims (nation=25, region=5) are force-broadcast; cust_geo scales with
+    # SF, so its join strategy is left to AQE + autoBroadcastJoinThreshold
+    # (shuffle join at 100 TB, runtime broadcast when it actually fits).
     orders_96 = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
@@ -64,7 +67,7 @@ def q00_monthly_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return (
         lineitem.join(orders_96, lineitem.l_orderkey == orders_96.o_orderkey)
-        .join(F.broadcast(cust_geo), orders_96.o_custkey == cust_geo.c_custkey)
+        .join(cust_geo, orders_96.o_custkey == cust_geo.c_custkey)
         .groupBy(
             F.col("r_name").alias("region"),
             F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
@@ -408,8 +411,11 @@ ORDER BY p.p_brand
 def q12_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # part scales with SF (200k rows/SF) — no forced broadcast; the 64 MB
+    # autoBroadcastJoinThreshold + AQE picks broadcast while it fits and
+    # falls back to shuffle join at scale.
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.round(F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount"))), 2)
@@ -481,15 +487,23 @@ def q14_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_SQL = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = customer.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+                    AND o.o_orderdate < TIMESTAMP '1999-07-01')
 ORDER BY c_custkey
 """
 
 
 @query("q15_anti_orderless_customers", oracle=_Q15_SQL, covers="J5")
 def q15_anti_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Date-ranged slice (complement of Q14's semi) so the result is
+    # guaranteed non-empty at every SF — an all-time anti join returns 0
+    # rows on this data and verifies nothing.
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01")) & (F.col("o_orderdate") < F.lit("1999-07-01"))
+    )
     return (
         customer.join(orders, orders.o_custkey == customer.c_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -521,7 +535,7 @@ def q16_price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = part.select(
         F.col("p_partkey").alias("b_key"), F.col("p_brand").alias("brand_b"), F.col("p_retailprice").alias("price_b")
     )
-    pairs = band_range_join(a, b, "price_a", "price_b", band=0.05, bucket_width=0.05)
+    pairs = band_range_join(a, b, "price_a", "price_b", band=0.05)
     return (
         pairs.filter((F.col("a_key") < F.col("b_key")) & (F.col("brand_a") < F.col("brand_b")))
         .groupBy("brand_a", "brand_b")
@@ -743,8 +757,8 @@ def q23_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    ex = rich.exceptAll(building.distinct()).distinct().agg(F.count("*").alias("n")).select(
-        F.lit("except").alias("op"), "n"
-    )
+    # set-EXCEPT spelled directly (subtract = EXCEPT DISTINCT) — semantics
+    # hold whether or not c_custkey is unique in the inputs.
+    ex = rich.subtract(building).agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n")
     inter = rich.intersect(building).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n")
     return ex.unionByName(inter).orderBy("op")
