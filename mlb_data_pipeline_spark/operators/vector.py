@@ -1,0 +1,184 @@
+"""Vector similarity / dedup operators (SURVEY §2.5 V2-V5).
+
+The reference's signature query surface: Chroma ``collection.query``
+top-k retrieval (/root/reference/airflow/dags/mlb_pipeline/pipeline.py:104-110,
+/root/reference/scripts/rag_pipeline.py:42-52) and id-keyed upsert dedup
+(pipeline.py:58-77). Here vectors are a plain ``array<float>`` column and
+every operator is a composition of Catalyst primitives — similarity math
+runs JVM-side via ``functions.vector_math`` (zip_with + aggregate), no
+Python in the hot path.
+
+Scale tiers:
+
+* ``knn_join`` — broadcast the (small) query set, stream the corpus,
+  per-query top-k via window. At 100 TB the corpus side never shuffles
+  for scoring; the only shuffle is the group-by-query ranking, bounded
+  by |queries| * corpus partitions rows after the per-partition filter.
+* ``cosine_pairs_exact`` — all-pairs self-join; correctness tier ONLY
+  (quadratic). The scale path is ``cosine_pairs_lsh``: random-hyperplane
+  signatures, banded bucket equi-join candidate generation, exact
+  cosine re-check. Candidates are a bucket-join, never a cross join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector_math import cosine, dot, norm
+
+
+def _prefix(df: DataFrame, prefix: str) -> DataFrame:
+    return df.select([F.col(c).alias(f"{prefix}{c}") for c in df.columns])
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    exclude_self: bool = True,
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Exact batch k-NN join (V3): each query row -> its k cosine-nearest
+    corpus rows. Reference shape: k results per query
+    (scripts/rag_pipeline_2.py:46).
+
+    Output columns: query_id, neighbor ids/cols, ``sim_col``, ``rank``.
+    Deterministic tiebreak: (sim DESC, neighbor id ASC).
+    """
+    q = _prefix(queries.select(id_col, vec_col), "q_")
+    joined = corpus.join(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(f"q_{id_col}") != F.col(id_col))
+    scored = joined.withColumn(sim_col, cosine(f"q_{vec_col}", vec_col))
+    w = Window.partitionBy(f"q_{id_col}").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop(f"q_{vec_col}")
+        .withColumnRenamed(f"q_{id_col}", "query_id")
+    )
+
+
+def cosine_topk(corpus: DataFrame, query_vec, id_col: str, vec_col: str, k: int, sim_col: str = "sim") -> DataFrame:
+    """Top-k rows of ``corpus`` most cosine-similar to one query vector
+    (V2 — the reference's ``collection.query(n_results=k)``).
+
+    Single narrow scan + score, then global top-k: Spark plans
+    TakeOrderedAndProject, so no full sort and nothing but k rows ever
+    reaches the driver side of the exchange.
+    """
+    scored = corpus.withColumn(sim_col, cosine(F.lit(query_vec).cast("array<double>"), vec_col))
+    return scored.orderBy(F.col(sim_col).desc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_pairs_exact(df: DataFrame, id_col: str, vec_col: str, threshold: float, sim_col: str = "sim") -> DataFrame:
+    """All-pairs cosine >= threshold (V4 exact tier). Quadratic — valid
+    for correctness checks and small partitions only; use
+    ``cosine_pairs_lsh`` at scale.
+
+    Norms are precomputed per side so each pair costs one dot product.
+    """
+    a = _prefix(df.select(id_col, vec_col).withColumn("__norm", norm(vec_col)), "a_")
+    b = _prefix(df.select(id_col, vec_col).withColumn("__norm", norm(vec_col)), "b_")
+    pairs = (
+        a.join(b, F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+        .withColumn(sim_col, dot(f"a_{vec_col}", f"b_{vec_col}") / (F.col("a___norm") * F.col("b___norm")))
+        .filter(F.col(sim_col) >= F.lit(threshold))
+    )
+    return pairs.select(F.col(f"a_{id_col}"), F.col(f"b_{id_col}"), F.col(sim_col))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes. Components are
+    derived from sha256(seed, plane, coord) mapped to [-1, 1) — no RNG
+    state, reproducible across sessions/partitions by construction."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(struct.pack(">III", seed, p, d)).digest()
+            (u,) = struct.unpack(">Q", h[:8])
+            row.append(u / 2**63 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def simhash_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit signature of a vector against fixed hyperplanes, packed
+    into a long per 8-plane group is unnecessary — an array<int> of 0/1
+    keeps the expression fully in codegen."""
+    return F.array(*[(dot(F.lit(p).cast("array<double>"), vec_col) >= 0).cast("int") for p in planes])
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 16,
+    bands: int = 4,
+    sim_col: str = "sim",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs at scale: random-hyperplane LSH.
+
+    Candidate generation is OR-of-ANDs banding — each row emits one
+    (band_idx, band_bits) key per band; candidates are a plain hash
+    equi-join on that key (never a cross join), then the exact cosine
+    residual filter keeps only true pairs. Result is a subset of
+    ``cosine_pairs_exact`` (recall < 1 by design); precision is exact.
+
+    100 TB design: shuffle volume is rows x bands keyed by band hash;
+    skewed buckets (dense regions) are split by AQE skew-join. Tune
+    recall with (n_planes, bands): more bands -> higher recall,
+    more shuffle.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // bands
+    sig = df.select(id_col, vec_col).withColumn("__sig", simhash_signature(vec_col, planes))
+    banded = sig.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.slice("__sig", i * per_band + 1, per_band).alias("bits"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__bk"),
+    )
+    a = _prefix(banded, "a_")
+    b = _prefix(banded, "b_")
+    cand = (
+        a.join(b, (F.col("a___bk") == F.col("b___bk")) & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")))
+        .select(f"a_{id_col}", f"b_{id_col}", f"a_{vec_col}", f"b_{vec_col}")
+        .dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
+    )
+    return (
+        cand.withColumn(sim_col, cosine(f"a_{vec_col}", f"b_{vec_col}"))
+        .filter(F.col(sim_col) >= F.lit(threshold))
+        .select(F.col(f"a_{id_col}"), F.col(f"b_{id_col}"), F.col(sim_col))
+    )
+
+
+def context_assembly(ranked: DataFrame, text_col: str, rank_col: str = "rank", sep: str = "\n\n") -> DataFrame:
+    """V5: top-k retrieved docs -> one context string in rank order
+    (reference "\\n\\n".join(docs), pipeline.py:110). Returns a 1-row
+    DataFrame (context, n_docs)."""
+    return ranked.agg(
+        F.array_join(F.array_sort(F.collect_list(F.struct(F.col(rank_col), F.col(text_col)))).getField(text_col), sep).alias(
+            "context"
+        ),
+        F.count("*").alias("n_docs"),
+    )

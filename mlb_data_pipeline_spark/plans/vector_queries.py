@@ -1,1 +1,205 @@
-"""Placeholder — populated in later milestones."""
+"""Vector / similarity / dedup query set — SURVEY §2.10 Q29-Q30 + V3/V5.
+
+The reference's signature retrieval surface re-expressed Spark-first:
+top-k cosine retrieval (pipeline.py:104-110, scripts/rag_pipeline.py:42-52),
+batch k-NN join (scripts/rag_pipeline_2.py:34-51 per-query results),
+context assembly (pipeline.py:110) and dedup-by-key upsert semantics
+(pipeline.py:58-77, scripts/scrape_store_embed.py:79).
+
+All similarity math is JVM-side (zip_with/aggregate in DOUBLE after a
+float->double cast); DuckDB oracles use list_dot_product over
+CAST(embedding AS DOUBLE[]) so both engines fold the same values in the
+same index order. Similarities are ROUND(_, 4) per the determinism
+contract; ordering keys always include the id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.vector import context_assembly, cosine_pairs_exact, cosine_pairs_lsh, knn_join
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Q29 — exact cosine top-3 neighbors of a fixed vector (V2)
+# ---------------------------------------------------------------------------
+
+_Q29_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+     q AS (SELECT v FROM e WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       CAST(ROUND(list_dot_product(e.v, q.v)
+                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 4)
+            AS DOUBLE) AS sim
+FROM e CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY list_dot_product(e.v, q.v)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
+         e.vec_id
+LIMIT 3
+"""
+
+
+@query("q29_cosine_topk", oracle=_Q29_SQL, covers="V2,J9,O2,O1")
+def q29_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = knn_join(emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=3)
+    return topk.select("vec_id", "label", F.round("sim", 4).cast("double").alias("sim")).drop("rank")
+
+
+# ---------------------------------------------------------------------------
+# Q30 — exact dedup on a normalized text key (V4); keyed-upsert semantics
+# ---------------------------------------------------------------------------
+
+_Q30_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS dedup_key
+  FROM documents
+), kept AS (
+  SELECT doc_id, source
+  FROM (SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY dedup_key ORDER BY doc_id) AS rn
+        FROM keyed)
+  WHERE rn = 1
+)
+SELECT source, COUNT(*) AS n_docs
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q30_dedup_normalized", oracle=_Q30_SQL, covers="V4,A2,O3")
+def q30_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic dedup: canonical row per key = min doc_id (a plain
+    # dropDuplicates keeps an arbitrary row — unacceptable under the
+    # hash contract). One shuffle on the dedup key, then a count agg.
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "source", F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("dedup_key")
+    )
+    w = Window.partitionBy("dedup_key").orderBy("doc_id")
+    kept = keyed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Q36 — batch k-NN join (V3 exact): 10 query vectors, top-2 each
+# ---------------------------------------------------------------------------
+
+_Q36_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+     q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+     scored AS (
+       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              list_dot_product(e.v, q.v)
+                / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS rawsim
+       FROM e CROSS JOIN q
+       WHERE e.vec_id <> q.vec_id
+     )
+SELECT query_id, neighbor_id, CAST(ROUND(rawsim, 4) AS DOUBLE) AS sim, rank
+FROM (SELECT query_id, neighbor_id, rawsim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rawsim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 2
+ORDER BY query_id, rank
+"""
+
+
+@query("q36_knn_join", oracle=_Q36_SQL, covers="V3,J9,O3", bench=True)
+def q36_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    topk = knn_join(emb, queries, "vec_id", "embedding", k=2)
+    return topk.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round("sim", 4).cast("double").alias("sim"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Q37 — retrieval context assembly (V5): top-3 docs for one query vector
+# ---------------------------------------------------------------------------
+
+_Q37_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+     q AS (SELECT v FROM e WHERE vec_id = 0),
+     topk AS (
+       SELECT e.vec_id,
+              ROW_NUMBER() OVER (
+                ORDER BY list_dot_product(e.v, q.v)
+                           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
+                         e.vec_id) AS rank
+       FROM e CROSS JOIN q
+       WHERE e.vec_id <> 0
+       QUALIFY rank <= 3
+     )
+SELECT string_agg(d.text, chr(10) || chr(10) ORDER BY t.rank) AS context,
+       COUNT(*) AS n_docs
+FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+"""
+
+
+@query("q37_context_assembly", oracle=_Q37_SQL, covers="V5,A5,J2")
+def q37_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    topk = knn_join(emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=3)
+    ranked = topk.join(docs, topk.vec_id == docs.doc_id).select("rank", "text")
+    return context_assembly(ranked, "text", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Q38 — embedding-cosine near-duplicate pairs (V4 near-dup, exact tier)
+# ---------------------------------------------------------------------------
+
+_Q38_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+            AS DOUBLE) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+@query("q38_embedding_neardup", oracle=_Q38_SQL, covers="V4,J6")
+def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact tier: quadratic self-join, valid at correctness scale. The
+    # 100 TB path for the same semantics is q39 (LSH banding: candidate
+    # generation is a bucket equi-join, exact cosine residual check).
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.4)
+    return pairs.select(
+        F.col("a_vec_id").alias("vec_a"),
+        F.col("b_vec_id").alias("vec_b"),
+        F.round("sim", 4).cast("double").alias("sim"),
+    ).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# Q39 — LSH near-dup (V3/V4 scale path) — approximate: no SQL oracle;
+#        recall vs the exact pairs is asserted in tests/test_vector_ops.py
+# ---------------------------------------------------------------------------
+
+
+@query("q39_embedding_neardup_lsh", oracle=None, covers="V3,V4", bench=True)
+def q39_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 32 planes / 8 bands of 4 bits: ~2/3 recall at sim 0.3 on isotropic
+    # data (real near-dup corpora sit at sim >= 0.9 where the same config
+    # recalls >95%); precision is exact via the residual cosine check.
+    pairs = cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.3, n_planes=32, bands=8)
+    return pairs.select(
+        F.col("a_vec_id").alias("vec_a"),
+        F.col("b_vec_id").alias("vec_b"),
+        F.round("sim", 4).cast("double").alias("sim"),
+    ).orderBy("vec_a", "vec_b")

@@ -1,0 +1,80 @@
+"""Vector operator invariants (SURVEY §5.2.4): exactness and LSH recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlb_data_pipeline_spark.catalog import load_table
+from mlb_data_pipeline_spark.functions.vector_math import cosine
+from mlb_data_pipeline_spark.operators.vector import (
+    cosine_pairs_exact,
+    cosine_pairs_lsh,
+    cosine_topk,
+    knn_join,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").limit(200).cache()
+
+
+def test_cosine_self_is_one(spark, emb):
+    bad = emb.withColumn("self_sim", cosine("embedding", "embedding")).filter(
+        F.abs(F.col("self_sim") - 1.0) > 1e-9
+    )
+    assert bad.count() == 0
+
+
+def test_topk_subset_of_topk_plus_one(spark, emb):
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    ids3 = {r.vec_id for r in cosine_topk(emb, qvec, "vec_id", "embedding", 3).collect()}
+    ids4 = {r.vec_id for r in cosine_topk(emb, qvec, "vec_id", "embedding", 4).collect()}
+    assert ids3 <= ids4 and len(ids3) == 3 and len(ids4) == 4
+
+
+def test_knn_join_matches_single_query_topk(spark, emb):
+    qvec = emb.filter(F.col("vec_id") == 2).select("embedding").first()[0]
+    single = [r.vec_id for r in cosine_topk(emb, qvec, "vec_id", "embedding", 4).collect()]
+    joined = (
+        knn_join(emb, emb.filter(F.col("vec_id") == 2), "vec_id", "embedding", k=3)
+        .orderBy("rank")
+        .collect()
+    )
+    # knn_join excludes self; cosine_topk does not (self ranks first at sim 1)
+    assert single[0] == 2
+    assert [r.vec_id for r in joined] == single[1:]
+
+
+def test_lsh_pairs_subset_of_exact_with_recall(spark, emb):
+    exact = {
+        (r.a_vec_id, r.b_vec_id)
+        for r in cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.3).collect()
+    }
+    approx = {
+        (r.a_vec_id, r.b_vec_id)
+        for r in cosine_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.3, n_planes=32, bands=8
+        ).collect()
+    }
+    assert approx <= exact, "LSH must have exact precision (residual check)"
+    assert exact, "threshold too high — test is vacuous"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.4, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_lsh_high_threshold_finds_planted_neardups(spark):
+    # Plant true near-duplicates: v and v+tiny noise -> cosine ~0.999.
+    base = [[float((i * 31 + j * 7) % 17 - 8) for j in range(16)] for i in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        rows.append((1000 + i, [x + 0.01 * ((i + j) % 3 - 1) for j, x in enumerate(v)]))
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    found = {
+        (r.a_vec_id, r.b_vec_id)
+        for r in cosine_pairs_lsh(df, "vec_id", "embedding", threshold=0.99, n_planes=32, bands=8).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(20)}
+    assert planted <= found
