@@ -1,1 +1,158 @@
-"""Placeholder — populated in later milestones."""
+"""Streaming batch-equivalents — SURVEY §2.10 Q32-Q34 (ST2/ST4/ST6).
+
+The reference is a daily incremental batch pipeline (Airflow cron,
+mlb_pipeline_dag.py:39, catchup=False :40) — i.e. tumbling 24 h windows
+with latest-only semantics and idempotent keyed upserts (pipeline.py:69).
+Here the same windowing semantics are declared over the static ``events``
+table in DuckDB-expressible form; the engine-side Structured Streaming
+formulations (readStream + window/session_window/dropDuplicates with
+watermarks) live in ``streaming/jobs.py`` and are asserted equal to these
+batch results in tests/test_streaming.py (SURVEY §5.2.5).
+
+Gap arithmetic uses exact epoch microseconds (unix_micros / epoch_us) —
+no double truncation ambiguity between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import dec
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Q32 — tumbling 1h window counts per event_type (ST2 batch form)
+# ---------------------------------------------------------------------------
+
+_Q32_SQL = """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q32_tumbling_hourly", oracle=_Q32_SQL, covers="ST2,A2,T11", bench=True)
+def q32_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q33 — gap-based sessionization, 30 min (ST4 batch form)
+# ---------------------------------------------------------------------------
+
+_Q33_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+         ts_us
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         FLOOR((MAX(ts_us) - MIN(ts_us)) / 1000000) AS dur_sec
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       MAX(n_events) AS max_session_events,
+       CAST(MAX(dur_sec) AS BIGINT) AS max_session_dur_sec
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("q33_sessionization", oracle=_Q33_SQL, covers="ST4,O5,O6", bench=True)
+def q33_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lag -> new-session flag -> running-sum session id: two window passes
+    # over ONE shuffle of the user key (same partitioning, Catalyst reuses
+    # the exchange). State per user is a scalar, so skewed users cost
+    # sort time, not memory.
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    sessions = (
+        events.withColumn("prev_us", F.lag("ts_us").over(w_order))
+        .withColumn(
+            "new_session",
+            F.when(F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w_run))
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        # floor, not cast: DuckDB's double->BIGINT cast rounds while
+        # Spark's truncates — floor on both sides is engine-neutral
+        F.floor((F.max("ts_us") - F.min("ts_us")) / 1_000_000).alias("dur_sec"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.max("dur_sec").cast("bigint").alias("max_session_dur_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q34 — dedup on event_id keeping min ts (ST6 batch form). The input is
+#        a union of two overlapping slices, so duplicates genuinely exist
+#        (raw event_id is unique in the table — deduping it alone would
+#        be trivially green).
+# ---------------------------------------------------------------------------
+
+_Q34_SQL = """
+WITH unioned AS (
+  SELECT event_id, ts, event_type FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+  UNION ALL
+  SELECT event_id, ts, event_type FROM events
+  WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-02-15'
+), deduped AS (
+  SELECT event_id, event_type
+  FROM (SELECT event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, event_type) AS rn
+        FROM unioned)
+  WHERE rn = 1
+)
+SELECT event_type, COUNT(*) AS n_unique
+FROM deduped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q34_stream_dedup", oracle=_Q34_SQL, covers="ST6,O7,A3")
+def q34_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    s1 = events.filter((F.col("ts") >= F.lit("2024-01-01")) & (F.col("ts") < F.lit("2024-02-01")))
+    s2 = events.filter((F.col("ts") >= F.lit("2024-01-15")) & (F.col("ts") < F.lit("2024-02-15")))
+    unioned = s1.unionByName(s2)
+    w = Window.partitionBy("event_id").orderBy("ts", "event_type")
+    deduped = unioned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("event_type").agg(F.count("*").alias("n_unique")).orderBy("event_type")

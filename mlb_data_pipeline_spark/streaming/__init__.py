@@ -1,0 +1,9 @@
+from .jobs import (  # noqa: F401
+    dedup_stream,
+    read_event_stream,
+    run_available_now,
+    session_counts_stream,
+    sliding_counts_stream,
+    stream_static_join,
+    tumbling_counts_stream,
+)

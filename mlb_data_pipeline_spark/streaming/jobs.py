@@ -1,0 +1,104 @@
+"""Structured Streaming surface — SURVEY §2.8 ST1-ST9.
+
+The reference's incremental model is daily date-keyed blob arrival with
+at-least-once retries and latest-only catchup (mlb_pipeline_dag.py:39-41,
+:31-32); its Spark-native form is a file stream source + windowed
+aggregation + watermark + exactly-once checkpointed sink. Every
+transformation here is also valid on a batch DataFrame — the
+batch-equivalence tests (SURVEY §5.2.5) run the same function against
+the static table and against ``availableNow`` micro-batches and assert
+equal results (Q32-Q34 in plans/stream_queries.py are the oracled batch
+forms).
+
+100 TB notes: state stores (window aggs, dedup, session merge) are keyed
+by (group key, window) and bounded by the watermark — late data past the
+watermark is dropped and its state evicted, so state size is
+O(active keys x windows-in-watermark-horizon), independent of total
+history. Sinks use availableNow + checkpoint for exactly-once batch
+catch-up runs (ST9), the streaming analogue of the reference's
+idempotent daily re-runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+
+EVENT_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+
+def read_event_stream(spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """ST1: incremental parquet file source with an explicit schema (a
+    streaming scan cannot infer). One file = one arrival unit, the
+    engine's analogue of the reference's daily blob drops."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(source_dir)
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """ST2+ST5: tumbling 1h counts per event_type with watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """ST3: sliding window (1 h length, 15 min slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+def session_counts_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """ST4: gap-based session windows per user. Spark merges windows
+    closer than ``gap`` in the state store; the batch-SQL formulation of
+    the same semantics is Q33's lag/cumsum."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), F.col("win.end").alias("session_end"), "n_events")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """ST6: keyed dedup with watermark-bounded state — the reference's
+    id=URL idempotent upsert (pipeline.py:69) as a stream. State holds
+    one entry per event_id inside the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """ST8: stream ⋈ static dimension. The static side is planned per
+    micro-batch; small dims broadcast (same rule as batch: forced
+    broadcast only for fixed-size dims)."""
+    return events.join(F.broadcast(dim), on)
+
+
+def run_available_now(df: DataFrame, checkpoint_dir: str, out_dir: str, output_mode: str = "append") -> None:
+    """ST9: exactly-once parquet sink, availableNow trigger — processes
+    everything currently available as bounded micro-batches, then stops.
+    Re-running with the same checkpoint is a no-op (idempotent catch-up,
+    the reference's retry-safe daily run)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,134 @@
+"""Streaming ⇔ batch equivalence (SURVEY §5.2.5).
+
+Each Structured Streaming job is run with an ``availableNow`` trigger
+over a parquet copy of the static ``events`` table and asserted equal to
+the same semantics computed in batch (the oracled Q32-Q34 formulations).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlb_data_pipeline_spark.catalog import load_table
+from mlb_data_pipeline_spark.streaming import (
+    dedup_stream,
+    read_event_stream,
+    run_available_now,
+    session_counts_stream,
+    sliding_counts_stream,
+    stream_static_join,
+    tumbling_counts_stream,
+)
+
+pytestmark = pytest.mark.streaming
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Static events re-written as a multi-file parquet directory so the
+    file stream source sees several arrival units."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def _run_to_memory(spark, df, mode: str):
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _rows(df, *cols):
+    return sorted([tuple(r) for r in df.select(*cols).collect()])
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir, events_batch):
+    stream_res = _run_to_memory(spark, tumbling_counts_stream(read_event_stream(spark, events_dir)), "complete")
+    batch_res = tumbling_counts_stream(events_batch)
+    cols = ["win_start", "event_type", "n_events", "total_value"]
+    assert _rows(stream_res, *cols) == _rows(batch_res, *cols)
+    # window('1 hour').start is exactly date_trunc('hour') — Q32 parity
+    trunc = events_batch.groupBy(
+        F.date_trunc("hour", "ts").alias("win_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    assert _rows(stream_res, "win_start", "event_type", "n_events") == _rows(
+        trunc, "win_start", "event_type", "n_events"
+    )
+
+
+def test_sliding_stream_covers_each_event_four_times(spark, events_dir, events_batch):
+    res = _run_to_memory(spark, sliding_counts_stream(read_event_stream(spark, events_dir)), "complete")
+    total = res.agg(F.sum("n_events")).first()[0]
+    assert total == 4 * events_batch.count()  # 1h window / 15min slide
+
+
+def test_session_stream_equals_batch_sessionization(spark, events_dir, events_batch):
+    res = _run_to_memory(spark, session_counts_stream(read_event_stream(spark, events_dir)), "complete")
+    # Batch lag/cumsum sessionization (Q33 semantics)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    batch_sessions = (
+        events_batch.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull() | (F.unix_micros("ts") - F.unix_micros("prev") > 1_800_000_000), 1
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = _rows(res.groupBy("user_id").agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n")), "user_id", "n_sessions", "n")
+    want = _rows(
+        batch_sessions.groupBy("user_id").agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n")),
+        "user_id",
+        "n_sessions",
+        "n",
+    )
+    assert got == want
+
+
+def test_dedup_stream_exactly_once_across_runs(spark, events_batch, tmp_path):
+    """ST6+ST9: duplicates within a run are dropped; a second availableNow
+    run over re-delivered (duplicate) files appends nothing — state in
+    the checkpoint makes redelivery idempotent."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sample = events_batch.limit(200).cache()
+    sample.write.mode("overwrite").parquet(src)
+    sample.limit(120).write.mode("append").parquet(src)  # in-run duplicates
+
+    stream = dedup_stream(read_event_stream(spark, src), watermark="365 days")
+    run_available_now(stream, ckpt, out)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == sample.count()
+
+    # redelivery: append the same 200 rows again, run with same checkpoint
+    sample.write.mode("append").parquet(src)
+    run_available_now(dedup_stream(read_event_stream(spark, src), watermark="365 days"), ckpt, out)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1
+
+
+def test_stream_static_join(spark, events_dir, events_batch, tmp_path):
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 2.0), ("error", 0.0)],
+        "event_type STRING, weight DOUBLE",
+    )
+    joined = stream_static_join(read_event_stream(spark, events_dir), dim, "event_type")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_available_now(joined, ckpt, out)
+    assert spark.read.parquet(out).count() == events_batch.join(dim, "event_type").count()
