@@ -1,0 +1,77 @@
+"""Sources (SURVEY §2.1 S1-S7).
+
+Every reader takes an EXPLICIT schema — the engine never uses
+``inferSchema`` (the reference does, hw5/load_csv.py:16, costing a full
+extra pass and risking type drift across files). With a declared schema
+a CSV/JSON scan is one pass and Catalyst pushes filters and column
+pruning into it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import SCHEDULE_PAYLOAD
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    date_format: str | None = None,
+    **options,
+) -> DataFrame:
+    """S1: CSV scan. Handles the reference's quirks: headerless files
+    (hw5/teams.csv), quoted numerics and embedded commas in headers
+    (hw5/player_stats_2024.csv:1), compact ``yyyyMMdd`` dates
+    (hw5/gl2024.csv field 1) via ``date_format``."""
+    reader = spark.read.schema(schema).option("header", str(header).lower()).option("quote", '"').option(
+        "escape", '"'
+    )
+    if date_format:
+        reader = reader.option("dateFormat", date_format)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType, multi_line: bool = False, **options) -> DataFrame:
+    """S2: JSON scan. ``multi_line=True`` for whole-file JSON arrays —
+    the reference's storage unit (one array per day, pipeline.py:40-49)."""
+    reader = spark.read.schema(schema).option("multiLine", str(multi_line).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S3: parquet scan (footer schema; row-group stats pushdown)."""
+    return spark.read.parquet(path)
+
+
+def parse_schedule_payloads(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S4/T14 read side: nested API JSON -> relational rows.
+
+    The reference stores the schedule payload verbatim and never parses
+    it (mlb_schedule_to_gcs.py:51-62); here ``from_json`` with the
+    explicit nested schema + a double explode flattens
+    ``dates[].games[]`` into one row per game. All JVM-side."""
+    parsed = raw.select(F.from_json(F.col(payload_col), SCHEDULE_PAYLOAD).alias("p"))
+    return (
+        parsed.select(F.explode("p.dates").alias("d"))
+        .select(F.col("d.date").alias("game_day"), F.explode("d.games").alias("g"))
+        .select(
+            "game_day",
+            F.col("g.gamePk").alias("game_pk"),
+            F.to_timestamp("g.gameDate").alias("game_ts"),
+            F.col("g.teams.away.team.name").alias("away_team"),
+            F.col("g.teams.away.score").alias("away_score"),
+            F.col("g.teams.home.team.name").alias("home_team"),
+            F.col("g.teams.home.score").alias("home_score"),
+            F.col("g.venue.name").alias("venue"),
+            F.col("g.status.detailedState").alias("status"),
+        )
+    )

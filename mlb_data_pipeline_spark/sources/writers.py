@@ -1,0 +1,78 @@
+"""Sinks (SURVEY §2.1 S8-S12).
+
+The reference's storage layout is date-keyed blobs
+(``articles/{YYYY-MM-DD}/...``, mlb_pipeline_dag.py:119) and a
+clear-then-insert vector collection (pipeline.py:58-77). Spark-first
+equivalents: ``partitionBy`` writes (partition pruning for free),
+dynamic partition overwrite for idempotent daily re-runs, and a keyed
+merge (left-anti + union) for upsert semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """S8: date-partitioned lake write. With
+    ``partitionOverwriteMode=dynamic`` only the partitions present in
+    ``df`` are replaced — the engine's idempotent daily-batch re-run
+    (reference: retry-safe daily blob overwrite, mlb_pipeline_dag.py:31-32)."""
+    (
+        df.write.format(fmt)
+        .mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
+
+
+def write_json_single(df: DataFrame, path: str) -> None:
+    """S10: single-file JSON export (reference ``save_json``,
+    agent_framework/utils.py:14-19). coalesce(1) is driver-safe only for
+    small result sets — this is an export sink, not a lake write."""
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def upsert_by_key(spark: SparkSession, target_path: str, new_df: DataFrame, key_cols: list[str], fmt: str = "parquet") -> None:
+    """S11: keyed merge — delete-then-add semantics of the reference's
+    vector upsert (pipeline.py:58-77; keyed delete
+    scrape_store_embed.py:79) without the destructive full clear.
+
+    Existing rows whose key collides with an incoming row are dropped
+    (left-anti on the key), then the union is written back. Idempotent:
+    re-running with the same ``new_df`` yields byte-identical content.
+    At scale the anti join shuffles on the key once; with a
+    date-partitioned target, partition pruning bounds the rewrite to
+    touched partitions.
+    """
+    try:
+        existing = spark.read.format(fmt).load(target_path)
+        have = True
+    except Exception:  # first write — nothing to merge  # noqa: BLE001
+        have = False
+    if have:
+        kept = existing.join(new_df.select(*key_cols).distinct(), on=key_cols, how="left_anti")
+        merged = kept.unionByName(new_df)
+    else:
+        merged = new_df
+    # Writing the relation we're reading is unsafe; localCheckpoint
+    # truncates the lineage (disk-backed, non-recomputable) so the
+    # overwrite can't re-scan the target mid-write.
+    merged.localCheckpoint(eager=True).write.format(fmt).mode("overwrite").save(target_path)
+
+
+def delete_by_predicate(spark: SparkSession, target_path: str, predicate, fmt: str = "parquet") -> int:
+    """P7: delete-where (reference ``collection.delete(where=...)``,
+    pipeline.py:63-64) as a filtered rewrite. Returns rows deleted."""
+    existing = spark.read.format(fmt).load(target_path)
+    n_before = existing.count()
+    keep = existing.filter(~predicate).localCheckpoint(eager=True)
+    n_after = keep.count()
+    keep.write.format(fmt).mode("overwrite").save(target_path)
+    return n_before - n_after
+
+
+def partition_values(df: DataFrame, col: str) -> list:
+    return [r[0] for r in df.select(F.col(col)).distinct().collect()]

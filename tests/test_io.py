@@ -1,0 +1,216 @@
+"""IO layer tests (S1/S2/S4/S8/S10/S11/S12/P7) — FIXTURES.md §B shapes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlb_data_pipeline_spark.sources import (
+    ARTICLES,
+    GAME_LOGS,
+    PLAYER_STATS,
+    TEAMS,
+    parse_schedule_payloads,
+    read_csv,
+    read_json,
+    upsert_by_key,
+    write_json_single,
+    write_partitioned,
+)
+from mlb_data_pipeline_spark.sources.fixtures import (
+    articles_rows,
+    game_logs_rows,
+    player_stats_raw_csv,
+    schedule_payloads,
+    teams_raw_csv,
+)
+from mlb_data_pipeline_spark.sources.writers import delete_by_predicate
+from mlb_data_pipeline_spark.sources import warehouse
+
+
+def _hash(df):
+    cols = sorted(df.columns)
+    return sorted(repr(tuple(r)) for r in df.select(*cols).collect())
+
+
+# ---------------------------------------------------------------- S1: CSV
+
+
+def test_headerless_teams_csv(spark, tmp_path):
+    p = tmp_path / "teams.csv"
+    p.write_text(teams_raw_csv())
+    df = read_csv(spark, str(p), TEAMS, header=False)
+    assert df.count() == 30
+    assert df.filter(F.col("team_id") == "BOS").first().nickname == "Red Sox"
+
+
+def test_player_stats_quoted_csv(spark, tmp_path):
+    """Quoted numerics + embedded comma in first column's VALUES parse
+    under an explicit schema (reference relies on inferSchema)."""
+    p = tmp_path / "player_stats.csv"
+    p.write_text(player_stats_raw_csv(50), encoding="utf-8")
+    df = read_csv(spark, str(p), PLAYER_STATS, header=True)
+    rows = df.collect()
+    assert len(rows) == 50
+    assert all("," in r.player_name for r in rows)  # 'Last, First' kept intact
+    assert df.schema["woba"].dataType.typeName() == "double"
+    assert df.filter(F.col("woba").isNull()).count() == 0
+    # unicode survives (Sánchez in fixture surnames)
+    assert df.filter(F.col("player_name").contains("Sánchez")).count() > 0
+
+
+def test_game_logs_yyyymmdd_dates(spark, tmp_path):
+    rows = game_logs_rows(300)
+    lines = []
+    for r in rows:
+        vals = [r[0].strftime("%Y%m%d")] + ["" if v is None else str(v) for v in r[1:]]
+        lines.append(",".join(f'"{v}"' for v in vals))
+    p = tmp_path / "gl2024.csv"
+    p.write_text("\n".join(lines))
+    df = read_csv(spark, str(p), GAME_LOGS, header=False, date_format="yyyyMMdd")
+    assert df.count() == 300
+    assert df.schema["game_date"].dataType.typeName() == "date"
+    assert df.filter(F.col("game_date") == dt.date(2024, 3, 20)).count() >= 1
+    assert df.filter(F.col("attendance").isNull()).count() >= 1  # declared null rate
+
+
+# ---------------------------------------------------------------- S2/S4: JSON
+
+
+def test_multiline_json_array_roundtrip(spark, tmp_path):
+    """The reference's storage unit: one JSON array per day
+    (pipeline.py:40-49). multiLine read restores the rows."""
+    arts = spark.createDataFrame(articles_rows(40), ARTICLES)
+    out = tmp_path / "articles_batch.json"
+    import json
+
+    payload = [
+        {**r.asDict(), "scraped_at": r.scraped_at.isoformat()} for r in arts.collect()
+    ]
+    out.write_text(json.dumps(payload), encoding="utf-8")
+    back = read_json(spark, str(out), ARTICLES, multi_line=True, timestampFormat="yyyy-MM-dd'T'HH:mm:ss")
+    assert back.count() == 40
+    assert _hash(back) == _hash(arts)
+
+
+def test_schedule_nested_parse(spark):
+    raw = spark.createDataFrame([(p,) for p in schedule_payloads(10)], "payload STRING")
+    games = parse_schedule_payloads(raw)
+    total = raw.select(
+        F.from_json("payload", "totalGames INT").getField("totalGames").alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert games.count() == total
+    assert {"game_day", "game_pk", "away_team", "home_score", "venue", "status"} <= set(games.columns)
+    assert games.filter(F.col("game_ts").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------- S8: partitioned write
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    arts = spark.createDataFrame(articles_rows(120), ARTICLES).withColumn(
+        "dt", F.to_date("scraped_at")
+    )
+    path = str(tmp_path / "lake")
+    write_partitioned(arts, path, ["dt"])
+    back = spark.read.parquet(path)
+    assert back.count() == 120
+    one_day = back.filter(F.col("dt") == "2024-05-03")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan  # pruning reached the scan
+    assert one_day.count() == arts.filter(F.col("dt") == "2024-05-03").count()
+
+
+def test_dynamic_partition_overwrite_is_incremental(spark, tmp_path):
+    arts = spark.createDataFrame(articles_rows(120), ARTICLES).withColumn("dt", F.to_date("scraped_at"))
+    path = str(tmp_path / "lake")
+    write_partitioned(arts, path, ["dt"])
+    n_before = spark.read.parquet(path).count()
+    # rewrite ONE day's partition with half its rows; other days untouched
+    day = arts.filter(F.col("dt") == "2024-05-03")
+    reduced = day.limit(max(day.count() // 2, 1))
+    n_reduced = reduced.count()
+    write_partitioned(reduced, path, ["dt"], mode="overwrite")
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("dt") == "2024-05-03").count() == n_reduced
+    assert back.count() == n_before - day.count() + n_reduced
+
+
+# ---------------------------------------------------------------- S11: upsert
+
+
+def test_upsert_by_key_idempotent(spark, tmp_path):
+    path = str(tmp_path / "store")
+    v1 = spark.createDataFrame(articles_rows(50), ARTICLES)
+    upsert_by_key(spark, path, v1, ["url"])
+    assert spark.read.parquet(path).count() == 50
+
+    # update 10 urls with new bodies + add 5 new urls
+    updates = spark.createDataFrame(
+        [(f"https://example.com/mlb/article-{i:04d}", "t", "UPDATED", dt.datetime(2024, 6, 1)) for i in range(10)]
+        + [(f"https://example.com/new-{i}", "t", "new", dt.datetime(2024, 6, 1)) for i in range(5)],
+        ARTICLES,
+    )
+    upsert_by_key(spark, path, updates, ["url"])
+    after1 = _hash(spark.read.parquet(path))
+    assert spark.read.parquet(path).count() == 55
+    assert spark.read.parquet(path).filter(F.col("body") == "UPDATED").count() == 10
+
+    upsert_by_key(spark, path, updates, ["url"])  # idempotent re-run
+    assert _hash(spark.read.parquet(path)) == after1
+
+
+def test_delete_by_predicate(spark, tmp_path):
+    path = str(tmp_path / "store")
+    spark.createDataFrame(articles_rows(50), ARTICLES).write.parquet(path)
+    n = delete_by_predicate(spark, path, F.col("title").isNull())
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("title").isNull()).count() == 0
+    assert back.count() == 50 - n
+
+
+# ---------------------------------------------------------------- S10: single-file JSON
+
+
+def test_write_json_single(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING")
+    out = str(tmp_path / "export")
+    write_json_single(df, out)
+    files = [f for f in __import__("os").listdir(out) if f.endswith(".json")]
+    assert len(files) == 1
+    assert spark.read.schema("id INT, v STRING").json(out).count() == 2
+
+
+# ---------------------------------------------------------------- S12: warehouse
+
+
+def test_warehouse_layering(spark, tmp_path):
+    warehouse.create_layers(spark)
+    gl = spark.createDataFrame(game_logs_rows(100), GAME_LOGS)
+    teams = read_csv_teams = spark.createDataFrame(
+        [(t[0], t[1], t[2], t[3]) for t in __import__("mlb_data_pipeline_spark.sources.fixtures", fromlist=["TEAM_ROWS"]).TEAM_ROWS],
+        TEAMS,
+    )
+    warehouse.load_raw(spark, "game_logs", gl)
+    warehouse.load_raw(spark, "teams", teams)
+    warehouse.create_staging_view(
+        spark,
+        "stg_games",
+        """SELECT g.*, t.nickname AS home_nickname
+           FROM raw.game_logs g JOIN raw.teams t ON g.home_team = t.team_id""",
+    )
+    warehouse.materialize_mart(
+        spark,
+        "team_wins",
+        """SELECT home_team AS team, COUNT(*) AS home_games,
+                  SUM(CASE WHEN home_score > visiting_score THEN 1 ELSE 0 END) AS home_wins
+           FROM staging.stg_games GROUP BY home_team""",
+    )
+    marts = spark.sql("SELECT * FROM analytics.team_wins")
+    assert marts.count() > 0
+    assert marts.agg(F.sum("home_games")).first()[0] == 100
+    # staging is a view (no storage), mart is a table
+    assert spark.catalog.getTable("staging.stg_games").tableType == "VIEW"
+    assert spark.catalog.getTable("analytics.team_wins").tableType in ("MANAGED", "EXTERNAL")
