@@ -33,7 +33,7 @@ def token_count(col: Column | str) -> Column:
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Approximate subword count: ceil(len(word)/4) summed over words."""
     c = F.col(col) if isinstance(col, str) else col
-    words = F.regexp_extract_all(c, F.lit(WORD_RE))
+    words = F.regexp_extract_all(c, F.lit(WORD_RE), 0)  # idx 0: whole match (pattern has no groups)
     return F.aggregate(
         words,
         F.lit(0),

@@ -1,0 +1,152 @@
+"""Deduplication operators — the north-star dedup family.
+
+Exact (hash/key dedup), MinHash banding (LSH), SimHash, and n-gram
+Jaccard — all as Catalyst-only compositions (no Python UDFs). Reference
+analogue: id-keyed idempotent upsert (pipeline.py:58-77,
+scrape_store_embed.py:69-79); the near-dup tiers are the standard
+LLM-training-corpus operators layered on the same engine.
+
+Hashing is md5-based and therefore ENGINE-NEUTRAL: every hash value
+here reproduces bit-for-bit in any SQL engine with md5 — which is what
+makes the MinHash/SimHash queries oracle-checkable against DuckDB
+(engine-specific hash functions like xxhash64 would not be).
+
+100 TB notes: every candidate-generation step is an equi-join on a
+bounded key (dedup key, (salt, minhash) band, simhash block) — never an
+all-pairs product. Shuffle volume is O(rows x bands). Skewed bands
+(boilerplate-heavy corpora) are handled by AQE skew-join; precision is
+always restored by an exact verify (Jaccard residual) after candidate
+generation, so banding parameters only affect recall, not correctness
+of emitted pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Deterministic exact dedup: keep the first row per key under an
+    explicit order (dropDuplicates keeps an *arbitrary* row — fine for
+    idempotence, unusable under a value-hash contract)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def token_set(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(F.split(c, " "))
+
+
+def shingle_set(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles. Guarded for short docs (< n tokens):
+    Spark's sequence() would happily generate a DESCENDING range."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard of two array columns. int/int double division —
+    bit-identical across engines, no rounding needed."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def minhash_values(set_col: Column, n_hashes: int) -> Column:
+    """MinHash signature as array<string>: element i is
+    min(md5(i || '|' || member)). String-min over md5 hex is a valid
+    uniform min-hash family and reproduces in any engine."""
+    # closure factory, NOT a default-arg lambda: PySpark dispatches on
+    # lambda arity, so `lambda s, i=i:` would be called as (element, index)
+    def salted(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s).cast("binary"))
+
+    return F.array(*[F.array_min(F.transform(set_col, salted(i))) for i in range(n_hashes)])
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str, set_col: str, n_hashes: int = 4
+) -> DataFrame:
+    """LSH banding with one minhash per band (rows-per-band=1):
+    candidates are id pairs sharing ANY minhash value. A pair with
+    Jaccard j survives with prob 1-(1-j)^n_hashes. Pure equi-join on
+    (band, value) — the 100 TB-safe shape."""
+    sig = df.select(id_col, F.posexplode(minhash_values(F.col(set_col), n_hashes)).alias("band", "mh"))
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "mh")
+    b = sig.select(F.col(id_col).alias("id_b"), "band", "mh")
+    return (
+        a.join(b, ["band", "mh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float, n_hashes: int = 4, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash LSH candidates + exact Jaccard verify >= threshold.
+    Emitted pairs are exactly correct; banding only affects recall."""
+    sh = df.select(id_col, shingle_set(text_col, shingle_n).alias("__sh"))
+    cand = minhash_candidate_pairs(sh, id_col, "__sh", n_hashes)
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jacc", jaccard(F.col("__sha"), F.col("__shb")))
+        .filter(F.col("jacc") >= F.lit(threshold))
+        .select("id_a", "id_b", "jacc")
+    )
+
+
+def simhash16(tokens_col: Column) -> Column:
+    """16-bit SimHash over a token set: token hash = first 16 bits of
+    md5; simhash bit b is the sign of sum over tokens of (2*bit_b - 1).
+    All integer arithmetic — engine-neutral."""
+    tok_val = F.transform(
+        tokens_col, lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 4), 16, 10).cast("int")
+    )
+    def bit_contrib(b: int):
+        # factory avoids default-arg lambda (PySpark dispatches on arity)
+        return lambda acc, v: acc + (F.shiftright(v, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    bits = []
+    for b in range(16):
+        contrib = F.aggregate(tok_val, F.lit(0), bit_contrib(b))
+        bits.append(F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for expr in bits[1:]:
+        out = out + expr
+    return out
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, block_col: str, max_hamming: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """SimHash near-dup: pairs within a block whose 16-bit simhashes are
+    within ``max_hamming`` bits, verified by exact token-set Jaccard.
+    The block key (e.g. source/domain) keeps the pair join bounded; a
+    production variant blocks on simhash bit-prefixes instead."""
+    sigs = df.select(
+        F.col(id_col), F.col(block_col), token_set(text_col).alias("__toks")
+    ).withColumn("__sim", simhash16(F.col("__toks")))
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col(block_col).alias("__blk"), F.col("__sim").alias("__sim_a"), F.col("__toks").alias("__toks_a")
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col(block_col).alias("__blk"), F.col("__sim").alias("__sim_b"), F.col("__toks").alias("__toks_b")
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b"))) <= max_hamming)
+        .withColumn("jacc", jaccard(F.col("__toks_a"), F.col("__toks_b")))
+        .filter(F.col("jacc") >= F.lit(threshold))
+        .select("id_a", "id_b", "jacc")
+    )

@@ -1,1 +1,310 @@
-"""Placeholder — populated in later milestones."""
+"""North-star LLM-data-pipeline queries: dedup family + text analysis.
+
+These are the operators a 100 TB training-data pipeline runs over a
+document corpus: language ID, quality scoring, token accounting,
+content fingerprinting, and the near-duplicate family (MinHash-LSH,
+SimHash, n-gram Jaccard). Reference analogue: the article corpus +
+id-keyed dedup upsert (pipeline.py:24-77); everything beyond exact
+dedup is the declared [gap, north star] surface of SURVEY §2.5/§2.6.
+
+All hashing is md5-based (engine-neutral), so even the MinHash and
+SimHash queries are fully DuckDB-oracled: the oracle mirrors the same
+algorithm and must produce identical pairs. Ratios are single int/int
+double divisions (bit-identical cross-engine, no rounding games).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.textfn import bpe_ish_token_count, token_count
+from ..operators.dedup import jaccard, minhash_neardup_pairs, simhash_neardup_pairs, token_set
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Q40 — language-ID heuristic (T18): stopword-marker ratio
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+_STOP_SQL = "('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it')"
+
+_Q40_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN stop_ratio >= 0.10 THEN 'en-like' ELSE 'other' END AS classified,
+       COUNT(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q40_language_id", oracle=_Q40_SQL, covers="T18,T17,A2")
+def q40_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_ratio = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS))).cast("double") / F.size(toks)
+    return (
+        docs.select("lang", stop_ratio.alias("stop_ratio"))
+        .select(
+            "lang",
+            F.when(F.col("stop_ratio") >= 0.10, F.lit("en-like")).otherwise(F.lit("other")).alias("classified"),
+        )
+        .groupBy("lang", "classified")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "classified")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q41 — quality scoring (T18): length/punctuation/stopword ratios
+# ---------------------------------------------------------------------------
+
+_Q41_SQL = f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars_txt,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS n_stop,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok) AS stopword_ratio,
+       CAST(SUM(n_punct) AS DOUBLE) / SUM(n_chars_txt) AS punct_ratio,
+       CAST(SUM(n_chars_txt) AS DOUBLE) / SUM(n_tok) AS avg_token_len
+FROM m
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q41_quality_score", oracle=_Q41_SQL, covers="T18,T8,A2")
+def q41_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = docs.select(
+        "lang",
+        F.length("text").alias("n_chars_txt"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS))).alias("n_stop"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))).alias("n_punct"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_stop").cast("double") / F.sum("n_tok")).alias("stopword_ratio"),
+            (F.sum("n_punct").cast("double") / F.sum("n_chars_txt")).alias("punct_ratio"),
+            (F.sum("n_chars_txt").cast("double") / F.sum("n_tok")).alias("avg_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q42 — token accounting (T17): whitespace + BPE-ish subword counts
+# ---------------------------------------------------------------------------
+
+_Q42_SQL = r"""
+WITH m AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok,
+         list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                 w -> CAST(ceil(length(w) / 4.0) AS INT))) AS n_bpe
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+FROM m
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q42_token_stats", oracle=_Q42_SQL, covers="T17,A2", bench=True)
+def q42_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select("source", token_count("text").alias("n_tok"), bpe_ish_token_count("text").alias("n_bpe"))
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+            (F.sum("n_tok").cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q43 — content fingerprinting: md5 fingerprint of normalized text
+# ---------------------------------------------------------------------------
+
+_Q43_SQL = r"""
+WITH fp AS (
+  SELECT source,
+         substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS fingerprint
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fingerprint) AS n_distinct_fp
+FROM fp
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q43_fingerprint", oracle=_Q43_SQL, covers="T4,A3,V4")
+def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Whitespace-normalized md5 content fingerprint — the exact-dup key a
+    # corpus pipeline hashes before any near-dup pass. md5 reproduces in
+    # every engine (unlike xxhash64/murmur).
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.substring(F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")).cast("binary")), 1, 8)
+    return (
+        docs.select("source", fp.alias("fingerprint"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("fingerprint").alias("n_distinct_fp"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q44 — MinHash-LSH near-duplicate pairs (banded candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+_Q44_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [] END AS shingles
+  FROM d
+),
+exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+mh AS (
+  SELECT e.doc_id, salts.salt, MIN(md5(salts.salt || '|' || e.s)) AS m
+  FROM exploded e CROSS JOIN (SELECT unnest(['0|', '1|', '2|', '3|']) AS salt) salts
+  GROUP BY e.doc_id, salts.salt
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b ON a.salt = b.salt AND a.m = b.m AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jacc
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+@query("q44_minhash_neardup", oracle=_Q44_SQL, covers="V4,T17,J1", bench=True)
+def q44_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.3, n_hashes=4, shingle_n=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Q45 — n-gram (token-set) Jaccard near-dups, blocked by source
+# ---------------------------------------------------------------------------
+
+_Q45_SQL = """
+WITH d AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.toks, b.toks))) AS jacc
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+@query("q45_ngram_jaccard", oracle=_Q45_SQL, covers="V4,J6,T17")
+def q45_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Blocked all-pairs: the join key (source) bounds each block, so the
+    # pair count is sum of block^2, not corpus^2 — the classic
+    # domain-blocked near-dup pass.
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", token_set("text").alias("toks"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src"), F.col("toks").alias("toks_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src"), F.col("toks").alias("toks_b"))
+    return (
+        a.join(b, "src")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jacc", jaccard(F.col("toks_a"), F.col("toks_b")))
+        .filter(F.col("jacc") >= 0.9)
+        .select("id_a", "id_b", "jacc")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q46 — SimHash near-dups (16-bit signatures, hamming <= 3, Jaccard verify)
+# ---------------------------------------------------------------------------
+
+_Q46_SQL = """
+WITH d AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+tv AS (
+  SELECT doc_id, source, toks,
+         list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 4)) AS INTEGER)) AS tvals
+  FROM d
+),
+sig AS (
+  SELECT doc_id, source, toks,
+         (CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 0) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 1
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 1) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 2
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 2) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 4
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 3) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 8
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 4) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 16
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 5) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 32
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 6) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 64
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 7) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 128
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 8) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 256
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 9) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 512
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 10) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 1024
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 11) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 2048
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 12) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 4096
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 13) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 8192
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 14) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 16384
+        + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 15) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 32768
+         ) AS sim
+  FROM tv
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.toks, b.toks))) AS jacc
+FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.sim, b.sim) AS BIGINT)) <= 3
+  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+@query("q46_simhash_neardup", oracle=_Q46_SQL, covers="V4,T17")
+def q46_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(docs, "doc_id", "text", "source", max_hamming=3, threshold=0.3)
+    return pairs.orderBy("id_a", "id_b")
