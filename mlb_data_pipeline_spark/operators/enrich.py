@@ -1,0 +1,112 @@
+"""Enrichment / UDF surface (SURVEY §2.9 U1, U3, U4, U6).
+
+The reference's enrichment operators are external calls: per-URL
+scraping (pipeline.py:24-38), LLM completions (pipeline.py:127-140,
+specialized_agents.py throughout), TTS (pipeline.py:287-325). The
+engine quarantines all of that behind ``mapInPandas`` operators with a
+pluggable client interface and a DETERMINISTIC mock — external services
+never appear in the correctness tier (SURVEY §4.2).
+
+U1 note: row-at-a-time Python UDFs are the slow path; they exist here
+only as the interface parity for I/O-bound per-row calls and are never
+used in any registered query plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# --------------------------------------------------------------------- U1
+
+normalize_url_udf = F.udf(
+    lambda u: None if u is None else u.strip().lower().rstrip("/").removeprefix("https://").removeprefix("http://"),
+    StringType(),
+)
+"""Scalar Python UDF (U1) — URL normalization, the reference's id-key
+hygiene (id=URL, pipeline.py:69). Interface demo only: in query plans
+the same logic is expressed with built-ins (lower/trim/regexp_replace)."""
+
+
+# --------------------------------------------------------------------- U3
+
+
+def demean_per_group(df: DataFrame, group_cols: list[str], value_col: str, out_col: str) -> DataFrame:
+    """Grouped-map pandas UDF (U3): per-group arithmetic in Arrow
+    batches — the reference's per-group parse/structuring dispatch shape
+    (orchestrator.py:337-396). Subtraction of the group min is exact in
+    IEEE doubles, so results are engine-comparable bit-for-bit."""
+    schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols]
+        + [f"{value_col} double", f"{out_col} double"]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[group_cols + [value_col]].copy()
+        out[out_col] = out[value_col] - out[value_col].min()
+        return out
+
+    return df.select(*group_cols, F.col(value_col).cast("double").alias(value_col)).groupBy(
+        *group_cols
+    ).applyInPandas(fn, schema)
+
+
+# --------------------------------------------------------------------- U4
+
+
+def rms_udaf():
+    """Grouped-agg pandas UDF (U4): root-mean-square. Sums are computed
+    on sorted values so the fold order is deterministic run-to-run."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def rms(v: pd.Series) -> float:
+        arr = np.sort(v.to_numpy(dtype="float64"))
+        return float(np.sqrt(np.sum(arr * arr) / len(arr))) if len(arr) else float("nan")
+
+    return rms
+
+
+# --------------------------------------------------------------------- U6
+
+
+class MockLLMClient:
+    """Deterministic fake completion client: echoes a digest of the
+    prompt. Same prompt -> same completion, hermetic tests."""
+
+    def complete(self, prompts: list[str]) -> list[str]:
+        return [f"[mock:{hashlib.sha256(p.encode()).hexdigest()[:12]}] {p[:48]}" for p in prompts]
+
+
+def llm_enrich(
+    df: DataFrame,
+    prompt_col: str,
+    out_col: str = "completion",
+    client_factory: Callable[[], object] = MockLLMClient,
+    batch_size: int = 32,
+) -> DataFrame:
+    """U6: LLM-call operator via mapInPandas — batched, client built
+    once per partition stream (rate limiting/retry/caching belong in the
+    client). Reference: rag_pipeline generation step (pipeline.py:127-140).
+    Never part of the correctness tier."""
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, {out_col} string"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = client_factory()
+        for pdf in batches:
+            prompts = pdf[prompt_col].fillna("").tolist()
+            outs: list[str] = []
+            for i in range(0, len(prompts), batch_size):
+                outs.extend(client.complete(prompts[i : i + batch_size]))
+            pdf = pdf.copy()
+            pdf[out_col] = outs
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)

@@ -1,0 +1,2 @@
+from .daily import daily_content_pipeline  # noqa: F401
+from .rag import rag_answer, retrieve  # noqa: F401

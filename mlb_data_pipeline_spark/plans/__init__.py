@@ -8,3 +8,4 @@ def load_all() -> None:
     from . import vector_queries  # noqa: F401
     from . import stream_queries  # noqa: F401
     from . import northstar_queries  # noqa: F401
+    from . import enrich_queries  # noqa: F401

@@ -1,0 +1,120 @@
+"""UDF / enrichment / multimodal query surface — SURVEY §2.9 + north star.
+
+U3 (grouped-map) is fully oracled: per-group demeaning is exact IEEE
+arithmetic, so the pandas path must match DuckDB bit-for-bit. The fake
+embedder (U2/V1), RMS UDAF (U4), mock LLM (U6) and multimodal feature
+extraction are engine-specific Python paths — registered rows-only;
+their invariants are pytest-checked (tests/test_enrich.py,
+tests/test_pipelines.py, tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.embed import embed_column, fake_encode
+from ..operators.enrich import llm_enrich, rms_udaf
+from ..operators.multimodal import extract_features
+from ..operators.vector import context_assembly, cosine_topk
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Q47 — grouped-map pandas UDF (U3): demean acctbal within nation
+# ---------------------------------------------------------------------------
+
+_Q47_SQL = """
+SELECT c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       c_acctbal - MIN(c_acctbal) OVER (PARTITION BY c_nationkey) AS delta
+FROM customer
+ORDER BY c_nationkey, c_acctbal
+"""
+
+
+@query("q47_grouped_map_demean", oracle=_Q47_SQL, covers="U3,U2")
+def q47_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.enrich import demean_per_group
+
+    customer = load_table(spark, sf_dir, "customer")
+    out = demean_per_group(customer, ["c_nationkey"], "c_acctbal", "delta")
+    return out.orderBy("c_nationkey", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Q48 — embed + retrieve + assemble (V1/V2/V5/U2): hermetic fake encoder
+# ---------------------------------------------------------------------------
+
+
+@query("q48_embed_retrieval", oracle=None, covers="V1,V2,V5,U2", bench=True)
+def q48_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), F.col("text")
+    )
+    store = embed_column(docs, "text")
+    qvec = fake_encode("how does a hash join shuffle partition data")
+    topk = cosine_topk(store, qvec, "url", "embedding", 3)
+    from pyspark.sql import Window
+
+    ranked = topk.withColumn("rank", F.row_number().over(Window.orderBy(F.col("sim").desc(), F.col("url"))))
+    return context_assembly(ranked.select("rank", "text"), "text", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Q49 — pandas GROUPED_AGG UDAF (U4): RMS of order totals per status
+# ---------------------------------------------------------------------------
+
+
+@query("q49_rms_udaf", oracle=None, covers="U4")
+def q49_rms_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rms = rms_udaf()
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(rms(F.col("o_totalprice")).alias("rms_totalprice"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q50 — LLM-call operator with deterministic mock (U6)
+# ---------------------------------------------------------------------------
+
+
+@query("q50_llm_enrich_mock", oracle=None, covers="U6,U1")
+def q50_llm_enrich_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    prompts = docs.select(
+        "doc_id", F.concat(F.lit("Summarize: "), F.substring("text", 1, 80)).alias("prompt")
+    )
+    return llm_enrich(prompts, "prompt").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q51 — multimodal feature extraction (binary payloads, north star)
+# ---------------------------------------------------------------------------
+
+
+@query("q51_multimodal_features", oracle=None, covers="S9,U2")
+def q51_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary payloads synthesized from document text (the container has
+    # no codecs — TESTDATA has no media table); the mapInPandas plumbing
+    # (binary in via Arrow, array<float> out) is the real thing.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("content_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.element_at("features", 1).cast("double").alias("f0"),
+    ).orderBy("media_id")

@@ -1,0 +1,55 @@
+"""Entry points A and B run hermetically end-to-end (SURVEY §3.1-§3.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mlb_data_pipeline_spark.pipelines import daily_content_pipeline, rag_answer, retrieve
+from mlb_data_pipeline_spark.sources import ARTICLES
+from mlb_data_pipeline_spark.sources.fixtures import articles_rows
+
+
+def _articles(spark, n=80):
+    return spark.createDataFrame(articles_rows(n), ARTICLES)
+
+
+def test_daily_pipeline_end_to_end(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    store = str(tmp_path / "store")
+    arts = _articles(spark)
+    n_valid = arts.filter(F.col("body").isNotNull() & (F.length("body") > 0)).count()
+
+    daily_content_pipeline(spark, arts, lake, store)
+
+    lake_df = spark.read.parquet(lake)
+    assert lake_df.count() == n_valid
+    assert "dt" in lake_df.columns  # date-partitioned layout
+    assert lake_df.filter(F.col("title").isNull()).count() == 0  # Untitled default
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == n_valid
+    assert dict(store_df.dtypes)["embedding"] == "array<float>"
+
+    # rerun = idempotent upsert (reference's retry-safe daily run)
+    daily_content_pipeline(spark, arts, lake, store)
+    assert spark.read.parquet(store).count() == n_valid
+    assert spark.read.parquet(lake).count() == n_valid
+
+
+def test_retrieval_and_rag_answer(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    store_path = str(tmp_path / "store")
+    daily_content_pipeline(spark, _articles(spark), lake, store_path)
+    store = spark.read.parquet(store_path)
+
+    hits = retrieve(spark, store, "walk-off homer in extra innings", k=3).collect()
+    assert len(hits) == 3
+    assert [h.rank for h in hits] == [1, 2, 3]
+    assert hits[0].sim >= hits[1].sim >= hits[2].sim
+
+    ans = rag_answer(spark, store, "Who hit the walk-off homer?").collect()
+    assert len(ans) == 1
+    assert ans[0].n_docs == 3
+    assert ans[0].completion.startswith("[mock:")
+    # deterministic: same question -> same completion
+    ans2 = rag_answer(spark, store, "Who hit the walk-off homer?").collect()
+    assert ans2[0].completion == ans[0].completion
