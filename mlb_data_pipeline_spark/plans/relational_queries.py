@@ -762,3 +762,128 @@ def q23_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = rich.subtract(building).agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n")
     inter = rich.intersect(building).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n")
     return ex.unionByName(inter).orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# Q52 — cube / grouping sets (A7 complete; q07 covers rollup)
+# ---------------------------------------------------------------------------
+
+_Q52_SQL = """
+SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal,
+       COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY CUBE (n.n_name, c.c_mktsegment)
+ORDER BY nation NULLS LAST, segment NULLS LAST
+"""
+
+
+@query("q52_cube_acctbal", oracle=_Q52_SQL, covers="A7")
+def q52_cube_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"), "c_acctbal")
+        .cube("nation", "segment")
+        .agg(dsum("c_acctbal").alias("total_acctbal"), F.count("*").alias("n_customers"))
+        .orderBy(F.col("nation").asc_nulls_last(), F.col("segment").asc_nulls_last())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q53 — prefix filter (P6): startswith pushes down as StringStartsWith
+# ---------------------------------------------------------------------------
+
+_Q53_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE p_name LIKE 'small %'
+ORDER BY p_partkey
+"""
+
+
+@query("q53_prefix_filter", oracle=_Q53_SQL, covers="P6")
+def q53_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small "))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q54 — full outer join (J3 complete; q13 covers left)
+# ---------------------------------------------------------------------------
+
+_Q54_SQL = """
+WITH hi_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+     o99 AS (SELECT o_custkey, COUNT(*) AS n_orders
+             FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '1999-07-01'
+             GROUP BY o_custkey)
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_acctbal, o.n_orders
+FROM hi_cust c FULL OUTER JOIN o99 o ON c.c_custkey = o.o_custkey
+ORDER BY custkey
+"""
+
+
+@query("q54_full_outer", oracle=_Q54_SQL, covers="J3")
+def q54_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = customer.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
+    o99 = (
+        orders.filter((F.col("o_orderdate") >= F.lit("1999-01-01")) & (F.col("o_orderdate") < F.lit("1999-07-01")))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        hi.join(o99, hi.c_custkey == o99.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_acctbal",
+            "n_orders",
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q58 — approx count distinct (A4): HLL sketch, bench/rows-only tier by
+#        design (approx results never enter the hash contract)
+# ---------------------------------------------------------------------------
+
+
+@query("q58_approx_distinct", oracle=None, covers="A4", bench=True)
+def q58_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q59 — explicit repartition (P8): hash-partition events by user, count
+#        rows per partition (murmur3 hash is deterministic for a fixed
+#        partition count, but engine-specific — rows-only tier)
+# ---------------------------------------------------------------------------
+
+
+@query("q59_repartition_distribution", oracle=None, covers="P8")
+def q59_repartition_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.repartition(16, "user_id")
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("pid")
+    )

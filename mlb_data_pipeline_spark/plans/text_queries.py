@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.numeric import dec
+from ..functions.textfn import dict_replace
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -248,3 +249,124 @@ def q35_struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("n_chars"),
     )
     return docs.select("doc_id", F.to_json(article).alias("article_json")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q55 — positional zip / UDTF explode with index (J8, U5); reference
+#        zip(docs, metas) by position (pipeline.py:88)
+# ---------------------------------------------------------------------------
+
+_Q55_SQL = """
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+WHERE doc_id < 3
+ORDER BY doc_id, pos
+"""
+
+
+@query("q55_positional_zip", oracle=_Q55_SQL, covers="J8,U5,T2")
+def q55_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
+    return docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")).orderBy(
+        "doc_id", "pos"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q56 — TTS-style cleanup: dictionary replace + case/trim + length +
+#        heading detect (T1, T5, T8, T10); reference format_replacements
+#        (config.py:224-233) and isupper/endswith(':') heading rule
+#        (specialized_agents.py:194)
+# ---------------------------------------------------------------------------
+
+_Q56_SQL = """
+WITH lined AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN upper(source) || ':' ELSE trim(substr(text, 1, 30)) END AS line,
+         replace(replace(text, 'vector', 'VEC'), 'window', 'WIN') AS replaced
+  FROM documents
+)
+SELECT (upper(line) = line AND line LIKE '%:') AS is_heading,
+       COUNT(*) AS n_lines,
+       CAST(SUM(length(replaced)) AS BIGINT) AS total_replaced_len,
+       CAST(SUM(length(line)) AS BIGINT) AS total_line_len
+FROM lined
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q56_tts_cleanup", oracle=_Q56_SQL, covers="T1,T5,T8,T10")
+def q56_tts_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.when(F.col("doc_id") % 3 == 0, F.concat(F.upper("source"), F.lit(":"))).otherwise(
+        F.trim(F.substring("text", 1, 30))
+    )
+    replaced = dict_replace("text", {"vector": "VEC", "window": "WIN"})
+    lined = docs.select("doc_id", line.alias("line"), replaced.alias("replaced"))
+    is_heading = (F.upper("line") == F.col("line")) & F.col("line").endswith(":")
+    return (
+        lined.select(is_heading.alias("is_heading"), "replaced", "line")
+        .groupBy("is_heading")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.length("replaced")).cast("bigint").alias("total_replaced_len"),
+            F.sum(F.length("line")).cast("bigint").alias("total_line_len"),
+        )
+        .orderBy("is_heading")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q57 — XML field extraction (T15); reference ElementTree findall
+#        (mlb_agent_framework_dag.py:60-67). Spark side uses real xpath;
+#        the oracle extracts the same field by regex from the same
+#        synthesized XML string.
+# ---------------------------------------------------------------------------
+
+_Q57_SQL = """
+WITH x AS (
+  SELECT doc_id,
+         '<item><title>doc-' || doc_id || '</title><src>' || source || '</src></item>' AS xml
+  FROM documents
+)
+SELECT regexp_extract(xml, '<src>(.*)</src>', 1) AS src, COUNT(*) AS n
+FROM x
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q57_xml_extract", oracle=_Q57_SQL, covers="T15,T9")
+def q57_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<item><title>doc-"), F.col("doc_id"), F.lit("</title><src>"), F.col("source"), F.lit("</src></item>")
+    )
+    return (
+        docs.select(F.xpath_string(xml, F.lit("/item/src")).alias("src"))
+        .groupBy("src")
+        .agg(F.count("*").alias("n"))
+        .orderBy("src")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q60 — current date/time (T12): banned from the hash contract by the
+#        determinism policy, demonstrated as a rows-only query
+# ---------------------------------------------------------------------------
+
+
+@query("q60_current_date_age", oracle=None, covers="T12,T13")
+def q60_current_date_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(F.datediff(F.current_date(), F.col("o_orderdate"))).alias("min_age_days"),
+        )
+        .orderBy("order_year")
+    )
