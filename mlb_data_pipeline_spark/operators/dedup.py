@@ -92,7 +92,11 @@ def minhash_neardup_pairs(
 ) -> DataFrame:
     """MinHash LSH candidates + exact Jaccard verify >= threshold.
     Emitted pairs are exactly correct; banding only affects recall."""
-    sh = df.select(id_col, shingle_set(text_col, shingle_n).alias("__sh"))
+    # lazy localCheckpoint: the shingled corpus feeds THREE subtrees
+    # (signatures + both verify sides); without it Catalyst recomputes
+    # the shingling per subtree. At cluster scale this is the moral
+    # equivalent of persisting the shingled corpus for the pass.
+    sh = df.select(id_col, shingle_set(text_col, shingle_n).alias("__sh")).localCheckpoint(eager=False)
     cand = minhash_candidate_pairs(sh, id_col, "__sh", n_hashes)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
@@ -133,9 +137,11 @@ def simhash_neardup_pairs(
     within ``max_hamming`` bits, verified by exact token-set Jaccard.
     The block key (e.g. source/domain) keeps the pair join bounded; a
     production variant blocks on simhash bit-prefixes instead."""
-    sigs = df.select(
-        F.col(id_col), F.col(block_col), token_set(text_col).alias("__toks")
-    ).withColumn("__sim", simhash16(F.col("__toks")))
+    sigs = (
+        df.select(F.col(id_col), F.col(block_col), token_set(text_col).alias("__toks"))
+        .withColumn("__sim", simhash16(F.col("__toks")))
+        .localCheckpoint(eager=False)  # feeds both sides of the pair join
+    )
     a = sigs.select(
         F.col(id_col).alias("id_a"), F.col(block_col).alias("__blk"), F.col("__sim").alias("__sim_a"), F.col("__toks").alias("__toks_a")
     )

@@ -25,6 +25,8 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -33,6 +35,25 @@ from ..functions.vector_math import cosine, dot, norm
 
 def _prefix(df: DataFrame, prefix: str) -> DataFrame:
     return df.select([F.col(c).alias(f"{prefix}{c}") for c in df.columns])
+
+
+def dot_arrow():
+    """Vectorized dot product as an Arrow pandas UDF (numpy matmul).
+
+    The JVM-side ``zip_with``+``aggregate`` fold in vector_math is the
+    bit-exact oracled tier, but Catalyst evaluates higher-order lambdas
+    per ELEMENT — ~50-100x slower than a native kernel at millions of
+    pairs. This is the scale tier: whole Arrow batches hit one einsum.
+    Float64 pairwise summation differs from the sequential fold by
+    ~1 ulp, so this never backs an oracled query.
+    """
+    @F.pandas_udf("double")
+    def pdot(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy())
+        bm = np.stack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", am, bm))
+
+    return pdot
 
 
 def knn_join(
@@ -125,6 +146,7 @@ def cosine_pairs_lsh(
     bands: int = 4,
     sim_col: str = "sim",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs at scale: random-hyperplane LSH.
 
@@ -134,41 +156,55 @@ def cosine_pairs_lsh(
     residual filter keeps only true pairs. Result is a subset of
     ``cosine_pairs_exact`` (recall < 1 by design); precision is exact.
 
-    100 TB design: shuffle volume is rows x bands keyed by band hash;
-    skewed buckets (dense regions) are split by AQE skew-join. Tune
-    recall with (n_planes, bands): more bands -> higher recall,
-    more shuffle.
+    Physical shape (the part that matters at 100 TB):
+    * the banded self-join carries ONLY (id, band key) — vectors never
+      enter the candidate shuffle;
+    * vectors are L2-normalized once per row up front, so the residual
+      check is a single dot-product fold per surviving pair (not
+      dot + two norms);
+    * candidate id-pairs are deduped before the vectors join back in.
+    Shuffle volume: rows x bands tiny keys + |candidates| x dim floats.
+    Skewed buckets (dense regions) are split by AQE skew-join. Tune
+    recall with (n_planes, bands): more bands -> higher recall.
     """
-    dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     per_band = n_planes // bands
-    sig = df.select(id_col, vec_col).withColumn("__sig", simhash_signature(vec_col, planes))
-    banded = sig.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.slice("__sig", i * per_band + 1, per_band).alias("bits"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("__bk"),
-    )
-    a = _prefix(banded, "a_")
-    b = _prefix(banded, "b_")
+    planes_mat = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf("array<int>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        # sign bits are scale-invariant — no normalization needed; one
+        # matmul per Arrow batch, band index packed into the key int
+        pm = np.asarray(planes_mat).T  # dim x n_planes
+        v = np.stack(vecs.to_numpy()).astype("float64")
+        bits = (v @ pm) >= 0  # n x n_planes
+        weights = 1 << np.arange(per_band - 1, -1, -1)
+        keys = []
+        for i in range(bands):
+            band_bits = bits[:, i * per_band : (i + 1) * per_band]
+            keys.append((band_bits @ weights) + (i << per_band))
+        return pd.Series(list(np.stack(keys, axis=1).astype("int32")))
+
+    base = df.select(id_col, vec_col).withColumn("__n", norm(vec_col))
+    sig = base.select(id_col, band_keys(F.col(vec_col)).alias("__keys"))
+    banded = sig.select(id_col, F.explode("__keys").alias("__bk"))
     cand = (
-        a.join(b, (F.col("a___bk") == F.col("b___bk")) & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")))
-        .select(f"a_{id_col}", f"b_{id_col}", f"a_{vec_col}", f"b_{vec_col}")
-        .dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
+        banded.select(F.col(id_col).alias("id_a"), "__bk")
+        .join(banded.select(F.col(id_col).alias("id_b"), "__bk"), "__bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
+    pdot = dot_arrow()
     return (
-        cand.withColumn(sim_col, cosine(f"a_{vec_col}", f"b_{vec_col}"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(sim_col, pdot("__va", "__vb") / (F.col("__na") * F.col("__nb")))
         .filter(F.col(sim_col) >= F.lit(threshold))
-        .select(F.col(f"a_{id_col}"), F.col(f"b_{id_col}"), F.col(sim_col))
+        .select(F.col("id_a").alias(f"a_{id_col}"), F.col("id_b").alias(f"b_{id_col}"), F.col(sim_col))
     )
 
 

@@ -197,7 +197,7 @@ def q39_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 planes / 8 bands of 4 bits: ~2/3 recall at sim 0.3 on isotropic
     # data (real near-dup corpora sit at sim >= 0.9 where the same config
     # recalls >95%); precision is exact via the residual cosine check.
-    pairs = cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.3, n_planes=32, bands=8)
+    pairs = cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.3, n_planes=32, bands=8, dim=64)
     return pairs.select(
         F.col("a_vec_id").alias("vec_a"),
         F.col("b_vec_id").alias("vec_b"),

@@ -187,7 +187,9 @@ def test_write_json_single(spark, tmp_path):
 
 
 def test_warehouse_layering(spark, tmp_path):
-    warehouse.create_layers(spark)
+    for layer in warehouse.LAYERS:  # clean slate — metastore is per-session but dirs persist
+        spark.sql(f"DROP DATABASE IF EXISTS {layer} CASCADE")
+    warehouse.create_layers(spark, warehouse_dir=str(tmp_path / "wh"))
     gl = spark.createDataFrame(game_logs_rows(100), GAME_LOGS)
     teams = read_csv_teams = spark.createDataFrame(
         [(t[0], t[1], t[2], t[3]) for t in __import__("mlb_data_pipeline_spark.sources.fixtures", fromlist=["TEAM_ROWS"]).TEAM_ROWS],
