@@ -1,4 +1,5 @@
 from .jobs import (  # noqa: F401
+    running_user_totals_stream,
     dedup_stream,
     read_event_stream,
     run_available_now,

@@ -102,3 +102,32 @@ def run_available_now(df: DataFrame, checkpoint_dir: str, out_dir: str, output_m
         .start()
     )
     q.awaitTermination()
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """ST7: custom stateful per-key operator via applyInPandasWithState.
+
+    Keeps (count, total) per user across micro-batches and emits the
+    running values each time the key appears — the engine's form of the
+    reference's (declared, unimplemented) agent memory
+    (config.py:96-100). State per key is two scalars; at 100 TB the
+    state store is bounded by |active users|, not event volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,78 @@
+"""Feed sources (S4/S5/S6) with stub fetchers + binary sink (S9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from mlb_data_pipeline_spark.sources.feeds import (
+    rest_json_source,
+    rss_source,
+    scrape_articles,
+    todays_links,
+    write_binary_files,
+)
+from mlb_data_pipeline_spark.sources.fixtures import schedule_payloads
+from mlb_data_pipeline_spark.sources.readers import parse_schedule_payloads
+
+_RSS = """<?xml version="1.0"?><rss><channel>
+<item><title>Walk-off win</title><link>https://x/1</link><pubDate>Wed, 01 May 2024 18:00:00 GMT</pubDate></item>
+<item><title><![CDATA[Trade news]]></title><link>https://x/2</link><pubDate>Tue, 30 Apr 2024 12:00:00 GMT</pubDate></item>
+<item><title>Old story</title><link>https://x/3</link><pubDate>Mon, 01 Apr 2024 09:00:00 GMT</pubDate></item>
+</channel></rss>"""
+
+
+def test_rest_json_source_roundtrip(spark):
+    payloads = dict(zip(["https://api/sched?d=1", "https://api/sched?d=2"], schedule_payloads(2)))
+    raw = rest_json_source(spark, list(payloads), payloads.__getitem__)
+    assert raw.count() == 2
+    games = parse_schedule_payloads(raw)
+    assert games.count() > 0
+    assert games.filter(F.col("game_pk").isNull()).count() == 0
+
+
+def test_rss_source_and_today_filter(spark):
+    feed = rss_source(spark, ["https://feed/a"], lambda u: _RSS).cache()
+    rows = {r.link: r for r in feed.collect()}
+    assert set(rows) == {"https://x/1", "https://x/2", "https://x/3"}
+    assert rows["https://x/2"].title == "Trade news"  # CDATA unwrapped
+    assert rows["https://x/1"].published_ts is not None
+
+    links = {r.link for r in todays_links(feed, "2024-05-01").collect()}
+    assert links == {"https://x/1"}
+    # no links "today" -> top-3 fallback (mlb_pipeline_dag.py:53-57)
+    links = {r.link for r in todays_links(feed, "2024-06-01", fallback_n=2).collect()}
+    assert links == {"https://x/1", "https://x/2"}
+
+
+def test_scrape_articles_title_and_body(spark):
+    pages = spark.createDataFrame(
+        [
+            ("u1", "<html><h1>Big <b>Win</b></h1><p>First para.</p><p>Second <i>one</i>.</p></html>"),
+            ("u2", "<html><p>No headline here.</p></html>"),
+            ("u3", "<html><h1>Empty body</h1></html>"),
+        ],
+        "url STRING, html STRING",
+    )
+    got = {r.url: (r.title, r.body) for r in scrape_articles(pages).collect()}
+    assert got["u1"] == ("Big Win", "First para. Second one.")
+    assert got["u2"][0] is None  # missing <h1> -> NULL (caller defaults 'Untitled')
+    assert got["u3"] == ("Empty body", "")
+
+
+def test_write_binary_files_layout(spark, tmp_path):
+    root = str(tmp_path / "media")
+    df = spark.createDataFrame(
+        [
+            ("audio", dt.date(2024, 5, 1), "ep1.mp3", b"\x00\x01\x02"),
+            ("audio", dt.date(2024, 5, 2), "ep2.mp3", b"\xff" * 10),
+            ("scripts", dt.date(2024, 5, 1), "ep1.txt", b"hello"),
+        ],
+        "kind STRING, dt DATE, file_name STRING, payload BINARY",
+    )
+    write_binary_files(df, root)
+    assert open(os.path.join(root, "audio", "20240501", "ep1.mp3"), "rb").read() == b"\x00\x01\x02"
+    assert open(os.path.join(root, "audio", "20240502", "ep2.mp3"), "rb").read() == b"\xff" * 10
+    assert open(os.path.join(root, "scripts", "20240501", "ep1.txt"), "rb").read() == b"hello"

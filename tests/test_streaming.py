@@ -132,3 +132,59 @@ def test_stream_static_join(spark, events_dir, events_batch, tmp_path):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     run_available_now(joined, ckpt, out)
     assert spark.read.parquet(out).count() == events_batch.join(dim, "event_type").count()
+
+
+def test_stateful_running_totals_across_batches(spark, events_batch, tmp_path):
+    """ST7: state accumulates across micro-batches; the final emission
+    per user equals the batch aggregate."""
+    from mlb_data_pipeline_spark.streaming import running_user_totals_stream
+
+    src = str(tmp_path / "src")
+    sample = events_batch.filter(F.col("user_id") < 10).cache()
+    sample.repartition(3).write.parquet(src)  # several files -> several batches
+
+    stream = running_user_totals_stream(
+        read_event_stream(spark, src, max_files_per_trigger=1)
+    )
+    res = _run_to_memory(spark, stream, "update")
+    # last (max n_events) emission per user == batch totals
+    final = res.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    want = sample.groupBy("user_id").agg(F.count("*").alias("n"))
+    assert _rows(final, "user_id", "n") == _rows(want, "user_id", "n")
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """ST5: an event older than the watermark horizon arriving in a later
+    run is dropped — its window never appears in the append output."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(i, hour, minute=0):
+        return (i, dt.datetime(2024, 1, 1, hour, minute), 1, "click", 1.0, "{}")
+
+    from mlb_data_pipeline_spark.streaming.jobs import EVENT_SCHEMA
+
+    batch1 = spark.createDataFrame([ev(1, 10), ev(2, 10, 30), ev(3, 11, 15), ev(4, 12)], EVENT_SCHEMA)
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    run_available_now(tumbling_counts_stream(read_event_stream(spark, src)), ckpt, out)
+    # watermark after run1 = 12:00 - 2h = 10:00
+
+    late_and_new = spark.createDataFrame(
+        [ev(5, 7), ev(6, 10, 45), ev(7, 15)], EVENT_SCHEMA  # 07:00 late-beyond-watermark; 10:45 within horizon; 15:00 new
+    )
+    late_and_new.coalesce(1).write.mode("append").parquet(src)
+    run_available_now(tumbling_counts_stream(read_event_stream(spark, src)), ckpt, out)
+    # watermark advances to 13:00 -> windows through 12:00 finalized
+
+    got = {
+        (r.win_start.hour, r.n_events)
+        for r in spark.read.schema("win_start TIMESTAMP, event_type STRING, n_events BIGINT, total_value DOUBLE")
+        .parquet(out)
+        .collect()
+    }
+    assert (7, 1) not in got, "late event beyond watermark must be dropped"
+    assert (10, 3) in got  # 10:00, 10:30 from run1 + in-horizon 10:45 from run2
+    assert (11, 1) in got and (12, 1) in got
