@@ -1,0 +1,83 @@
+"""Physical-plan guardrails (SURVEY §5.2.7).
+
+These pin the scale-safety claims: filters reach the parquet scan,
+projections prune columns, global top-k plans as TakeOrderedAndProject,
+and no composed operator degenerates into a cartesian/nested-loop join.
+If a refactor breaks one of these, the query still returns correct rows
+— but the 100 TB story dies, so the plan itself is the test subject.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mlb_data_pipeline_spark.plans import REGISTRY, load_all
+
+load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q02_filter_lineitem")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_prefix_filter_pushes_startswith(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q53_prefix_filter")
+    assert "StringStartsWith(p_name,small )" in plan.replace("'", "")
+
+
+def test_column_pruning_projects_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_project_part")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_partkey" in read and "p_retailprice" in read
+    assert "p_brand" not in read and "p_type" not in read  # unused columns never read
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q19_top10_orders")
+    assert "TakeOrderedAndProject" in plan  # no full sort for ORDER BY+LIMIT
+
+
+def test_flagship_broadcasts_only_fixed_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q00_monthly_revenue_by_region")
+    # the big fact join must not carry a forced broadcast of customer data;
+    # nation/region broadcast is fine. At tiny SF, AQE may still *choose*
+    # broadcast at runtime — what we pin is the absence of cartesians and
+    # the pushdown of the date filter below the join.
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q16_price_band_pairs",  # band join must stay an equi-join
+        "q44_minhash_neardup",  # LSH banding must stay an equi-join
+        "q39_embedding_neardup_lsh",
+        "q45_ngram_jaccard",  # blocked pairs join on source
+    ],
+)
+def test_no_cartesian_in_composed_operators(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_broadcasts_query_side(spark, sf_dir):
+    # the deliberate small-side broadcast: query set is tiny, corpus streams
+    plan = plan_of(spark, sf_dir, "q36_knn_join")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q04_pricing_summary")
+    # map-side partial agg: two HashAggregate nodes around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
