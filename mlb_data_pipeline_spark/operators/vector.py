@@ -56,6 +56,26 @@ def dot_arrow():
     return pdot
 
 
+def dot_arrow_seq():
+    """Vectorized dot product with the EXACT sequential fold order of
+    ``vector_math.dot`` (zip_with + aggregate: ((0 + x0*y0) + x1*y1)...)
+    and of DuckDB's list_dot_product — bit-identical results, so this
+    kernel may back ORACLED queries. The fold runs left-to-right over
+    dimensions but vectorized across the whole Arrow batch of rows:
+    same IEEE result, ~100x the throughput of the per-element lambda."""
+
+    @F.pandas_udf("double")
+    def pdot(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy()).astype("float64")
+        bm = np.stack(b.to_numpy()).astype("float64")
+        acc = np.zeros(am.shape[0], dtype="float64")
+        for j in range(am.shape[1]):  # sequential over dims = exact fold order
+            acc = acc + am[:, j] * bm[:, j]
+        return pd.Series(acc)
+
+    return pdot
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -103,13 +123,16 @@ def cosine_pairs_exact(df: DataFrame, id_col: str, vec_col: str, threshold: floa
     for correctness checks and small partitions only; use
     ``cosine_pairs_lsh`` at scale.
 
-    Norms are precomputed per side so each pair costs one dot product.
+    Norms are precomputed per side (one JVM fold per ROW); each pair
+    then costs one ``dot_arrow_seq`` kernel evaluation — same bit-exact
+    fold order as the JVM expression, but vectorized per Arrow batch.
     """
     a = _prefix(df.select(id_col, vec_col).withColumn("__norm", norm(vec_col)), "a_")
     b = _prefix(df.select(id_col, vec_col).withColumn("__norm", norm(vec_col)), "b_")
+    pdot = dot_arrow_seq()
     pairs = (
         a.join(b, F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
-        .withColumn(sim_col, dot(f"a_{vec_col}", f"b_{vec_col}") / (F.col("a___norm") * F.col("b___norm")))
+        .withColumn(sim_col, pdot(f"a_{vec_col}", f"b_{vec_col}") / (F.col("a___norm") * F.col("b___norm")))
         .filter(F.col(sim_col) >= F.lit(threshold))
     )
     return pairs.select(F.col(f"a_{id_col}"), F.col(f"b_{id_col}"), F.col(sim_col))
