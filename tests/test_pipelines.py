@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mlb_data_pipeline_spark.pipelines import daily_content_pipeline, rag_answer, retrieve
+from mlb_data_pipeline_spark.pipelines import daily_content_pipeline, rag_answer, retrieve  # noqa: E501
 from mlb_data_pipeline_spark.sources import ARTICLES
 from mlb_data_pipeline_spark.sources.fixtures import articles_rows
 
@@ -53,3 +53,28 @@ def test_retrieval_and_rag_answer(spark, tmp_path):
     # deterministic: same question -> same completion
     ans2 = rag_answer(spark, store, "Who hit the walk-off homer?").collect()
     assert ans2[0].completion == ans[0].completion
+
+
+def test_agent_pipeline_entry_point_c(spark):
+    from mlb_data_pipeline_spark.pipelines.agent import (
+        SPECIALIZED_AGENTS,
+        agent_pipeline,
+        create_plan,
+        execute_plan,
+    )
+
+    plan = create_plan(spark, "trade deadline", "relief pitchers")
+    p = plan.first()
+    assert p.topic == "trade deadline" and p.focus == "relief pitchers"
+    assert list(p.agents) == list(SPECIALIZED_AGENTS)
+    assert p.config["model"] == "mock"
+
+    sections = execute_plan(spark, plan).collect()
+    assert {s.agent for s in sections} == set(SPECIALIZED_AGENTS)  # independent dispatch
+    assert all(s.section_text.startswith("[mock:") for s in sections)
+
+    out = agent_pipeline(spark, "trade deadline", "relief pitchers").collect()
+    assert len(out) == 1 and out[0].n_sections == 3
+    # deterministic end to end
+    again = agent_pipeline(spark, "trade deadline", "relief pitchers").collect()
+    assert out[0].script == again[0].script

@@ -1,0 +1,87 @@
+"""Property-based algebraic invariants (SURVEY §5.2.4), seeded.
+
+hypothesis generates small row sets; each property is an identity the
+engine must preserve regardless of data. Spark jobs per example are
+expensive, so examples are capped — the point is edge-shape coverage
+(empties, duplicates, unicode, negatives), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mlb_data_pipeline_spark.operators.dedup import dedup_exact, jaccard, token_set
+from mlb_data_pipeline_spark.operators.relational import top_k_per_group
+
+SET_TIMES = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # group key
+        st.integers(min_value=-1000, max_value=1000),  # value
+        st.text(alphabet="abß 日", min_size=0, max_size=12),  # text w/ unicode+spaces
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k INT, v INT, t STRING") if rows else spark.createDataFrame(
+        [], "k INT, v INT, t STRING"
+    )
+
+
+@given(rows=rows_st)
+@SET_TIMES
+def test_filter_commutes_with_project(spark, rows):
+    df = _df(spark, rows)
+    a = df.select("k", "v").filter(F.col("v") > 0)
+    b = df.filter(F.col("v") > 0).select("k", "v")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@given(rows=rows_st)
+@SET_TIMES
+def test_union_count_is_sum(spark, rows):
+    df = _df(spark, rows)
+    half = df.filter(F.col("v") % 2 == 0)
+    assert df.unionByName(half).count() == df.count() + half.count()
+
+
+@given(rows=rows_st)
+@SET_TIMES
+def test_dedup_idempotent_and_key_unique(spark, rows):
+    df = _df(spark, rows)
+    once = dedup_exact(df, ["k"], ["v", "t"])
+    twice = dedup_exact(once, ["k"], ["v", "t"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+
+
+@given(rows=rows_st, k=st.integers(min_value=1, max_value=4))
+@SET_TIMES
+def test_topk_nested_in_topk_plus_one(spark, rows, k):
+    df = _df(spark, rows)
+    kk = top_k_per_group(df, ["k"], [F.col("v").desc(), F.col("t").asc()], k).drop("rn")
+    k1 = top_k_per_group(df, ["k"], [F.col("v").desc(), F.col("t").asc()], k + 1).drop("rn")
+    assert set(map(tuple, kk.collect())) <= set(map(tuple, k1.collect()))
+
+
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=1, max_size=20), min_size=1, max_size=10))
+@SET_TIMES
+def test_jaccard_bounds_and_self_identity(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id INT, t STRING")
+    sets = df.select("id", token_set("t").alias("s"))
+    self_j = sets.select(jaccard(F.col("s"), F.col("s")).alias("j")).collect()
+    assert all(r.j == 1.0 for r in self_j)  # J(x,x) = 1 (token_set is never empty: '' tokenizes to [''])
+    a = sets.select(F.col("id").alias("ia"), F.col("s").alias("sa"))
+    b = sets.select(F.col("id").alias("ib"), F.col("s").alias("sb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(jaccard(F.col("sa"), F.col("sb")).alias("j"))
+    assert all(0.0 <= r.j <= 1.0 for r in pairs.collect())
