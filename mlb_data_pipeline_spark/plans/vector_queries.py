@@ -203,3 +203,19 @@ def q39_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_vec_id").alias("vec_b"),
         F.round("sim", 4).cast("double").alias("sim"),
     ).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# Q61 — IVF approximate k-NN join (scale path; KMeans coarse quantizer)
+# ---------------------------------------------------------------------------
+
+
+@query("q61_ivf_knn", oracle=None, covers="V3,V2", bench=True)
+def q61_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vector import ivf_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_knn_join(emb, queries, "vec_id", "embedding", k=3, n_lists=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )

@@ -78,3 +78,29 @@ def test_lsh_high_threshold_finds_planted_neardups(spark):
     }
     planted = {(i, 1000 + i) for i in range(20)}
     assert planted <= found
+
+
+def test_ivf_with_full_probe_equals_brute_force(spark, emb):
+    from mlb_data_pipeline_spark.operators.vector import ivf_knn_join
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_join(emb, queries, "vec_id", "embedding", k=3)
+    ivf_full = ivf_knn_join(emb, queries, "vec_id", "embedding", k=3, n_lists=8, n_probe=8)
+    want = sorted((r.query_id, r.rank, r.vec_id) for r in exact.collect())
+    got = sorted((r.query_id, r.rank, r.neighbor_id) for r in ivf_full.collect())
+    assert got == want  # n_probe == n_lists degrades to exact brute force
+
+
+def test_ivf_partial_probe_is_subset_and_ranked(spark, emb):
+    from mlb_data_pipeline_spark.operators.vector import ivf_knn_join
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = ivf_knn_join(emb, queries, "vec_id", "embedding", k=3, n_lists=8, n_probe=2).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rows) <= 3
