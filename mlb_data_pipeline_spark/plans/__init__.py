@@ -9,3 +9,4 @@ def load_all() -> None:
     from . import stream_queries  # noqa: F401
     from . import northstar_queries  # noqa: F401
     from . import enrich_queries  # noqa: F401
+    from . import io_queries  # noqa: F401

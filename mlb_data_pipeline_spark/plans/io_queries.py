@@ -1,0 +1,403 @@
+"""IO-layer queries: sources and sinks exercised under the oracle gate.
+
+The readers/writers in ``sources/`` are pytest-covered, but the
+correctness contract (CORRECTNESS_r{N}.json) only sees registry queries —
+so each source/sink op also gets a query that ROUND-TRIPS engine tables
+through the op and hash-compares the result against a DuckDB oracle run
+on the ORIGINAL parquet. If serialization is lossy, types drift, or the
+merge/delete semantics are off by one row, the hash breaks.
+
+Reference analogues: CSV ingest (hw5/load_csv.py:12-22), JSON blob
+storage (pipeline.py:40-49), date-keyed layout (mlb_pipeline_dag.py:119),
+vector upsert/clear (pipeline.py:58-77, scrape_store_embed.py:79), HTML
+scrape parse (pipeline.py:24-38), schedule API payloads
+(mlb_schedule_to_gcs.py:33-62).
+
+Scratch writes go under /tmp (never the read-only testdata); every query
+rebuilds its scratch state from the source tables on each call, so
+repeated runs (warm-up, timed runs, driver retries) are deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..sources.feeds import rest_json_source, scrape_articles
+from ..sources.readers import parse_schedule_payloads, read_csv, read_json
+from ..sources.writers import delete_by_predicate, upsert_by_key, write_json_single, write_partitioned
+from .registry import query
+
+_SCRATCH = "/tmp/spark_graft_io"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    return os.path.join(_SCRATCH, os.path.basename(sf_dir.rstrip("/")), name)
+
+
+# ---------------------------------------------------------------------------
+# Q63 — CSV sink + explicit-schema CSV scan round-trip (S1)
+# ---------------------------------------------------------------------------
+
+_Q63_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier
+ORDER BY s_suppkey
+"""
+
+_SUPPLIER_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]
+)
+
+
+@query("q63_csv_roundtrip", oracle=_Q63_SQL, covers="S1,S9,P1,O9")
+def q63_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write supplier to CSV, read it back with the explicit-schema S1
+    reader, return the full table. The hash gate proves the text
+    round-trip is lossless for long/int/string/double (doubles print via
+    shortest-decimal and re-parse to the identical IEEE value)."""
+    path = _scratch(sf_dir, "q63_supplier_csv")
+    supplier = load_table(spark, sf_dir, "supplier")
+    (
+        supplier.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = read_csv(spark, path, _SUPPLIER_SCHEMA, header=True)
+    return back.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").orderBy("s_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Q64 — single-file JSON sink + explicit-schema JSON scan round-trip (S2, S10)
+# ---------------------------------------------------------------------------
+
+_Q64_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1997
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_ORDERS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+@query("q64_json_roundtrip", oracle=_Q64_SQL, covers="S2,S10,A2,T11")
+def q64_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1997 orders -> single-file JSON export (S10) -> explicit-schema
+    JSON scan (S2) -> keyed aggregate. Timestamps survive as ISO-8601
+    strings; the UTC session pin makes the parse exact."""
+    path = _scratch(sf_dir, "q64_orders_json")
+    orders = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    write_json_single(orders, path)
+    back = read_json(spark, path, _ORDERS_JSON_SCHEMA)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q65 — date-partitioned lake write + pruned read-back (S8)
+# ---------------------------------------------------------------------------
+
+_Q65_SQL = """
+SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month, COUNT(*) AS n_orders
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1995
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q65_partitioned_sink", oracle=_Q65_SQL, covers="S8,P8,T11,A2")
+def q65_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by year (the engine's form of the
+    reference's ``articles/{date}/`` layout), then read ONE partition
+    back. The o_year=1995 filter prunes at the directory level — the
+    read never touches the other years' files."""
+    path = _scratch(sf_dir, "q65_orders_by_year")
+    orders = load_table(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    write_partitioned(orders, path, ["o_year"])
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    return (
+        back.groupBy(F.month("o_orderdate").alias("month"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q66 — vector-store maintenance: upsert-by-key + delete-where (S11, P7, V6)
+# ---------------------------------------------------------------------------
+
+_Q66_SQL = """
+WITH init AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 2 = 0
+),
+batch AS (
+  SELECT vec_id, embedding, label + 100 AS label FROM embeddings WHERE vec_id % 3 = 0
+),
+merged AS (
+  SELECT i.* FROM init i WHERE i.vec_id NOT IN (SELECT vec_id FROM batch)
+  UNION ALL
+  SELECT * FROM batch
+),
+final AS (
+  SELECT * FROM merged WHERE NOT (vec_id % 7 = 0)
+)
+SELECT label >= 100 AS upserted,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(SUM(len(embedding)) AS BIGINT) AS sum_dims
+FROM final
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q66_vector_store_maintenance", oracle=_Q66_SQL, covers="S11,P7,V6,S3")
+def q66_vector_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's collection lifecycle (pipeline.py:58-77) against a
+    parquet-backed vector store: seed with even vec_ids, UPSERT a batch
+    of re-labeled vectors keyed on vec_id (delete-then-add,
+    scrape_store_embed.py:79), DELETE-where vec_id % 7 = 0
+    (collection.delete, pipeline.py:63-64), then audit what remains.
+    The oracle rebuilds the same end state with set ops on the original
+    table, so any duplicate, lost row, or stale pre-upsert value breaks
+    the hash."""
+    path = _scratch(sf_dir, "q66_vector_store")
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") % 2 == 0)
+    init.write.mode("overwrite").parquet(path)
+    batch = emb.filter(F.col("vec_id") % 3 == 0).withColumn("label", F.col("label") + F.lit(100))
+    upsert_by_key(spark, path, batch, ["vec_id"])
+    delete_by_predicate(spark, path, F.col("vec_id") % 7 == 0)
+    store = spark.read.parquet(path)
+    return (
+        store.groupBy((F.col("label") >= 100).alias("upserted"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+            F.sum(F.size("embedding")).cast("bigint").alias("sum_dims"),
+        )
+        .orderBy("upserted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q67 — HTML scrape parse (S6): title/body extraction rules
+# ---------------------------------------------------------------------------
+
+_Q67_SQL = """
+SELECT doc_id,
+       'Doc #' || CAST(doc_id AS VARCHAR) AS title,
+       trim(substr(text, 1, 80)) || ' lang=' || lang AS body
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+"""
+
+
+@query("q67_html_scrape_parse", oracle=_Q67_SQL, covers="S6,T15,T4,T3")
+def q67_html_scrape_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render documents as HTML pages, run the S6 scrape parser
+    (pipeline.py:24-38 rules: title = first <h1>, body = ' '-join of
+    <p> texts, tags stripped), and check the extraction recovers the
+    source fields exactly. The parse is pure JVM regex — the oracle
+    states the expected output directly from the source table."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<article><h1 class=\"headline\">Doc #"),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.substring("text", 1, 80),
+            F.lit("</p><p>lang=<b>"),
+            F.col("lang"),
+            F.lit("</b></p></article>"),
+        ).alias("html"),
+    )
+    parsed = scrape_articles(pages, url_col="doc_id", html_col="html")
+    return parsed.select(
+        F.col("url").alias("doc_id"), "title", F.col("body").alias("body")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q68 — REST API schedule ingest: fetch -> nested JSON parse (S4)
+# ---------------------------------------------------------------------------
+
+_CANNED_SCHEDULE = """{
+  "dates": [
+    {"date": "2024-03-28", "games": [
+      {"gamePk": 745804, "gameDate": "2024-03-28T20:05:00Z",
+       "teams": {"away": {"team": {"name": "Yankees"}, "score": 5},
+                  "home": {"team": {"name": "Astros"}, "score": 4}},
+       "venue": {"name": "Minute Maid Park"},
+       "status": {"detailedState": "Final"}},
+      {"gamePk": 745805, "gameDate": "2024-03-28T23:10:00Z",
+       "teams": {"away": {"team": {"name": "Giants"}, "score": 1},
+                  "home": {"team": {"name": "Padres"}, "score": 6}},
+       "venue": {"name": "Petco Park"},
+       "status": {"detailedState": "Final"}}
+    ]},
+    {"date": "2024-03-29", "games": [
+      {"gamePk": 745901, "gameDate": "2024-03-29T18:20:00Z",
+       "teams": {"away": {"team": {"name": "Cubs"}, "score": 3},
+                  "home": {"team": {"name": "Rangers"}, "score": 2}},
+       "venue": {"name": "Globe Life Field"},
+       "status": {"detailedState": "Final"}}
+    ]}
+  ]
+}"""
+
+_Q68_SQL = """
+SELECT game_day, CAST(game_pk AS BIGINT) AS game_pk, away_team, away_score,
+       home_team, home_score, venue, status
+FROM (VALUES
+  ('2024-03-28', 745804, 'Yankees', 5, 'Astros', 4, 'Minute Maid Park', 'Final'),
+  ('2024-03-28', 745805, 'Giants', 1, 'Padres', 6, 'Petco Park', 'Final'),
+  ('2024-03-29', 745901, 'Cubs', 3, 'Rangers', 2, 'Globe Life Field', 'Final')
+) AS t(game_day, game_pk, away_team, away_score, home_team, home_score, venue, status)
+ORDER BY game_pk
+"""
+
+
+@query("q68_rest_schedule_ingest", oracle=_Q68_SQL, covers="S4,T14,U5")
+def q68_rest_schedule_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end-to-end with a canned payload (the network fetch is
+    injectable; tests and the oracle gate never touch HTTP): driver-side
+    fetch -> payload column -> distributed from_json + double explode of
+    dates[].games[] (mlb_schedule_to_gcs.py:33-62 stores this payload
+    verbatim; the engine actually relationalizes it). The oracle is the
+    hand-derived golden output of the same payload."""
+    raw = rest_json_source(
+        spark,
+        ["https://statsapi.example/v1/schedule?sportId=1"],
+        fetcher=lambda url: _CANNED_SCHEDULE,
+    )
+    games = parse_schedule_payloads(raw)
+    return games.select(
+        "game_day",
+        "game_pk",
+        "away_team",
+        F.col("away_score").cast("int").alias("away_score"),
+        "home_team",
+        F.col("home_score").cast("int").alias("home_score"),
+        "venue",
+        "status",
+    ).orderBy("game_pk")
+
+
+# ---------------------------------------------------------------------------
+# Q69 — warehouse layering raw -> staging -> analytics (S12)
+# ---------------------------------------------------------------------------
+
+_Q69_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q69_warehouse_layering", oracle=_Q69_SQL, covers="S12,A2,T16")
+def q69_warehouse_layering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's raw -> staging -> analytics layering
+    (terraform/main.tf:46-66 datasets; dbt_project.yml:22-27: staging =
+    views, marts = tables) as Spark SQL databases: raw = materialized
+    parquet table, staging = unmaterialized view (filters push through it
+    into the raw scan), mart = CTAS parquet table. The mart is what the
+    oracle checks, so the whole 3-layer path is under the hash gate."""
+    from ..sources.warehouse import create_layers, create_staging_view, load_raw, materialize_mart
+
+    orders = load_table(spark, sf_dir, "orders")
+    create_layers(spark)
+    load_raw(spark, "orders", orders)
+    create_staging_view(
+        spark,
+        "stg_finished_orders",
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate "
+        "FROM raw.orders WHERE o_orderstatus = 'F'",
+    )
+    materialize_mart(
+        spark,
+        "fct_orders_by_year",
+        "SELECT CAST(year(o_orderdate) AS INT) AS order_year, COUNT(*) AS n_orders, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value "
+        "FROM staging.stg_finished_orders GROUP BY 1",
+    )
+    return spark.table("analytics.fct_orders_by_year").orderBy("order_year")
+
+
+# ---------------------------------------------------------------------------
+# Q71 — RSS/XML feed parse (S5): items -> (link, title, published_ts)
+# ---------------------------------------------------------------------------
+
+_CANNED_RSS = """<?xml version="1.0"?><rss version="2.0"><channel>
+<title>MLB News</title>
+<item><title><![CDATA[Yankees win opener]]></title><link>https://ex.com/a1</link>
+<pubDate>Thu, 28 Mar 2024 14:00:00 GMT</pubDate></item>
+<item><title>Padres walk off</title><link>https://ex.com/a2</link>
+<pubDate>Thu, 28 Mar 2024 23:45:10 GMT</pubDate></item>
+<item><title>Trade rumors roundup</title><link>https://ex.com/a3</link>
+<pubDate>Fri, 29 Mar 2024 08:15:00 GMT</pubDate></item>
+</channel></rss>"""
+
+_Q71_SQL = """
+SELECT link, title, CAST(published_ts AS TIMESTAMP) AS published_ts
+FROM (VALUES
+  ('https://ex.com/a1', 'Yankees win opener',   '2024-03-28 14:00:00'),
+  ('https://ex.com/a2', 'Padres walk off',      '2024-03-28 23:45:10'),
+  ('https://ex.com/a3', 'Trade rumors roundup', '2024-03-29 08:15:00')
+) AS t(link, title, published_ts)
+ORDER BY link
+"""
+
+
+@query("q71_rss_feed_parse", oracle=_Q71_SQL, covers="S5,T15,T11,U2")
+def q71_rss_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 feed ingestion with a canned payload: driver-side fetch (stub),
+    distributed item extraction over the XML column (mapInPandas — one
+    feed document can carry thousands of items), CDATA handling, and
+    RFC-822 pubDate -> timestamp parsing (mlb_pipeline_dag.py:43-59).
+    Golden-output oracle."""
+    from ..sources.feeds import rss_source
+
+    feed = rss_source(spark, ["https://feeds.example/mlb.xml"], fetcher=lambda url: _CANNED_RSS)
+    return feed.select("link", "title", "published_ts").orderBy("link")

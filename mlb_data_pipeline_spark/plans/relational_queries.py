@@ -45,7 +45,7 @@ ORDER BY 1, 2
 """
 
 
-@query("q00_monthly_revenue_by_region", oracle=_Q00_SQL, covers="S3,P3,J1,J2,A2,O9", bench=True)
+@query("q00_monthly_revenue_by_region", oracle=_Q00_SQL, covers="S3,P2,P3,J1,J2,A2,O9", bench=True)
 def q00_monthly_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -150,7 +150,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("q04_pricing_summary", oracle=_Q04_SQL, covers="A2,P3", bench=True)
+@query("q04_pricing_summary", oracle=_Q04_SQL, covers="A1,A2,P3,T16", bench=True)
 def q04_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
     cnt = F.count("*")

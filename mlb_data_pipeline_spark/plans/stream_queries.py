@@ -156,3 +156,38 @@ def q34_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_id").orderBy("ts", "event_type")
     deduped = unioned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return deduped.groupBy("event_type").agg(F.count("*").alias("n_unique")).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q70 — sliding 1h window / 15min slide counts (ST3 batch form)
+# ---------------------------------------------------------------------------
+
+_Q70_SQL = """
+WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+w AS (
+  SELECT make_timestamp((us // 900000000) * 900000000 - CAST(k.k AS BIGINT) * 900000000) AS win_start,
+         event_type
+  FROM e, (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT win_start, event_type, COUNT(*) AS n_events
+FROM w
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q70_sliding_window", oracle=_Q70_SQL, covers="ST3,A2,T11")
+def q70_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts: every event lands in exactly window/slide =
+    4 overlapping epoch-aligned windows. Spark's ``F.window`` explodes to
+    the same 4 window starts the oracle derives with exact integer
+    microsecond arithmetic (floor-to-slide minus k slides) — no float
+    time math on either side. The streaming form of the same window spec
+    runs in streaming/jobs.py (tests assert each event is counted 4x)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+        .orderBy("win_start", "event_type")
+    )

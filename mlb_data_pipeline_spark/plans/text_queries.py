@@ -238,7 +238,7 @@ ORDER BY doc_id
 """
 
 
-@query("q35_struct_to_json", oracle=_Q35_SQL, covers="P9,T9,T14")
+@query("q35_struct_to_json", oracle=_Q35_SQL, covers="P9,T3,T9,T14")
 def q35_struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     article = F.struct(

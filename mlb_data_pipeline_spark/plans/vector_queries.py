@@ -42,7 +42,7 @@ LIMIT 3
 """
 
 
-@query("q29_cosine_topk", oracle=_Q29_SQL, covers="V2,J9,O2,O1")
+@query("q29_cosine_topk", oracle=_Q29_SQL, covers="V2,S7,J9,O2,O1")
 def q29_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     topk = knn_join(emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=3)

@@ -10,9 +10,27 @@ them into the raw scans); marts are materialized parquet tables.
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 LAYERS = ("raw", "staging", "analytics")
+
+
+def drop_table(spark: SparkSession, layer: str, name: str) -> None:
+    """Drop a managed table AND its on-disk location. The warehouse dir
+    outlives the in-memory catalog (a new session starts with an empty
+    catalog over the same ``spark-warehouse/``), so a plain DROP TABLE IF
+    EXISTS misses orphaned locations and the next save fails with
+    LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {layer}.{name}")
+    try:
+        loc = urlparse(spark.catalog.getDatabase(layer).locationUri).path
+        shutil.rmtree(os.path.join(loc, name), ignore_errors=True)
+    except Exception:  # layer database absent — nothing on disk to clean  # noqa: BLE001
+        pass
 
 
 def create_layers(spark: SparkSession, warehouse_dir: str | None = None) -> None:
@@ -23,6 +41,7 @@ def create_layers(spark: SparkSession, warehouse_dir: str | None = None) -> None
 
 def load_raw(spark: SparkSession, name: str, df: DataFrame, partition_cols: list[str] | None = None) -> None:
     """Materialize a source table into the raw layer."""
+    drop_table(spark, "raw", name)
     writer = df.write.mode("overwrite").format("parquet")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -36,5 +55,5 @@ def create_staging_view(spark: SparkSession, name: str, sql: str) -> None:
 
 def materialize_mart(spark: SparkSession, name: str, sql: str) -> None:
     """Mart = materialized table (dbt `marts: +materialized: table`)."""
-    spark.sql(f"DROP TABLE IF EXISTS analytics.{name}")
+    drop_table(spark, "analytics", name)
     spark.sql(f"CREATE TABLE analytics.{name} USING parquet AS {sql}")
