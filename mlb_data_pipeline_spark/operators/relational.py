@@ -127,3 +127,14 @@ def median_exact(df: DataFrame, group_cols: list[str], value_col: str, out_col: 
             .alias(out_col)
         )
     )
+
+
+def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
+    """Total order for a SMALL final result set (hundreds-thousands of
+    rows): shuffle to one partition, sort locally. A global ``orderBy``
+    plans an Exchange rangepartitioning whose boundary-sampling job
+    re-executes the whole upstream plan — for an expensive pipeline with
+    a tiny output that doubles the query. Never use on large results
+    (single-partition sort); those want ``orderBy`` (range sort) or
+    ``orderBy().limit(k)`` (TakeOrdered)."""
+    return df.repartition(1).sortWithinPartitions(*cols)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.textfn import bpe_ish_token_count, token_count
 from ..operators.dedup import jaccard, minhash_neardup_pairs, simhash_neardup_pairs, token_set
+from ..operators.relational import ordered_small
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -222,7 +223,7 @@ ORDER BY id_a, id_b
 def q44_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.3, n_hashes=4, shingle_n=3)
-    return pairs.orderBy("id_a", "id_b")
+    return ordered_small(pairs, "id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -250,14 +251,21 @@ def q45_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", "source", token_set("text").alias("toks"))
     a = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src"), F.col("toks").alias("toks_a"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src"), F.col("toks").alias("toks_b"))
-    return (
+    # size-ratio pre-filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    # J >= 0.9 requires the distinct-token counts to be within 10% of
+    # each other. One int comparison kills most block pairs before the
+    # O(|A|+|B|) set intersection runs — exact-preserving, so the
+    # DuckDB oracle (which computes plain Jaccard) is unaffected.
+    sz_a, sz_b = F.size("toks_a"), F.size("toks_b")
+    pairs = (
         a.join(b, "src")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter((sz_a * 10 >= sz_b * 9) & (sz_b * 10 >= sz_a * 9))
         .withColumn("jacc", jaccard(F.col("toks_a"), F.col("toks_b")))
         .filter(F.col("jacc") >= 0.9)
         .select("id_a", "id_b", "jacc")
-        .orderBy("id_a", "id_b")
     )
+    return ordered_small(pairs, "id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +315,7 @@ ORDER BY id_a, id_b
 def q46_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = simhash_neardup_pairs(docs, "doc_id", "text", "source", max_hamming=3, threshold=0.3)
-    return pairs.orderBy("id_a", "id_b")
+    return ordered_small(pairs, "id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -325,4 +333,4 @@ def q62_neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.3, n_hashes=4, shingle_n=3)
     kept = neardup_dedup(docs, pairs.select("id_a", "id_b"), "doc_id")
-    return kept.groupBy("source").agg(F.count("*").alias("n_kept")).orderBy("source")
+    return ordered_small(kept.groupBy("source").agg(F.count("*").alias("n_kept")), "source")
