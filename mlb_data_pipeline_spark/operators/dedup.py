@@ -239,6 +239,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    n_changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -258,6 +259,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         labels = updated.drop("__changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        # partially-propagated labels are WRONG labels — never return them
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({n_changed} labels still changing); raise max_iter (graph "
+            "diameter exceeds the round budget)"
+        )
     return labels
 
 
@@ -265,8 +273,12 @@ def neardup_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Keep one canonical row (min id) per near-dup cluster, plus every
     row that belongs to no cluster — the corpus-dedup end state the
     reference approximates with id-keyed upsert (pipeline.py:69)."""
-    comp = connected_components(pairs)
-    labeled = df.join(comp, df[id_col] == comp.id, "left")
-    return labeled.filter(F.col("component").isNull() | (F.col(id_col) == F.col("component"))).drop(
-        "id", "component"
+    # reserved aliases: a bare .drop("id") would also drop the caller's
+    # id_col if it is literally named "id" (Spark drops ALL name matches)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("__cc_id"), F.col("component").alias("__cc_component")
     )
+    labeled = df.join(comp, df[id_col] == comp["__cc_id"], "left")
+    return labeled.filter(
+        F.col("__cc_component").isNull() | (F.col(id_col) == F.col("__cc_component"))
+    ).drop("__cc_id", "__cc_component")

@@ -118,15 +118,28 @@ def cosine_topk(corpus: DataFrame, query_vec, id_col: str, vec_col: str, k: int,
     return scored.orderBy(F.col(sim_col).desc(), F.col(id_col).asc()).limit(k)
 
 
-def cosine_pairs_exact(df: DataFrame, id_col: str, vec_col: str, threshold: float, sim_col: str = "sim") -> DataFrame:
+def cosine_pairs_exact(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, sim_col: str = "sim", max_rows: int = 20_000
+) -> DataFrame:
     """All-pairs cosine >= threshold (V4 exact tier). Quadratic — valid
     for correctness checks and small partitions only; use
     ``cosine_pairs_lsh`` at scale.
+
+    Guarded: refuses inputs above ``max_rows`` (the BNLJ self-join is
+    O(n^2) — at cluster scale this operator must not silently run; the
+    scale path is ``cosine_pairs_lsh`` / ``ivf_knn_join``). The guard
+    costs one count of the id column only.
 
     Norms are precomputed per side (one JVM fold per ROW); each pair
     then costs one ``dot_arrow_seq`` kernel evaluation — same bit-exact
     fold order as the JVM expression, but vectorized per Arrow batch.
     """
+    n = df.select(id_col).count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs_exact is quadratic: input has {n} rows > max_rows={max_rows}; "
+            "use cosine_pairs_lsh (banded candidates) or ivf_knn_join at scale"
+        )
     a = _prefix(df.select(id_col, vec_col).withColumn("__norm", norm(vec_col)), "a_")
     b = _prefix(df.select(id_col, vec_col).withColumn("__norm", norm(vec_col)), "b_")
     pdot = dot_arrow_seq()

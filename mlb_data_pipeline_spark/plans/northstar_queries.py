@@ -200,7 +200,7 @@ sh AS (
 exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 mh AS (
   SELECT e.doc_id, salts.salt, MIN(md5(salts.salt || '|' || e.s)) AS m
-  FROM exploded e CROSS JOIN (SELECT unnest(['0|', '1|', '2|', '3|']) AS salt) salts
+  FROM exploded e CROSS JOIN (SELECT unnest(['0', '1', '2', '3']) AS salt) salts
   GROUP BY e.doc_id, salts.salt
 ),
 cand AS (

@@ -73,7 +73,7 @@ WITH ordered AS (
          FLOOR((MAX(ts_us) - MIN(ts_us)) / 1000000) AS dur_sec
   FROM sessions GROUP BY user_id, session_id
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(n_events) AS max_session_events,
        CAST(MAX(dur_sec) AS BIGINT) AS max_session_dur_sec
 FROM per_session

@@ -76,9 +76,10 @@ def rss_source(spark: SparkSession, feed_urls: list[str], fetcher: Fetcher) -> D
 
     parsed = raw.mapInPandas(parse, "feed_url STRING, link STRING, title STRING, published STRING")
     # RFC822 pubDate; Spark 3+'s formatter rejects the EEE day-name
-    # field, so strip the "Wed, " prefix and parse the rest
+    # field, so strip the "Wed, " prefix and parse the rest. Day field is
+    # "d" (1-2 digits): RFC 822 allows "9 Mar 2024", which "dd" rejects.
     cleaned = F.regexp_replace("published", r"^[A-Za-z]+,\s*", "")
-    return parsed.withColumn("published_ts", F.to_timestamp(cleaned, "dd MMM yyyy HH:mm:ss zzz"))
+    return parsed.withColumn("published_ts", F.to_timestamp(cleaned, "d MMM yyyy HH:mm:ss zzz"))
 
 
 def todays_links(feed: DataFrame, today: str, fallback_n: int = 3) -> DataFrame:

@@ -35,6 +35,15 @@ def write_json_single(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").json(path)
 
 
+def target_exists(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` exists per the Hadoop FileSystem of its scheme
+    (local posix here; object stores on a cluster)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def upsert_by_key(spark: SparkSession, target_path: str, new_df: DataFrame, key_cols: list[str], fmt: str = "parquet") -> None:
     """S11: keyed merge — delete-then-add semantics of the reference's
     vector upsert (pipeline.py:58-77; keyed delete
@@ -47,12 +56,11 @@ def upsert_by_key(spark: SparkSession, target_path: str, new_df: DataFrame, key_
     date-partitioned target, partition pruning bounds the rewrite to
     touched partitions.
     """
-    try:
+    # Explicit existence probe (Hadoop FS — works for any scheme), NOT a
+    # blanket except around the read: a permission error or corrupted
+    # target must RAISE, never be silently treated as "first write".
+    if target_exists(spark, target_path):
         existing = spark.read.format(fmt).load(target_path)
-        have = True
-    except Exception:  # first write — nothing to merge  # noqa: BLE001
-        have = False
-    if have:
         kept = existing.join(new_df.select(*key_cols).distinct(), on=key_cols, how="left_anti")
         merged = kept.unionByName(new_df)
     else:

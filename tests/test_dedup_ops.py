@@ -24,6 +24,26 @@ def test_neardup_dedup_keeps_canonical_and_singletons(spark):
     assert kept == [0, 1, 3, 4, 6]
 
 
+def test_connected_components_raises_when_iterations_exhausted(spark):
+    # chain 1-2-3-4 needs >1 round; partially-propagated labels must
+    # never be returned silently
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a BIGINT, id_b BIGINT")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
+def test_neardup_dedup_with_id_col_named_id(spark):
+    # regression: a caller id_col literally named "id" must survive the
+    # internal component join (Spark's drop() removes ALL name matches)
+    df = spark.createDataFrame([(i, f"doc{i}") for i in range(5)], "id BIGINT, text STRING")
+    pairs = spark.createDataFrame([(1, 3)], "id_a BIGINT, id_b BIGINT")
+    out = neardup_dedup(df, pairs, "id")
+    assert out.columns == ["id", "text"]
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 4]
+
+
 def test_dedup_idempotent_on_deduped_corpus(spark):
     df = spark.createDataFrame([(i, f"doc{i}") for i in range(6)], "doc_id BIGINT, text STRING")
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a BIGINT, id_b BIGINT")

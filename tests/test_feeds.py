@@ -47,6 +47,21 @@ def test_rss_source_and_today_filter(spark):
     assert links == {"https://x/1", "https://x/2"}
 
 
+def test_rss_single_digit_day_parses(spark):
+    # RFC 822 allows "9 Mar 2024" (no leading zero) — pattern must be
+    # lenient "d", not "dd"
+    xml = (
+        '<?xml version="1.0"?><rss><channel>'
+        "<item><title>One digit</title><link>https://x/9</link>"
+        "<pubDate>Fri, 9 Mar 2024 08:05:00 GMT</pubDate></item>"
+        "</channel></rss>"
+    )
+    feed = rss_source(spark, ["https://feed/b"], lambda u: xml)
+    row = feed.first()
+    assert row.published_ts is not None
+    assert row.published_ts.strftime("%Y-%m-%d") == "2024-03-09"
+
+
 def test_scrape_articles_title_and_body(spark):
     pages = spark.createDataFrame(
         [

@@ -162,6 +162,19 @@ def test_upsert_by_key_idempotent(spark, tmp_path):
     assert _hash(spark.read.parquet(path)) == after1
 
 
+def test_upsert_by_key_corrupted_target_raises(spark, tmp_path):
+    # a target that EXISTS but cannot be read must raise — never be
+    # silently treated as a first write (which would destroy the data)
+    target = tmp_path / "store"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    new = spark.createDataFrame(articles_rows(5), ARTICLES)
+    with pytest.raises(Exception):
+        upsert_by_key(spark, str(target), new, ["url"])
+    # the garbage file is untouched — no silent overwrite happened
+    assert (target / "part-00000.parquet").read_bytes() == b"this is not a parquet file"
+
+
 def test_delete_by_predicate(spark, tmp_path):
     path = str(tmp_path / "store")
     spark.createDataFrame(articles_rows(50), ARTICLES).write.parquet(path)

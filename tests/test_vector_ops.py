@@ -64,6 +64,13 @@ def test_lsh_pairs_subset_of_exact_with_recall(spark, emb):
     assert recall >= 0.4, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_exact_pairs_guard_refuses_large_input(spark, emb):
+    # the quadratic tier must refuse to run at scale — cosine_pairs_lsh
+    # is the declared scale path
+    with pytest.raises(ValueError, match="quadratic"):
+        cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.3, max_rows=10).collect()
+
+
 def test_lsh_high_threshold_finds_planted_neardups(spark):
     # Plant true near-duplicates: v and v+tiny noise -> cosine ~0.999.
     base = [[float((i * 31 + j * 7) % 17 - 8) for j in range(16)] for i in range(20)]
