@@ -10,3 +10,4 @@ def load_all() -> None:
     from . import northstar_queries  # noqa: F401
     from . import enrich_queries  # noqa: F401
     from . import io_queries  # noqa: F401
+    from . import fixture_queries  # noqa: F401

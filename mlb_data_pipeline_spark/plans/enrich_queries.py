@@ -43,12 +43,12 @@ def q47_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q48 — embed + retrieve + assemble (V1/V2/V5/U2): hermetic fake encoder
+# Q53 — embed + retrieve + assemble (V1/V2/V5/U2): hermetic fake encoder
 # ---------------------------------------------------------------------------
 
 
-@query("q48_embed_retrieval", oracle=None, covers="V1,V2,V5,U2", bench=True)
-def q48_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q53_embed_retrieval", oracle=None, covers="V1,V2,V5,U2", bench=True)
+def q53_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"), F.col("text")
     )
@@ -62,12 +62,12 @@ def q48_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q49 — pandas GROUPED_AGG UDAF (U4): RMS of order totals per status
+# Q54 — pandas GROUPED_AGG UDAF (U4): RMS of order totals per status
 # ---------------------------------------------------------------------------
 
 
-@query("q49_rms_udaf", oracle=None, covers="U4")
-def q49_rms_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q54_rms_udaf", oracle=None, covers="U4")
+def q54_rms_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     rms = rms_udaf()
     return (

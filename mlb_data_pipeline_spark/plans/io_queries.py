@@ -40,10 +40,11 @@ def _scratch(sf_dir: str, name: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Q63 — CSV sink + explicit-schema CSV scan round-trip (S1)
+# Q11 — CSV sink -> CSV scan -> JSON sink -> JSON scan double round-trip
+#        (S1, S2, S10)
 # ---------------------------------------------------------------------------
 
-_Q63_SQL = """
+_Q11_SQL = """
 SELECT s_suppkey, s_name, s_nationkey, s_acctbal
 FROM supplier
 ORDER BY s_suppkey
@@ -59,79 +60,36 @@ _SUPPLIER_SCHEMA = T.StructType(
 )
 
 
-@query("q63_csv_roundtrip", oracle=_Q63_SQL, covers="S1,S9,P1,O9")
-def q63_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write supplier to CSV, read it back with the explicit-schema S1
-    reader, return the full table. The hash gate proves the text
-    round-trip is lossless for long/int/string/double (doubles print via
-    shortest-decimal and re-parse to the identical IEEE value)."""
-    path = _scratch(sf_dir, "q63_supplier_csv")
-    supplier = load_table(spark, sf_dir, "supplier")
+@query("q11_file_roundtrip", oracle=_Q11_SQL, covers="S1,S2,S10,P1,O9")
+def q11_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier -> CSV (quoted) -> explicit-schema CSV scan (S1) ->
+    single-file JSON export (S10) -> explicit-schema JSON scan (S2) ->
+    full table. The hash gate proves BOTH text round-trips are lossless
+    for long/int/string/double: doubles print via shortest-decimal and
+    re-parse to the identical IEEE value in each format."""
+    csv_path = _scratch(sf_dir, "q11_supplier_csv")
+    json_path = _scratch(sf_dir, "q11_supplier_json")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
     (
         supplier.write.mode("overwrite")
         .option("header", "true")
         .option("quote", '"')
         .option("escape", '"')
-        .csv(path)
+        .csv(csv_path)
     )
-    back = read_csv(spark, path, _SUPPLIER_SCHEMA, header=True)
+    from_csv = read_csv(spark, csv_path, _SUPPLIER_SCHEMA, header=True)
+    write_json_single(from_csv, json_path)
+    back = read_json(spark, json_path, _SUPPLIER_SCHEMA)
     return back.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").orderBy("s_suppkey")
 
 
 # ---------------------------------------------------------------------------
-# Q64 — single-file JSON sink + explicit-schema JSON scan round-trip (S2, S10)
+# Q18 — date-partitioned lake write + pruned read-back (S8)
 # ---------------------------------------------------------------------------
 
-_Q64_SQL = """
-SELECT o_orderpriority,
-       COUNT(*) AS n_orders,
-       COUNT(DISTINCT o_custkey) AS n_custs,
-       MIN(o_orderkey) AS min_key,
-       MAX(o_orderkey) AS max_key
-FROM orders
-WHERE EXTRACT(year FROM o_orderdate) = 1997
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
-
-_ORDERS_JSON_SCHEMA = T.StructType(
-    [
-        T.StructField("o_orderkey", T.LongType()),
-        T.StructField("o_custkey", T.LongType()),
-        T.StructField("o_orderstatus", T.StringType()),
-        T.StructField("o_totalprice", T.DoubleType()),
-        T.StructField("o_orderdate", T.TimestampType()),
-        T.StructField("o_orderpriority", T.StringType()),
-    ]
-)
-
-
-@query("q64_json_roundtrip", oracle=_Q64_SQL, covers="S2,S10,A2,T11")
-def q64_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1997 orders -> single-file JSON export (S10) -> explicit-schema
-    JSON scan (S2) -> keyed aggregate. Timestamps survive as ISO-8601
-    strings; the UTC session pin makes the parse exact."""
-    path = _scratch(sf_dir, "q64_orders_json")
-    orders = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
-    write_json_single(orders, path)
-    back = read_json(spark, path, _ORDERS_JSON_SCHEMA)
-    return (
-        back.groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_custs"),
-            F.min("o_orderkey").alias("min_key"),
-            F.max("o_orderkey").alias("max_key"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q65 — date-partitioned lake write + pruned read-back (S8)
-# ---------------------------------------------------------------------------
-
-_Q65_SQL = """
+_Q18_SQL = """
 SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month, COUNT(*) AS n_orders
 FROM orders
 WHERE EXTRACT(year FROM o_orderdate) = 1995
@@ -140,13 +98,13 @@ ORDER BY 1
 """
 
 
-@query("q65_partitioned_sink", oracle=_Q65_SQL, covers="S8,P8,T11,A2")
-def q65_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q18_partitioned_sink", oracle=_Q18_SQL, covers="S8,P8,T11,A2")
+def q18_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write orders partitioned by year (the engine's form of the
     reference's ``articles/{date}/`` layout), then read ONE partition
     back. The o_year=1995 filter prunes at the directory level — the
     read never touches the other years' files."""
-    path = _scratch(sf_dir, "q65_orders_by_year")
+    path = _scratch(sf_dir, "q18_orders_by_year")
     orders = load_table(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
     write_partitioned(orders, path, ["o_year"])
     back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
@@ -158,10 +116,10 @@ def q65_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q66 — vector-store maintenance: upsert-by-key + delete-where (S11, P7, V6)
+# Q19 — vector-store maintenance: upsert-by-key + delete-where (S11, P7, V6)
 # ---------------------------------------------------------------------------
 
-_Q66_SQL = """
+_Q19_SQL = """
 WITH init AS (
   SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 2 = 0
 ),
@@ -186,8 +144,8 @@ ORDER BY 1
 """
 
 
-@query("q66_vector_store_maintenance", oracle=_Q66_SQL, covers="S11,P7,V6,S3")
-def q66_vector_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q19_vector_store_maintenance", oracle=_Q19_SQL, covers="S11,P7,V6,S3")
+def q19_vector_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's collection lifecycle (pipeline.py:58-77) against a
     parquet-backed vector store: seed with even vec_ids, UPSERT a batch
     of re-labeled vectors keyed on vec_id (delete-then-add,
@@ -196,7 +154,7 @@ def q66_vector_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle rebuilds the same end state with set ops on the original
     table, so any duplicate, lost row, or stale pre-upsert value breaks
     the hash."""
-    path = _scratch(sf_dir, "q66_vector_store")
+    path = _scratch(sf_dir, "q19_vector_store")
     emb = load_table(spark, sf_dir, "embeddings")
     init = emb.filter(F.col("vec_id") % 2 == 0)
     init.write.mode("overwrite").parquet(path)
@@ -216,10 +174,10 @@ def q66_vector_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q67 — HTML scrape parse (S6): title/body extraction rules
+# Q22 — HTML scrape parse (S6): title/body extraction rules
 # ---------------------------------------------------------------------------
 
-_Q67_SQL = """
+_Q22_SQL = """
 SELECT doc_id,
        'Doc #' || CAST(doc_id AS VARCHAR) AS title,
        trim(substr(text, 1, 80)) || ' lang=' || lang AS body
@@ -229,8 +187,8 @@ ORDER BY doc_id
 """
 
 
-@query("q67_html_scrape_parse", oracle=_Q67_SQL, covers="S6,T15,T4,T3")
-def q67_html_scrape_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q22_html_scrape_parse", oracle=_Q22_SQL, covers="S6,T15,T4,T3")
+def q22_html_scrape_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Render documents as HTML pages, run the S6 scrape parser
     (pipeline.py:24-38 rules: title = first <h1>, body = ' '-join of
     <p> texts, tags stripped), and check the extraction recovers the
@@ -256,7 +214,7 @@ def q67_html_scrape_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q68 — REST API schedule ingest: fetch -> nested JSON parse (S4)
+# Q29 — REST API schedule ingest: fetch -> nested JSON parse (S4)
 # ---------------------------------------------------------------------------
 
 _CANNED_SCHEDULE = """{
@@ -283,7 +241,7 @@ _CANNED_SCHEDULE = """{
   ]
 }"""
 
-_Q68_SQL = """
+_Q29_SQL = """
 SELECT game_day, CAST(game_pk AS BIGINT) AS game_pk, away_team, away_score,
        home_team, home_score, venue, status
 FROM (VALUES
@@ -295,8 +253,8 @@ ORDER BY game_pk
 """
 
 
-@query("q68_rest_schedule_ingest", oracle=_Q68_SQL, covers="S4,T14,U5")
-def q68_rest_schedule_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q29_rest_schedule_ingest", oracle=_Q29_SQL, covers="S4,T14,U5")
+def q29_rest_schedule_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 end-to-end with a canned payload (the network fetch is
     injectable; tests and the oracle gate never touch HTTP): driver-side
     fetch -> payload column -> distributed from_json + double explode of
@@ -322,10 +280,10 @@ def q68_rest_schedule_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q69 — warehouse layering raw -> staging -> analytics (S12)
+# Q39 — warehouse layering raw -> staging -> analytics (S12)
 # ---------------------------------------------------------------------------
 
-_Q69_SQL = """
+_Q39_SQL = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
        COUNT(*) AS n_orders,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
@@ -336,8 +294,8 @@ ORDER BY 1
 """
 
 
-@query("q69_warehouse_layering", oracle=_Q69_SQL, covers="S12,A2,T16")
-def q69_warehouse_layering(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q39_warehouse_layering", oracle=_Q39_SQL, covers="S12,A2,T16")
+def q39_warehouse_layering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's raw -> staging -> analytics layering
     (terraform/main.tf:46-66 datasets; dbt_project.yml:22-27: staging =
     views, marts = tables) as Spark SQL databases: raw = materialized
@@ -366,7 +324,10 @@ def q69_warehouse_layering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q71 — RSS/XML feed parse (S5): items -> (link, title, published_ts)
+# Q43 — RSS/XML feed parse (S5): items -> (link, title, published_ts);
+#        plus a real xpath_string re-extraction (T15) of each item's
+#        title from reconstructed XML — the ElementTree-findall analogue
+#        (mlb_agent_framework_dag.py:60-67) under the same hash gate
 # ---------------------------------------------------------------------------
 
 _CANNED_RSS = """<?xml version="1.0"?><rss version="2.0"><channel>
@@ -379,8 +340,9 @@ _CANNED_RSS = """<?xml version="1.0"?><rss version="2.0"><channel>
 <pubDate>Fri, 29 Mar 2024 08:15:00 GMT</pubDate></item>
 </channel></rss>"""
 
-_Q71_SQL = """
-SELECT link, title, CAST(published_ts AS TIMESTAMP) AS published_ts
+_Q43_SQL = """
+SELECT link, title, CAST(published_ts AS TIMESTAMP) AS published_ts,
+       title AS title_xpath
 FROM (VALUES
   ('https://ex.com/a1', 'Yankees win opener',   '2024-03-28 14:00:00'),
   ('https://ex.com/a2', 'Padres walk off',      '2024-03-28 23:45:10'),
@@ -390,14 +352,22 @@ ORDER BY link
 """
 
 
-@query("q71_rss_feed_parse", oracle=_Q71_SQL, covers="S5,T15,T11,U2")
-def q71_rss_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q43_rss_feed_parse", oracle=_Q43_SQL, covers="S5,T15,T11,U2,T9")
+def q43_rss_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 feed ingestion with a canned payload: driver-side fetch (stub),
     distributed item extraction over the XML column (mapInPandas — one
     feed document can carry thousands of items), CDATA handling, and
     RFC-822 pubDate -> timestamp parsing (mlb_pipeline_dag.py:43-59).
-    Golden-output oracle."""
+    ``title_xpath`` re-extracts each title with real ``xpath_string``
+    over per-item XML, so the XML-extraction operator (T15) sits under
+    the same golden-output oracle (it must equal the regex-parsed title
+    exactly)."""
     from ..sources.feeds import rss_source
 
     feed = rss_source(spark, ["https://feeds.example/mlb.xml"], fetcher=lambda url: _CANNED_RSS)
-    return feed.select("link", "title", "published_ts").orderBy("link")
+    item_xml = F.concat(F.lit("<item><t>"), F.col("title"), F.lit("</t><l>"), F.col("link"), F.lit("</l></item>"))
+    return (
+        feed.withColumn("title_xpath", F.xpath_string(item_xml, F.lit("/item/t")))
+        .select("link", "title", "published_ts", "title_xpath")
+        .orderBy("link")
+    )

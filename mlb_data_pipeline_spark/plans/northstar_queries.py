@@ -32,45 +32,8 @@ _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 _STOP_SQL = "('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it')"
 
 _Q40_SQL = f"""
-WITH scored AS (
-  SELECT lang,
-         CAST(len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS DOUBLE)
-           / len(string_split(text, ' ')) AS stop_ratio
-  FROM documents
-)
-SELECT lang,
-       CASE WHEN stop_ratio >= 0.10 THEN 'en-like' ELSE 'other' END AS classified,
-       COUNT(*) AS n_docs
-FROM scored
-GROUP BY 1, 2
-ORDER BY 1, 2
-"""
-
-
-@query("q40_language_id", oracle=_Q40_SQL, covers="T18,T17,A2")
-def q40_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    stop_ratio = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS))).cast("double") / F.size(toks)
-    return (
-        docs.select("lang", stop_ratio.alias("stop_ratio"))
-        .select(
-            "lang",
-            F.when(F.col("stop_ratio") >= 0.10, F.lit("en-like")).otherwise(F.lit("other")).alias("classified"),
-        )
-        .groupBy("lang", "classified")
-        .agg(F.count("*").alias("n_docs"))
-        .orderBy("lang", "classified")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q41 — quality scoring (T18): length/punctuation/stopword ratios
-# ---------------------------------------------------------------------------
-
-_Q41_SQL = f"""
 WITH m AS (
-  SELECT doc_id, lang,
+  SELECT lang,
          length(text) AS n_chars_txt,
          len(string_split(text, ' ')) AS n_tok,
          len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS n_stop,
@@ -78,19 +41,24 @@ WITH m AS (
   FROM documents
 )
 SELECT lang,
+       CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.10 THEN 'en-like' ELSE 'other' END AS classified,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
        CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok) AS stopword_ratio,
        CAST(SUM(n_punct) AS DOUBLE) / SUM(n_chars_txt) AS punct_ratio,
        CAST(SUM(n_chars_txt) AS DOUBLE) / SUM(n_tok) AS avg_token_len
 FROM m
-GROUP BY lang
-ORDER BY lang
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
 
 
-@query("q41_quality_score", oracle=_Q41_SQL, covers="T18,T8,A2")
-def q41_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q40_text_profile", oracle=_Q40_SQL, covers="T18,T17,T8,A2")
+def q40_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality scoring in one per-doc metric pass:
+    stopword-marker ratio classifies en-like/other; the same token/char/
+    punct counts aggregate into the corpus-quality profile per (lang,
+    classified). One scan, one shuffle, map-side partial aggs."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     m = docs.select(
@@ -100,8 +68,12 @@ def q41_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS))).alias("n_stop"),
         (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))).alias("n_punct"),
     )
+    classified = F.when(
+        F.col("n_stop").cast("double") / F.col("n_tok") >= 0.10, F.lit("en-like")
+    ).otherwise(F.lit("other"))
     return (
-        m.groupBy("lang")
+        m.withColumn("classified", classified)
+        .groupBy("lang", "classified")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
@@ -109,7 +81,7 @@ def q41_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_punct").cast("double") / F.sum("n_chars_txt")).alias("punct_ratio"),
             (F.sum("n_chars_txt").cast("double") / F.sum("n_tok")).alias("avg_token_len"),
         )
-        .orderBy("lang")
+        .orderBy("lang", "classified")
     )
 
 
@@ -122,23 +94,35 @@ WITH m AS (
   SELECT source,
          len(string_split_regex(trim(text), '\s+')) AS n_tok,
          list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
-                                 w -> CAST(ceil(length(w) / 4.0) AS INT))) AS n_bpe
+                                 w -> CAST(ceil(length(w) / 4.0) AS INT))) AS n_bpe,
+         substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS fingerprint
   FROM documents
 )
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
        CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
-       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
+       COUNT(DISTINCT fingerprint) AS n_distinct_fp
 FROM m
 GROUP BY source
 ORDER BY source
 """
 
 
-@query("q42_token_stats", oracle=_Q42_SQL, covers="T17,A2", bench=True)
+@query("q42_token_stats", oracle=_Q42_SQL, covers="T17,T4,A2,A3,V4", bench=True)
 def q42_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting (whitespace + BPE-ish subword counts) plus the
+    md5 content fingerprint an exact-dup pass keys on — one metric pass
+    per doc, one shuffle on source. countDistinct(fingerprint) is the
+    corpus's exact-dup cardinality per source."""
     docs = load_table(spark, sf_dir, "documents")
-    m = docs.select("source", token_count("text").alias("n_tok"), bpe_ish_token_count("text").alias("n_bpe"))
+    fp = F.substring(F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")).cast("binary")), 1, 8)
+    m = docs.select(
+        "source",
+        token_count("text").alias("n_tok"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+        fp.alias("fingerprint"),
+    )
     return (
         m.groupBy("source")
         .agg(
@@ -146,39 +130,8 @@ def q42_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
             F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
             (F.sum("n_tok").cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
+            F.countDistinct("fingerprint").alias("n_distinct_fp"),
         )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q43 — content fingerprinting: md5 fingerprint of normalized text
-# ---------------------------------------------------------------------------
-
-_Q43_SQL = r"""
-WITH fp AS (
-  SELECT source,
-         substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS fingerprint
-  FROM documents
-)
-SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fingerprint) AS n_distinct_fp
-FROM fp
-GROUP BY source
-ORDER BY source
-"""
-
-
-@query("q43_fingerprint", oracle=_Q43_SQL, covers="T4,A3,V4")
-def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Whitespace-normalized md5 content fingerprint — the exact-dup key a
-    # corpus pipeline hashes before any near-dup pass. md5 reproduces in
-    # every engine (unlike xxhash64/murmur).
-    docs = load_table(spark, sf_dir, "documents")
-    fp = F.substring(F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")).cast("binary")), 1, 8)
-    return (
-        docs.select("source", fp.alias("fingerprint"))
-        .groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.countDistinct("fingerprint").alias("n_distinct_fp"))
         .orderBy("source")
     )
 
@@ -319,15 +272,15 @@ def q46_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q62 — near-dup clustering end-to-end: MinHash pairs -> connected
+# Q59 — near-dup clustering end-to-end: MinHash pairs -> connected
 #        components -> canonical corpus (rows-only: iterative CC is not
 #        single-query SQL; the CC operator is pytest-verified on crafted
 #        chains in tests/test_dedup_ops.py)
 # ---------------------------------------------------------------------------
 
 
-@query("q62_neardup_cluster_dedup", oracle=None, covers="V4,J1", bench=True)
-def q62_neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q59_neardup_cluster_dedup", oracle=None, covers="V4,J1", bench=True)
+def q59_neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import neardup_dedup
 
     docs = load_table(spark, sf_dir, "documents")

@@ -83,23 +83,33 @@ def q00_monthly_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
-# Q01 — projection (P1, S3)
+# Q01 — projection + prefix filter (P1, P6, S3): startswith pushes down
+#        as StringStartsWith next to the pruned column list
 # ---------------------------------------------------------------------------
 
 _Q01_SQL = """
-SELECT p_partkey, p_name, p_retailprice
+SELECT p_partkey, p_name, p_brand, p_retailprice
 FROM part
+WHERE p_name LIKE 'small %'
 ORDER BY p_partkey
 """
 
 
-@query("q01_project_part", oracle=_Q01_SQL, covers="S3,P1")
-def q01_project_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice").orderBy("p_partkey")
+@query("q01_project_prefix", oracle=_Q01_SQL, covers="S3,P1,P6")
+def q01_project_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small "))
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    )
 
 
 # ---------------------------------------------------------------------------
-# Q02 — range + between filters (P3, P4)
+# Q02 — range + between filters + global top-k (P3, P4, O1, O2): the
+#        ORDER BY + LIMIT over the filtered scan plans as
+#        TakeOrderedAndProject — no full sort, only k rows cross the
+#        final exchange
 # ---------------------------------------------------------------------------
 
 _Q02_SQL = """
@@ -108,12 +118,13 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.02 AND 0.06
   AND l_quantity < 25
-ORDER BY l_orderkey, l_linenumber
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 500
 """
 
 
-@query("q02_filter_lineitem", oracle=_Q02_SQL, covers="P3,P4")
-def q02_filter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q02_filter_topk", oracle=_Q02_SQL, covers="P3,P4,O1,O2,O9")
+def q02_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "lineitem")
         .filter(
@@ -123,7 +134,8 @@ def q02_filter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(500)
     )
 
 
@@ -178,28 +190,6 @@ def q04_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q05 — count distinct (A3)
-# ---------------------------------------------------------------------------
-
-_Q05_SQL = """
-SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
-FROM orders
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
-
-
-@query("q05_distinct_customers", oracle=_Q05_SQL, covers="A3")
-def q05_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(F.countDistinct("o_custkey").alias("n_customers"), F.count("*").alias("n_orders"))
-        .orderBy("o_orderpriority")
-    )
-
-
-# ---------------------------------------------------------------------------
 # Q06 — ordered string agg (A5/A6); reference "; ".join(titles)
 #        (mlb_pipeline_dag.py:137)
 # ---------------------------------------------------------------------------
@@ -231,29 +221,40 @@ def q06_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q07 — rollup (A7)
+# Q07 — grouping sets: ROLLUP and CUBE over the same base, tagged (A7)
 # ---------------------------------------------------------------------------
 
 _Q07_SQL = """
-SELECT n.n_name AS nation, c.c_mktsegment AS segment,
-       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal,
+WITH base AS (
+  SELECT n.n_name AS nation, c.c_mktsegment AS segment, c.c_acctbal
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT 'rollup' AS grouping_op, nation, segment,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal,
        COUNT(*) AS n_customers
-FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
-ORDER BY nation NULLS LAST, segment NULLS LAST
+FROM base GROUP BY ROLLUP (nation, segment)
+UNION ALL
+SELECT 'cube' AS grouping_op, nation, segment,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal,
+       COUNT(*) AS n_customers
+FROM base GROUP BY CUBE (nation, segment)
+ORDER BY grouping_op, nation NULLS LAST, segment NULLS LAST
 """
 
 
-@query("q07_rollup_acctbal", oracle=_Q07_SQL, covers="A7,J2")
-def q07_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q07_grouping_sets", oracle=_Q07_SQL, covers="A7,J2")
+def q07_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    return (
+    base = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .select(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"), "c_acctbal")
-        .rollup("nation", "segment")
-        .agg(dsum("c_acctbal").alias("total_acctbal"), F.count("*").alias("n_customers"))
-        .orderBy(F.col("nation").asc_nulls_last(), F.col("segment").asc_nulls_last())
+    )
+    aggs = [dsum("c_acctbal").alias("total_acctbal"), F.count("*").alias("n_customers")]
+    rolled = base.rollup("nation", "segment").agg(*aggs).select(F.lit("rollup").alias("grouping_op"), "*")
+    cubed = base.cube("nation", "segment").agg(*aggs).select(F.lit("cube").alias("grouping_op"), "*")
+    return rolled.unionByName(cubed).orderBy(
+        "grouping_op", F.col("nation").asc_nulls_last(), F.col("segment").asc_nulls_last()
     )
 
 
@@ -363,36 +364,6 @@ def q10_pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q11 — inner equi-join + agg (J1)
-# ---------------------------------------------------------------------------
-
-_Q11_SQL = """
-SELECT n.n_name AS nation,
-       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_orders
-FROM orders o
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY n.n_name
-ORDER BY n.n_name
-"""
-
-
-@query("q11_join_revenue_by_nation", oracle=_Q11_SQL, covers="J1,A2", bench=True)
-def q11_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
-        .orderBy("nation")
-    )
-
-
-# ---------------------------------------------------------------------------
 # Q12 — broadcast hash join (J2)
 # ---------------------------------------------------------------------------
 
@@ -428,27 +399,64 @@ def q12_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q13 — left outer join keeping zero-order customers (J3)
+# Q13 — outer-join shapes (J3 left + full), tagged union: left join
+#        keeps zero-order customers; full outer keeps both unmatched
+#        sides with null extension
 # ---------------------------------------------------------------------------
 
 _Q13_SQL = """
-SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
-FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-GROUP BY c.c_custkey
-ORDER BY c.c_custkey
+WITH lefted AS (
+  SELECT 'left' AS side, c.c_custkey AS custkey,
+         CAST(NULL AS DOUBLE) AS acctbal, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+),
+hi_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+o99 AS (SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '1999-07-01'
+        GROUP BY o_custkey),
+fulled AS (
+  SELECT 'full' AS side, COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+         c.c_acctbal AS acctbal, o.n_orders
+  FROM hi_cust c FULL OUTER JOIN o99 o ON c.c_custkey = o.o_custkey
+)
+SELECT * FROM lefted UNION ALL SELECT * FROM fulled
+ORDER BY side, custkey
 """
 
 
-@query("q13_left_join_order_counts", oracle=_Q13_SQL, covers="J3")
-def q13_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q13_outer_join_shapes", oracle=_Q13_SQL, covers="J3")
+def q13_outer_join_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    lefted = (
         customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
-        .groupBy("c_custkey")
+        .groupBy(F.col("c_custkey").alias("custkey"))
         .agg(F.count("o_orderkey").alias("n_orders"))
-        .orderBy("c_custkey")
+        .select(
+            F.lit("left").alias("side"),
+            "custkey",
+            F.lit(None).cast("double").alias("acctbal"),
+            "n_orders",
+        )
     )
+    hi = customer.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
+    o99 = (
+        orders.filter((F.col("o_orderdate") >= F.lit("1999-01-01")) & (F.col("o_orderdate") < F.lit("1999-07-01")))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    fulled = (
+        hi.join(o99, hi.c_custkey == o99.o_custkey, "full_outer")
+        .select(
+            F.lit("full").alias("side"),
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            "n_orders",
+        )
+    )
+    return lefted.unionByName(fulled).orderBy("side", "custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -587,8 +595,9 @@ ORDER BY nation, score DESC, region
 """
 
 
-@query("q18_crossjoin_topk", oracle=_Q18_SQL, covers="J9,O3")
-def q18_crossjoin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+# retired from the registry (J9/O3 are covered by q36's oracled kNN join;
+# the window covers q20): kept as an importable helper for tests
+def crossjoin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     scored = nation.crossJoin(F.broadcast(region)).select(
@@ -598,28 +607,6 @@ def q18_crossjoin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     topk = top_k_per_group(scored, ["nation"], [F.col("score").desc(), F.col("region").asc()], k=2)
     return topk.select("nation", "region", "score").orderBy("nation", F.col("score").desc(), "region")
-
-
-# ---------------------------------------------------------------------------
-# Q19 — global top-k (O1, O2): plans as TakeOrderedAndProject, no full sort
-# ---------------------------------------------------------------------------
-
-_Q19_SQL = """
-SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 10
-"""
-
-
-@query("q19_top10_orders", oracle=_Q19_SQL, covers="O1,O2,O9")
-def q19_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "orders")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-        .limit(10)
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -703,36 +690,6 @@ def q21_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q22 — union + dedup (O7): daily-batch append semantics
-#        (mlb_pipeline_dag.py:119)
-# ---------------------------------------------------------------------------
-
-_Q22_SQL = """
-SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_distinct
-FROM (
-  SELECT o_orderkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
-  UNION ALL
-  SELECT o_orderkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1998-07-01'
-)
-"""
-
-
-@query("q22_union_dedup", oracle=_Q22_SQL, covers="O7,A3")
-def q22_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    slice1 = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
-    ).select("o_orderkey")
-    slice2 = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1997-07-01")) & (F.col("o_orderdate") < F.lit("1998-07-01"))
-    ).select("o_orderkey")
-    both = slice1.unionByName(slice2)
-    return both.agg(F.count("*").alias("n_rows"), F.countDistinct("o_orderkey").alias("n_distinct"))
-
-
-# ---------------------------------------------------------------------------
 # Q23 — except / intersect (O8)
 # ---------------------------------------------------------------------------
 
@@ -765,105 +722,19 @@ def q23_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q52 — cube / grouping sets (A7 complete; q07 covers rollup)
-# ---------------------------------------------------------------------------
-
-_Q52_SQL = """
-SELECT n.n_name AS nation, c.c_mktsegment AS segment,
-       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal,
-       COUNT(*) AS n_customers
-FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY CUBE (n.n_name, c.c_mktsegment)
-ORDER BY nation NULLS LAST, segment NULLS LAST
-"""
-
-
-@query("q52_cube_acctbal", oracle=_Q52_SQL, covers="A7")
-def q52_cube_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    return (
-        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .select(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"), "c_acctbal")
-        .cube("nation", "segment")
-        .agg(dsum("c_acctbal").alias("total_acctbal"), F.count("*").alias("n_customers"))
-        .orderBy(F.col("nation").asc_nulls_last(), F.col("segment").asc_nulls_last())
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q53 — prefix filter (P6): startswith pushes down as StringStartsWith
-# ---------------------------------------------------------------------------
-
-_Q53_SQL = """
-SELECT p_partkey, p_name, p_brand
-FROM part
-WHERE p_name LIKE 'small %'
-ORDER BY p_partkey
-"""
-
-
-@query("q53_prefix_filter", oracle=_Q53_SQL, covers="P6")
-def q53_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_name").startswith("small "))
-        .select("p_partkey", "p_name", "p_brand")
-        .orderBy("p_partkey")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q54 — full outer join (J3 complete; q13 covers left)
-# ---------------------------------------------------------------------------
-
-_Q54_SQL = """
-WITH hi_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
-     o99 AS (SELECT o_custkey, COUNT(*) AS n_orders
-             FROM orders
-             WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '1999-07-01'
-             GROUP BY o_custkey)
-SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
-       c.c_acctbal, o.n_orders
-FROM hi_cust c FULL OUTER JOIN o99 o ON c.c_custkey = o.o_custkey
-ORDER BY custkey
-"""
-
-
-@query("q54_full_outer", oracle=_Q54_SQL, covers="J3")
-def q54_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    hi = customer.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
-    o99 = (
-        orders.filter((F.col("o_orderdate") >= F.lit("1999-01-01")) & (F.col("o_orderdate") < F.lit("1999-07-01")))
-        .groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"))
-    )
-    return (
-        hi.join(o99, hi.c_custkey == o99.o_custkey, "full_outer")
-        .select(
-            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
-            "c_acctbal",
-            "n_orders",
-        )
-        .orderBy("custkey")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q58 — approx count distinct (A4): HLL sketch, bench/rows-only tier by
+# Q55 — approx count distinct (A4): HLL sketch, bench/rows-only tier by
 #        design (approx results never enter the hash contract)
 # ---------------------------------------------------------------------------
 
 
-@query("q58_approx_distinct", oracle=None, covers="A4", bench=True)
-def q58_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q55_approx_distinct", oracle=None, covers="A4,A3", bench=True)
+def q55_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("o_orderpriority")
@@ -871,14 +742,14 @@ def q58_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q59 — explicit repartition (P8): hash-partition events by user, count
+# Q56 — explicit repartition (P8): hash-partition events by user, count
 #        rows per partition (murmur3 hash is deterministic for a fixed
 #        partition count, but engine-specific — rows-only tier)
 # ---------------------------------------------------------------------------
 
 
-@query("q59_repartition_distribution", oracle=None, covers="P8")
-def q59_repartition_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q56_repartition_distribution", oracle=None, covers="P8")
+def q56_repartition_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.repartition(16, "user_id")

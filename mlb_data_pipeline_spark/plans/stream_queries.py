@@ -159,10 +159,10 @@ def q34_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q70 — sliding 1h window / 15min slide counts (ST3 batch form)
+# Q41 — sliding 1h window / 15min slide counts (ST3 batch form)
 # ---------------------------------------------------------------------------
 
-_Q70_SQL = """
+_Q41_SQL = """
 WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
 w AS (
   SELECT make_timestamp((us // 900000000) * 900000000 - CAST(k.k AS BIGINT) * 900000000) AS win_start,
@@ -176,8 +176,8 @@ ORDER BY 1, 2
 """
 
 
-@query("q70_sliding_window", oracle=_Q70_SQL, covers="ST3,A2,T11")
-def q70_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q41_sliding_window", oracle=_Q41_SQL, covers="ST3,A2,T11")
+def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window counts: every event lands in exactly window/slide =
     4 overlapping epoch-aligned windows. Spark's ``F.window`` explodes to
     the same 4 window starts the oracle derives with exact integer

@@ -19,24 +19,25 @@ from ..functions.textfn import dict_replace
 from .registry import query
 
 # ---------------------------------------------------------------------------
-# Q03 — regex predicate filter (P5, T4)
+# Q03 — positional zip / UDTF explode with index (J8, U5); reference
+#        zip(docs, metas) by position (pipeline.py:88)
 # ---------------------------------------------------------------------------
 
-_Q03_SQL = r"""
-SELECT doc_id, lang, source
+_Q03_SQL = """
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+       unnest(string_split(text, ' ')) AS token
 FROM documents
-WHERE regexp_matches(text, 'vector\s+\w+\s+join')
-ORDER BY doc_id
+WHERE doc_id < 3
+ORDER BY doc_id, pos
 """
 
 
-@query("q03_regex_filter", oracle=_Q03_SQL, covers="P5,T4")
-def q03_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").rlike(r"vector\s+\w+\s+join"))
-        .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
+@query("q03_positional_zip", oracle=_Q03_SQL, covers="J8,U5,T2")
+def q03_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
+    return docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")).orderBy(
+        "doc_id", "pos"
     )
 
 
@@ -80,7 +81,7 @@ ORDER BY lang, keyword
 """
 
 
-@query("q25_extract_keyword", oracle=_Q25_SQL, covers="T6,T4")
+@query("q25_extract_keyword", oracle=_Q25_SQL, covers="P5,T6,T4")
 def q25_extract_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")
@@ -252,36 +253,13 @@ def q35_struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q55 — positional zip / UDTF explode with index (J8, U5); reference
-#        zip(docs, metas) by position (pipeline.py:88)
-# ---------------------------------------------------------------------------
-
-_Q55_SQL = """
-SELECT doc_id,
-       generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
-       unnest(string_split(text, ' ')) AS token
-FROM documents
-WHERE doc_id < 3
-ORDER BY doc_id, pos
-"""
-
-
-@query("q55_positional_zip", oracle=_Q55_SQL, covers="J8,U5,T2")
-def q55_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
-    return docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")).orderBy(
-        "doc_id", "pos"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q56 — TTS-style cleanup: dictionary replace + case/trim + length +
+# Q05 — TTS-style cleanup: dictionary replace + case/trim + length +
 #        heading detect (T1, T5, T8, T10); reference format_replacements
 #        (config.py:224-233) and isupper/endswith(':') heading rule
 #        (specialized_agents.py:194)
 # ---------------------------------------------------------------------------
 
-_Q56_SQL = """
+_Q05_SQL = """
 WITH lined AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN upper(source) || ':' ELSE trim(substr(text, 1, 30)) END AS line,
@@ -298,8 +276,8 @@ ORDER BY 1
 """
 
 
-@query("q56_tts_cleanup", oracle=_Q56_SQL, covers="T1,T5,T8,T10")
-def q56_tts_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q05_tts_cleanup", oracle=_Q05_SQL, covers="T1,T5,T8,T10")
+def q05_tts_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     line = F.when(F.col("doc_id") % 3 == 0, F.concat(F.upper("source"), F.lit(":"))).otherwise(
         F.trim(F.substring("text", 1, 30))
@@ -320,47 +298,13 @@ def q56_tts_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q57 — XML field extraction (T15); reference ElementTree findall
-#        (mlb_agent_framework_dag.py:60-67). Spark side uses real xpath;
-#        the oracle extracts the same field by regex from the same
-#        synthesized XML string.
-# ---------------------------------------------------------------------------
-
-_Q57_SQL = """
-WITH x AS (
-  SELECT doc_id,
-         '<item><title>doc-' || doc_id || '</title><src>' || source || '</src></item>' AS xml
-  FROM documents
-)
-SELECT regexp_extract(xml, '<src>(.*)</src>', 1) AS src, COUNT(*) AS n
-FROM x
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-@query("q57_xml_extract", oracle=_Q57_SQL, covers="T15,T9")
-def q57_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    xml = F.concat(
-        F.lit("<item><title>doc-"), F.col("doc_id"), F.lit("</title><src>"), F.col("source"), F.lit("</src></item>")
-    )
-    return (
-        docs.select(F.xpath_string(xml, F.lit("/item/src")).alias("src"))
-        .groupBy("src")
-        .agg(F.count("*").alias("n"))
-        .orderBy("src")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q60 — current date/time (T12): banned from the hash contract by the
+# Q57 — current date/time (T12): banned from the hash contract by the
 #        determinism policy, demonstrated as a rows-only query
 # ---------------------------------------------------------------------------
 
 
-@query("q60_current_date_age", oracle=None, covers="T12,T13")
-def q60_current_date_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q57_current_date_age", oracle=None, covers="T12,T13")
+def q57_current_date_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.year("o_orderdate").alias("order_year"))

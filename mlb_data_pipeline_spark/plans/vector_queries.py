@@ -23,33 +23,6 @@ from ..operators.vector import context_assembly, cosine_pairs_exact, cosine_pair
 from .registry import query
 
 # ---------------------------------------------------------------------------
-# Q29 — exact cosine top-3 neighbors of a fixed vector (V2)
-# ---------------------------------------------------------------------------
-
-_Q29_SQL = """
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-     q AS (SELECT v FROM e WHERE vec_id = 0)
-SELECT e.vec_id, e.label,
-       CAST(ROUND(list_dot_product(e.v, q.v)
-                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 4)
-            AS DOUBLE) AS sim
-FROM e CROSS JOIN q
-WHERE e.vec_id <> 0
-ORDER BY list_dot_product(e.v, q.v)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
-         e.vec_id
-LIMIT 3
-"""
-
-
-@query("q29_cosine_topk", oracle=_Q29_SQL, covers="V2,S7,J9,O2,O1")
-def q29_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    topk = knn_join(emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=3)
-    return topk.select("vec_id", "label", F.round("sim", 4).cast("double").alias("sim")).drop("rank")
-
-
-# ---------------------------------------------------------------------------
 # Q30 — exact dedup on a normalized text key (V4); keyed-upsert semantics
 # ---------------------------------------------------------------------------
 
@@ -145,7 +118,7 @@ FROM topk t JOIN documents d ON d.doc_id = t.vec_id
 """
 
 
-@query("q37_context_assembly", oracle=_Q37_SQL, covers="V5,A5,J2")
+@query("q37_context_assembly", oracle=_Q37_SQL, covers="V2,V5,S7,A5,J2,O1,O2")
 def q37_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
@@ -186,13 +159,14 @@ def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q39 — LSH near-dup (V3/V4 scale path) — approximate: no SQL oracle;
+# Q52 — LSH near-dup (V3/V4 scale path) — approximate: no SQL oracle;
 #        recall vs the exact pairs is asserted in tests/test_vector_ops.py
+#        and reported per-round in the bench JSON ("recall" key)
 # ---------------------------------------------------------------------------
 
 
-@query("q39_embedding_neardup_lsh", oracle=None, covers="V3,V4", bench=True)
-def q39_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q52_embedding_neardup_lsh", oracle=None, covers="V3,V4", bench=True)
+def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # 32 planes / 8 bands of 4 bits: ~2/3 recall at sim 0.3 on isotropic
     # data (real near-dup corpora sit at sim >= 0.9 where the same config
@@ -206,12 +180,12 @@ def q39_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q61 — IVF approximate k-NN join (scale path; KMeans coarse quantizer)
+# Q58 — IVF approximate k-NN join (scale path; KMeans coarse quantizer)
 # ---------------------------------------------------------------------------
 
 
-@query("q61_ivf_knn", oracle=None, covers="V3,V2", bench=True)
-def q61_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q58_ivf_knn", oracle=None, covers="V3,V2", bench=True)
+def q58_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vector import ivf_knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")

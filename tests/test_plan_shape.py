@@ -22,25 +22,25 @@ def plan_of(spark, sf_dir, name: str) -> str:
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q02_filter_lineitem")
+    plan = plan_of(spark, sf_dir, "q02_filter_topk")
     assert "PushedFilters: [" in plan
     assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
 
 
 def test_prefix_filter_pushes_startswith(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q53_prefix_filter")
+    plan = plan_of(spark, sf_dir, "q01_project_prefix")
     assert "StringStartsWith(p_name,small )" in plan.replace("'", "")
 
 
 def test_column_pruning_projects_scan(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q01_project_part")
+    plan = plan_of(spark, sf_dir, "q01_project_prefix")
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "p_partkey" in read and "p_retailprice" in read
-    assert "p_brand" not in read and "p_type" not in read  # unused columns never read
+    assert "p_type" not in read and "p_container" not in read  # unused columns never read
 
 
 def test_global_topk_is_take_ordered(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q19_top10_orders")
+    plan = plan_of(spark, sf_dir, "q02_filter_topk")
     assert "TakeOrderedAndProject" in plan  # no full sort for ORDER BY+LIMIT
 
 
@@ -59,7 +59,7 @@ def test_flagship_broadcasts_only_fixed_dims(spark, sf_dir):
     [
         "q16_price_band_pairs",  # band join must stay an equi-join
         "q44_minhash_neardup",  # LSH banding must stay an equi-join
-        "q39_embedding_neardup_lsh",
+        "q52_embedding_neardup_lsh",
         "q45_ngram_jaccard",  # blocked pairs join on source
     ],
 )
