@@ -42,9 +42,37 @@ def execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def lsh_recall(spark, sf_dir: str = "/root/testdata/sf0.01") -> float:
+    """Measured recall of the LSH near-dup tier vs the exact tier at
+    sf0.01 (where the guarded exact all-pairs is cheap). Tracked per
+    round so the approximate tier's quality is graded next to its
+    speed; the subset invariant itself is pytest-pinned."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import load_table
+    from mlb_data_pipeline_spark.operators.vector import cosine_pairs_exact, cosine_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.a_vec_id, r.b_vec_id)
+        for r in cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.3).collect()
+    }
+    approx = {
+        (r.a_vec_id, r.b_vec_id)
+        for r in cosine_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.3, n_planes=32, bands=8, dim=64
+        ).collect()
+    }
+    return round(len(approx & exact) / len(exact), 4) if exact else 1.0
+
+
 def main() -> None:
     load_all()
     spark = get_spark("bench")
+    # lazy localCheckpoint truncation can race the noop sink's accumulator
+    # teardown, logging a harmless-but-noisy DAGScheduler ERROR; the bench
+    # contract is ONE clean JSON line, so raise the log threshold
+    spark.sparkContext.setLogLevel("FATAL")
     names = sorted(name for name, q in REGISTRY.items() if q.bench)
     timings: dict[str, float] = {}
     for name in names:
@@ -61,6 +89,11 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    try:
+        recall = lsh_recall(spark)
+    except Exception as exc:  # noqa: BLE001 — recall is a metric, not a gate
+        print(f"bench: recall failed: {exc}", file=sys.stderr)
+        recall = -1.0
     print(
         json.dumps(
             {
@@ -68,6 +101,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "recall": recall,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

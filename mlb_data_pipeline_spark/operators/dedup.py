@@ -221,11 +221,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     a chain a~b~c collapses to one cluster even though a~c was never
     emitted.
 
-    Min-label propagation as iterative joins: each round every node
-    adopts the smallest label among itself and its neighbors; converges
-    in O(graph diameter) rounds (dedup chains are shallow), early-stops
-    when a round changes nothing, and each round localCheckpoints to
-    truncate lineage — the classic large-graph CC pattern on DataFrames.
+    Min-label propagation as iterative joins with a pointer-doubling
+    shortcut: each round every node adopts the smallest label among
+    itself and its neighbors (one edge join), then additionally adopts
+    its LABEL'S label (one self-join) — the label graph halves in height
+    every round, so convergence is O(log diameter) rounds instead of
+    O(diameter). Early-stops when a round changes nothing; each round
+    localCheckpoints to truncate lineage — the classic large-graph CC
+    pattern on DataFrames.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -246,12 +249,22 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        stepped = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce("nbr_component", F.col("component"))).alias("component"),
+            F.col("component").alias("__prev"),
+        )
+        # pointer doubling: also adopt the label's label, halving the
+        # label-tree height per round (O(log diameter) total rounds)
+        parent = stepped.select(F.col("id").alias("__pid"), F.col("component").alias("__pcomp"))
         updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            stepped.join(parent, stepped.component == parent["__pid"], "left")
             .select(
                 "id",
-                F.least(F.col("component"), F.coalesce("nbr_component", F.col("component"))).alias("component"),
-                (F.coalesce("nbr_component", F.col("component")) < F.col("component")).alias("__changed"),
+                F.least(F.col("component"), F.coalesce("__pcomp", F.col("component"))).alias("component"),
+                (F.least(F.col("component"), F.coalesce("__pcomp", F.col("component"))) < F.col("__prev")).alias(
+                    "__changed"
+                ),
             )
             .localCheckpoint(eager=True)  # truncate per-iteration lineage
         )

