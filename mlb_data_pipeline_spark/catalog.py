@@ -8,6 +8,13 @@ The driver testdata (TESTDATA.md) is a TPC-H-ish star schema plus
 registers them as temp views so the SQL surface works. Reads use the
 parquet footer schema (no inference cost); filters/projections push down
 to the scan (Parquet row-group stats + column projection).
+
+Loaded tables are cached per (application, sf_dir, table): a DataFrame is
+an immutable analyzed plan over an immutable testdata path, so re-loading
+re-pays file listing + footer analysis for nothing — a catalog's whole job
+is to hand out resolved relations (same role as the oracle's DuckDB
+views). The cache is keyed by applicationId so a restarted session never
+sees another session's plans.
 """
 
 from __future__ import annotations
@@ -15,6 +22,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 TABLES = (
     "region",
@@ -39,6 +48,9 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     if name == "events":
         # The driver may hand us a vanilla session; this conf is
         # runtime-settable and required to read TIMESTAMP(NANOS) parquet.
@@ -52,6 +64,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

