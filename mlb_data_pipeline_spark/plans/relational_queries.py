@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.numeric import dec, dsum
+from ..functions.numeric import cents, dec, dsum, wmoney, wsum
 from ..operators.relational import asof_latest, band_range_join, median_exact, top_k_per_group
 from .registry import query
 
@@ -73,10 +73,9 @@ def q00_monthly_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
             F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
         )
         .agg(
-            # (8,2) x (4,2) -> (13,4): compact decimal multiply (see numeric.py)
-            F.round(F.sum(dec("l_extendedprice", "8,2") * dec(1 - F.col("l_discount"), "4,2")), 2)
-            .cast("double")
-            .alias("revenue"),
+            # price(10-digit cents) x (100-disc): 13-digit fixed-point at
+            # scale 1e4, summed word-split on the long fast path
+            wmoney(cents("l_extendedprice") * (100 - cents("l_discount")), 13, 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("region", "order_month")
@@ -167,24 +166,25 @@ ORDER BY l_returnflag, l_linestatus
 def q04_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
     cnt = F.count("*")
-    # Narrow operand widths (values are dataset-pinned: price < 1e6 with 2
-    # decimals, quantity <= 50, discount/tax 2 decimals, their product 4)
-    # keep every product <= precision 18 => compact-long decimal multiply
-    # inside codegen. Same exact values as the oracle's DECIMAL(18,6).
-    price = dec("l_extendedprice", "8,2")
-    qty = dec("l_quantity", "8,2")
-    disc_f = dec(1 - F.col("l_discount"), "4,2")
-    charge_f = dec((1 - F.col("l_discount")) * (1 + F.col("l_tax")), "8,4")
+    # Fixed-point lift (values dataset-pinned: price < 1e6 with 2
+    # decimals, quantity <= 50, discount/tax 2 decimals) then word-split
+    # exact sums — the long fast path; same IEEE outputs as the oracle's
+    # DECIMAL(18,6) sums (see numeric.wsum).
+    qty_c = cents("l_quantity")  # 4 digits
+    price_c = cents("l_extendedprice")  # 10 digits
+    disc_c = cents("l_discount")  # 2 digits
+    dp_c = price_c * (100 - disc_c)  # 13 digits, scale 1e4
+    ch_c = dp_c * (100 + cents("l_tax"))  # 15 digits, scale 1e6
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(price * disc_f), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(price * charge_f), 2).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(price).cast("double") / cnt).alias("avg_price"),
-            (F.sum(dec("l_discount", "4,2")).cast("double") / cnt).alias("avg_disc"),
+            wmoney(qty_c, 4, 2).alias("sum_qty"),
+            wmoney(price_c, 10, 2).alias("sum_base_price"),
+            wmoney(dp_c, 13, 4).alias("sum_disc_price"),
+            wmoney(ch_c, 15, 6).alias("sum_charge"),
+            (wsum(qty_c, 4).cast("double") / 100 / cnt).alias("avg_qty"),
+            (wsum(price_c, 10).cast("double") / 100 / cnt).alias("avg_price"),
+            (wsum(disc_c, 2).cast("double") / 100 / cnt).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -391,10 +391,8 @@ def q12_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            # (8,2) x (4,2) -> (13,4): compact decimal multiply (see numeric.py)
-            F.round(F.sum(dec("l_extendedprice", "8,2") * dec(1 - F.col("l_discount"), "4,2")), 2)
-            .cast("double")
-            .alias("revenue"),
+            # 13-digit fixed-point revenue, word-split long sums (numeric.wsum)
+            wmoney(cents("l_extendedprice") * (100 - cents("l_discount")), 13, 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("brand")

@@ -74,6 +74,27 @@ def test_topk_nested_in_topk_plus_one(spark, rows, k):
     assert set(map(tuple, kk.collect())) <= set(map(tuple, k1.collect()))
 
 
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2), st.integers(min_value=0, max_value=10**15 - 1)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET_TIMES
+def test_wsum_equals_exact_integer_sum(spark, vals):
+    """Word-split sum (numeric.wsum) == exact arbitrary-precision sum for
+    any non-negative fixed-point longs up to the 15-digit bound."""
+    from mlb_data_pipeline_spark.functions.numeric import wsum
+
+    df = spark.createDataFrame(vals, "k INT, v LONG")
+    got = {r.k: int(r.s) for r in df.groupBy("k").agg(wsum(F.col("v"), 15).alias("s")).collect()}
+    want = {}
+    for k, v in vals:
+        want[k] = want.get(k, 0) + v
+    assert got == want
+
+
 @given(texts=st.lists(st.text(alphabet="ab c", min_size=1, max_size=20), min_size=1, max_size=10))
 @SET_TIMES
 def test_jaccard_bounds_and_self_identity(spark, texts):
