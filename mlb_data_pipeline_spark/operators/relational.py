@@ -129,6 +129,26 @@ def median_exact(df: DataFrame, group_cols: list[str], value_col: str, out_col: 
     )
 
 
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Redistribute a degenerate-parallelism scan before CPU-bound narrow
+    transforms (shingling, per-token hashing, feature extraction).
+
+    Parquet can't split below row-group granularity, so a table written
+    as few large row groups caps map-side parallelism at the file-split
+    count no matter how many cores exist. When the scan's partition
+    count is well below the cluster default parallelism, one round-robin
+    shuffle of the raw rows unlocks every core for the expensive narrow
+    work that follows. At real scale this is a NO-OP — a 100 TB table
+    has orders of magnitude more splits than cores, so the guard fails
+    and no shuffle is added; it only fires in the degenerate small-input
+    case where the shuffle is cheap by construction.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
     """Total order for a SMALL final result set (hundreds-thousands of
     rows): shuffle to one partition, sort locally. A global ``orderBy``

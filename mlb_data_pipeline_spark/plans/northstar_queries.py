@@ -150,24 +150,31 @@ sh AS (
               ELSE [] END AS shingles
   FROM d
 ),
-exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+                                      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS gs
+  FROM sh
+),
+exploded AS (SELECT doc_id, unnest(gs) AS gv FROM g),
 mh AS (
-  SELECT e.doc_id, salts.salt, MIN(md5(salts.salt || '|' || e.s)) AS m
-  FROM exploded e CROSS JOIN (SELECT unnest(['0', '1', '2', '3']) AS salt) salts
-  GROUP BY e.doc_id, salts.salt
+  SELECT e.doc_id, b.band,
+         MIN(((e.gv >> 30) + b.band * (e.gv & 1073741823)) % 2147483647) AS m
+  FROM exploded e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+  GROUP BY e.doc_id, b.band
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM mh a JOIN mh b ON a.salt = b.salt AND a.m = b.m AND a.doc_id < b.doc_id
+  FROM mh a JOIN mh b ON a.band = b.band AND a.m = b.m AND a.doc_id < b.doc_id
 )
 SELECT c.id_a, c.id_b,
-       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jacc
+       CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         / len(list_distinct(list_concat(ga.gs, gb.gs))) AS jacc
 FROM cand c
-JOIN sh sa ON sa.doc_id = c.id_a
-JOIN sh sb ON sb.doc_id = c.id_b
-WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.3
+JOIN g ga ON ga.doc_id = c.id_a
+JOIN g gb ON gb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+        / len(list_distinct(list_concat(ga.gs, gb.gs))) >= 0.3
 ORDER BY id_a, id_b
 """
 
