@@ -10,6 +10,8 @@ compiles into whole-stage codegen.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -56,6 +58,64 @@ def dict_replace(col: Column | str, mapping: dict[str, str]) -> Column:
     for k, v in mapping.items():
         c = F.replace(c, F.lit(k), F.lit(v))
     return c
+
+
+# Reference spoken-form replacements (config.py:224-233
+# format_replacements; same dict in the evident-intent full TTS cleanup,
+# pipeline.py:238-249) plus the ordinal rule (\d+)(st|nd|rd|th)
+# (pipeline.py:256-258). Insertion order matters: "vs." before "vs".
+TTS_SPOKEN_FORMS = {
+    "MLB": "M L B",
+    "HR": "home run",
+    "RBI": "R B I",
+    "ERA": "E R A",
+    "AL": "A L",
+    "NL": "N L",
+    "vs.": "versus",
+    "vs": "versus",
+}
+
+ORDINAL_RE = r"(\d+)(st|nd|rd|th)"
+
+
+def _bounded(term: str) -> str:
+    """Regex for a whole-term occurrence: word boundaries where the term
+    edge is a word char (the reference approximates this by replacing
+    ' term ' — boundaries are the intent without eating the spaces).
+    ``\\b`` after a trailing '.' never matches, so 'vs.' gets no
+    trailing boundary. Same regex dialect in Spark (Java) and DuckDB
+    (RE2): plain \\b, escaped literals."""
+    pat = re.escape(term)
+    if term[0].isalnum():
+        pat = r"\b" + pat
+    if term[-1].isalnum():
+        pat = pat + r"\b"
+    return pat
+
+
+def expand_ordinals(col: Column | str) -> Column:
+    """'3rd' -> '3 rd' (pipeline.py:256-258): spacing the suffix makes
+    TTS engines read the number and suffix separately."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, ORDINAL_RE, "$1 $2")
+
+
+def tts_spoken_form(col: Column | str, mapping: dict[str, str] | None = None) -> Column:
+    """Full TTS spoken-form pass: word-boundary abbreviation expansion
+    (T5 over ``TTS_SPOKEN_FORMS``) chained with ordinal spacing."""
+    c = F.col(col) if isinstance(col, str) else col
+    for term, spoken in (mapping or TTS_SPOKEN_FORMS).items():
+        c = F.regexp_replace(c, _bounded(term), spoken)
+    return expand_ordinals(c)
+
+
+def tts_spoken_form_sql(expr: str, mapping: dict[str, str] | None = None) -> str:
+    """DuckDB mirror of ``tts_spoken_form`` for oracle SQL: identical
+    patterns, identical chain order, 'g' flag (Spark replaces all
+    occurrences by default; DuckDB needs the flag)."""
+    for term, spoken in (mapping or TTS_SPOKEN_FORMS).items():
+        expr = f"regexp_replace({expr}, '{_bounded(term)}', '{spoken}', 'g')"
+    return f"regexp_replace({expr}, '{ORDINAL_RE}', '\\1 \\2', 'g')"
 
 
 def extract_field(col: Column | str, label: str) -> Column:

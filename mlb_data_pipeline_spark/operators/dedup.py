@@ -98,14 +98,45 @@ def minhash_longs(gset_col: Column, n_hashes: int) -> Column:
     return F.array(*[F.array_min(F.transform(gset_col, mixed(i))) for i in range(n_hashes)])
 
 
+def cap_hot_keys(df: DataFrame, key_cols: list[str], max_freq: int) -> DataFrame:
+    """Drop rows whose banding key is shared by more than ``max_freq``
+    rows — the skew mitigation for boilerplate-heavy corpora, where one
+    shared shingle/band value collects a huge bucket and the candidate
+    equi-join on that key goes quadratic (a 10^6-row bucket alone is
+    5*10^11 pairs; AQE skew-split balances partitions but cannot shrink
+    the pair count itself).
+
+    Hot keys are, by construction, boilerplate: a band value shared by
+    thousands of documents carries no near-dup signal (the docs merely
+    share a common template), so dropping it trades recall ONLY on
+    boilerplate-overlap pairs; precision is untouched because the exact
+    verify still runs on every surviving candidate. Salting is wrong
+    here — a pair-join key must match exactly, and salting a hot key
+    into s buckets silently drops the cross-bucket pairs anyway, with
+    an extra shuffle. One window count over the join key (same shuffle
+    partitioning the candidate join needs) implements the cap."""
+    w = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("__kf", F.count(F.lit(1)).over(w))
+        .filter(F.col("__kf") <= max_freq)
+        .drop("__kf")
+    )
+
+
 def minhash_candidate_pairs(
-    df: DataFrame, id_col: str, gset_col: str, n_hashes: int = 4
+    df: DataFrame, id_col: str, gset_col: str, n_hashes: int = 4, max_band_freq: int | None = None
 ) -> DataFrame:
     """LSH banding with one minhash per band (rows-per-band=1):
     candidates are id pairs sharing ANY minhash value. A pair with
     Jaccard j survives with prob 1-(1-j)^n_hashes. Pure equi-join on
-    (band, value) — the 100 TB-safe shape."""
+    (band, value) — the 100 TB-safe shape.
+
+    ``max_band_freq`` caps the bucket size per (band, value) key via
+    ``cap_hot_keys`` — set it on boilerplate-heavy corpora where a
+    template shingle would otherwise make one bucket quadratic."""
     sig = df.select(id_col, F.posexplode(minhash_longs(F.col(gset_col), n_hashes)).alias("band", "mh"))
+    if max_band_freq is not None:
+        sig = cap_hot_keys(sig, ["band", "mh"], max_band_freq)
     a = sig.select(F.col(id_col).alias("id_a"), "band", "mh")
     b = sig.select(F.col(id_col).alias("id_b"), "band", "mh")
     return (
@@ -117,7 +148,13 @@ def minhash_candidate_pairs(
 
 
 def minhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float, n_hashes: int = 4, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n_hashes: int = 4,
+    shingle_n: int = 3,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """MinHash LSH candidates + exact Jaccard verify >= threshold over
     the hashed shingle sets. Emitted pairs are exactly correct for the
@@ -135,7 +172,7 @@ def minhash_neardup_pairs(
         .select(id_col, shingle_hashes(text_col, shingle_n).alias("__sh"))
         .localCheckpoint(eager=False)
     )
-    cand = minhash_candidate_pairs(sh, id_col, "__sh", n_hashes)
+    cand = minhash_candidate_pairs(sh, id_col, "__sh", n_hashes, max_band_freq=max_band_freq)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
     return (

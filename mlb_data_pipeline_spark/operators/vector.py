@@ -76,6 +76,13 @@ def dot_arrow_seq():
     return pdot
 
 
+def _over_limit(df: DataFrame, id_col: str, cap: int) -> bool:
+    """True when ``df`` has more than ``cap`` rows. The probe scans at
+    most cap+1 rows of one column (limit-bounded count), so guarding a
+    petabyte input costs a metadata-scale job, not a full scan."""
+    return df.select(id_col).limit(cap + 1).count() > cap
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -84,6 +91,7 @@ def knn_join(
     k: int,
     exclude_self: bool = True,
     sim_col: str = "sim",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact batch k-NN join (V3): each query row -> its k cosine-nearest
     corpus rows. Reference shape: k results per query
@@ -92,6 +100,14 @@ def knn_join(
     Output columns: query_id, neighbor ids/cols, ``sim_col``, ``rank``.
     Deterministic tiebreak: (sim DESC, neighbor id ASC).
 
+    Guarded: the query set is BROADCAST (each executor holds all of it,
+    and the scored intermediate is |corpus| x |queries| rows), so a
+    large query side must not silently run — it would OOM the broadcast
+    and explode the scoring stage. Inputs with more than ``max_queries``
+    query rows raise, pointing at ``ivf_knn_join`` /
+    ``similarity_join``; the probe is limit-bounded (scans <=
+    max_queries+1 ids, never the full query side).
+
     Scoring runs through ``dot_arrow_seq`` — the Arrow kernel with the
     EXACT sequential fold order of the JVM ``cosine`` expression (and of
     the DuckDB oracle's list_dot_product), so results stay bit-identical
@@ -99,6 +115,13 @@ def knn_join(
     per-element lambda evaluation. Norms are one JVM fold per ROW (not
     per pair), in the same dot(a,a) order as ``cosine``.
     """
+    if _over_limit(queries, id_col, max_queries):
+        raise ValueError(
+            f"knn_join broadcasts the query set: more than max_queries={max_queries} "
+            "query rows would OOM the broadcast and quadratically inflate the scoring "
+            "stage; use ivf_knn_join (bounded probe) or similarity_join (size-keyed "
+            "planner) at scale"
+        )
     q = _prefix(queries.select(id_col, vec_col), "q_").withColumn("__qn", norm(f"q_{vec_col}"))
     joined = corpus.withColumn("__cn", norm(vec_col)).join(F.broadcast(q))
     if exclude_self:
@@ -145,11 +168,10 @@ def cosine_pairs_exact(
     then costs one ``dot_arrow_seq`` kernel evaluation — same bit-exact
     fold order as the JVM expression, but vectorized per Arrow batch.
     """
-    n = df.select(id_col).count()
-    if n > max_rows:
+    if _over_limit(df, id_col, max_rows):
         raise ValueError(
-            f"cosine_pairs_exact is quadratic: input has {n} rows > max_rows={max_rows}; "
-            "use cosine_pairs_lsh (banded candidates) or ivf_knn_join at scale"
+            f"cosine_pairs_exact is quadratic: input has more than max_rows={max_rows} "
+            "rows; use cosine_pairs_lsh (banded candidates) or ivf_knn_join at scale"
         )
     a = _prefix(df.select(id_col, vec_col).withColumn("__norm", norm(vec_col)), "a_")
     b = _prefix(df.select(id_col, vec_col).withColumn("__norm", norm(vec_col)), "b_")
@@ -189,13 +211,20 @@ def cosine_pairs_lsh(
     id_col: str,
     vec_col: str,
     threshold: float,
+    *,
+    dim: int,
     n_planes: int = 16,
     bands: int = 4,
     sim_col: str = "sim",
     seed: int = 42,
-    dim: int | None = None,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs at scale: random-hyperplane LSH.
+
+    ``dim`` (the embedding dimensionality) is REQUIRED: the hyperplane
+    matrix is built driver-side before any job runs, and inferring the
+    dimension would cost a silent ``first()`` driver action per call.
+    Callers know their embedding schema; pass it.
 
     Candidate generation is OR-of-ANDs banding — each row emits one
     (band_idx, band_bits) key per band; candidates are a plain hash
@@ -211,11 +240,14 @@ def cosine_pairs_lsh(
       dot + two norms);
     * candidate id-pairs are deduped before the vectors join back in.
     Shuffle volume: rows x bands tiny keys + |candidates| x dim floats.
-    Skewed buckets (dense regions) are split by AQE skew-join. Tune
-    recall with (n_planes, bands): more bands -> higher recall.
+    Skewed buckets (dense regions) are split by AQE skew-join; for
+    pathologically dense regions (one band key collecting a large share
+    of the corpus — the vector analogue of boilerplate text),
+    ``max_band_freq`` drops over-full buckets before the pair join (see
+    ``dedup.cap_hot_keys``: pair count is the problem, not partition
+    balance). Tune recall with (n_planes, bands): more bands -> higher
+    recall.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     per_band = n_planes // bands
     planes_mat = _hyperplanes(dim, n_planes, seed)
 
@@ -236,6 +268,10 @@ def cosine_pairs_lsh(
     base = df.select(id_col, vec_col).withColumn("__n", norm(vec_col))
     sig = base.select(id_col, band_keys(F.col(vec_col)).alias("__keys"))
     banded = sig.select(id_col, F.explode("__keys").alias("__bk"))
+    if max_band_freq is not None:
+        from .dedup import cap_hot_keys
+
+        banded = cap_hot_keys(banded, ["__bk"], max_band_freq)
     cand = (
         banded.select(F.col(id_col).alias("id_a"), "__bk")
         .join(banded.select(F.col(id_col).alias("id_b"), "__bk"), "__bk")
@@ -343,3 +379,45 @@ def ivf_knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank")
     )
+
+
+def similarity_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    max_broadcast_queries: int = 10_000,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sim_col: str = "sim",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Size-keyed similarity planner (SURVEY §4.2): the library-level
+    physical-strategy choice between the exact broadcast k-NN join and
+    the IVF coarse-quantized join, decided by the QUERY-SET size — the
+    quantity that makes the exact plan unsafe (the corpus side streams
+    in both plans and never limits strategy choice).
+
+    * <= ``max_broadcast_queries`` query rows -> ``knn_join``: broadcast
+      the query set, exact scores, zero recall loss. The right plan for
+      interactive retrieval (the reference's ``collection.query``,
+      pipeline.py:104-110: one query, k=3).
+    * more -> ``ivf_knn_join``: broadcast only the tiny centroid matrix,
+      probe ``n_probe``/``n_lists`` of the corpus per query — candidate
+      volume |corpus| * n_probe / n_lists, approximate recall. The right
+      plan for corpus-vs-corpus joins at 100 TB.
+
+    The decision probe is limit-bounded (scans <= cap+1 ids), mirroring
+    how AQE keys physical strategy on runtime sizes. Output schema is
+    identical on both routes: (query_id, neighbor_id, sim, rank).
+    """
+    if _over_limit(queries, id_col, max_broadcast_queries):
+        return ivf_knn_join(
+            corpus, queries, id_col, vec_col, k,
+            n_lists=n_lists, n_probe=n_probe, seed=seed, sim_col=sim_col, centroids=centroids,
+        )
+    return knn_join(
+        corpus, queries, id_col, vec_col, k, sim_col=sim_col, max_queries=max_broadcast_queries
+    ).select("query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank")

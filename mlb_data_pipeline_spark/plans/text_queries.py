@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.numeric import dec
-from ..functions.textfn import dict_replace
+from ..functions.textfn import dict_replace, tts_spoken_form, tts_spoken_form_sql
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -255,43 +255,67 @@ def q35_struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q05 — TTS-style cleanup: dictionary replace + case/trim + length +
 #        heading detect (T1, T5, T8, T10); reference format_replacements
-#        (config.py:224-233) and isupper/endswith(':') heading rule
-#        (specialized_agents.py:194)
+#        (config.py:224-233), ordinal/abbreviation spoken-form expansion
+#        (pipeline.py:238-258 evident intent), isupper/endswith(':')
+#        heading rule (specialized_agents.py:194)
 # ---------------------------------------------------------------------------
 
-_Q05_SQL = """
+# The corpus has no ordinals/abbreviations, so the TTS pass runs over a
+# synthesized per-doc announcer line: doc_id supplies varied ordinals
+# ('0th'..'4999th', plus a literal '1st'), the reference's abbreviation
+# set appears with both word-boundary hits and deliberate non-hits
+# ('era' lowercase, 'scoreboard' containing 'RBI'-free chars) — both
+# engines must transform it identically, character for character.
+_TTS_SRC_SQL = (
+    "('MLB recap: HR leaders, AL vs NL, game ' || CAST(doc_id AS VARCHAR)"
+    " || 'th vs. the 1st in RBI era ERA stats')"
+)
+
+_Q05_SQL = f"""
 WITH lined AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN upper(source) || ':' ELSE trim(substr(text, 1, 30)) END AS line,
-         replace(replace(text, 'vector', 'VEC'), 'window', 'WIN') AS replaced
+         replace(replace(text, 'vector', 'VEC'), 'window', 'WIN') AS replaced,
+         {tts_spoken_form_sql(_TTS_SRC_SQL)} AS tts
   FROM documents
 )
 SELECT (upper(line) = line AND line LIKE '%:') AS is_heading,
        COUNT(*) AS n_lines,
        CAST(SUM(length(replaced)) AS BIGINT) AS total_replaced_len,
-       CAST(SUM(length(line)) AS BIGINT) AS total_line_len
+       CAST(SUM(length(line)) AS BIGINT) AS total_line_len,
+       CAST(SUM(length(tts)) AS BIGINT) AS total_tts_len,
+       MIN(tts) AS sample_tts
 FROM lined
 GROUP BY 1
 ORDER BY 1
 """
 
 
-@query("q05_tts_cleanup", oracle=_Q05_SQL, covers="T1,T5,T8,T10")
+@query("q05_tts_cleanup", oracle=_Q05_SQL, covers="T1,T4,T5,T8,T10")
 def q05_tts_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     line = F.when(F.col("doc_id") % 3 == 0, F.concat(F.upper("source"), F.lit(":"))).otherwise(
         F.trim(F.substring("text", 1, 30))
     )
     replaced = dict_replace("text", {"vector": "VEC", "window": "WIN"})
-    lined = docs.select("doc_id", line.alias("line"), replaced.alias("replaced"))
+    tts_src = F.concat(
+        F.lit("MLB recap: HR leaders, AL vs NL, game "),
+        F.col("doc_id").cast("string"),
+        F.lit("th vs. the 1st in RBI era ERA stats"),
+    )
+    lined = docs.select(
+        "doc_id", line.alias("line"), replaced.alias("replaced"), tts_spoken_form(tts_src).alias("tts")
+    )
     is_heading = (F.upper("line") == F.col("line")) & F.col("line").endswith(":")
     return (
-        lined.select(is_heading.alias("is_heading"), "replaced", "line")
+        lined.select(is_heading.alias("is_heading"), "replaced", "line", "tts")
         .groupBy("is_heading")
         .agg(
             F.count("*").alias("n_lines"),
             F.sum(F.length("replaced")).cast("bigint").alias("total_replaced_len"),
             F.sum(F.length("line")).cast("bigint").alias("total_line_len"),
+            F.sum(F.length("tts")).cast("bigint").alias("total_tts_len"),
+            F.min("tts").alias("sample_tts"),
         )
         .orderBy("is_heading")
     )

@@ -11,7 +11,6 @@ merge (left-anti + union) for upsert semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", mode: str = "overwrite") -> None:
@@ -80,7 +79,3 @@ def delete_by_predicate(spark: SparkSession, target_path: str, predicate, fmt: s
     n_after = keep.count()
     keep.write.format(fmt).mode("overwrite").save(target_path)
     return n_before - n_after
-
-
-def partition_values(df: DataFrame, col: str) -> list:
-    return [r[0] for r in df.select(F.col(col)).distinct().collect()]

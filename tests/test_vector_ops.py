@@ -55,7 +55,7 @@ def test_lsh_pairs_subset_of_exact_with_recall(spark, emb):
     approx = {
         (r.a_vec_id, r.b_vec_id)
         for r in cosine_pairs_lsh(
-            emb, "vec_id", "embedding", threshold=0.3, n_planes=32, bands=8
+            emb, "vec_id", "embedding", threshold=0.3, dim=64, n_planes=32, bands=8
         ).collect()
     }
     assert approx <= exact, "LSH must have exact precision (residual check)"
@@ -81,10 +81,46 @@ def test_lsh_high_threshold_finds_planted_neardups(spark):
     df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
     found = {
         (r.a_vec_id, r.b_vec_id)
-        for r in cosine_pairs_lsh(df, "vec_id", "embedding", threshold=0.99, n_planes=32, bands=8).collect()
+        for r in cosine_pairs_lsh(df, "vec_id", "embedding", threshold=0.99, dim=16, n_planes=32, bands=8).collect()
     }
     planted = {(i, 1000 + i) for i in range(20)}
     assert planted <= found
+
+
+def test_knn_join_guard_refuses_large_query_set(spark, emb):
+    # the broadcast tier must refuse a large query side — ivf_knn_join /
+    # similarity_join are the declared scale paths
+    with pytest.raises(ValueError, match="broadcast"):
+        knn_join(emb, emb, "vec_id", "embedding", k=3, max_queries=50).collect()
+
+
+def test_similarity_join_routes_small_to_exact_broadcast(spark, emb):
+    from mlb_data_pipeline_spark.operators.vector import similarity_join
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_join(emb, queries, "vec_id", "embedding", k=3)
+    routed = similarity_join(emb, queries, "vec_id", "embedding", k=3, max_broadcast_queries=50)
+    want = sorted((r.query_id, r.rank, r.vec_id) for r in exact.collect())
+    got = sorted((r.query_id, r.rank, r.neighbor_id) for r in routed.collect())
+    assert got == want  # small query set -> exact broadcast route, same results
+
+
+def test_similarity_join_routes_large_to_ivf(spark, emb):
+    from mlb_data_pipeline_spark.operators.vector import ivf_knn_join, similarity_join
+
+    # cap below the query count forces the IVF route; with
+    # n_probe == n_lists the IVF route itself is exact, so the planner's
+    # routing is observable purely through plan equivalence of outputs
+    queries = emb.filter(F.col("vec_id") < 30)
+    routed = similarity_join(
+        emb, queries, "vec_id", "embedding", k=3,
+        max_broadcast_queries=10, n_lists=8, n_probe=8,
+    )
+    ivf = ivf_knn_join(emb, queries, "vec_id", "embedding", k=3, n_lists=8, n_probe=8)
+    want = sorted((r.query_id, r.rank, r.neighbor_id) for r in ivf.collect())
+    got = sorted((r.query_id, r.rank, r.neighbor_id) for r in routed.collect())
+    assert got == want
+    assert len({r[0] for r in got}) == 30  # every query served despite the cap
 
 
 def test_ivf_with_full_probe_equals_brute_force(spark, emb):
