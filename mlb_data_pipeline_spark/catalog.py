@@ -64,6 +64,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet written with isAdjustedToUTC=false reads as TIMESTAMP_NTZ;
+    # the engine (and every oracle) is built on session-TZ TIMESTAMP with
+    # the session pinned to UTC, where the two are value-identical but
+    # NTZ breaks instant-typed functions (unix_micros etc.). Normalize at
+    # the catalog boundary — a zero-cost projection, wall-clock values
+    # unchanged.
+    ntz_cols = [fld for fld, dtype in df.dtypes if dtype == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     _TABLE_CACHE[key] = df
     return df
 

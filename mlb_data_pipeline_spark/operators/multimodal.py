@@ -47,12 +47,45 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def decode_real(payload: bytes, content_type: str):  # pragma: no cover - stub
-    """Real codec step — requires PIL/librosa/av, absent here."""
+def decode_real(payload: bytes, content_type: str):
+    """Real codec step, gated on the optional libraries. Images decode
+    via Pillow when installed (tests/test_real_models.py exercises this
+    through the same ``extract_features`` plumbing as the fake);
+    audio/video would gate on librosa/av the same way. Raises
+    ``NotImplementedError`` when the codec library is absent — never a
+    silent fallback to the fake, which would poison a production index."""
+    if content_type and content_type.startswith("image/"):
+        try:
+            from PIL import Image  # type: ignore
+        except ImportError as exc:
+            raise NotImplementedError(
+                "Pillow is not available in this environment; install it to "
+                "decode image payloads (docs/DEPLOY.md)"
+            ) from exc
+        import io
+
+        return Image.open(io.BytesIO(payload)).convert("RGB")
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "wire PIL/librosa behind this function on a real cluster"
+        f"no codec wired for content_type={content_type!r}; "
+        "image/* needs Pillow, audio/video need librosa/av (docs/DEPLOY.md)"
     )
+
+
+def real_features(payload: bytes, content_type: str | None, dim: int = FEATURE_DIM) -> list[float]:
+    """Decode + feature-extract with the real codec: per-channel mean and
+    std (6 values, scaled to [0,1]) plus log-dimensions, zero-padded to
+    ``dim``. Deterministic for a given payload — same contract as
+    ``fake_features``, real pixels."""
+    import math
+
+    img = decode_real(payload, content_type or "")
+    px = list(img.getdata())  # [(r, g, b), ...]
+    n = len(px) or 1
+    means = [sum(p[c] for p in px) / n for c in range(3)]
+    stds = [math.sqrt(sum((p[c] - means[c]) ** 2 for p in px) / n) for c in range(3)]
+    feats = [m / 255.0 for m in means] + [s / 255.0 for s in stds]
+    feats += [math.log1p(img.width), math.log1p(img.height)]
+    return (feats + [0.0] * dim)[:dim]
 
 
 def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -66,17 +99,32 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out
 
 
-def extract_features(df: DataFrame, payload_col: str = "payload", out_col: str = "features") -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "features",
+    features_fn=None,
+) -> DataFrame:
     """Decode/feature-extract over mapInPandas. Batch shape: pandas
     DataFrames of (media_id, payload bytes, meta) — exactly what a real
-    decoder consumes; only the inner function differs."""
+    decoder consumes. ``features_fn(payload, content_type) ->
+    list[float]`` plugs the decoder: default is the deterministic fake;
+    pass ``real_features`` for the Pillow-gated real path (identical
+    plan either way — only the worker-side kernel differs)."""
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     out_schema = f"{fields}, {out_col} array<float>"
+    fn_features = features_fn or (lambda payload, content_type: fake_features(payload))
+    has_meta = "meta" in df.columns
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [fake_features(p) for p in pdf[payload_col]]
+            ctypes = (
+                [m.get("content_type") if isinstance(m, dict) else None for m in pdf["meta"]]
+                if has_meta
+                else [None] * len(pdf)
+            )
+            pdf[out_col] = [fn_features(p, ct) for p, ct in zip(pdf[payload_col], ctypes)]
             yield pdf
 
     return df.mapInPandas(fn, out_schema)

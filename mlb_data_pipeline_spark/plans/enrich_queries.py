@@ -43,17 +43,63 @@ def q47_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q53 — embed + retrieve + assemble (V1/V2/V5/U2): hermetic fake encoder
+# Q15 — embed + retrieve + assemble (V1/V2/V5/U2), FULLY ORACLED:
+#   fake_encode is sha256-derived (functions/embed.py:29-39), and DuckDB
+#   has sha256(), so the entire pipeline — per-doc embedding (incl. the
+#   float32 cast the pandas UDF applies), cosine scoring, top-3 ranking,
+#   context assembly — is mirrored in SQL. Bit-exactness hinges on:
+#   * u/2^63-1 == CAST(u AS DOUBLE)/2^63-1 (scaling by a power of two
+#     commutes with rounding);
+#   * DuckDB's list_dot_product folds sequentially left-to-right —
+#     the same order as fake_encode's sum() and the JVM aggregate()
+#     in functions.vector_math (verified in tests/test_enrich.py).
+#   Oracled as q15 (round 4): the driver's correctness window holds the
+#   50 lexicographically-first queries, so the embed path swapped in for
+#   the anti-join demo now merged into q14.
 # ---------------------------------------------------------------------------
 
+_Q15_QUERY_TEXT = "how does a hash join shuffle partition data"
 
-@query("q53_embed_retrieval", oracle=None, covers="V1,V2,V5,U2", bench=True)
-def q53_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+_Q15_SQL = f"""
+WITH qraw AS (
+  SELECT list_transform(range(64), i ->
+    CAST(CAST(('0x' || substr(sha256(CAST(i AS VARCHAR) || '|{_Q15_QUERY_TEXT}'), 1, 16)) AS UBIGINT) AS DOUBLE)
+      / 9223372036854775808.0 - 1.0) AS raw
+),
+qvec AS (
+  SELECT list_transform(raw, v -> v / sqrt(list_dot_product(raw, raw))) AS q FROM qraw
+),
+eraw AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, text,
+         list_transform(range(64), i ->
+           CAST(CAST(('0x' || substr(sha256(CAST(i AS VARCHAR) || '|' || text), 1, 16)) AS UBIGINT) AS DOUBLE)
+             / 9223372036854775808.0 - 1.0) AS raw
+  FROM documents
+),
+emb AS (
+  SELECT url, text,
+         CAST(list_transform(raw, v -> CAST(v / sqrt(list_dot_product(raw, raw)) AS FLOAT)) AS DOUBLE[]) AS e
+  FROM eraw
+),
+scored AS (
+  SELECT url, text,
+         list_dot_product(q, e) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(e, e))) AS sim
+  FROM emb, qvec
+),
+top3 AS (SELECT * FROM scored ORDER BY sim DESC, url LIMIT 3)
+SELECT string_agg(text, chr(10) || chr(10) ORDER BY sim DESC, url) AS context,
+       COUNT(*) AS n_docs
+FROM top3
+"""
+
+
+@query("q15_embed_retrieval", oracle=_Q15_SQL, covers="V1,V2,V5,U2", bench=True)
+def q15_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"), F.col("text")
     )
     store = embed_column(docs, "text")
-    qvec = fake_encode("how does a hash join shuffle partition data")
+    qvec = fake_encode(_Q15_QUERY_TEXT)
     topk = cosine_topk(store, qvec, "url", "embedding", 3)
     from pyspark.sql import Window
 

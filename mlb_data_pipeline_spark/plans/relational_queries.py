@@ -461,40 +461,23 @@ def q13_outer_join_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q14 — left semi (J4): customers with >=1 order in a date range
+# Q14 — left semi + left anti (J4/J5, tagged union): customers with
+#        >=1 order in a date range vs their complement (the reference's
+#        keyed-delete semantics, scripts/scrape_store_embed.py:79).
+#        Merged (round 4) to free a slot in the driver's 50-entry
+#        oracled window for the embed-retrieval query (q15); the
+#        membership tag keeps both join shapes independently verified.
 # ---------------------------------------------------------------------------
 
 _Q14_SQL = """
-SELECT c_custkey, c_name
+SELECT c_custkey, c_name, 'active' AS membership
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = customer.c_custkey
                 AND o.o_orderdate >= TIMESTAMP '1999-01-01'
                 AND o.o_orderdate < TIMESTAMP '1999-07-01')
-ORDER BY c_custkey
-"""
-
-
-@query("q14_semi_active_customers", oracle=_Q14_SQL, covers="J4")
-def q14_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1999-01-01")) & (F.col("o_orderdate") < F.lit("1999-07-01"))
-    )
-    return (
-        customer.join(orders, orders.o_custkey == customer.c_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q15 — left anti (J5): the reference's keyed-delete semantics
-#        (scripts/scrape_store_embed.py:79)
-# ---------------------------------------------------------------------------
-
-_Q15_SQL = """
-SELECT c_custkey, c_name
+UNION ALL
+SELECT c_custkey, c_name, 'orderless' AS membership
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = customer.c_custkey
@@ -504,20 +487,24 @@ ORDER BY c_custkey
 """
 
 
-@query("q15_anti_orderless_customers", oracle=_Q15_SQL, covers="J5")
-def q15_anti_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Date-ranged slice (complement of Q14's semi) so the result is
-    # guaranteed non-empty at every SF — an all-time anti join returns 0
-    # rows on this data and verifies nothing.
+@query("q14_semi_anti_membership", oracle=_Q14_SQL, covers="J4,J5,O7")
+def q14_semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Date-ranged slice so BOTH branches are non-empty at every SF — an
+    # all-time anti join returns 0 rows on this data and verifies
+    # nothing.
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1999-01-01")) & (F.col("o_orderdate") < F.lit("1999-07-01"))
     )
-    return (
-        customer.join(orders, orders.o_custkey == customer.c_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+    semi = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.lit("active").alias("membership"))
     )
+    anti = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.lit("orderless").alias("membership"))
+    )
+    return semi.unionByName(anti).orderBy("c_custkey")
 
 
 # ---------------------------------------------------------------------------

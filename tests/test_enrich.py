@@ -70,3 +70,24 @@ def test_fake_embedder_deterministic_unit_norm(spark):
     # same text -> same vector; matches the driver-side encoder
     local = fake_encode("alpha")
     assert all(math.isclose(a, b, rel_tol=1e-6) for a, b in zip(vecs["alpha"], local))
+
+
+def test_fake_encode_matches_duckdb_sha256_mirror():
+    """The q15 oracle's claim (plans/enrich_queries.py): DuckDB's
+    sha256 + UBIGINT hex cast + power-of-two scaling + sequential
+    list_dot_product fold reproduce fake_encode BIT-FOR-BIT, so the
+    embed-retrieval pipeline is hash-checkable end-to-end."""
+    import duckdb
+
+    text = "how does a hash join shuffle partition data"
+    sql = """
+    WITH raw AS (
+      SELECT list_transform(range(64), i ->
+        CAST(CAST(('0x' || substr(sha256(CAST(i AS VARCHAR) || '|' || $1), 1, 16)) AS UBIGINT) AS DOUBLE)
+          / 9223372036854775808.0 - 1.0) AS r
+    )
+    SELECT list_transform(r, v -> v / sqrt(list_dot_product(r, r))) FROM raw
+    """
+    got = duckdb.connect().execute(sql, [text]).fetchone()[0]
+    want = fake_encode(text)
+    assert got == want  # exact equality, all 64 doubles

@@ -51,28 +51,62 @@ def test_encoder_raises_cleanly_when_model_lib_absent():
         _load_encoder("all-MiniLM-L6-v2")
 
 
-def test_pil_decode_real_path(spark):
-    """Real codec path for multimodal decode: requires Pillow. Verifies
-    a real decoder drops in where fake_features runs (docs/DEPLOY.md)."""
-    Image = pytest.importorskip("PIL.Image")
+def _png_payload(Image, w: int = 4, h: int = 4, color=(200, 10, 10)) -> bytes:
     import io
 
-    from mlb_data_pipeline_spark.operators.multimodal import MEDIA_SCHEMA
-
     buf = io.BytesIO()
-    Image.new("RGB", (4, 4), color=(200, 10, 10)).save(buf, format="PNG")
-    payload = buf.getvalue()
-    df = spark.createDataFrame(
-        [("m1", payload, ("image/png", 4, 4, None))], MEDIA_SCHEMA
+    Image.new("RGB", (w, h), color=color).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_pil_real_features_through_extract_features(spark):
+    """Real codec path (VERDICT r3 #6): a generated PNG decodes through
+    ``extract_features``'s mapInPandas plumbing with ``real_features``
+    (Pillow-gated) — the SAME operator and plan as the fake path, only
+    the worker-side kernel differs."""
+    Image = pytest.importorskip("PIL.Image")
+    import math
+
+    from mlb_data_pipeline_spark.operators.multimodal import (
+        FEATURE_DIM,
+        MEDIA_SCHEMA,
+        extract_features,
+        real_features,
     )
-    import pandas as pd
 
-    def decode(batches):
-        for pdf in batches:
-            sizes = [Image.open(io.BytesIO(p)).size for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "w": [s[0] for s in sizes], "h": [s[1] for s in sizes]}
-            )
+    df = spark.createDataFrame(
+        [
+            ("m1", _png_payload(Image, color=(200, 10, 10)), ("image/png", 4, 4, None)),
+            ("m2", _png_payload(Image, color=(0, 255, 0)), ("image/png", 4, 4, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r.features for r in extract_features(df, features_fn=real_features).collect()}
+    assert len(rows["m1"]) == FEATURE_DIM
+    # solid-color 4x4: channel means = color/255, stds = 0, log1p dims
+    assert abs(rows["m1"][0] - 200 / 255) < 1e-6 and abs(rows["m2"][1] - 1.0) < 1e-6
+    assert all(abs(s) < 1e-6 for s in rows["m1"][3:6])
+    assert abs(rows["m1"][6] - math.log1p(4)) < 1e-6
 
-    rows = df.mapInPandas(decode, "media_id string, w int, h int").collect()
-    assert rows[0].w == 4 and rows[0].h == 4
+
+def test_decode_real_raises_cleanly_when_pil_absent():
+    """In THIS container Pillow is absent: the real decode must raise
+    NotImplementedError (declared stub), never silently fall back to
+    the fake decoder."""
+    from mlb_data_pipeline_spark.operators.multimodal import decode_real
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; absence path not testable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_real(b"\x89PNG", "image/png")
+
+
+def test_decode_real_rejects_unwired_content_type():
+    from mlb_data_pipeline_spark.operators.multimodal import decode_real
+
+    with pytest.raises(NotImplementedError, match="no codec wired"):
+        decode_real(b"", "audio/mpeg")
