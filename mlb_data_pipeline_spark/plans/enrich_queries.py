@@ -95,10 +95,14 @@ FROM top3
 
 @query("q15_embed_retrieval", oracle=_Q15_SQL, covers="V1,V2,V5,U2", bench=True)
 def q15_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import spread_for_cpu
+
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"), F.col("text")
     )
-    store = embed_column(docs, "text")
+    # single-file parquet scans cap at the file-split count; the embed
+    # UDF is the CPU-bound step, so spread it across every core first
+    store = embed_column(spread_for_cpu(docs), "text")
     qvec = fake_encode(_Q15_QUERY_TEXT)
     topk = cosine_topk(store, qvec, "url", "embedding", 3)
     from pyspark.sql import Window
