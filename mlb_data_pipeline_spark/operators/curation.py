@@ -1,0 +1,118 @@
+"""Training-data curation operators (north star, beyond the reference).
+
+The operations a 100 TB pretraining-data pipeline runs AFTER dedup and
+quality scoring: deterministic dataset splits, within-document
+repetition signals, sequence packing, and PII-style redaction. The
+reference's corpus handling stops at id-keyed upsert
+(/root/reference/airflow/dags/mlb_pipeline/pipeline.py:58-77); these are
+the standard curation passes layered on the same engine.
+
+Everything here is Catalyst-only and md5-based where hashing is needed,
+so every operator is oracle-checkable against DuckDB (same contract as
+operators/dedup.py).
+
+100 TB notes: hash_split and redaction are narrow (no shuffle);
+repeated-ngram is a per-row expression over the existing shingle
+machinery; packing is one window over the ordering key — at real scale
+the ordering key is (shard, position) so the window partitions by shard
+and never sees a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingle_set
+
+
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 4 hex chars of
+    md5(value-as-string) mod buckets. Stable across engines, sessions,
+    and partitionings — the property a train/val/test split must have
+    (random() splits are neither reproducible nor consistent when rows
+    are re-processed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 4), 16, 10).cast("int")) % buckets
+
+
+def hash_split(
+    df: DataFrame, key_col: str, out_col: str = "split", train: int = 80, val: int = 10
+) -> DataFrame:
+    """Assign train/val/test by hash bucket of the key: [0,train) ->
+    'train', [train,train+val) -> 'val', rest -> 'test'. Narrow (no
+    shuffle); membership depends only on the key, so late-arriving rows
+    for a known key land in the same split."""
+    b = hash_bucket(key_col)
+    split = (
+        F.when(b < train, F.lit("train"))
+        .when(b < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(out_col, split)
+
+
+def repeated_ngram_fraction(text_col: Column | str, n: int = 3) -> Column:
+    """Within-document repetition signal (the Gopher/C4-style quality
+    rule): 1 - distinct_ngrams / total_ngrams. 0 = no repeated shingle;
+    values near 1 flag boilerplate/spam. Short docs (< n tokens) score
+    0.0 — nothing to repeat."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    total = F.size(toks) - (n - 1)
+    distinct = F.size(shingle_set(c, n))
+    return F.when(total > 0, 1.0 - distinct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    size_col: Column | str,
+    budget: int,
+    chunk_col: str = "chunk_id",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming bin-fill sequence packing: rows in ``order_col`` order
+    are assigned to fixed-budget chunks by cumulative size —
+    chunk_id = floor(cumsum_before_this_row / budget). The batch-shaping
+    pass that turns a token-counted corpus into pretraining sequences.
+
+    This is the window-expressible form of greedy packing: a chunk can
+    overflow by at most one document (the straddling row starts the
+    next chunk's budget), which is the standard streaming approximation
+    — exact first-fit packing is inherently sequential. Deterministic,
+    so the DuckDB oracle computes the identical assignment.
+
+    At scale pass ``partition_cols`` (e.g. the shard key): the window
+    then partitions by shard and the global sort disappears — chunks
+    are per-shard, which is how packed pretraining data is laid out
+    anyway."""
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    w = Window.orderBy(order_col) if not partition_cols else Window.partitionBy(*partition_cols).orderBy(order_col)
+    cum_before = F.sum(size).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    # floor(), not cast-to-int: Spark's double->int cast truncates but
+    # DuckDB's rounds — floor is identical in both for the nonneg domain
+    return df.withColumn(chunk_col, F.floor(F.coalesce(cum_before, F.lit(0)) / budget).cast("bigint"))
+
+
+# PII-style patterns: emails and US-phone shapes. Same regex dialect in
+# Spark (Java) and DuckDB (RE2): character classes, +, {n} counts only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def redact(col: Column | str, patterns: dict[str, str] | None = None) -> Column:
+    """Replace PII-shaped substrings with typed placeholder tokens —
+    the scrubbing pass a public-corpus pipeline runs before training.
+    Default patterns: emails -> <EMAIL>, phone numbers -> <PHONE>."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in (patterns or {EMAIL_RE: "<EMAIL>", PHONE_RE: "<PHONE>"}).items():
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def redact_sql(expr: str, patterns: dict[str, str] | None = None) -> str:
+    """DuckDB mirror of ``redact`` (same patterns, same order, 'g')."""
+    for pat, repl in (patterns or {EMAIL_RE: "<EMAIL>", PHONE_RE: "<PHONE>"}).items():
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr

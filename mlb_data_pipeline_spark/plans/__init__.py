@@ -11,3 +11,4 @@ def load_all() -> None:
     from . import enrich_queries  # noqa: F401
     from . import io_queries  # noqa: F401
     from . import fixture_queries  # noqa: F401
+    from . import curation_queries  # noqa: F401

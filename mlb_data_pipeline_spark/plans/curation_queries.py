@@ -1,0 +1,207 @@
+"""Training-data curation queries (q60-q63) — north-star surface beyond
+the reference's inventory.
+
+These sit OUTSIDE the driver's 50-entry correctness window (the window
+holds the 50 lexicographically-first queries, q00-q49, by round-3
+design) but carry full DuckDB oracles and run under the SAME bit-exact
+parity harness in pytest (tests/test_oracle_parity.py checks every
+oracled query, windowed or not).
+
+Determinism notes mirror the dedup family: hashing is md5
+(engine-neutral), aggregates are exact integer sums with at most one
+final double division, per-doc threshold tests are integer
+cross-multiplications — no float accumulation anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.textfn import token_count
+from ..operators.curation import hash_split, pack_sequences, redact, redact_sql, repeated_ngram_fraction
+from ..operators.dedup import shingle_set
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Q60 — deterministic hash split (train/val/test): reproducible dataset
+#        membership from md5(key), the curation replacement for random()
+# ---------------------------------------------------------------------------
+
+_Q60_SQL = """
+WITH b AS (
+  SELECT source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q60_hash_split", oracle=_Q60_SQL, covers="curation:split")
+def q60_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("split", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q61 — within-doc repeated-ngram signal (Gopher/C4 quality rule).
+#        Exact-integer aggregation: sum distinct / sum total shingles,
+#        one final double division; the per-doc repetitiveness test
+#        (frac > 0.05 <=> 20*distinct < 19*total) is an integer compare.
+# ---------------------------------------------------------------------------
+
+_Q61_SQL = """
+WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT source,
+         greatest(len(toks) - 2, 0) AS total_sh,
+         CASE WHEN len(toks) >= 3
+              THEN len(list_distinct(list_transform(range(1, len(toks) - 1),
+                                                    i -> array_to_string(toks[i:i+2], ' '))))
+              ELSE 0 END AS distinct_sh
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(total_sh) AS BIGINT) AS total_shingles,
+       CAST(SUM(distinct_sh) AS BIGINT) AS distinct_shingles,
+       1.0 - CAST(SUM(distinct_sh) AS DOUBLE) / SUM(total_sh) AS corpus_repeat_frac,
+       CAST(SUM(CASE WHEN 20 * distinct_sh < 19 * total_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+FROM sh
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q61_repeated_ngrams", oracle=_Q61_SQL, covers="curation:quality")
+def q61_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    total = F.greatest(F.size(toks) - 2, F.lit(0))
+    distinct = F.when(F.size(toks) >= 3, F.size(shingle_set(F.col("text"), 3))).otherwise(F.lit(0))
+    sh = docs.select("source", total.alias("total_sh"), distinct.alias("distinct_sh"))
+    return (
+        sh.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("total_sh").cast("bigint").alias("total_shingles"),
+            F.sum("distinct_sh").cast("bigint").alias("distinct_shingles"),
+            (F.lit(1.0) - F.sum("distinct_sh").cast("double") / F.sum("total_sh")).alias("corpus_repeat_frac"),
+            F.sum(F.when(20 * F.col("distinct_sh") < 19 * F.col("total_sh"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q62 — sequence packing (batch shaping): documents in doc_id order fill
+#        2048-token chunks by cumulative count; the window-expressible
+#        streaming bin-fill (see operators/curation.pack_sequences)
+# ---------------------------------------------------------------------------
+
+_Q62_SQL = """
+WITH t AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         CAST(floor(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS chunk_id
+  FROM t
+)
+SELECT chunk_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY chunk_id
+ORDER BY chunk_id
+"""
+
+
+@query("q62_chunk_packing", oracle=_Q62_SQL, covers="curation:packing")
+def q62_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count("text").alias("n_tok"))
+    packed = pack_sequences(sized, "doc_id", "n_tok", budget=2048)
+    return (
+        packed.groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q63 — PII-style redaction. The corpus carries no PII, so each doc gets
+#        a synthesized contact line (email + phone derived from doc_id);
+#        both engines must scrub it to identical placeholder text.
+# ---------------------------------------------------------------------------
+
+_Q63_SRC_SQL = (
+    "(substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com tel ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+
+_Q63_SQL = f"""
+WITH r AS (
+  SELECT source, {redact_sql(_Q63_SRC_SQL)} AS redacted FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(redacted)) AS BIGINT) AS total_len,
+       CAST(SUM(CASE WHEN redacted LIKE '%<EMAIL>%' AND redacted LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+       MIN(redacted) AS sample
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q63_pii_redaction", oracle=_Q63_SQL, covers="curation:redaction")
+def q63_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    r = docs.select("source", redact(src).alias("redacted"))
+    scrubbed = F.when(
+        F.col("redacted").contains("<EMAIL>") & F.col("redacted").contains("<PHONE>"), 1
+    ).otherwise(0)
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("redacted")).cast("bigint").alias("total_len"),
+            F.sum(scrubbed).cast("bigint").alias("n_scrubbed"),
+            F.min("redacted").alias("sample"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,77 @@
+"""Curation operator invariants (q60-q63 family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mlb_data_pipeline_spark.operators.curation import (
+    hash_split,
+    pack_sequences,
+    redact,
+    repeated_ngram_fraction,
+)
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id BIGINT")
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(df.repartition(13), "doc_id").collect()}
+    assert a == b  # membership is a function of the key alone
+    # buckets are md5-uniform: the 80/10/10 target holds within a few %
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.80) < 0.05
+    assert abs(frac["val"] - 0.10) < 0.03
+    assert abs(frac["test"] - 0.10) < 0.03
+
+
+def test_hash_split_stable_under_subsetting(spark):
+    # late-arriving rows for known keys must land in the same split
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id BIGINT")
+    full = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    sub = {r.doc_id: r.split for r in hash_split(df.filter(F.col("doc_id") % 3 == 0), "doc_id").collect()}
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_repeated_ngram_fraction_bounds_and_signal(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),                # all trigrams distinct
+            (2, "x y z x y z x y z x y z"),        # heavy repetition
+            (3, "one two"),                        # < n tokens -> 0.0
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r.frac for r in df.select("doc_id", repeated_ngram_fraction("text").alias("frac")).collect()}
+    assert got[1] == 0.0
+    assert 0.5 < got[2] < 1.0  # 10 trigram slots, only 3 distinct
+    assert got[3] == 0.0
+
+
+def test_pack_sequences_chunk_invariants(spark):
+    rows = [(i, 100 + (i * 37) % 300) for i in range(200)]  # sizes 100..399
+    df = spark.createDataFrame(rows, "doc_id BIGINT, n_tok INT")
+    packed = pack_sequences(df, "doc_id", "n_tok", budget=1000).collect()
+    by_doc = sorted(packed, key=lambda r: r.doc_id)
+    chunks = [r.chunk_id for r in by_doc]
+    assert chunks[0] == 0
+    assert all(a <= b for a, b in zip(chunks, chunks[1:]))  # nondecreasing in order
+    # each row's chunk is exactly floor(cum_before / budget)
+    cum = 0
+    for r in by_doc:
+        assert r.chunk_id == cum // 1000
+        cum += r.n_tok
+    # chunk ids are contiguous (bin-fill never skips a bin: sizes < budget)
+    assert sorted(set(chunks)) == list(range(max(chunks) + 1))
+
+
+def test_redact_scrubs_and_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [("write me at a.b+c@mail.example.org or call 415-555-0199, ok?",)], "text STRING"
+    )
+    once = df.select(redact("text").alias("r"))
+    [row] = once.collect()
+    assert "<EMAIL>" in row.r and "<PHONE>" in row.r
+    assert "@" not in row.r and "415-555" not in row.r
+    [row2] = once.select(redact("r").alias("r2")).collect()
+    assert row2.r2 == row.r  # idempotent: placeholders don't re-match
