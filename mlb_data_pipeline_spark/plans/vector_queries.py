@@ -189,7 +189,7 @@ _IVF_CENTROIDS: dict[str, list] = {}
 
 @query("q58_ivf_knn", oracle=None, covers="V3,V2", bench=True)
 def q58_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.vector import ivf_knn_join, train_ivf_centroids
+    from ..operators.vector import similarity_join, train_ivf_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     # the quantizer is per-corpus state, not per-query work: train once
@@ -197,7 +197,11 @@ def q58_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[sf_dir] = train_ivf_centroids(emb, "embedding", n_lists=16)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_knn_join(
-        emb, queries, "vec_id", "embedding", k=3, n_lists=16, n_probe=4,
-        centroids=_IVF_CENTROIDS[sf_dir],
+    # routed through the SURVEY §4.2 size-keyed planner: the cap of 0
+    # forces the corpus-vs-corpus strategy (IVF probe), the plan this
+    # query demonstrates — a small cap is how a deployment pins batch
+    # jobs to the bounded-candidate route regardless of input size
+    return similarity_join(
+        emb, queries, "vec_id", "embedding", k=3, max_broadcast_queries=0,
+        n_lists=16, n_probe=4, centroids=_IVF_CENTROIDS[sf_dir],
     ).orderBy("query_id", "rank")

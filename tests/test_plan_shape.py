@@ -81,3 +81,31 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     # map-side partial agg: two HashAggregate nodes around the exchange
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_hash_split_is_narrow(spark, sf_dir):
+    # dataset membership must not cost a shuffle: md5-bucket assignment
+    # is a pure projection over the scan
+    from mlb_data_pipeline_spark.catalog import load_table
+    from mlb_data_pipeline_spark.operators.curation import hash_split
+
+    df = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_partitioned_packing_avoids_global_sort(spark, sf_dir):
+    # with a shard key, the packing window hash-partitions and sorts
+    # locally — the single-partition global window never appears
+    from mlb_data_pipeline_spark.catalog import load_table
+    from mlb_data_pipeline_spark.operators.curation import pack_sequences
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("shard"), F.col("n_chars").alias("sz")
+    )
+    df = pack_sequences(docs, "doc_id", "sz", budget=4096, partition_cols=["shard"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
