@@ -218,6 +218,7 @@ def cosine_pairs_lsh(
     sim_col: str = "sim",
     seed: int = 42,
     max_band_freq: int | None = None,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate near-dup pairs at scale: random-hyperplane LSH.
 
@@ -247,7 +248,18 @@ def cosine_pairs_lsh(
     ``dedup.cap_hot_keys``: pair count is the problem, not partition
     balance). Tune recall with (n_planes, bands): more bands -> higher
     recall.
+
+    ``probe_bits=1`` enables multi-probe: every row additionally lands
+    in the ``per_band`` buckets one bit-flip away, so pairs within
+    hamming <= 2 of a band key become candidates. Recall rises steeply
+    (a near-dup pair only needs one band within 2 flipped bits instead
+    of an exact match) at the cost of (1 + per_band)x banded rows and
+    denser buckets — the standard knob when a corpus needs more recall
+    than its (n_planes, bands) budget gives, WITHOUT adding bands
+    (which would grow signature compute and shuffle keys instead).
     """
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits supports 0 (off) or 1 (single-bit multi-probe)")
     per_band = n_planes // bands
     planes_mat = _hyperplanes(dim, n_planes, seed)
 
@@ -263,7 +275,12 @@ def cosine_pairs_lsh(
         for i in range(bands):
             band_bits = bits[:, i * per_band : (i + 1) * per_band]
             keys.append((band_bits @ weights) + (i << per_band))
-        return pd.Series(list(np.stack(keys, axis=1).astype("int32")))
+        out = np.stack(keys, axis=1)  # n x bands
+        if probe_bits:
+            # flips stay within the low per_band bits, so the band-index
+            # prefix survives and probes never cross bands
+            out = np.concatenate([out] + [out ^ (1 << j) for j in range(per_band)], axis=1)
+        return pd.Series(list(out.astype("int32")))
 
     base = df.select(id_col, vec_col).withColumn("__n", norm(vec_col))
     sig = base.select(id_col, band_keys(F.col(vec_col)).alias("__keys"))

@@ -33,3 +33,22 @@ def test_rows_only_runs(name, spark, sf_dir):
     df = q.spark(spark, sf_dir)
     assert df.count() > 0  # the driver's rows-only contract is rows > 0
     assert len(df.schema.fields) > 0
+
+
+def test_registry_window_invariant():
+    """The driver's correctness file records the 50 lexicographically
+    first queries. The round-3 registry design packs the ENTIRE oracled
+    surface into that window (q00-q49) with rows-only queries at q50+;
+    a rename that pushes an oracled query past position 50 would
+    silently drop it from the recorded gate. Pin the invariant."""
+    names = sorted(REGISTRY)
+    windowed = names[:50]
+    assert all(REGISTRY[n].oracle is not None for n in windowed), (
+        "driver window contains a rows-only query: "
+        + str([n for n in windowed if REGISTRY[n].oracle is None])
+    )
+    outside_oracled = [n for n in names[50:] if REGISTRY[n].oracle is not None]
+    # q60+ curation queries are oracled-by-pytest outside the window —
+    # allowed, but every one must sort AFTER the rows-only block so the
+    # window itself stays fully oracled
+    assert all(n >= "q60" for n in outside_oracled), outside_oracled

@@ -87,6 +87,36 @@ def test_lsh_high_threshold_finds_planted_neardups(spark):
     assert planted <= found
 
 
+def test_lsh_multiprobe_expands_recall_keeps_precision(spark, emb):
+    # probe_bits=1 lands every row in its 1-bit-flip buckets too:
+    # candidates are a superset, so recall is monotone non-decreasing;
+    # the exact residual keeps precision at 1 regardless
+    exact = {
+        (r.a_vec_id, r.b_vec_id)
+        for r in cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.3).collect()
+    }
+    base = {
+        (r.a_vec_id, r.b_vec_id)
+        for r in cosine_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.3, dim=64, n_planes=32, bands=8
+        ).collect()
+    }
+    probed = {
+        (r.a_vec_id, r.b_vec_id)
+        for r in cosine_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.3, dim=64, n_planes=32, bands=8, probe_bits=1
+        ).collect()
+    }
+    assert probed <= exact  # precision still exact
+    assert base <= probed  # multi-probe candidates are a superset
+    assert len(probed) > len(base)  # and the extra probes actually find pairs
+
+
+def test_lsh_multiprobe_rejects_unsupported_depth(spark, emb):
+    with pytest.raises(ValueError, match="probe_bits"):
+        cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.3, dim=64, probe_bits=2)
+
+
 def test_knn_join_guard_refuses_large_query_set(spark, emb):
     # the broadcast tier must refuse a large query side — ivf_knn_join /
     # similarity_join are the declared scale paths
