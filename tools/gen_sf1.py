@@ -79,8 +79,11 @@ def generate(dst: str = _DEFAULT_DST, copies: int = COPIES) -> str:
         "documents": f"""
             SELECT doc_id + c * {d_b} AS doc_id,
                    CASE WHEN c = 0 THEN text
-                        ELSE array_to_string(list_transform(string_split(text, ' '),
-                                                            t -> 'c' || CAST(c AS VARCHAR) || t), ' ')
+                        -- prefix every token ('a b' -> 'c3a c3b'): plain
+                        -- string replace, ~10x faster than a per-token
+                        -- list_transform at 50k docs
+                        ELSE 'c' || CAST(c AS VARCHAR)
+                             || replace(text, ' ', ' c' || CAST(c AS VARCHAR))
                    END AS text,
                    lang, source, n_chars
             FROM {_src('documents')}, copies""",
