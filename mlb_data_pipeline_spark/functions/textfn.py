@@ -104,7 +104,8 @@ def tts_spoken_form(col: Column | str, mapping: dict[str, str] | None = None) ->
     """Full TTS spoken-form pass: word-boundary abbreviation expansion
     (T5 over ``TTS_SPOKEN_FORMS``) chained with ordinal spacing."""
     c = F.col(col) if isinstance(col, str) else col
-    for term, spoken in (mapping or TTS_SPOKEN_FORMS).items():
+    # `is None`, not falsy: an explicitly-passed {} means "no replacements"
+    for term, spoken in (TTS_SPOKEN_FORMS if mapping is None else mapping).items():
         c = F.regexp_replace(c, _bounded(term), spoken)
     return expand_ordinals(c)
 
@@ -113,7 +114,7 @@ def tts_spoken_form_sql(expr: str, mapping: dict[str, str] | None = None) -> str
     """DuckDB mirror of ``tts_spoken_form`` for oracle SQL: identical
     patterns, identical chain order, 'g' flag (Spark replaces all
     occurrences by default; DuckDB needs the flag)."""
-    for term, spoken in (mapping or TTS_SPOKEN_FORMS).items():
+    for term, spoken in (TTS_SPOKEN_FORMS if mapping is None else mapping).items():
         expr = f"regexp_replace({expr}, '{_bounded(term)}', '{spoken}', 'g')"
     return f"regexp_replace({expr}, '{ORDINAL_RE}', '\\1 \\2', 'g')"
 

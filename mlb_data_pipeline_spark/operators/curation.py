@@ -106,13 +106,16 @@ def redact(col: Column | str, patterns: dict[str, str] | None = None) -> Column:
     the scrubbing pass a public-corpus pipeline runs before training.
     Default patterns: emails -> <EMAIL>, phone numbers -> <PHONE>."""
     c = F.col(col) if isinstance(col, str) else col
-    for pat, repl in (patterns or {EMAIL_RE: "<EMAIL>", PHONE_RE: "<PHONE>"}).items():
+    # `is None`, not falsy: an explicitly-passed {} means "redact nothing"
+    pats = {EMAIL_RE: "<EMAIL>", PHONE_RE: "<PHONE>"} if patterns is None else patterns
+    for pat, repl in pats.items():
         c = F.regexp_replace(c, pat, repl)
     return c
 
 
 def redact_sql(expr: str, patterns: dict[str, str] | None = None) -> str:
     """DuckDB mirror of ``redact`` (same patterns, same order, 'g')."""
-    for pat, repl in (patterns or {EMAIL_RE: "<EMAIL>", PHONE_RE: "<PHONE>"}).items():
+    pats = {EMAIL_RE: "<EMAIL>", PHONE_RE: "<PHONE>"} if patterns is None else patterns
+    for pat, repl in pats.items():
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return expr

@@ -91,7 +91,7 @@ def knn_join(
     k: int,
     exclude_self: bool = True,
     sim_col: str = "sim",
-    max_queries: int = 10_000,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact batch k-NN join (V3): each query row -> its k cosine-nearest
     corpus rows. Reference shape: k results per query
@@ -106,7 +106,10 @@ def knn_join(
     and explode the scoring stage. Inputs with more than ``max_queries``
     query rows raise, pointing at ``ivf_knn_join`` /
     ``similarity_join``; the probe is limit-bounded (scans <=
-    max_queries+1 ids, never the full query side).
+    max_queries+1 ids, never the full query side). ``max_queries=None``
+    skips the probe — ONLY for callers that have already size-checked
+    the query side (``similarity_join`` routes here after its own
+    probe; re-probing would double the job).
 
     Scoring runs through ``dot_arrow_seq`` — the Arrow kernel with the
     EXACT sequential fold order of the JVM ``cosine`` expression (and of
@@ -115,7 +118,7 @@ def knn_join(
     per-element lambda evaluation. Norms are one JVM fold per ROW (not
     per pair), in the same dot(a,a) order as ``cosine``.
     """
-    if _over_limit(queries, id_col, max_queries):
+    if max_queries is not None and _over_limit(queries, id_col, max_queries):
         raise ValueError(
             f"knn_join broadcasts the query set: more than max_queries={max_queries} "
             "query rows would OOM the broadcast and quadratically inflate the scoring "
@@ -430,11 +433,14 @@ def similarity_join(
     how AQE keys physical strategy on runtime sizes. Output schema is
     identical on both routes: (query_id, neighbor_id, sim, rank).
     """
-    if _over_limit(queries, id_col, max_broadcast_queries):
+    # cap <= 0 pins the IVF route outright (batch deployments) — no
+    # probe job; otherwise probe ONCE and hand knn_join max_queries=None
+    # so the guard doesn't re-run the identical count
+    if max_broadcast_queries <= 0 or _over_limit(queries, id_col, max_broadcast_queries):
         return ivf_knn_join(
             corpus, queries, id_col, vec_col, k,
             n_lists=n_lists, n_probe=n_probe, seed=seed, sim_col=sim_col, centroids=centroids,
         )
     return knn_join(
-        corpus, queries, id_col, vec_col, k, sim_col=sim_col, max_queries=max_broadcast_queries
+        corpus, queries, id_col, vec_col, k, sim_col=sim_col, max_queries=None
     ).select("query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank")

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.textfn import token_count
-from ..operators.curation import hash_split, pack_sequences, redact, redact_sql, repeated_ngram_fraction
+from ..operators.curation import hash_split, pack_sequences, redact, redact_sql
 from ..operators.dedup import shingle_set
 from .registry import query
 

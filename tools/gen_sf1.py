@@ -40,7 +40,14 @@ def _src(t: str) -> str:
 
 
 def generate(dst: str = _DEFAULT_DST, copies: int = COPIES) -> str:
-    os.makedirs(dst, exist_ok=True)
+    """Build into a sibling .tmp dir and rename at the end: a killed or
+    failed run never leaves a half-populated ``dst`` that downstream
+    existence checks would mistake for a complete dataset."""
+    import shutil
+
+    tmp = dst.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW copies AS SELECT unnest(range({copies})) AS c")
 
@@ -77,16 +84,19 @@ def generate(dst: str = _DEFAULT_DST, copies: int = COPIES) -> str:
                    event_type, value, props
             FROM {_src('events')}, copies""",
         "documents": f"""
-            SELECT doc_id + c * {d_b} AS doc_id,
-                   CASE WHEN c = 0 THEN text
-                        -- prefix every token ('a b' -> 'c3a c3b'): plain
-                        -- string replace, ~10x faster than a per-token
-                        -- list_transform at 50k docs
-                        ELSE 'c' || CAST(c AS VARCHAR)
-                             || replace(text, ' ', ' c' || CAST(c AS VARCHAR))
-                   END AS text,
-                   lang, source, n_chars
-            FROM {_src('documents')}, copies""",
+            SELECT doc_id, text, lang, source, CAST(length(text) AS BIGINT) AS n_chars
+            FROM (
+              SELECT doc_id + c * {d_b} AS doc_id,
+                     CASE WHEN c = 0 THEN text
+                          -- prefix every token ('a b' -> 'c3a c3b'): plain
+                          -- string replace, ~10x faster than a per-token
+                          -- list_transform at 50k docs
+                          ELSE 'c' || CAST(c AS VARCHAR)
+                               || replace(text, ' ', ' c' || CAST(c AS VARCHAR))
+                     END AS text,
+                     lang, source
+              FROM {_src('documents')}, copies
+            )""",
         "embeddings": f"""
             SELECT vec_id + c * {v_b} AS vec_id,
                    CASE WHEN c = 0 THEN embedding
@@ -96,7 +106,9 @@ def generate(dst: str = _DEFAULT_DST, copies: int = COPIES) -> str:
             FROM {_src('embeddings')}, copies""",
     }
     for t, sql in sqls.items():
-        con.execute(f"COPY ({sql}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        con.execute(f"COPY ({sql}) TO '{tmp}/{t}.parquet' (FORMAT PARQUET)")
+    shutil.rmtree(dst, ignore_errors=True)
+    os.replace(tmp, dst)
     return dst
 
 
