@@ -260,6 +260,21 @@ def cosine_pairs_lsh(
     denser buckets — the standard knob when a corpus needs more recall
     than its (n_planes, bands) budget gives, WITHOUT adding bands
     (which would grow signature compute and shuffle keys instead).
+
+    CHOOSING THE OPERATING POINT (the number that matters at 100 TB is
+    candidate volume): a random pair collides in one b-bit band with
+    probability ~2^-b, so expected candidates ~= bands * n^2 / 2^(b+1).
+    * b = per_band = 4 (the q52 recall-measurement point): n^2/32-ish —
+      acceptable for recall studies at bench scale, QUADRATIC in spirit;
+      never ship this to a large corpus.
+    * b >= 16 with probe_bits=1: candidates ~ 4n^2/2^16 (1000x fewer),
+      while true near-dups (sim >= 0.95, where dedup thresholds live)
+      keep ~0.98 recall — the scale configuration
+      (n_planes=64, bands=4, probe_bits=1), pinned by
+      tests/test_vector_ops.py::test_lsh_wide_band_scale_config...
+    * thresholds much below ~0.7 are semi-similarity search, not
+      near-dup — hyperplane banding cannot bound candidates there; use
+      ``ivf_knn_join`` (probe-bounded) or the guarded exact tier.
     """
     if probe_bits not in (0, 1):
         raise ValueError("probe_bits supports 0 (off) or 1 (single-bit multi-probe)")

@@ -112,6 +112,27 @@ def test_lsh_multiprobe_expands_recall_keeps_precision(spark, emb):
     assert len(probed) > len(base)  # and the extra probes actually find pairs
 
 
+def test_lsh_wide_band_scale_config_finds_high_sim_neardups(spark):
+    # The 100 TB operating point (vector.py docstring): 16-bit bands cut
+    # random-pair candidates ~1000x vs the 4-bit recall-study point, and
+    # with single-bit multi-probe still recall genuine near-dups
+    # (sim ~0.999 here — where dedup thresholds actually live).
+    base = [[float((i * 31 + j * 7) % 17 - 8) for j in range(16)] for i in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        rows.append((1000 + i, [x + 0.01 * ((i + j) % 3 - 1) for j, x in enumerate(v)]))
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    found = {
+        (r.a_vec_id, r.b_vec_id)
+        for r in cosine_pairs_lsh(
+            df, "vec_id", "embedding", threshold=0.99, dim=16,
+            n_planes=64, bands=4, probe_bits=1,
+        ).collect()
+    }
+    assert {(i, 1000 + i) for i in range(20)} <= found
+
+
 def test_lsh_multiprobe_rejects_unsupported_depth(spark, emb):
     with pytest.raises(ValueError, match="probe_bits"):
         cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.3, dim=64, probe_bits=2)
