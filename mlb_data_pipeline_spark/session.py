@@ -35,6 +35,12 @@ def get_spark(app_name: str = "mlb_data_pipeline_spark", *, shuffle_partitions: 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # 32 MB scan splits: bench tables are one parquet file each, and
+        # the default 128 MB would cap a 140 MB sf1 scan at 2 tasks on a
+        # 32-core box (measured 2x on scan-bound aggs). A cluster at real
+        # scale has orders of magnitude more files than cores — raise
+        # this back toward 128m there to keep task counts sane.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         # Testdata's events.ts is parquet TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type, so read as long and convert in catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
