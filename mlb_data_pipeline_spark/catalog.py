@@ -51,6 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
+    # The determinism contract (and the DuckDB oracle, whose timestamps
+    # are naive) assumes UTC; a vanilla driver session may carry the
+    # host timezone. Runtime-settable — pin it at the catalog boundary,
+    # like the nanosAsLong fallback below.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # The driver may hand us a vanilla session; this conf is
         # runtime-settable and required to read TIMESTAMP(NANOS) parquet.

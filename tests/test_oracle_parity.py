@@ -52,3 +52,15 @@ def test_registry_window_invariant():
     # allowed, but every one must sort AFTER the rows-only block so the
     # window itself stays fully oracled
     assert all(n >= "q60" for n in outside_oracled), outside_oracled
+
+
+def test_catalog_pins_utc_timezone(spark, sf_dir):
+    """A vanilla driver session may carry the host timezone; the catalog
+    must pin UTC (the determinism contract's assumption and the DuckDB
+    oracle's naive-timestamp semantics) when handing out tables."""
+    import mlb_data_pipeline_spark.catalog as cat
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    cat._TABLE_CACHE.clear()  # cache hits return before the pin
+    cat.load_table(spark, sf_dir, "events")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
