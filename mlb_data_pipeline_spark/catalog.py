@@ -46,16 +46,31 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Resolve ``name`` to a DataFrame over ``sf_dir``'s parquet.
+
+    SESSION SIDE EFFECT: on a cache-miss load this pins
+    ``spark.sql.session.timeZone`` to UTC — the engine's determinism
+    contract (and the DuckDB oracle's naive-timestamp semantics) assume
+    it, and a vanilla driver session carries the host zone. A caller who
+    deliberately pinned a different zone gets it overridden; a warning
+    is emitted so the override is never silent (cache hits skip the pin,
+    so without the warning behavior would depend on load order).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
-    # The determinism contract (and the DuckDB oracle, whose timestamps
-    # are naive) assumes UTC; a vanilla driver session may carry the
-    # host timezone. Runtime-settable — pin it at the catalog boundary,
-    # like the nanosAsLong fallback below.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC"):
+        if tz:  # never silent: a deliberate caller pin is being clobbered
+            import warnings
+
+            warnings.warn(
+                f"load_table is overriding session timeZone {tz!r} -> UTC "
+                "(engine determinism contract); results are UTC-normalized",
+                stacklevel=2,
+            )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # The driver may hand us a vanilla session; this conf is

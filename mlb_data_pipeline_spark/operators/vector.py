@@ -279,6 +279,21 @@ def cosine_pairs_lsh(
     if probe_bits not in (0, 1):
         raise ValueError("probe_bits supports 0 (off) or 1 (single-bit multi-probe)")
     per_band = n_planes // bands
+    if per_band < 1:
+        raise ValueError(f"n_planes={n_planes} must be >= bands={bands}")
+    # band keys are int32 by design (the candidate shuffle carries
+    # (id, int32) only); the band-index prefix lives above the per_band
+    # value bits, so the largest key is bands * 2^per_band - 1. Past
+    # int32 the astype would WRAP silently, merging band keyspaces —
+    # recall accounting degrades with no error (precision survives via
+    # the exact residual). Refuse instead of widening to int64: the
+    # 2x-smaller shuffle key is the point, and per_band >= 28 is far
+    # beyond any useful operating point (see lsh_params).
+    if bands * (1 << per_band) > 2**31:
+        raise ValueError(
+            f"band keys overflow int32: bands={bands} * 2^per_band (per_band={per_band}) "
+            "exceeds 2^31; use more bands / fewer planes per band"
+        )
     planes_mat = _hyperplanes(dim, n_planes, seed)
 
     @F.pandas_udf("array<int>")

@@ -105,10 +105,15 @@ def q15_embed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = embed_column(spread_for_cpu(docs), "text")
     qvec = fake_encode(_Q15_QUERY_TEXT)
     topk = cosine_topk(store, qvec, "url", "embedding", 3)
-    from pyspark.sql import Window
-
-    ranked = topk.withColumn("rank", F.row_number().over(Window.orderBy(F.col("sim").desc(), F.col("url"))))
-    return context_assembly(ranked.select("rank", "text"), "text", "rank")
+    # ONE ordering pass (round-4 verdict #8): cosine_topk already plans
+    # TakeOrderedAndProject; assembly re-sorts its k collected structs
+    # by the same key (-sim, url) instead of a second global Window
+    # sort — struct comparison is lexicographic by field, so ascending
+    # (-sim, url) == (sim DESC, url ASC), the retrieval rank order.
+    ranked = topk.select(
+        F.struct((-F.col("sim")).alias("s"), F.col("url").alias("u")).alias("rank"), "text"
+    )
+    return context_assembly(ranked, "text", "rank")
 
 
 # ---------------------------------------------------------------------------

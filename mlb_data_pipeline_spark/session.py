@@ -22,32 +22,46 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def session_config(shuffle_partitions: int | None = None) -> dict[str, str]:
+    """The engine's pinned Spark config as a dict (testable without
+    building a session). Env-overridable knobs are documented in
+    docs/DEPLOY.md §0."""
+    cores = default_parallelism()
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        # 32 MB scan splits locally: bench tables are one parquet file
+        # each, and the default 128 MB would cap a 140 MB sf1 scan at 2
+        # tasks on a 32-core box (measured 2x on scan-bound aggs). A
+        # cluster at real scale has orders of magnitude more files than
+        # cores, where 32m only inflates task counts — deployments set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=128m (docs/DEPLOY.md) so the
+        # local bench tuning cannot leak into production sessions.
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"
+        ),
+        # Testdata's events.ts is parquet TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read as long and convert in catalog.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    }
+
+
 def get_spark(app_name: str = "mlb_data_pipeline_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) the engine's SparkSession with the pinned config."""
     cores = default_parallelism()
-    builder = (
-        SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]"))
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.filterPushdown", "true")
-        # 32 MB scan splits: bench tables are one parquet file each, and
-        # the default 128 MB would cap a 140 MB sf1 scan at 2 tasks on a
-        # 32-core box (measured 2x on scan-bound aggs). A cluster at real
-        # scale has orders of magnitude more files than cores — raise
-        # this back toward 128m there to keep task counts sane.
-        .config("spark.sql.files.maxPartitionBytes", "32m")
-        # Testdata's events.ts is parquet TIMESTAMP(NANOS); Spark has no
-        # nanosecond timestamp type, so read as long and convert in catalog.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-    )
+    builder = SparkSession.builder.master(
+        os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    ).appName(app_name)
+    for k, v in session_config(shuffle_partitions).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
