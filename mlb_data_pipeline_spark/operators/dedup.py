@@ -123,6 +123,26 @@ def cap_hot_keys(df: DataFrame, key_cols: list[str], max_freq: int) -> DataFrame
     )
 
 
+def minhash_signature_rows(df: DataFrame, id_col: str, gset_col: str, n_hashes: int) -> DataFrame:
+    """Exploded banded MinHash signatures: one (id, band, mh) row per
+    band. This is the unit both the batch candidate join and the
+    persisted signature store operate on."""
+    return df.select(id_col, F.posexplode(minhash_longs(F.col(gset_col), n_hashes)).alias("band", "mh"))
+
+
+def _pairs_from_sig_rows(sig: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate id pairs (id_a < id_b) from exploded signature
+    rows — a pure equi-join on (band, mh), never a cross product."""
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "mh")
+    b = sig.select(F.col(id_col).alias("id_b"), "band", "mh")
+    return (
+        a.join(b, ["band", "mh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame, id_col: str, gset_col: str, n_hashes: int = 4, max_band_freq: int | None = None
 ) -> DataFrame:
@@ -134,17 +154,10 @@ def minhash_candidate_pairs(
     ``max_band_freq`` caps the bucket size per (band, value) key via
     ``cap_hot_keys`` — set it on boilerplate-heavy corpora where a
     template shingle would otherwise make one bucket quadratic."""
-    sig = df.select(id_col, F.posexplode(minhash_longs(F.col(gset_col), n_hashes)).alias("band", "mh"))
+    sig = minhash_signature_rows(df, id_col, gset_col, n_hashes)
     if max_band_freq is not None:
         sig = cap_hot_keys(sig, ["band", "mh"], max_band_freq)
-    a = sig.select(F.col(id_col).alias("id_a"), "band", "mh")
-    b = sig.select(F.col(id_col).alias("id_b"), "band", "mh")
-    return (
-        a.join(b, ["band", "mh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _pairs_from_sig_rows(sig, id_col)
 
 
 def minhash_neardup_pairs(
@@ -357,6 +370,143 @@ def connected_components(
             "diameter exceeds the round budget)"
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Incremental delta-vs-corpus near-dup dedup (signature store)
+#
+# The production shape the reference's daily cadence implies
+# (mlb_pipeline_dag.py:39 daily schedule + scrape_store_embed.py:79 keyed
+# delete-then-add): dedup TODAY'S arrivals against a pre-banded corpus
+# without re-shingling the corpus. The store persists two parquet tables:
+#
+#   {path}/signatures  — (id, mh, band), partitioned by band: the
+#                        candidate-join side. Banding a 100 TB corpus is
+#                        the dominant cost of batch near-dup; the store
+#                        pays it ONCE per corpus version.
+#   {path}/shingles    — (id, shingles array<long>): the exact-verify
+#                        side, keyed by id.
+#
+# Each daily delta is shingled/banded fresh (it is small), equi-joined
+# against the signature scan, verified against the shingle scan, and then
+# appended — so day N+1's delta sees day N's docs without any recompute.
+# ---------------------------------------------------------------------------
+
+
+def _store_paths(path: str) -> tuple[str, str]:
+    return path.rstrip("/") + "/signatures", path.rstrip("/") + "/shingles"
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    from .relational import spread_for_cpu
+
+    return (
+        spread_for_cpu(df)
+        .select(id_col, shingle_hashes(text_col, shingle_n).alias("shingles"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def build_signature_store(
+    df: DataFrame, id_col: str, text_col: str, path: str, n_hashes: int = 4, shingle_n: int = 3
+) -> None:
+    """One-time (per corpus version) banding pass: shingle + minhash the
+    corpus and persist signatures (partitioned by band) and shingle sets.
+    Overwrites any existing store at ``path``."""
+    sh = _shingled(df, id_col, text_col, shingle_n)
+    sig = minhash_signature_rows(sh, id_col, "shingles", n_hashes)
+    sig.write.mode("overwrite").partitionBy("band").parquet(_store_paths(path)[0])
+    sh.write.mode("overwrite").parquet(_store_paths(path)[1])
+
+
+def append_signature_store(
+    new_docs: DataFrame, id_col: str, text_col: str, path: str, n_hashes: int = 4, shingle_n: int = 3
+) -> None:
+    """Append the delta's signatures + shingles to the store — the
+    reference's keyed add half (scrape_store_embed.py:69-79), APPEND-only
+    so a daily delta never rewrites the 100 TB store (a full keyed
+    rewrite via ``upsert_by_key`` would touch every band partition, since
+    each doc emits all bands). Idempotence comes from the id guard: ids
+    already present are skipped (left-anti on the store's pruned id
+    column), so re-running the same delta adds nothing. Content CHANGES
+    under an existing id need the keyed delete path
+    (``sources.writers.delete_by_predicate``) first — same contract as
+    the reference's delete-then-add."""
+    spark = new_docs.sparkSession
+    sig_path, sh_path = _store_paths(path)
+    existing_ids = spark.read.parquet(sh_path).select(id_col)
+    # eager checkpoint: the shingled delta feeds BOTH writes; lazy would
+    # re-shingle on the second write action
+    fresh = new_docs.join(existing_ids, on=id_col, how="left_anti")
+    sh = _shingled(fresh, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    minhash_signature_rows(sh, id_col, "shingles", n_hashes).write.mode("append").partitionBy(
+        "band"
+    ).parquet(sig_path)
+    sh.write.mode("append").parquet(sh_path)
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n_hashes: int = 4,
+    shingle_n: int = 3,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, jacc) involving at least one NEW doc:
+    delta-vs-corpus plus delta-internal. The corpus side is a parquet
+    SCAN of the signature/shingle store — never re-shingled, never
+    re-banded. Exactly equivalent to the batch operator restricted to
+    pairs touching the delta (MinHash is deterministic md5 arithmetic,
+    so delta signatures equal what a batch run would compute):
+
+        incremental(delta, store(corpus)) ∪ batch(corpus)
+            == batch(corpus ∪ delta)            # pinned by pytest
+
+    Physical shape at 100 TB: the candidate join carries (id, band, mh)
+    only — the store scan reads 3 int columns; shingle arrays enter only
+    for the (delta-bounded) candidate verify. ``max_band_freq`` caps
+    hot (band, mh) keys across the COMBINED corpus: hot keys are counted
+    on the unioned signature rows and anti-joined away from both sides
+    (hot keys are few by construction — boilerplate bands — so the
+    anti-join broadcasts)."""
+    spark = new_docs.sparkSession
+    sig_path, sh_path = _store_paths(path)
+    sh_delta = _shingled(new_docs, id_col, text_col, shingle_n)
+    sig_delta = minhash_signature_rows(sh_delta, id_col, "shingles", n_hashes)
+    store_sig = spark.read.parquet(sig_path).select(id_col, "band", "mh")
+    if max_band_freq is not None:
+        hot = (
+            sig_delta.select("band", "mh")
+            .unionByName(store_sig.select("band", "mh"))
+            .groupBy("band", "mh")
+            .agg(F.count(F.lit(1)).alias("__kf"))
+            .filter(F.col("__kf") > max_band_freq)
+            .select("band", "mh")
+        )
+        sig_delta = sig_delta.join(F.broadcast(hot), ["band", "mh"], "left_anti")
+        store_sig = store_sig.join(F.broadcast(hot), ["band", "mh"], "left_anti")
+    cross = (
+        sig_delta.select(F.col(id_col).alias("__new"), "band", "mh")
+        .join(store_sig.select(F.col(id_col).alias("__old"), "band", "mh"), ["band", "mh"])
+        .select(
+            F.least("__new", "__old").alias("id_a"), F.greatest("__new", "__old").alias("id_b")
+        )
+        .distinct()
+    )
+    cand = cross.unionByName(_pairs_from_sig_rows(sig_delta, id_col)).distinct()
+    lookup = sh_delta.unionByName(spark.read.parquet(sh_path).select(id_col, "shingles"))
+    sa = lookup.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sha"))
+    sb = lookup.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__shb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jacc", jaccard(F.col("__sha"), F.col("__shb")))
+        .filter(F.col("jacc") >= F.lit(threshold))
+        .select("id_a", "id_b", "jacc")
+    )
 
 
 def neardup_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:

@@ -294,3 +294,72 @@ def q59_neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.3, n_hashes=4, shingle_n=3)
     kept = neardup_dedup(docs, pairs.select("id_a", "id_b"), "doc_id")
     return ordered_small(kept.groupBy("source").agg(F.count("*").alias("n_kept")), "source")
+
+
+# ---------------------------------------------------------------------------
+# Q64 — incremental delta-vs-corpus near-dup (signature store): band ONLY
+#        the daily delta, equi-join against the persisted corpus
+#        signatures. Oracled (outside the driver's 50-window, like
+#        q60-q63): MinHash is deterministic md5 arithmetic, so the
+#        incremental pairs equal the batch pairs restricted to pairs
+#        touching the delta — which IS single-query SQL.
+# ---------------------------------------------------------------------------
+
+_Q64_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [] END AS shingles
+  FROM d
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+                                      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS gs
+  FROM sh
+),
+exploded AS (SELECT doc_id, unnest(gs) AS gv FROM g),
+mh AS (
+  SELECT e.doc_id, b.band,
+         MIN(((e.gv >> 30) + b.band * (e.gv & 1073741823)) % 2147483647) AS m
+  FROM exploded e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+  GROUP BY e.doc_id, b.band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b ON a.band = b.band AND a.m = b.m AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         / len(list_distinct(list_concat(ga.gs, gb.gs))) AS jacc
+FROM cand c
+JOIN g ga ON ga.doc_id = c.id_a
+JOIN g gb ON gb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+        / len(list_distinct(list_concat(ga.gs, gb.gs))) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+@query("q64_incremental_neardup", oracle=_Q64_SQL, covers="V4,S11,J1")
+def q64_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cadence near-dup: corpus = doc_id % 5 != 0 is pre-banded
+    into a parquet signature store (the one-time cost); the delta
+    (doc_id % 5 == 0) is banded fresh and joined against the STORE SCAN.
+    Reference analogue: daily schedule (mlb_pipeline_dag.py:39) + keyed
+    delete-then-add (scrape_store_embed.py:79)."""
+    import os
+
+    from ..operators.dedup import build_signature_store, incremental_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    store = os.path.join("/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "q64_sig_store")
+    build_signature_store(corpus, "doc_id", "text", store, n_hashes=4, shingle_n=3)
+    pairs = incremental_neardup_pairs(delta, store, "doc_id", "text", threshold=0.3)
+    return ordered_small(pairs, "id_a", "id_b")

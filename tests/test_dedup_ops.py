@@ -100,6 +100,140 @@ def test_minhash_band_freq_cap_prunes_hot_buckets_keeps_planted(spark):
     assert {(10_000 + i, 20_000 + i) for i in range(10)} <= got
 
 
+def _daily_corpus(spark):
+    """Corpus + delta with planted cross-batch and delta-internal
+    near-dups: docs 0..39 are the existing corpus; 100..109 arrive as the
+    delta. 100-105 near-dup corpus docs, 106/107 near-dup each other."""
+    base = [(i, " ".join(f"c{i}w{j}" for j in range(12))) for i in range(40)]
+    delta = []
+    for i in range(6):  # delta docs 100..105 near-dup corpus docs 0..5
+        words = base[i][1].split(" ")
+        words[-1] = "changed"
+        delta.append((100 + i, " ".join(words)))
+    shared = " ".join(f"dupw{j}" for j in range(12))
+    delta.append((106, shared + " tailx"))
+    delta.append((107, shared + " taily"))  # near-dup of 106
+    delta.append((108, " ".join(f"solo8w{j}" for j in range(12))))
+    delta.append((109, " ".join(f"solo9w{j}" for j in range(12))))
+    schema = "doc_id BIGINT, text STRING"
+    return spark.createDataFrame(base, schema), spark.createDataFrame(delta, schema)
+
+
+def _pairset(df):
+    return {(r.id_a, r.id_b, round(r.jacc, 9)) for r in df.collect()}
+
+
+def test_incremental_neardup_equals_batch(spark, tmp_path):
+    """The signature-store contract: incremental(delta, store(corpus))
+    ∪ batch(corpus) == batch(corpus ∪ delta), bit-for-bit on jacc."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        build_signature_store,
+        incremental_neardup_pairs,
+        minhash_neardup_pairs,
+    )
+
+    corpus, delta = _daily_corpus(spark)
+    store = str(tmp_path / "sigstore")
+    build_signature_store(corpus, "doc_id", "text", store)
+    inc = incremental_neardup_pairs(delta, store, "doc_id", "text", threshold=0.5)
+    batch_corpus = minhash_neardup_pairs(corpus, "doc_id", "text", threshold=0.5)
+    batch_all = minhash_neardup_pairs(corpus.unionByName(delta), "doc_id", "text", threshold=0.5)
+    assert _pairset(inc) | _pairset(batch_corpus) == _pairset(batch_all)
+    # and the planted pairs actually surfaced (the test isn't vacuous)
+    got = {(a, b) for a, b, _ in _pairset(inc)}
+    assert {(i, 100 + i) for i in range(6)} <= got
+    assert (106, 107) in got
+
+
+def test_append_signature_store_idempotent_and_extends(spark, tmp_path):
+    """Day-2 contract: after appending day-1's delta, a new delta sees
+    those docs through the store scan; re-appending the same delta is a
+    no-op (id guard)."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        append_signature_store,
+        build_signature_store,
+        incremental_neardup_pairs,
+    )
+
+    corpus, delta = _daily_corpus(spark)
+    store = str(tmp_path / "sigstore")
+    build_signature_store(corpus, "doc_id", "text", store)
+    append_signature_store(delta, "doc_id", "text", store)
+    n_sig = spark.read.parquet(store + "/signatures").count()
+    append_signature_store(delta, "doc_id", "text", store)  # re-run: no-op
+    assert spark.read.parquet(store + "/signatures").count() == n_sig
+    # day-2 delta: one doc near-dups a DAY-1 doc (106) — visible only if
+    # the append actually landed in the store
+    day2 = spark.createDataFrame(
+        [(200, " ".join(f"dupw{j}" for j in range(12)) + " tailz")], "doc_id BIGINT, text STRING"
+    )
+    got = {(r.id_a, r.id_b) for r in incremental_neardup_pairs(day2, store, "doc_id", "text", 0.5).collect()}
+    assert (106, 200) in got and (107, 200) in got
+
+
+def test_incremental_store_side_is_scan_not_recompute(spark, tmp_path):
+    """No-rescan plan shape: the corpus side of the incremental join
+    must be a parquet scan of the store, never a recompute. The delta
+    here is an in-memory DataFrame (and its shingling lives behind the
+    lazy localCheckpoint barrier), so EVERY parquet scan and every md5
+    in the plan would have to come from a corpus-side recompute — assert
+    there are exactly the two store scans and zero md5 expressions."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        build_signature_store,
+        incremental_neardup_pairs,
+    )
+
+    corpus, delta = _daily_corpus(spark)
+    store = str(tmp_path / "sigstore")
+    build_signature_store(corpus, "doc_id", "text", store)
+    plan = (
+        incremental_neardup_pairs(delta, store, "doc_id", "text", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the store scans appear as parquet scans with PRUNED schemas: the
+    # signature scan reads only (doc_id, mh) — band is a partition
+    # column, recovered from directory values, never from file bytes —
+    # and the shingle scan reads (doc_id, shingles)
+    assert "ReadSchema: struct<doc_id:bigint,mh:bigint>" in plan
+    assert "ReadSchema: struct<doc_id:bigint,shingles:array<bigint>>" in plan
+    # signatures scanned once (candidate join), shingles twice (both
+    # verify sides) — and nothing else
+    assert plan.count("Scan parquet") == 3
+    assert "md5" not in plan  # corpus-side shingling would surface here
+
+
+def test_incremental_hot_band_cap_spans_store_and_delta(spark, tmp_path):
+    """max_band_freq must count band frequency across the COMBINED
+    corpus: boilerplate bands hot only in the store still suppress
+    delta-vs-store candidates."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        build_signature_store,
+        incremental_neardup_pairs,
+    )
+
+    corpus = _skewed_corpus(spark)  # 300 boilerplate + planted pairs
+    store = str(tmp_path / "sigstore")
+    build_signature_store(corpus, "doc_id", "text", store)
+    # delta: one more boilerplate doc + one planted near-dup of 10_000
+    boiler = "terms of service apply to all content on this site all rights reserved"
+    delta = spark.createDataFrame(
+        [
+            (50_000, boiler + " " + " ".join(f"zz{j}" for j in range(14))),
+            (50_001, " ".join(f"w0k{j}" for j in range(12)) + " alpha beta epsilon"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in incremental_neardup_pairs(
+            delta, store, "doc_id", "text", threshold=0.5, max_band_freq=50
+        ).collect()
+    }
+    assert (10_000, 50_001) in got or (20_000, 50_001) in got  # planted pair survives the cap
+
+
 def test_dedup_idempotent_on_deduped_corpus(spark):
     df = spark.createDataFrame([(i, f"doc{i}") for i in range(6)], "doc_id BIGINT, text STRING")
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a BIGINT, id_b BIGINT")
