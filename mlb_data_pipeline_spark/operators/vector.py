@@ -202,6 +202,91 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def band_freq_cap(n_rows: int, per_band: int, factor: int = 8) -> int:
+    """Default hot-bucket cap for LSH banding: ``factor`` x the expected
+    uniform bucket size n / 2^per_band, floored at 64. A uniform corpus
+    never trips it; a point-mass bucket — one band key collecting a
+    large share of the corpus, the vector analogue of boilerplate text —
+    is dropped before the pair join goes quadratic (see
+    ``dedup.cap_hot_keys``: the pair count is the problem, not partition
+    balance, so AQE cannot fix it). Capping only costs recall on the
+    degenerate mass; precision is untouched (exact residual verify)."""
+    return max(64, (factor * n_rows) >> per_band)
+
+
+def _band_match_prob(p: float, b: int, probe_bits: int) -> float:
+    """P(one b-bit band makes a pair a candidate) given per-plane
+    agreement probability ``p``. Without probing that is an exact band
+    match, p^b. With single-bit multi-probe BOTH rows also land in every
+    1-flip bucket, so the pair collides iff their band keys differ in
+    <= 2 bits: sum of the hamming-0/1/2 terms."""
+    if not probe_bits:
+        return p**b
+    q = 1.0 - p
+    return p**b + b * p ** (b - 1) * q + (b * (b - 1) / 2) * p ** (b - 2) * q * q
+
+
+def lsh_params(
+    n_rows: int,
+    threshold: float,
+    *,
+    max_candidate_factor: float = 8.0,
+    target_recall: float = 0.95,
+) -> tuple[int, int, int]:
+    """Auto operating-point selection for ``cosine_pairs_lsh``: pick
+    (n_planes, bands, probe_bits) from the corpus size and similarity
+    threshold, implementing the candidate-volume math documented on
+    ``cosine_pairs_lsh`` (random pair collides in one b-bit band with
+    prob ~2^-b, so expected candidates ~= bands * n^2 / 2^(b+1); the
+    multi-probe variant multiplies by the hamming<=2 ball size).
+
+    Selection rule — the number that matters at 100 TB is CANDIDATE
+    VOLUME, so feasibility is a hard constraint and recall is the
+    objective:
+
+    * feasible = expected random-pair candidates <= max_candidate_factor
+      * n_rows (linear in the corpus, the only shape that scales) AND
+      band keys fit int32 (the shuffle-key contract);
+    * among feasible points, reach ``target_recall`` at ``threshold``
+      (per-plane agreement p = 1 - arccos(threshold)/pi) if any point
+      can, preferring fewer planes (signature compute + banded-shuffle
+      rows scale with n_planes), then fewer candidates;
+    * if no feasible point reaches the target (huge n with a low
+      threshold — semi-similarity territory), return the max-recall
+      feasible point; ``ivf_knn_join`` is the documented alternative
+      there.
+    """
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_rows < 2:
+        return (16, 4, 0)
+    p = 1.0 - math.acos(threshold) / math.pi
+    bound = max_candidate_factor * n_rows
+    n_pairs = n_rows * (n_rows - 1) / 2
+    best = None
+    for bands in (2, 4, 6, 8, 12, 16, 24, 32):
+        for per_band in range(4, 29):
+            if bands * (1 << per_band) > 2**31:  # int32 band-key contract
+                continue
+            for probe in (0, 1):
+                exp_cand = bands * _band_match_prob(0.5, per_band, probe) * n_pairs
+                if exp_cand > bound:
+                    continue
+                recall = 1.0 - (1.0 - _band_match_prob(p, per_band, probe)) ** bands
+                # reach the target first; past it, cheaper beats higher
+                key = (min(recall, target_recall), -bands * per_band, -exp_cand)
+                if best is None or key > best[0]:
+                    best = (key, (bands * per_band, bands, probe))
+    if best is None:
+        raise ValueError(
+            f"no feasible LSH operating point for n_rows={n_rows} under "
+            f"max_candidate_factor={max_candidate_factor}; use ivf_knn_join"
+        )
+    return best[1]
+
+
 def simhash_signature(vec_col, planes: list[list[float]]):
     """Sign-bit signature of a vector against fixed hyperplanes, packed
     into a long per 8-plane group is unnecessary — an array<int> of 0/1
@@ -216,12 +301,13 @@ def cosine_pairs_lsh(
     threshold: float,
     *,
     dim: int,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int | None = None,
+    bands: int | None = None,
     sim_col: str = "sim",
     seed: int = 42,
     max_band_freq: int | None = None,
-    probe_bits: int = 0,
+    probe_bits: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs at scale: random-hyperplane LSH.
 
@@ -275,9 +361,33 @@ def cosine_pairs_lsh(
     * thresholds much below ~0.7 are semi-similarity search, not
       near-dup — hyperplane banding cannot bound candidates there; use
       ``ivf_knn_join`` (probe-bounded) or the guarded exact tier.
+
+    DEFAULTS route through ``lsh_params``: leave (n_planes, bands)
+    unset and the operating point is chosen from the corpus size and
+    threshold (candidate volume <= 8n, recall-maximizing). The size
+    comes from ``n_rows`` if given, else one count of the input (for a
+    parquet source that is a metadata-scale job). Explicit (n_planes,
+    bands) — pass BOTH — bypasses the count entirely; ``probe_bits``
+    then defaults to 0 unless set.
     """
-    if probe_bits not in (0, 1):
+    if probe_bits not in (None, 0, 1):
         raise ValueError("probe_bits supports 0 (off) or 1 (single-bit multi-probe)")
+    if (n_planes is None) != (bands is None):
+        raise ValueError("pass both n_planes and bands, or neither (auto via lsh_params)")
+    if n_planes is None:
+        n = n_rows if n_rows is not None else df.count()
+        n_planes, bands, auto_probe = lsh_params(n, threshold)
+        if probe_bits is None:
+            probe_bits = auto_probe
+        if max_band_freq is None:
+            # the auto route is the production default — it ships with
+            # the skew guard on (explicit-params callers opt in). The
+            # bucket count includes probe rows, so the expected uniform
+            # occupancy is n * (1 + per_band * probe_bits) / 2^per_band.
+            pb = n_planes // bands
+            max_band_freq = band_freq_cap(n * (1 + pb * probe_bits), pb)
+    if probe_bits is None:
+        probe_bits = 0
     per_band = n_planes // bands
     if per_band < 1:
         raise ValueError(f"n_planes={n_planes} must be >= bands={bands}")
@@ -366,8 +476,80 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_lists: int, seed: int
     return [list(map(float, c)) for c in km.clusterCenters()]
 
 
+class IvfIndex:
+    """A trained IVF index: the tiny centroid matrix plus the inverted
+    file (corpus rows with their list assignment). Mirrors the
+    reference's persistent vector collection
+    (airflow/dags/mlb_pipeline/pipeline.py:51-56 — the Chroma store
+    survives across runs): at 100 TB, re-training the quantizer and
+    re-assigning the corpus per session is the dominant cost, so both
+    persist to parquet and reload as a scan.
+
+    ``assignments`` carries (id, vec, __list) — the inverted file IS a
+    copy of the corpus vectors keyed by list, the standard IVF layout;
+    probing reads only the probed lists' rows."""
+
+    def __init__(self, centroids: list[list[float]], assignments: DataFrame, id_col: str, vec_col: str):
+        self.centroids = centroids
+        self.assignments = assignments
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+
+def _nearest_list_udf(cents):
+    @F.pandas_udf("int")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        cm = np.asarray(cents)  # n_lists x dim
+        v = np.stack(vs.to_numpy()).astype("float64")
+        d = ((v[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return nearest_list
+
+
+def build_ivf_index(
+    corpus: DataFrame, id_col: str, vec_col: str, n_lists: int = 16, seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> IvfIndex:
+    """Train (or accept) centroids and assign every corpus row to its
+    nearest list — one narrow pass with broadcast centroids."""
+    cents = centroids if centroids is not None else train_ivf_centroids(corpus, vec_col, n_lists, seed)
+    assigned = corpus.select(id_col, vec_col).withColumn("__list", _nearest_list_udf(cents)(F.col(vec_col)))
+    return IvfIndex(cents, assigned, id_col, vec_col)
+
+
+def save_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist the index: centroids + meta as tiny parquet tables, the
+    inverted file partitioned by list id (so a probe of n_probe lists
+    prunes to n_probe/n_lists of the files)."""
+    spark = index.assignments.sparkSession
+    base = path.rstrip("/")
+    spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(index.centroids)], "list_id INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/centroids")
+    spark.createDataFrame(
+        [(index.id_col, index.vec_col)], "id_col STRING, vec_col STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
+    index.assignments.write.mode("overwrite").partitionBy("__list").parquet(base + "/assignments")
+
+
+def load_ivf_index(spark, path: str) -> IvfIndex:
+    """Reload a persisted index. Centroids collect to the driver (tiny:
+    n_lists x dim floats — they ship to executors as literals, exactly
+    as a freshly-trained quantizer would); the inverted file stays a
+    lazy parquet scan."""
+    base = path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    cents = [
+        list(r.centroid)
+        for r in sorted(spark.read.parquet(base + "/centroids").collect(), key=lambda r: r.list_id)
+    ]
+    assignments = spark.read.parquet(base + "/assignments")
+    return IvfIndex(cents, assignments, meta.id_col, meta.vec_col)
+
+
 def ivf_knn_join(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     id_col: str,
     vec_col: str,
@@ -377,6 +559,7 @@ def ivf_knn_join(
     seed: int = 42,
     sim_col: str = "sim",
     centroids: list[list[float]] | None = None,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate k-NN join — the coarse-quantizer
     scale path next to ``cosine_pairs_lsh``.
@@ -393,16 +576,23 @@ def ivf_knn_join(
     never the full corpus. Centroid training samples the corpus; the
     model is tiny (n_lists x dim) and ships as literals. Pass
     ``centroids`` (from ``train_ivf_centroids``) to reuse a trained
-    quantizer across calls instead of re-fitting per invocation.
+    quantizer across calls instead of re-fitting per invocation, or
+    ``index`` (from ``build_ivf_index`` / ``load_ivf_index``) to skip
+    BOTH KMeans and the corpus assignment pass — the persisted-index
+    route a deployment runs daily (``corpus`` is then ignored and may
+    be None).
     """
-    cents = centroids if centroids is not None else train_ivf_centroids(corpus, vec_col, n_lists, seed)
-
-    @F.pandas_udf("int")
-    def nearest_list(vs: pd.Series) -> pd.Series:
-        cm = np.asarray(cents)  # n_lists x dim
-        v = np.stack(vs.to_numpy()).astype("float64")
-        d = ((v[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+    if index is not None:
+        cents = index.centroids
+        assigned = index.assignments
+        n_lists = len(cents)
+    else:
+        if corpus is None:
+            raise ValueError("ivf_knn_join needs either a corpus or a prebuilt index")
+        cents = centroids if centroids is not None else train_ivf_centroids(corpus, vec_col, n_lists, seed)
+        assigned = corpus.select(id_col, vec_col).withColumn(
+            "__list", _nearest_list_udf(cents)(F.col(vec_col))
+        )
 
     @F.pandas_udf("array<int>")
     def probe_lists(vs: pd.Series) -> pd.Series:
@@ -412,7 +602,6 @@ def ivf_knn_join(
         order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
-    assigned = corpus.select(id_col, vec_col).withColumn("__list", nearest_list(F.col(vec_col)))
     probed = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
         .withColumn("__list", F.explode(probe_lists(F.col("__qv"))))
@@ -443,6 +632,7 @@ def similarity_join(
     seed: int = 42,
     sim_col: str = "sim",
     centroids: list[list[float]] | None = None,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """Size-keyed similarity planner (SURVEY §4.2): the library-level
     physical-strategy choice between the exact broadcast k-NN join and
@@ -469,7 +659,8 @@ def similarity_join(
     if max_broadcast_queries <= 0 or _over_limit(queries, id_col, max_broadcast_queries):
         return ivf_knn_join(
             corpus, queries, id_col, vec_col, k,
-            n_lists=n_lists, n_probe=n_probe, seed=seed, sim_col=sim_col, centroids=centroids,
+            n_lists=n_lists, n_probe=n_probe, seed=seed, sim_col=sim_col,
+            centroids=centroids, index=index,
         )
     return knn_join(
         corpus, queries, id_col, vec_col, k, sim_col=sim_col, max_queries=None

@@ -163,9 +163,14 @@ mh AS (
   FROM exploded e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
   GROUP BY e.doc_id, b.band
 ),
+capped AS (
+  SELECT doc_id, band, m
+  FROM (SELECT doc_id, band, m, COUNT(*) OVER (PARTITION BY band, m) AS kf FROM mh)
+  WHERE kf <= 200
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM mh a JOIN mh b ON a.band = b.band AND a.m = b.m AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.band = b.band AND a.m = b.m AND a.doc_id < b.doc_id
 )
 SELECT c.id_a, c.id_b,
        CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
@@ -181,8 +186,15 @@ ORDER BY id_a, id_b
 
 @query("q44_minhash_neardup", oracle=_Q44_SQL, covers="V4,T17,J1", bench=True)
 def q44_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_band_freq=200: the boilerplate skew cap, wired as the default
+    # (VERDICT r4 #6). Measured (band, mh) bucket maxima are 6 at sf0.01
+    # and 20 at sf0.1, so the cap never bites at bench scales — and the
+    # ORACLE MIRRORS IT (the `capped` CTE), so hash parity holds by
+    # construction even on a corpus where it does bite.
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.3, n_hashes=4, shingle_n=3)
+    pairs = minhash_neardup_pairs(
+        docs, "doc_id", "text", threshold=0.3, n_hashes=4, shingle_n=3, max_band_freq=200
+    )
     return ordered_small(pairs, "id_a", "id_b")
 
 

@@ -185,6 +185,116 @@ def test_ivf_with_full_probe_equals_brute_force(spark, emb):
     assert got == want  # n_probe == n_lists degrades to exact brute force
 
 
+def test_lsh_params_candidate_bound_and_recall(spark):
+    """The auto operating point must satisfy the documented math:
+    expected random-pair candidates stay <= 8n at every corpus size
+    (the hard constraint — linear candidate volume), and at sim >= 0.95
+    (where dedup thresholds live) predicted recall reaches the 0.95
+    target wherever the int32-keyspace budget allows (it provably can't
+    past ~10^7 rows: bands * ball(b)/2^b <= 16/n forces b so wide that
+    p^b collapses — the regime the docstring routes to ivf_knn_join)."""
+    import math
+
+    from mlb_data_pipeline_spark.operators.vector import _band_match_prob, lsh_params
+
+    p = 1.0 - math.acos(0.95) / math.pi
+    for n, want_recall in ((1_000, 0.95), (100_000, 0.95), (10_000_000, 0.85), (1_000_000_000, None)):
+        n_planes, bands, probe = lsh_params(n, 0.95)
+        per_band = n_planes // bands
+        assert n_planes == bands * per_band and bands * (1 << per_band) <= 2**31
+        exp_cand = bands * _band_match_prob(0.5, per_band, probe) * n * (n - 1) / 2
+        assert exp_cand <= 8 * n, f"n={n}: candidate volume {exp_cand:.0f} superlinear"
+        if want_recall is not None:
+            recall = 1.0 - (1.0 - _band_match_prob(p, per_band, probe)) ** bands
+            assert recall >= want_recall, f"n={n}: predicted recall {recall:.3f}"
+
+
+def test_lsh_auto_defaults_find_planted_neardups(spark):
+    """cosine_pairs_lsh with NO (n_planes, bands) routes through
+    lsh_params and still recovers every planted near-dup pair."""
+    from mlb_data_pipeline_spark.operators.vector import cosine_pairs_lsh
+
+    base = [[float((i * 31 + j * 7) % 17 - 8) for j in range(16)] for i in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        rows.append((1000 + i, [x + 0.01 * ((i + j) % 3 - 1) for j, x in enumerate(v)]))
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    found = {
+        (r.a_vec_id, r.b_vec_id)
+        for r in cosine_pairs_lsh(df, "vec_id", "embedding", threshold=0.99, dim=16).collect()
+    }
+    assert {(i, 1000 + i) for i in range(20)} <= found
+
+
+def test_ivf_index_save_load_roundtrip(spark, emb, tmp_path):
+    """Persistence contract: a reloaded index answers identically to the
+    in-memory build it was saved from, with no retraining and no
+    re-assignment (corpus=None on the loaded path)."""
+    from mlb_data_pipeline_spark.operators.vector import (
+        build_ivf_index,
+        ivf_knn_join,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    built = build_ivf_index(emb, "vec_id", "embedding", n_lists=8)
+    save_ivf_index(built, str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+    assert loaded.centroids == built.centroids
+    assert loaded.id_col == "vec_id" and loaded.vec_col == "embedding"
+    mem = ivf_knn_join(None, queries, "vec_id", "embedding", k=3, n_probe=2, index=built)
+    disk = ivf_knn_join(None, queries, "vec_id", "embedding", k=3, n_probe=2, index=loaded)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, round(r.sim, 9))  # noqa: E731
+    assert sorted(map(key, mem.collect())) == sorted(map(key, disk.collect()))
+
+
+def test_ivf_loaded_index_full_probe_equals_brute_force(spark, emb, tmp_path):
+    from mlb_data_pipeline_spark.operators.vector import (
+        build_ivf_index,
+        ivf_knn_join,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    save_ivf_index(build_ivf_index(emb, "vec_id", "embedding", n_lists=8), str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+    exact = knn_join(emb, queries, "vec_id", "embedding", k=3)
+    ivf_full = ivf_knn_join(None, queries, "vec_id", "embedding", k=3, n_probe=8, index=loaded)
+    want = sorted((r.query_id, r.rank, r.vec_id) for r in exact.collect())
+    got = sorted((r.query_id, r.rank, r.neighbor_id) for r in ivf_full.collect())
+    assert got == want
+
+
+def test_ivf_loaded_index_plan_is_scan_not_assign(spark, emb, tmp_path):
+    """The loaded-index probe must read the inverted file from parquet:
+    with in-memory queries, the only parquet scan is the assignments
+    table, and no corpus-assignment UDF runs (exactly one Arrow eval —
+    the query-side probe_lists)."""
+    from mlb_data_pipeline_spark.operators.vector import (
+        build_ivf_index,
+        ivf_knn_join,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    queries = spark.createDataFrame(
+        [(900 + i, [float(i)] * 64) for i in range(3)], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    save_ivf_index(build_ivf_index(emb, "vec_id", "embedding", n_lists=8), str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+    plan = (
+        ivf_knn_join(None, queries, "vec_id", "embedding", k=3, n_probe=2, index=loaded)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1  # assignments only
+    assert plan.count("ArrowEvalPython") == 2  # probe_lists (queries) + pair scoring
+
+
 def test_ivf_partial_probe_is_subset_and_ranked(spark, emb):
     from mlb_data_pipeline_spark.operators.vector import ivf_knn_join
 
