@@ -113,5 +113,8 @@ def generate(dst: str = _DEFAULT_DST, copies: int = COPIES) -> str:
 
 
 if __name__ == "__main__":
-    out = generate(sys.argv[1] if len(sys.argv) > 1 else _DEFAULT_DST)
+    out = generate(
+        sys.argv[1] if len(sys.argv) > 1 else _DEFAULT_DST,
+        int(sys.argv[2]) if len(sys.argv) > 2 else COPIES,
+    )
     print(out)
