@@ -533,6 +533,28 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     index.assignments.write.mode("overwrite").partitionBy("__list").parquet(base + "/assignments")
 
 
+def append_ivf_index(new_rows: DataFrame, path: str) -> None:
+    """Daily-cadence index maintenance: assign NEW vectors with the
+    persisted centroids and append them to the inverted file — no
+    retraining, no re-assignment of the existing corpus (the vector
+    analogue of ``dedup.append_signature_store``; reference shape:
+    incremental adds to the persistent collection,
+    scrape_store_embed.py:69-79). Append-only with an id guard
+    (left-anti on the inverted file's pruned id column), so re-running
+    the same delta is a no-op. The centroids drift as the corpus grows —
+    a deployment retrains per corpus VERSION (``build_ivf_index``), not
+    per delta; recall between retrains degrades gracefully because
+    probing still ranks exactly within the probed lists."""
+    spark = new_rows.sparkSession
+    base = path.rstrip("/")
+    idx = load_ivf_index(spark, base)
+    existing_ids = idx.assignments.select(idx.id_col)
+    fresh = new_rows.select(idx.id_col, idx.vec_col).join(existing_ids, on=idx.id_col, how="left_anti")
+    fresh.withColumn("__list", _nearest_list_udf(idx.centroids)(F.col(idx.vec_col))).write.mode(
+        "append"
+    ).partitionBy("__list").parquet(base + "/assignments")
+
+
 def load_ivf_index(spark, path: str) -> IvfIndex:
     """Reload a persisted index. Centroids collect to the driver (tiny:
     n_lists x dim floats — they ship to executors as literals, exactly

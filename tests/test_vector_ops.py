@@ -268,6 +268,37 @@ def test_ivf_loaded_index_full_probe_equals_brute_force(spark, emb, tmp_path):
     assert got == want
 
 
+def test_ivf_append_extends_index_idempotently(spark, emb, tmp_path):
+    """Daily-delta contract for the vector index: appended vectors are
+    retrievable through the reloaded index; re-appending is a no-op; and
+    the appended rows rank identically to a from-scratch build that used
+    the same centroids (assignment uses the persisted quantizer)."""
+    from mlb_data_pipeline_spark.operators.vector import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_knn_join,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    delta = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "ivf")
+    built = build_ivf_index(corpus, "vec_id", "embedding", n_lists=8)
+    save_ivf_index(built, path)
+    append_ivf_index(delta, path)
+    n = spark.read.parquet(path + "/assignments").count()
+    append_ivf_index(delta, path)  # id guard: no-op
+    assert spark.read.parquet(path + "/assignments").count() == n
+    loaded = load_ivf_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_knn_join(None, queries, "vec_id", "embedding", k=3, n_probe=8, index=loaded)
+    # full probe over corpus+delta == exact brute force over the union
+    exact = knn_join(emb, queries, "vec_id", "embedding", k=3)
+    want = sorted((r.query_id, r.rank, r.vec_id) for r in exact.collect())
+    assert sorted((r.query_id, r.rank, r.neighbor_id) for r in got.collect()) == want
+
+
 def test_ivf_loaded_index_plan_is_scan_not_assign(spark, emb, tmp_path):
     """The loaded-index probe must read the inverted file from parquet:
     with in-memory queries, the only parquet scan is the assignments
