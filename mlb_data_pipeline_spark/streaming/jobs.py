@@ -104,6 +104,68 @@ def run_available_now(df: DataFrame, checkpoint_dir: str, out_dir: str, output_m
     q.awaitTermination()
 
 
+DOCUMENT_SCHEMA = "doc_id BIGINT, text STRING"
+
+
+def read_document_stream(spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """ST1 over the documents shape: incremental parquet arrival of
+    (doc_id, text) — the stream form of the reference's daily article
+    drops (mlb_pipeline_dag.py:119)."""
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(source_dir)
+
+
+def incremental_neardup_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    pairs_out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Streaming corpus near-dup (ST6 x SURVEY §2.11 I2): each
+    micro-batch is a delta deduped against the persisted signature store
+    via ``incremental_neardup_pairs`` (flagged pairs append to
+    ``pairs_out_dir``), then appended to the store — so batch N+1 sees
+    batch N's documents. This is the reference's daily cadence collapsed
+    to micro-batch granularity; the state is the PARQUET STORE, not the
+    Spark state store, so it survives restarts and is shared with the
+    batch path.
+
+    Delivery semantics: foreachBatch is at-least-once on retry. The
+    signature-store append is idempotent (id guard in
+    ``append_signature_store``), and a replayed batch re-emits pairs
+    against the same store state (its own signatures were already
+    appended, but the id guard keeps them out of the join's store side
+    only for NEW ids — replayed pair output may therefore duplicate).
+    Readers of ``pairs_out_dir`` dedup on (id_a, id_b), which is cheap
+    and exact; pair emission is deterministic so duplicates are
+    identical rows."""
+    from ..operators.dedup import append_signature_store, incremental_neardup_pairs
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # the batch feeds the pair join AND the store append; eager
+        # checkpoint so the source isn't re-read per consumer
+        delta = batch_df.localCheckpoint(eager=True)
+        incremental_neardup_pairs(
+            delta, store_path, id_col, text_col, threshold, n_hashes, shingle_n
+        ).write.mode("append").parquet(pairs_out_dir)
+        append_signature_store(delta, id_col, text_col, store_path, n_hashes, shingle_n)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """ST7: custom stateful per-key operator via applyInPandasWithState.
 

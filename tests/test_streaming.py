@@ -123,6 +123,60 @@ def test_dedup_stream_exactly_once_across_runs(spark, events_batch, tmp_path):
     assert n2 == n1
 
 
+def test_incremental_neardup_stream_equals_batch(spark, tmp_path):
+    """Streaming corpus dedup (foreachBatch over the signature store):
+    micro-batched arrivals flagged against the persisted corpus produce,
+    together with the corpus's own batch pairs, exactly the batch result
+    over the full union — including pairs BETWEEN micro-batches (batch 2
+    must see batch 1 through the store append)."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        build_signature_store,
+        minhash_neardup_pairs,
+    )
+    from mlb_data_pipeline_spark.streaming import incremental_neardup_stream, read_document_stream
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12))) for i in range(30)],
+        "doc_id BIGINT, text STRING",
+    )
+    # arrival 1: near-dup of corpus doc 3; arrival 2: near-dup of
+    # ARRIVAL-1 doc 100 (cross-micro-batch) plus a singleton
+    shared = " ".join(f"dupw{j}" for j in range(12))
+    b1 = spark.createDataFrame(
+        [(100, corpus.collect()[3].text[:-1] + "X"), (101, shared + " tail1")],
+        "doc_id BIGINT, text STRING",
+    )
+    b2 = spark.createDataFrame(
+        [(200, shared + " tail2"), (201, " ".join(f"solo{j}" for j in range(12)))],
+        "doc_id BIGINT, text STRING",
+    )
+    store = str(tmp_path / "sigstore")
+    src = str(tmp_path / "src")
+    build_signature_store(corpus, "doc_id", "text", store)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    incremental_neardup_stream(
+        read_document_stream(spark, src, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    streamed = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(str(tmp_path / "pairs")).distinct().collect()
+    }
+    batch_all = minhash_neardup_pairs(
+        corpus.unionByName(b1).unionByName(b2), "doc_id", "text", threshold=0.5
+    )
+    batch_corpus = minhash_neardup_pairs(corpus, "doc_id", "text", threshold=0.5)
+    want = {(r.id_a, r.id_b) for r in batch_all.collect()} - {
+        (r.id_a, r.id_b) for r in batch_corpus.collect()
+    }
+    assert streamed == want
+    assert (101, 200) in streamed  # the cross-micro-batch pair
+
+
 def test_stream_static_join(spark, events_dir, events_batch, tmp_path):
     dim = spark.createDataFrame(
         [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 2.0), ("error", 0.0)],
