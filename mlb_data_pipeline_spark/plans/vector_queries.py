@@ -197,9 +197,22 @@ def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_INDEX_CACHE: dict[tuple[str, float], object] = {}
+
+
 def _ivf_index_for(spark: SparkSession, sf_dir: str):
     """Load the persisted IVF index for ``sf_dir``, building + saving it
-    on first use (a deployment runs the build alongside corpus ingest)."""
+    on first use (a deployment runs the build alongside corpus ingest).
+
+    Session-scoped READ-THROUGH cache over the parquet artifact: the
+    load costs three driver round-trips (existence probe + meta +
+    centroid collect, ~0.4 s), pure overhead when repeated per query in
+    one session. The persisted store stays the source of truth — the
+    cache key includes the meta file's mtime, so a store rebuilt in
+    place (new corpus version) is picked up, unlike the round-4
+    process-local centroid dict this replaces (which had no persistence
+    underneath at all)."""
+    import glob
     import os
 
     from ..operators.vector import build_ivf_index, load_ivf_index, save_ivf_index
@@ -211,7 +224,11 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str):
     if not target_exists(spark, path + "/meta"):
         emb = load_table(spark, sf_dir, "embeddings")
         save_ivf_index(build_ivf_index(emb, "vec_id", "embedding", n_lists=16), path)
-    return load_ivf_index(spark, path)
+    meta_files = glob.glob(path + "/meta/*.parquet")
+    key = (path, max((os.path.getmtime(f) for f in meta_files), default=0.0))
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = load_ivf_index(spark, path)
+    return _INDEX_CACHE[key]
 
 
 @query("q58_ivf_knn", oracle=None, covers="V3,V2", bench=True)
