@@ -509,6 +509,26 @@ def incremental_neardup_pairs(
     )
 
 
+def incremental_dedup_keep(delta: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """The daily-cadence keep/drop decision: from a delta and its
+    ``incremental_neardup_pairs`` output, keep only the delta docs that
+    do NOT near-dup an already-kept document. A doc is dropped when it
+    is the GREATER id of any pair — the same min-id-canonical rule as
+    the batch ``neardup_dedup``, applied pairwise: corpus docs (already
+    kept, and in a daily pipeline ids grow monotonically) always win,
+    and within the delta the earliest id of a dup group survives.
+
+    Pairwise, not connected-components: on a chain a~c, b~c (with a~b
+    never emitted) CC merges all three and keeps only `a`, while this
+    rule keeps `a` AND `b` (neither directly lost to a smaller id) —
+    pairwise retains more on transitive-only duplicates. That is the
+    standard daily-pipeline trade: one narrow anti-join instead of CC
+    iteration; run the batch ``neardup_dedup`` (full CC) at corpus
+    re-version time to collapse any accumulated chains."""
+    losers = pairs.select(F.greatest("id_a", "id_b").alias(id_col)).distinct()
+    return delta.join(losers, on=id_col, how="left_anti")
+
+
 def neardup_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Keep one canonical row (min id) per near-dup cluster, plus every
     row that belongs to no cluster — the corpus-dedup end state the

@@ -234,6 +234,26 @@ def test_incremental_hot_band_cap_spans_store_and_delta(spark, tmp_path):
     assert (10_000, 50_001) in got or (20_000, 50_001) in got  # planted pair survives the cap
 
 
+def test_incremental_dedup_keep_decision(spark, tmp_path):
+    """End-to-end daily decision: delta docs near-dupping the corpus (or
+    an earlier delta doc) are dropped; singletons and canonical-of-pair
+    survive."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        build_signature_store,
+        incremental_dedup_keep,
+        incremental_neardup_pairs,
+    )
+
+    corpus, delta = _daily_corpus(spark)
+    store = str(tmp_path / "sigstore")
+    build_signature_store(corpus, "doc_id", "text", store)
+    pairs = incremental_neardup_pairs(delta, store, "doc_id", "text", threshold=0.5)
+    kept = sorted(r.doc_id for r in incremental_dedup_keep(delta, pairs, "doc_id").collect())
+    # 100-105 near-dup corpus docs (greater id -> dropped); 107 loses to
+    # 106; 106, 108, 109 survive
+    assert kept == [106, 108, 109]
+
+
 def test_dedup_idempotent_on_deduped_corpus(spark):
     df = spark.createDataFrame([(i, f"doc{i}") for i in range(6)], "doc_id BIGINT, text STRING")
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a BIGINT, id_b BIGINT")
