@@ -267,7 +267,7 @@ def lsh_params(
     n_pairs = n_rows * (n_rows - 1) / 2
     best = None
     for bands in (2, 4, 6, 8, 12, 16, 24, 32):
-        for per_band in range(4, 29):
+        for per_band in range(4, 31):
             if bands * (1 << per_band) > 2**31:  # int32 band-key contract
                 continue
             for probe in (0, 1):

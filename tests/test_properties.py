@@ -106,3 +106,32 @@ def test_jaccard_bounds_and_self_identity(spark, texts):
     b = sets.select(F.col("id").alias("ib"), F.col("s").alias("sb"))
     pairs = a.join(b, F.col("ia") < F.col("ib")).select(jaccard(F.col("sa"), F.col("sb")).alias("j"))
     assert all(0.0 <= r.j <= 1.0 for r in pairs.collect())
+
+
+@given(
+    n_rows=st.integers(min_value=2, max_value=10**10),
+    threshold=st.floats(min_value=0.05, max_value=0.999),
+)
+@settings(max_examples=200, deadline=None)
+def test_lsh_params_always_feasible_and_consistent(n_rows, threshold):
+    """Driver-side property (no Spark jobs): for ANY corpus size and
+    threshold, lsh_params either returns a point whose expected
+    random-pair candidate volume is linear (<= 8n), whose band keys fit
+    int32, and whose shape is internally consistent — or raises the
+    documented infeasibility error, which the int32 keyspace only
+    permits past n ~ 8.6e9 (2 bands x 30 bits: 2*2^-30 <= 16/n)."""
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.vector import _band_match_prob, lsh_params
+
+    if n_rows > 8_589_934_592:  # 16 / (2 * 2^-30): beyond the int32-key frontier
+        with pytest.raises(ValueError, match="ivf_knn_join"):
+            lsh_params(n_rows, threshold)
+        return
+    n_planes, bands, probe = lsh_params(n_rows, threshold)
+    per_band = n_planes // bands
+    assert n_planes == bands * per_band and per_band >= 4
+    assert probe in (0, 1)
+    assert bands * (1 << per_band) <= 2**31
+    exp_cand = bands * _band_match_prob(0.5, per_band, probe) * n_rows * (n_rows - 1) / 2
+    assert exp_cand <= 8 * n_rows * 1.0000001
