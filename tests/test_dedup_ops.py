@@ -254,6 +254,25 @@ def test_incremental_dedup_keep_decision(spark, tmp_path):
     assert kept == [106, 108, 109]
 
 
+def test_incremental_neardup_empty_delta(spark, tmp_path):
+    """A day with no arrivals must be a clean no-op: zero pairs, no
+    errors, store unchanged after append."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        append_signature_store,
+        build_signature_store,
+        incremental_neardup_pairs,
+    )
+
+    corpus, _ = _daily_corpus(spark)
+    store = str(tmp_path / "sigstore")
+    build_signature_store(corpus, "doc_id", "text", store)
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    assert incremental_neardup_pairs(empty, store, "doc_id", "text", 0.5).count() == 0
+    n_sig = spark.read.parquet(store + "/signatures").count()
+    append_signature_store(empty, "doc_id", "text", store)
+    assert spark.read.parquet(store + "/signatures").count() == n_sig
+
+
 def test_dedup_idempotent_on_deduped_corpus(spark):
     df = spark.createDataFrame([(i, f"doc{i}") for i in range(6)], "doc_id BIGINT, text STRING")
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a BIGINT, id_b BIGINT")
