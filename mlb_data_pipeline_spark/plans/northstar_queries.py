@@ -357,6 +357,76 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q65 — connected components over the near-dup pair graph, ORACLED: the
+#        iterative min-label operator was rows-only through round 4
+#        ("iterative CC is not single-query SQL") — but it IS expressible
+#        as a DuckDB recursive CTE (reach-set min), so the clustering
+#        semantics themselves now carry hash-grade verification. The
+#        Spark side stays the scalable iterative-join operator; only the
+#        oracle uses recursion (fine at sf0.01, quadratic-ish in
+#        component size — exactly why it is the oracle, not the engine).
+# ---------------------------------------------------------------------------
+
+_Q65_SQL = """
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [] END AS shingles
+  FROM d
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+                                      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS gs
+  FROM sh
+),
+mh AS (
+  SELECT e.doc_id, b.band,
+         MIN(((e.gv >> 30) + b.band * (e.gv & 1073741823)) % 2147483647) AS m
+  FROM (SELECT doc_id, unnest(gs) AS gv FROM g) e
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+  GROUP BY e.doc_id, b.band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b ON a.band = b.band AND a.m = b.m AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.id_a
+  JOIN g gb ON gb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+          / len(list_distinct(list_concat(ga.gs, gb.gs))) >= 0.3
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst
+)
+SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id
+"""
+
+
+@query("q65_neardup_components", oracle=_Q65_SQL, covers="V4,J1")
+def q65_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering step of q59 in isolation, hash-verified: MinHash
+    near-dup pairs -> min-label connected components -> (id, component).
+    The oracle computes the same fixpoint as a recursive reach-set CTE."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.3, n_hashes=4, shingle_n=3)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return ordered_small(comp, "id")
+
+
 @query("q64_incremental_neardup", oracle=_Q64_SQL, covers="V4,S11,J1")
 def q64_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-cadence near-dup: corpus = doc_id % 5 != 0 is pre-banded
