@@ -509,6 +509,48 @@ def incremental_neardup_pairs(
     )
 
 
+def exact_span_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_shared: int = 1,
+    max_span_freq: int | None = None,
+) -> DataFrame:
+    """Cross-document EXACT span duplication (the "Deduplicating
+    Training Data" signal — long verbatim n-token overlaps, a different
+    duplication class from MinHash near-dup: a doc quoting one paragraph
+    of another has low Jaccard but a long exact span): pairs
+    (id_a, id_b, n_shared_spans) of documents sharing >= ``min_shared``
+    distinct exact spans of ``span_tokens`` tokens.
+
+    Candidates ARE matches — span hashes are 60-bit md5 truncations, so
+    hash equality is span equality up to 2^-60 collisions, and there is
+    NO verify stage; this is a single equi-join on the span hash, the
+    cheapest operator in the dedup family. ``max_span_freq`` drops
+    spans shared by more than that many docs (boilerplate paragraphs)
+    before the pair join, same rationale as ``cap_hot_keys``. The
+    engine-neutral md5 hashing keeps the operator fully
+    DuckDB-oracle-able (q66)."""
+    from .relational import spread_for_cpu
+
+    sp = (
+        spread_for_cpu(df)
+        .select(id_col, F.explode(shingle_hashes(text_col, span_tokens)).alias("__h"))
+    )
+    if max_span_freq is not None:
+        sp = cap_hot_keys(sp, ["__h"], max_span_freq)
+    a = sp.select(F.col(id_col).alias("id_a"), "__h")
+    b = sp.select(F.col(id_col).alias("id_b"), "__h")
+    return (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= min_shared)
+    )
+
+
 def incremental_dedup_keep(delta: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """The daily-cadence keep/drop decision: from a delta and its
     ``incremental_neardup_pairs`` output, keep only the delta docs that

@@ -427,6 +427,47 @@ def q65_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_small(comp, "id")
 
 
+# ---------------------------------------------------------------------------
+# Q66 — exact cross-document span duplication (verbatim 8-token overlap):
+#        the "long exact substring" duplication class — low-Jaccard
+#        quoting relationships that MinHash misses. One equi-join on the
+#        span hash; hash equality IS span equality (60-bit md5), so no
+#        verify stage exists to get wrong.
+# ---------------------------------------------------------------------------
+
+_Q66_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8
+              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+                                                i -> array_to_string(toks[i:i+7], ' ')))
+              ELSE [] END AS spans
+  FROM d
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(spans,
+                                      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hs
+  FROM sh
+),
+e AS (SELECT doc_id, unnest(hs) AS h FROM g)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_spans
+FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
+@query("q66_exact_span_overlap", oracle=_Q66_SQL, covers="V4,T17")
+def q66_exact_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_span_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_span_overlap_pairs(docs, "doc_id", "text", span_tokens=8)
+    return ordered_small(pairs, "id_a", "id_b")
+
+
 @query("q64_incremental_neardup", oracle=_Q64_SQL, covers="V4,S11,J1")
 def q64_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-cadence near-dup: corpus = doc_id % 5 != 0 is pre-banded

@@ -273,6 +273,50 @@ def test_incremental_neardup_empty_delta(spark, tmp_path):
     assert spark.read.parquet(store + "/signatures").count() == n_sig
 
 
+def test_exact_span_overlap_catches_quoting_minhash_misses(spark):
+    """The exact-span class vs the near-dup class: doc 1 quotes one
+    8-token span of doc 0 inside otherwise-disjoint text — Jaccard is
+    far below near-dup thresholds (MinHash verify kills it), but the
+    span operator flags the pair with the exact shared-span count."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        exact_span_overlap_pairs,
+        minhash_neardup_pairs,
+    )
+
+    quote = " ".join(f"q{j}" for j in range(8))
+    df = spark.createDataFrame(
+        [
+            (0, quote + " " + " ".join(f"a{j}" for j in range(40))),
+            (1, " ".join(f"b{j}" for j in range(40)) + " " + quote),
+            (2, " ".join(f"c{j}" for j in range(40))),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    spans = {(r.id_a, r.id_b): r.n_shared_spans for r in
+             exact_span_overlap_pairs(df, "doc_id", "text", span_tokens=8).collect()}
+    assert spans == {(0, 1): 1}  # exactly the quoted span, nothing else
+    near = minhash_neardup_pairs(df, "doc_id", "text", threshold=0.5).count()
+    assert near == 0  # the quoting pair is NOT a near-dup (Jaccard ~0.09)
+
+
+def test_exact_span_overlap_boilerplate_cap(spark):
+    """max_span_freq drops spans shared corpus-wide (license headers)
+    while genuinely-rare shared spans survive."""
+    from mlb_data_pipeline_spark.operators.dedup import exact_span_overlap_pairs
+
+    header = " ".join(f"h{j}" for j in range(8))
+    rare = " ".join(f"r{j}" for j in range(8))
+    rows = [(i, header + " " + " ".join(f"x{i}y{j}" for j in range(20))) for i in range(50)]
+    rows.append((100, rare + " " + " ".join(f"u{j}" for j in range(20))))
+    rows.append((101, " ".join(f"v{j}" for j in range(20)) + " " + rare))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    uncapped = exact_span_overlap_pairs(df, "doc_id", "text", span_tokens=8).count()
+    capped = {(r.id_a, r.id_b) for r in
+              exact_span_overlap_pairs(df, "doc_id", "text", span_tokens=8, max_span_freq=10).collect()}
+    assert uncapped > 1000  # 50 header docs -> C(50,2) boilerplate pairs
+    assert capped == {(100, 101)}  # cap kills the boilerplate, keeps the rare span
+
+
 def test_dedup_idempotent_on_deduped_corpus(spark):
     df = spark.createDataFrame([(i, f"doc{i}") for i in range(6)], "doc_id BIGINT, text STRING")
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a BIGINT, id_b BIGINT")
