@@ -52,6 +52,42 @@ def hash_split(
     return df.withColumn(out_col, split)
 
 
+def hash_keep(col: Column | str, fraction: float, salt: str = "") -> Column:
+    """Deterministic Bernoulli keep-predicate: true iff the first 8 hex
+    chars of md5(salt || key) fall below fraction * 16^8. Reproducible
+    across engines/sessions/partitionings (the property `rand()`-based
+    sampling lacks), and monotone in ``fraction``: a 10% sample is a
+    subset of the 20% sample with the same salt — so downsampling a
+    mixture never discards previously-selected rows. Different salts
+    give independent samples from the same keys."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    c = F.col(col) if isinstance(col, str) else col
+    v = F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
+    return v < F.lit(int(fraction * 2**32))
+
+
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Dataset-mixing sampler: keep a per-stratum deterministic fraction
+    (e.g. {"web": 0.3, "code": 1.0}) — the corpus-mixture step of a
+    pretraining data recipe, reproducible by construction. Strata absent
+    from ``fractions`` are DROPPED (an unlisted source must never leak
+    into the mix silently). Narrow — one hash + comparison per row, no
+    shuffle, no sampleBy seed-dependence."""
+    expr = F.lit(None).cast("double")
+    for stratum, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0, 1], got {frac}")
+        expr = F.when(F.col(strata_col) == stratum, F.lit(float(frac))).otherwise(expr)
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")), 1, 8),
+        16, 10,
+    ).cast("long")
+    return df.filter(v < (expr * F.lit(float(2**32))).cast("long"))
+
+
 def repeated_ngram_fraction(text_col: Column | str, n: int = 3) -> Column:
     """Within-document repetition signal (the Gopher/C4-style quality
     rule): 1 - distinct_ngrams / total_ngrams. 0 = no repeated shingle;

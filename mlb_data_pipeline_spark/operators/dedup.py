@@ -551,6 +551,44 @@ def exact_span_overlap_pairs(
     )
 
 
+def cross_corpus_span_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    max_span_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination scan: corpus documents sharing a verbatim
+    ``span_tokens``-token span with any benchmark/eval document —
+    the train-test overlap check every pretraining pipeline runs before
+    a data release. Returns (corpus_id, bench_id, n_shared_spans).
+
+    Same single-equi-join shape as ``exact_span_overlap_pairs`` but
+    two-sided: the (small) benchmark side's span hashes join against the
+    corpus span scan, so the shuffle carries (id, hash) only and the
+    benchmark side broadcasts when small. ``max_span_freq`` caps spans
+    by their CORPUS-side frequency (boilerplate); benchmark spans are
+    never dropped — a contaminated boilerplate span is still
+    contamination worth flagging, just noisy."""
+    from .relational import spread_for_cpu
+
+    ca = (
+        spread_for_cpu(corpus)
+        .select(F.col(id_col).alias("corpus_id"), F.explode(shingle_hashes(text_col, span_tokens)).alias("__h"))
+    )
+    if max_span_freq is not None:
+        ca = cap_hot_keys(ca, ["__h"], max_span_freq)
+    cb = bench.select(
+        F.col(id_col).alias("bench_id"), F.explode(shingle_hashes(text_col, span_tokens)).alias("__h")
+    )
+    return (
+        ca.join(cb, "__h")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+
+
 def incremental_dedup_keep(delta: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """The daily-cadence keep/drop decision: from a delta and its
     ``incremental_neardup_pairs`` output, keep only the delta docs that

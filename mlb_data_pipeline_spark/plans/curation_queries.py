@@ -205,3 +205,43 @@ def q63_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q68 — stratified deterministic sampling (dataset mixing): keep a
+#        per-source fraction of documents, reproducibly (md5-threshold,
+#        not rand()). The corpus-mixture step of a pretraining recipe.
+# ---------------------------------------------------------------------------
+
+_Q68_SQL = """
+WITH keyed AS (
+  SELECT source, n_chars,
+         CAST(('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv,
+         CASE source
+           WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+           WHEN 'src3' THEN 0.1
+         END AS frac
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM keyed
+WHERE frac IS NOT NULL AND hv < CAST(frac * 4294967296.0 AS BIGINT)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q68_stratified_sample", oracle=_Q68_SQL, covers="curation:mixing")
+def q68_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}, salt="mix1"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("source")
+    )

@@ -468,6 +468,49 @@ def q66_exact_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_small(pairs, "id_a", "id_b")
 
 
+# ---------------------------------------------------------------------------
+# Q67 — benchmark-contamination scan: corpus docs sharing a verbatim
+#        8-token span with a held-out "benchmark" slice (doc_id % 7 == 0
+#        stands in for the eval set). The train-test-overlap check a
+#        pretraining pipeline runs before any data release.
+# ---------------------------------------------------------------------------
+
+_Q67_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8
+              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+                                                i -> array_to_string(toks[i:i+7], ' ')))
+              ELSE [] END AS spans
+  FROM d
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(spans,
+                                      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hs
+  FROM sh
+),
+e AS (SELECT doc_id, unnest(hs) AS h FROM g)
+SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, COUNT(*) AS n_shared_spans
+FROM (SELECT * FROM e WHERE doc_id % 7 <> 0) c
+JOIN (SELECT * FROM e WHERE doc_id % 7 = 0) b ON c.h = b.h
+GROUP BY 1, 2
+ORDER BY corpus_id, bench_id
+"""
+
+
+@query("q67_contamination_scan", oracle=_Q67_SQL, covers="V4,T17")
+def q67_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cross_corpus_span_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    pairs = cross_corpus_span_overlap(corpus, bench, "doc_id", "text", span_tokens=8)
+    return ordered_small(pairs, "corpus_id", "bench_id")
+
+
 @query("q64_incremental_neardup", oracle=_Q64_SQL, covers="V4,S11,J1")
 def q64_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-cadence near-dup: corpus = doc_id % 5 != 0 is pre-banded

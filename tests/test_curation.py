@@ -75,3 +75,40 @@ def test_redact_scrubs_and_is_idempotent(spark):
     assert "@" not in row.r and "415-555" not in row.r
     [row2] = once.select(redact("r").alias("r2")).collect()
     assert row2.r2 == row.r  # idempotent: placeholders don't re-match
+
+
+def test_stratified_hash_sample_monotone_and_strict(spark):
+    """Mixing-sampler invariants: deterministic across calls, a smaller
+    fraction selects a SUBSET of a larger one (same salt), unlisted
+    strata are dropped entirely, and kept fractions land near target."""
+    from mlb_data_pipeline_spark.operators.curation import stratified_hash_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k BIGINT, s STRING")
+    small = {r.k for r in stratified_hash_sample(df, "k", "s", {"a": 0.2}).collect()}
+    big = {r.k for r in stratified_hash_sample(df, "k", "s", {"a": 0.5}).collect()}
+    again = {r.k for r in stratified_hash_sample(df, "k", "s", {"a": 0.2}).collect()}
+    assert small == again  # deterministic
+    assert small <= big  # monotone in fraction
+    assert all(k % 2 == 0 for k in big)  # stratum "b" unlisted -> dropped
+    assert 0.14 < len(small) / 1000 < 0.26 and 0.42 < len(big) / 1000 < 0.58
+    salted = {r.k for r in stratified_hash_sample(df, "k", "s", {"a": 0.2}, salt="x").collect()}
+    assert salted != small  # different salt -> different (independent) sample
+
+
+def test_cross_corpus_span_overlap_flags_contamination(spark):
+    """A corpus doc embedding a benchmark doc's 8-token span is flagged;
+    clean docs are not; benchmark-side spans are never frequency-capped."""
+    from mlb_data_pipeline_spark.operators.dedup import cross_corpus_span_overlap
+
+    probe = " ".join(f"p{j}" for j in range(8))
+    bench = spark.createDataFrame([(900, probe + " " + " ".join(f"e{j}" for j in range(10)))],
+                                  "doc_id BIGINT, text STRING")
+    corpus = spark.createDataFrame(
+        [(0, " ".join(f"a{j}" for j in range(30)) + " " + probe),
+         (1, " ".join(f"b{j}" for j in range(30)))],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {(r.corpus_id, r.bench_id): r.n_shared_spans
+           for r in cross_corpus_span_overlap(corpus, bench, "doc_id", "text").collect()}
+    assert got == {(0, 900): 1}
