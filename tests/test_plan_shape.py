@@ -61,6 +61,10 @@ def test_flagship_broadcasts_only_fixed_dims(spark, sf_dir):
         "q44_minhash_neardup",  # LSH banding must stay an equi-join
         "q52_embedding_neardup_lsh",
         "q45_ngram_jaccard",  # blocked pairs join on source
+        "q64_incremental_neardup",  # store scan join must stay an equi-join
+        "q65_neardup_components",  # CC label joins are equi-joins
+        "q66_exact_span_overlap",  # span-hash join
+        "q67_contamination_scan",  # cross-corpus span-hash join
     ],
 )
 def test_no_cartesian_in_composed_operators(spark, sf_dir, name):
