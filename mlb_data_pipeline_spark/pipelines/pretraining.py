@@ -1,0 +1,116 @@
+"""Entry point C — the pretraining-data curation chain as ONE Spark job.
+
+The end-to-end release pipeline that SURVEY §2.10 (curation) and §2.11
+(incremental/persisted state) exist for, composed in the order a real
+data release runs them:
+
+    quality filter -> exact dedup -> incremental near-dup vs the corpus
+    signature store -> contamination scan vs the benchmark set ->
+    stratified mixing -> deterministic split -> PII redaction ->
+    token counting + sequence packing -> split-partitioned shard write
+    -> signature-store append (so tomorrow's delta sees today's docs)
+
+Beyond-reference by design: the reference's corpus handling stops at
+id-keyed upsert (pipeline.py:58-77); this is the 100 TB training-data
+shape layered on the same engine. Every stage is an existing tested
+operator — the pipeline adds ordering and the day-boundary contract,
+not new semantics.
+
+100 TB notes: the only corpus-sized state touched is the signature
+store SCAN (never re-shingled); every join is an equi-join (span hash,
+band+minhash, id); quality/mix/split/redact are narrow; packing windows
+partition by (split) so no global sort exists. The whole chain is a
+handful of shuffles bounded by delta size, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfn import token_count
+from ..operators.curation import (
+    hash_split,
+    pack_sequences,
+    redact,
+    repeated_ngram_fraction,
+    stratified_hash_sample,
+)
+from ..operators.dedup import (
+    append_signature_store,
+    cross_corpus_span_overlap,
+    dedup_exact,
+    incremental_dedup_keep,
+    incremental_neardup_pairs,
+)
+from ..sources.writers import write_partitioned
+
+
+def pretraining_data_pipeline(
+    spark: SparkSession,
+    delta: DataFrame,
+    bench: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    mix: dict[str, float],
+    min_chars: int = 20,
+    max_repetition: float = 0.5,
+    neardup_threshold: float = 0.5,
+    contamination_span_tokens: int = 8,
+    pack_budget: int = 2048,
+    salt: str = "",
+) -> DataFrame:
+    """Run one day's delta through the full curation chain and write
+    packed, split-partitioned shards to ``out_path``. Returns the
+    per-(split, source) summary frame (n_docs, n_chunks, total_tokens).
+
+    Day-boundary contract: the signature store at ``store_path`` must
+    exist (``build_signature_store`` at corpus bootstrap); kept docs are
+    appended to it at the END, so a failed run can re-execute without
+    having poisoned the store with docs that were never released
+    (the append's id guard additionally makes replays no-ops)."""
+    # 1. quality: minimum length + repetition ceiling (Gopher/C4-style)
+    q = delta.filter(
+        (F.length(text_col) >= min_chars)
+        & (repeated_ngram_fraction(text_col) <= max_repetition)
+    )
+    # 2. exact dedup inside the delta (deterministic canonical row)
+    q = dedup_exact(q, [text_col], [id_col])
+    # 3. near-dup vs the persisted corpus + within-delta (one banding
+    #    pass over the delta; the corpus side is a store scan)
+    pairs = incremental_neardup_pairs(
+        q, store_path, id_col, text_col, neardup_threshold
+    )
+    q = incremental_dedup_keep(q, pairs, id_col)
+    # 4. contamination: drop any doc sharing a verbatim span with the
+    #    benchmark set (train-test leakage gate)
+    dirty = cross_corpus_span_overlap(
+        q, bench, id_col, text_col, span_tokens=contamination_span_tokens
+    ).select(F.col("corpus_id").alias(id_col)).distinct()
+    q = q.join(dirty, on=id_col, how="left_anti")
+    # 5-7. mixing -> split -> redaction (all narrow)
+    q = stratified_hash_sample(q, id_col, strata_col, mix, salt=salt)
+    q = hash_split(q, id_col)
+    q = q.withColumn(text_col, redact(text_col))
+    # the kept set feeds packing, the write, the summary AND the store
+    # append — checkpoint once instead of recomputing the chain 4x
+    q = q.withColumn("n_tok", token_count(text_col)).localCheckpoint(eager=True)
+    # 8. packing per split (window partitions by split — no global sort)
+    packed = pack_sequences(q, id_col, "n_tok", pack_budget, partition_cols=["split"])
+    # 9. split-partitioned shard write
+    write_partitioned(packed, out_path, ["split"])
+    # 10. extend the corpus store with what was RELEASED
+    append_signature_store(q, id_col, text_col, store_path)
+    return (
+        packed.groupBy("split", strata_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("chunk_id").alias("n_chunks"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split", strata_col)
+    )

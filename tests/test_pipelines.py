@@ -78,3 +78,63 @@ def test_agent_pipeline_entry_point_c(spark):
     # deterministic end to end
     again = agent_pipeline(spark, "trade deadline", "relief pitchers").collect()
     assert out[0].script == again[0].script
+
+
+def test_pretraining_data_pipeline_end_to_end(spark, tmp_path):
+    """Entry point C: every gate fires on its planted case, survivors
+    come out packed and split-partitioned, and the store extends so a
+    second day sees day one."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.dedup import build_signature_store
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12)), "web") for i in range(20)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    store = str(tmp_path / "store")
+    build_signature_store(corpus, "doc_id", "text", store)
+
+    probe = " ".join(f"p{j}" for j in range(8))
+    bench = spark.createDataFrame(
+        [(900, probe + " held out")], "doc_id BIGINT, text STRING"
+    )
+    good = " ".join(f"g{{0}}x{j}" for j in range(30))
+    delta_rows = [
+        (100, "too short", "web"),                                   # quality: length
+        (101, " ".join(["loop the"] * 30), "web"),                   # quality: repetition
+        (102, " ".join(f"c5w{j}" for j in range(11)) + " tail", "web"),  # near-dups corpus doc 5
+        (103, " ".join(f"a{j}" for j in range(30)) + " " + probe, "web"),  # contaminated
+        (104, good.format(4), "web"),                                 # survivor
+        (105, good.format(5), "web"),
+        (106, good.format(6), "unlisted_source"),                     # mixing: dropped stratum
+        (107, good.format(7) + " mail me x@y.org", "web"),            # survivor, needs redaction
+    ]
+    delta = spark.createDataFrame(delta_rows, "doc_id BIGINT, text STRING, source STRING")
+
+    out = str(tmp_path / "shards")
+    summary = pretraining_data_pipeline(
+        spark, delta, bench, store, out,
+        mix={"web": 1.0}, pack_budget=64,
+    )
+    rows = summary.collect()
+    assert all(r.source == "web" for r in rows)
+    written = spark.read.parquet(out)
+    kept = {r.doc_id for r in written.collect()}
+    assert kept == {104, 105, 107}  # every gate dropped its planted doc
+    assert written.filter(F.col("text").contains("x@y.org")).count() == 0
+    assert written.filter(F.col("text").contains("<EMAIL>")).count() == 1
+    assert {r.split for r in written.collect()} <= {"train", "val", "test"}
+    assert written.select("chunk_id").distinct().count() >= 1
+    # the store now contains the released docs: a day-2 near-dup of 104
+    # is caught against the STORE, not the original corpus
+    from mlb_data_pipeline_spark.operators.dedup import incremental_neardup_pairs
+
+    day2 = spark.createDataFrame(
+        [(200, good.format(4).replace("x29", "x99"), "web")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    got = {(r.id_a, r.id_b) for r in
+           incremental_neardup_pairs(day2, store, "doc_id", "text", 0.5).collect()}
+    assert (104, 200) in got
