@@ -254,6 +254,35 @@ def test_incremental_dedup_keep_decision(spark, tmp_path):
     assert kept == [106, 108, 109]
 
 
+def test_incremental_cap_equals_batch_cap(spark, tmp_path):
+    """The combined-corpus cap must be EXACTLY the batch cap: with the
+    same max_band_freq, incremental(delta, store) ∪ batch-capped(corpus)
+    == batch-capped(corpus ∪ delta) — hot keys are counted over
+    identical totals on both paths."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        build_signature_store,
+        incremental_neardup_pairs,
+        minhash_neardup_pairs,
+    )
+
+    corpus = _skewed_corpus(spark, n_boiler=120)
+    boiler = "terms of service apply to all content on this site all rights reserved"
+    delta = spark.createDataFrame(
+        [(60_000 + i, boiler + " " + " ".join(f"nn{i}m{j}" for j in range(14))) for i in range(5)]
+        + [(70_000, " ".join(f"w3k{j}" for j in range(12)) + " alpha beta zeta")],
+        "doc_id BIGINT, text STRING",
+    )
+    store = str(tmp_path / "sigstore")
+    build_signature_store(corpus, "doc_id", "text", store)
+    cap = 40
+    inc = incremental_neardup_pairs(delta, store, "doc_id", "text", 0.5, max_band_freq=cap)
+    b_corpus = minhash_neardup_pairs(corpus, "doc_id", "text", 0.5, max_band_freq=cap)
+    b_all = minhash_neardup_pairs(
+        corpus.unionByName(delta), "doc_id", "text", 0.5, max_band_freq=cap
+    )
+    assert _pairset(inc) | _pairset(b_corpus) == _pairset(b_all)
+
+
 def test_incremental_neardup_empty_delta(spark, tmp_path):
     """A day with no arrivals must be a clean no-op: zero pairs, no
     errors, store unchanged after append."""

@@ -98,6 +98,19 @@ def test_hash_split_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_stratified_sample_is_narrow(spark, sf_dir):
+    # dataset-mixing selection must not cost a shuffle: md5-threshold
+    # filtering is a pure filter over the scan
+    from mlb_data_pipeline_spark.catalog import load_table
+    from mlb_data_pipeline_spark.operators.curation import stratified_hash_sample
+
+    df = stratified_hash_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", "source", {"src0": 0.5, "src1": 1.0}
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_partitioned_packing_avoids_global_sort(spark, sf_dir):
     # with a shard key, the packing window hash-partitions and sorts
     # locally — the single-partition global window never appears
