@@ -11,6 +11,7 @@ merge (left-anti + union) for upsert semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", mode: str = "overwrite") -> None:
@@ -68,6 +69,39 @@ def upsert_by_key(spark: SparkSession, target_path: str, new_df: DataFrame, key_
     # truncates the lineage (disk-backed, non-recomputable) so the
     # overwrite can't re-scan the target mid-write.
     merged.localCheckpoint(eager=True).write.format(fmt).mode("overwrite").save(target_path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str] | None = None,
+    target_files: int = 1,
+) -> int:
+    """Rewrite a parquet dataset in place with a bounded file count —
+    the maintenance pass an append-only store (signature store, IVF
+    inverted file, streaming pair sink) needs periodically: daily
+    appends accrete one small file set per delta, and small files tax
+    every subsequent scan (driver listing + per-file open + splits).
+
+    Partitioned datasets keep their layout: rows shuffle to
+    ``partition_cols`` (+ a bounded salt when ``target_files > 1``), so
+    the dynamic-partition write emits ~``target_files`` files per
+    partition directory. Content is byte-for-byte the same rows — this
+    never changes data, only file topology. The read is checkpointed
+    (disk-backed, non-recomputable) before the overwrite, the same
+    read-then-rewrite safety as ``upsert_by_key``. Returns the row
+    count (callers typically assert it against pre-compaction)."""
+    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    n = df.count()
+    if partition_cols:
+        cols = [F.col(c) for c in partition_cols]
+        if target_files > 1:
+            cols.append(F.spark_partition_id() % target_files)
+        out = df.repartition(*cols)
+        out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    else:
+        df.repartition(target_files).write.mode("overwrite").parquet(path)
+    return n
 
 
 def delete_by_predicate(spark: SparkSession, target_path: str, predicate, fmt: str = "parquet") -> int:

@@ -229,3 +229,45 @@ def test_warehouse_layering(spark, tmp_path):
     # staging is a view (no storage), mart is a table
     assert spark.catalog.getTable("staging.stg_games").tableType == "VIEW"
     assert spark.catalog.getTable("analytics.team_wins").tableType in ("MANAGED", "EXTERNAL")
+
+
+def test_compact_parquet_preserves_content_and_layout(spark, tmp_path):
+    """Store-maintenance compaction: after several small appends the
+    signature store has many files; compaction collapses them to ~1 per
+    band directory with IDENTICAL content and intact partition layout
+    (band still readable as a partition column)."""
+    import glob
+
+    from mlb_data_pipeline_spark.operators.dedup import (
+        append_signature_store,
+        build_signature_store,
+    )
+    from mlb_data_pipeline_spark.sources.writers import compact_parquet
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12))) for i in range(20)],
+        "doc_id BIGINT, text STRING",
+    )
+    store = str(tmp_path / "store")
+    build_signature_store(corpus, "doc_id", "text", store)
+    for d in range(4):  # four daily appends -> four file sets per band dir
+        delta = spark.createDataFrame(
+            [(100 + 10 * d + k, " ".join(f"d{d}k{k}w{j}" for j in range(12))) for k in range(3)],
+            "doc_id BIGINT, text STRING",
+        )
+        append_signature_store(delta, "doc_id", "text", store)
+
+    sig = store + "/signatures"
+    before = sorted(map(tuple, spark.read.parquet(sig).collect()))
+    files_before = len(glob.glob(sig + "/band=*/*.parquet"))
+    n = compact_parquet(spark, sig, partition_cols=["band"])
+    files_after = len(glob.glob(sig + "/band=*/*.parquet"))
+    after = sorted(map(tuple, spark.read.parquet(sig).collect()))
+    assert after == before and n == len(before)
+    assert files_after < files_before and files_after <= 4  # ~1 per band dir
+    # unpartitioned shingle table too
+    sh = store + "/shingles"
+    rows_before = spark.read.parquet(sh).count()
+    compact_parquet(spark, sh, target_files=1)
+    assert spark.read.parquet(sh).count() == rows_before
+    assert len(glob.glob(sh + "/*.parquet")) == 1
