@@ -109,6 +109,48 @@ def ivf_recall(spark, sf_dir: str = "/root/testdata/sf0.01") -> float:
     return round(len(exact & approx) / len(exact), 4) if exact else 1.0
 
 
+def pq_recall(spark, sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    """Measured recall of the PQ tier: ADC-only and with the standard
+    exact rerank of a 10x shortlist — both tracked per round so the
+    memory tier (8-byte codes vs 256-byte vectors) carries quality
+    numbers beside the LSH and IVF tiers."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import load_table
+    from mlb_data_pipeline_spark.operators.vector import (
+        knn_join,
+        pq_encode,
+        pq_knn_join,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in knn_join(emb, queries, "vec_id", "embedding", k=3).collect()
+    }
+    books = train_pq_codebooks(emb, "embedding", m_subvectors=8, n_codes=256)
+    codes = pq_encode(emb, "embedding", books)
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_knn_join(codes, queries, "vec_id", "embedding", k=3, codebooks=books).collect()
+    }
+    rer = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_knn_join(
+            codes, queries, "vec_id", "embedding", k=3, codebooks=books,
+            rerank=30, corpus_vectors=emb,
+        ).collect()
+    }
+    if not exact:
+        return {"adc": 1.0, "rerank": 1.0}
+    return {
+        "adc": round(len(adc & exact) / len(exact), 4),
+        "rerank": round(len(rer & exact) / len(exact), 4),
+    }
+
+
 def sf1_section(spark) -> dict:
     """Spark vs DuckDB on the oracled bench queries at sf1 (10x the
     driver's largest scale factor, generated by tools/gen_sf1.py on
@@ -245,6 +287,11 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: ivf recall failed: {exc}", file=sys.stderr)
         recall_ivf = -1.0
+    try:
+        recall_pq = pq_recall(spark)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: pq recall failed: {exc}", file=sys.stderr)
+        recall_pq = {"adc": -1.0, "rerank": -1.0}
     out = {
         "metric": "bench_total_sec",
         "value": total,
@@ -253,6 +300,7 @@ def main() -> None:
         "recall": recall,
         "recall_multiprobe": recall_mp,
         "ivf_recall": recall_ivf,
+        "pq_recall": recall_pq,
         "sf": _sf_from_dir(SF_DIR),
     }
     if RUN_SF1:

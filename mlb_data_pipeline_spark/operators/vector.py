@@ -642,6 +642,146 @@ def ivf_knn_join(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bounded ANN tier
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    m_subvectors: int = 8,
+    n_codes: int = 256,
+    sample_rows: int = 20_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split each vector into ``m_subvectors``
+    contiguous sub-vectors and learn ``n_codes`` k-means centroids per
+    subspace (Lloyd's, fixed iterations, seeded — deterministic). The
+    corpus is SAMPLED to the driver for training (codebook fitting needs
+    thousands of rows, not the corpus; the model is m x k x dsub floats,
+    a few hundred KB). Encoded vectors cost m bytes instead of
+    4*dim — 32x compression at dim=64/m=8, the difference between an
+    inverted file that fits executor memory at 100 TB and one that
+    doesn't."""
+    rows = corpus.select(vec_col).limit(sample_rows).collect()
+    x = np.asarray([list(r[0]) for r in rows], dtype="float64")
+    dim = x.shape[1]
+    if dim % m_subvectors:
+        raise ValueError(f"dim={dim} not divisible by m_subvectors={m_subvectors}")
+    dsub = dim // m_subvectors
+    rng = np.random.RandomState(seed)
+    books = []
+    for mi in range(m_subvectors):
+        sub = x[:, mi * dsub : (mi + 1) * dsub]
+        k = min(n_codes, len(sub))
+        cents = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(n_iter):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    cents[ci] = sub[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str, codebooks, code_col: str = "pq_code") -> DataFrame:
+    """Encode vectors to PQ codes (array<int>, one code per subspace) —
+    a narrow Arrow pass with the codebooks shipped as literals."""
+    cb = [np.asarray(b, dtype="float64") for b in codebooks]
+    dsub = cb[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        v = np.stack(vs.to_numpy()).astype("float64")
+        codes = np.empty((v.shape[0], len(cb)), dtype="int32")
+        for mi, book in enumerate(cb):
+            sub = v[:, mi * dsub : (mi + 1) * dsub]
+            d = ((sub[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(code_col, enc(F.col(vec_col)))
+
+
+def pq_knn_join(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    codebooks,
+    code_col: str = "pq_code",
+    rerank: int = 0,
+    corpus_vectors: DataFrame | None = None,
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) k-NN over PQ codes: each query builds
+    an m x n_codes lookup table of sub-dot-products against the
+    codebooks; a candidate's approximate dot product is m table lookups
+    — no float vector ever leaves the (compressed) inverted file.
+
+    ``rerank > 0`` re-scores the top ``rerank`` ADC candidates per
+    query with EXACT cosine against ``corpus_vectors`` (id, vec) — the
+    standard two-stage shape: ADC recalls a shortlist from codes,
+    exact math fixes the order. Returns (query_id, neighbor_id,
+    sim, rank); sim is the ADC approximation unless reranked."""
+    cb = [np.asarray(b, dtype="float64") for b in codebooks]
+    dsub = cb[0].shape[1]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    joined = corpus_codes.select(id_col, code_col).join(F.broadcast(q))
+    joined = joined.filter(F.col("query_id") != F.col(id_col))
+
+    @F.pandas_udf("double")
+    def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        qv = np.stack(qvs.to_numpy()).astype("float64")
+        cd = np.stack(codes.to_numpy()).astype("int64")
+        # lookup tables per DISTINCT query in the batch (queries repeat
+        # across the corpus join — cache by the first few coords' bytes)
+        out = np.empty(len(qv))
+        luts: dict[bytes, np.ndarray] = {}
+        for i in range(len(qv)):
+            key = qv[i].tobytes()
+            lut = luts.get(key)
+            if lut is None:
+                lut = np.stack(
+                    [qv[i, mi * dsub : (mi + 1) * dsub] @ cb[mi].T for mi in range(len(cb))]
+                )  # m x n_codes of sub dot products
+                luts[key] = lut
+            out[i] = lut[np.arange(len(cb)), cd[i]].sum()
+        return pd.Series(out)
+
+    scored = joined.withColumn(sim_col, adc("__qv", code_col))
+    w = Window.partitionBy("query_id").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+    shortlist_n = max(k, rerank)
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_n)
+    )
+    if rerank and corpus_vectors is not None:
+        cv = corpus_vectors.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        pdot = dot_arrow()
+        rescored = (
+            shortlist.drop(sim_col, "rank", code_col)
+            .join(cv, id_col)
+            .withColumn(sim_col, pdot("__qv", "__cv") / (norm("__qv") * norm("__cv")))
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+        return (
+            rescored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank")
+        )
+    return shortlist.filter(F.col("rank") <= k).select(
+        "query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank"
+    )
+
+
 def similarity_join(
     corpus: DataFrame,
     queries: DataFrame,

@@ -231,6 +231,34 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+# ---------------------------------------------------------------------------
+# Q69 — PQ (product-quantization) two-stage k-NN: ADC over 8-byte codes
+#        recalls a shortlist, exact cosine reranks it. The memory tier
+#        of the ANN family (32x smaller inverted file than raw floats at
+#        dim=64/m=8 — what fits executor memory at 100 TB). Approximate
+#        by design: no SQL oracle; recall tracked in bench ("pq_recall")
+#        and the full-rerank==exact invariant is pytest-pinned.
+# ---------------------------------------------------------------------------
+
+_PQ_BOOKS: dict[str, list] = {}
+
+
+@query("q69_pq_knn", oracle=None, covers="V3,V2")
+def q69_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vector import pq_encode, pq_knn_join, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_BOOKS:  # codebooks are per-corpus-version state
+        _PQ_BOOKS[sf_dir] = train_pq_codebooks(emb, "embedding", m_subvectors=8, n_codes=256)
+    books = _PQ_BOOKS[sf_dir]
+    codes = pq_encode(emb, "embedding", books)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_knn_join(
+        codes, queries, "vec_id", "embedding", k=3, codebooks=books,
+        rerank=30, corpus_vectors=emb,
+    ).orderBy("query_id", "rank")
+
+
 @query("q58_ivf_knn", oracle=None, covers="V3,V2", bench=True)
 def q58_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vector import similarity_join

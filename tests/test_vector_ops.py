@@ -326,6 +326,66 @@ def test_ivf_loaded_index_plan_is_scan_not_assign(spark, emb, tmp_path):
     assert plan.count("ArrowEvalPython") == 2  # probe_lists (queries) + pair scoring
 
 
+def test_pq_encode_deterministic_and_compact(spark, emb):
+    from mlb_data_pipeline_spark.operators.vector import pq_encode, train_pq_codebooks
+
+    books = train_pq_codebooks(emb, "embedding", m_subvectors=8, n_codes=32)
+    books2 = train_pq_codebooks(emb, "embedding", m_subvectors=8, n_codes=32)
+    assert books == books2  # seeded training is deterministic
+    codes = pq_encode(emb, "embedding", books).select("vec_id", "pq_code").collect()
+    assert all(len(r.pq_code) == 8 for r in codes)  # 8 codes vs 64 floats: 32x
+    assert all(0 <= c < 32 for r in codes for c in r.pq_code)
+    again = pq_encode(emb, "embedding", books).select("vec_id", "pq_code").collect()
+    assert sorted(map(repr, codes)) == sorted(map(repr, again))
+
+
+def test_pq_full_rerank_equals_exact(spark, emb):
+    """Two-stage contract: ADC shortlist of the WHOLE corpus + exact
+    rerank must reproduce the exact k-NN result — the PQ analogue of
+    the IVF full-probe invariant."""
+    from mlb_data_pipeline_spark.operators.vector import (
+        pq_encode,
+        pq_knn_join,
+        train_pq_codebooks,
+    )
+
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = train_pq_codebooks(emb, "embedding", m_subvectors=8, n_codes=32)
+    codes = pq_encode(emb, "embedding", books)
+    got = pq_knn_join(
+        codes, queries, "vec_id", "embedding", k=3, codebooks=books,
+        rerank=n, corpus_vectors=emb,
+    )
+    exact = knn_join(emb, queries, "vec_id", "embedding", k=3)
+    want = sorted((r.query_id, r.rank, r.vec_id) for r in exact.collect())
+    assert sorted((r.query_id, r.rank, r.neighbor_id) for r in got.collect()) == want
+
+
+def test_pq_adc_recall_floor_and_rerank_improves(spark, emb):
+    """ADC-only recall is imperfect by design; a modest exact rerank of
+    the ADC shortlist must not reduce it."""
+    from mlb_data_pipeline_spark.operators.vector import (
+        pq_encode,
+        pq_knn_join,
+        train_pq_codebooks,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.vec_id) for r in knn_join(emb, queries, "vec_id", "embedding", k=3).collect()}
+    books = train_pq_codebooks(emb, "embedding", m_subvectors=8, n_codes=32)
+    codes = pq_encode(emb, "embedding", books)
+    adc = {(r.query_id, r.neighbor_id)
+           for r in pq_knn_join(codes, queries, "vec_id", "embedding", k=3, codebooks=books).collect()}
+    adc_recall = len(adc & exact) / len(exact)
+    rer = {(r.query_id, r.neighbor_id)
+           for r in pq_knn_join(codes, queries, "vec_id", "embedding", k=3, codebooks=books,
+                                rerank=20, corpus_vectors=emb).collect()}
+    rr_recall = len(rer & exact) / len(exact)
+    assert adc_recall >= 0.3, f"ADC recall collapsed: {adc_recall:.2f}"
+    assert rr_recall >= adc_recall, (rr_recall, adc_recall)
+
+
 def test_ivf_partial_probe_is_subset_and_ranked(spark, emb):
     from mlb_data_pipeline_spark.operators.vector import ivf_knn_join
 
