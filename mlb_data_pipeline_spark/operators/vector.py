@@ -707,6 +707,32 @@ def pq_encode(df: DataFrame, vec_col: str, codebooks, code_col: str = "pq_code")
     return df.withColumn(code_col, enc(F.col(vec_col)))
 
 
+def _adc_udf(cb: list, dsub: int):
+    """ADC scoring kernel: per Arrow batch, build one m x n_codes
+    sub-dot-product lookup table per DISTINCT query (queries repeat
+    across the candidate join — cached by the vector's bytes) and score
+    each candidate as m table lookups."""
+
+    @F.pandas_udf("double")
+    def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        qv = np.stack(qvs.to_numpy()).astype("float64")
+        cd = np.stack(codes.to_numpy()).astype("int64")
+        out = np.empty(len(qv))
+        luts: dict[bytes, np.ndarray] = {}
+        for i in range(len(qv)):
+            key = qv[i].tobytes()
+            lut = luts.get(key)
+            if lut is None:
+                lut = np.stack(
+                    [qv[i, mi * dsub : (mi + 1) * dsub] @ cb[mi].T for mi in range(len(cb))]
+                )  # m x n_codes of sub dot products
+                luts[key] = lut
+            out[i] = lut[np.arange(len(cb)), cd[i]].sum()
+        return pd.Series(out)
+
+    return adc
+
+
 def pq_knn_join(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -736,27 +762,7 @@ def pq_knn_join(
     )
     joined = corpus_codes.select(id_col, code_col).join(F.broadcast(q))
     joined = joined.filter(F.col("query_id") != F.col(id_col))
-
-    @F.pandas_udf("double")
-    def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
-        qv = np.stack(qvs.to_numpy()).astype("float64")
-        cd = np.stack(codes.to_numpy()).astype("int64")
-        # lookup tables per DISTINCT query in the batch (queries repeat
-        # across the corpus join — cache by the first few coords' bytes)
-        out = np.empty(len(qv))
-        luts: dict[bytes, np.ndarray] = {}
-        for i in range(len(qv)):
-            key = qv[i].tobytes()
-            lut = luts.get(key)
-            if lut is None:
-                lut = np.stack(
-                    [qv[i, mi * dsub : (mi + 1) * dsub] @ cb[mi].T for mi in range(len(cb))]
-                )  # m x n_codes of sub dot products
-                luts[key] = lut
-            out[i] = lut[np.arange(len(cb)), cd[i]].sum()
-        return pd.Series(out)
-
-    scored = joined.withColumn(sim_col, adc("__qv", code_col))
+    scored = joined.withColumn(sim_col, _adc_udf(cb, dsub)("__qv", code_col))
     w = Window.partitionBy("query_id").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
     shortlist_n = max(k, rerank)
     shortlist = (
@@ -768,6 +774,71 @@ def pq_knn_join(
         pdot = dot_arrow()
         rescored = (
             shortlist.drop(sim_col, "rank", code_col)
+            .join(cv, id_col)
+            .withColumn(sim_col, pdot("__qv", "__cv") / (norm("__qv") * norm("__cv")))
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+        return (
+            rescored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank")
+        )
+    return shortlist.filter(F.col("rank") <= k).select(
+        "query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank"
+    )
+
+
+def ivf_pq_knn_join(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int,
+    codebooks,
+    n_probe: int = 4,
+    rerank: int = 0,
+    sim_col: str = "sim",
+) -> DataFrame:
+    """The composed 100 TB configuration (FAISS-style IVF-PQ): probe
+    ``n_probe`` lists through the index centroids, ADC-score ONLY the
+    probed lists' PQ codes, optionally exact-rerank the shortlist
+    against the index's vectors. Candidate volume is
+    |corpus| * n_probe / n_lists per query AND each candidate costs m
+    byte-lookups instead of a dim-float dot — the probe bounds work,
+    PQ bounds memory; both approximations stack, which is why the
+    rerank stage is the default deployment shape (``rerank=10*k`` is a
+    standard choice).
+
+    Returns (query_id, neighbor_id, sim, rank); ``sim`` is the exact
+    cosine when reranked, the ADC dot approximation otherwise."""
+    cb = [np.asarray(b, dtype="float64") for b in codebooks]
+    dsub = cb[0].shape[1]
+    id_col, vec_col = index.id_col, index.vec_col
+    cents = index.centroids
+    n_probe_eff = min(n_probe, len(cents))
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(vs: pd.Series) -> pd.Series:
+        cm = np.asarray(cents)
+        v = np.stack(vs.to_numpy()).astype("float64")
+        d = ((v[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(list(np.argsort(d, axis=1)[:, :n_probe_eff].astype("int32")))
+
+    codes = pq_encode(index.assignments, vec_col, cb).select(id_col, "__list", "pq_code")
+    probed = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .withColumn("__list", F.explode(probe_lists(F.col("__qv"))))
+    )
+    cand = probed.join(codes, "__list").filter(F.col("query_id") != F.col(id_col))
+    scored = cand.withColumn(sim_col, _adc_udf(cb, dsub)("__qv", "pq_code"))
+    w = Window.partitionBy("query_id").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(k, rerank))
+    )
+    if rerank:
+        cv = index.assignments.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        pdot = dot_arrow()
+        rescored = (
+            shortlist.drop(sim_col, "rank", "pq_code", "__list")
             .join(cv, id_col)
             .withColumn(sim_col, pdot("__qv", "__cv") / (norm("__qv") * norm("__cv")))
         )

@@ -386,6 +386,48 @@ def test_pq_adc_recall_floor_and_rerank_improves(spark, emb):
     assert rr_recall >= adc_recall, (rr_recall, adc_recall)
 
 
+def test_ivf_pq_full_probe_full_rerank_equals_exact(spark, emb):
+    """Stacked-approximation contract: with every list probed and the
+    whole shortlist exact-reranked, IVF-PQ degrades to exact k-NN —
+    both approximations removed at once."""
+    from mlb_data_pipeline_spark.operators.vector import (
+        build_ivf_index,
+        ivf_pq_knn_join,
+        train_pq_codebooks,
+    )
+
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    index = build_ivf_index(emb, "vec_id", "embedding", n_lists=8)
+    books = train_pq_codebooks(emb, "embedding", m_subvectors=8, n_codes=32)
+    got = ivf_pq_knn_join(index, queries, k=3, codebooks=books, n_probe=8, rerank=n)
+    exact = knn_join(emb, queries, "vec_id", "embedding", k=3)
+    want = sorted((r.query_id, r.rank, r.vec_id) for r in exact.collect())
+    assert sorted((r.query_id, r.rank, r.neighbor_id) for r in got.collect()) == want
+
+
+def test_ivf_pq_through_loaded_index(spark, emb, tmp_path):
+    """The deployment path: IVF-PQ over a RELOADED index answers
+    identically to the in-memory build."""
+    from mlb_data_pipeline_spark.operators.vector import (
+        build_ivf_index,
+        ivf_pq_knn_join,
+        load_ivf_index,
+        save_ivf_index,
+        train_pq_codebooks,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    built = build_ivf_index(emb, "vec_id", "embedding", n_lists=8)
+    save_ivf_index(built, str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+    books = train_pq_codebooks(emb, "embedding", m_subvectors=8, n_codes=32)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id)  # noqa: E731
+    mem = ivf_pq_knn_join(built, queries, k=3, codebooks=books, n_probe=2, rerank=10)
+    disk = ivf_pq_knn_join(loaded, queries, k=3, codebooks=books, n_probe=2, rerank=10)
+    assert sorted(map(key, mem.collect())) == sorted(map(key, disk.collect()))
+
+
 def test_ivf_partial_probe_is_subset_and_ranked(spark, emb):
     from mlb_data_pipeline_spark.operators.vector import ivf_knn_join
 
