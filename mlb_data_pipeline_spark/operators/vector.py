@@ -688,6 +688,29 @@ def train_pq_codebooks(
     return books
 
 
+def save_pq_codebooks(spark, codebooks, path: str) -> None:
+    """Persist PQ codebooks as one tiny parquet table
+    (subspace, code, centroid) — per-corpus-version state, exactly like
+    the IVF centroids; retrain on corpus re-version, never per session."""
+    rows = [
+        (mi, ci, [float(v) for v in cent])
+        for mi, book in enumerate(codebooks)
+        for ci, cent in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(path).collect()
+    m = max(r.subspace for r in rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(rows, key=lambda r: (r.subspace, r.code)):
+        books[r.subspace].append(list(r.centroid))
+    return books
+
+
 def pq_encode(df: DataFrame, vec_col: str, codebooks, code_col: str = "pq_code") -> DataFrame:
     """Encode vectors to PQ codes (array<int>, one code per subspace) —
     a narrow Arrow pass with the codebooks shipped as literals."""

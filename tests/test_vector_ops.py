@@ -406,6 +406,18 @@ def test_ivf_pq_full_probe_full_rerank_equals_exact(spark, emb):
     assert sorted((r.query_id, r.rank, r.neighbor_id) for r in got.collect()) == want
 
 
+def test_pq_codebooks_save_load_roundtrip(spark, emb, tmp_path):
+    from mlb_data_pipeline_spark.operators.vector import (
+        load_pq_codebooks,
+        save_pq_codebooks,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, "embedding", m_subvectors=8, n_codes=32)
+    save_pq_codebooks(spark, books, str(tmp_path / "pq"))
+    assert load_pq_codebooks(spark, str(tmp_path / "pq")) == books
+
+
 def test_ivf_pq_through_loaded_index(spark, emb, tmp_path):
     """The deployment path: IVF-PQ over a RELOADED index answers
     identically to the in-memory build."""
