@@ -767,17 +767,29 @@ def pq_knn_join(
     rerank: int = 0,
     corpus_vectors: DataFrame | None = None,
     sim_col: str = "sim",
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) k-NN over PQ codes: each query builds
     an m x n_codes lookup table of sub-dot-products against the
     codebooks; a candidate's approximate dot product is m table lookups
     — no float vector ever leaves the (compressed) inverted file.
 
+    Guarded like ``knn_join``: the query set broadcasts and the ADC
+    stage scores |corpus| x |queries| candidates, so an oversized query
+    side raises (limit-bounded probe) and points at ``ivf_pq_knn_join``
+    — the probe-bounded composition — instead.
+
     ``rerank > 0`` re-scores the top ``rerank`` ADC candidates per
     query with EXACT cosine against ``corpus_vectors`` (id, vec) — the
     standard two-stage shape: ADC recalls a shortlist from codes,
     exact math fixes the order. Returns (query_id, neighbor_id,
     sim, rank); sim is the ADC approximation unless reranked."""
+    if max_queries is not None and _over_limit(queries, id_col, max_queries):
+        raise ValueError(
+            f"pq_knn_join broadcasts the query set and ADC-scores |corpus| x |queries| "
+            f"candidates: more than max_queries={max_queries} query rows; use "
+            "ivf_pq_knn_join (probe-bounded) for corpus-scale query sets"
+        )
     cb = [np.asarray(b, dtype="float64") for b in codebooks]
     dsub = cb[0].shape[1]
     q = queries.select(

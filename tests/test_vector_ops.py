@@ -406,6 +406,19 @@ def test_ivf_pq_full_probe_full_rerank_equals_exact(spark, emb):
     assert sorted((r.query_id, r.rank, r.neighbor_id) for r in got.collect()) == want
 
 
+def test_pq_knn_guard_refuses_large_query_side(spark, emb):
+    from mlb_data_pipeline_spark.operators.vector import (
+        pq_encode,
+        pq_knn_join,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, "embedding", m_subvectors=8, n_codes=32)
+    codes = pq_encode(emb, "embedding", books)
+    with pytest.raises(ValueError, match="ivf_pq_knn_join"):
+        pq_knn_join(codes, emb, "vec_id", "embedding", k=3, codebooks=books, max_queries=10)
+
+
 def test_pq_codebooks_save_load_roundtrip(spark, emb, tmp_path):
     from mlb_data_pipeline_spark.operators.vector import (
         load_pq_codebooks,
