@@ -35,6 +35,7 @@ import time
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # sibling import below
 
 from gen_sf1 import generate  # noqa: E402  (sibling tool module)
 
