@@ -8,5 +8,6 @@ from .jobs import (  # noqa: F401
     session_counts_stream,
     sliding_counts_stream,
     stream_static_join,
+    stream_stream_join,
     tumbling_counts_stream,
 )

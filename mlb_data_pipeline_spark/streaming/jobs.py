@@ -88,6 +88,38 @@ def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: both sides watermarked, equi-join on
+    ``key`` plus a time-bound (right.ts within [left.ts, left.ts +
+    ``within``]) — the constraint that lets Spark EVICT join state (an
+    unbounded stream-stream join would buffer both streams forever).
+    The reference has no streaming analogue; this is the engine's form
+    of correlating two live feeds (e.g. schedule updates x article
+    arrivals) without a batch rendezvous.
+
+    State per side is bounded by the watermark horizon: rows older than
+    max(event time) - watermark - within are dropped from the buffer.
+    Returns (key, l_ts, r_ts, l/r payload columns)."""
+    lw = left.withWatermark("ts", watermark).select(
+        F.col(key), F.col("ts").alias("l_ts"), F.col("event_type").alias("l_type")
+    )
+    rw = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("__rk"), F.col("ts").alias("r_ts"), F.col("event_type").alias("r_type")
+    )
+    return lw.join(
+        rw,
+        (F.col(key) == F.col("__rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {within}")),
+    ).drop("__rk")
+
+
 def run_available_now(df: DataFrame, checkpoint_dir: str, out_dir: str, output_mode: str = "append") -> None:
     """ST9: exactly-once parquet sink, availableNow trigger — processes
     everything currently available as bounded micro-batches, then stops.

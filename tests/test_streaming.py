@@ -242,3 +242,45 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert (7, 1) not in got, "late event beyond watermark must be dropped"
     assert (10, 3) in got  # 10:00, 10:30 from run1 + in-horizon 10:45 from run2
     assert (11, 1) in got and (12, 1) in got
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark, events_dir, events_batch, tmp_path):
+    """ST stream-stream: two watermarked file streams joined on user_id
+    within a time bound produce exactly the batch interval-join result
+    (availableNow drains everything, the generous watermark drops
+    nothing)."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+        stream_stream_join,
+    )
+
+    out = str(tmp_path / "out")
+    joined = stream_stream_join(
+        read_event_stream(spark, events_dir),
+        read_event_stream(spark, events_dir),
+        "user_id",
+        within="30 minutes",
+        watermark="365 days",
+    )
+    run_available_now(joined, str(tmp_path / "ckpt"), out)
+    got = spark.read.parquet(out)
+
+    l = events_batch.select("user_id", F.col("ts").alias("l_ts"), F.col("event_type").alias("l_type"))
+    r = events_batch.select(
+        F.col("user_id").alias("rk"), F.col("ts").alias("r_ts"), F.col("event_type").alias("r_type")
+    )
+    want = (
+        l.join(
+            r,
+            (F.col("user_id") == F.col("rk"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("interval 30 minutes")),
+        )
+        .drop("rk")
+    )
+    assert got.count() == want.count() > 0
+    key = lambda r: (r.user_id, r.l_ts, r.r_ts, r.l_type, r.r_type)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
