@@ -245,3 +245,62 @@ def q68_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"), F.sum("n_chars").cast("bigint").alias("total_chars"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q70 — data-quality expectation report (mini-Deequ): declarative rules
+#        over orders + a referential check against lineitem, compiled
+#        into one agg pass + one anti-join. The staging->publish gate
+#        the reference's warehouse layering implies but never runs.
+# ---------------------------------------------------------------------------
+
+_Q70_SQL = """
+WITH rowchecks AS (
+  SELECT
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nn,
+    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS c_uq,
+    SUM(CASE WHEN o_totalprice IS NOT NULL
+              AND (o_totalprice < 0 OR o_totalprice > 1000000) THEN 1 ELSE 0 END) AS c_rng,
+    SUM(CASE WHEN o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$') THEN 1 ELSE 0 END) AS c_re
+  FROM orders
+),
+fk AS (
+  SELECT COUNT(*) AS v FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT check_name AS "check", violations, violations = 0 AS passed FROM (
+  SELECT 'not_null(o_custkey)' AS check_name, CAST(c_nn AS BIGINT) AS violations FROM rowchecks
+  UNION ALL SELECT 'unique(o_orderkey)', CAST(c_uq AS BIGINT) FROM rowchecks
+  UNION ALL SELECT 'range(o_totalprice,0,1000000)', CAST(c_rng AS BIGINT) FROM rowchecks
+  UNION ALL SELECT 'regex(o_orderpriority)', CAST(c_re AS BIGINT) FROM rowchecks
+  UNION ALL SELECT 'foreign_key(l_orderkey->o_orderkey)', CAST(v AS BIGINT) FROM fk
+)
+ORDER BY "check"
+"""
+
+
+@query("q70_quality_report", oracle=_Q70_SQL, covers="quality:gate,A8,J5")
+def q70_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import (
+        expect_foreign_key,
+        expect_not_null,
+        expect_range,
+        expect_regex,
+        expect_unique,
+        quality_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rows = quality_report(
+        orders,
+        [
+            expect_not_null("o_custkey"),
+            expect_unique("o_orderkey"),
+            expect_range("o_totalprice", 0, 1_000_000),
+            expect_regex("o_orderpriority", r"^[0-9]-[A-Z ]+$"),
+        ],
+    )
+    fk = expect_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey")
+    return rows.unionByName(fk).orderBy("check")

@@ -112,3 +112,48 @@ def test_cross_corpus_span_overlap_flags_contamination(spark):
     got = {(r.corpus_id, r.bench_id): r.n_shared_spans
            for r in cross_corpus_span_overlap(corpus, bench, "doc_id", "text").collect()}
     assert got == {(0, 900): 1}
+
+
+def test_quality_report_detects_planted_violations(spark):
+    """Each expectation fires on its planted bad row and only that row;
+    a clean frame passes everything."""
+    from mlb_data_pipeline_spark.operators.quality import (
+        expect_foreign_key,
+        expect_not_null,
+        expect_range,
+        expect_regex,
+        expect_unique,
+        quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.org", 10.0),
+            (2, "b@y.org", 20.0),
+            (2, "dup-key", 30.0),      # unique violation
+            (3, None, 40.0),           # not_null violation
+            (4, "no-at-sign", -5.0),   # regex + range violations
+        ],
+        "k BIGINT, email STRING, amount DOUBLE",
+    )
+    rep = {r.check: (r.violations, r.passed) for r in quality_report(
+        df,
+        [
+            expect_not_null("email"),
+            expect_unique("k"),
+            expect_range("amount", 0, 100),
+            expect_regex("email", r"^[^@]+@[^@]+$"),
+        ],
+    ).collect()}
+    assert rep["not_null(email)"] == (1, False)
+    assert rep["unique(k)"] == (1, False)
+    assert rep["range(amount,0,100)"] == (1, False)
+    assert rep["regex(email)"] == (2, False)  # "dup-key" and "no-at-sign"
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk BIGINT")
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk BIGINT")
+    [fk] = expect_foreign_key(child, "fk", parent, "pk").collect()
+    assert (fk.violations, fk.passed) == (1, False)
+
+    clean = quality_report(df.filter("k = 1"), [expect_not_null("email"), expect_unique("k")])
+    assert all(r.passed for r in clean.collect())
