@@ -110,3 +110,24 @@ def llm_enrich(
             yield pdf
 
     return df.mapInPandas(fn, out_schema)
+
+
+def word_counts_udtf():
+    """U5 as a REAL Python UDTF (Spark 3.5+ ``@udtf``): one row of text
+    -> one row per distinct word with its count, usable in SQL via
+    ``LATERAL word_counts(text)``. The parse->array->explode composition
+    elsewhere in the engine is still the preferred (JVM-side) shape;
+    this is the Python table function surface for parsers that cannot
+    be expressed as Catalyst array ops. Deterministic output order
+    (sorted words) so results are engine-comparable."""
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, n: int")
+    class WordCounts:
+        def eval(self, text: str):
+            for w, n in sorted(Counter((text or "").split()).items()):
+                yield w, n
+
+    return WordCounts

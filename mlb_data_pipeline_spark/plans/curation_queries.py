@@ -304,3 +304,36 @@ def q70_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fk = expect_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey")
     return rows.unionByName(fk).orderBy("check")
+
+
+# ---------------------------------------------------------------------------
+# Q71 — Python UDTF surface (U5 as a real @udtf table function): per-doc
+#        word counts via LATERAL join, oracled against plain
+#        unnest+group SQL. The explode composition remains the JVM-side
+#        preferred shape; this verifies the Python table-function path
+#        produces identical rows.
+# ---------------------------------------------------------------------------
+
+_Q71_SQL = """
+SELECT d.doc_id, w.word, CAST(w.n AS INT) AS n
+FROM (SELECT doc_id, text FROM documents WHERE doc_id < 20) d,
+     LATERAL (
+       SELECT word, COUNT(*) AS n
+       FROM unnest(string_split(d.text, ' ')) AS t(word)
+       GROUP BY word
+     ) w
+ORDER BY doc_id, word
+"""
+
+
+@query("q71_udtf_word_counts", oracle=_Q71_SQL, covers="U5,T17")
+def q71_udtf_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.enrich import word_counts_udtf
+
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "q71_docs"
+    )
+    spark.udtf.register("word_counts", word_counts_udtf())
+    return spark.sql(
+        "SELECT doc_id, word, n FROM q71_docs, LATERAL word_counts(text) ORDER BY doc_id, word"
+    )
