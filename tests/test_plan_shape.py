@@ -98,6 +98,28 @@ def test_hash_split_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_filtered_knn_pushes_predicate_to_scan(spark, sf_dir):
+    # metadata-filtered vector search (the vector-store where= shape):
+    # a corpus pre-filter must reach the parquet scan, so the k-NN only
+    # ever reads the matching slice — never filter-after-score
+    from mlb_data_pipeline_spark.catalog import load_table
+    from mlb_data_pipeline_spark.operators.vector import knn_join
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") == 1)
+    queries = emb.filter(F.col("vec_id") < 3)
+    plan = (
+        knn_join(corpus, queries, "vec_id", "embedding", k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    assert "EqualTo(label,1)" in plan.replace("'", "")
+
+
 def test_stratified_sample_is_narrow(spark, sf_dir):
     # dataset-mixing selection must not cost a shuffle: md5-threshold
     # filtering is a pure filter over the scan
