@@ -337,3 +337,25 @@ def q71_udtf_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, word, n FROM q71_docs, LATERAL word_counts(text) ORDER BY doc_id, word"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q72 — heavy-hitters sketch (approx_top_k over document tokens): the
+#        frequency companion to q55's HLL distinct-count. Approximate by
+#        design (rows-only); pytest pins sketch == exact top-k when the
+#        sketch capacity dwarfs the distinct count — the regime where
+#        the Misra-Gries-style summary is provably exact.
+# ---------------------------------------------------------------------------
+
+
+@query("q72_heavy_hitter_tokens", oracle=None, covers="A4,T17")
+def q72_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    # one pass, map-side mergeable sketch — at 100 TB this replaces the
+    # full token groupBy when only the head of the distribution matters
+    return (
+        toks.agg(F.expr("approx_top_k(tok, 20, 100000)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").alias("n"))
+    )

@@ -157,3 +157,30 @@ def test_quality_report_detects_planted_violations(spark):
 
     clean = quality_report(df.filter("k = 1"), [expect_not_null("email"), expect_unique("k")])
     assert all(r.passed for r in clean.collect())
+
+
+def test_heavy_hitter_sketch_exact_at_capacity(spark, sf_dir):
+    """approx_top_k with capacity >> distinct tokens must equal the
+    exact token frequency head (same counts, same membership)."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.plans import REGISTRY, load_all
+
+    load_all()
+    got = {(r.token, r.n) for r in REGISTRY["q72_heavy_hitter_tokens"].spark(spark, sf_dir).collect()}
+    from mlb_data_pipeline_spark.catalog import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok").count()
+        .orderBy(F.col("count").desc(), "tok")
+        .limit(len(got))
+    )
+    # membership + counts match on the unambiguous head (ties at the
+    # cutoff may order differently — compare count multisets and the
+    # strictly-above-cutoff members)
+    exact_rows = [(r.tok, r["count"]) for r in exact.collect()]
+    assert sorted(n for _, n in got) == sorted(n for _, n in exact_rows)
+    cutoff = min(n for _, n in exact_rows)
+    assert {t for t, n in exact_rows if n > cutoff} <= {t for t, _ in got}
