@@ -469,9 +469,11 @@ def incremental_neardup_pairs(
     only — the store scan reads 3 int columns; shingle arrays enter only
     for the (delta-bounded) candidate verify. ``max_band_freq`` caps
     hot (band, mh) keys across the COMBINED corpus: hot keys are counted
-    on the unioned signature rows and anti-joined away from both sides
-    (hot keys are few by construction — boilerplate bands — so the
-    anti-join broadcasts)."""
+    on the unioned signature rows and anti-joined away from both sides.
+    Hot keys are few by construction (boilerplate bands), so AQE picks a
+    broadcast anti-join at runtime — not forced, per the engine's rule
+    that only fixed-size dims carry broadcast hints (a pathological
+    corpus where *many* keys breach the cap must not OOM the driver)."""
     spark = new_docs.sparkSession
     sig_path, sh_path = _store_paths(path)
     sh_delta = _shingled(new_docs, id_col, text_col, shingle_n)
@@ -486,8 +488,8 @@ def incremental_neardup_pairs(
             .filter(F.col("__kf") > max_band_freq)
             .select("band", "mh")
         )
-        sig_delta = sig_delta.join(F.broadcast(hot), ["band", "mh"], "left_anti")
-        store_sig = store_sig.join(F.broadcast(hot), ["band", "mh"], "left_anti")
+        sig_delta = sig_delta.join(hot, ["band", "mh"], "left_anti")
+        store_sig = store_sig.join(hot, ["band", "mh"], "left_anti")
     cross = (
         sig_delta.select(F.col(id_col).alias("__new"), "band", "mh")
         .join(store_sig.select(F.col(id_col).alias("__old"), "band", "mh"), ["band", "mh"])
