@@ -2,28 +2,54 @@
 """Dedup-family scaling curve: q44 / LSH-scale / q59 walls at
 sf0.1 / sf1 / sf3.
 
-The 100 TB claim for the near-dup family is LINEAR candidate volume:
+The 100 TB claim for the near-dup family is BOUNDED candidate volume:
 every candidate generator is a banded equi-join whose expected bucket
-collisions scale with rows, not rows^2. This script produces the local
-evidence — walls and result-pair counts across a 30x size range
-(sf0.1 -> sf3), built by the same key-offset replication as the sf1
-bench dataset (tools/gen_sf1.py: per-copy token prefixes keep shingle
-sets disjoint, so pair density scales linearly by construction and any
-super-linear wall growth is the ENGINE's fault, not the data's).
+collisions are pinned to O(n), not n^2. This script produces the local
+evidence — walls, result-pair counts, and planted-pair recall across a
+30x size range (sf0.1 -> sf3), built by the same key-offset replication
+as the sf1 bench dataset (tools/gen_sf1.py: per-copy token prefixes keep
+shingle sets disjoint, so MinHash pair density scales linearly by
+construction).
 
-Measured queries:
+What "linear" means per leg — the claims the curve is evidence FOR:
 
-* q44  — MinHash near-dup on documents (the oracled bench query);
-* lsh  — cosine_pairs_lsh on embeddings through the AUTO route
-         (lsh_params picks the operating point per corpus size; this is
-         the configuration a deployment runs, unlike q52's pinned 4-bit
-         recall-study point whose candidate volume is quadratic in
-         spirit and must not be extrapolated);
-* q59  — MinHash pairs -> connected components -> canonical corpus.
+* q44 (MinHash near-dup, fixed operating point): per-row work is
+  constant, so the wall should grow ~linearly with rows and the pair
+  count exactly linearly (copy-disjoint shingles). Super-linear wall
+  growth here IS an engine fault.
+* lsh (auto route): ``lsh_params`` deepens the operating point with the
+  corpus — per_band ~ log2(n) keeps expected random-pair candidates
+  <= 8n, and single-bit multi-probe emits (per_band + 1) keys per band
+  per row. Per-row work therefore grows ~log n BY DESIGN; the expected
+  wall shape is n*log n, and the linear quantity is the CANDIDATE
+  VOLUME (and hence found pairs vs planted pairs). The recorded
+  ``lsh_point`` makes the deepening visible next to the wall.
+* q59 (pairs -> connected components -> canonical corpus): CC round
+  count depends on clique diameter (constant here), so the wall should
+  grow ~linearly in rows.
+
+The driver's synthetic embeddings are isotropic — no true 0.9-cosine
+pairs exist — so a curve over the raw tables reports 0 result pairs and
+proves only that the machinery runs. To make pair density a measured
+quantity, each tier PLANTS one near-dup per 50 vectors: vec_id % 50 == 0
+gets a perturbed copy at id = -vec_id - 1 (mix 0.97*v + 0.03*roll(v,1):
+cosine(v, v') >= 0.999 for any v, deterministic, no RNG). Planted pairs
+are identified in the output by a_vec_id + b_vec_id == -1; recall is
+found/planted and pair counts scale linearly with the tier by
+construction.
 
 Emits one JSON line: {"curve": [{sf, n_docs, n_vecs, q44_sec,
-lsh_sec, q59_sec, q44_pairs, lsh_pairs}...]}. Results are recorded in
-docs/PERF.md and docs/SCALING.json.
+q44_pairs, lsh_sec, lsh_pairs, lsh_planted, lsh_recall, lsh_point,
+q59_sec}...]}. Results are recorded in docs/PERF.md and
+docs/SCALING.json (embedded in the bench JSON as
+``scaling_curve_recorded``).
+
+Timing protocol: ``--runs N`` (default 2) repeats every tier and keeps
+the per-leg MINIMUM — the same protocol as bench.py's sf1 section, for
+the same reason: this shared VM shows 2-3x contention outliers (the
+identical q44 sf3 plan has measured 8.4 s and 27 s on different runs),
+and the minimum is the closest observable to the uncontended wall.
+Pair counts and recall are asserted identical across runs.
 """
 
 from __future__ import annotations
@@ -39,13 +65,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # sibling import
 
 from gen_sf1 import generate  # noqa: E402  (sibling tool module)
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from mlb_data_pipeline_spark.catalog import load_table, table_path  # noqa: E402
-from mlb_data_pipeline_spark.operators.vector import cosine_pairs_lsh  # noqa: E402
+from mlb_data_pipeline_spark.operators.vector import cosine_pairs_lsh, lsh_params  # noqa: E402
 from mlb_data_pipeline_spark.plans import REGISTRY, load_all  # noqa: E402
 from mlb_data_pipeline_spark.session import get_spark  # noqa: E402
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
+
+PLANT_EVERY = 50      # one planted near-dup per 50 vectors
+PLANT_ALPHA = 0.97    # v' = alpha*v + (1-alpha)*roll(v,1); cos >= 0.999
 
 
 def _ensure(dst: str, copies: int) -> str:
@@ -60,7 +91,63 @@ def _timed(fn):
     return round(time.perf_counter() - t0, 4), n
 
 
-def main() -> None:
+def plant_neardups(emb, every: int = PLANT_EVERY, alpha: float = PLANT_ALPHA):
+    """Union ``emb`` with a perturbed copy of every ``every``-th vector at
+    id = -vec_id - 1. The mixture with the rolled vector keeps
+    cosine(v, v') >= 2*alpha - 1 >= 0.94 for ANY v (and ~0.999 for the
+    near-orthogonal roll of an isotropic vector) — safely above the 0.9
+    study threshold, with no RNG. Returns (corpus, n_planted)."""
+    sample = emb.filter(F.col("vec_id") % every == 0)
+    rolled = F.expr("concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1))")
+    mixed = F.zip_with(
+        F.col("embedding"), rolled,
+        lambda x, y: x * F.lit(alpha) + y * F.lit(1.0 - alpha),
+    )
+    planted = sample.select(
+        (-F.col("vec_id") - 1).alias("vec_id"),
+        mixed.cast("array<float>").alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(planted), sample.count()
+
+
+def _measure_tier(spark, label: str, sf_dir: str) -> dict:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_docs, n_vecs = docs.count(), emb.count()
+    q44_sec, q44_pairs = _timed(lambda: REGISTRY["q44_minhash_neardup"].spark(spark, sf_dir).count())
+
+    corpus, n_planted = plant_neardups(emb)
+    n_corpus = n_vecs + n_planted
+    point = lsh_params(n_corpus, 0.9)
+    pairs_df = cosine_pairs_lsh(
+        corpus, "vec_id", "embedding", threshold=0.9, dim=64, n_rows=n_corpus
+    )
+    lsh_sec, lsh_pairs = _timed(pairs_df.count)
+    found = pairs_df.filter(F.col("a_vec_id") + F.col("b_vec_id") == -1).count()
+
+    q59_sec, _ = _timed(lambda: REGISTRY["q59_neardup_cluster_dedup"].spark(spark, sf_dir).count())
+    return {
+        "sf": label, "n_docs": n_docs, "n_vecs": n_vecs,
+        "q44_sec": q44_sec, "q44_pairs": q44_pairs,
+        "lsh_sec": lsh_sec, "lsh_pairs": lsh_pairs,
+        "lsh_planted": n_planted,
+        "lsh_recall": round(found / n_planted, 4) if n_planted else None,
+        "lsh_point": {"n_planes": point[0], "bands": point[1], "probe_bits": point[2]},
+        "q59_sec": q59_sec,
+    }
+
+
+def _merge_min(a: dict, b: dict) -> dict:
+    for k in ("q44_pairs", "lsh_pairs", "lsh_planted", "lsh_recall"):
+        assert a[k] == b[k], f"non-deterministic {k}: {a[k]} != {b[k]}"
+    out = dict(a)
+    for k in ("q44_sec", "lsh_sec", "q59_sec"):
+        out[k] = min(a[k], b[k])
+    return out
+
+
+def main(runs: int = 2) -> None:
     load_all()
     spark = get_spark("scaling-curve")
     tiers = [
@@ -70,27 +157,13 @@ def main() -> None:
     ]
     curve = []
     for label, sf_dir in tiers:
-        docs = load_table(spark, sf_dir, "documents")
-        emb = load_table(spark, sf_dir, "embeddings")
-        n_docs, n_vecs = docs.count(), emb.count()
-        q44_sec, q44_pairs = _timed(lambda: REGISTRY["q44_minhash_neardup"].spark(spark, sf_dir).count())
-        lsh_sec, lsh_pairs = _timed(
-            lambda: cosine_pairs_lsh(
-                emb, "vec_id", "embedding", threshold=0.9, dim=64, n_rows=n_vecs
-            ).count()
-        )
-        q59_sec, _ = _timed(lambda: REGISTRY["q59_neardup_cluster_dedup"].spark(spark, sf_dir).count())
-        curve.append(
-            {
-                "sf": label, "n_docs": n_docs, "n_vecs": n_vecs,
-                "q44_sec": q44_sec, "q44_pairs": q44_pairs,
-                "lsh_sec": lsh_sec, "lsh_pairs": lsh_pairs,
-                "q59_sec": q59_sec,
-            }
-        )
-        print(json.dumps(curve[-1]), file=sys.stderr)
-    print(json.dumps({"curve": curve}))
+        best = _measure_tier(spark, label, sf_dir)
+        for _ in range(runs - 1):
+            best = _merge_min(best, _measure_tier(spark, label, sf_dir))
+        curve.append(best)
+        print(json.dumps(best), file=sys.stderr)
+    print(json.dumps({"curve": curve, "runs": f"min of {runs} (shared-VM contention outliers)"}))
 
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[sys.argv.index("--runs") + 1]) if "--runs" in sys.argv else 2)
