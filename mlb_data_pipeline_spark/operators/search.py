@@ -1,0 +1,375 @@
+"""Keyword and hybrid retrieval operators: BM25 scoring and
+reciprocal-rank fusion (RRF).
+
+The reference's retrieval surface is vector-only (Chroma similarity
+search, ``airflow/dags/mlb_pipeline/pipeline.py:51-56`` and
+``scripts/rag_pipeline_2.py:40-48``), but every production RAG stack
+pairs that with a keyword (lexical) channel and fuses the two rankings —
+the hybrid-search shape. These operators supply that channel
+Spark-first: BM25 is the classic Robertson/Sparck-Jones probabilistic
+ranking (public literature), RRF is Cormack/Clarke/Buettcher '09.
+
+Scale notes (the 100 TB story):
+
+* The term-frequency table IS the inverted index: ``(doc, dl, term,
+  tf)`` built by explode + partial-aggregated groupBy — one shuffle
+  keyed on (doc, term), the same cardinality as the token stream after
+  map-side combine. ``build_text_index``/``save_text_index`` persist it
+  term-sorted so a probe reads posting lists, not the corpus.
+* Probing is a literal IN-filter on the query terms (pushes into the
+  postings parquet scan) followed by broadcast joins of the query
+  pairs, the derived per-term document frequencies, and the one-row
+  corpus stats — the corpus side never shuffles at query time.
+* Scoring emits one row per (query, matching doc, term) — bounded by
+  the posting lists of the query terms, not the corpus.
+* ``append_text_index`` is the daily-cadence shape: tokenize only the
+  delta, append postings, update the stats row; document frequencies
+  are derived at probe time so appends can't stale them.
+
+Determinism contract (bit-exact vs the DuckDB oracle):
+
+* tokenization is ``lower`` + ``[a-z0-9]+`` extraction — identical
+  regex semantics in both engines;
+* every scalar in the score is a fixed-order IEEE double expression;
+  divisions and multiplies are correctly rounded per IEEE-754, and the
+  one transcendental (idf's ln, where the JVM disagrees with libm by
+  1 ulp on some inputs) is floor-quantized to 1e-6 so both engines
+  carry the identical double forward;
+* the ONLY multi-value float reduction — the per-(query, doc) sum over
+  matched terms — is a sequential left fold over the term-sorted list
+  (``aggregate(array_sort(collect_list(...)))`` in Spark,
+  ``list_reduce(list(... ORDER BY term))`` in DuckDB), so both engines
+  add in the same order. Float constants are passed through ``repr``
+  (shortest round-trip decimal) so both engines parse the identical
+  double.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def _tokens(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+@dataclass(frozen=True)
+class TextIndex:
+    """Inverted index for BM25: per-(doc, term) postings plus the
+    corpus stats row. Document frequency is NOT stored — it derives
+    from the postings at probe time (so appends never invalidate it)."""
+
+    postings: DataFrame  # (id_col, dl, term, tf)
+    stats: DataFrame  # single row: (n, sumdl)
+    id_col: str
+
+
+def build_text_index(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> TextIndex:
+    """Tokenize once into the postings table (doc, dl, term, tf) — one
+    shuffle keyed on (doc, term) with map-side partial counts; dl rides
+    the explode as a functionally-dependent key. Stats count ALL docs
+    (empty docs count toward N, the standard BM25 convention)."""
+    base = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col,
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    postings = base.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    stats = docs.select(F.size(_tokens(F.col(text_col))).alias("dl")).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sumdl")
+    )
+    return TextIndex(postings, stats, id_col)
+
+
+def save_text_index(index: TextIndex, path: str) -> None:
+    """Persist the index. Postings are hash-clustered then SORTED by
+    term inside each file, so parquet row-group min/max stats prune a
+    term-filter probe to the files actually holding those posting
+    lists — the probe of a persisted 100 TB index reads posting lists,
+    not the corpus."""
+    base = path.rstrip("/")
+    (
+        index.postings.repartition(F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(base + "/postings")
+    )
+    index.stats.coalesce(1).write.mode("overwrite").parquet(base + "/stats")
+    index.postings.sparkSession.createDataFrame(
+        [(index.id_col,)], "id_col STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
+
+
+def load_text_index(spark, path: str) -> TextIndex:
+    base = path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    return TextIndex(
+        spark.read.parquet(base + "/postings"),
+        spark.read.parquet(base + "/stats"),
+        meta.id_col,
+    )
+
+
+def append_text_index(
+    new_docs: DataFrame, path: str, *, text_col: str = "text"
+) -> None:
+    """Daily-cadence index maintenance: tokenize ONLY the delta, append
+    its postings, and replace the one-row stats with old + delta — the
+    corpus is never re-tokenized (the keyword analogue of
+    ``vector.append_ivf_index`` / ``dedup.append_signature_store``).
+    An id guard (left-anti against the posted doc ids) makes re-running
+    the same delta a no-op. Document frequencies need no maintenance:
+    they are derived from postings at probe time."""
+    spark = new_docs.sparkSession
+    base = path.rstrip("/")
+    idx = load_text_index(spark, base)
+    fresh = new_docs.join(
+        idx.postings.select(idx.id_col).distinct(), idx.id_col, "left_anti"
+    )
+    delta = build_text_index(fresh, id_col=idx.id_col, text_col=text_col)
+    delta.postings.repartition(F.col("term")).sortWithinPartitions(
+        "term"
+    ).write.mode("append").parquet(base + "/postings")
+    old = idx.stats.collect()[0]
+    new = delta.stats.collect()[0]
+    spark.createDataFrame(
+        [(old.n + new.n, (old.sumdl or 0) + (new.sumdl or 0))],
+        "n BIGINT, sumdl BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/stats")
+
+
+def bm25_scores(
+    docs: DataFrame | None,
+    query_terms: list[tuple[int, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: TextIndex | None = None,
+) -> DataFrame:
+    """BM25 score of every document that matches >= 1 term of each query.
+
+    ``query_terms`` is the pre-tokenized query set as (query_id, term)
+    pairs — queries are driver-side literals (the RAG request path), so
+    tokenizing them in Python keeps the operator free of a second
+    tokenization contract. Duplicate pairs are deduped (classic BM25
+    uses distinct query terms).
+
+    Pass ``index`` (from ``build_text_index``/``load_text_index``) to
+    probe a prebuilt inverted index — the deployment shape: zero corpus
+    scans, the term filter pushes into the postings parquet. Without an
+    index the corpus is tokenized inline (twice: postings + stats —
+    the declarative one-shot price; repeated callers should persist).
+
+    Returns (query_id, ``id_col``, score, n_terms) — un-ranked; compose
+    with ``top_k_per_group`` (or see ``bm25_topk``) for retrieval.
+    """
+    if index is None:
+        if docs is None:
+            raise ValueError("pass docs or index")
+        index = build_text_index(docs, id_col=id_col, text_col=text_col)
+    spark = index.postings.sparkSession
+    id_col = index.id_col
+    qt = spark.createDataFrame(
+        sorted(set(query_terms)), "query_id int, term string"
+    )
+    term_list = sorted({t for _, t in query_terms})
+
+    # The probe: a literal IN-filter (not a join) so it pushes down
+    # into the postings scan and prunes row groups in the persisted
+    # layout. hits is bounded by the query terms' posting lists.
+    hits = index.postings.filter(F.col("term").isin(term_list))
+
+    # Document frequency per query term: postings are unique per
+    # (doc, term), so a plain count is df. Derived at probe time —
+    # tiny, and always consistent with appends.
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("__df"))
+
+    matched = (
+        hits.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(index.stats))
+    )
+    avgdl = F.col("sumdl") / F.col("n")
+    # idf is the ONE transcendental in the score, and the JVM's Math.log
+    # differs from libm (DuckDB, CPython) by 1 ulp on some inputs
+    # (measured: df=380, N=500). Quantize with an exact floor to 1e-6 —
+    # floor/multiply/divide are correctly rounded per IEEE, so both
+    # engines produce the identical double unless the 1-ulp disagreement
+    # straddles a quantum boundary (~1e-10 per value, and deterministic
+    # per corpus — the oracled test would catch it loudly, not flake).
+    # 1e-6 absolute on idf values O(0.1..10) is far below ranking
+    # relevance.
+    idf = F.floor(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("__df") + F.lit(0.5))
+            / (F.col("__df") + F.lit(0.5))
+        )
+        * F.lit(1000000.0)
+    ) / F.lit(1000000.0)
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    per_term = (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom
+    scored = matched.select(
+        "query_id", id_col, F.col("term"), per_term.alias("__sc")
+    )
+    # Sequential fold over the term-sorted per-term scores — the one
+    # place floats accumulate; order pinned for engine neutrality.
+    return scored.groupBy("query_id", id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "__sc"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__sc"],
+        ).alias("score"),
+        F.count("*").alias("n_terms"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame | None,
+    query_terms: list[tuple[int, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    index: TextIndex | None = None,
+) -> DataFrame:
+    """Top-k BM25 retrieval per query: (query_id, id, rank, score,
+    n_terms), rank 1-based by (score desc, id asc) — the deterministic
+    retrieval order. One windowed rank over the scored rows (bounded by
+    the query terms' posting lists, not the corpus). Pass ``index`` to
+    probe a persisted inverted index instead of tokenizing ``docs``."""
+    from .relational import top_k_per_group
+
+    scored = bm25_scores(
+        docs, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b,
+        index=index,
+    )
+    if index is not None:
+        id_col = index.id_col
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col(id_col).asc()],
+        k,
+        rn_col="rank",
+    ).select("query_id", id_col, "rank", "score", "n_terms")
+
+
+def bm25_oracle_sql(
+    query_terms: list[tuple[int, str]],
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of ``bm25_topk`` — same tokenization, same
+    fixed-order arithmetic, same sequential fold (``list_reduce`` over
+    the term-ordered list; Spark's 0.0 init is IEEE-neutral for the
+    positive addends), constants via ``repr`` so both engines parse the
+    identical double."""
+    pairs = ",\n         ".join(
+        f"({qid}, '{t}')" for qid, t in sorted(set(query_terms))
+    )
+    return f"""
+WITH qt(query_id, term) AS (VALUES {pairs}),
+base AS (
+  SELECT {id_col}, regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS toks
+  FROM {table}
+),
+tok AS (
+  SELECT {id_col}, len(toks) AS dl, unnest(toks) AS term FROM base
+),
+tf AS (
+  SELECT {id_col}, dl, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3
+),
+stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS sumdl FROM base),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1
+),
+scored AS (
+  -- every inexact float constant is ::DOUBLE — DuckDB parses bare
+  -- decimal-point literals as DECIMAL, and e.g. tf * 2.2 in exact
+  -- decimal arithmetic lands 1 ulp away from the double product the
+  -- Spark side computes
+  SELECT qt.query_id, tf.{id_col}, tf.term,
+         ((floor(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * 1000000.0) / 1000000.0)
+          * (tf.tf * {k1 + 1.0!r}::DOUBLE))
+         / (tf.tf + {k1!r}::DOUBLE * ({1.0 - b!r}::DOUBLE + {b!r}::DOUBLE * tf.dl / (stats.sumdl / stats.n)))
+           AS sc
+  FROM tf JOIN qt USING (term) JOIN dfreq USING (term), stats
+),
+summed AS (
+  SELECT query_id, {id_col},
+         list_reduce(list(sc ORDER BY term), (a, x) -> a + x) AS score,
+         COUNT(*) AS n_terms
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, {id_col},
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, {id_col}) AS INT) AS rank,
+         score, n_terms
+  FROM summed
+)
+SELECT * FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    on: list[str],
+    *,
+    rank_col: str = "rank",
+    k_rrf: float = 60.0,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. '09): fused score =
+    sum_i 1/(k + rank_i), with an item missing from a ranking
+    contributing 0. Input DataFrames each carry ``on`` + ``rank_col``;
+    the fusion is a chain of full-outer joins on ``on`` (ranked lists
+    are top-k — tiny, broadcastable) and a FIXED-ORDER sum of the
+    per-ranking reciprocal terms, so the double result is
+    engine-deterministic (two-term sums are additionally commutative in
+    IEEE, but the fixed expression order covers any fan-in).
+
+    Returns ``on`` + rank_1..rank_N (int, null where absent) +
+    rrf_score (double)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    tagged = [
+        df.select(*on, F.col(rank_col).alias(f"rank_{i + 1}"))
+        for i, df in enumerate(rankings)
+    ]
+    joined = reduce(lambda a, b: a.join(b, on, "full_outer"), tagged)
+    score = reduce(
+        lambda acc, i: acc
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col(f"rank_{i + 1}")), F.lit(0.0)
+        ),
+        range(1, len(rankings)),
+        F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_1")), F.lit(0.0)),
+    )
+    return joined.select(
+        *on,
+        *[F.col(f"rank_{i + 1}") for i in range(len(rankings))],
+        score.alias("rrf_score"),
+    )

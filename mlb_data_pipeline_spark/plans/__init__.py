@@ -12,3 +12,4 @@ def load_all() -> None:
     from . import io_queries  # noqa: F401
     from . import fixture_queries  # noqa: F401
     from . import curation_queries  # noqa: F401
+    from . import search_queries  # noqa: F401

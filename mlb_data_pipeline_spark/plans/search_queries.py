@@ -1,0 +1,158 @@
+"""Keyword + hybrid retrieval queries (q73-q74) — the lexical channel
+the reference's vector-only RAG stack (scripts/rag_pipeline_2.py:40-48,
+airflow/dags/mlb_pipeline/pipeline.py:51-56) is missing, plus the
+rank-fusion step that makes it hybrid search.
+
+Both sit OUTSIDE the driver's 50-entry correctness window (q00-q49 by
+round-3 design) but carry full DuckDB oracles under the bit-exact
+pytest harness — see operators/search.py for the determinism contract
+(fixed-order IEEE scalar chains; the only float accumulation is a
+term-sorted sequential fold mirrored by list_reduce).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.embed import embed_column, fake_encode
+from ..operators.relational import spread_for_cpu
+from ..operators.search import (
+    bm25_oracle_sql,
+    bm25_topk,
+    build_text_index,
+    load_text_index,
+    rrf_fuse,
+    save_text_index,
+)
+from ..operators.vector import cosine_topk
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Q73 — BM25 keyword retrieval (top-10 per query over documents).
+#        Queries are driver-side literals pre-tokenized to (qid, term),
+#        vocabulary drawn from the synthetic corpus.
+# ---------------------------------------------------------------------------
+
+_Q73_QUERIES = [
+    (0, "hash join sort merge"),
+    (1, "vector scan filter big"),
+    (2, "customer query window stream"),
+]
+_Q73_TERMS = [(qid, t) for qid, text in _Q73_QUERIES for t in text.split()]
+
+_Q73_SQL = bm25_oracle_sql(_Q73_TERMS, k=10)
+
+
+@query("q73_bm25_topk", oracle=_Q73_SQL, covers="V2,T17,A2,O3")
+def q73_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _Q73_TERMS, k=10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Q74 — hybrid retrieval: BM25 (lexical) + embedding cosine (semantic)
+#        top-20 rankings fused by reciprocal rank (k=60), top-10 out.
+#        The vector channel is the q15 fake-encoder pipeline (sha256
+#        mirrored in SQL bit-for-bit); the fusion is two fixed-order
+#        reciprocal terms, so the fused score is engine-exact.
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Q75 — BM25 through the PERSISTED inverted index: build + save + load
+#        + probe, same queries and oracle as q73, so the round-trip is
+#        itself hash-verified against DuckDB. The probe plan touches
+#        postings parquet only — zero corpus scans at query time.
+# ---------------------------------------------------------------------------
+
+
+@query("q75_bm25_indexed", oracle=_Q73_SQL, covers="V2,T17,O3,S8")
+def q75_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "q75_text_index"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    save_text_index(build_text_index(docs), path)
+    idx = load_text_index(spark, path)
+    return bm25_topk(None, _Q73_TERMS, k=10, index=idx).orderBy("query_id", "rank")
+
+
+_Q74_QUERY_TEXT = "hash join sort merge table scan"
+_Q74_TERMS = [(0, t) for t in _Q74_QUERY_TEXT.split()]
+_Q74_CHANNEL_K = 20
+_Q74_RRF_K = 60.0
+
+_Q74_BM25_SQL = bm25_oracle_sql(_Q74_TERMS, k=_Q74_CHANNEL_K)
+
+_Q74_SQL = f"""
+WITH bm AS (
+  SELECT doc_id, rank FROM ({_Q74_BM25_SQL}) WHERE query_id = 0
+),
+qraw AS (
+  SELECT list_transform(range(64), i ->
+    CAST(CAST(('0x' || substr(sha256(CAST(i AS VARCHAR) || '|{_Q74_QUERY_TEXT}'), 1, 16)) AS UBIGINT) AS DOUBLE)
+      / 9223372036854775808.0 - 1.0) AS raw
+),
+qvec AS (
+  SELECT list_transform(raw, v -> v / sqrt(list_dot_product(raw, raw))) AS q FROM qraw
+),
+eraw AS (
+  SELECT doc_id,
+         list_transform(range(64), i ->
+           CAST(CAST(('0x' || substr(sha256(CAST(i AS VARCHAR) || '|' || text), 1, 16)) AS UBIGINT) AS DOUBLE)
+             / 9223372036854775808.0 - 1.0) AS raw
+  FROM documents
+),
+emb AS (
+  SELECT doc_id,
+         CAST(list_transform(raw, v -> CAST(v / sqrt(list_dot_product(raw, raw)) AS FLOAT)) AS DOUBLE[]) AS e
+  FROM eraw
+),
+vscored AS (
+  SELECT doc_id,
+         list_dot_product(q, e) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(e, e))) AS sim
+  FROM emb, qvec
+),
+vr AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS INT) AS rank
+  FROM vscored ORDER BY sim DESC, doc_id LIMIT {_Q74_CHANNEL_K}
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, vr.doc_id) AS doc_id,
+         bm.rank AS rank_1, vr.rank AS rank_2,
+         COALESCE(1.0 / ({_Q74_RRF_K!r} + bm.rank), 0.0)
+           + COALESCE(1.0 / ({_Q74_RRF_K!r} + vr.rank), 0.0) AS rrf_score
+  FROM bm FULL OUTER JOIN vr ON bm.doc_id = vr.doc_id
+)
+SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+@query("q74_hybrid_rrf", oracle=_Q74_SQL, covers="V1,V2,U2,O2,J3")
+def q74_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bm = (
+        bm25_topk(docs, _Q74_TERMS, k=_Q74_CHANNEL_K)
+        .filter(F.col("query_id") == 0)
+        .select("doc_id", "rank")
+    )
+    store = embed_column(
+        spread_for_cpu(docs.select("doc_id", "text")), "text"
+    )
+    topk = cosine_topk(
+        store, fake_encode(_Q74_QUERY_TEXT), "doc_id", "embedding", _Q74_CHANNEL_K
+    )
+    # rank the k collected rows; the window spans exactly _Q74_CHANNEL_K
+    # rows post-TakeOrderedAndProject, so the single-partition sort is
+    # over a constant-size set, not the corpus
+    vr = topk.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    fused = rrf_fuse([bm, vr], ["doc_id"], k_rrf=_Q74_RRF_K)
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)

@@ -1,0 +1,203 @@
+"""Behavioral tests for the keyword / hybrid retrieval operators
+(operators/search.py): BM25 ranking semantics and RRF fusion algebra.
+Engine parity for q73/q74 is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlb_data_pipeline_spark.operators.search import (
+    bm25_scores,
+    bm25_topk,
+    rrf_fuse,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spark shuffle join spark shuffle join"),
+            (2, "spark only once here with filler words words words"),
+            (3, "nothing relevant in this document at all"),
+            (4, "shuffle appears here once"),
+        ],
+    )
+    out = bm25_topk(docs, [(0, "spark"), (0, "shuffle"), (0, "join")], k=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 3 matches no term: absent
+    assert 3 not in rows
+    # doc 1 matches all three terms repeatedly: rank 1
+    assert rows[1]["rank"] == 1
+    assert rows[1]["n_terms"] == 3
+    # every matching doc scored positive
+    assert all(r["score"] > 0 for r in rows.values())
+    # doc 1 outscores the single-term docs
+    assert rows[1]["score"] > rows[2]["score"]
+    assert rows[1]["score"] > rows[4]["score"]
+
+
+def test_bm25_idf_favors_rare_terms(spark):
+    # 'rare' appears in 1 of 10 docs, 'common' in 9 of 10; same tf and
+    # identical doc lengths -> the rare-term doc must outscore.
+    rows = [(i, "common filler filler") for i in range(9)]
+    rows.append((9, "rare filler filler"))
+    docs = _docs(spark, rows)
+    out = bm25_scores(docs, [(0, "rare"), (1, "common")])
+    by_q = {(r["query_id"], r["doc_id"]): r["score"] for r in out.collect()}
+    assert by_q[(0, 9)] > by_q[(1, 0)]
+
+
+def test_bm25_length_normalization(spark):
+    # same tf for the term, but doc 2 is much longer -> lower score
+    docs = _docs(
+        spark,
+        [
+            (1, "target word word"),
+            (2, "target " + " ".join(["pad"] * 40)),
+        ],
+    )
+    out = bm25_scores(docs, [(0, "target")])
+    scores = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert scores[1] > scores[2]
+
+
+def test_bm25_tokenization_case_and_punct(spark):
+    docs = _docs(spark, [(1, "Spark, SHUFFLE! (join)"), (2, "sparkling water")])
+    out = bm25_scores(docs, [(0, "spark"), (0, "shuffle"), (0, "join")])
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_terms"] == 3  # case-folded, punctuation-split
+    assert 2 not in rows  # 'sparkling' is not a match for 'spark'
+
+
+def test_bm25_topk_tie_break_by_id(spark):
+    docs = _docs(spark, [(5, "alpha beta"), (3, "alpha beta"), (9, "alpha beta")])
+    out = bm25_topk(docs, [(0, "alpha")], k=3).collect()
+    # identical docs -> identical scores; rank order must be doc_id asc
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [3, 5, 9]
+
+
+def test_rrf_fuse_known_scores(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], ["doc_id"]).collect()}
+    assert out[10]["rank_1"] == 1 and out[10]["rank_2"] is None
+    assert math.isclose(out[10]["rrf_score"], 1.0 / 61.0)
+    assert math.isclose(out[20]["rrf_score"], 1.0 / 62.0 + 1.0 / 61.0)
+    assert math.isclose(out[30]["rrf_score"], 1.0 / 62.0)
+    # consensus item (20) beats either single-channel item
+    assert out[20]["rrf_score"] > out[10]["rrf_score"] > out[30]["rrf_score"]
+
+
+def test_rrf_fuse_three_channels_and_validation(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, rank int")
+    out = rrf_fuse(
+        [mk([(1, 1)]), mk([(1, 2)]), mk([(1, 3), (2, 1)])], ["doc_id"]
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert math.isclose(
+        rows[1]["rrf_score"], 1.0 / 61.0 + 1.0 / 62.0 + 1.0 / 63.0
+    )
+    assert rows[2]["rank_1"] is None and rows[2]["rank_3"] == 1
+    with pytest.raises(ValueError):
+        rrf_fuse([], ["doc_id"])
+
+
+def test_text_index_roundtrip_matches_direct(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.search import (
+        build_text_index,
+        load_text_index,
+        save_text_index,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spark shuffle join spark"),
+            (2, "spark filter scan"),
+            (3, "unrelated words entirely"),
+        ],
+    )
+    terms = [(0, "spark"), (0, "shuffle"), (1, "scan")]
+    direct = sorted(
+        map(tuple, bm25_topk(docs, terms, k=5).collect())
+    )
+    path = str(tmp_path / "tindex")
+    save_text_index(build_text_index(docs), path)
+    idx = load_text_index(spark, path)
+    indexed = sorted(
+        map(tuple, bm25_topk(None, terms, k=5, index=idx).collect())
+    )
+    assert direct == indexed
+
+
+def test_text_index_append_equals_full_rebuild(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.search import (
+        append_text_index,
+        build_text_index,
+        load_text_index,
+        save_text_index,
+    )
+
+    corpus = _docs(spark, [(1, "alpha beta gamma"), (2, "beta beta delta")])
+    delta = _docs(spark, [(3, "alpha alpha epsilon"), (2, "beta beta delta")])
+    both = corpus.unionByName(delta).dropDuplicates(["doc_id"])
+    terms = [(0, "alpha"), (0, "beta"), (0, "epsilon")]
+
+    path = str(tmp_path / "tindex")
+    save_text_index(build_text_index(corpus), path)
+    append_text_index(delta, path)  # doc 2 is a replay: id guard drops it
+    idx = load_text_index(spark, path)
+    appended = sorted(map(tuple, bm25_topk(None, terms, k=10, index=idx).collect()))
+    rebuilt = sorted(map(tuple, bm25_topk(both, terms, k=10).collect()))
+    assert appended == rebuilt
+    # replaying the same delta is a no-op
+    append_text_index(delta, path)
+    idx2 = load_text_index(spark, path)
+    again = sorted(map(tuple, bm25_topk(None, terms, k=10, index=idx2).collect()))
+    assert again == rebuilt
+
+
+def test_indexed_probe_pushes_term_filter(spark, tmp_path):
+    """The persisted-index probe must push the term IN-filter into the
+    postings parquet scan (posting-list reads, not index scans)."""
+    from mlb_data_pipeline_spark.operators.search import (
+        bm25_scores,
+        build_text_index,
+        load_text_index,
+        save_text_index,
+    )
+
+    docs = _docs(spark, [(1, "alpha beta"), (2, "beta gamma")])
+    path = str(tmp_path / "tindex")
+    save_text_index(build_text_index(docs), path)
+    idx = load_text_index(spark, path)
+    plan = (
+        bm25_scores(None, [(0, "alpha"), (0, "beta")], index=idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the multi-term isin pushes as In(term, ...); a single term folds
+    # to EqualTo — either way it must reach PushedFilters on the
+    # postings scan
+    import re
+
+    assert re.search(r"PushedFilters: \[[^\]]*In\(term, \[alpha,beta\]", plan), plan
+
+
+def test_bm25_posting_probe_is_broadcast(spark):
+    """The query-term probe of the inverted index must be a broadcast
+    join — the corpus-side tf table never shuffles for the probe."""
+    docs = _docs(spark, [(1, "alpha beta"), (2, "beta gamma")])
+    plan = bm25_scores(docs, [(0, "alpha")])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere in the probe pipeline
+    assert "SortMergeJoin" not in plan
