@@ -933,3 +933,129 @@ def similarity_join(
     return knn_join(
         corpus, queries, id_col, vec_col, k, sim_col=sim_col, max_queries=None
     ).select("query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster-bucketed embedding near-dup.
+#
+# Published approach (Abbas et al. 2023, "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication"): k-means
+# cluster the embeddings, compute pairwise cosine WITHIN each cluster
+# only, and drop all but one member of every semantic-duplicate group.
+# Where MinHash/SimHash catch lexical duplication and cosine-LSH catches
+# directional near-identity, semantic dedup targets paraphrase-level
+# redundancy at a lower threshold (~0.95 of normalized embeddings in
+# the paper) — thresholds where hyperplane banding can no longer bound
+# candidates but cluster-locality still can.
+# ---------------------------------------------------------------------------
+
+
+def semdedup_pairs(
+    df: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    n_lists: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    index: "IvfIndex | None" = None,
+    n_rows: int | None = None,
+    max_cluster_freq: int | None = None,
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Within-cluster cosine pairs >= threshold over a k-means
+    clustering of the embeddings (the SemDeDup candidate structure).
+
+    100 TB shape: assignment is one narrow pass with broadcast
+    centroids (or comes free from a persisted/loaded ``IvfIndex``);
+    candidates are a SELF-EQUI-JOIN ON THE CLUSTER ID — expected volume
+    sum(c_i^2)/2 ~ n^2 / (2 * n_lists) for balanced clusters, so
+    ``n_lists`` must scale with the corpus (the paper uses tens of
+    thousands of clusters at web scale). Cluster skew is the same
+    failure mode as hot LSH bands: pass ``n_rows`` to cap clusters at
+    8x the balanced size (or set ``max_cluster_freq`` explicitly) —
+    over-full clusters are dense semantic blobs whose pair lists
+    explode; dropping them trades recall only on that degenerate mass,
+    and precision is exact everywhere (every candidate is verified with
+    the bit-exact sequential-fold kernel).
+
+    Pairs cannot duplicate across clusters (each row belongs to exactly
+    one list), and pairs whose members land in DIFFERENT clusters are
+    missed — that is the approximation; recall is measured in
+    tests/test_vector_ops.py against the exact quadratic tier.
+    """
+    idx = index
+    if idx is None:
+        if df is None:
+            raise ValueError("pass df or index")
+        if n_lists == 1 and centroids is None:
+            # degenerate single cluster (the exact-equivalence tier):
+            # no quantizer to train — MLlib KMeans requires k > 1
+            assigned = df.select(id_col, vec_col).withColumn("__list", F.lit(0))
+            n_clusters = 1
+        else:
+            idx = build_ivf_index(
+                df.select(id_col, vec_col), id_col, vec_col, n_lists, seed,
+                centroids=centroids,
+            )
+    if idx is not None:
+        assigned = idx.assignments
+        id_col, vec_col = idx.id_col, idx.vec_col
+        n_clusters = len(idx.centroids)
+    if max_cluster_freq is None and n_rows is not None:
+        max_cluster_freq = max(64, 8 * n_rows // max(1, n_clusters))
+    if max_cluster_freq is not None:
+        from .dedup import cap_hot_keys
+
+        assigned = cap_hot_keys(assigned, ["__list"], max_cluster_freq)
+    assigned = assigned.withColumn("__norm", norm(vec_col))
+    a = _prefix(assigned, "a_")
+    b = _prefix(assigned, "b_")
+    pdot = dot_arrow_seq()
+    return (
+        a.join(
+            b,
+            (F.col("a___list") == F.col("b___list"))
+            & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")),
+        )
+        .withColumn(
+            sim_col,
+            pdot(f"a_{vec_col}", f"b_{vec_col}")
+            / (F.col("a___norm") * F.col("b___norm")),
+        )
+        .filter(F.col(sim_col) >= F.lit(threshold))
+        .select(F.col(f"a_{id_col}"), F.col(f"b_{id_col}"), F.col(sim_col))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    n_lists: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    index: "IvfIndex | None" = None,
+    n_rows: int | None = None,
+    max_cluster_freq: int | None = None,
+) -> DataFrame:
+    """The keep-side of SemDeDup: connected components over the
+    within-cluster pair graph (paraphrase similarity is not transitive
+    — a~b~c must collapse even when a~c was never emitted), keep the
+    minimum id per component, return the kept rows of ``df`` via a
+    single anti-join. Deterministic: same corpus, same kept set."""
+    from .dedup import connected_components
+
+    pairs = semdedup_pairs(
+        df, id_col, vec_col, threshold=threshold, n_lists=n_lists, seed=seed,
+        centroids=centroids, index=index, n_rows=n_rows,
+        max_cluster_freq=max_cluster_freq,
+    )
+    comp = connected_components(pairs, f"a_{id_col}", f"b_{id_col}")
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -295,3 +295,49 @@ def q58_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", k=3, max_broadcast_queries=0,
         n_probe=4, index=_ivf_index_for(spark, sf_dir),
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Q76 — SemDeDup-style semantic dedup (V4 paraphrase tier). The driver's
+#        synthetic embeddings are isotropic (no true 0.95-cosine pairs),
+#        so the query PLANTS one semantic duplicate per 50 vectors — a
+#        deterministic 0.97/0.03 roll-mixture at id = -vec_id - 1
+#        (cosine >= 0.999, same construction as the scaling curve) —
+#        and dedups the union. Rows-only by design: the cluster
+#        assignment is MLlib KMeans (not SQL-expressible); exactness of
+#        the keep-set is pinned in tests/test_vector_ops.py instead
+#        (each planted pair drops exactly one member, nothing else).
+# ---------------------------------------------------------------------------
+
+
+def _plant_semantic_dups(emb: DataFrame, every: int = 50, alpha: float = 0.97) -> DataFrame:
+    rolled = F.expr(
+        "concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1))"
+    )
+    mixed = F.zip_with(
+        F.col("embedding"), rolled,
+        lambda x, y: x * F.lit(alpha) + y * F.lit(1.0 - alpha),
+    )
+    planted = emb.filter(F.col("vec_id") % every == 0).select(
+        (-F.col("vec_id") - 1).alias("vec_id"),
+        mixed.cast("array<float>").alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(planted)
+
+
+@query("q76_semantic_dedup", oracle=None, covers="V4,V3")
+def q76_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vector import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = _plant_semantic_dups(emb)
+    kept = semantic_dedup(corpus, "vec_id", "embedding", threshold=0.95, n_lists=8)
+    return (
+        kept.select(
+            F.when(F.col("vec_id") < 0, "planted").otherwise("original").alias("origin")
+        )
+        .groupBy("origin")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("origin")
+    )

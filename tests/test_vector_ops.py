@@ -466,3 +466,112 @@ def test_ivf_partial_probe_is_subset_and_ranked(spark, emb):
         sims = [r.sim for r in rows]
         assert sims == sorted(sims, reverse=True)
         assert len(rows) <= 3
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (operators/vector.py semdedup_pairs /
+# semantic_dedup)
+# ---------------------------------------------------------------------------
+
+
+def _planted_corpus(spark, emb, every=10, alpha=0.97):
+    """Union emb with a deterministic near-copy (cos >= 0.999) of every
+    ``every``-th vector at id = -vec_id - 1."""
+    rolled = F.expr("concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1))")
+    mixed = F.zip_with(
+        F.col("embedding"), rolled, lambda x, y: x * F.lit(alpha) + y * F.lit(1.0 - alpha)
+    )
+    planted = emb.filter(F.col("vec_id") % every == 0).select(
+        (-F.col("vec_id") - 1).alias("vec_id"),
+        mixed.cast("array<float>").alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(planted), planted.count()
+
+
+def test_semdedup_single_cluster_equals_exact(spark, emb):
+    from mlb_data_pipeline_spark.operators.vector import semdedup_pairs
+
+    small = emb.limit(80)
+    corpus, _ = _planted_corpus(spark, small)
+    exact = {
+        (r["a_vec_id"], r["b_vec_id"])
+        for r in cosine_pairs_exact(corpus, "vec_id", "embedding", 0.95).collect()
+    }
+    sem = {
+        (r["a_vec_id"], r["b_vec_id"])
+        for r in semdedup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.95, n_lists=1
+        ).collect()
+    }
+    # one cluster holds everything -> no approximation survives
+    assert sem == exact and len(exact) > 0
+
+
+def test_semdedup_clustered_recall(spark, emb):
+    from mlb_data_pipeline_spark.operators.vector import semdedup_pairs
+
+    corpus, n_planted = _planted_corpus(spark, emb)
+    pairs = semdedup_pairs(corpus, "vec_id", "embedding", threshold=0.95, n_lists=8)
+    found = pairs.filter(F.col("a_vec_id") + F.col("b_vec_id") == -1).count()
+    # a near-copy lands in its original's cluster except at voronoi
+    # boundaries; recall stays high and precision is exact
+    assert found / n_planted >= 0.8
+    assert pairs.filter(F.col("sim") < 0.95).count() == 0
+
+
+def test_semantic_dedup_collapses_chain_to_one(spark):
+    from mlb_data_pipeline_spark.operators.vector import semantic_dedup
+
+    base = [float(i % 7 - 3) for i in range(8)]
+    import math
+
+    def mix(v, alpha):
+        rolled = v[1:] + v[:1]
+        out = [alpha * x + (1 - alpha) * y for x, y in zip(v, rolled)]
+        return out
+
+    rows = [
+        (1, base, "a"),
+        (2, mix(base, 0.98), "a"),   # ~base
+        (3, mix(base, 0.96), "a"),   # ~base and ~2, chain member
+        (10, [1.0, -2.0, 3.0, -4.0, 1.0, 0.5, -0.5, 2.0], "b"),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    kept = semantic_dedup(df, "vec_id", "embedding", threshold=0.95, n_lists=1)
+    ids = sorted(r["vec_id"] for r in kept.collect())
+    # the 1-2-3 clique keeps its minimum id only; 10 untouched
+    assert ids == [1, 10]
+
+
+def test_semdedup_hot_cluster_cap(spark, emb):
+    from mlb_data_pipeline_spark.operators.vector import semdedup_pairs
+
+    # a degenerate blob: 120 near-identical vectors (one semantic point
+    # mass) would alone contribute ~7k pairs; the default cap derived
+    # from n_rows drops the over-full cluster instead
+    one = [1.0] * 8
+    blob = spark.createDataFrame(
+        [(1000 + i, [v + i * 1e-4 for v in one], "blob") for i in range(120)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    small = emb.limit(40).select(
+        "vec_id", F.slice("embedding", 1, 8).cast("array<float>").alias("embedding"), "label"
+    )
+    corpus = small.unionByName(blob)
+    n = corpus.count()
+    capped = semdedup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.95, n_lists=8, n_rows=n
+    )
+    uncapped = semdedup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.95, n_lists=8
+    )
+    # cap = max(64, 8*160/8) = 160 > 120 -> cap must NOT trip here; make
+    # the blob bigger than the cap by shrinking the allowance
+    tight = semdedup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.95, n_lists=8,
+        max_cluster_freq=100,
+    )
+    assert uncapped.count() >= 120 * 119 // 2  # the blob is quadratic
+    assert capped.count() == uncapped.count()  # default cap generous here
+    assert tight.filter(F.col("a_vec_id") >= 1000).count() == 0  # blob dropped
