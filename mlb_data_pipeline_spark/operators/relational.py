@@ -158,3 +158,54 @@ def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
     (single-partition sort); those want ``orderBy`` (range sort) or
     ``orderBy().limit(k)`` (TakeOrdered)."""
     return df.repartition(1).sortWithinPartitions(*cols)
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Snapshot diff between two versions of a keyed dataset: one row
+    per key present in either side, labeled ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` — the corpus-versioning companion to the
+    §2.11 stores (what did today's pipeline run actually change?) and
+    the regression gate a warehouse publish step wants (reference
+    analogue: the raw→staging→analytics promotion in
+    scripts/bigquery_load.py / warehouse.py, which overwrites blind).
+
+    Change detection hashes the ``compare_cols`` (default: all
+    non-key columns common to both sides, sorted by name) with md5 over
+    a null-sentineled concat — engine-neutral, so the whole diff is
+    SQL-mirrorable. Keys must be unique per side (a keyed snapshot);
+    duplicates make 'changed' ambiguous and should be deduped first.
+
+    100 TB shape: ONE full-outer shuffle join on the key columns —
+    the minimum possible for a keyed diff; the hash is a narrow
+    projection on each side, and counts-by-change-type aggregate
+    map-side. Output carries key cols + ``change_col``.
+    """
+    if compare_cols is None:
+        ks = set(key_cols)
+        compare_cols = sorted(
+            (set(old.columns) & set(new.columns)) - ks
+        )
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        parts = []
+        for c in compare_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+            parts.append(F.lit("\x1f"))
+        return df.select(
+            *key_cols, F.md5(F.concat(*parts)).alias(f"__h_{tag}")
+        )
+
+    joined = hashed(old, "old").join(hashed(new, "new"), key_cols, "full_outer")
+    change = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") == F.col("__h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_cols, change.alias(change_col))

@@ -758,3 +758,79 @@ def q56_repartition_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .orderBy("pid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q77 — keyed snapshot diff (dataset versioning): what changed between
+#        two corpus versions. Synthesizes two deterministic snapshots of
+#        orders (v1 = keys %7 != 0; v2 = keys %5 != 0 with the status
+#        string of every %3 == 0 key mutated) and counts rows by change
+#        type. compare-cols are string/long/date only: the md5 row hash
+#        casts values to string, and double->string formatting is the
+#        one cast the two engines render differently.
+# ---------------------------------------------------------------------------
+
+_Q77_SQL = """
+WITH old_v AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_orderdate
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+new_v AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus || 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_orderpriority, o_orderdate
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+ho AS (
+  SELECT o_orderkey,
+         md5(COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null') || chr(31)
+             || COALESCE(CAST(o_orderdate AS VARCHAR), chr(0) || 'null') || chr(31)
+             || COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null') || chr(31)
+             || COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null') || chr(31)) AS h
+  FROM old_v
+),
+hn AS (
+  SELECT o_orderkey,
+         md5(COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null') || chr(31)
+             || COALESCE(CAST(o_orderdate AS VARCHAR), chr(0) || 'null') || chr(31)
+             || COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null') || chr(31)
+             || COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null') || chr(31)) AS h
+  FROM new_v
+),
+d AS (
+  SELECT COALESCE(ho.o_orderkey, hn.o_orderkey) AS k,
+         CASE WHEN ho.h IS NULL THEN 'added'
+              WHEN hn.h IS NULL THEN 'removed'
+              WHEN ho.h = hn.h THEN 'unchanged'
+              ELSE 'changed' END AS change_type
+  FROM ho FULL OUTER JOIN hn ON ho.o_orderkey = hn.o_orderkey
+)
+SELECT change_type, COUNT(*) AS n_rows FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q77_snapshot_diff", oracle=_Q77_SQL, covers="J3,A2,P3")
+def q77_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import dataset_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    old_v = orders.select(cols).filter(F.col("o_orderkey") % 7 != 0)
+    new_v = (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.concat(F.col("o_orderstatus"), F.lit("X"))
+            )
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_orderpriority",
+            "o_orderdate",
+        )
+        .filter(F.col("o_orderkey") % 5 != 0)
+    )
+    diff = dataset_diff(old_v, new_v, ["o_orderkey"])
+    return (
+        diff.groupBy("change_type").agg(F.count("*").alias("n_rows")).orderBy("change_type")
+    )

@@ -1,0 +1,56 @@
+"""Behavioral tests for composed relational operators
+(operators/relational.py) that aren't fully pinned by the oracled
+queries — currently the snapshot-diff operator (q77 covers the oracle
+parity; these cover null handling, column selection, and key safety)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mlb_data_pipeline_spark.operators.relational import dataset_diff
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, a string, b long")
+
+
+def test_dataset_diff_labels(spark):
+    old = _snap(spark, [(1, "x", 10), (2, "y", 20), (3, "z", 30)])
+    new = _snap(spark, [(2, "y", 20), (3, "Z", 30), (4, "w", 40)])
+    out = {r["k"]: r["change_type"] for r in dataset_diff(old, new, ["k"]).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_dataset_diff_null_vs_empty_vs_absent(spark):
+    # NULL, empty string, and the literal sentinel-ish text must all
+    # hash distinctly — a diff that conflates them reports 'unchanged'
+    # for a real change
+    old = _snap(spark, [(1, None, 1), (2, "", 1), (3, "null", 1)])
+    new = _snap(spark, [(1, "", 1), (2, "null", 1), (3, None, 1)])
+    out = {r["k"]: r["change_type"] for r in dataset_diff(old, new, ["k"]).collect()}
+    assert out == {1: "changed", 2: "changed", 3: "changed"}
+    same = {r["k"]: r["change_type"] for r in dataset_diff(old, old, ["k"]).collect()}
+    assert set(same.values()) == {"unchanged"}
+
+
+def test_dataset_diff_compare_cols_subset(spark):
+    old = _snap(spark, [(1, "x", 10)])
+    new = _snap(spark, [(1, "x", 99)])
+    # full compare sees the b change; restricting to 'a' does not
+    assert dataset_diff(old, new, ["k"]).collect()[0]["change_type"] == "changed"
+    assert (
+        dataset_diff(old, new, ["k"], compare_cols=["a"]).collect()[0]["change_type"]
+        == "unchanged"
+    )
+
+
+def test_dataset_diff_single_shuffle_join(spark):
+    old = _snap(spark, [(1, "x", 10)])
+    new = _snap(spark, [(1, "x", 10)])
+    plan = (
+        dataset_diff(old, new, ["k"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Join FullOuter") == 1
