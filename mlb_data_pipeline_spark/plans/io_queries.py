@@ -371,3 +371,44 @@ def q43_rss_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("link", "title", "published_ts", "title_xpath")
         .orderBy("link")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q78 — quarantine ingestion (S2 hardened): JSON-lines with planted
+#        corrupt records split into valid rows + verbatim quarantine.
+#        Rows-only by design (the corrupt-line split is reader
+#        semantics, not SQL); exact split behavior is pinned in
+#        tests/test_io.py.
+# ---------------------------------------------------------------------------
+
+_Q78_CORRUPT = [
+    '{"doc_id": 1, "source": "web", "n_chars":',   # truncated mid-token
+    "not json at all",                             # free text
+    '[{"doc_id": 2}]',                             # valid JSON, wrong shape
+]
+
+
+@query("q78_quarantine_ingest", oracle=None, covers="S2,T14")
+def q78_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_jsonl_quarantine
+
+    path = _scratch(sf_dir, "q78_dirty.jsonl")
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    good = docs.select(
+        F.to_json(F.struct("doc_id", "source", "n_chars")).alias("value")
+    )
+    bad = spark.createDataFrame([(s,) for s in _Q78_CORRUPT], "value string")
+    good.unionByName(bad).coalesce(1).write.mode("overwrite").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    valid, quarantine = read_jsonl_quarantine(spark, path, schema)
+    return valid.agg(
+        F.count("*").alias("n_valid"),
+        F.sum("n_chars").alias("total_chars"),
+    ).crossJoin(quarantine.agg(F.count("*").alias("n_quarantined")))

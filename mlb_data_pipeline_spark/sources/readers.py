@@ -75,3 +75,64 @@ def parse_schedule_payloads(raw: DataFrame, payload_col: str = "payload") -> Dat
             F.col("g.status.detailedState").alias("status"),
         )
     )
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    raw_col: str = "raw_record",
+) -> tuple[DataFrame, DataFrame]:
+    """S2 hardened: JSON-lines ingestion that SPLITS instead of
+    silently nulling — returns ``(valid, quarantine)``.
+
+    A scraping pipeline's daily drop (the reference appends whole-file
+    JSON per day, pipeline.py:40-49, and trusts it blind) always
+    eventually contains a truncated or malformed record; PERMISSIVE
+    parsing turns those into all-null rows that poison downstream aggs,
+    and FAILFAST kills the whole batch for one bad line. This reader
+    parses the file as text + ``from_json`` — sidestepping Spark's
+    restriction on referencing only the internal corrupt-record column —
+    and routes each line to exactly one side:
+
+    * ``valid``: lines whose ``from_json`` struct parsed (schema fields
+      may still be null where the record omits them — that is data, not
+      corruption);
+    * ``quarantine``: non-blank lines that failed to parse, preserved
+      VERBATIM in ``raw_col`` for replay after a parser fix (pair with
+      the S9 binary/file sink or S10 JSON sink).
+
+    Both sides derive from the same lazy text scan; a daily delta reads
+    at most twice (once per materialized side), never the corpus. All
+    parsing is JVM-side ``from_json`` — no Python in the path.
+    """
+    # PERMISSIVE from_json yields an all-null struct (not NULL) for a
+    # malformed line, so corruption is detected via an explicit
+    # corrupt-record field: populated verbatim on parse failure, null on
+    # success. Because the source is a text scan, this sidesteps the
+    # engine restriction on queries that reference only the internal
+    # corrupt column of a JSON file source.
+    corrupt_field = "__corrupt"
+    if corrupt_field in schema.fieldNames():
+        raise ValueError(f"schema may not contain {corrupt_field!r}")
+    # StructType.add mutates in place — never extend the caller's schema
+    parse_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_field, T.StringType())]
+    )
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.col("value").alias(raw_col),
+        F.from_json(
+            F.col("value"),
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_field},
+        ).alias("__rec"),
+    )
+    ok = F.col(f"__rec.{corrupt_field}").isNull() & F.col("__rec").isNotNull()
+    valid = parsed.filter(ok).select(
+        *[F.col(f"__rec.{f}").alias(f) for f in schema.fieldNames()]
+    )
+    quarantine = parsed.filter(
+        (~ok) & (F.trim(F.col(raw_col)) != "")
+    ).select(raw_col)
+    return valid, quarantine

@@ -271,3 +271,45 @@ def test_compact_parquet_preserves_content_and_layout(spark, tmp_path):
     compact_parquet(spark, sh, target_files=1)
     assert spark.read.parquet(sh).count() == rows_before
     assert len(glob.glob(sh + "/*.parquet")) == 1
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from mlb_data_pipeline_spark.sources.readers import read_jsonl_quarantine
+
+    lines = [
+        '{"id": 1, "name": "ok"}',
+        '{"id": 2, "name": "also ok", "extra": "ignored"}',
+        '{"id": 3, "name":',        # truncated
+        "plain text line",           # not JSON
+        '[{"id": 4}]',               # valid JSON, wrong shape
+        "",                          # blank: neither side
+        '{"id": 5}',                 # missing field -> null, still valid
+    ]
+    p = tmp_path / "dirty.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    valid, quarantine = read_jsonl_quarantine(spark, str(p), schema)
+    vrows = {r["id"]: r["name"] for r in valid.collect()}
+    assert vrows == {1: "ok", 2: "also ok", 5: None}
+    # corrupt lines preserved VERBATIM for replay
+    qrows = sorted(r["raw_record"] for r in quarantine.collect())
+    assert qrows == sorted(['{"id": 3, "name":', "plain text line", '[{"id": 4}]'])
+    # valid schema excludes the internal corrupt column
+    assert valid.columns == ["id", "name"]
+
+
+def test_jsonl_quarantine_schema_guard(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from mlb_data_pipeline_spark.sources.readers import read_jsonl_quarantine
+
+    p = tmp_path / "x.jsonl"
+    p.write_text("{}\n")
+    bad = T.StructType([T.StructField("__corrupt", T.StringType())])
+    with _pytest.raises(ValueError):
+        read_jsonl_quarantine(spark, str(p), bad)
