@@ -155,3 +155,53 @@ def redact_sql(expr: str, patterns: dict[str, str] | None = None) -> str:
     for pat, repl in pats.items():
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return expr
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    size: int,
+    overlap: int = 0,
+    idx_col: str = "chunk_idx",
+    start_col: str = "char_start",
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Overlapping sliding-window document chunking — the RAG /
+    pretraining preprocessing step between scrape and embed (the
+    reference embeds whole articles, pipeline.py:93-101; real corpora
+    exceed the encoder context and need windows with overlap so no
+    boundary-spanning passage is lost).
+
+    One row per (doc, window): ``idx_col`` is the 0-based window
+    ordinal, ``start_col`` the 0-based character offset, ``out_col``
+    the ``size``-char substring (the last window is shorter). Window
+    starts step by ``size - overlap``; empty texts produce zero chunks.
+
+    100 TB shape: entirely NARROW — sequence + posexplode + substring
+    inside whole-stage codegen; no shuffle, no UDF. Output row count is
+    ~len/(size-overlap) per doc, and the explode preserves the input
+    partitioning for a downstream embed stage. Offsets are plain
+    character positions (code units), so chunks can be re-anchored into
+    the source doc exactly.
+    """
+    if size <= 0 or overlap < 0 or overlap >= size:
+        raise ValueError(f"need size > 0 and 0 <= overlap < size, got {size=} {overlap=}")
+    step = size - overlap
+    text = F.col(text_col)
+    starts = F.when(
+        F.length(text) > 0,
+        F.sequence(F.lit(0), F.length(text) - 1, F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(F.col(id_col), text.alias("__t"), starts.alias("__starts"))
+    return base.select(
+        id_col,
+        "__t",
+        F.posexplode("__starts").alias(idx_col, start_col),
+    ).select(
+        id_col,
+        F.col(idx_col).cast("int").alias(idx_col),
+        F.col(start_col).cast("int").alias(start_col),
+        F.expr(f"substring(__t, {start_col} + 1, {size})").alias(out_col),
+    )

@@ -359,3 +359,62 @@ def q72_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("top").alias("e"))
         .select(F.col("e.item").alias("token"), F.col("e.count").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q79 — overlapping sliding-window chunking (RAG preprocessing): one row
+#        per (doc, 120-char window, 20-char overlap) with exact offsets,
+#        plus per-doc window counts. Narrow plan: sequence + posexplode
+#        + substring, no shuffle until the final count.
+# ---------------------------------------------------------------------------
+
+_Q79_SIZE, _Q79_OVERLAP = 120, 20
+
+_Q79_SQL = f"""
+WITH starts AS (
+  SELECT doc_id, length(text) AS len, unnest(range(0, length(text), {_Q79_SIZE - _Q79_OVERLAP})) AS char_start,
+         text
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(char_start // {_Q79_SIZE - _Q79_OVERLAP} AS INT) AS chunk_idx,
+         CAST(char_start AS INT) AS char_start,
+         substr(text, CAST(char_start AS INT) + 1, {_Q79_SIZE}) AS chunk_text
+  FROM starts
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(length(chunk_text)) AS BIGINT) AS total_chunk_chars,
+       md5(string_agg(chunk_text, chr(30) ORDER BY chunk_idx)) AS content_hash
+FROM chunks
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q79_chunk_windows", oracle=_Q79_SQL, covers="curation:chunk,T3,U5")
+def q79_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, "doc_id", "text", size=_Q79_SIZE, overlap=_Q79_OVERLAP)
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.length("chunk_text")).alias("total_chunk_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                        ),
+                        lambda s: s["chunk_text"],
+                    ),
+                    "\x1e",
+                )
+            ).alias("content_hash"),
+        )
+        .orderBy("doc_id")
+    )

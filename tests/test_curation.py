@@ -184,3 +184,54 @@ def test_heavy_hitter_sketch_exact_at_capacity(spark, sf_dir):
     assert sorted(n for _, n in got) == sorted(n for _, n in exact_rows)
     cutoff = min(n for _, n in exact_rows)
     assert {t for t, n in exact_rows if n > cutoff} <= {t for t, _ in got}
+
+
+def test_chunk_text_windows_and_offsets(spark):
+    from mlb_data_pipeline_spark.operators.curation import chunk_text
+
+    text = "abcdefghijklmnopqrstuvwxyz"  # 26 chars
+    df = spark.createDataFrame([(1, text), (2, "short"), (3, "")], "doc_id long, text string")
+    out = chunk_text(df, "doc_id", "text", size=10, overlap=4)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["char_start"], r["chunk_text"]) for r in out.collect())
+    )
+    # doc 1: starts 0, 6, 12, 18, 24 (step 6); last windows shorter
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, 0, "abcdefghij"),
+        (1, 1, 6, "ghijklmnop"),
+        (1, 2, 12, "mnopqrstuv"),
+        (1, 3, 18, "stuvwxyz"),
+        (1, 4, 24, "yz"),
+    ]
+    # every chunk re-anchors exactly into the source by its offset
+    for _, _, start, chunk in (r for r in rows if r[0] == 1):
+        assert text[start : start + len(chunk)] == chunk
+    # consecutive windows overlap by exactly `overlap` chars
+    assert rows[0][3][-4:] == rows[1][3][:4]
+    # short doc -> one window; empty doc -> zero
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 0, "short")]
+    assert not [r for r in rows if r[0] == 3]
+
+
+def test_chunk_text_validation(spark):
+    import pytest as _pytest
+
+    from mlb_data_pipeline_spark.operators.curation import chunk_text
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for size, overlap in ((0, 0), (5, 5), (5, -1), (5, 7)):
+        with _pytest.raises(ValueError):
+            chunk_text(df, "doc_id", "text", size=size, overlap=overlap)
+
+
+def test_chunk_text_is_narrow(spark):
+    from mlb_data_pipeline_spark.operators.curation import chunk_text
+
+    df = spark.createDataFrame([(1, "hello world " * 30)], "doc_id long, text string")
+    plan = (
+        chunk_text(df, "doc_id", "text", size=50, overlap=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # no shuffle: sequence+posexplode+substring only
