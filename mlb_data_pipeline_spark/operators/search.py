@@ -373,3 +373,12 @@ def rrf_fuse(
         *[F.col(f"rank_{i + 1}") for i in range(len(rankings))],
         score.alias("rrf_score"),
     )
+
+
+def tokenize_query(text: str, query_id: int = 0) -> list[tuple[int, str]]:
+    """Driver-side query tokenization matching the corpus tokenizer
+    (``lower`` + ``[a-z0-9]+``) — the (query_id, term) pairs
+    ``bm25_scores`` expects. Distinct terms, order-insensitive."""
+    import re
+
+    return [(query_id, t) for t in sorted(set(re.findall(TOKEN_RE, text.lower())))]

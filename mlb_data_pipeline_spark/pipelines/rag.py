@@ -36,3 +36,63 @@ def rag_answer(spark: SparkSession, store: DataFrame, question: str, k: int = 3,
         F.concat(F.lit("Context:\n"), F.col("context"), F.lit(f"\n\nQuestion: {question}\nAnswer:")),
     )
     return llm_enrich(prompt, "prompt", client_factory=client_factory)
+
+
+def build_chunk_store(docs: DataFrame, id_col: str = "url", text_col: str = "text",
+                      *, size: int = 400, overlap: int = 80) -> DataFrame:
+    """Encoder-context-safe store build: sliding-window chunk (C7) then
+    embed each window (V1). Retrieval granularity becomes the chunk —
+    ``chunk_key`` is ``<doc id>#<window ordinal>`` and ``char_start``
+    re-anchors a hit into its source doc. Narrow end to end: the chunker
+    adds no shuffle and the embed UDF maps over the chunk rows."""
+    from ..operators.curation import chunk_text
+    from ..operators.relational import spread_for_cpu
+
+    chunks = chunk_text(docs, id_col, text_col, size=size, overlap=overlap)
+    keyed = chunks.select(
+        F.concat(F.col(id_col).cast("string"), F.lit("#"), F.col("chunk_idx")).alias("chunk_key"),
+        F.col(id_col),
+        "chunk_idx",
+        "char_start",
+        F.col("chunk_text").alias("text"),
+    )
+    from ..functions.embed import embed_column
+
+    return embed_column(spread_for_cpu(keyed), "text")
+
+
+def hybrid_retrieve(
+    spark: SparkSession,
+    store: DataFrame,
+    query_text: str,
+    k: int = 3,
+    *,
+    id_col: str = "url",
+    channel_k: int = 20,
+    k_rrf: float = 60.0,
+) -> DataFrame:
+    """Hybrid retrieval over an embedded store (id, text, embedding):
+    the BM25 lexical channel and the cosine semantic channel each rank
+    their top ``channel_k``, reciprocal-rank fusion merges them, top
+    ``k`` come back with both channel ranks attached. Same physical
+    story as the single channels — posting-list-bounded keyword scoring,
+    narrow scan + TakeOrdered for the vectors, and a tiny ranked-list
+    fusion join."""
+    from ..operators.search import bm25_topk, rrf_fuse, tokenize_query
+
+    bm = (
+        bm25_topk(store, tokenize_query(query_text), id_col=id_col, k=channel_k)
+        .select(id_col, "rank")
+    )
+    qvec = fake_encode(query_text)
+    vr = cosine_topk(store, qvec, id_col, "embedding", channel_k).select(
+        id_col,
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col(id_col).asc()))
+        .alias("rank"),
+    )
+    fused = rrf_fuse([bm, vr], [id_col], k_rrf=k_rrf)
+    top = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)
+    return top.join(store.select(id_col, "text"), id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )

@@ -138,3 +138,48 @@ def test_pretraining_data_pipeline_end_to_end(spark, tmp_path):
     got = {(r.id_a, r.id_b) for r in
            incremental_neardup_pairs(day2, store, "doc_id", "text", 0.5).collect()}
     assert (104, 200) in got
+
+
+def test_hybrid_retrieve_consensus_wins(spark, tmp_path):
+    from mlb_data_pipeline_spark.pipelines.rag import hybrid_retrieve
+
+    lake = str(tmp_path / "lake")
+    store_path = str(tmp_path / "store")
+    daily_content_pipeline(spark, _articles(spark), lake, store_path)
+    store = spark.read.parquet(store_path)
+
+    hits = hybrid_retrieve(spark, store, "walk-off homer in extra innings", k=3).collect()
+    assert len(hits) == 3
+    # both channel ranks surfaced; fused order is score-desc
+    assert hits[0]["rrf_score"] >= hits[1]["rrf_score"] >= hits[2]["rrf_score"]
+    assert {"rank_1", "rank_2", "rrf_score", "text"} <= set(hits[0].asDict())
+    # a doc present in BOTH channels must outrank a same-rank
+    # single-channel doc: verify the invariant on the fused frame
+    both = [h for h in hits if h["rank_1"] is not None and h["rank_2"] is not None]
+    if both:
+        assert both[0]["rrf_score"] == hits[0]["rrf_score"]
+    # deterministic
+    again = hybrid_retrieve(spark, store, "walk-off homer in extra innings", k=3).collect()
+    assert [h["url"] for h in again] == [h["url"] for h in hits]
+
+
+def test_build_chunk_store_and_retrieve(spark, tmp_path):
+    from mlb_data_pipeline_spark.pipelines.rag import build_chunk_store
+
+    docs = spark.createDataFrame(
+        [(10, "alpha beta " * 60), (11, "tiny doc")], "url long, text string"
+    )
+    store = build_chunk_store(docs, size=100, overlap=20)
+    rows = store.collect()
+    # doc 10 is 660 chars -> ceil chunking at step 80; doc 11 -> 1 chunk
+    n10 = [r for r in rows if r["url"] == 10]
+    assert len(n10) == (660 - 1) // 80 + 1
+    assert [r["chunk_key"] for r in rows if r["url"] == 11] == ["11#0"]
+    # every chunk embedded with the deterministic fake encoder
+    assert all(len(r["embedding"]) == 64 for r in rows)
+    # chunk-granular retrieval: hits are chunk keys, re-anchorable
+    from mlb_data_pipeline_spark.functions.embed import fake_encode
+    from mlb_data_pipeline_spark.operators.vector import cosine_topk
+
+    top = cosine_topk(store, fake_encode("alpha beta"), "chunk_key", "embedding", 2).collect()
+    assert len(top) == 2 and all("#" in t["chunk_key"] for t in top)
