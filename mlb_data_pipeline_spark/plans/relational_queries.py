@@ -834,3 +834,67 @@ def q77_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         diff.groupBy("change_type").agg(F.count("*").alias("n_rows")).orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q80 — approximate quantile sketch (A4 family): percentile_approx /
+#        approx_percentile (Greenwald-Khanna) per group — the quantile
+#        companion to q55's HLL distinct and q72's heavy-hitter top-k.
+#        Rows-only by design (sketch results are engine-specific);
+#        the rank-error bound vs the exact percentile is pinned in
+#        tests/test_properties.py.
+# ---------------------------------------------------------------------------
+
+
+@query("q80_approx_quantiles", oracle=None, covers="A4,A9")
+def q80_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_p50_p90_p99"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("approx_p50_p90_p99")[0].alias("p50"),
+            F.col("approx_p50_p90_p99")[1].alias("p90"),
+            F.col("approx_p50_p90_p99")[2].alias("p99"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q81 — distribution window functions (O4 extension): ntile / 
+#        percent_rank / cume_dist per market segment. All-integer rank
+#        arithmetic with one exact IEEE division each, so the doubles
+#        are engine-identical under ANSI tie semantics.
+# ---------------------------------------------------------------------------
+
+_Q81_SQL = """
+SELECT c_mktsegment, c_custkey,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
+@query("q81_distribution_windows", oracle=_Q81_SQL, covers="O4,O6")
+def q81_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        customer.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )

@@ -135,3 +135,35 @@ def test_lsh_params_always_feasible_and_consistent(n_rows, threshold):
     assert bands * (1 << per_band) <= 2**31
     exp_cand = bands * _band_match_prob(0.5, per_band, probe) * n_rows * (n_rows - 1) / 2
     assert exp_cand <= 8 * n_rows * 1.0000001
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """q80's Greenwald-Khanna sketch at accuracy 10000 has rank error
+    <= n/10000 — at test scale that pins each approx quantile inside a
+    generous exact-quantile bracket."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import load_table
+    from mlb_data_pipeline_spark.plans import REGISTRY, load_all
+
+    load_all()
+    approx = {
+        r["event_type"]: r
+        for r in REGISTRY["q80_approx_quantiles"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.45, 0.55))").alias("p50_bracket"),
+            F.expr("percentile(value, array(0.85, 0.95))").alias("p90_bracket"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for et, a in approx.items():
+        lo50, hi50 = exact[et]["p50_bracket"]
+        lo90, hi90 = exact[et]["p90_bracket"]
+        assert lo50 <= a["p50"] <= hi50, (et, a["p50"], lo50, hi50)
+        assert lo90 <= a["p90"] <= hi90, (et, a["p90"], lo90, hi90)
