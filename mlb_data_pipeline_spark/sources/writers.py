@@ -76,6 +76,7 @@ def compact_parquet(
     path: str,
     partition_cols: list[str] | None = None,
     target_files: int = 1,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet dataset in place with a bounded file count —
     the maintenance pass an append-only store (signature store, IVF
@@ -90,7 +91,18 @@ def compact_parquet(
     never changes data, only file topology. The read is checkpointed
     (disk-backed, non-recomputable) before the overwrite, the same
     read-then-rewrite safety as ``upsert_by_key``. Returns the row
-    count (callers typically assert it against pre-compaction)."""
+    count (callers typically assert it against pre-compaction).
+
+    ``sort_cols`` additionally RANGE-CLUSTERS the rewrite on those
+    columns (repartitionByRange + sortWithinPartitions for flat
+    datasets; an in-file sort under each partition dir otherwise), so
+    parquet footer min/max stats become disjoint across files and a
+    range predicate on the sort key prunes whole files/row-groups at
+    scan time — the single-key form of layout optimization (for one
+    range key, range-clustering IS the optimal skip layout; multi-key
+    skipping wants interleaved orders, out of scope). This is how the
+    persisted text-index postings and the time-keyed event lake keep
+    probe scans proportional to the queried range, not the store."""
     df = spark.read.parquet(path).localCheckpoint(eager=True)
     n = df.count()
     if partition_cols:
@@ -98,9 +110,15 @@ def compact_parquet(
         if target_files > 1:
             cols.append(F.spark_partition_id() % target_files)
         out = df.repartition(*cols)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
         out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     else:
-        df.repartition(target_files).write.mode("overwrite").parquet(path)
+        if sort_cols:
+            out = df.repartitionByRange(target_files, *[F.col(c) for c in sort_cols]).sortWithinPartitions(*sort_cols)
+        else:
+            out = df.repartition(target_files)
+        out.write.mode("overwrite").parquet(path)
     return n
 
 

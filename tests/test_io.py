@@ -313,3 +313,45 @@ def test_jsonl_quarantine_schema_guard(spark, tmp_path):
     bad = T.StructType([T.StructField("__corrupt", T.StringType())])
     with _pytest.raises(ValueError):
         read_jsonl_quarantine(spark, str(p), bad)
+
+
+def test_compact_parquet_range_clustering(spark, tmp_path):
+    """sort_cols range-clusters the rewrite: per-file min/max stats on
+    the sort key become disjoint, so a range predicate prunes whole
+    files — verified directly from the parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mlb_data_pipeline_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "events_lake")
+    df = spark.range(0, 4000).select(
+        (F.col("id") * 7919 % 4000).alias("v"),  # scrambled order
+        F.col("id").alias("payload"),
+    )
+    # simulate 4 unsorted daily appends
+    for i in range(4):
+        df.filter(F.col("payload") % 4 == i).write.mode("append").parquet(path)
+
+    before = sorted(r["v"] for r in spark.read.parquet(path).collect())
+    n = compact_parquet(spark, path, target_files=4, sort_cols=["v"])
+    assert n == 4000
+    after = sorted(r["v"] for r in spark.read.parquet(path).collect())
+    assert after == before  # content preserved
+
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # 'v'
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # disjoint file ranges: each file's max < next file's min + no overlap
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
