@@ -205,3 +205,71 @@ def chunk_text(
         F.col(start_col).cast("int").alias(start_col),
         F.expr(f"substring(__t, {start_col} + 1, {size})").alias(out_col),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    *,
+    temperature: float = 2.0,
+    budget_rows_expr=None,
+    salt: str = "",
+):
+    """Temperature-scaled corpus mixing (the multilingual-pretraining
+    sampling knob, mT5/XLM-R style): stratum s with share p_s = n_s/N
+    is sampled proportionally to p_s^(1/T) — T=1 reproduces the natural
+    distribution, T->inf approaches uniform, intermediate T up-weights
+    small strata without letting any single source dominate. Selection
+    is the deterministic md5-threshold (``hash_keep`` semantics):
+    reproducible, monotone in the budget, engine-mirrorable.
+
+    Fully declarative — per-stratum counts, the normalizer, fractions,
+    and the keep-filter are ONE lazy plan (two tiny aggregations
+    broadcast back; the corpus is touched by exactly one narrow
+    hash+filter pass after a broadcast join). No driver-side collect,
+    so the operator composes under whatever the caller's sf is.
+    ``budget_rows_expr`` is a Column for the target mixture size
+    (default N/2). Downsampling only: fractions cap at 1.0 (no
+    replication). Determinism note: with T=2 the weight is sqrt(p) —
+    correctly rounded per IEEE, hence bit-mirrorable in an oracle;
+    other temperatures go through pow(), whose last-ulp behavior is
+    libm-specific (fine for production, not for the bit-exact tier).
+    The cross-stratum normalizer folds in stratum-sorted order.
+
+    Returns (kept_df, fractions_df) — the kept rows and the per-stratum
+    (stratum, n, fraction) audit frame.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    # whole-frame totals as window aggregates over the tiny counts
+    # frame (no self-join, no ambiguity, no second corpus scan): N is
+    # an exact long sum (order-free); the double normalizer Z folds in
+    # stratum-sorted order for engine neutrality.
+    w_all = Window.partitionBy(F.lit(1))
+    counts = counts.withColumn("__ntot", F.sum("__n").over(w_all))
+    p = F.col("__n") / F.col("__ntot")
+    w = F.sqrt(p) if temperature == 2.0 else F.pow(p, F.lit(1.0 / temperature))
+    weighted = counts.withColumn("__w", w).withColumn(
+        "__Z",
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(strata_col, "__w")).over(w_all)),
+            F.lit(0.0),
+            lambda a, x: a + x["__w"],
+        ),
+    )
+    budget = budget_rows_expr if budget_rows_expr is not None else F.col("__ntot") / F.lit(2.0)
+    fractions = weighted.withColumn(
+        "__frac", F.least(F.lit(1.0), (F.col("__w") / F.col("__Z") * budget) / F.col("__n"))
+    ).select(strata_col, F.col("__n").alias("n"), F.col("__frac").alias("fraction"))
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")), 1, 8),
+        16, 10,
+    ).cast("long")
+    kept = (
+        df.join(F.broadcast(fractions), strata_col)
+        .filter(hv < F.floor(F.col("fraction") * F.lit(4294967296.0)).cast("long"))
+        .drop("n", "fraction")
+    )
+    return kept, fractions

@@ -418,3 +418,54 @@ def q79_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q82 — temperature-scaled corpus mixing (C5 extension; mT5/XLM-R
+#        sampling): stratum share p_s = n_s/N is sampled ~ p_s^(1/T),
+#        T=2 here so the weight is sqrt(p) (correctly rounded per IEEE,
+#        hence bit-mirrorable — other temperatures ride libm pow and
+#        stay out of the oracle tier). Budget N/2; the normalizer folds
+#        in stratum-sorted order; thresholds use explicit floor (Spark
+#        casts truncate where DuckDB casts round).
+# ---------------------------------------------------------------------------
+
+_Q82_SQL = """
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n) AS total FROM counts),
+w AS (SELECT source, n, sqrt(n / total) AS w FROM counts, tot),
+z AS (SELECT list_reduce(list(w ORDER BY source), (a, x) -> a + x) AS zn FROM w),
+frac AS (
+  SELECT source, n,
+         least(CAST(1.0 AS DOUBLE), (w / zn * (total / 2.0)) / n) AS f
+  FROM w, z, tot
+),
+kept AS (
+  SELECT d.source, d.n_chars
+  FROM documents d JOIN frac USING (source)
+  WHERE CAST(('0x' || substr(md5('temp2' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        < CAST(floor(f * 4294967296.0) AS BIGINT)
+)
+SELECT k.source, f.n AS n_total, COUNT(*) AS n_kept,
+       CAST(SUM(k.n_chars) AS BIGINT) AS total_chars
+FROM kept k JOIN frac f USING (source)
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+@query("q82_temperature_mix", oracle=_Q82_SQL, covers="curation:mixing")
+def q82_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept, fractions = temperature_mix(
+        docs, "doc_id", "source", temperature=2.0, salt="temp2"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .join(fractions.select("source", F.col("n").alias("n_total")), "source")
+        .select("source", "n_total", "n_kept", "total_chars")
+        .orderBy("source")
+    )

@@ -235,3 +235,50 @@ def test_chunk_text_is_narrow(spark):
         .toString()
     )
     assert "Exchange" not in plan  # no shuffle: sequence+posexplode+substring only
+
+
+def test_temperature_mix_upweights_small_strata(spark):
+    import pytest as _pytest
+
+    from mlb_data_pipeline_spark.operators.curation import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    kept, fractions = temperature_mix(df, "k", "src", temperature=2.0)
+    fr = {r["src"]: r for r in fractions.collect()}
+    # T=2, budget=500: w=sqrt(p); small gets (sqrt(.1)/Z*500)/100 = 1.25 -> capped
+    assert fr["small"]["fraction"] == 1.0
+    assert abs(fr["big"]["fraction"] - 0.41666) < 1e-3
+    kc = {r["src"]: r["count"] for r in kept.groupBy("src").count().collect()}
+    assert kc["small"] == 100  # fraction 1.0 keeps everything
+    assert abs(kc["big"] - 375) < 60  # hash-Bernoulli around n*frac
+    with _pytest.raises(ValueError):
+        temperature_mix(df, "k", "src", temperature=0.0)
+
+
+def test_temperature_mix_t1_is_natural_distribution(spark):
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.curation import temperature_mix
+
+    rows = [(i, "a") for i in range(600)] + [(10_000 + i, "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    _, fractions = temperature_mix(df, "k", "src", temperature=1.0)
+    fr = {r["src"]: r["fraction"] for r in fractions.collect()}
+    # T=1: w = p, so every stratum keeps exactly budget/N = 0.5
+    assert abs(fr["a"] - 0.5) < 1e-12 and abs(fr["b"] - 0.5) < 1e-12
+
+
+def test_temperature_mix_monotone_in_budget(spark):
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.curation import temperature_mix
+
+    rows = [(i, "a") for i in range(400)] + [(10_000 + i, "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    small, _ = temperature_mix(df, "k", "src", temperature=2.0, budget_rows_expr=F.lit(100.0))
+    large, _ = temperature_mix(df, "k", "src", temperature=2.0, budget_rows_expr=F.lit(300.0))
+    s = {r["k"] for r in small.collect()}
+    l = {r["k"] for r in large.collect()}
+    # md5-threshold selection: a smaller budget is a SUBSET of a larger one
+    assert s <= l and len(s) < len(l)
