@@ -1059,3 +1059,29 @@ def semantic_dedup(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def ivf_params(n_rows: int, *, target_candidates_per_query: int | None = None, n_probe: int = 4) -> int:
+    """Auto operating point for the IVF family (the coarse-quantizer
+    analogue of ``lsh_params``): pick ``n_lists``.
+
+    The probe cost per query is |corpus| * n_probe / n_lists and the
+    assignment/training cost grows with n_lists, so the standard
+    heuristic is n_lists ~ sqrt(n) — which balances (corpus/n_lists)
+    rows scanned per probed list against n_lists centroid comparisons
+    per row at assignment time. With ``target_candidates_per_query``
+    set, n_lists is raised so a probe examines at most that many rows:
+    n_lists >= n_rows * n_probe / target. Clamped to [4, n_rows // 8]
+    (below 8 rows per list, KMeans wastes lists on near-empty cells;
+    SemDeDup additionally wants sum(c_i^2) control — see
+    ``semdedup_pairs``)."""
+    import math
+
+    if n_rows < 2:
+        return 4
+    n_lists = int(round(math.sqrt(n_rows)))
+    if target_candidates_per_query is not None:
+        if target_candidates_per_query <= 0:
+            raise ValueError("target_candidates_per_query must be > 0")
+        n_lists = max(n_lists, -(-n_rows * n_probe // target_candidates_per_query))
+    return max(4, min(n_lists, max(4, n_rows // 8)))

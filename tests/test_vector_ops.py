@@ -575,3 +575,20 @@ def test_semdedup_hot_cluster_cap(spark, emb):
     assert uncapped.count() >= 120 * 119 // 2  # the blob is quadratic
     assert capped.count() == uncapped.count()  # default cap generous here
     assert tight.filter(F.col("a_vec_id") >= 1000).count() == 0  # blob dropped
+
+
+def test_ivf_params_operating_points():
+    from mlb_data_pipeline_spark.operators.vector import ivf_params
+
+    import pytest as _pytest
+
+    assert ivf_params(1) == 4
+    assert ivf_params(10_000) == 100          # sqrt heuristic
+    assert ivf_params(1_000_000) == 1000
+    # candidate target dominates when tighter than sqrt
+    assert ivf_params(1_000_000, target_candidates_per_query=1000, n_probe=4) == 4000
+    # clamp: never fewer than ~8 rows per list
+    assert ivf_params(40) == 5
+    assert ivf_params(100, target_candidates_per_query=1) == 12  # 100//8
+    with _pytest.raises(ValueError):
+        ivf_params(100, target_candidates_per_query=0)
