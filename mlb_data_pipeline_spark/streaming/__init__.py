@@ -9,5 +9,6 @@ from .jobs import (  # noqa: F401
     sliding_counts_stream,
     stream_static_join,
     stream_stream_join,
+    text_index_stream,
     tumbling_counts_stream,
 )

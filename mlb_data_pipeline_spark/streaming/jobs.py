@@ -225,3 +225,37 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def text_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+) -> None:
+    """Streaming inverted-index maintenance (§2.11 I9's streaming form,
+    the keyword-channel sibling of ``incremental_neardup_stream``): each
+    micro-batch tokenizes ONLY its delta and appends the postings via
+    ``append_text_index`` — a query against the loaded index after batch
+    N sees batches 1..N without any corpus re-tokenization. State is the
+    PARQUET INDEX (restart-safe, shared with the batch path), not the
+    Spark state store.
+
+    Delivery: foreachBatch is at-least-once on retry; the append's id
+    guard makes a replayed batch a no-op, and document frequencies are
+    derived at probe time, so replays can neither double-count postings
+    nor stale df. The index must exist (``build_text_index`` +
+    ``save_text_index``, possibly over an empty corpus) before the
+    stream starts."""
+    from ..operators.search import append_text_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_text_index(batch_df.localCheckpoint(eager=True), index_path, text_col=text_col)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -284,3 +284,53 @@ def test_stream_stream_join_equals_batch_interval_join(spark, events_dir, events
     assert got.count() == want.count() > 0
     key = lambda r: (r.user_id, r.l_ts, r.r_ts, r.l_type, r.r_type)  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_text_index_stream_equals_batch_build(spark, tmp_path):
+    """Streaming inverted-index maintenance: micro-batched arrivals
+    appended to the persisted text index produce the SAME retrieval
+    results as a batch index over the full union — including documents
+    from different micro-batches, and with replay-safe appends."""
+    from mlb_data_pipeline_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        load_text_index,
+        save_text_index,
+    )
+    from mlb_data_pipeline_spark.streaming import read_document_stream, text_index_stream
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"base{i}w{j}" for j in range(8))) for i in range(10)],
+        "doc_id BIGINT, text STRING",
+    )
+    b1 = spark.createDataFrame(
+        [(100, "spark shuffle join alpha"), (101, "spark filter beta")],
+        "doc_id BIGINT, text STRING",
+    )
+    b2 = spark.createDataFrame(
+        [(200, "spark shuffle gamma gamma"), (201, "unrelated words")],
+        "doc_id BIGINT, text STRING",
+    )
+    idx_path = str(tmp_path / "tindex")
+    src = str(tmp_path / "src")
+    save_text_index(build_text_index(corpus), idx_path)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    text_index_stream(
+        read_document_stream(spark, src, max_files_per_trigger=1),
+        idx_path,
+        str(tmp_path / "ckpt"),
+    )
+    terms = [(0, "spark"), (0, "shuffle")]
+    streamed = sorted(
+        map(tuple, bm25_topk(None, terms, k=10, index=load_text_index(spark, idx_path)).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            bm25_topk(corpus.unionByName(b1).unionByName(b2), terms, k=10).collect(),
+        )
+    )
+    assert streamed == batch
+    assert len(streamed) == 3  # docs 100, 101, 200 match
