@@ -201,3 +201,29 @@ def test_bm25_posting_probe_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     # no sort-merge join anywhere in the probe pipeline
     assert "SortMergeJoin" not in plan
+
+
+def test_text_index_append_empty_delta_is_noop(spark, tmp_path):
+    """An empty daily delta (or a fully-replayed one) must leave the
+    index byte-identical in behavior: same stats, same retrieval."""
+    from mlb_data_pipeline_spark.operators.search import (
+        append_text_index,
+        bm25_topk,
+        build_text_index,
+        load_text_index,
+        save_text_index,
+    )
+
+    docs = _docs(spark, [(1, "alpha beta"), (2, "beta gamma")])
+    path = str(tmp_path / "tindex")
+    save_text_index(build_text_index(docs), path)
+    before = sorted(
+        map(tuple, bm25_topk(None, [(0, "beta")], k=5, index=load_text_index(spark, path)).collect())
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    append_text_index(empty, path)
+    idx = load_text_index(spark, path)
+    after = sorted(map(tuple, bm25_topk(None, [(0, "beta")], k=5, index=idx).collect()))
+    assert after == before
+    stats = idx.stats.collect()[0]
+    assert (stats.n, stats.sumdl) == (2, 4)
