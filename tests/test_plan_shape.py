@@ -148,3 +148,65 @@ def test_partitioned_packing_avoids_global_sort(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(shard" in plan
     assert "SinglePartition" not in plan
+
+
+def test_bm25_topk_plans_window_group_limit(spark, sf_dir):
+    # the per-query rank <= k filter must push into WindowGroupLimit —
+    # only ~k rows per query survive each side of the rank exchange
+    from mlb_data_pipeline_spark.plans import REGISTRY, load_all
+
+    load_all()
+    plan = (
+        REGISTRY["q73_bm25_topk"].spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan  # probes stay broadcast
+
+
+def test_indexed_bm25_probe_never_scans_documents(spark, sf_dir):
+    # q75's RETURNED plan is the probe: after build+save, retrieval must
+    # touch the postings/stats parquet only — zero corpus scans
+    from mlb_data_pipeline_spark.plans import REGISTRY, load_all
+
+    load_all()
+    plan = (
+        REGISTRY["q75_bm25_indexed"].spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "documents.parquet" not in plan
+    assert "postings" in plan
+
+
+def test_chunk_query_single_shuffle(spark, sf_dir):
+    # q79: chunking is narrow; the only exchange is the final per-doc agg
+    from mlb_data_pipeline_spark.plans import REGISTRY, load_all
+
+    load_all()
+    plan = (
+        REGISTRY["q79_chunk_windows"].spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one agg exchange + the final sort exchange; nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    from mlb_data_pipeline_spark.plans import REGISTRY, load_all
+
+    load_all()
+    plan = (
+        REGISTRY["q77_snapshot_diff"].spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Join FullOuter") == 1
+    assert plan.count("Join") == 1  # nothing beyond the keyed diff join

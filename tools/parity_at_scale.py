@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Strict bit-exact oracle parity at sf1/sf3 — the at-scale correctness
+evidence behind docs/PERF.md's "parity at scale" paragraphs.
+
+The driver's correctness gate runs at sf0.01; this tool re-runs the
+SAME strict harness (tests/oracle_harness.compare: column-name aligned,
+row-sorted, bit-exact values) at 100x and 300x that scale over the
+locally generated key-offset replicas (tools/gen_sf1.py). Bit-exactness
+that survives a 300x corpus is strong evidence the determinism
+contracts (decimal-domain sums, sequential folds, quantized
+transcendentals, floor-based thresholds) hold structurally rather than
+coincidentally.
+
+Usage:
+    python tools/parity_at_scale.py                    # every oracled query, sf1
+    python tools/parity_at_scale.py --sf3              # sf1 + sf3
+    python tools/parity_at_scale.py q73 q77 --sf3      # name-prefix filter
+
+Emits one line per (tier, query): OK/FAIL + wall seconds; exits
+non-zero on any FAIL. Generation of missing sf1/sf3 datasets happens on
+first use (~4 min).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gen_sf1 import generate  # noqa: E402
+from oracle_harness import compare, duckdb_connect  # noqa: E402
+
+from mlb_data_pipeline_spark.catalog import table_path  # noqa: E402
+from mlb_data_pipeline_spark.plans import REGISTRY, load_all  # noqa: E402
+from mlb_data_pipeline_spark.session import get_spark  # noqa: E402
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _ensure(dst: str, copies: int) -> str:
+    if not all(os.path.exists(table_path(dst, t)) for t in TABLES):
+        generate(dst, copies)
+    return dst
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tiers = [("sf1", _ensure(os.path.join(_ROOT, "testdata_sf1"), 10))]
+    if "--sf3" in sys.argv:
+        tiers.append(("sf3", _ensure(os.path.join(_ROOT, "testdata_sf3"), 30)))
+    load_all()
+    spark = get_spark("parity-at-scale")
+    names = sorted(
+        n for n, q in REGISTRY.items()
+        if q.oracle is not None and (not args or any(n.startswith(a) for a in args))
+    )
+    failures = 0
+    for label, sf_dir in tiers:
+        con = duckdb_connect(sf_dir)
+        for name in names:
+            t0 = time.perf_counter()
+            try:
+                compare(REGISTRY[name].spark(spark, sf_dir), con, REGISTRY[name].oracle, name)
+                print(f"OK   {label} {name} {time.perf_counter() - t0:.1f}s", flush=True)
+            except AssertionError as exc:
+                failures += 1
+                print(f"FAIL {label} {name}: {str(exc)[:200]}", flush=True)
+        con.close()
+    print(f"{failures} failures over {len(names)} queries x {len(tiers)} tiers")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
