@@ -286,6 +286,14 @@ def bm25_oracle_sql(
     the term-ordered list; Spark's 0.0 init is IEEE-neutral for the
     positive addends), constants via ``repr`` so both engines parse the
     identical double."""
+    import re
+
+    bad = [t for _, t in query_terms if not re.fullmatch(TOKEN_RE, t)]
+    if bad:
+        # terms are embedded as SQL literals; anything outside the token
+        # alphabet could never match the tokenizer anyway (and a quote
+        # would corrupt the generated SQL) — refuse loudly
+        raise ValueError(f"query terms must match {TOKEN_RE!r}: {bad[:5]}")
     pairs = ",\n         ".join(
         f"({qid}, '{t}')" for qid, t in sorted(set(query_terms))
     )

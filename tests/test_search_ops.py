@@ -227,3 +227,13 @@ def test_text_index_append_empty_delta_is_noop(spark, tmp_path):
     assert after == before
     stats = idx.stats.collect()[0]
     assert (stats.n, stats.sumdl) == (2, 4)
+
+
+def test_bm25_oracle_sql_rejects_non_token_terms():
+    from mlb_data_pipeline_spark.operators.search import bm25_oracle_sql
+
+    with pytest.raises(ValueError, match="query terms"):
+        bm25_oracle_sql([(0, "o'brien")])
+    with pytest.raises(ValueError, match="query terms"):
+        bm25_oracle_sql([(0, "Two Words")])
+    assert "(0, 'ok')" in bm25_oracle_sql([(0, "ok")])

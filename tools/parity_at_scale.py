@@ -15,10 +15,18 @@ Usage:
     python tools/parity_at_scale.py                    # every oracled query, sf1
     python tools/parity_at_scale.py --sf3              # sf1 + sf3
     python tools/parity_at_scale.py q73 q77 --sf3      # name-prefix filter
+    python tools/parity_at_scale.py --skip q44         # extra exclusions
 
 Emits one line per (tier, query): OK/FAIL + wall seconds; exits
 non-zero on any FAIL. Generation of missing sf1/sf3 datasets happens on
 first use (~4 min).
+
+q38 (all-pairs exact near-dup) is excluded BY DEFAULT: it is the
+guarded quadratic correctness tier, and sf1's 20k embeddings sit
+exactly at its refusal limit — 2*10^8 verified pairs on BOTH engines,
+which measures nothing the design claims (the declared scale paths,
+LSH/IVF/semdedup, are covered by their own queries). Pass the literal
+prefix q38 to force it anyway.
 """
 
 from __future__ import annotations
@@ -49,16 +57,33 @@ def _ensure(dst: str, copies: int) -> str:
     return dst
 
 
+DEFAULT_SKIP = ("q38",)  # quadratic-by-design; see module docstring
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    skips = list(DEFAULT_SKIP)
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--skip":
+            skips.append(argv[i + 1])
+            i += 2
+        elif argv[i].startswith("--"):
+            i += 1
+        else:
+            args.append(argv[i])
+            i += 1
     tiers = [("sf1", _ensure(os.path.join(_ROOT, "testdata_sf1"), 10))]
-    if "--sf3" in sys.argv:
+    if "--sf3" in argv:
         tiers.append(("sf3", _ensure(os.path.join(_ROOT, "testdata_sf3"), 30)))
     load_all()
     spark = get_spark("parity-at-scale")
     names = sorted(
         n for n, q in REGISTRY.items()
-        if q.oracle is not None and (not args or any(n.startswith(a) for a in args))
+        if q.oracle is not None
+        and (not args or any(n.startswith(a) for a in args))
+        and not (any(n.startswith(s) for s in skips) and not any(n.startswith(a) for a in args))
     )
     failures = 0
     for label, sf_dir in tiers:
