@@ -412,3 +412,49 @@ def q78_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_valid"),
         F.sum("n_chars").alias("total_chars"),
     ).crossJoin(quarantine.agg(F.count("*").alias("n_quarantined")))
+
+
+# ---------------------------------------------------------------------------
+# Q83 — co-located (bucketed) fact-fact join: orders x lineitem both
+#        bucketed on the order key, joined WITHOUT a shuffle (the only
+#        exchange in the plan is the final group-by). The storage-side
+#        answer to repeated big-big joins at 100 TB: the join shuffle is
+#        paid once at write time. Results are layout-independent, so the
+#        oracle joins the raw tables — parity proves correctness while
+#        the plan-shape test proves the zero-shuffle join.
+# ---------------------------------------------------------------------------
+
+_Q83_SQL = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q83_bucketed_join", oracle=_Q83_SQL, covers="J1,J2,A2,S8")
+def q83_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+    from ..sources.writers import write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    t_orders, t_items = f"q83_orders_{tag}", f"q83_lineitem_{tag}"
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    items = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_bucketed(orders, t_orders, ["o_orderkey"], 8, ["o_orderkey"],
+                   path=_scratch(sf_dir, "q83_orders"))
+    write_bucketed(items, t_items, ["l_orderkey"], 8, ["l_orderkey"],
+                   path=_scratch(sf_dir, "q83_lineitem"))
+    # the merge hint pins SortMergeJoin at every sf (a broadcast join
+    # would ALSO be shuffle-free here at toy scale, but the co-located
+    # claim is about the fact-fact case where broadcast is impossible)
+    joined = spark.table(t_orders).hint("merge").join(
+        spark.table(t_items), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("total_price"))
+        .orderBy("o_orderpriority")
+    )

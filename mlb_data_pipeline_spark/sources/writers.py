@@ -131,3 +131,38 @@ def delete_by_predicate(spark: SparkSession, target_path: str, predicate, fmt: s
     n_after = keep.count()
     keep.write.format(fmt).mode("overwrite").save(target_path)
     return n_before - n_after
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed table write — the CO-LOCATED JOIN layout: rows are
+    hash-clustered into ``n_buckets`` files per the bucket columns and
+    the layout is recorded in the session catalog, so two tables
+    bucketed the same way join WITHOUT A SHUFFLE (each bucket i joins
+    bucket i; Catalyst plans a SortMergeJoin with zero exchanges, and
+    with ``sort_cols`` matching the join key the per-bucket sort is
+    pre-paid at write time too).
+
+    This is the storage-side answer to repeated big-big joins at
+    100 TB: the shuffle every fact-fact join would pay per QUERY is
+    paid once per WRITE. Bucket count is part of the contract — both
+    sides must agree (Spark can coalesce mismatched bucket counts, but
+    plan for equality). ``path`` makes the table external (data under
+    the caller's directory, not the session warehouse). Re-writing the
+    same table name replaces it (DROP + overwrite: bucketing metadata
+    lives in the catalog, so a bare directory overwrite would silently
+    degrade to an unbucketed scan)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -210,3 +210,18 @@ def test_snapshot_diff_single_join(spark, sf_dir):
     )
     assert plan.count("Join FullOuter") == 1
     assert plan.count("Join") == 1  # nothing beyond the keyed diff join
+
+
+def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
+    # q83: both sides bucketed on the join key -> the SortMergeJoin's
+    # subtree contains NO exchange; the only shuffles in the final AQE
+    # plan sit above it (group-by + output sort)
+    from mlb_data_pipeline_spark.plans import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["q83_bucketed_join"].spark(spark, sf_dir)
+    df.collect()  # materialize the AQE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert "SortMergeJoin" in plan
+    join_subtree = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree, join_subtree
