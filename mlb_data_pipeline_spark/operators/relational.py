@@ -197,6 +197,11 @@ def dataset_diff(
         for c in compare_cols:
             parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
             parts.append(F.lit("\x1f"))
+        if not parts:
+            # every column is a key: presence IS the content, so the
+            # hash degenerates to a constant and the diff reports only
+            # added / removed / unchanged
+            parts = [F.lit("")]
         return df.select(
             *key_cols, F.md5(F.concat(*parts)).alias(f"__h_{tag}")
         )

@@ -54,3 +54,12 @@ def test_dataset_diff_single_shuffle_join(spark):
         .toString()
     )
     assert plan.count("Join FullOuter") == 1
+
+
+def test_dataset_diff_key_only_snapshots(spark):
+    # all columns are keys -> membership diff: added/removed/unchanged,
+    # never 'changed'
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    out = {r["k"]: r["change_type"] for r in dataset_diff(old, new, ["k"]).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "added"}
