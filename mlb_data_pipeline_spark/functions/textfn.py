@@ -123,3 +123,51 @@ def extract_field(col: Column | str, label: str) -> Column:
     """``Topic: xyz`` style key:value extraction (orchestrator.py:218-247)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract(c, rf"{label}:\s*([^\n]*)", 1)
+
+
+# --- URL curation (Common-Crawl-style corpus hygiene) ---------------------
+#
+# The reference keys its vector store by raw article URL
+# (pipeline.py:69 id=url), which makes http/https, www., trailing-slash
+# and fragment variants of the SAME page distinct documents — the
+# classic URL-dedup failure. Normalization below is the standard
+# pretraining-pipeline form; patterns are anchored or single-match, so
+# Spark's replace-all and DuckDB's replace-first semantics agree, and
+# the chain is mirrored verbatim by ``normalize_url_sql``.
+
+_URL_STEPS = [
+    (r"#.*$", ""),         # fragment
+    (r"^https?://", ""),   # scheme
+    (r"^www\.", ""),       # www prefix
+    (r"/$", ""),           # trailing slash
+]
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical page key: lowercase, fragment/scheme/www/trailing-slash
+    stripped. Query strings are KEPT (they select content on many
+    sites; dropping them is a site-specific policy, not a default)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    for pat, repl in _URL_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def normalize_url_sql(expr: str) -> str:
+    """DuckDB mirror of ``normalize_url`` (same patterns, same order)."""
+    out = f"lower({expr})"
+    for pat, repl in _URL_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}')"
+    return out
+
+
+def url_domain(col: Column | str) -> Column:
+    """Host of a normalized URL (everything before the first '/', minus
+    any :port). This is the HOST, not the registrable domain — public-
+    suffix-list reduction is policy data, not engine logic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.regexp_extract(c, r"^([^/]+)", 1), r":\d+$", "")
+
+
+def url_domain_sql(expr: str) -> str:
+    return f"regexp_replace(regexp_extract({expr}, '^([^/]+)', 1), ':\\d+$', '')"

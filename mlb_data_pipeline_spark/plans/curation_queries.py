@@ -469,3 +469,87 @@ def q82_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_total", "n_kept", "total_chars")
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q84 — URL curation (Common-Crawl-style corpus hygiene): normalize URL
+#        variants (scheme/www/fragment/trailing-slash) to one canonical
+#        page key, extract the domain, and cap documents per domain —
+#        the hygiene pass the reference's id=url store skips (a page
+#        fetched as http://www.X/ and https://X becomes TWO documents,
+#        pipeline.py:69). URLs are synthesized deterministically from
+#        doc_id so every variant class is exercised at every sf.
+# ---------------------------------------------------------------------------
+
+_Q84_SQL = """
+WITH raw AS (
+  SELECT doc_id, source,
+         CASE doc_id % 4 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://'
+                         WHEN 2 THEN 'https://www.' ELSE 'HTTP://WWW.' END
+         || source || '.example.com/articles/' || CAST(doc_id // 4 AS VARCHAR)
+         || CASE doc_id % 3 WHEN 0 THEN '/' WHEN 1 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, source,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url), '#.*$', ''), '^https?://', ''), '^www\.', ''), '/$', '') AS canon,
+         regexp_replace(regexp_extract(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url), '#.*$', ''), '^https?://', ''), '^www\.', ''), '/$', ''), '^([^/]+)', 1), ':\d+$', '') AS domain
+  FROM raw
+),
+keyed AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+  FROM norm
+),
+paged AS (SELECT * FROM keyed WHERE rn = 1),
+capped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS dr
+  FROM paged
+)
+SELECT domain,
+       COUNT(*) AS n_pages,
+       SUM(CASE WHEN dr <= 50 THEN 1 ELSE 0 END) AS n_kept_cap50
+FROM capped
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q84_url_curation", oracle=_Q84_SQL, covers="T4,V4,O3")
+def q84_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfn import normalize_url, url_domain
+    from ..operators.relational import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    scheme = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("https://"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("http://"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("https://www."))
+        .otherwise(F.lit("HTTP://WWW."))
+    )
+    tail = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("#frag"))
+        .otherwise(F.lit(""))
+    )
+    raw = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            scheme, F.col("source"), F.lit(".example.com/articles/"),
+            F.floor(F.col("doc_id") / 4).cast("long").cast("string"), tail,
+        ).alias("url"),
+    )
+    norm = raw.select(
+        "doc_id", "source",
+        normalize_url("url").alias("canon"),
+    ).withColumn("domain", url_domain("canon"))
+    paged = top_k_per_group(norm, ["canon"], [F.col("doc_id").asc()], 1).drop("rn")
+    capped = top_k_per_group(paged, ["domain"], [F.col("doc_id").asc()], 10**9, rn_col="dr")
+    return (
+        capped.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.when(F.col("dr") <= 50, 1).otherwise(0)).alias("n_kept_cap50"),
+        )
+        .orderBy("domain")
+    )

@@ -282,3 +282,36 @@ def test_temperature_mix_monotone_in_budget(spark):
     l = {r["k"] for r in large.collect()}
     # md5-threshold selection: a smaller budget is a SUBSET of a larger one
     assert s <= l and len(s) < len(l)
+
+
+def test_normalize_url_collapses_variants(spark):
+    from mlb_data_pipeline_spark.functions.textfn import normalize_url, url_domain
+
+    variants = [
+        "https://example.com/a/b",
+        "http://example.com/a/b",
+        "https://www.example.com/a/b",
+        "HTTP://WWW.Example.com/a/b",
+        "https://example.com/a/b/",
+        "https://example.com/a/b#section-2",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(variants)], "i int, url string")
+    out = df.select(normalize_url("url").alias("c"), url_domain(normalize_url("url")).alias("d")).collect()
+    assert {r["c"] for r in out} == {"example.com/a/b"}
+    assert {r["d"] for r in out} == {"example.com"}
+
+
+def test_normalize_url_keeps_query_strips_port_idempotent(spark):
+    from mlb_data_pipeline_spark.functions.textfn import normalize_url, url_domain
+
+    df = spark.createDataFrame(
+        [(1, "https://shop.example.com:8443/item?id=5&ref=a#top")], "i int, url string"
+    )
+    row = df.select(
+        normalize_url("url").alias("c"),
+        url_domain(normalize_url("url")).alias("d"),
+        normalize_url(normalize_url("url")).alias("twice"),
+    ).collect()[0]
+    assert row["c"] == "shop.example.com:8443/item?id=5&ref=a"  # query kept
+    assert row["d"] == "shop.example.com"  # port stripped from domain
+    assert row["twice"] == row["c"]  # idempotent
