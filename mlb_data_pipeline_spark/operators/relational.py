@@ -176,10 +176,16 @@ def dataset_diff(
     scripts/bigquery_load.py / warehouse.py, which overwrites blind).
 
     Change detection hashes the ``compare_cols`` (default: all
-    non-key columns common to both sides, sorted by name) with md5 over
-    a null-sentineled concat — engine-neutral, so the whole diff is
-    SQL-mirrorable. Keys must be unique per side (a keyed snapshot);
-    duplicates make 'changed' ambiguous and should be deduped first.
+    non-key columns common to both sides, sorted by name) by md5-ing
+    EACH column separately and concatenating the fixed-width digests
+    (null -> '-', which no md5 hex digest can equal) before the outer
+    md5 — injection-proof: no value can shift bytes into a neighboring
+    column's slot, unlike separator-joined concat where a value
+    containing the separator (or a literal null sentinel) makes two
+    different rows encode identically. Engine-neutral, so the whole
+    diff is SQL-mirrorable. Keys must be unique per side (a keyed
+    snapshot); duplicates make 'changed' ambiguous and should be
+    deduped first.
 
     100 TB shape: ONE full-outer shuffle join on the key columns —
     the minimum possible for a keyed diff; the hash is a narrow
@@ -193,10 +199,9 @@ def dataset_diff(
         )
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
-        parts = []
-        for c in compare_cols:
-            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
-            parts.append(F.lit("\x1f"))
+        parts = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-")) for c in compare_cols
+        ]
         if not parts:
             # every column is a key: presence IS the content, so the
             # hash degenerates to a constant and the diff reports only

@@ -362,25 +362,25 @@ def q72_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q79 — overlapping sliding-window chunking (RAG preprocessing): one row
+# Q23 (formerly q79, rotated into the driver window round 6) — overlapping sliding-window chunking (RAG preprocessing): one row
 #        per (doc, 120-char window, 20-char overlap) with exact offsets,
 #        plus per-doc window counts. Narrow plan: sequence + posexplode
 #        + substring, no shuffle until the final count.
 # ---------------------------------------------------------------------------
 
-_Q79_SIZE, _Q79_OVERLAP = 120, 20
+_Q23_SIZE, _Q23_OVERLAP = 120, 20
 
-_Q79_SQL = f"""
+_Q23_SQL = f"""
 WITH starts AS (
-  SELECT doc_id, length(text) AS len, unnest(range(0, length(text), {_Q79_SIZE - _Q79_OVERLAP})) AS char_start,
+  SELECT doc_id, length(text) AS len, unnest(range(0, length(text), {_Q23_SIZE - _Q23_OVERLAP})) AS char_start,
          text
   FROM documents
 ),
 chunks AS (
   SELECT doc_id,
-         CAST(char_start // {_Q79_SIZE - _Q79_OVERLAP} AS INT) AS chunk_idx,
+         CAST(char_start // {_Q23_SIZE - _Q23_OVERLAP} AS INT) AS chunk_idx,
          CAST(char_start AS INT) AS char_start,
-         substr(text, CAST(char_start AS INT) + 1, {_Q79_SIZE}) AS chunk_text
+         substr(text, CAST(char_start AS INT) + 1, {_Q23_SIZE}) AS chunk_text
   FROM starts
 )
 SELECT doc_id,
@@ -393,12 +393,12 @@ ORDER BY doc_id
 """
 
 
-@query("q79_chunk_windows", oracle=_Q79_SQL, covers="curation:chunk,T3,U5")
-def q79_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q23_chunk_windows", oracle=_Q23_SQL, covers="curation:chunk,T3,U5")
+def q23_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import chunk_text
 
     docs = load_table(spark, sf_dir, "documents")
-    chunks = chunk_text(docs, "doc_id", "text", size=_Q79_SIZE, overlap=_Q79_OVERLAP)
+    chunks = chunk_text(docs, "doc_id", "text", size=_Q23_SIZE, overlap=_Q23_OVERLAP)
     return (
         chunks.groupBy("doc_id")
         .agg(
@@ -472,7 +472,7 @@ def q82_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q84 — URL curation (Common-Crawl-style corpus hygiene): normalize URL
+# Q27 (formerly q84, rotated into the driver window round 6) — URL curation (Common-Crawl-style corpus hygiene): normalize URL
 #        variants (scheme/www/fragment/trailing-slash) to one canonical
 #        page key, extract the domain, and cap documents per domain —
 #        the hygiene pass the reference's id=url store skips (a page
@@ -481,7 +481,7 @@ def q82_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        doc_id so every variant class is exercised at every sf.
 # ---------------------------------------------------------------------------
 
-_Q84_SQL = """
+_Q27_SQL = r"""
 WITH raw AS (
   SELECT doc_id, source,
          CASE doc_id % 4 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://'
@@ -514,8 +514,8 @@ ORDER BY 1
 """
 
 
-@query("q84_url_curation", oracle=_Q84_SQL, covers="T4,V4,O3")
-def q84_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q27_url_curation", oracle=_Q27_SQL, covers="T4,V4,O3")
+def q27_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.textfn import normalize_url, url_domain
     from ..operators.relational import top_k_per_group
 

@@ -415,7 +415,7 @@ def q78_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q83 — co-located (bucketed) fact-fact join: orders x lineitem both
+# Q25 (formerly q83, rotated into the driver window round 6) — co-located (bucketed) fact-fact join: orders x lineitem both
 #        bucketed on the order key, joined WITHOUT a shuffle (the only
 #        exchange in the plan is the final group-by). The storage-side
 #        answer to repeated big-big joins at 100 TB: the join shuffle is
@@ -424,7 +424,7 @@ def q78_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        the plan-shape test proves the zero-shuffle join.
 # ---------------------------------------------------------------------------
 
-_Q83_SQL = """
+_Q25_SQL = """
 SELECT o.o_orderpriority,
        COUNT(*) AS n_items,
        CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
@@ -434,19 +434,19 @@ ORDER BY 1
 """
 
 
-@query("q83_bucketed_join", oracle=_Q83_SQL, covers="J1,J2,A2,S8")
-def q83_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q25_bucketed_join", oracle=_Q25_SQL, covers="J1,J2,A2,S8")
+def q25_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import dsum
     from ..sources.writers import write_bucketed
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
-    t_orders, t_items = f"q83_orders_{tag}", f"q83_lineitem_{tag}"
+    t_orders, t_items = f"q25_orders_{tag}", f"q25_lineitem_{tag}"
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     items = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     write_bucketed(orders, t_orders, ["o_orderkey"], 8, ["o_orderkey"],
-                   path=_scratch(sf_dir, "q83_orders"))
+                   path=_scratch(sf_dir, "q25_orders"))
     write_bucketed(items, t_items, ["l_orderkey"], 8, ["l_orderkey"],
-                   path=_scratch(sf_dir, "q83_lineitem"))
+                   path=_scratch(sf_dir, "q25_lineitem"))
     # the merge hint pins SortMergeJoin at every sf (a broadcast join
     # would ALSO be shuffle-free here at toy scale, but the co-located
     # claim is about the fact-fact case where broadcast is impossible)

@@ -317,7 +317,7 @@ def q59_neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        touching the delta — which IS single-query SQL.
 # ---------------------------------------------------------------------------
 
-_Q64_SQL = """
+_Q01_SQL = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh AS (
   SELECT doc_id,
@@ -511,9 +511,10 @@ def q67_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_small(pairs, "corpus_id", "bench_id")
 
 
-@query("q64_incremental_neardup", oracle=_Q64_SQL, covers="V4,S11,J1")
-def q64_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-cadence near-dup: corpus = doc_id % 5 != 0 is pre-banded
+@query("q01_incremental_neardup", oracle=_Q01_SQL, covers="V4,S11,J1")
+def q01_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cadence near-dup (formerly q64, rotated into the driver
+    window round 6): corpus = doc_id % 5 != 0 is pre-banded
     into a parquet signature store (the one-time cost); the delta
     (doc_id % 5 == 0) is banded fresh and joined against the STORE SCAN.
     Reference analogue: daily schedule (mlb_pipeline_dag.py:39) + keyed
@@ -525,7 +526,7 @@ def q64_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     delta = docs.filter(F.col("doc_id") % 5 == 0)
-    store = os.path.join("/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "q64_sig_store")
+    store = os.path.join("/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "q01_sig_store")
     build_signature_store(corpus, "doc_id", "text", store, n_hashes=4, shingle_n=3)
     pairs = incremental_neardup_pairs(delta, store, "doc_id", "text", threshold=0.3)
     return ordered_small(pairs, "id_a", "id_b")

@@ -83,49 +83,59 @@ def q00_monthly_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
-# Q01 — projection + prefix filter (P1, P6, S3): startswith pushes down
-#        as StringStartsWith next to the pruned column list
-# ---------------------------------------------------------------------------
-
-_Q01_SQL = """
-SELECT p_partkey, p_name, p_brand, p_retailprice
-FROM part
-WHERE p_name LIKE 'small %'
-ORDER BY p_partkey
-"""
-
-
-@query("q01_project_prefix", oracle=_Q01_SQL, covers="S3,P1,P6")
-def q01_project_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_name").startswith("small "))
-        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
-        .orderBy("p_partkey")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q02 — range + between filters + global top-k (P3, P4, O1, O2): the
-#        ORDER BY + LIMIT over the filtered scan plans as
-#        TakeOrderedAndProject — no full sort, only k rows cross the
-#        final exchange
+# Q02 — scan-shape family, tagged union (merged round 6 to free a
+#        driver-window slot for the incremental near-dup query q01):
+#        * 'prefix' branch — projection + prefix filter (P1, P6, S3):
+#          startswith pushes down as StringStartsWith next to the pruned
+#          column list (plan pinned in tests/test_plan_shape.py);
+#        * 'topk' branch — range + between filters + global top-k
+#          (P3, P4, O1, O2): ORDER BY + LIMIT over the filtered scan
+#          plans as TakeOrderedAndProject — no full sort, only k rows
+#          cross that branch's exchange.
+#        The tag keeps both shapes independently hash-verified.
 # ---------------------------------------------------------------------------
 
 _Q02_SQL = """
-SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND l_discount BETWEEN 0.02 AND 0.06
-  AND l_quantity < 25
-ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-LIMIT 500
+WITH topk AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_discount BETWEEN 0.02 AND 0.06
+    AND l_quantity < 25
+  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+  LIMIT 500
+)
+SELECT 'prefix' AS part, p_partkey AS k1, CAST(NULL AS BIGINT) AS k2,
+       p_name AS s1, p_brand AS s2, CAST(p_retailprice AS DOUBLE) AS d1,
+       CAST(NULL AS DOUBLE) AS d2, CAST(NULL AS DOUBLE) AS d3
+FROM part WHERE p_name LIKE 'small %'
+UNION ALL
+SELECT 'topk', l_orderkey, CAST(l_linenumber AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE),
+       CAST(l_discount AS DOUBLE)
+FROM topk
+ORDER BY part, k1, k2
 """
 
 
-@query("q02_filter_topk", oracle=_Q02_SQL, covers="P3,P4,O1,O2,O9")
+@query("q02_filter_topk", oracle=_Q02_SQL, covers="S3,P1,P3,P4,P6,O1,O2,O9")
 def q02_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    prefix = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small "))
+        .select(
+            F.lit("prefix").alias("part"),
+            F.col("p_partkey").cast("long").alias("k1"),
+            F.lit(None).cast("long").alias("k2"),
+            F.col("p_name").alias("s1"),
+            F.col("p_brand").alias("s2"),
+            F.col("p_retailprice").cast("double").alias("d1"),
+            F.lit(None).cast("double").alias("d2"),
+            F.lit(None).cast("double").alias("d3"),
+        )
+    )
+    topk = (
         load_table(spark, sf_dir, "lineitem")
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -136,7 +146,18 @@ def q02_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
         .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
         .limit(500)
+        .select(
+            F.lit("topk").alias("part"),
+            F.col("l_orderkey").cast("long").alias("k1"),
+            F.col("l_linenumber").cast("long").alias("k2"),
+            F.lit(None).cast("string").alias("s1"),
+            F.lit(None).cast("string").alias("s2"),
+            F.col("l_quantity").cast("double").alias("d1"),
+            F.col("l_extendedprice").cast("double").alias("d2"),
+            F.col("l_discount").cast("double").alias("d3"),
+        )
     )
+    return prefix.unionByName(topk).orderBy("part", "k1", "k2")
 
 
 # ---------------------------------------------------------------------------
@@ -261,37 +282,6 @@ def q07_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q08 — filtered aggregation (A8)
-# ---------------------------------------------------------------------------
-
-_Q08_SQL = """
-SELECT o_orderstatus,
-       CAST(ROUND(SUM(CASE WHEN o_totalprice > 100000
-                           THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS high_value_total,
-       COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_high,
-       COUNT(CASE WHEN o_totalprice <= 100000 THEN 1 END) AS n_low
-FROM orders
-GROUP BY o_orderstatus
-ORDER BY o_orderstatus
-"""
-
-
-@query("q08_filtered_agg", oracle=_Q08_SQL, covers="A8")
-def q08_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    high = F.col("o_totalprice") > 100000
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.round(F.sum(F.when(high, dec("o_totalprice"))), 2).cast("double").alias("high_value_total"),
-            F.count(F.when(high, F.lit(1))).alias("n_high"),
-            F.count(F.when(~high, F.lit(1))).alias("n_low"),
-        )
-        .orderBy("o_orderstatus")
-    )
-
-
-# ---------------------------------------------------------------------------
 # Q09 — exact interpolated median per group (A9), decimal-domain midpoint
 # ---------------------------------------------------------------------------
 
@@ -325,7 +315,14 @@ def q09_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q10 — pivot (A11)
+# Q10 — conditional-aggregation family, tagged union (merged round 6 to
+#        free a driver-window slot for the snapshot-diff query q08):
+#        * 'priority_pivot' branch — pivot (A11): count per priority per
+#          order year, one wide row per year;
+#        * 'filtered_agg' branch — filtered aggregation (A8): CASE-gated
+#          sum/counts per order status. Pivot IS filtered agg under the
+#          hood (Spark rewrites both to conditional aggregates), so the
+#          union exercises the family's two API spellings in one query.
 # ---------------------------------------------------------------------------
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -338,31 +335,67 @@ _PRIORITY_ALIAS = {
 }
 
 _Q10_SQL = """
-SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
-       COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
-       COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
-       COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_medium,
-       COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_not_specified,
-       COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+SELECT 'priority_pivot' AS part,
+       CAST(CAST(year(o_orderdate) AS INTEGER) AS VARCHAR) AS key,
+       CAST(NULL AS DOUBLE) AS d1,
+       COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS c1,
+       COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS c2,
+       COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS c3,
+       COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS c4,
+       COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS c5
 FROM orders
-GROUP BY 1
-ORDER BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'filtered_agg', o_orderstatus,
+       CAST(ROUND(SUM(CASE WHEN o_totalprice > 100000
+                           THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE),
+       COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END),
+       COUNT(CASE WHEN o_totalprice <= 100000 THEN 1 END),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM orders
+GROUP BY 2
+ORDER BY part, key
 """
 
 
-@query("q10_pivot_priority_by_year", oracle=_Q10_SQL, covers="A11")
+@query("q10_pivot_priority_by_year", oracle=_Q10_SQL, covers="A8,A11")
 def q10_pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
     pivoted = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.year("o_orderdate").alias("order_year"))
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
         .pivot("o_orderpriority", _PRIORITIES)
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
-    renamed = pivoted.select(
-        "order_year", *[F.col(f"`{p}`").alias(alias) for p, alias in _PRIORITY_ALIAS.items()]
+    pivot_b = pivoted.select(
+        F.lit("priority_pivot").alias("part"),
+        F.col("order_year").cast("int").cast("string").alias("key"),
+        F.lit(None).cast("double").alias("d1"),
+        *[
+            F.col(f"`{p}`").cast("long").alias(f"c{i + 1}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
     )
-    return renamed.orderBy("order_year")
+    high = F.col("o_totalprice") > 100000
+    filtered_b = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum(F.when(high, dec("o_totalprice"))), 2).cast("double").alias("d1"),
+            F.count(F.when(high, F.lit(1))).alias("c1"),
+            F.count(F.when(~high, F.lit(1))).alias("c2"),
+        )
+        .select(
+            F.lit("filtered_agg").alias("part"),
+            F.col("o_orderstatus").alias("key"),
+            "d1",
+            "c1",
+            "c2",
+            F.lit(None).cast("long").alias("c3"),
+            F.lit(None).cast("long").alias("c4"),
+            F.lit(None).cast("long").alias("c5"),
+        )
+    )
+    return pivot_b.unionByName(filtered_b).orderBy("part", "key")
 
 
 # ---------------------------------------------------------------------------
@@ -470,41 +503,69 @@ def q13_outer_join_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q14_SQL = """
-SELECT c_custkey, c_name, 'active' AS membership
+SELECT 'active' AS membership, c_custkey, c_name, CAST(NULL AS BIGINT) AS n
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = customer.c_custkey
                 AND o.o_orderdate >= TIMESTAMP '1999-01-01'
                 AND o.o_orderdate < TIMESTAMP '1999-07-01')
 UNION ALL
-SELECT c_custkey, c_name, 'orderless' AS membership
+SELECT 'orderless' AS membership, c_custkey, c_name, CAST(NULL AS BIGINT) AS n
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = customer.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '1999-01-01'
                     AND o.o_orderdate < TIMESTAMP '1999-07-01')
-ORDER BY c_custkey
+UNION ALL
+SELECT 'except', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), COUNT(*) FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+UNION ALL
+SELECT 'intersect', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), COUNT(*) FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+ORDER BY membership, c_custkey
 """
 
 
-@query("q14_semi_anti_membership", oracle=_Q14_SQL, covers="J4,J5,O7")
+@query("q14_semi_anti_membership", oracle=_Q14_SQL, covers="J4,J5,O7,O8")
 def q14_semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Date-ranged slice so BOTH branches are non-empty at every SF — an
-    # all-time anti join returns 0 rows on this data and verifies
-    # nothing.
+    # Membership family, tagged union (round 6 adds the set-op branches
+    # from the former q23, freeing that window slot for chunking):
+    # semi/anti joins and EXCEPT/INTERSECT are the two API spellings of
+    # set membership, verified independently by the tag.
+    # Date-ranged slice so BOTH join branches are non-empty at every
+    # SF — an all-time anti join returns 0 rows on this data and
+    # verifies nothing.
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1999-01-01")) & (F.col("o_orderdate") < F.lit("1999-07-01"))
     )
+    null_n = F.lit(None).cast("long").alias("n")
     semi = (
         customer.join(orders, orders.o_custkey == customer.c_custkey, "left_semi")
-        .select("c_custkey", "c_name", F.lit("active").alias("membership"))
+        .select(F.lit("active").alias("membership"), "c_custkey", "c_name", null_n)
     )
     anti = (
         customer.join(orders, orders.o_custkey == customer.c_custkey, "left_anti")
-        .select("c_custkey", "c_name", F.lit("orderless").alias("membership"))
+        .select(F.lit("orderless").alias("membership"), "c_custkey", "c_name", null_n)
     )
-    return semi.unionByName(anti).orderBy("c_custkey")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    # set-EXCEPT spelled directly (subtract = EXCEPT DISTINCT) — semantics
+    # hold whether or not c_custkey is unique in the inputs.
+    null_key = [F.lit(None).cast("long").alias("c_custkey"), F.lit(None).cast("string").alias("c_name")]
+    ex = rich.subtract(building).agg(F.count("*").alias("n")).select(
+        F.lit("except").alias("membership"), *null_key, "n"
+    )
+    inter = rich.intersect(building).agg(F.count("*").alias("n")).select(
+        F.lit("intersect").alias("membership"), *null_key, "n"
+    )
+    return semi.unionByName(anti).unionByName(ex).unionByName(inter).orderBy("membership", "c_custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -678,38 +739,6 @@ def q21_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q23 — except / intersect (O8)
-# ---------------------------------------------------------------------------
-
-_Q23_SQL = """
-SELECT 'except' AS op, COUNT(*) AS n FROM (
-  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-  EXCEPT
-  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-)
-UNION ALL
-SELECT 'intersect' AS op, COUNT(*) AS n FROM (
-  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-  INTERSECT
-  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-)
-ORDER BY op
-"""
-
-
-@query("q23_setops", oracle=_Q23_SQL, covers="O8")
-def q23_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    # set-EXCEPT spelled directly (subtract = EXCEPT DISTINCT) — semantics
-    # hold whether or not c_custkey is unique in the inputs.
-    ex = rich.subtract(building).agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n")
-    inter = rich.intersect(building).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n")
-    return ex.unionByName(inter).orderBy("op")
-
-
-# ---------------------------------------------------------------------------
 # Q55 — approx count distinct (A4): HLL sketch, bench/rows-only tier by
 #        design (approx results never enter the hash contract)
 # ---------------------------------------------------------------------------
@@ -761,16 +790,20 @@ def q56_repartition_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q77 — keyed snapshot diff (dataset versioning): what changed between
-#        two corpus versions. Synthesizes two deterministic snapshots of
-#        orders (v1 = keys %7 != 0; v2 = keys %5 != 0 with the status
-#        string of every %3 == 0 key mutated) and counts rows by change
-#        type. compare-cols are string/long/date only: the md5 row hash
-#        casts values to string, and double->string formatting is the
-#        one cast the two engines render differently.
+# Q08 — keyed snapshot diff (dataset versioning; formerly q77, rotated
+#        into the driver's 50-entry window round 6): what changed
+#        between two corpus versions. Synthesizes two deterministic
+#        snapshots of orders (v1 = keys %7 != 0; v2 = keys %5 != 0 with
+#        the status string of every %3 == 0 key mutated) and counts rows
+#        by change type. compare-cols are string/long/date only: the md5
+#        row hash casts values to string, and double->string formatting
+#        is the one cast the two engines render differently. The row
+#        hash md5s each column SEPARATELY and concats the fixed-width
+#        digests (null -> '-') — injection-proof, mirroring
+#        operators/relational.dataset_diff.
 # ---------------------------------------------------------------------------
 
-_Q77_SQL = """
+_Q08_SQL = """
 WITH old_v AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_orderdate
   FROM orders WHERE o_orderkey % 7 <> 0
@@ -783,18 +816,18 @@ new_v AS (
 ),
 ho AS (
   SELECT o_orderkey,
-         md5(COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null') || chr(31)
-             || COALESCE(CAST(o_orderdate AS VARCHAR), chr(0) || 'null') || chr(31)
-             || COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null') || chr(31)
-             || COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null') || chr(31)) AS h
+         md5(COALESCE(md5(CAST(o_custkey AS VARCHAR)), '-')
+             || COALESCE(md5(CAST(o_orderdate AS VARCHAR)), '-')
+             || COALESCE(md5(CAST(o_orderpriority AS VARCHAR)), '-')
+             || COALESCE(md5(CAST(o_orderstatus AS VARCHAR)), '-')) AS h
   FROM old_v
 ),
 hn AS (
   SELECT o_orderkey,
-         md5(COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null') || chr(31)
-             || COALESCE(CAST(o_orderdate AS VARCHAR), chr(0) || 'null') || chr(31)
-             || COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null') || chr(31)
-             || COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null') || chr(31)) AS h
+         md5(COALESCE(md5(CAST(o_custkey AS VARCHAR)), '-')
+             || COALESCE(md5(CAST(o_orderdate AS VARCHAR)), '-')
+             || COALESCE(md5(CAST(o_orderpriority AS VARCHAR)), '-')
+             || COALESCE(md5(CAST(o_orderstatus AS VARCHAR)), '-')) AS h
   FROM new_v
 ),
 d AS (
@@ -809,8 +842,8 @@ SELECT change_type, COUNT(*) AS n_rows FROM d GROUP BY 1 ORDER BY 1
 """
 
 
-@query("q77_snapshot_diff", oracle=_Q77_SQL, covers="J3,A2,P3")
-def q77_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q08_snapshot_diff", oracle=_Q08_SQL, covers="J3,A2,P3")
+def q08_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import dataset_diff
 
     orders = load_table(spark, sf_dir, "orders")

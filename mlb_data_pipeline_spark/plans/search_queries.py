@@ -1,13 +1,15 @@
-"""Keyword + hybrid retrieval queries (q73-q74) — the lexical channel
-the reference's vector-only RAG stack (scripts/rag_pipeline_2.py:40-48,
-airflow/dags/mlb_pipeline/pipeline.py:51-56) is missing, plus the
-rank-fusion step that makes it hybrid search.
+"""Keyword + hybrid retrieval queries (q03/q74/q75) — the lexical
+channel the reference's vector-only RAG stack
+(scripts/rag_pipeline_2.py:40-48, airflow/dags/mlb_pipeline/
+pipeline.py:51-56) is missing, plus the rank-fusion step that makes it
+hybrid search.
 
-Both sit OUTSIDE the driver's 50-entry correctness window (q00-q49 by
-round-3 design) but carry full DuckDB oracles under the bit-exact
-pytest harness — see operators/search.py for the determinism contract
-(fixed-order IEEE scalar chains; the only float accumulation is a
-term-sorted sequential fold mirrored by list_reduce).
+The BM25 query was rotated INTO the driver's 50-entry correctness
+window as q03 in round 6 (formerly q73); q74/q75 carry the same DuckDB
+oracles under the bit-exact pytest harness — see operators/search.py
+for the determinism contract (fixed-order IEEE scalar chains; the only
+float accumulation is a term-sorted sequential fold mirrored by
+list_reduce).
 """
 
 from __future__ import annotations
@@ -32,25 +34,25 @@ from ..operators.vector import cosine_topk
 from .registry import query
 
 # ---------------------------------------------------------------------------
-# Q73 — BM25 keyword retrieval (top-10 per query over documents).
+# Q03 (formerly q73, rotated into the driver window round 6) — BM25 keyword retrieval (top-10 per query over documents).
 #        Queries are driver-side literals pre-tokenized to (qid, term),
 #        vocabulary drawn from the synthetic corpus.
 # ---------------------------------------------------------------------------
 
-_Q73_QUERIES = [
+_Q03_QUERIES = [
     (0, "hash join sort merge"),
     (1, "vector scan filter big"),
     (2, "customer query window stream"),
 ]
-_Q73_TERMS = [(qid, t) for qid, text in _Q73_QUERIES for t in text.split()]
+_Q03_TERMS = [(qid, t) for qid, text in _Q03_QUERIES for t in text.split()]
 
-_Q73_SQL = bm25_oracle_sql(_Q73_TERMS, k=10)
+_Q03_SQL = bm25_oracle_sql(_Q03_TERMS, k=10)
 
 
-@query("q73_bm25_topk", oracle=_Q73_SQL, covers="V2,T17,A2,O3")
-def q73_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q03_bm25_topk", oracle=_Q03_SQL, covers="V2,T17,A2,O3")
+def q03_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return bm25_topk(docs, _Q73_TERMS, k=10).orderBy("query_id", "rank")
+    return bm25_topk(docs, _Q03_TERMS, k=10).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -63,13 +65,13 @@ def q73_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q75 — BM25 through the PERSISTED inverted index: build + save + load
-#        + probe, same queries and oracle as q73, so the round-trip is
+#        + probe, same queries and oracle as q03, so the round-trip is
 #        itself hash-verified against DuckDB. The probe plan touches
 #        postings parquet only — zero corpus scans at query time.
 # ---------------------------------------------------------------------------
 
 
-@query("q75_bm25_indexed", oracle=_Q73_SQL, covers="V2,T17,O3,S8")
+@query("q75_bm25_indexed", oracle=_Q03_SQL, covers="V2,T17,O3,S8")
 def q75_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "q75_text_index"
@@ -77,7 +79,7 @@ def q75_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     save_text_index(build_text_index(docs), path)
     idx = load_text_index(spark, path)
-    return bm25_topk(None, _Q73_TERMS, k=10, index=idx).orderBy("query_id", "rank")
+    return bm25_topk(None, _Q03_TERMS, k=10, index=idx).orderBy("query_id", "rank")
 
 
 _Q74_QUERY_TEXT = "hash join sort merge table scan"

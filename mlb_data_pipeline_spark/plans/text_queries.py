@@ -19,78 +19,54 @@ from ..functions.textfn import dict_replace, tts_spoken_form, tts_spoken_form_sq
 from .registry import query
 
 # ---------------------------------------------------------------------------
-# Q03 — positional zip / UDTF explode with index (J8, U5); reference
-#        zip(docs, metas) by position (pipeline.py:88)
-# ---------------------------------------------------------------------------
-
-_Q03_SQL = """
-SELECT doc_id,
-       generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
-       unnest(string_split(text, ' ')) AS token
-FROM documents
-WHERE doc_id < 3
-ORDER BY doc_id, pos
-"""
-
-
-@query("q03_positional_zip", oracle=_Q03_SQL, covers="J8,U5,T2")
-def q03_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
-    return docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")).orderBy(
-        "doc_id", "pos"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q24 — tokenize + explode + top token counts (T2, T7, U5)
+# Q24 — token-analysis family, tagged union (merged round 6 to free a
+#        driver-window slot for the bucketed-join query q25):
+#        * 'top' branch — tokenize + explode + top token counts
+#          (T2, T7, U5): limit-30 computed before the union so the
+#          branch keeps its TakeOrdered shape;
+#        * 'keyword' branch — regex filter + regexp_extract structured
+#          field (P5, T6, T4), grouped by (lang, keyword).
 # ---------------------------------------------------------------------------
 
 _Q24_SQL = """
-SELECT token, COUNT(*) AS n
-FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-WHERE token <> ''
-GROUP BY token
-ORDER BY n DESC, token
-LIMIT 30
+WITH top AS (
+  SELECT token, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token
+  ORDER BY n DESC, token
+  LIMIT 30
+)
+SELECT 'top' AS part, CAST(NULL AS VARCHAR) AS lang, token, n FROM top
+UNION ALL
+SELECT 'keyword', lang, regexp_extract(text, '(spark|vector|window)', 1), COUNT(*)
+FROM documents
+WHERE regexp_matches(text, '(spark|vector|window)')
+GROUP BY 1, 2, 3
+ORDER BY part, lang, token
 """
 
 
-@query("q24_top_tokens", oracle=_Q24_SQL, covers="T2,T7,U5,A2", bench=True)
+@query("q24_top_tokens", oracle=_Q24_SQL, covers="T2,T7,U5,A2,P5,T6,T4", bench=True)
 def q24_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("token"))
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "token")
         .limit(30)
+        .select(F.lit("top").alias("part"), F.lit(None).cast("string").alias("lang"), "token", "n")
     )
-
-
-# ---------------------------------------------------------------------------
-# Q25 — regexp_extract structured field (T6, T4)
-# ---------------------------------------------------------------------------
-
-_Q25_SQL = """
-SELECT lang, regexp_extract(text, '(spark|vector|window)', 1) AS keyword, COUNT(*) AS n
-FROM documents
-WHERE regexp_matches(text, '(spark|vector|window)')
-GROUP BY lang, keyword
-ORDER BY lang, keyword
-"""
-
-
-@query("q25_extract_keyword", oracle=_Q25_SQL, covers="P5,T6,T4")
-def q25_extract_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").rlike("(spark|vector|window)"))
-        .select("lang", F.regexp_extract("text", "(spark|vector|window)", 1).alias("keyword"))
-        .groupBy("lang", "keyword")
+    keyword = (
+        docs.filter(F.col("text").rlike("(spark|vector|window)"))
+        .select("lang", F.regexp_extract("text", "(spark|vector|window)", 1).alias("token"))
+        .groupBy("lang", "token")
         .agg(F.count("*").alias("n"))
-        .orderBy("lang", "keyword")
+        .select(F.lit("keyword").alias("part"), "lang", "token", "n")
     )
+    return top.unionByName(keyword).orderBy("part", "lang", "token")
 
 
 # ---------------------------------------------------------------------------
@@ -129,35 +105,6 @@ def q26_ship_delay_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q27 — from_json over events.props (T14); reference json.dumps/loads
-#        (pipeline.py:46, utils.py:21-24)
-# ---------------------------------------------------------------------------
-
-_Q27_SQL = """
-SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
-       COUNT(*) AS n,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
-FROM events
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-@query("q27_json_props_bucket", oracle=_Q27_SQL, covers="T14,A2")
-def q27_json_props_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    k = F.from_json("props", "k INT").getField("k")
-    return (
-        events.groupBy((k % 10).alias("k_bucket"))
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
-        )
-        .orderBy("k_bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
 # Q28 — array ops over embeddings (T19)
 # ---------------------------------------------------------------------------
 
@@ -188,58 +135,92 @@ def q28_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q31 — weighted score via literal map (A10, T20); reference topic_weights
-#        (config.py:166-174)
+# Q31 — events-scoring family, tagged union (merged round 6 to free a
+#        driver-window slot for the URL-curation query q27):
+#        * 'weighted_day' branch — weighted score via literal map
+#          (A10, T20); reference topic_weights (config.py:166-174);
+#        * 'json_bucket' branch — from_json over events.props (T14);
+#          reference json.dumps/loads (pipeline.py:46, utils.py:21-24).
 # ---------------------------------------------------------------------------
 
 _WEIGHTS = {"click": 1.0, "view": 0.5, "purchase": 5.0, "signup": 2.0, "error": 0.0}
 
 _Q31_SQL = """
-SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+SELECT 'weighted_day' AS part,
+       CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS key,
        CAST(ROUND(SUM(CAST(value * (CASE event_type
               WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5 WHEN 'purchase' THEN 5.0
               WHEN 'signup' THEN 2.0 WHEN 'error' THEN 0.0 END) AS DECIMAL(18,6))), 2) AS DOUBLE)
-         AS weighted_score,
-       COUNT(*) AS n_events
+         AS score,
+       COUNT(*) AS n
 FROM events
-GROUP BY 1
-ORDER BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'json_bucket',
+       CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS VARCHAR),
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE),
+       COUNT(*)
+FROM events
+GROUP BY 2
+ORDER BY part, key
 """
 
 
-@query("q31_weighted_score", oracle=_Q31_SQL, covers="A10,T20")
+@query("q31_weighted_score", oracle=_Q31_SQL, covers="A10,T20,T14,A2")
 def q31_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     weights = F.create_map(*[F.lit(x) for kv in _WEIGHTS.items() for x in kv])
     weighted = (F.col("value") * weights.getItem(F.col("event_type"))).cast("decimal(18,6)")
-    return (
-        events.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+    weighted_day = (
+        events.groupBy(F.date_trunc("day", "ts").cast("date").cast("string").alias("key"))
         .agg(
-            F.round(F.sum(weighted), 2).cast("double").alias("weighted_score"),
-            F.count("*").alias("n_events"),
+            F.round(F.sum(weighted), 2).cast("double").alias("score"),
+            F.count("*").alias("n"),
         )
-        .orderBy("day")
+        .select(F.lit("weighted_day").alias("part"), "key", "score", "n")
     )
+    k = F.from_json("props", "k INT").getField("k")
+    json_bucket = (
+        events.groupBy((k % 10).cast("string").alias("key"))
+        .agg(
+            F.round(F.sum(dec("value")), 2).cast("double").alias("score"),
+            F.count("*").alias("n"),
+        )
+        .select(F.lit("json_bucket").alias("part"), "key", "score", "n")
+    )
+    return weighted_day.unionByName(json_bucket).orderBy("part", "key")
 
 
 # ---------------------------------------------------------------------------
-# Q35 — struct pack + to_json (P9, T9); article-shaped projection
-#        (reference article dict pipeline.py:33-38)
+# Q35 — row-assembly family, tagged union (merged round 6 to free a
+#        driver-window slot for the BM25 query q03):
+#        * 'article_json' branch — struct pack + to_json (P9, T9);
+#          article-shaped projection (reference article dict
+#          pipeline.py:33-38);
+#        * 'zip_token' branch — positional zip / UDTF explode with index
+#          (J8, U5); reference zip(docs, metas) by position
+#          (pipeline.py:88).
 # ---------------------------------------------------------------------------
 
 _Q35_SQL = """
-SELECT doc_id,
-       to_json(struct_pack(doc_id := doc_id,
-                           title := substr(text, 1, 40),
-                           source := source,
-                           lang := lang,
-                           n_chars := n_chars)) AS article_json
+SELECT 'article_json' AS part, doc_id, CAST(NULL AS INTEGER) AS pos,
+       CAST(to_json(struct_pack(doc_id := doc_id,
+                                title := substr(text, 1, 40),
+                                source := source,
+                                lang := lang,
+                                n_chars := n_chars)) AS VARCHAR) AS payload
 FROM documents
-ORDER BY doc_id
+UNION ALL
+SELECT 'zip_token', doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER),
+       unnest(string_split(text, ' '))
+FROM documents
+WHERE doc_id < 3
+ORDER BY part, doc_id, pos
 """
 
 
-@query("q35_struct_to_json", oracle=_Q35_SQL, covers="P9,T3,T9,T14")
+@query("q35_struct_to_json", oracle=_Q35_SQL, covers="P9,T3,T9,T14,J8,U5,T2")
 def q35_struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     article = F.struct(
@@ -249,7 +230,18 @@ def q35_struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang"),
         F.col("n_chars").alias("n_chars"),
     )
-    return docs.select("doc_id", F.to_json(article).alias("article_json")).orderBy("doc_id")
+    article_b = docs.select(
+        F.lit("article_json").alias("part"),
+        "doc_id",
+        F.lit(None).cast("int").alias("pos"),
+        F.to_json(article).alias("payload"),
+    )
+    zip_b = (
+        docs.filter(F.col("doc_id") < 3)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "payload"))
+        .select(F.lit("zip_token").alias("part"), "doc_id", F.col("pos").cast("int"), "payload")
+    )
+    return article_b.unionByName(zip_b).orderBy("part", "doc_id", "pos")
 
 
 # ---------------------------------------------------------------------------

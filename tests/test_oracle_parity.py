@@ -40,17 +40,33 @@ def test_registry_window_invariant():
     first queries. The round-3 registry design packs the ENTIRE oracled
     surface into that window (q00-q49) with rows-only queries at q50+;
     a rename that pushes an oracled query past position 50 would
-    silently drop it from the recorded gate. Pin the invariant."""
+    silently drop it from the recorded gate. Pin the invariant.
+
+    Round 6 rotated six round-4/5 operators INTO the window (merging
+    redundant early demos to free the slots): q01 incremental near-dup
+    (ex-q64), q03 BM25 (ex-q73), q08 snapshot diff (ex-q77), q23
+    chunking (ex-q79), q25 bucketed join (ex-q83), q27 URL curation
+    (ex-q84) — so the driver's independent run now exercises the
+    newest operator families, not just the §2 core."""
     names = sorted(REGISTRY)
     windowed = names[:50]
     assert all(REGISTRY[n].oracle is not None for n in windowed), (
         "driver window contains a rows-only query: "
         + str([n for n in windowed if REGISTRY[n].oracle is None])
     )
+    rotated = {
+        "q01_incremental_neardup",
+        "q03_bm25_topk",
+        "q08_snapshot_diff",
+        "q23_chunk_windows",
+        "q25_bucketed_join",
+        "q27_url_curation",
+    }
+    assert rotated <= set(windowed), rotated - set(windowed)
     outside_oracled = [n for n in names[50:] if REGISTRY[n].oracle is not None]
-    # q60+ curation queries are oracled-by-pytest outside the window —
-    # allowed, but every one must sort AFTER the rows-only block so the
-    # window itself stays fully oracled
+    # q60+ queries oracled-by-pytest outside the window are allowed,
+    # but every one must sort AFTER the rows-only block so the window
+    # itself stays fully oracled
     assert all(n >= "q60" for n in outside_oracled), outside_oracled
 
 

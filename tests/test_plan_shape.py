@@ -22,19 +22,27 @@ def plan_of(spark, sf_dir, name: str) -> str:
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    # q02 is the merged scan-shape family: the 'topk' branch's date
+    # filter must reach ITS lineitem scan (any PushedFilters section)
     plan = plan_of(spark, sf_dir, "q02_filter_topk")
     assert "PushedFilters: [" in plan
-    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    pushed = [seg[:400] for seg in plan.split("PushedFilters")[1:]]
+    assert any("l_shipdate" in seg for seg in pushed), pushed
 
 
 def test_prefix_filter_pushes_startswith(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q01_project_prefix")
+    plan = plan_of(spark, sf_dir, "q02_filter_topk")
     assert "StringStartsWith(p_name,small )" in plan.replace("'", "")
 
 
 def test_column_pruning_projects_scan(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q01_project_prefix")
-    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    # the part-side scan of q02's 'prefix' branch must read only the
+    # projected columns
+    plan = plan_of(spark, sf_dir, "q02_filter_topk")
+    reads = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    part_reads = [r for r in reads if "p_partkey" in r]
+    assert part_reads, reads
+    read = part_reads[0]
     assert "p_partkey" in read and "p_retailprice" in read
     assert "p_type" not in read and "p_container" not in read  # unused columns never read
 
@@ -61,7 +69,7 @@ def test_flagship_broadcasts_only_fixed_dims(spark, sf_dir):
         "q44_minhash_neardup",  # LSH banding must stay an equi-join
         "q52_embedding_neardup_lsh",
         "q45_ngram_jaccard",  # blocked pairs join on source
-        "q64_incremental_neardup",  # store scan join must stay an equi-join
+        "q01_incremental_neardup",  # store scan join must stay an equi-join
         "q65_neardup_components",  # CC label joins are equi-joins
         "q66_exact_span_overlap",  # span-hash join
         "q67_contamination_scan",  # cross-corpus span-hash join
@@ -157,7 +165,7 @@ def test_bm25_topk_plans_window_group_limit(spark, sf_dir):
 
     load_all()
     plan = (
-        REGISTRY["q73_bm25_topk"].spark(spark, sf_dir)
+        REGISTRY["q03_bm25_topk"].spark(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -183,12 +191,12 @@ def test_indexed_bm25_probe_never_scans_documents(spark, sf_dir):
 
 
 def test_chunk_query_single_shuffle(spark, sf_dir):
-    # q79: chunking is narrow; the only exchange is the final per-doc agg
+    # q23 (ex-q79): chunking is narrow; the only exchange is the final per-doc agg
     from mlb_data_pipeline_spark.plans import REGISTRY, load_all
 
     load_all()
     plan = (
-        REGISTRY["q79_chunk_windows"].spark(spark, sf_dir)
+        REGISTRY["q23_chunk_windows"].spark(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -203,7 +211,7 @@ def test_snapshot_diff_single_join(spark, sf_dir):
 
     load_all()
     plan = (
-        REGISTRY["q77_snapshot_diff"].spark(spark, sf_dir)
+        REGISTRY["q08_snapshot_diff"].spark(spark, sf_dir)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
@@ -213,13 +221,13 @@ def test_snapshot_diff_single_join(spark, sf_dir):
 
 
 def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
-    # q83: both sides bucketed on the join key -> the SortMergeJoin's
+    # q25 (ex-q83): both sides bucketed on the join key -> the SortMergeJoin's
     # subtree contains NO exchange; the only shuffles in the final AQE
     # plan sit above it (group-by + output sort)
     from mlb_data_pipeline_spark.plans import REGISTRY, load_all
 
     load_all()
-    df = REGISTRY["q83_bucketed_join"].spark(spark, sf_dir)
+    df = REGISTRY["q25_bucketed_join"].spark(spark, sf_dir)
     df.collect()  # materialize the AQE final plan
     plan = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
     assert "SortMergeJoin" in plan
