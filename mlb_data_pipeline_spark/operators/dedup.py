@@ -445,6 +445,34 @@ def append_signature_store(
     sh.write.mode("append").parquet(sh_path)
 
 
+def refresh_signature_store(
+    changed_docs: DataFrame, id_col: str, text_col: str, path: str, n_hashes: int = 4, shingle_n: int = 3
+) -> None:
+    """Keyed content-change upsert for the signature store (reference
+    delete-then-add, scrape_store_embed.py:79): purge the changed ids'
+    signature rows (partition-aware — each doc spans ALL band
+    partitions, so the filtered rewrite preserves the ``band`` layout)
+    and shingle sets, then re-append the new text through the normal
+    append path. After a refresh, ``incremental_neardup_pairs`` judges
+    deltas against the NEW content; the append-only id guard alone
+    would have silently kept the stale signatures. O(store) I/O by
+    nature (content-change cadence, not delta cadence); unchanged-id
+    replays should keep using ``append_signature_store``."""
+    from ..sources.writers import delete_keys_partitioned
+
+    spark = changed_docs.sparkSession
+    sig_path, sh_path = _store_paths(path)
+    ids = changed_docs.select(id_col)
+    delete_keys_partitioned(spark, sig_path, ids, id_col, "band", -1)
+    kept = (
+        spark.read.parquet(sh_path)
+        .join(ids.distinct(), id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    kept.write.mode("overwrite").parquet(sh_path)
+    append_signature_store(changed_docs, id_col, text_col, path, n_hashes, shingle_n)
+
+
 def incremental_neardup_pairs(
     new_docs: DataFrame,
     path: str,

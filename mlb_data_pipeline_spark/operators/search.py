@@ -63,32 +63,66 @@ def _tokens(col):
 class TextIndex:
     """Inverted index for BM25: per-(doc, term) postings plus the
     corpus stats row. Document frequency is NOT stored — it derives
-    from the postings at probe time (so appends never invalidate it)."""
+    from the postings at probe time (so appends never invalidate it).
+    ``docs`` is the applied-document registry (id, dl) — one row per
+    ingested doc INCLUDING token-less ones, the source of truth for
+    stats and for append idempotence (postings alone can't represent a
+    zero-token doc)."""
 
     postings: DataFrame  # (id_col, dl, term, tf)
     stats: DataFrame  # single row: (n, sumdl)
     id_col: str
+    docs: DataFrame | None = None  # (id_col, dl) applied-doc registry
 
 
 def build_text_index(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    share_tokenization: bool = False,
 ) -> TextIndex:
-    """Tokenize once into the postings table (doc, dl, term, tf) — one
+    """Tokenize into the postings table (doc, dl, term, tf) — one
     shuffle keyed on (doc, term) with map-side partial counts; dl rides
-    the explode as a functionally-dependent key. Stats count ALL docs
-    (empty docs count toward N, the standard BM25 convention)."""
-    base = docs.select(
-        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
-    ).select(
+    the explode as a functionally-dependent key. The doc registry
+    (id, dl) counts ALL docs (empty docs count toward N, the standard
+    BM25 convention); stats aggregate the registry, never a second
+    corpus pass of their own. ``share_tokenization=True`` lazily
+    local-checkpoints the token arrays so the postings and registry
+    branches materialize ONE corpus scan (the one-shot ``bm25_scores``
+    path); persisted builds leave it off — the write actions run once
+    each anyway and a checkpoint would pin the corpus on local disk."""
+    base = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    if share_tokenization:
+        base = base.localCheckpoint(eager=False)
+    registry = base.select(id_col, F.size("__toks").alias("dl"))
+    postings = base.select(
         id_col,
         F.size("__toks").alias("dl"),
         F.explode("__toks").alias("term"),
-    )
-    postings = base.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
-    stats = docs.select(F.size(_tokens(F.col(text_col))).alias("dl")).agg(
-        F.count("*").alias("n"), F.sum("dl").alias("sumdl")
-    )
-    return TextIndex(postings, stats, id_col)
+    ).groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    stats = registry.agg(F.count("*").alias("n"), F.sum("dl").alias("sumdl"))
+    return TextIndex(postings, stats, id_col, registry)
+
+
+def _batch_dir(base: str, component: str, batch_id: str) -> str:
+    return f"{base}/{component}/batch={batch_id}"
+
+
+def _delta_batch_id(delta: DataFrame, id_col: str, salt: str = "") -> str:
+    """Deterministic batch id for a delta: md5 over the sorted id set
+    (one aggregation — the collect is the id list of a DELTA, daily
+    cadence, not the corpus). Retries of the same delta derive the same
+    id, which is what makes the append protocol replay-idempotent."""
+    row = delta.agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(F.collect_list(F.col(id_col).cast("string"))),
+            )
+        ).alias("h")
+    ).collect()[0]
+    return (salt + (row.h or "empty"))[:40]
 
 
 def save_text_index(index: TextIndex, path: str) -> None:
@@ -96,18 +130,42 @@ def save_text_index(index: TextIndex, path: str) -> None:
     term inside each file, so parquet row-group min/max stats prune a
     term-filter probe to the files actually holding those posting
     lists — the probe of a persisted 100 TB index reads posting lists,
-    not the corpus."""
+    not the corpus. Postings and the doc registry are laid out as
+    ``batch=`` partition directories: the initial build is batch
+    ``full``, and each append lands in its own batch directory so a
+    retried append OVERWRITES its own directory instead of duplicating
+    rows (see ``append_text_index``)."""
     base = path.rstrip("/")
     (
-        index.postings.repartition(F.col("term"))
+        index.postings.withColumn("batch", F.lit("full"))
+        .repartition(F.col("term"))
         .sortWithinPartitions("term")
         .write.mode("overwrite")
+        .partitionBy("batch")
         .parquet(base + "/postings")
     )
-    index.stats.coalesce(1).write.mode("overwrite").parquet(base + "/stats")
+    reg = index.docs
+    if reg is None:
+        raise ValueError("save_text_index needs an index built by build_text_index (doc registry missing)")
+    reg.withColumn("batch", F.lit("full")).write.mode("overwrite").partitionBy(
+        "batch"
+    ).parquet(base + "/docs")
+    _rewrite_stats(index.postings.sparkSession, base)
     index.postings.sparkSession.createDataFrame(
         [(index.id_col,)], "id_col STRING"
     ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
+
+
+def _rewrite_stats(spark, base: str) -> None:
+    """Stats are DERIVED from the persisted doc registry, never patched
+    incrementally — so a crash between a postings/registry append and
+    the stats write self-heals on the next maintenance call, and
+    token-less docs (no postings) still count toward n/avgdl."""
+    reg = spark.read.parquet(base + "/docs")
+    reg.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sumdl"),
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/stats")
 
 
 def load_text_index(spark, path: str) -> TextIndex:
@@ -117,35 +175,99 @@ def load_text_index(spark, path: str) -> TextIndex:
         spark.read.parquet(base + "/postings"),
         spark.read.parquet(base + "/stats"),
         meta.id_col,
+        spark.read.parquet(base + "/docs"),
     )
 
 
 def append_text_index(
-    new_docs: DataFrame, path: str, *, text_col: str = "text"
+    new_docs: DataFrame, path: str, *, text_col: str = "text", batch_id: str | int | None = None
 ) -> None:
-    """Daily-cadence index maintenance: tokenize ONLY the delta, append
-    its postings, and replace the one-row stats with old + delta — the
-    corpus is never re-tokenized (the keyword analogue of
-    ``vector.append_ivf_index`` / ``dedup.append_signature_store``).
-    An id guard (left-anti against the posted doc ids) makes re-running
-    the same delta a no-op. Document frequencies need no maintenance:
-    they are derived from postings at probe time."""
+    """Daily-cadence index maintenance: tokenize ONLY the delta and
+    append its postings — the corpus is never re-tokenized (the keyword
+    analogue of ``vector.append_ivf_index`` /
+    ``dedup.append_signature_store``).
+
+    At-least-once safe by construction (not just guarded):
+
+    * the id guard is the DOC REGISTRY, not the postings — token-less
+      docs register too, so replaying a batch of empty docs cannot
+      re-count them into stats;
+    * each append writes into its OWN ``batch=<id>`` partition
+      directory with overwrite semantics, and the guard excludes the
+      batch's own prior rows — so a retry after ANY partial failure
+      recomputes the identical fresh set and overwrites its own
+      directories instead of duplicating rows;
+    * stats are rebuilt from the registry LAST — a crash between the
+      postings/registry writes and the stats write leaves stats stale
+      for exactly one retry, after which the rebuild heals them.
+
+    ``batch_id`` defaults to a content hash of the delta's ids (retries
+    of the same delta converge on the same directory); streaming
+    callers pass the micro-batch epoch. Document frequencies need no
+    maintenance: they are derived from postings at probe time."""
+    import re as _re
+
     spark = new_docs.sparkSession
     base = path.rstrip("/")
     idx = load_text_index(spark, base)
-    fresh = new_docs.join(
-        idx.postings.select(idx.id_col).distinct(), idx.id_col, "left_anti"
+    if batch_id is None:
+        bid = _delta_batch_id(new_docs, idx.id_col)
+    else:
+        bid = str(batch_id)
+        if not _re.fullmatch(r"[A-Za-z0-9_.-]{1,64}", bid):
+            raise ValueError(f"batch_id must be a safe partition value: {bid!r}")
+    # Guard against every batch EXCEPT this one: a retry whose previous
+    # attempt already registered some of these docs must still see them
+    # as fresh (it overwrites its own directories), while docs applied
+    # by OTHER batches stay excluded.
+    applied_elsewhere = idx.docs.filter(F.col("batch") != bid).select(idx.id_col)
+    fresh = new_docs.join(applied_elsewhere, idx.id_col, "left_anti")
+    # eager checkpoint: fresh feeds the postings AND registry writes
+    delta = build_text_index(
+        fresh.localCheckpoint(eager=True), id_col=idx.id_col, text_col=text_col
     )
-    delta = build_text_index(fresh, id_col=idx.id_col, text_col=text_col)
-    delta.postings.repartition(F.col("term")).sortWithinPartitions(
-        "term"
-    ).write.mode("append").parquet(base + "/postings")
-    old = idx.stats.collect()[0]
-    new = delta.stats.collect()[0]
-    spark.createDataFrame(
-        [(old.n + new.n, (old.sumdl or 0) + (new.sumdl or 0))],
-        "n BIGINT, sumdl BIGINT",
-    ).coalesce(1).write.mode("overwrite").parquet(base + "/stats")
+    if delta.docs.limit(1).count() > 0:
+        delta.postings.repartition(F.col("term")).sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").parquet(_batch_dir(base, "postings", bid))
+        delta.docs.write.mode("overwrite").parquet(_batch_dir(base, "docs", bid))
+    _rewrite_stats(spark, base)
+
+
+def refresh_text_index(
+    changed_docs: DataFrame, path: str, *, text_col: str = "text"
+) -> None:
+    """Keyed content-change upsert (reference delete-then-add,
+    scrape_store_embed.py:79): purge the changed ids' postings and
+    registry rows, then append the new text as a fresh batch — after
+    which probes see ONLY the new content and stats reflect the new
+    lengths (rebuilt from the registry inside the append).
+
+    Unchanged-id replays should use ``append_text_index`` (no-op via
+    the id guard); refresh is for ids whose TEXT changed — the one case
+    the append-only guard would silently skip. The purge is a filtered
+    rewrite preserving the batch partition layout: O(store) I/O, the
+    honest cost of deleting from a term-clustered layout — refresh runs
+    at content-change cadence, not delta cadence. The fresh batch id is
+    salted so a later replay of the ORIGINAL ingest batch cannot
+    resurrect the stale text (its directory no longer matches the
+    registry's view of those ids)."""
+    from ..sources.writers import delete_keys_partitioned
+
+    spark = changed_docs.sparkSession
+    base = path.rstrip("/")
+    idx = load_text_index(spark, base)
+    ids = changed_docs.select(idx.id_col)
+    for component in ("postings", "docs"):
+        delete_keys_partitioned(
+            spark, f"{base}/{component}", ids, idx.id_col, "batch", "__schema__"
+        )
+    append_text_index(
+        changed_docs,
+        base,
+        text_col=text_col,
+        batch_id=_delta_batch_id(changed_docs, idx.id_col, salt="r"),
+    )
 
 
 def bm25_scores(
@@ -169,8 +291,9 @@ def bm25_scores(
     Pass ``index`` (from ``build_text_index``/``load_text_index``) to
     probe a prebuilt inverted index — the deployment shape: zero corpus
     scans, the term filter pushes into the postings parquet. Without an
-    index the corpus is tokenized inline (twice: postings + stats —
-    the declarative one-shot price; repeated callers should persist).
+    index the corpus is tokenized inline with the token arrays lazily
+    local-checkpointed, so the postings and stats branches share ONE
+    corpus scan; repeated callers should still persist.
 
     Returns (query_id, ``id_col``, score, n_terms) — un-ranked; compose
     with ``top_k_per_group`` (or see ``bm25_topk``) for retrieval.
@@ -178,7 +301,9 @@ def bm25_scores(
     if index is None:
         if docs is None:
             raise ValueError("pass docs or index")
-        index = build_text_index(docs, id_col=id_col, text_col=text_col)
+        index = build_text_index(
+            docs, id_col=id_col, text_col=text_col, share_tokenization=True
+        )
     spark = index.postings.sparkSession
     id_col = index.id_col
     qt = spark.createDataFrame(

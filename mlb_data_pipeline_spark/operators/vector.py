@@ -555,6 +555,28 @@ def append_ivf_index(new_rows: DataFrame, path: str) -> None:
     ).partitionBy("__list").parquet(base + "/assignments")
 
 
+def refresh_ivf_index(changed_rows: DataFrame, path: str) -> None:
+    """Keyed content-change upsert for the persisted IVF index
+    (reference delete-then-add, scrape_store_embed.py:79): purge the
+    changed ids from the inverted file (partition-aware — the filtered
+    rewrite preserves the ``__list`` layout) and re-append their new
+    vectors through the normal append path, which re-assigns them to
+    their (possibly different) nearest lists under the SAME persisted
+    centroids. After a refresh, probes rank the NEW vectors; the
+    append-only id guard alone would have silently kept the stale
+    ones. O(store) I/O by nature (content-change cadence); unchanged-id
+    replays should keep using ``append_ivf_index``."""
+    from ..sources.writers import delete_keys_partitioned
+
+    spark = changed_rows.sparkSession
+    base = path.rstrip("/")
+    idx = load_ivf_index(spark, base)
+    delete_keys_partitioned(
+        spark, base + "/assignments", changed_rows.select(idx.id_col), idx.id_col, "__list", -1
+    )
+    append_ivf_index(changed_rows, base)
+
+
 def load_ivf_index(spark, path: str) -> IvfIndex:
     """Reload a persisted index. Centroids collect to the driver (tiny:
     n_lists x dim floats — they ship to executors as literals, exactly
@@ -901,12 +923,15 @@ def similarity_join(
     sim_col: str = "sim",
     centroids: list[list[float]] | None = None,
     index: IvfIndex | None = None,
+    memory_budget_bytes: int | None = None,
+    pq_m: int = 8,
+    pq_rerank: int | None = None,
 ) -> DataFrame:
     """Size-keyed similarity planner (SURVEY §4.2): the library-level
-    physical-strategy choice between the exact broadcast k-NN join and
-    the IVF coarse-quantized join, decided by the QUERY-SET size — the
-    quantity that makes the exact plan unsafe (the corpus side streams
-    in both plans and never limits strategy choice).
+    physical-strategy choice between the exact broadcast k-NN join, the
+    IVF coarse-quantized join, and the IVF-PQ memory tier — decided by
+    the QUERY-SET size and (optionally) a per-executor memory budget
+    for the inverted file.
 
     * <= ``max_broadcast_queries`` query rows -> ``knn_join``: broadcast
       the query set, exact scores, zero recall loss. The right plan for
@@ -916,15 +941,44 @@ def similarity_join(
       probe ``n_probe``/``n_lists`` of the corpus per query — candidate
       volume |corpus| * n_probe / n_lists, approximate recall. The right
       plan for corpus-vs-corpus joins at 100 TB.
+    * more AND ``memory_budget_bytes`` set AND the float inverted file
+      (~ rows x dim x 4 bytes) exceeds it -> ``ivf_pq_knn_join``: the
+      probed lists are scanned as m-byte PQ codes (32x smaller at
+      dim=64/m=8) with an exact rerank of the shortlist
+      (``pq_rerank``, default 10*k — the standard FAISS deployment
+      shape), so precision at k survives the compression.
 
-    The decision probe is limit-bounded (scans <= cap+1 ids), mirroring
-    how AQE keys physical strategy on runtime sizes. Output schema is
-    identical on both routes: (query_id, neighbor_id, sim, rank).
+    The decision probes are limit/metadata-bounded: the query-side
+    probe scans <= cap+1 ids, the corpus-side size estimate is a count
+    (parquet footer metadata on a persisted index) plus one first-row
+    dim sample — mirroring how AQE keys physical strategy on runtime
+    sizes. Output schema is identical on all routes:
+    (query_id, neighbor_id, sim, rank).
     """
     # cap <= 0 pins the IVF route outright (batch deployments) — no
     # probe job; otherwise probe ONCE and hand knn_join max_queries=None
     # so the guard doesn't re-run the identical count
     if max_broadcast_queries <= 0 or _over_limit(queries, id_col, max_broadcast_queries):
+        if memory_budget_bytes is not None:
+            idx = index
+            if idx is None:
+                idx = build_ivf_index(
+                    corpus.select(id_col, vec_col), id_col, vec_col, n_lists, seed,
+                    centroids=centroids,
+                )
+            first = idx.assignments.select(idx.vec_col).first()
+            dim = len(first[0]) if first is not None else 0
+            inverted_file_bytes = idx.assignments.count() * dim * 4
+            if inverted_file_bytes > memory_budget_bytes:
+                codebooks = train_pq_codebooks(
+                    idx.assignments, idx.vec_col, m_subvectors=pq_m, seed=seed
+                )
+                return ivf_pq_knn_join(
+                    idx, queries, k, codebooks, n_probe=n_probe,
+                    rerank=(pq_rerank if pq_rerank is not None else 10 * k),
+                    sim_col=sim_col,
+                )
+            index = idx  # reuse the built index on the plain IVF route
         return ivf_knn_join(
             corpus, queries, id_col, vec_col, k,
             n_lists=n_lists, n_probe=n_probe, seed=seed, sim_col=sim_col,
@@ -1049,6 +1103,11 @@ def semantic_dedup(
     single anti-join. Deterministic: same corpus, same kept set."""
     from .dedup import connected_components
 
+    if index is not None:
+        # the pair columns are named after the INDEX's id column (same
+        # rule as bm25_topk): adopt it so the component extraction and
+        # the final anti-join resolve — ``df`` must carry that column
+        id_col, vec_col = index.id_col, index.vec_col
     pairs = semdedup_pairs(
         df, id_col, vec_col, threshold=threshold, n_lists=n_lists, seed=seed,
         centroids=centroids, index=index, n_rows=n_rows,

@@ -271,14 +271,30 @@ sig AS (
         + CASE WHEN list_sum(list_transform(tvals, v -> ((v >> 15) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END * 32768
          ) AS sim
   FROM tv
+),
+-- banded candidate generation mirroring the Spark side (pigeonhole:
+-- hamming <= 3 over 16 bits forces >= 1 exact 4-bit band match), so
+-- the pair join is an equi-join on (source, band, value) instead of a
+-- blocked quadratic product — exactness-preserving, and it cuts the
+-- sf1 oracle wall ~10x (the at-scale parity runs pay this query)
+keyed AS (
+  SELECT doc_id, source, sim, band_i,
+         (sim >> (4 * band_i)) & 15 AS band_v
+  FROM sig, unnest([0, 1, 2, 3]) AS t(band_i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.source = b.source AND a.band_i = b.band_i AND a.band_v = b.band_v
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(CAST(xor(a.sim, b.sim) AS BIGINT)) <= 3
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         / len(list_distinct(list_concat(a.toks, b.toks))) AS jacc
-FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE bit_count(CAST(xor(a.sim, b.sim) AS BIGINT)) <= 3
-  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.3
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+         / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jacc
+FROM cand c JOIN sig ta ON ta.doc_id = c.id_a JOIN sig tb ON tb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.3
 ORDER BY id_a, id_b
 """
 

@@ -133,6 +133,40 @@ def delete_by_predicate(spark: SparkSession, target_path: str, predicate, fmt: s
     return n_before - n_after
 
 
+def delete_keys_partitioned(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str,
+    partition_col: str,
+    schema_anchor: str | int | None = None,
+) -> int:
+    """Keyed delete from a PARTITIONED parquet dataset, preserving the
+    partition layout (a plain ``delete_by_predicate`` rewrite would
+    collapse the partition column into a data column). The delete half
+    of the persisted stores' content-change refresh: signature store
+    (partitioned by band), IVF inverted file (by list id), text index
+    (by ingest batch) — in each, one doc's rows span many/all
+    partitions, so the filtered rewrite is O(store) I/O by nature;
+    refresh runs at content-change cadence, not delta cadence.
+
+    ``schema_anchor``: a partition value that can never occur in real
+    data (e.g. ``-1`` for non-negative int partitions). When given, an
+    empty schema-bearing file is written under it so the dataset stays
+    loadable even if the delete removed every row. Returns rows
+    deleted."""
+    existing = spark.read.parquet(path)
+    n_before = existing.count()
+    kept = existing.join(ids.distinct(), id_col, "left_anti").localCheckpoint(eager=True)
+    n_after = kept.count()
+    kept.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    if schema_anchor is not None:
+        kept.drop(partition_col).limit(0).coalesce(1).write.mode("overwrite").parquet(
+            f"{path.rstrip('/')}/{partition_col}={schema_anchor}"
+        )
+    return n_before - n_after
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

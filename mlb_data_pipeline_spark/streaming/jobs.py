@@ -241,19 +241,67 @@ def text_index_stream(
     PARQUET INDEX (restart-safe, shared with the batch path), not the
     Spark state store.
 
-    Delivery: foreachBatch is at-least-once on retry; the append's id
-    guard makes a replayed batch a no-op, and document frequencies are
-    derived at probe time, so replays can neither double-count postings
-    nor stale df. The index must exist (``build_text_index`` +
+    Delivery: foreachBatch is at-least-once on retry. The append keys
+    its writes on the micro-batch epoch (``batch_id``): a replayed
+    epoch recomputes the same fresh set (the doc-registry guard excludes
+    every batch except its own) and OVERWRITES its own ``batch=<epoch>``
+    directories, so partial failures between the postings, registry and
+    stats writes can neither duplicate postings nor permanently drop
+    docs from stats — stats are rebuilt from the registry on every
+    append. Token-less docs register too, so replaying them cannot
+    re-count n/avgdl. The index must exist (``build_text_index`` +
     ``save_text_index``, possibly over an empty corpus) before the
     stream starts."""
     from ..operators.search import append_text_index
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        append_text_index(batch_df.localCheckpoint(eager=True), index_path, text_col=text_col)
+        append_text_index(
+            batch_df.localCheckpoint(eager=True),
+            index_path,
+            text_col=text_col,
+            batch_id=f"epoch{batch_id}",
+        )
 
     q = (
         docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ivf_index_stream(
+    vectors_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming vector-store maintenance (§2.11 I3/I4's streaming
+    form) — the third leg of the streaming-store trio next to
+    ``incremental_neardup_stream`` (signatures) and
+    ``text_index_stream`` (postings): each micro-batch's (id, vector)
+    rows are assigned to their nearest persisted centroids and appended
+    to the inverted file via ``append_ivf_index`` — a probe after batch
+    N sees batches 1..N with zero re-assignment of the existing corpus.
+    State is the PARQUET INDEX (restart-safe, shared with the batch
+    path), not the Spark state store. Centroids do NOT retrain on the
+    stream — a deployment retrains per corpus version
+    (``build_ivf_index``); recall between retrains degrades gracefully
+    because probing still ranks exactly within the probed lists.
+
+    Delivery: foreachBatch is at-least-once on retry. The append is a
+    SINGLE job (assignments append) guarded by a left-anti on the
+    inverted file's ids, so a replayed batch appends nothing and a
+    batch whose job never committed leaves nothing behind — either way
+    the retry converges. The index must exist (``build_ivf_index`` +
+    ``save_ivf_index``) before the stream starts."""
+    from ..operators.vector import append_ivf_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_ivf_index(batch_df.localCheckpoint(eager=True), index_path)
+
+    q = (
+        vectors_stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

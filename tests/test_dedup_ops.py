@@ -354,3 +354,51 @@ def test_dedup_idempotent_on_deduped_corpus(spark):
     empty = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
     twice = neardup_dedup(once, empty, "doc_id")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_refresh_signature_store_reflects_changed_content(spark, tmp_path):
+    """Keyed content-change upsert for the signature store (reference
+    delete-then-add, scrape_store_embed.py:79): after refreshing a doc
+    whose TEXT changed, incremental near-dup judges deltas against the
+    NEW content — a delta near the new text pairs with the doc, a delta
+    near the OLD text does not — and the refresh is replay-idempotent."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        append_signature_store,
+        build_signature_store,
+        incremental_neardup_pairs,
+        refresh_signature_store,
+    )
+
+    text_a = " ".join(f"olda{j}" for j in range(12))
+    text_b = " ".join(f"newb{j}" for j in range(12))
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12))) for i in range(8)] + [(5, text_a)],
+        "doc_id BIGINT, text STRING",
+    ).dropDuplicates(["doc_id"]).filter("doc_id != 5").unionByName(
+        spark.createDataFrame([(5, text_a)], "doc_id BIGINT, text STRING")
+    )
+    store = str(tmp_path / "sigstore")
+    build_signature_store(corpus, "doc_id", "text", store)
+
+    changed = spark.createDataFrame([(5, text_b)], "doc_id BIGINT, text STRING")
+    refresh_signature_store(changed, "doc_id", "text", store)
+    # replay: idempotent (store row count stable)
+    n = spark.read.parquet(store + "/signatures").count()
+    refresh_signature_store(changed, "doc_id", "text", store)
+    assert spark.read.parquet(store + "/signatures").count() == n
+    # plain append of the refreshed id: id guard -> no-op
+    append_signature_store(changed, "doc_id", "text", store)
+    assert spark.read.parquet(store + "/signatures").count() == n
+
+    near_new = spark.createDataFrame([(100, text_b + " tail")], "doc_id BIGINT, text STRING")
+    near_old = spark.createDataFrame([(101, text_a + " tail")], "doc_id BIGINT, text STRING")
+    got_new = {
+        (r.id_a, r.id_b)
+        for r in incremental_neardup_pairs(near_new, store, "doc_id", "text", 0.5).collect()
+    }
+    got_old = {
+        (r.id_a, r.id_b)
+        for r in incremental_neardup_pairs(near_old, store, "doc_id", "text", 0.5).collect()
+    }
+    assert (5, 100) in got_new
+    assert all(5 not in pair for pair in got_old)

@@ -237,3 +237,115 @@ def test_bm25_oracle_sql_rejects_non_token_terms():
     with pytest.raises(ValueError, match="query terms"):
         bm25_oracle_sql([(0, "Two Words")])
     assert "(0, 'ok')" in bm25_oracle_sql([(0, "ok")])
+
+
+def test_text_index_tokenless_replay_does_not_skew_stats(spark, tmp_path):
+    """ADVICE r5: a delta doc whose text tokenizes to nothing produces
+    no postings — the old postings-based guard re-counted it into
+    stats.n on every replay. The doc REGISTRY guard must register it
+    once and keep replays no-ops."""
+    from mlb_data_pipeline_spark.operators.search import (
+        append_text_index,
+        build_text_index,
+        load_text_index,
+        save_text_index,
+    )
+
+    docs = _docs(spark, [(1, "alpha beta")])
+    path = str(tmp_path / "tindex")
+    save_text_index(build_text_index(docs), path)
+    tokenless = _docs(spark, [(2, "!!! ??? ...")])  # zero tokens
+    append_text_index(tokenless, path)
+    append_text_index(tokenless, path)  # replay
+    append_text_index(tokenless, path)  # replay again
+    stats = load_text_index(spark, path).stats.collect()[0]
+    # n counts the token-less doc exactly ONCE; sumdl unchanged
+    assert (stats.n, stats.sumdl) == (2, 2)
+
+
+def test_text_index_append_retry_after_partial_failure(spark, tmp_path):
+    """ADVICE r5: the append is multiple writes; a crash between them
+    must not lose docs from stats or duplicate postings on retry. We
+    simulate 'crashed after the postings write' (postings batch dir
+    exists, registry and stats untouched) and retry with the same
+    batch id — the protocol overwrites its own directory and completes
+    the registry + stats writes."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.search import (
+        append_text_index,
+        bm25_topk,
+        build_text_index,
+        load_text_index,
+        save_text_index,
+    )
+
+    corpus = _docs(spark, [(1, "alpha beta gamma")])
+    delta = _docs(spark, [(2, "alpha alpha delta")])
+    both = corpus.unionByName(delta)
+    path = str(tmp_path / "tindex")
+    save_text_index(build_text_index(corpus), path)
+
+    # simulate the dying first attempt: postings written, nothing else
+    bid = "batchX"
+    partial = build_text_index(delta)
+    partial.postings.write.mode("overwrite").parquet(path + f"/postings/batch={bid}")
+
+    # retry with the same batch id
+    append_text_index(delta, path, batch_id=bid)
+    idx = load_text_index(spark, path)
+    terms = [(0, "alpha"), (0, "delta")]
+    got = sorted(map(tuple, bm25_topk(None, terms, k=10, index=idx).collect()))
+    want = sorted(map(tuple, bm25_topk(both, terms, k=10).collect()))
+    assert got == want
+    # no duplicate postings for the retried doc
+    n_rows = idx.postings.filter(F.col("doc_id") == 2).count()
+    assert n_rows == 2  # one row per distinct term (alpha, delta), no duplicates
+    stats = idx.stats.collect()[0]
+    assert (stats.n, stats.sumdl) == (2, 6)
+
+
+def test_refresh_text_index_reflects_changed_content(spark, tmp_path):
+    """Keyed content-change upsert (reference delete-then-add,
+    scrape_store_embed.py:79): re-ingesting a doc with CHANGED text via
+    refresh must purge the stale postings — probes see only the new
+    text, stats reflect the new length — while an unchanged-doc replay
+    through the plain append stays a no-op, and refresh itself is
+    replay-idempotent."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.search import (
+        append_text_index,
+        bm25_topk,
+        build_text_index,
+        load_text_index,
+        refresh_text_index,
+        save_text_index,
+    )
+
+    corpus = _docs(spark, [(1, "alpha beta"), (2, "gamma gamma stale")])
+    path = str(tmp_path / "tindex")
+    save_text_index(build_text_index(corpus), path)
+
+    changed = _docs(spark, [(2, "epsilon fresh words here")])
+    refresh_text_index(changed, path)
+    idx = load_text_index(spark, path)
+    # stale term gone, new term present
+    assert idx.postings.filter(F.col("term") == "gamma").count() == 0
+    got = {r.doc_id: r.rank for r in bm25_topk(None, [(0, "epsilon")], k=5, index=idx).collect()}
+    assert got == {2: 1}
+    stats = idx.stats.collect()[0]
+    assert (stats.n, stats.sumdl) == (2, 2 + 4)
+    # equivalent to a full rebuild over the new corpus state
+    new_corpus = _docs(spark, [(1, "alpha beta"), (2, "epsilon fresh words here")])
+    terms = [(0, "alpha"), (0, "epsilon"), (0, "fresh")]
+    want = sorted(map(tuple, bm25_topk(new_corpus, terms, k=10).collect()))
+    assert sorted(map(tuple, bm25_topk(None, terms, k=10, index=idx).collect())) == want
+    # refresh replay is idempotent
+    refresh_text_index(changed, path)
+    idx2 = load_text_index(spark, path)
+    assert sorted(map(tuple, bm25_topk(None, terms, k=10, index=idx2).collect())) == want
+    # unchanged-doc replay through the plain append: still a no-op
+    append_text_index(changed, path)
+    idx3 = load_text_index(spark, path)
+    assert sorted(map(tuple, bm25_topk(None, terms, k=10, index=idx3).collect())) == want

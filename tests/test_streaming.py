@@ -7,6 +7,7 @@ the same semantics computed in batch (the oracled Q32-Q34 formulations).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pytest
@@ -334,3 +335,56 @@ def test_text_index_stream_equals_batch_build(spark, tmp_path):
     )
     assert streamed == batch
     assert len(streamed) == 3  # docs 100, 101, 200 match
+
+
+def test_ivf_index_stream_equals_batch_build(spark, tmp_path):
+    """Streaming vector-store maintenance (the third leg of the
+    streaming-store trio): micro-batched vector arrivals appended via
+    foreachBatch + append_ivf_index must leave the reloaded index
+    equivalent, under full probe, to exact brute force over the full
+    union — including vectors from BOTH micro-batches (cross-batch
+    visibility through the persisted inverted file)."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import load_table
+    from mlb_data_pipeline_spark.operators.vector import (
+        build_ivf_index,
+        ivf_knn_join,
+        knn_join,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from mlb_data_pipeline_spark.streaming import ivf_index_stream
+
+    emb = load_table(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"), "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(120).cache()
+    corpus = emb.filter(F.col("vec_id") >= 40)
+    b1 = emb.filter(F.col("vec_id") < 20)
+    b2 = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+
+    path = str(tmp_path / "ivf")
+    save_ivf_index(build_ivf_index(corpus, "vec_id", "embedding", n_lists=8), path)
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ivf_index_stream(stream, path, str(tmp_path / "ckpt"))
+
+    loaded = load_ivf_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_knn_join(None, queries, "vec_id", "embedding", k=3, n_probe=8, index=loaded)
+    exact = knn_join(emb, queries, "vec_id", "embedding", k=3)
+    assert sorted((r.query_id, r.rank, r.neighbor_id) for r in got.collect()) == sorted(
+        (r.query_id, r.rank, r.vec_id) for r in exact.collect()
+    )
+    # restart with the same checkpoint: no new data -> index unchanged
+    n = spark.read.parquet(path + "/assignments").count()
+    stream2 = spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>").parquet(src)
+    ivf_index_stream(stream2, path, str(tmp_path / "ckpt"))
+    assert spark.read.parquet(path + "/assignments").count() == n

@@ -592,3 +592,96 @@ def test_ivf_params_operating_points():
     assert ivf_params(100, target_candidates_per_query=1) == 12  # 100//8
     with _pytest.raises(ValueError):
         ivf_params(100, target_candidates_per_query=0)
+
+
+def test_refresh_ivf_index_reflects_changed_vectors(spark, emb, tmp_path):
+    """Keyed content-change upsert for the vector store (reference
+    delete-then-add, scrape_store_embed.py:79): re-ingesting ids with
+    CHANGED vectors via refresh must purge the stale assignments —
+    full-probe retrieval equals exact brute force over the UPDATED
+    corpus, the id count stays stable (no duplicates), and an
+    unchanged-id replay through the plain append stays a no-op."""
+    from mlb_data_pipeline_spark.operators.vector import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_knn_join,
+        load_ivf_index,
+        refresh_ivf_index,
+        save_ivf_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    save_ivf_index(build_ivf_index(corpus, "vec_id", "embedding", n_lists=8), path)
+
+    # ids 12/13 re-ingested with the vectors of rows 0/1 (content change)
+    donors = {r.vec_id: r.embedding for r in emb.filter(F.col("vec_id") < 2).collect()}
+    changed = spark.createDataFrame(
+        [(12, donors[0]), (13, donors[1])], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    n_before = spark.read.parquet(path + "/assignments").count()
+    refresh_ivf_index(changed, path)
+    assert spark.read.parquet(path + "/assignments").count() == n_before
+    loaded = load_ivf_index(spark, path)
+    assert loaded.assignments.filter(F.col("vec_id").isin([12, 13])).count() == 2
+
+    new_corpus = corpus.filter(~F.col("vec_id").isin([12, 13])).unionByName(changed)
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    got = ivf_knn_join(None, queries, "vec_id", "embedding", k=3, n_probe=8, index=loaded)
+    exact = knn_join(new_corpus, queries, "vec_id", "embedding", k=3)
+    assert sorted((r.query_id, r.rank, r.neighbor_id) for r in got.collect()) == sorted(
+        (r.query_id, r.rank, r.vec_id) for r in exact.collect()
+    )
+    # plain append of the already-refreshed ids: id guard -> no-op
+    append_ivf_index(changed, path)
+    assert spark.read.parquet(path + "/assignments").count() == n_before
+    # refresh replay: idempotent
+    refresh_ivf_index(changed, path)
+    assert spark.read.parquet(path + "/assignments").count() == n_before
+
+
+def test_similarity_join_memory_budget_routes_to_pq(spark, emb):
+    """Planner memory tier: with a budget below the float inverted-file
+    size, the batch route must go through IVF-PQ — provable two ways:
+    (a) with rerank disabled the returned sims are ADC approximations
+    (not exact cosines), and (b) with the default exact rerank and a
+    full probe the results equal exact brute force. A generous budget
+    keeps the plain IVF route."""
+    from mlb_data_pipeline_spark.operators.vector import similarity_join
+
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.rank): (r.vec_id, r.sim)
+        for r in knn_join(corpus, queries, "vec_id", "embedding", k=3).collect()
+    }
+
+    # (a) tiny budget: the plan scores PQ codes (structural route check)
+    adc_df = similarity_join(
+        corpus, queries, "vec_id", "embedding", k=3,
+        max_broadcast_queries=0, n_lists=4, n_probe=4,
+        memory_budget_bytes=1024, pq_rerank=0,
+    )
+    assert "pq_code" in adc_df._jdf.queryExecution().optimizedPlan().toString()
+
+    # (b) tiny budget + full probe + exact rerank of everything: == exact
+    got = similarity_join(
+        corpus, queries, "vec_id", "embedding", k=3,
+        max_broadcast_queries=0, n_lists=4, n_probe=4,
+        memory_budget_bytes=1024, pq_rerank=10**6,
+    )
+    got_map = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in got.collect()}
+    assert {kk: v for kk, (v, _) in got_map.items()} == {kk: v for kk, (v, _) in exact.items()}
+    # reranked sims are exact cosines up to kernel accumulation order
+    assert all(abs(got_map[kk][1] - exact[kk][1]) < 1e-6 for kk in exact)
+
+    # (c) generous budget: plain IVF route, full probe == exact
+    got2 = similarity_join(
+        corpus, queries, "vec_id", "embedding", k=3,
+        max_broadcast_queries=0, n_lists=4, n_probe=4,
+        memory_budget_bytes=10**12,
+    )
+    assert "pq_code" not in got2._jdf.queryExecution().optimizedPlan().toString()
+    assert {
+        (r.query_id, r.rank): r.neighbor_id for r in got2.collect()
+    } == {kk: v for kk, (v, _) in exact.items()}

@@ -14,7 +14,7 @@ coincidentally.
 Usage:
     python tools/parity_at_scale.py                    # every oracled query, sf1
     python tools/parity_at_scale.py --sf3              # sf1 + sf3
-    python tools/parity_at_scale.py q73 q77 --sf3      # name-prefix filter
+    python tools/parity_at_scale.py q03 q08 --sf3      # name-prefix filter
     python tools/parity_at_scale.py --skip q44         # extra exclusions
 
 Emits one line per (tier, query): OK/FAIL + wall seconds; exits
@@ -69,21 +69,20 @@ DEFAULT_SKIP = ("q38", "q45")  # replica breaks their cardinality premise; see d
 
 
 def main() -> int:
-    argv = sys.argv[1:]
-    skips = list(DEFAULT_SKIP)
-    args = []
-    i = 0
-    while i < len(argv):
-        if argv[i] == "--skip":
-            skips.append(argv[i + 1])
-            i += 2
-        elif argv[i].startswith("--"):
-            i += 1
-        else:
-            args.append(argv[i])
-            i += 1
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Bit-exact Spark/DuckDB parity at sf1 (and optionally sf3)."
+    )
+    parser.add_argument("prefixes", nargs="*", help="query-name prefixes to run (default: all oracled)")
+    parser.add_argument("--skip", action="append", default=[], metavar="PREFIX",
+                        help="additional query-name prefixes to exclude (repeatable)")
+    parser.add_argument("--sf3", action="store_true", help="also run the 300x tier")
+    ns = parser.parse_args()
+    skips = list(DEFAULT_SKIP) + ns.skip
+    args = ns.prefixes
     tiers = [("sf1", _ensure(os.path.join(_ROOT, "testdata_sf1"), 10))]
-    if "--sf3" in argv:
+    if ns.sf3:
         tiers.append(("sf3", _ensure(os.path.join(_ROOT, "testdata_sf3"), 30)))
     load_all()
     spark = get_spark("parity-at-scale")

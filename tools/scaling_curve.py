@@ -27,6 +27,17 @@ What "linear" means per leg — the claims the curve is evidence FOR:
 * q59 (pairs -> connected components -> canonical corpus): CC round
   count depends on clique diameter (constant here), so the wall should
   grow ~linearly in rows.
+* inc (incremental delta-vs-corpus near-dup, §2.11 I2): a FIXED
+  1000-doc delta probed against each tier's persisted signature store.
+  The round-5 headline — delta cost is O(delta), not O(corpus) — made
+  measurable: the only corpus-sized term is the store SCAN (3 int
+  columns, band-partitioned), so the wall should be near-flat across
+  30x corpus growth while the pair count stays EXACTLY constant (the
+  delta is drawn from the sf0.1 slice, and the replicas' per-copy
+  token prefixes keep their shingles disjoint from it). Super-linear
+  delta-wall growth with corpus size is a red flag the curve exists to
+  catch. Store build time is recorded separately (``inc_build_sec``) —
+  it is the one-time per-corpus-version cost, not the delta cadence.
 
 The driver's synthetic embeddings are isotropic — no true 0.9-cosine
 pairs exist — so a curve over the raw tables reports 0 result pairs and
@@ -127,6 +138,8 @@ def _measure_tier(spark, label: str, sf_dir: str) -> dict:
     found = pairs_df.filter(F.col("a_vec_id") + F.col("b_vec_id") == -1).count()
 
     q59_sec, _ = _timed(lambda: REGISTRY["q59_neardup_cluster_dedup"].spark(spark, sf_dir).count())
+
+    inc_build_sec, inc_sec, inc_pairs = _measure_incremental(spark, label, sf_dir, docs)
     return {
         "sf": label, "n_docs": n_docs, "n_vecs": n_vecs,
         "q44_sec": q44_sec, "q44_pairs": q44_pairs,
@@ -135,15 +148,52 @@ def _measure_tier(spark, label: str, sf_dir: str) -> dict:
         "lsh_recall": round(found / n_planted, 4) if n_planted else None,
         "lsh_point": {"n_planes": point[0], "bands": point[1], "probe_bits": point[2]},
         "q59_sec": q59_sec,
+        "inc_build_sec": inc_build_sec, "inc_sec": inc_sec, "inc_pairs": inc_pairs,
     }
 
 
+INC_DELTA_DOCS = 1000  # fixed delta size at every tier
+
+
+def _measure_incremental(spark, label: str, sf_dir: str, docs):
+    """Fixed-size delta vs this tier's persisted signature store: the
+    wall of ONE incremental-dedup day at 1x/10x/30x corpus. The store
+    builds once per tier (timed separately; reused across --runs); the
+    delta is the same 1000 sf0.1 documents remapped to negative ids so
+    every tier probes the identical workload — near-dup of its copy-0
+    slice, disjoint from the prefixed replicas."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        build_signature_store,
+        incremental_neardup_pairs,
+    )
+    from mlb_data_pipeline_spark.sources.writers import target_exists
+
+    store = os.path.join("/tmp/spark_graft_scaling", label.replace(".", "_"), "sigstore")
+    inc_build_sec = None
+    if not target_exists(spark, store + "/signatures"):
+        inc_build_sec, _ = _timed(
+            lambda: build_signature_store(docs, "doc_id", "text", store, n_hashes=4, shingle_n=3)
+        )
+    delta = (
+        load_table(spark, "/root/testdata/sf0.1", "documents")
+        .orderBy("doc_id")
+        .limit(INC_DELTA_DOCS)
+        .select((-F.col("doc_id") - 1).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)  # delta prep excluded from the probe wall
+    )
+    inc_sec, inc_pairs = _timed(
+        lambda: incremental_neardup_pairs(delta, store, "doc_id", "text", threshold=0.3).count()
+    )
+    return inc_build_sec, inc_sec, inc_pairs
+
+
 def _merge_min(a: dict, b: dict) -> dict:
-    for k in ("q44_pairs", "lsh_pairs", "lsh_planted", "lsh_recall"):
+    for k in ("q44_pairs", "lsh_pairs", "lsh_planted", "lsh_recall", "inc_pairs"):
         assert a[k] == b[k], f"non-deterministic {k}: {a[k]} != {b[k]}"
     out = dict(a)
-    for k in ("q44_sec", "lsh_sec", "q59_sec"):
+    for k in ("q44_sec", "lsh_sec", "q59_sec", "inc_sec"):
         out[k] = min(a[k], b[k])
+    out["inc_build_sec"] = a["inc_build_sec"] if a["inc_build_sec"] is not None else b["inc_build_sec"]
     return out
 
 
