@@ -619,6 +619,85 @@ def cross_corpus_span_overlap(
     )
 
 
+def build_span_store(
+    bench: DataFrame, id_col: str, text_col: str, path: str, span_tokens: int = 8
+) -> None:
+    """Persist the benchmark/eval suite's span hashes once (§2.11
+    family, the contamination analogue of the MinHash signature store):
+    a pretraining pipeline decontaminates EVERY delta against a fixed
+    eval suite, so re-hashing the benchmark per run is pure waste — the
+    store makes the daily check O(delta): the delta's spans join a
+    2-column (bench_id, hash) parquet SCAN. Hash-clustered and sorted
+    so each posting file covers a disjoint hash range (footer min/max
+    pruning for range-bounded probes). Overwrites ``path``."""
+    spark = bench.sparkSession
+    spans = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(shingle_hashes(text_col, span_tokens)).alias("__h"),
+    )
+    base = path.rstrip("/")
+    spans.repartition(F.col("__h")).sortWithinPartitions("__h").write.mode(
+        "overwrite"
+    ).parquet(base + "/spans")
+    spark.createDataFrame(
+        [(id_col, span_tokens)], "id_col STRING, span_tokens INT"
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
+
+
+def append_span_store(new_bench: DataFrame, text_col: str, path: str) -> None:
+    """Eval suites grow: append a NEW benchmark delta's span hashes.
+    Append-only with an id guard (left-anti on the store's bench ids) —
+    replaying the same benchmark delta is a no-op; changed benchmark
+    content should rebuild (eval suites are versioned artifacts, not
+    mutable stores)."""
+    spark = new_bench.sparkSession
+    base = path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    existing = spark.read.parquet(base + "/spans").select(
+        F.col("bench_id").alias(meta.id_col)
+    ).distinct()
+    fresh = new_bench.join(existing, meta.id_col, "left_anti")
+    fresh.select(
+        F.col(meta.id_col).alias("bench_id"),
+        F.explode(shingle_hashes(text_col, meta.span_tokens)).alias("__h"),
+    ).repartition(F.col("__h")).sortWithinPartitions("__h").write.mode("append").parquet(
+        base + "/spans"
+    )
+
+
+def probe_span_store(
+    delta: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str = "text",
+    max_span_freq: int | None = None,
+) -> DataFrame:
+    """Contamination scan of a delta against the persisted benchmark
+    span store: (corpus_id, bench_id, n_shared_spans) — exactly
+    ``cross_corpus_span_overlap(delta, bench, ...)`` (span hashing is
+    deterministic md5 arithmetic) but the benchmark side is a parquet
+    scan, never re-tokenized. ``max_span_freq`` caps spans by their
+    DELTA-side frequency (boilerplate paragraphs in the delta);
+    benchmark spans are never dropped."""
+    from .relational import spread_for_cpu
+
+    spark = delta.sparkSession
+    base = path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    ca = spread_for_cpu(delta).select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(shingle_hashes(text_col, meta.span_tokens)).alias("__h"),
+    )
+    if max_span_freq is not None:
+        ca = cap_hot_keys(ca, ["__h"], max_span_freq)
+    store = spark.read.parquet(base + "/spans")
+    return (
+        ca.join(store, "__h")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+
+
 def incremental_dedup_keep(delta: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """The daily-cadence keep/drop decision: from a delta and its
     ``incremental_neardup_pairs`` output, keep only the delta docs that

@@ -527,6 +527,33 @@ def q67_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_small(pairs, "corpus_id", "bench_id")
 
 
+# ---------------------------------------------------------------------------
+# Q85 — contamination scan through the PERSISTED benchmark span store
+#        (round 6, §2.11 family): build + save the eval suite's span
+#        hashes, then probe the corpus delta against the STORE SCAN —
+#        the daily decontamination shape (O(delta), the eval suite is
+#        never re-hashed). Same oracle as q67, so the store round-trip
+#        is itself hash-verified.
+# ---------------------------------------------------------------------------
+
+
+@query("q85_contamination_store", oracle=_Q67_SQL, covers="V4,T17,S8")
+def q85_contamination_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.dedup import build_span_store, probe_span_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    store = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "q85_span_store"
+    )
+    build_span_store(bench, "doc_id", "text", store, span_tokens=8)
+    pairs = probe_span_store(corpus, store, "doc_id", "text")
+    return ordered_small(pairs, "corpus_id", "bench_id")
+
+
 @query("q01_incremental_neardup", oracle=_Q01_SQL, covers="V4,S11,J1")
 def q01_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-cadence near-dup (formerly q64, rotated into the driver

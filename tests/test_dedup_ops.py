@@ -402,3 +402,50 @@ def test_refresh_signature_store_reflects_changed_content(spark, tmp_path):
     }
     assert (5, 100) in got_new
     assert all(5 not in pair for pair in got_old)
+
+
+def test_span_store_probe_equals_direct_scan(spark, tmp_path):
+    """Persisted benchmark span store: probe == the direct two-sided
+    scan (span hashing is deterministic), append is id-guarded and
+    idempotent, and the probe plan reads the STORE parquet — the
+    benchmark text is never re-tokenized at probe time."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        append_span_store,
+        build_span_store,
+        cross_corpus_span_overlap,
+        probe_span_store,
+    )
+
+    quote = " ".join(f"q{j}" for j in range(10))
+    bench1 = spark.createDataFrame(
+        [(1, quote + " benchtail"), (2, " ".join(f"b2w{j}" for j in range(10)))],
+        "doc_id BIGINT, text STRING",
+    )
+    bench2 = spark.createDataFrame(
+        [(3, " ".join(f"b3w{j}" for j in range(8)) + " " + quote)],
+        "doc_id BIGINT, text STRING",
+    )
+    delta = spark.createDataFrame(
+        [(100, "prefix " + quote + " suffix"), (101, " ".join(f"clean{j}" for j in range(12)))],
+        "doc_id BIGINT, text STRING",
+    )
+    store = str(tmp_path / "spanstore")
+    build_span_store(bench1, "doc_id", "text", store, span_tokens=8)
+    append_span_store(bench2, "text", store)
+    n = spark.read.parquet(store + "/spans").count()
+    append_span_store(bench2, "text", store)  # replay: id guard -> no-op
+    assert spark.read.parquet(store + "/spans").count() == n
+
+    got_df = probe_span_store(delta, store, "doc_id", "text")
+    got = {(r.corpus_id, r.bench_id, r.n_shared_spans) for r in got_df.collect()}
+    want = {
+        (r.corpus_id, r.bench_id, r.n_shared_spans)
+        for r in cross_corpus_span_overlap(
+            delta, bench1.unionByName(bench2), "doc_id", "text", span_tokens=8
+        ).collect()
+    }
+    assert got == want
+    assert any(c == 100 and b in (1, 3) for c, b, _ in got)  # planted quote found
+    # the probe plan scans the persisted store, not benchmark text
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "spans" in plan

@@ -355,3 +355,36 @@ def test_compact_parquet_range_clustering(spark, tmp_path):
     # disjoint file ranges: each file's max < next file's min + no overlap
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, ranges
+
+
+def test_delete_keys_partitioned_preserves_layout_and_survives_full_purge(spark, tmp_path):
+    """The refresh purge must keep the partition directory layout (a
+    flat rewrite would demote the partition column to data) and must
+    leave the dataset loadable even when every row is deleted (the
+    schema-anchor file)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.sources.writers import delete_keys_partitioned
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "id LONG, band INT, payload STRING"
+    )
+    df.write.partitionBy("band").parquet(path)
+
+    ids = spark.createDataFrame([(i,) for i in range(0, 30, 2)], "id LONG")
+    n = delete_keys_partitioned(spark, path, ids, "id", "band", -1)
+    assert n == 15
+    back = spark.read.parquet(path)
+    assert back.count() == 15 and {r.id % 2 for r in back.collect()} == {1}
+    # layout preserved: band is still a partition directory
+    assert any(d.startswith("band=") for d in os.listdir(path))
+
+    # full purge: still loadable via the schema anchor
+    rest = spark.createDataFrame([(i,) for i in range(30)], "id LONG")
+    delete_keys_partitioned(spark, path, rest, "id", "band", -1)
+    empty = spark.read.parquet(path)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "band", "payload"}
