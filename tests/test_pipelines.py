@@ -183,3 +183,45 @@ def test_build_chunk_store_and_retrieve(spark, tmp_path):
 
     top = cosine_topk(store, fake_encode("alpha beta"), "chunk_key", "embedding", 2).collect()
     assert len(top) == 2 and all("#" in t["chunk_key"] for t in top)
+
+
+def test_pretraining_pipeline_with_persisted_bench_store(spark, tmp_path):
+    """The daily-cadence contamination gate through the persisted span
+    store (bench_store_path): same drops as the two-sided scan, with
+    the eval suite hashed once at build time."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.dedup import (
+        build_signature_store,
+        build_span_store,
+    )
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12)), "web") for i in range(20)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    store = str(tmp_path / "store")
+    build_signature_store(corpus, "doc_id", "text", store)
+    probe = " ".join(f"p{j}" for j in range(8))
+    bench = spark.createDataFrame(
+        [(900, probe + " held out")], "doc_id BIGINT, text STRING"
+    )
+    bench_store = str(tmp_path / "benchstore")
+    build_span_store(bench, "doc_id", "text", bench_store, span_tokens=8)
+
+    good = " ".join(f"g{{0}}x{j}" for j in range(30))
+    delta = spark.createDataFrame(
+        [
+            (103, " ".join(f"a{j}" for j in range(30)) + " " + probe, "web"),  # contaminated
+            (104, good.format(4), "web"),                                       # survivor
+        ],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    out = str(tmp_path / "shards")
+    pretraining_data_pipeline(
+        spark, delta, None, store, out,
+        bench_store_path=bench_store, mix={"web": 1.0}, pack_budget=64,
+    )
+    written = spark.read.parquet(out)
+    assert {r.doc_id for r in written.collect()} == {104}
