@@ -698,6 +698,93 @@ def probe_span_store(
     )
 
 
+def ordered_shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """POSITIONAL n-token shingle hashes (array<long>, one per start
+    offset, duplicates preserved in order) — the ordered sibling of
+    ``shingle_hashes``, needed by window-based selectors like
+    winnowing where offset adjacency matters. Same 60-bit md5
+    truncation, same DuckDB mirror."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    sh = F.slice(toks, 1, m)
+    for k in range(2, n + 1):
+        sh = F.zip_with(sh, F.slice(toks, k, m), lambda a, b: F.concat(a, F.lit(" "), b))
+    hs = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+    )
+    return F.when(F.size(toks) >= n, hs).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_fingerprints(col: Column | str, k: int = 4, w: int = 5) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): over the ordered k-gram hash
+    sequence, slide a window of ``w`` consecutive hashes and keep each
+    window's MINIMUM; the distinct kept hashes are the fingerprint set.
+
+    Guarantee: any verbatim overlap of >= w + k - 1 tokens shares at
+    least one whole window of k-grams, hence at least one selected
+    fingerprint — the same detection threshold as an exact
+    (w+k-1)-token span join (``exact_span_overlap_pairs``) while
+    KEEPING only ~2/(w+1) of the positions (expected density of
+    sliding-window minima), so the downstream explode + equi-join
+    shuffle carries ~(w+1)/2x fewer rows for the same guarantee. The
+    paper's positional tie-break (rightmost minimum) only changes which
+    OFFSET is recorded, never the selected hash value, so a
+    value-distinct fingerprint set needs no tie-break at all — keeping
+    the whole operator a pure array expression (zero shuffle, zero
+    UDF): O(n*w) JVM-side work per document.
+
+    Docs with >= 1 but < w k-grams yield one fingerprint (the global
+    min); docs shorter than k tokens yield an empty set."""
+    hs = ordered_shingle_hashes(col, k)
+    n = F.size(hs)
+    nwin = F.greatest(n - (w - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nwin), lambda i: F.array_min(F.slice(hs, i, F.lit(w)))
+        )
+    )
+    return F.when(n >= 1, fps).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_fingerprint_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 1,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Cross-document overlap pairs (id_a, id_b, n_shared_fps) via
+    winnowing fingerprints: detects every verbatim overlap of
+    >= w + k - 1 tokens (guaranteed, not probabilistic) at ~(w+1)/2x
+    less join traffic than the full span join. Same single-equi-join
+    shape as ``exact_span_overlap_pairs`` — candidates ARE matches
+    (60-bit hashes), no verify stage. ``max_fp_freq`` drops
+    boilerplate fingerprints shared by more than that many docs before
+    the pair join (``cap_hot_keys``), the standard skew guard at
+    corpus scale."""
+    from .relational import spread_for_cpu
+
+    sp = (
+        spread_for_cpu(df)
+        .select(id_col, F.explode(winnow_fingerprints(text_col, k, w)).alias("__h"))
+    )
+    if max_fp_freq is not None:
+        sp = cap_hot_keys(sp, ["__h"], max_fp_freq)
+    a = sp.select(F.col(id_col).alias("id_a"), "__h")
+    b = sp.select(F.col(id_col).alias("id_b"), "__h")
+    return (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
 def incremental_dedup_keep(delta: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """The daily-cadence keep/drop decision: from a delta and its
     ``incremental_neardup_pairs`` output, keep only the delta docs that

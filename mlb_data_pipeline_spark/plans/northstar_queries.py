@@ -573,3 +573,45 @@ def q01_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_signature_store(corpus, "doc_id", "text", store, n_hashes=4, shingle_n=3)
     pairs = incremental_neardup_pairs(delta, store, "doc_id", "text", threshold=0.3)
     return ordered_small(pairs, "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Q86 — winnowing-fingerprint overlap (MOSS, SIGMOD'03): the guaranteed
+#        >= (w+k-1)-token verbatim-overlap detector at ~(w+1)/2x less
+#        join traffic than the full span join (q66). k=4, w=5 -> same
+#        8-token guarantee as q66's span_tokens=8, ~3x fewer exploded
+#        rows. Reference analogue: the scrape->store dedup intent of
+#        scrape_store_embed.py, re-expressed as a sublinear fingerprint.
+# ---------------------------------------------------------------------------
+
+_Q86_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 4
+              THEN list_transform(range(1, len(toks) - 2),
+                                  i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 15)) AS BIGINT))
+              ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM d
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - 4, 1) + 1),
+                                      i -> list_min(hs[i:i+4]))) AS fps
+  FROM g WHERE len(hs) >= 1
+),
+e AS (SELECT doc_id, unnest(fps) AS h FROM fp)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_fps
+FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
+@query("q86_winnow_overlap", oracle=_Q86_SQL, covers="V4,T17")
+def q86_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_fingerprint_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = winnow_fingerprint_pairs(docs, "doc_id", "text", k=4, w=5)
+    return ordered_small(pairs, "id_a", "id_b")

@@ -449,3 +449,54 @@ def test_span_store_probe_equals_direct_scan(spark, tmp_path):
     # the probe plan scans the persisted store, not benchmark text
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "spans" in plan
+
+
+def test_winnow_guarantee_catches_planted_span(spark):
+    # winnowing guarantee: any verbatim overlap of >= w+k-1 tokens
+    # (k=4, w=5 -> 8) MUST share a fingerprint — guaranteed, not
+    # probabilistic, so a single planted 8-token quote suffices
+    from mlb_data_pipeline_spark.operators.dedup import winnow_fingerprint_pairs
+
+    quote = "the quick brown fox jumps over lazy dogs"  # 8 tokens
+    rows = [
+        (1, "alpha beta gamma " + quote + " delta epsilon zeta"),
+        (2, quote + " unrelated trailing words here now"),
+        (3, "completely different text with no shared spans at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    pairs = {(r.id_a, r.id_b) for r in winnow_fingerprint_pairs(df, "doc_id", "text", k=4, w=5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_fingerprints_subset_and_density(spark):
+    # every fingerprint is one of the doc's positional k-gram hashes,
+    # and winnowing keeps at most n-w+1 (and in expectation ~2n/(w+1))
+    from mlb_data_pipeline_spark.operators.dedup import (
+        ordered_shingle_hashes,
+        winnow_fingerprints,
+    )
+
+    text = " ".join(f"tok{i % 37}x{i % 11}" for i in range(200))
+    df = spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING")
+    row = df.select(
+        ordered_shingle_hashes("text", 4).alias("hs"),
+        winnow_fingerprints("text", k=4, w=5).alias("fps"),
+    ).first()
+    assert set(row.fps) <= set(row.hs)
+    n = len(row.hs)
+    assert 0 < len(row.fps) <= n - 5 + 1
+    # density: expected 2/(w+1)=1/3 of positions; allow wide slack but
+    # pin that winnowing genuinely thins vs the full span explode
+    assert len(row.fps) < 0.6 * n
+
+
+def test_winnow_fingerprints_short_doc_edges(spark):
+    from mlb_data_pipeline_spark.operators.dedup import winnow_fingerprints
+
+    rows = [(1, "a b c"), (2, "a b c d"), (3, "a b c d e f")]  # <k, ==k, k..<k+w-1
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r.fps for r in df.select("doc_id", winnow_fingerprints("text", k=4, w=5).alias("fps")).collect()}
+    assert got[1] == []  # shorter than k tokens -> no grams
+    assert len(got[2]) == 1  # one gram -> its own fingerprint
+    assert len(got[3]) == 1  # 3 grams < w -> global min only
