@@ -785,6 +785,74 @@ def winnow_fingerprint_pairs(
     )
 
 
+def char_qgrams(col: Column | str, q: int = 3) -> Column:
+    """Distinct character q-grams of a string (array<string>) — the
+    blocking key family for edit-distance joins (Gravano et al.,
+    VLDB'01). Strings shorter than ``q`` yield an empty set."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (q - 1), F.lit(0))),
+            lambda i: c.substr(i, F.lit(q)),
+        )
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    string_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Edit-distance similarity join: pairs (id_a, id_b, edit_dist)
+    with levenshtein(a, b) <= ``max_dist`` — the fuzzy-title /
+    entity-dedup tier below token-level near-dup (two titles differing
+    by a typo share every shingle BUT one; MinHash happily matches
+    them, yet a catalog dedup wants the exact edit distance and a
+    tight threshold).
+
+    q-gram blocking + exact verify: candidates are pairs sharing ANY
+    distinct character q-gram (one equi-join on the gram — never a
+    cross join), then a length prefilter (|len_a - len_b| <= d; an
+    edit changes length by at most 1) and Spark's THRESHOLDED
+    levenshtein (banded O(d*n) DP, Spark 3.5+, vs O(n^2) full DP)
+    verify exactly. Blocking is LOSSLESS when len - q + 1 > d*q (the
+    positional-q-gram pigeonhole: d edits destroy at most d*q grams),
+    i.e. guaranteed for strings longer than ~(d+1)*q chars; below
+    that it is high-recall heuristic blocking — callers wanting exact
+    semantics on short strings should lower ``max_dist`` or ``q``.
+    ``max_gram_freq`` drops stop-grams ("the", "ing") shared by more
+    than that many strings before the pair join (``cap_hot_keys``) —
+    at corpus scale hot grams, not pair verification, are the
+    scale risk."""
+    from .relational import spread_for_cpu
+
+    base = spread_for_cpu(df).select(
+        F.col(id_col).alias("__id"), F.col(string_col).alias("__s")
+    )
+    g = base.select("__id", "__s", F.explode(char_qgrams("__s", q)).alias("__g"))
+    if max_gram_freq is not None:
+        g = cap_hot_keys(g, ["__g"], max_gram_freq)
+    a = g.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__g")
+    b = g.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__g")
+    cand = (
+        a.join(b, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "__sa", "id_b", "__sb")
+        .distinct()
+        .filter(
+            F.abs(F.length("__sa") - F.length("__sb")) <= F.lit(max_dist)
+        )
+    )
+    dist = F.levenshtein("__sa", "__sb", max_dist)
+    return (
+        cand.select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )
+
+
 def incremental_dedup_keep(delta: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """The daily-cadence keep/drop decision: from a delta and its
     ``incremental_neardup_pairs`` output, keep only the delta docs that

@@ -615,3 +615,49 @@ def q86_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = winnow_fingerprint_pairs(docs, "doc_id", "text", k=4, w=5)
     return ordered_small(pairs, "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Q87 — fuzzy title dedup (edit-distance similarity join): q-gram
+#        blocking (Gravano et al., VLDB'01) + thresholded levenshtein
+#        verify. The entity-dedup tier below token near-dup: a typo'd
+#        title shares all-but-one shingle, but a catalog dedup wants
+#        the exact edit distance under a tight bound. The oracle
+#        mirrors the gram blocking (same candidates, same verify) as
+#        q44 mirrors its hot-band cap.
+# ---------------------------------------------------------------------------
+
+_Q87_SQL = """
+WITH t AS (
+  SELECT doc_id, array_to_string((string_split(text, ' '))[1:6], ' ') AS title
+  FROM documents
+),
+g AS (
+  SELECT doc_id, title,
+         unnest(list_distinct(list_transform(range(1, len(title) - 1),
+                                             i -> title[i:i+2]))) AS gram
+  FROM t
+),
+c AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.title AS title_a,
+                  b.doc_id AS id_b, b.title AS title_b
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(levenshtein(title_a, title_b) AS BIGINT) AS edit_dist
+FROM c
+WHERE abs(len(title_a) - len(title_b)) <= 10
+  AND levenshtein(title_a, title_b) <= 10
+ORDER BY id_a, id_b
+"""
+
+
+@query("q87_fuzzy_title_dedup", oracle=_Q87_SQL, covers="V4,T2,J1")
+def q87_fuzzy_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import fuzzy_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id", F.array_join(F.slice(F.split("text", " "), 1, 6), " ").alias("title")
+    )
+    pairs = fuzzy_pairs(titles, "doc_id", "title", max_dist=10, q=3)
+    return ordered_small(pairs, "id_a", "id_b")

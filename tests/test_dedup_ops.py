@@ -500,3 +500,55 @@ def test_winnow_fingerprints_short_doc_edges(spark):
     assert got[1] == []  # shorter than k tokens -> no grams
     assert len(got[2]) == 1  # one gram -> its own fingerprint
     assert len(got[3]) == 1  # 3 grams < w -> global min only
+
+
+def test_fuzzy_pairs_catches_typo_rejects_distinct(spark):
+    from mlb_data_pipeline_spark.operators.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "world series pitching summary"),
+        (2, "world series pitching sumary"),   # 1 deletion
+        (3, "wolrd series pitching summary"),  # 1 transposition = 2 edits
+        (4, "completely unrelated headline"),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, title STRING")
+    got = {(r.id_a, r.id_b): r.edit_dist for r in fuzzy_pairs(df, "id", "title", max_dist=2).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    assert (2, 3) not in got  # 3 edits > max_dist=2
+    assert all(4 not in p for p in got)
+
+
+def test_fuzzy_pairs_blocking_lossless_at_small_dist(spark):
+    # pigeonhole regime (len - q + 1 > d*q): q-gram blocking must find
+    # EVERY pair the naive all-pairs scan finds
+    from itertools import combinations
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from mlb_data_pipeline_spark.operators.dedup import fuzzy_pairs
+
+    base = "alpha bravo charlie delta echo foxtrot"
+    variants = [
+        (1, base),
+        (2, base.replace("bravo", "brvo")),
+        (3, base.replace("echo", "ecco")),
+        (4, base[:-1]),
+        (5, "zulu yankee xray whiskey victor uniform"),
+        (6, "zulu yankee xray whiskey victor unifrm"),
+    ]
+    df = spark.createDataFrame(variants, "id BIGINT, title STRING")
+    got = {(r.id_a, r.id_b) for r in fuzzy_pairs(df, "id", "title", max_dist=2).collect()}
+    want = {
+        (a, b)
+        for (a, sa), (b, sb) in combinations(variants, 2)
+        if lev(sa, sb) <= 2
+    }
+    assert got == want and want  # non-trivial and exactly the naive set
