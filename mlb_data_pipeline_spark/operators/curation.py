@@ -273,3 +273,32 @@ def temperature_mix(
         .drop("n", "fraction")
     )
     return kept, fractions
+
+
+def group_quota_sample(
+    df: DataFrame, strata_cols: list[str], key_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """EXACT-k deterministic sample per stratum (the per-source quota
+    step of a data recipe: "at most k docs from every domain"), the
+    fixed-count sibling of ``stratified_hash_sample``'s fractions: keep
+    the k rows whose md5(salt || key) sorts lowest within the stratum
+    (ties broken by the key itself, so duplicate keys stay total-ordered).
+    md5-ordering makes the sample uniform-ish, reproducible across runs
+    AND engines (hex-string comparison is plain ASCII ordering), and
+    nested: quota k' < k selects a subset of the k-sample under the
+    same salt.
+
+    Scale: one hash shuffle on the strata; ranking is a per-partition
+    sort — the same single-window shape as ``top_k_per_group``. A
+    pathologically hot stratum sorts within its partition (no global
+    sort); raise spark.sql.shuffle.partitions or pre-cap hot strata if
+    one source dominates the corpus."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary"))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__qr", F.row_number().over(w))
+        .filter(F.col("__qr") <= k)
+        .drop("__qr")
+    )

@@ -553,3 +553,33 @@ def q27_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q88 — per-source quota sampling: EXACT k docs per source, selected by
+#        md5-order (deterministic, engine-neutral, nested under smaller
+#        quotas). The fixed-count sibling of q68's fractions — a data
+#        recipe says "at most 20 docs per domain", not "3% of each".
+# ---------------------------------------------------------------------------
+
+_Q88_SQL = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS qr
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM r WHERE qr <= 20
+ORDER BY doc_id
+"""
+
+
+@query("q88_group_quota_sample", oracle=_Q88_SQL, covers="curation:mixing,O3")
+def q88_group_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import group_quota_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kept = group_quota_sample(docs, ["source"], "doc_id", k=20)
+    return kept.orderBy("doc_id")

@@ -315,3 +315,26 @@ def test_normalize_url_keeps_query_strips_port_idempotent(spark):
     assert row["c"] == "shop.example.com:8443/item?id=5&ref=a"  # query kept
     assert row["d"] == "shop.example.com"  # port stripped from domain
     assert row["twice"] == row["c"]  # idempotent
+
+
+def test_group_quota_sample_exact_k_nested_and_deterministic(spark):
+    from mlb_data_pipeline_spark.operators.curation import group_quota_sample
+
+    rows = [(i, "s" + str(i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+    k10 = group_quota_sample(df, ["source"], "doc_id", k=10)
+    got = k10.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"s0": 10, "s1": 10, "s2": 10}
+    # deterministic across invocations
+    a = {r.doc_id for r in k10.collect()}
+    b = {r.doc_id for r in group_quota_sample(df, ["source"], "doc_id", k=10).collect()}
+    assert a == b
+    # nested: the 5-quota sample is a subset of the 10-quota sample
+    k5 = {r.doc_id for r in group_quota_sample(df, ["source"], "doc_id", k=5).collect()}
+    assert k5 < a and len(k5) == 15
+    # different salt -> different selection (overwhelmingly)
+    salted = {r.doc_id for r in group_quota_sample(df, ["source"], "doc_id", k=10, salt="x").collect()}
+    assert salted != a
+    # k larger than the stratum keeps everything
+    small = spark.createDataFrame([(1, "z"), (2, "z")], "doc_id BIGINT, source STRING")
+    assert group_quota_sample(small, ["source"], "doc_id", k=99).count() == 2
