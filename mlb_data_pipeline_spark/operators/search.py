@@ -515,3 +515,60 @@ def tokenize_query(text: str, query_id: int = 0) -> list[tuple[int, str]]:
     import re
 
     return [(query_id, t) for t in sorted(set(re.findall(TOKEN_RE, text.lower())))]
+
+
+def tfidf_keywords(
+    docs: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_doc_frac: float = 0.5,
+    index: TextIndex | None = None,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed tf-idf
+    (sklearn convention: idf = ln((N+1)/(df+1)) + 1, tf normalized by
+    document length) — the document-tagging / topic-labeling step of a
+    curation pipeline, and the extractive half of the reference's
+    summarize-and-tag intent (scripts/llm_summaries.py) without an LLM
+    call.
+
+    Runs off the SAME inverted-index postings as BM25 (pass ``index``
+    to reuse a persisted one; else the corpus is tokenized once with
+    the shared-tokenization checkpoint). Unlike the BM25 probe, df is
+    corpus-wide — keyword extraction needs every term's df, so this is
+    one extra (term)-keyed aggregation + join, combiner-friendly.
+    ``max_doc_frac`` drops terms appearing in more than that fraction
+    of documents BEFORE the join: stopword-class terms are both
+    non-characteristic (idf ~ 0) and exactly the hot join keys that
+    skew at corpus scale — one knob addresses quality and skew
+    together. idf is floor-quantized to 1e-6 (the ``bm25_scores``
+    engine-neutrality contract: JVM Math.log differs from libm by 1
+    ulp on some inputs); tf/dl and the product are single correctly
+    rounded IEEE ops, so both engines agree bit-for-bit.
+
+    Returns (id_col, rank, term, score), rank 1-based by
+    (score desc, term asc)."""
+    from .relational import top_k_per_group
+
+    if index is None:
+        if docs is None:
+            raise ValueError("pass docs or index")
+        index = build_text_index(
+            docs, id_col=id_col, text_col=text_col, share_tokenization=True
+        )
+    id_col = index.id_col
+    dfreq = index.postings.groupBy("term").agg(F.count("*").alias("__df"))
+    dfreq = dfreq.join(F.broadcast(index.stats)).filter(
+        F.col("__df") <= F.col("n") * F.lit(max_doc_frac)
+    )
+    joined = index.postings.join(dfreq, "term")
+    idf = F.floor(
+        F.log((F.col("n") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0)))
+        * F.lit(1000000.0)
+    ) / F.lit(1000000.0) + F.lit(1.0)
+    score = (F.col("tf") / F.col("dl")) * idf
+    scored = joined.select(id_col, "term", score.alias("score"))
+    return top_k_per_group(
+        scored, [id_col], [F.col("score").desc(), F.col("term").asc()], k, rn_col="rank"
+    ).select(id_col, F.col("rank").cast("int").alias("rank"), "term", "score")

@@ -158,3 +158,51 @@ def q74_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fused = rrf_fuse([bm, vr], ["doc_id"], k_rrf=_Q74_RRF_K)
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Q89 — per-document tf-idf keywords: top-3 characteristic terms per doc
+#        off the same postings as BM25 (sklearn smooth idf, quantized;
+#        stopword-class terms with df > n/2 dropped — non-characteristic
+#        AND the hot join keys). Limited to doc_id < 50 to keep the
+#        oracle result bounded; the operator itself is corpus-wide.
+# ---------------------------------------------------------------------------
+
+_Q89_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+stats AS (SELECT COUNT(*) AS n FROM base),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (tf.tf / tf.dl)
+           * (floor(ln((stats.n + 1.0) / (dfreq.df + 1.0)) * 1000000.0) / 1000000.0 + 1.0)
+           AS score
+  FROM tf JOIN dfreq USING (term), stats
+  WHERE dfreq.df <= stats.n * 0.9
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS INT) AS rank,
+         term, score
+  FROM scored
+)
+SELECT doc_id, rank, term, score FROM ranked
+WHERE rank <= 3 AND doc_id < 50
+ORDER BY doc_id, rank
+"""
+
+
+@query("q89_tfidf_keywords", oracle=_Q89_SQL, covers="V2,T17,O3,A2")
+def q89_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = tfidf_keywords(docs, k=3, max_doc_frac=0.9)
+    return kw.filter(F.col("doc_id") < 50).orderBy("doc_id", "rank")

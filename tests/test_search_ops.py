@@ -349,3 +349,30 @@ def test_refresh_text_index_reflects_changed_content(spark, tmp_path):
     append_text_index(changed, path)
     idx3 = load_text_index(spark, path)
     assert sorted(map(tuple, bm25_topk(None, terms, k=10, index=idx3).collect())) == want
+
+
+def test_tfidf_keywords_characteristic_term_wins(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.search import (
+        build_text_index,
+        load_text_index,
+        save_text_index,
+        tfidf_keywords,
+    )
+
+    rows = [
+        (1, "zebra zebra zebra common common"),
+        (2, "common apple common banana common"),
+        (3, "common cherry cherry common plum"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    kw = tfidf_keywords(df, k=2)
+    got = {(r.doc_id, r.rank): r.term for r in kw.collect()}
+    assert got[(1, 1)] == "zebra"  # tf=3/5 and rare -> top
+    # 'common' is in every doc (df = n) -> dropped by max_doc_frac=0.5
+    assert "common" not in set(got.values())
+    # index-probe path produces the identical result
+    idx = build_text_index(df, id_col="doc_id", text_col="text")
+    save_text_index(idx, str(tmp_path / "ti"))
+    loaded = load_text_index(spark, str(tmp_path / "ti"))
+    got2 = {(r.doc_id, r.rank): r.term for r in tfidf_keywords(index=loaded, k=2).collect()}
+    assert got2 == got
