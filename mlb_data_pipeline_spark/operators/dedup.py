@@ -619,8 +619,27 @@ def cross_corpus_span_overlap(
     )
 
 
+def _span_units(text_col: str, span_tokens: int, winnow_w: int | None) -> Column:
+    """The store/probe hashing unit: full distinct span hashes, or —
+    with ``winnow_w`` — winnowing fingerprints over the same k-grams.
+    Winnowed stores keep ~2/(w+1) of the hashes; the guarantee weakens
+    from "any shared span_tokens-token span" to "any shared
+    (span_tokens + winnow_w - 1)-token span" (both sides select the
+    identical minimum inside any fully-shared window), which is the
+    right trade for decontamination: leakage worth acting on is
+    paragraphs, not a single 8-token collision."""
+    if winnow_w is not None:
+        return winnow_fingerprints(text_col, k=span_tokens, w=winnow_w)
+    return shingle_hashes(text_col, span_tokens)
+
+
 def build_span_store(
-    bench: DataFrame, id_col: str, text_col: str, path: str, span_tokens: int = 8
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    span_tokens: int = 8,
+    winnow_w: int | None = None,
 ) -> None:
     """Persist the benchmark/eval suite's span hashes once (§2.11
     family, the contamination analogue of the MinHash signature store):
@@ -629,18 +648,22 @@ def build_span_store(
     store makes the daily check O(delta): the delta's spans join a
     2-column (bench_id, hash) parquet SCAN. Hash-clustered and sorted
     so each posting file covers a disjoint hash range (footer min/max
-    pruning for range-bounded probes). Overwrites ``path``."""
+    pruning for range-bounded probes). ``winnow_w`` stores winnowing
+    fingerprints instead (see ``_span_units``): ~(w+1)/2x smaller
+    store AND probe explode for a (span_tokens + w - 1)-token
+    guarantee. Overwrites ``path``."""
     spark = bench.sparkSession
     spans = bench.select(
         F.col(id_col).alias("bench_id"),
-        F.explode(shingle_hashes(text_col, span_tokens)).alias("__h"),
+        F.explode(_span_units(text_col, span_tokens, winnow_w)).alias("__h"),
     )
     base = path.rstrip("/")
     spans.repartition(F.col("__h")).sortWithinPartitions("__h").write.mode(
         "overwrite"
     ).parquet(base + "/spans")
     spark.createDataFrame(
-        [(id_col, span_tokens)], "id_col STRING, span_tokens INT"
+        [(id_col, span_tokens, winnow_w)],
+        "id_col STRING, span_tokens INT, winnow_w INT",
     ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
 
 
@@ -659,7 +682,9 @@ def append_span_store(new_bench: DataFrame, text_col: str, path: str) -> None:
     fresh = new_bench.join(existing, meta.id_col, "left_anti")
     fresh.select(
         F.col(meta.id_col).alias("bench_id"),
-        F.explode(shingle_hashes(text_col, meta.span_tokens)).alias("__h"),
+        F.explode(
+            _span_units(text_col, meta.span_tokens, meta.asDict().get("winnow_w"))
+        ).alias("__h"),
     ).repartition(F.col("__h")).sortWithinPartitions("__h").write.mode("append").parquet(
         base + "/spans"
     )
@@ -686,7 +711,9 @@ def probe_span_store(
     meta = spark.read.parquet(base + "/meta").collect()[0]
     ca = spread_for_cpu(delta).select(
         F.col(id_col).alias("corpus_id"),
-        F.explode(shingle_hashes(text_col, meta.span_tokens)).alias("__h"),
+        F.explode(
+            _span_units(text_col, meta.span_tokens, meta.asDict().get("winnow_w"))
+        ).alias("__h"),
     )
     if max_span_freq is not None:
         ca = cap_hot_keys(ca, ["__h"], max_span_freq)

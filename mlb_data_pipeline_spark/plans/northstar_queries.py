@@ -661,3 +661,54 @@ def q87_fuzzy_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = fuzzy_pairs(titles, "doc_id", "title", max_dist=10, q=3)
     return ordered_small(pairs, "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Q90 — contamination scan through a WINNOWED span store (k=8, w=4):
+#        the eval suite persists winnowing fingerprints instead of the
+#        full span explode — ~2.5x smaller store and probe for an
+#        11-token verbatim guarantee (leakage worth acting on is
+#        paragraphs, not one 8-token collision). Same store/probe
+#        machinery as q85, selection mirrored gram-for-gram in DuckDB.
+# ---------------------------------------------------------------------------
+
+_Q90_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8
+              THEN list_transform(range(1, len(toks) - 6),
+                                  i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT))
+              ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM d
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                      i -> list_min(hs[i:i+3]))) AS fps
+  FROM g WHERE len(hs) >= 1
+),
+e AS (SELECT doc_id, unnest(fps) AS h FROM fp)
+SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, COUNT(*) AS n_shared_spans
+FROM (SELECT * FROM e WHERE doc_id % 7 <> 0) c
+JOIN (SELECT * FROM e WHERE doc_id % 7 = 0) b ON c.h = b.h
+GROUP BY 1, 2
+ORDER BY corpus_id, bench_id
+"""
+
+
+@query("q90_winnow_contamination_store", oracle=_Q90_SQL, covers="V4,T17,S8")
+def q90_winnow_contamination_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.dedup import build_span_store, probe_span_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    store = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "q90_winnow_store"
+    )
+    build_span_store(bench, "doc_id", "text", store, span_tokens=8, winnow_w=4)
+    pairs = probe_span_store(corpus, store, "doc_id", "text")
+    return ordered_small(pairs, "corpus_id", "bench_id")

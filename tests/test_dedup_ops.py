@@ -552,3 +552,62 @@ def test_fuzzy_pairs_blocking_lossless_at_small_dist(spark):
         if lev(sa, sb) <= 2
     }
     assert got == want and want  # non-trivial and exactly the naive set
+
+
+def test_fuzzy_pairs_gram_cap_drops_boilerplate_keeps_rare_typo(spark):
+    # production path: a sea of near-identical boilerplate titles makes
+    # their grams hot; the cap bounds the candidate join while the
+    # planted pair's RARE grams survive and still block together
+    from mlb_data_pipeline_spark.operators.dedup import fuzzy_pairs
+
+    boiler = [(i, "breaking news update tonight") for i in range(30)]
+    rows = boiler + [(100, "xylophone quartz jubilee"), (101, "xylophone quartz jubilee!")]
+    df = spark.createDataFrame(rows, "id BIGINT, title STRING")
+    got = {(r.id_a, r.id_b) for r in fuzzy_pairs(df, "id", "title", max_dist=2, max_gram_freq=5).collect()}
+    assert (100, 101) in got
+    # every boilerplate gram exceeds the cap -> no boilerplate pairs
+    assert all(a == 100 for a, _ in got)
+
+
+def test_winnow_span_store_smaller_and_detects_planted(spark, tmp_path):
+    # the winnowed store must be materially smaller than the full span
+    # store over the same eval suite, and still catch a planted
+    # >= (k+w-1)-token verbatim leak through the persisted probe
+    from mlb_data_pipeline_spark.operators.dedup import (
+        append_span_store,
+        build_span_store,
+        probe_span_store,
+    )
+
+    leak = " ".join(f"leak{j}" for j in range(11))  # k=8,w=4 -> 11-token guarantee
+    bench = spark.createDataFrame(
+        [(1, "bench prefix words " + leak + " bench suffix words"),
+         (2, " ".join(f"b2w{j}" for j in range(20)))],
+        "doc_id BIGINT, text STRING",
+    )
+    corpus = spark.createDataFrame(
+        [(10, "corpus opening " + leak + " corpus closing words here"),
+         (11, " ".join(f"cleanw{j}" for j in range(20)))],
+        "doc_id BIGINT, text STRING",
+    )
+    full, winnowed = str(tmp_path / "full"), str(tmp_path / "win")
+    build_span_store(bench, "doc_id", "text", full, span_tokens=8)
+    build_span_store(bench, "doc_id", "text", winnowed, span_tokens=8, winnow_w=4)
+    n_full = spark.read.parquet(full + "/spans").count()
+    n_win = spark.read.parquet(winnowed + "/spans").count()
+    assert n_win < n_full / 1.5, (n_win, n_full)
+    hits = {(r.corpus_id, r.bench_id) for r in probe_span_store(corpus, winnowed, "doc_id", "text").collect()}
+    assert (10, 1) in hits
+    assert all(c != 11 for c, _ in hits)
+    # append honors the stored winnow_w: replay is a no-op, a new bench
+    # doc's fingerprints land winnowed
+    append_span_store(bench, "text", winnowed)
+    assert spark.read.parquet(winnowed + "/spans").count() == n_win
+    bench3 = spark.createDataFrame(
+        [(3, "third bench doc " + " ".join(f"b3w{j}" for j in range(15)))],
+        "doc_id BIGINT, text STRING",
+    )
+    append_span_store(bench3, "text", winnowed)
+    added = spark.read.parquet(winnowed + "/spans").filter(F.col("bench_id") == 3).count()
+    # 15+3=18 tokens -> 11 grams -> 8 windows -> winnowed to < 11 distinct
+    assert 0 < added < 11
