@@ -572,3 +572,64 @@ def tfidf_keywords(
     return top_k_per_group(
         scored, [id_col], [F.col("score").desc(), F.col("term").asc()], k, rn_col="rank"
     ).select(id_col, F.col("rank").cast("int").alias("rank"), "term", "score")
+
+
+def unigram_logprob(
+    docs: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    index: TextIndex | None = None,
+) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's OWN
+    unigram LM — the perplexity-filtering quality signal (CCNet-style)
+    at unigram order, which needs no external model: documents full of
+    corpus-rare tokens (gibberish, encoding noise, wrong-language
+    spill) score very negative; stopword soup scores near the corpus
+    ceiling. score(d) = sum_t tf_d(t) * ln p(t) / dl with Lidstone
+    smoothing p(t) = (ctf(t) + alpha) / (T + alpha * V) over corpus
+    term counts ctf, total tokens T, vocab size V.
+
+    Same postings family as BM25/tf-idf (pass ``index`` to reuse a
+    persisted one): ctf/T/V are one term-keyed aggregation and one
+    tiny global aggregate, both combiner-friendly; the per-doc score
+    is one more (doc)-keyed pass. Engine-neutral by the established
+    contract: ln quantized to 1e-6 (JVM vs libm 1-ulp), per-doc sum
+    folded in term-sorted order, every other op a single correctly
+    rounded IEEE step. Docs with zero tokens have no postings and are
+    absent from the result (they have no likelihood to speak of).
+
+    Returns (id_col, dl, logprob) — logprob is per-token, <= 0."""
+    if index is None:
+        if docs is None:
+            raise ValueError("pass docs or index")
+        index = build_text_index(
+            docs, id_col=id_col, text_col=text_col, share_tokenization=True
+        )
+    id_col = index.id_col
+    lm = index.postings.groupBy("term").agg(F.sum("tf").alias("__ctf"))
+    totals = lm.agg(
+        F.sum("__ctf").alias("__T"), F.count("*").alias("__V")
+    )
+    joined = index.postings.join(lm, "term").join(F.broadcast(totals))
+    qln = F.floor(
+        F.log(
+            (F.col("__ctf") + F.lit(alpha))
+            / (F.col("__T") + F.lit(alpha) * F.col("__V"))
+        )
+        * F.lit(1000000.0)
+    ) / F.lit(1000000.0)
+    per_term = joined.select(
+        id_col, "dl", "term", (F.col("tf") * qln).alias("__lp")
+    )
+    return per_term.groupBy(id_col, "dl").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "__lp"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__lp"],
+            )
+            / F.col("dl")
+        ).alias("logprob")
+    )

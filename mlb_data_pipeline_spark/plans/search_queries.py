@@ -206,3 +206,39 @@ def q89_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     kw = tfidf_keywords(docs, k=3, max_doc_frac=0.9)
     return kw.filter(F.col("doc_id") < 50).orderBy("doc_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Q91 — unigram-LM quality scoring: per-doc mean log-likelihood under
+#        the corpus's own unigram model (CCNet-style perplexity
+#        filtering without an external model). Same postings as
+#        BM25/tf-idf; ln quantized, term-ordered fold — the engine-
+#        neutrality contract of the family.
+# ---------------------------------------------------------------------------
+
+_Q91_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+lm AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1),
+tot AS (SELECT SUM(ctf) AS t_total, COUNT(*) AS v FROM lm),
+per AS (
+  SELECT tf.doc_id, tf.dl, tf.term,
+         tf.tf * (floor(ln((lm.ctf + 0.5) / (tot.t_total + 0.5 * tot.v)) * 1000000.0) / 1000000.0) AS lp
+  FROM tf JOIN lm USING (term), tot
+)
+SELECT doc_id, dl,
+       list_reduce(list(lp ORDER BY term), (a, x) -> a + x) / dl AS logprob
+FROM per GROUP BY doc_id, dl
+ORDER BY doc_id
+"""
+
+
+@query("q91_unigram_logprob", oracle=_Q91_SQL, covers="T18,A2,V2")
+def q91_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs).orderBy("doc_id")

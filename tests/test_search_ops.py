@@ -376,3 +376,18 @@ def test_tfidf_keywords_characteristic_term_wins(spark, tmp_path):
     loaded = load_text_index(spark, str(tmp_path / "ti"))
     got2 = {(r.doc_id, r.rank): r.term for r in tfidf_keywords(index=loaded, k=2).collect()}
     assert got2 == got
+
+
+def test_unigram_logprob_flags_rare_token_doc(spark):
+    from mlb_data_pipeline_spark.operators.search import unigram_logprob
+
+    common = "the cat sat on the mat " * 5
+    rows = [
+        (1, common.strip()),
+        (2, common.strip()),
+        (3, "zxqv jkwp qqzi vvbn mmlo pprt"),  # corpus-rare gibberish
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r.logprob for r in unigram_logprob(df).collect()}
+    assert got[3] < got[1] < 0  # gibberish scores strictly lower; all <= 0
+    assert abs(got[1] - got[2]) < 1e-12  # identical docs, identical score
