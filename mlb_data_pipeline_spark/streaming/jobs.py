@@ -307,3 +307,51 @@ def ivf_index_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def contamination_stream(
+    docs_stream: DataFrame,
+    span_store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_span_freq: int | None = None,
+) -> None:
+    """Streaming decontamination: each arriving corpus micro-batch is
+    probed against the PERSISTED benchmark span store
+    (``probe_span_store`` — winnowed or full, whatever the store's
+    meta says) and its contamination hits land under
+    ``out_path/batch=epoch<N>/`` — the gate a streaming ingest runs
+    BEFORE documents reach training shards, completing the streaming
+    coverage of the store family (signatures / postings / vectors /
+    spans). The eval suite is never re-hashed: per batch the only work
+    is the delta's span explode + one equi-join against the store
+    scan.
+
+    Delivery: foreachBatch is at-least-once on retry; writes are keyed
+    on the micro-batch epoch and a replayed epoch OVERWRITES its own
+    ``batch=<epoch>`` directory (dynamic partition overwrite), so hits
+    are exactly-once per epoch in the output. Readers scan
+    ``out_path`` recursively (one subdir per epoch)."""
+    from ..operators.dedup import probe_span_store
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hits = probe_span_store(
+            batch_df.localCheckpoint(eager=True),
+            span_store_path,
+            id_col,
+            text_col,
+            max_span_freq=max_span_freq,
+        )
+        hits.write.mode("overwrite").parquet(
+            out_path.rstrip("/") + f"/batch=epoch{batch_id}"
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

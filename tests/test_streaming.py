@@ -388,3 +388,50 @@ def test_ivf_index_stream_equals_batch_build(spark, tmp_path):
     stream2 = spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>").parquet(src)
     ivf_index_stream(stream2, path, str(tmp_path / "ckpt"))
     assert spark.read.parquet(path + "/assignments").count() == n
+
+
+def test_contamination_stream_equals_batch_probe(spark, tmp_path):
+    """Streaming decontamination (foreachBatch over the span store):
+    hits collected across micro-batch epoch dirs equal the batch probe
+    over the union of arrivals — winnowed store honored, replays
+    overwrite their own epoch dir."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        build_span_store,
+        probe_span_store,
+    )
+    from mlb_data_pipeline_spark.streaming import contamination_stream, read_document_stream
+
+    leak_a = " ".join(f"leakA{j}" for j in range(12))
+    leak_b = " ".join(f"leakB{j}" for j in range(12))
+    bench = spark.createDataFrame(
+        [(1, "bench one " + leak_a + " end"), (2, "bench two " + leak_b + " end")],
+        "doc_id BIGINT, text STRING",
+    )
+    b1 = spark.createDataFrame(
+        [(100, "arrival " + leak_a + " trailing"), (101, " ".join(f"clean{j}" for j in range(15)))],
+        "doc_id BIGINT, text STRING",
+    )
+    b2 = spark.createDataFrame(
+        [(200, "second wave " + leak_b + " words")],
+        "doc_id BIGINT, text STRING",
+    )
+    store = str(tmp_path / "spanstore")
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    build_span_store(bench, "doc_id", "text", store, span_tokens=8, winnow_w=4)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    contamination_stream(
+        read_document_stream(spark, src, max_files_per_trigger=1),
+        store, out, ckpt,
+    )
+    streamed = {
+        (r.corpus_id, r.bench_id, r.n_shared_spans)
+        for r in spark.read.option("recursiveFileLookup", "true").parquet(out).collect()
+    }
+    batch = {
+        (r.corpus_id, r.bench_id, r.n_shared_spans)
+        for r in probe_span_store(b1.unionByName(b2), store, "doc_id", "text").collect()
+    }
+    assert streamed == batch
+    assert {(c, b) for c, b, _ in streamed} == {(100, 1), (200, 2)}
