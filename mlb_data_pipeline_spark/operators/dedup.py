@@ -880,6 +880,82 @@ def fuzzy_pairs(
     )
 
 
+_SPAN_POS_BITS = 20  # positions per doc < 2^20 for the first-occurrence encoding
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int = 8
+) -> DataFrame:
+    """Span-granular dedup ("Deduplicating Training Data Makes
+    Language Models Better", ExactSubstr at fixed span width): every
+    occurrence of a duplicated ``span_tokens``-token span EXCEPT the
+    globally first one (lexicographic (doc, offset) order) is removed
+    from the text, and the surviving tokens are re-joined — the
+    transform sibling of ``exact_span_overlap_pairs``, which only
+    REPORTS the duplication. Within-doc repeats are spans too: a doc
+    repeating its own paragraph keeps one copy.
+
+    Shape: positional span hashes (one md5 per offset), one global
+    (hash)-keyed min to find first occurrences, one join back to tag
+    duplicate occurrences, then a per-doc array rebuild — coverage
+    testing and token filtering are higher-order array expressions
+    (no UDF), O(tokens x dup_spans) per doc only for docs that
+    actually contain duplicates. First-occurrence order is encoded as
+    id * 2^20 + offset in one BIGINT (exact integer compare on both
+    engines); ids must be non-negative and docs shorter than 2^20
+    tokens — violated inputs raise.
+
+    Returns (id_col, clean_text, n_removed_tokens); docs without
+    duplicated spans pass through with n_removed_tokens = 0."""
+    from .relational import spread_for_cpu
+
+    enc_base = F.lit(1 << _SPAN_POS_BITS)
+    # the encoding's precondition is enforced INSIDE the plan (lazy,
+    # per-row, no extra scan): a negative id or an offset >= 2^20
+    # poisons the lexicographic order, so it raises instead
+    enc = F.when(
+        (F.col(id_col) < 0) | (F.col("__pos") >= enc_base),
+        F.raise_error(
+            F.lit(
+                f"remove_duplicate_spans: {id_col} must be >= 0 and docs "
+                f"shorter than 2^{_SPAN_POS_BITS} tokens"
+            )
+        ).cast("long"),
+    ).otherwise(F.col(id_col) * enc_base + F.col("__pos"))
+    grams = (
+        spread_for_cpu(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(ordered_shingle_hashes(text_col, span_tokens)).alias(
+                "__pos", "__h"
+            ),
+        )
+        .withColumn("__enc", enc)
+    )
+    first = grams.groupBy("__h").agg(F.min("__enc").alias("__first"))
+    dup_spans = (
+        grams.join(first, "__h")
+        .filter(F.col("__enc") != F.col("__first"))
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__dps"))
+    )
+    toks = F.split(F.col(text_col), " ")
+    dps = F.coalesce(F.col("__dps"), F.array().cast("array<bigint>"))
+    k = F.lit(span_tokens)
+    covered = lambda t, i: F.exists(  # noqa: E731 — two-arg filter lambda
+        dps, lambda s: (s <= i) & (i <= s + k - 1)
+    )
+    kept = F.filter(toks, lambda t, i: ~covered(t, i))
+    return (
+        df.join(dup_spans, id_col, "left")
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed_tokens"),
+        )
+    )
+
+
 def incremental_dedup_keep(delta: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """The daily-cadence keep/drop decision: from a delta and its
     ``incremental_neardup_pairs`` output, keep only the delta docs that

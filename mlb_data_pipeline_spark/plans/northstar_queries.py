@@ -712,3 +712,60 @@ def q90_winnow_contamination_store(spark: SparkSession, sf_dir: str) -> DataFram
     build_span_store(bench, "doc_id", "text", store, span_tokens=8, winnow_w=4)
     pairs = probe_span_store(corpus, store, "doc_id", "text")
     return ordered_small(pairs, "corpus_id", "bench_id")
+
+
+# ---------------------------------------------------------------------------
+# Q92 — duplicate-span REMOVAL (ExactSubstr at fixed width): rewrite
+#        every doc with all-but-first occurrences of duplicated 8-token
+#        spans removed — the transform sibling of q66's pair report.
+#        First occurrence = global (doc, offset) lexicographic min via
+#        one BIGINT encoding; coverage + rebuild are list expressions
+#        mirrored exactly in DuckDB.
+# ---------------------------------------------------------------------------
+
+_Q92_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 8
+              THEN list_transform(range(1, len(toks) - 6),
+                                  i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT))
+              ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM d
+),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, hs[i] AS h,
+         doc_id * 1048576 + (i - 1) AS enc
+  FROM g, LATERAL (SELECT unnest(range(1, len(hs) + 1)) AS i)
+),
+fst AS (SELECT h, min(enc) AS fenc FROM occ GROUP BY 1),
+dups AS (
+  SELECT o.doc_id, list(o.pos) AS dps
+  FROM occ o JOIN fst f ON o.h = f.h AND o.enc <> f.fenc
+  GROUP BY 1
+),
+rebuilt AS (
+  SELECT d.doc_id, d.toks,
+         list_filter(
+           list_transform(range(1, len(d.toks) + 1),
+             j -> CASE WHEN len(list_filter(COALESCE(dp.dps, CAST([] AS BIGINT[])),
+                                            s -> s <= j - 1 AND j - 1 <= s + 7)) > 0
+                  THEN NULL ELSE d.toks[j] END),
+           x -> x IS NOT NULL) AS kept
+  FROM d LEFT JOIN dups dp USING (doc_id)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text,  -- DuckDB: empty-list -> NULL; Spark array_join -> ''
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed_tokens
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
+@query("q92_remove_duplicate_spans", oracle=_Q92_SQL, covers="V4,T17,P9")
+def q92_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, "doc_id", "text", span_tokens=8)
+    return out.orderBy("doc_id")

@@ -611,3 +611,51 @@ def test_winnow_span_store_smaller_and_detects_planted(spark, tmp_path):
     added = spark.read.parquet(winnowed + "/spans").filter(F.col("bench_id") == 3).count()
     # 15+3=18 tokens -> 11 grams -> 8 windows -> winnowed to < 11 distinct
     assert 0 < added < 11
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    from mlb_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    para = " ".join(f"p{j}" for j in range(8))  # exactly one 8-token span
+    rows = [
+        (1, "intro words here " + para + " outro words"),
+        (2, "second doc begins " + para + " second doc ends now"),  # cross-doc dup
+        (3, para + " filler " + para),  # within-doc repeat
+        (4, " ".join(f"u{j}" for j in range(12))),  # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: (r.clean_text, r.n_removed_tokens) for r in
+           remove_duplicate_spans(df, "doc_id", "text", span_tokens=8).collect()}
+    # doc 1 holds the first occurrence -> untouched
+    assert got[1] == (rows[0][1], 0)
+    # doc 2's copy removed, surrounding tokens survive
+    assert got[2] == ("second doc begins second doc ends now", 8)
+    # doc 3: its first copy duplicates doc 1's span -> removed; its
+    # second copy is ALSO a duplicate occurrence -> removed too
+    assert got[3] == ("filler", 16)
+    assert got[4] == (rows[3][1], 0)
+
+
+def test_remove_duplicate_spans_overlapping_coverage_and_guard(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mlb_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    # doc 11 repeats doc 10's 10-token run: two overlapping dup 8-spans
+    # must merge into ONE 10-token removal, not 16
+    # continuations differ on both sides, so no dup span crosses the
+    # run boundary: dups are exactly the 3 full-run 8-spans
+    run = " ".join(f"r{j}" for j in range(10))
+    df = spark.createDataFrame(
+        [(10, run + " zzz words here"), (11, "head " + run + " tail")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: (r.clean_text, r.n_removed_tokens) for r in
+           remove_duplicate_spans(df, "doc_id", "text", span_tokens=8).collect()}
+    assert got[10][1] == 0
+    assert got[11] == ("head tail", 10)
+    # negative id with enough tokens to gram -> in-plan raise
+    bad = spark.createDataFrame([(-1, " ".join(f"x{j}" for j in range(9)))], "doc_id BIGINT, text STRING")
+    with pytest.raises(SparkRuntimeException, match="must be >= 0"):
+        remove_duplicate_spans(bad, "doc_id", "text").collect()
