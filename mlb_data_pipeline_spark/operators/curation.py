@@ -282,7 +282,9 @@ def group_quota_sample(
     step of a data recipe: "at most k docs from every domain"), the
     fixed-count sibling of ``stratified_hash_sample``'s fractions: keep
     the k rows whose md5(salt || key) sorts lowest within the stratum
-    (ties broken by the key itself, so duplicate keys stay total-ordered).
+    (ties broken by the key itself; rows sharing the SAME key value
+    remain mutually unordered — pass a unique key, normally the
+    primary id, for a fully deterministic sample).
     md5-ordering makes the sample uniform-ish, reproducible across runs
     AND engines (hex-string comparison is plain ASCII ordering), and
     nested: quota k' < k selects a subset of the k-sample under the

@@ -73,6 +73,35 @@ def rms_udaf():
     return rms
 
 
+def compression_ratio_udf():
+    """Vectorized compression-ratio quality signal (U2 family): zlib
+    deflate size / raw utf-8 size per document — the cheap
+    model-free redundancy detector the big corpus recipes pair with
+    the repeated-ngram rule (boilerplate and generated spam compress
+    far below prose; high-entropy noise compresses above it). Python
+    is unavoidable (no JVM-side zlib expression), so it runs as an
+    Arrow-batched pandas UDF — one zlib call per row inside a batch,
+    never a row-at-a-time Python UDF. Deterministic (zlib level
+    pinned), hence safe anywhere in a plan; not DuckDB-oracle-able
+    (no SQL zlib), so its queries stay rows-only by design.
+    Empty/null docs -> 1.0 (nothing to compress)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None or t == "":
+                return 1.0
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return ratio
+
+
 # --------------------------------------------------------------------- U6
 
 

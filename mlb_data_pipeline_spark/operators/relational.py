@@ -219,3 +219,43 @@ def dataset_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(*key_cols, change.alias(change_col))
+
+
+def numeric_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Fixed-bin numeric histogram — the distribution-profiling step of
+    a feature-QA / data-quality report (the continuous sibling of the
+    categorical group-count): bin i covers
+    [lo + i*(hi-lo)/nbins, lo + (i+1)*(hi-lo)/nbins), out-of-range
+    values clamp into the edge bins (a QA histogram must show outlier
+    mass, not silently drop it). One narrow projection + one grouped
+    count — combiner-friendly, shuffle carries nbins rows per task.
+
+    Engine-neutral binning: bin = floor((x - lo) * nbins / (hi - lo))
+    computed in exactly that order — each step a single correctly
+    rounded IEEE op, so any engine evaluating the same order produces
+    the identical bin (the established quantized-expression contract;
+    no ties to break because floor is exact).
+
+    Returns (bin, lo_edge, hi_edge, n) sorted by bin; empty bins are
+    absent (left-join a sequence if a dense axis is needed)."""
+    if not (hi > lo) or nbins < 1:
+        raise ValueError(f"need hi > lo and nbins >= 1, got [{lo}, {hi}) x {nbins}")
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) * F.lit(float(nbins)) / F.lit(float(hi - lo)))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    width = (hi - lo) / nbins
+    return (
+        df.filter(x.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(float(width))).alias("lo_edge"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(float(width))).alias("hi_edge"),
+            "n",
+        )
+        .orderBy("bin")
+    )

@@ -583,3 +583,23 @@ def q88_group_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     kept = group_quota_sample(docs, ["source"], "doc_id", k=20)
     return kept.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q94 — compression-ratio quality signal (rows-only by design: no SQL
+#        zlib exists to oracle against): deflate/raw ratio per doc via
+#        an Arrow-batched pandas UDF, the model-free redundancy
+#        detector paired with the repeated-ngram rule (q61 family).
+# ---------------------------------------------------------------------------
+
+
+@query("q94_compression_ratio", oracle=None, covers="U2,T18")
+def q94_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.enrich import compression_ratio_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = compression_ratio_udf()
+    return (
+        docs.select("doc_id", ratio(F.col("text")).alias("compression_ratio"))
+        .orderBy("doc_id")
+    )

@@ -931,3 +931,34 @@ def q81_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q93 — numeric distribution profiling: fixed-bin histogram over
+#        events.value (20 bins on [0, 500), outliers clamped into edge
+#        bins). Binning = floor((x-lo)*nbins/(hi-lo)) evaluated in that
+#        exact order on both engines — the quantized-expression
+#        contract, no transcendentals involved.
+# ---------------------------------------------------------------------------
+
+_Q93_SQL = """
+WITH b AS (
+  SELECT CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0::DOUBLE) * 20.0::DOUBLE / 500.0::DOUBLE), 0), 19) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+)
+SELECT bin,
+       0.0::DOUBLE + bin * 25.0::DOUBLE AS lo_edge,
+       0.0::DOUBLE + (bin + 1) * 25.0::DOUBLE AS hi_edge,
+       n
+FROM b ORDER BY bin
+"""
+
+
+@query("q93_value_histogram", oracle=_Q93_SQL, covers="A2,P2,O9")
+def q93_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import numeric_histogram
+
+    events = load_table(spark, sf_dir, "events")
+    return numeric_histogram(events, "value", 0.0, 500.0, 20)

@@ -91,3 +91,23 @@ def test_fake_encode_matches_duckdb_sha256_mirror():
     got = duckdb.connect().execute(sql, [text]).fetchone()[0]
     want = fake_encode(text)
     assert got == want  # exact equality, all 64 doubles
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from mlb_data_pipeline_spark.operators.enrich import compression_ratio_udf
+
+    ratio = compression_ratio_udf()
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam " * 20),
+        (2, "the committee convened thursday to review quarterly findings and dissenting appendices"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r.r for r in df.select("doc_id", ratio(F.col("text")).alias("r")).collect()}
+    assert got[1] < got[2] < 1.5  # heavy repetition compresses far below prose
+    assert got[1] < 0.1
+    assert got[3] == 1.0 and got[4] == 1.0
+    # deterministic across invocations
+    again = {r.doc_id: r.r for r in df.select("doc_id", ratio(F.col("text")).alias("r")).collect()}
+    assert got == again

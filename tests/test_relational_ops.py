@@ -63,3 +63,20 @@ def test_dataset_diff_key_only_snapshots(spark):
     new = spark.createDataFrame([(2,), (3,)], "k long")
     out = {r["k"]: r["change_type"] for r in dataset_diff(old, new, ["k"]).collect()}
     assert out == {1: "removed", 2: "unchanged", 3: "added"}
+
+
+def test_numeric_histogram_clamps_outliers_and_counts(spark):
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.relational import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (5.0,), (9.9,), (27.0,), (None,)], "x DOUBLE"
+    )
+    got = {r.bin: (r.lo_edge, r.hi_edge, r.n) for r in numeric_histogram(df, "x", 0.0, 10.0, 2).collect()}
+    # bin 0 = [0,5): values 0.0, 4.9, plus clamped -5.0
+    assert got[0] == (0.0, 5.0, 3)
+    # bin 1 = [5,10): 5.0, 9.9, plus clamped 27.0; None dropped
+    assert got[1] == (5.0, 10.0, 3)
+    with pytest.raises(ValueError):
+        numeric_histogram(df, "x", 10.0, 0.0, 2)
