@@ -259,3 +259,46 @@ def numeric_histogram(
         )
         .orderBy("bin")
     )
+
+
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column profile — (column, n_nulls, n_distinct,
+    min_value, max_value) per requested column, the schema-QA report a
+    warehouse runs on every ingest (the engine-side form of the
+    reference's implicit "is the scrape sane" check). ONE aggregation
+    pass computes every statistic (all min/max/null counters are
+    map-side combinable); the per-column EXACT distinct counts make
+    Spark plan an expand (rows x n_cols before the partial agg) — the
+    honest cost of exactness, fine for ingest-sized deltas; swap in
+    approx_count_distinct for corpus-wide profiles where +-2% is
+    acceptable. min/max are computed in the column's native type and
+    cast to string AFTER aggregating (string-cast before min would
+    order "10" < "9"), then the single agg row unpivots through one
+    array-of-structs explode — no driver-side loop."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        row.select(F.explode(packed).alias("p"))
+        .select("p.column", "p.n_nulls", "p.n_distinct", "p.min_value", "p.max_value")
+    )

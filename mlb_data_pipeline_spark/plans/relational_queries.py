@@ -962,3 +962,43 @@ def q93_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return numeric_histogram(events, "value", 0.0, 500.0, 20)
+
+
+# ---------------------------------------------------------------------------
+# Q95 — ANALYZE-style table profile over events: per-column null /
+#        exact-distinct / min / max in ONE aggregation pass (expand for
+#        the exact distincts — the documented exactness cost), unpivoted
+#        via an array-of-structs explode. min/max aggregated in native
+#        type, cast to string after (string-cast first would order
+#        "10" < "9").
+# ---------------------------------------------------------------------------
+
+_Q95_SQL = """
+SELECT 'event_type' AS "column",
+       COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS n_nulls,
+       COUNT(DISTINCT event_type) AS n_distinct,
+       CAST(min(event_type) AS VARCHAR) AS min_value,
+       CAST(max(event_type) AS VARCHAR) AS max_value
+FROM events
+UNION ALL
+SELECT 'user_id',
+       COUNT(CASE WHEN user_id IS NULL THEN 1 END),
+       COUNT(DISTINCT user_id),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'value',
+       COUNT(CASE WHEN value IS NULL THEN 1 END),
+       COUNT(DISTINCT value),
+       CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+FROM events
+ORDER BY "column"
+"""
+
+
+@query("q95_table_profile", oracle=_Q95_SQL, covers="A1,A3,A2,U3")
+def q95_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import table_profile
+
+    events = load_table(spark, sf_dir, "events")
+    return table_profile(events, ["event_type", "user_id", "value"]).orderBy("column")

@@ -80,3 +80,20 @@ def test_numeric_histogram_clamps_outliers_and_counts(spark):
     assert got[1] == (5.0, 10.0, 3)
     with pytest.raises(ValueError):
         numeric_histogram(df, "x", 10.0, 0.0, 2)
+
+
+def test_table_profile_stats_and_native_type_minmax(spark):
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.relational import table_profile
+
+    df = spark.createDataFrame(
+        [(9, "b"), (10, None), (None, "a"), (10, "a")], "n BIGINT, s STRING"
+    )
+    got = {r.column: (r.n_nulls, r.n_distinct, r.min_value, r.max_value)
+           for r in table_profile(df, ["n", "s"]).collect()}
+    # min over native ints: 9 < 10 (a string-cast-first min would say "10")
+    assert got["n"] == (1, 2, "9", "10")
+    assert got["s"] == (1, 2, "a", "b")
+    with pytest.raises(ValueError):
+        table_profile(df, [])
