@@ -64,6 +64,9 @@ def pretraining_data_pipeline(
     contamination_span_tokens: int = 8,
     pack_budget: int = 2048,
     salt: str = "",
+    min_compression_ratio: float | None = None,
+    per_source_quota: int | None = None,
+    remove_dup_spans: bool = False,
 ) -> DataFrame:
     """Run one day's delta through the full curation chain and write
     packed, split-partitioned shards to ``out_path``. Returns the
@@ -80,11 +83,19 @@ def pretraining_data_pipeline(
     appended to it at the END, so a failed run can re-execute without
     having poisoned the store with docs that were never released
     (the append's id guard additionally makes replays no-ops)."""
-    # 1. quality: minimum length + repetition ceiling (Gopher/C4-style)
+    # 1. quality: minimum length + repetition ceiling (Gopher/C4-style);
+    #    optionally the zlib redundancy floor (round 6 — boilerplate and
+    #    generated spam compress far below prose)
     q = delta.filter(
         (F.length(text_col) >= min_chars)
         & (repeated_ngram_fraction(text_col) <= max_repetition)
     )
+    if min_compression_ratio is not None:
+        from ..operators.enrich import compression_ratio_udf
+
+        q = q.filter(
+            compression_ratio_udf()(F.col(text_col)) >= F.lit(min_compression_ratio)
+        )
     # 2. exact dedup inside the delta (deterministic canonical row)
     q = dedup_exact(q, [text_col], [id_col])
     # 3. near-dup vs the persisted corpus + within-delta (one banding
@@ -109,8 +120,24 @@ def pretraining_data_pipeline(
         )
     dirty = overlaps.select(F.col("corpus_id").alias(id_col)).distinct()
     q = q.join(dirty, on=id_col, how="left_anti")
-    # 5-7. mixing -> split -> redaction (all narrow)
+    # 4b. optional within-release duplicate-span removal (round 6,
+    #     ExactSubstr at fixed width): rewrites, never drops — O(delta)
+    #     because only the delta's spans participate
+    if remove_dup_spans:
+        from ..operators.dedup import remove_duplicate_spans
+
+        cleaned = remove_duplicate_spans(q, id_col, text_col, contamination_span_tokens)
+        q = (
+            q.drop(text_col)
+            .join(cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col)
+        )
+    # 5-7. mixing -> split -> redaction (all narrow); optionally an
+    #     exact per-source quota after the fractional mix (round 6)
     q = stratified_hash_sample(q, id_col, strata_col, mix, salt=salt)
+    if per_source_quota is not None:
+        from ..operators.curation import group_quota_sample
+
+        q = group_quota_sample(q, [strata_col], id_col, per_source_quota, salt=salt)
     q = hash_split(q, id_col)
     q = q.withColumn(text_col, redact(text_col))
     # the kept set feeds packing, the write, the summary AND the store

@@ -225,3 +225,57 @@ def test_pretraining_pipeline_with_persisted_bench_store(spark, tmp_path):
     )
     written = spark.read.parquet(out)
     assert {r.doc_id for r in written.collect()} == {104}
+
+
+def test_pretraining_pipeline_round6_knobs(spark, tmp_path):
+    """The optional round-6 stages: zlib redundancy floor drops the
+    compressible spam doc, duplicate-span removal rewrites (not drops)
+    the doc quoting another, and the per-source quota caps survivors
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.dedup import build_signature_store
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12)), "web") for i in range(5)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    store = str(tmp_path / "store")
+    build_signature_store(corpus, "doc_id", "text", store)
+    bench = spark.createDataFrame(
+        [(900, " ".join(f"held{j}" for j in range(10)))], "doc_id BIGINT, text STRING"
+    )
+
+    para = " ".join(f"q{j}" for j in range(8))
+    good = " ".join("word%dx%d" % (j, j * 7 % 13) for j in range(30))
+    delta_rows = [
+        # compressible spam: passes the 3-gram repetition ceiling
+        # (cycle period 40 -> rep frac ~0.8 < 0.95) but zlib-crushes
+        # to ratio ~0.12 — only the zlib floor catches it
+        (200, " ".join(f"w{i % 40}" for i in range(200)), "web"),
+        # first occurrence of the quoted paragraph
+        (201, "original context " + para + " more original words here", "web"),
+        # quotes 201's paragraph -> span-removed, doc survives rewritten
+        (202, "derivative intro " + para + " derivative outro words", "web"),
+        # plain survivors to exercise the quota
+        (203, good + " tail203", "web"),
+        (204, good.replace("word", "other") + " tail204", "web"),
+        (205, good.replace("word", "third") + " tail205", "web"),
+    ]
+    delta = spark.createDataFrame(delta_rows, "doc_id BIGINT, text STRING, source STRING")
+    out = str(tmp_path / "shards")
+    pretraining_data_pipeline(
+        spark, delta, bench, store, out,
+        mix={"web": 1.0}, pack_budget=64, max_repetition=0.95,
+        min_compression_ratio=0.2, per_source_quota=4, remove_dup_spans=True,
+    )
+    written = spark.read.parquet(out)
+    ids = {r.doc_id for r in written.collect()}
+    assert 200 not in ids  # zlib floor fired
+    assert len(ids) == 4  # quota: exactly 4 of the 5 remaining survivors
+    if 202 in ids:  # quota is hash-ordered; check the rewrite when kept
+        t202 = written.filter(F.col("doc_id") == 202).first().text
+        assert para not in t202 and "derivative intro" in t202
+    if 201 in ids:  # first occurrence keeps its copy
+        assert para in written.filter(F.col("doc_id") == 201).first().text
