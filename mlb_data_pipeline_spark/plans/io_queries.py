@@ -458,3 +458,96 @@ def q25_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("total_price"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q96 — SCD Type-2 merge (S12's history half): one change batch applied
+#        to an open dimension — changed keys close + reinsert, no-op
+#        changes pass through, multiple changes per key collapse to the
+#        latest first (idempotent on re-delivered feeds), unseen keys
+#        insert. The oracle replays the same merge with IS DISTINCT
+#        FROM in place of the digest comparison (equivalent semantics).
+# ---------------------------------------------------------------------------
+
+_Q96_SQL = """
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey,
+         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+),
+chg AS (
+  SELECT c_custkey, 'MOVED' AS c_mktsegment, c_nationkey, DATE '2024-06-01' AS change_ts
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_nationkey, DATE '2024-06-01' FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey, 'EARLY', c_nationkey, DATE '2024-03-01' FROM customer WHERE c_custkey % 10 = 2
+  UNION ALL
+  SELECT c_custkey, 'LATE', c_nationkey, DATE '2024-06-01' FROM customer WHERE c_custkey % 10 = 2
+  UNION ALL
+  SELECT c_custkey + 100000, 'NEW', c_nationkey, DATE '2024-06-01' FROM customer WHERE c_custkey % 10 = 3
+),
+latest AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey, change_ts FROM (
+    SELECT chg.*, row_number() OVER (PARTITION BY c_custkey ORDER BY change_ts DESC) AS rn FROM chg
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT COALESCE(o.c_custkey, l.c_custkey) AS c_custkey,
+         o.c_mktsegment AS o_seg, o.c_nationkey AS o_nat, o.valid_from AS o_vf,
+         l.c_mktsegment AS n_seg, l.c_nationkey AS n_nat, l.change_ts AS ts,
+         ((o.c_mktsegment IS DISTINCT FROM l.c_mktsegment)
+          OR (o.c_nationkey IS DISTINCT FROM l.c_nationkey)) AS differs,
+         o.valid_from IS NOT NULL AS has_open,
+         l.change_ts IS NOT NULL AS has_chg
+  FROM cur o FULL OUTER JOIN latest l ON o.c_custkey = l.c_custkey
+)
+SELECT c_custkey, o_seg AS c_mktsegment, o_nat AS c_nationkey,
+       o_vf AS valid_from, CAST(NULL AS DATE) AS valid_to
+FROM m WHERE has_open AND (NOT has_chg OR NOT differs)
+UNION ALL
+SELECT c_custkey, o_seg, o_nat, o_vf, ts FROM m WHERE has_open AND has_chg AND differs
+UNION ALL
+SELECT c_custkey, n_seg, n_nat, ts, CAST(NULL AS DATE)
+FROM m WHERE has_chg AND (NOT has_open OR differs)
+ORDER BY c_custkey, valid_from
+"""
+
+
+@query("q96_scd2_merge", oracle=_Q96_SQL, covers="S12,J3,O4,A2")
+def q96_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from ..sources.warehouse import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        F.lit(datetime.date(2024, 1, 1)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    ts = F.lit(datetime.date(2024, 6, 1))
+    changes = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", F.lit("MOVED").alias("c_mktsegment"), "c_nationkey", ts.alias("change_ts"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 1)
+            .select("c_custkey", "c_mktsegment", "c_nationkey", ts.alias("change_ts"))
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 2)
+            .select("c_custkey", F.lit("EARLY").alias("c_mktsegment"), "c_nationkey",
+                    F.lit(datetime.date(2024, 3, 1)).alias("change_ts"))
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 2)
+            .select("c_custkey", F.lit("LATE").alias("c_mktsegment"), "c_nationkey", ts.alias("change_ts"))
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 3)
+            .select((F.col("c_custkey") + 100000).alias("c_custkey"),
+                    F.lit("NEW").alias("c_mktsegment"), "c_nationkey", ts.alias("change_ts"))
+        )
+    )
+    out = scd2_apply(current, changes, ["c_custkey"], ["c_mktsegment", "c_nationkey"])
+    return out.orderBy("c_custkey", "valid_from")

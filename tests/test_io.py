@@ -388,3 +388,46 @@ def test_delete_keys_partitioned_preserves_layout_and_survives_full_purge(spark,
     empty = spark.read.parquet(path)
     assert empty.count() == 0
     assert set(empty.columns) == {"id", "band", "payload"}
+
+
+def test_scd2_apply_semantics(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.sources.warehouse import scd2_apply
+
+    d = datetime.date
+    cur = spark.createDataFrame(
+        [
+            (1, "gold", d(2023, 1, 1), d(2023, 6, 1)),   # closed history
+            (1, "silver", d(2023, 6, 1), None),           # open
+            (2, "bronze", d(2023, 1, 1), None),           # open, will no-op
+            (3, None, d(2023, 1, 1), None),               # open with NULL attr
+        ],
+        "k BIGINT, tier STRING, valid_from DATE, valid_to DATE",
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, "gold", d(2024, 1, 1)),     # change back to gold
+            (1, "plat", d(2023, 9, 1)),     # earlier change, must lose to latest
+            (2, "bronze", d(2024, 1, 1)),   # identical -> no-op
+            (3, "filled", d(2024, 1, 1)),   # NULL -> value IS a change
+            (9, "new", d(2024, 1, 1)),      # unseen key
+        ],
+        "k BIGINT, tier STRING, change_ts DATE",
+    )
+    out = scd2_apply(cur, chg, ["k"], ["tier"])
+    rows = {(r.k, r.tier, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, "gold", d(2023, 1, 1), d(2023, 6, 1)),     # history untouched
+        (1, "silver", d(2023, 6, 1), d(2024, 1, 1)),   # closed by LATEST change
+        (1, "gold", d(2024, 1, 1), None),               # new open (not 'plat')
+        (2, "bronze", d(2023, 1, 1), None),             # no-op kept open
+        (3, None, d(2023, 1, 1), d(2024, 1, 1)),        # NULL -> filled closes
+        (3, "filled", d(2024, 1, 1), None),
+        (9, "new", d(2024, 1, 1), None),
+    }
+    # idempotence: re-applying the same batch changes nothing
+    again = scd2_apply(out, chg, ["k"], ["tier"])
+    assert {(r.k, r.tier, r.valid_from, r.valid_to) for r in again.collect()} == rows
