@@ -242,3 +242,43 @@ def q91_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q97/Q98 — tf-idf keywords and unigram-LM scoring through the
+#        PERSISTED inverted index (the q75 pattern): build + save +
+#        load + score with the SAME oracles as q89/q91, so each store
+#        round-trip is itself hash-verified. One saved index serves
+#        BM25 retrieval, keyword tagging AND quality scoring — the
+#        point of sharing the postings layout.
+# ---------------------------------------------------------------------------
+
+
+def _loaded_index(spark: SparkSession, sf_dir: str, name: str):
+    import os
+
+    from ..operators.search import build_text_index, load_text_index, save_text_index
+
+    path = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), name
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    save_text_index(build_text_index(docs), path)
+    return load_text_index(spark, path)
+
+
+@query("q97_tfidf_indexed", oracle=_Q89_SQL, covers="V2,T17,O3,S8")
+def q97_tfidf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import tfidf_keywords
+
+    idx = _loaded_index(spark, sf_dir, "q97_text_index")
+    kw = tfidf_keywords(index=idx, k=3, max_doc_frac=0.9)
+    return kw.filter(F.col("doc_id") < 50).orderBy("doc_id", "rank")
+
+
+@query("q98_unigram_indexed", oracle=_Q91_SQL, covers="T18,A2,S8")
+def q98_unigram_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import unigram_logprob
+
+    idx = _loaded_index(spark, sf_dir, "q98_text_index")
+    return unigram_logprob(index=idx).orderBy("doc_id")
