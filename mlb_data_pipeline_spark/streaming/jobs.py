@@ -355,3 +355,43 @@ def contamination_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def scd2_stream(
+    changes_stream: DataFrame,
+    dim_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str = "change_ts",
+) -> None:
+    """Streaming SCD Type-2 maintenance: each micro-batch of change
+    rows merges into the persisted versioned dimension at ``dim_path``
+    via ``scd2_apply`` (read -> merge -> checkpoint -> overwrite, the
+    ``compact_parquet`` read-then-rewrite safety). Sequential batches
+    preserve INTERMEDIATE history — a key changed in batch 1 and again
+    in batch 2 keeps both closed versions, which is exactly what
+    distinguishes the streaming form from one collapsed batch apply.
+
+    Delivery: foreachBatch is at-least-once on retry; ``scd2_apply``
+    is idempotent on a re-delivered batch (an identical change against
+    the now-open row is a no-op, pinned by test), so replays converge.
+    The dimension must exist (write the initial open rows with
+    valid_from/valid_to) before the stream starts."""
+    from ..sources.warehouse import scd2_apply
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        current = spark.read.parquet(dim_path)
+        merged = scd2_apply(
+            current, batch_df, key_cols, attr_cols, ts_col
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(dim_path)
+
+    q = (
+        changes_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

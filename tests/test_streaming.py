@@ -435,3 +435,45 @@ def test_contamination_stream_equals_batch_probe(spark, tmp_path):
     }
     assert streamed == batch
     assert {(c, b) for c, b, _ in streamed} == {(100, 1), (200, 2)}
+
+
+def test_scd2_stream_preserves_intermediate_history(spark, tmp_path):
+    """Streaming SCD2: two sequential micro-batches changing the same
+    key keep BOTH closed versions (the collapsed single-batch apply
+    would keep only the latest) — plus an unseen-key insert and a
+    no-op, through the persisted dimension."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.streaming import read_event_stream, scd2_stream
+
+    d = datetime.date
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "gold", d(2023, 1, 1), None), (2, "bronze", d(2023, 1, 1), None)],
+        "k BIGINT, tier STRING, valid_from DATE, valid_to DATE",
+    ).write.parquet(dim)
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame([(1, "silver", d(2024, 1, 1)), (2, "bronze", d(2024, 1, 1))],
+                               "k BIGINT, tier STRING, change_ts DATE")
+    b2 = spark.createDataFrame([(1, "plat", d(2024, 6, 1)), (9, "new", d(2024, 6, 1))],
+                               "k BIGINT, tier STRING, change_ts DATE")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k BIGINT, tier STRING, change_ts DATE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    scd2_stream(stream, dim, str(tmp_path / "ckpt"), ["k"], ["tier"])
+    rows = {(r.k, r.tier, r.valid_from, r.valid_to)
+            for r in spark.read.parquet(dim).collect()}
+    assert rows == {
+        (1, "gold", d(2023, 1, 1), d(2024, 1, 1)),
+        (1, "silver", d(2024, 1, 1), d(2024, 6, 1)),  # intermediate version kept
+        (1, "plat", d(2024, 6, 1), None),
+        (2, "bronze", d(2023, 1, 1), None),            # no-op stayed open
+        (9, "new", d(2024, 6, 1), None),
+    }
