@@ -237,3 +237,21 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
     assert "SortMergeJoin" in plan
     join_subtree = plan[plan.index("SortMergeJoin"):]
     assert "Exchange" not in join_subtree, join_subtree
+
+
+def test_indexed_tfidf_and_unigram_probe_never_scan_documents(spark, sf_dir):
+    # q97/q98 deployment shape: keyword tagging and quality scoring off
+    # the SAME persisted postings as BM25 — zero corpus scans at score
+    # time
+    from mlb_data_pipeline_spark.plans import REGISTRY, load_all
+
+    load_all()
+    for name in ("q97_tfidf_indexed", "q98_unigram_indexed"):
+        plan = (
+            REGISTRY[name].spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "documents.parquet" not in plan, name
+        assert "postings" in plan, name
