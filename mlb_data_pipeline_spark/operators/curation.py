@@ -157,6 +157,28 @@ def redact_sql(expr: str, patterns: dict[str, str] | None = None) -> str:
     return expr
 
 
+def pseudonymize(col: Column | str, salt: str) -> Column:
+    """Salted SHA-256 pseudonymization of an identifier column — the
+    key-preserving half of the PII pass next to ``redact``'s pattern
+    scrubbing: user/session/device ids must disappear from training
+    data but KEEP their join/group semantics (same input -> same
+    token; a different salt makes releases unlinkable). Narrow
+    one-expression hash (sha2 over salt || value), engine-mirrorable
+    (DuckDB ``sha256``); NULL stays NULL (a missing id must not
+    collapse onto the hash of the bare salt)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNotNull(), F.sha2(F.concat(F.lit(salt), c.cast("string")).cast("binary"), 256)
+    )
+
+
+def pseudonymize_sql(expr: str, salt: str) -> str:
+    """DuckDB mirror of ``pseudonymize`` (same salt||value input)."""
+    if "'" in salt:
+        raise ValueError("salt must not contain single quotes")
+    return f"CASE WHEN {expr} IS NOT NULL THEN sha256('{salt}' || CAST({expr} AS VARCHAR)) END"
+
+
 def chunk_text(
     df: DataFrame,
     id_col: str,

@@ -603,3 +603,41 @@ def q94_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", ratio(F.col("text")).alias("compression_ratio"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q99 — identifier pseudonymization: salted SHA-256 of user_id with
+#        join/group semantics preserved — distinct-token count per
+#        event_type must equal the distinct-raw-id count (the property
+#        that makes pseudonymized data still trainable/joinable).
+# ---------------------------------------------------------------------------
+
+from ..operators.curation import pseudonymize_sql as _psql
+
+_Q99_SQL = f"""
+WITH p AS (
+  SELECT event_type,
+         {_psql('user_id', 'r6salt')} AS user_token
+  FROM events
+)
+SELECT event_type,
+       COUNT(DISTINCT user_token) AS n_users,
+       min(user_token) AS first_token
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q99_pseudonymize_ids", oracle=_Q99_SQL, covers="curation:pii,A3,A2")
+def q99_pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import pseudonymize
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.select("event_type", pseudonymize("user_id", "r6salt").alias("user_token"))
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_token").alias("n_users"),
+            F.min("user_token").alias("first_token"),
+        )
+        .orderBy("event_type")
+    )

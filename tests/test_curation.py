@@ -338,3 +338,21 @@ def test_group_quota_sample_exact_k_nested_and_deterministic(spark):
     # k larger than the stratum keeps everything
     small = spark.createDataFrame([(1, "z"), (2, "z")], "doc_id BIGINT, source STRING")
     assert group_quota_sample(small, ["source"], "doc_id", k=99).count() == 2
+
+
+def test_pseudonymize_preserves_join_semantics_and_null(spark):
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.curation import pseudonymize, pseudonymize_sql
+
+    df = spark.createDataFrame([(1,), (1,), (2,), (None,)], "uid BIGINT")
+    out = df.select(pseudonymize("uid", "s1").alias("t")).collect()
+    toks = [r.t for r in out]
+    assert toks[0] == toks[1] and toks[0] != toks[2]  # same-in same-out, distinct kept
+    assert toks[3] is None  # NULL stays NULL
+    assert all(t is None or len(t) == 64 for t in toks)
+    # different salt -> unlinkable
+    other = df.select(pseudonymize("uid", "s2").alias("t")).collect()
+    assert other[0].t != toks[0]
+    with pytest.raises(ValueError):
+        pseudonymize_sql("uid", "bad'salt")
