@@ -302,3 +302,37 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         row.select(F.explode(packed).alias("p"))
         .select("p.column", "p.n_nulls", "p.n_distinct", "p.min_value", "p.max_value")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit salt-and-replicate equi-join for pathological key skew:
+    when one join key carries a disproportionate share of the big side,
+    the single shuffle partition holding it becomes the straggler (or
+    spills). Salting splits every big-side key across ``n_salts``
+    sub-partitions — big rows get a DETERMINISTIC salt (xxhash64 over
+    the whole row, so identical rows still co-locate and plans stay
+    reproducible), the small side replicates once per salt, and the
+    join runs on (keys..., salt). The result is EXACTLY the plain
+    join — salting changes partitioning, never semantics — which is
+    why the q101 oracle is the unsalted SQL join.
+
+    Prefer AQE's skew-join splitting where it fires (sort-merge joins
+    over statistics it can see); explicit salting is the tool when the
+    skewed side feeds a broadcast-ineligible join AQE won't split, or
+    when the skew is known ahead of time and the ``n_salts`` x
+    small-side replication (the only cost) is cheap."""
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    big2 = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    small2 = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
+    )
+    return big2.join(small2, on + ["__salt"], how).drop("__salt")

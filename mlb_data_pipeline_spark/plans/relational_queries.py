@@ -1002,3 +1002,41 @@ def q95_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return table_profile(events, ["event_type", "user_id", "value"]).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# Q101 — salted equi-join under total key skew: events has only 5
+#        event_type values, so EVERY key is hot — the worst case for a
+#        key-partitioned shuffle. salted_join splits each key across 8
+#        deterministic sub-partitions (small side replicated 8x); the
+#        oracle is the PLAIN join — salting must never change
+#        semantics, only partitioning.
+# ---------------------------------------------------------------------------
+
+_Q101_SQL = """
+WITH dim AS (
+  SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events
+)
+SELECT d.type_label, COUNT(*) AS n, CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY d.type_label ORDER BY d.type_label
+"""
+
+
+@query("q101_salted_skew_join", oracle=_Q101_SQL, covers="J1,A8,A2")
+def q101_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.select("event_type").distinct().withColumn(
+        "type_label", F.upper("event_type")
+    )
+    joined = salted_join(events, dim, ["event_type"], n_salts=8)
+    return (
+        joined.groupBy("type_label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") >= 100.0).cast("long")).alias("n_large"),
+        )
+        .orderBy("type_label")
+    )

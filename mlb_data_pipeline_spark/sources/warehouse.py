@@ -128,3 +128,56 @@ def scd2_apply(
     return closed_rows.select(*key_cols, *attr_cols, "valid_from", "valid_to").unionByName(
         keep_open
     ).unionByName(newly_closed).unionByName(new_open)
+
+
+def build_rollup_store(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    group_cols: list[str],
+    value_col: str,
+) -> None:
+    """Incremental-aggregation store (materialized partial rollup —
+    the warehouse pattern behind every 'daily partition feeds monthly
+    dashboards' mart): persist per-(partition, groups) PARTIAL
+    aggregates (n + an exact DECIMAL sum) partitioned by
+    ``partition_col``. Coarser rollups then combine partials
+    (sum-of-sums, count-of-counts) without touching fact rows, and a
+    late-arriving day overwrites ONE partition directory. The partial
+    sum stays in the decimal domain end-to-end, so partial-of-partials
+    is exact and order-independent — combining partials is
+    bit-identical to aggregating the facts directly (the q102 oracle).
+    Overwrites ``path``."""
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import dec
+
+    (
+        df.groupBy(partition_col, *group_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec(value_col)).alias("partial_sum"),
+        )
+        .repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path.rstrip("/"))
+    )
+
+
+def rollup_from_store(
+    spark: SparkSession,
+    path: str,
+    group_exprs: list,
+    scale: int = 2,
+) -> DataFrame:
+    """Combine persisted partials to any coarser grain: sum-of-counts,
+    sum-of-partial-sums (exact decimal), rounded to ``scale`` at the
+    END — one scan of the (tiny) partial table, zero fact scans."""
+    from pyspark.sql import functions as F
+
+    p = spark.read.parquet(path.rstrip("/"))
+    return p.groupBy(*group_exprs).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("partial_sum"), scale).cast("double").alias("total"),
+    )

@@ -431,3 +431,44 @@ def test_scd2_apply_semantics(spark):
     # idempotence: re-applying the same batch changes nothing
     again = scd2_apply(out, chg, ["k"], ["tier"])
     assert {(r.k, r.tier, r.valid_from, r.valid_to) for r in again.collect()} == rows
+
+
+def test_rollup_store_partial_of_partials_exact_and_late_day(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.sources.warehouse import (
+        build_rollup_store,
+        rollup_from_store,
+    )
+
+    d = datetime.date
+    rows = [
+        (d(2024, 1, 1), "a", 0.1), (d(2024, 1, 1), "a", 0.2),
+        (d(2024, 1, 2), "a", 0.3), (d(2024, 1, 2), "b", 10.05),
+        (d(2024, 2, 1), "a", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "event_date DATE, k STRING, value DOUBLE")
+    path = str(tmp_path / "rollup")
+    build_rollup_store(df, path, "event_date", ["k"], "value")
+    monthly = {
+        (str(r.month), r.k): (r.n, r.total)
+        for r in rollup_from_store(
+            spark, path, [F.trunc("event_date", "month").alias("month"), F.col("k")]
+        ).collect()
+    }
+    assert monthly[("2024-01-01", "a")] == (3, 0.6)  # 0.1+0.2+0.3 exact, no float drift
+    assert monthly[("2024-01-01", "b")] == (1, 10.05)
+    assert monthly[("2024-02-01", "a")] == (1, 1.0)
+    # late-arriving day: rebuild overwrites; combining still exact
+    rows.append((d(2024, 1, 3), "a", 0.4))
+    df2 = spark.createDataFrame(rows, "event_date DATE, k STRING, value DOUBLE")
+    build_rollup_store(df2, path, "event_date", ["k"], "value")
+    again = {
+        (str(r.month), r.k): (r.n, r.total)
+        for r in rollup_from_store(
+            spark, path, [F.trunc("event_date", "month").alias("month"), F.col("k")]
+        ).collect()
+    }
+    assert again[("2024-01-01", "a")] == (4, 1.0)

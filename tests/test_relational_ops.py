@@ -97,3 +97,22 @@ def test_table_profile_stats_and_native_type_minmax(spark):
     assert got["s"] == (1, 2, "a", "b")
     with pytest.raises(ValueError):
         table_profile(df, [])
+
+
+def test_salted_join_equals_plain_join_and_partitions_on_salt(spark):
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(200)], "id BIGINT, k STRING"
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], "k STRING, v INT")
+    plain = {(r.id, r.k, r.v) for r in big.join(small, "k").collect()}
+    salted = salted_join(big, small, ["k"], n_salts=4)
+    assert {(r.id, r.k, r.v) for r in salted.collect()} == plain
+    # the physical join genuinely keys on the salt
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    with pytest.raises(ValueError):
+        salted_join(big, small, ["k"], n_salts=0)
