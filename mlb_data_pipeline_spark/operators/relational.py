@@ -320,7 +320,7 @@ def salted_join(
     reproducible), the small side replicates once per salt, and the
     join runs on (keys..., salt). The result is EXACTLY the plain
     join — salting changes partitioning, never semantics — which is
-    why the q101 oracle is the unsalted SQL join.
+    why the r01 oracle is the unsalted SQL join.
 
     Prefer AQE's skew-join splitting where it fires (sort-merge joins
     over statistics it can see); explicit salting is the tool when the

@@ -554,7 +554,7 @@ def q96_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q100 — ORC lake format round-trip (S-family format coverage beyond
+# R00 — ORC lake format round-trip (S-family format coverage beyond
 #        the reference's CSV/JSON/parquet): events written as
 #        date-partitioned ORC via the same write_partitioned sink
 #        (fmt="orc"), read back, aggregated. The oracle aggregates the
@@ -564,19 +564,19 @@ def q96_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        shape.
 # ---------------------------------------------------------------------------
 
-_Q100_SQL = """
+_R00_SQL = """
 SELECT event_type, COUNT(*) AS n, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY event_type ORDER BY event_type
 """
 
 
-@query("q100_orc_roundtrip", oracle=_Q100_SQL, covers="S8,S3,A2,A3")
-def q100_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r00_orc_roundtrip", oracle=_R00_SQL, covers="S8,S3,A2,A3")
+def r00_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")
     )
-    path = _scratch(sf_dir, "q100_events_orc")
+    path = _scratch(sf_dir, "r00_events_orc")
     write_partitioned(events, path, ["event_date"], fmt="orc")
     back = spark.read.orc(path)
     return (
@@ -587,7 +587,7 @@ def q100_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q102 — incremental aggregation through a persisted partial-rollup
+# R02 — incremental aggregation through a persisted partial-rollup
 #        store: daily (event_date, event_type) partials materialize
 #        once; the monthly answer combines PARTIALS (sum-of-sums in the
 #        exact decimal domain — order-free, so partial-of-partials is
@@ -597,7 +597,7 @@ def q100_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        dir, never the fact table.
 # ---------------------------------------------------------------------------
 
-_Q102_SQL = """
+_R02_SQL = """
 SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
        COUNT(*) AS n,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
@@ -606,14 +606,14 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-@query("q102_rollup_store", oracle=_Q102_SQL, covers="S8,A2,S12")
-def q102_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r02_rollup_store", oracle=_R02_SQL, covers="S8,A2,S12")
+def r02_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.warehouse import build_rollup_store, rollup_from_store
 
     events = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")
     )
-    path = _scratch(sf_dir, "q102_rollup")
+    path = _scratch(sf_dir, "r02_rollup")
     build_rollup_store(events, path, "event_date", ["event_type"], "value")
     monthly = rollup_from_store(
         spark, path, [F.trunc("event_date", "month").alias("month"), F.col("event_type")]

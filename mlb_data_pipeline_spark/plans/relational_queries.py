@@ -1005,7 +1005,7 @@ def q95_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q101 — salted equi-join under total key skew: events has only 5
+# R01 — salted equi-join under total key skew: events has only 5
 #        event_type values, so EVERY key is hot — the worst case for a
 #        key-partitioned shuffle. salted_join splits each key across 8
 #        deterministic sub-partitions (small side replicated 8x); the
@@ -1013,7 +1013,7 @@ def q95_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        semantics, only partitioning.
 # ---------------------------------------------------------------------------
 
-_Q101_SQL = """
+_R01_SQL = """
 WITH dim AS (
   SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events
 )
@@ -1023,8 +1023,8 @@ GROUP BY d.type_label ORDER BY d.type_label
 """
 
 
-@query("q101_salted_skew_join", oracle=_Q101_SQL, covers="J1,A8,A2")
-def q101_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r01_salted_skew_join", oracle=_R01_SQL, covers="J1,A8,A2")
+def r01_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import salted_join
 
     events = load_table(spark, sf_dir, "events")

@@ -146,7 +146,7 @@ def build_rollup_store(
     late-arriving day overwrites ONE partition directory. The partial
     sum stays in the decimal domain end-to-end, so partial-of-partials
     is exact and order-independent — combining partials is
-    bit-identical to aggregating the facts directly (the q102 oracle).
+    bit-identical to aggregating the facts directly (the r02 oracle).
     Overwrites ``path``."""
     from pyspark.sql import functions as F
 
