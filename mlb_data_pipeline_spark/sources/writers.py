@@ -200,3 +200,48 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def shard_manifest(spark: SparkSession, data_path: str) -> DataFrame:
+    """Release manifest for a written parquet dataset: one row per data
+    file with its row count and size — the artifact a training-data
+    release hands downstream so consumers can verify completeness
+    (sum of rows), shard-balance (row spread), and detect partial
+    copies (file set + sizes) without scanning data. Row counts come
+    from ONE metadata-cheap scan grouped by ``input_file_name()``;
+    sizes from the filesystem listing (driver-side metadata, bounded
+    by file count, never data volume).
+
+    Returns (file, n_rows, bytes) sorted by file; callers typically
+    write it next to the data (e.g. ``<path>/_MANIFEST``) after the
+    shard write commits."""
+    from pyspark.sql import functions as F
+
+    # input_file_name() returns a file:///-style URL, the FS listing a
+    # file:/-style path, and one dynamic-partition task reuses the SAME
+    # part basename in every partition dir it writes — so the join key
+    # is the full path normalized to a bare /-rooted form on both sides
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    counts = (
+        spark.read.parquet(data_path.rstrip("/"))
+        .groupBy(norm(F.input_file_name()).alias("path"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(data_path.rstrip("/"))
+    fs = path.getFileSystem(conf)
+    sizes = []
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(".parquet"):
+            sizes.append((p, int(st.getLen())))
+    size_df = spark.createDataFrame(sizes, "file STRING, bytes BIGINT").withColumn(
+        "path", norm(F.col("file"))
+    )
+    return counts.join(size_df, "path", "inner").select(
+        "file", "n_rows", "bytes"
+    ).orderBy("file")

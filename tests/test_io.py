@@ -472,3 +472,18 @@ def test_rollup_store_partial_of_partials_exact_and_late_day(spark, tmp_path):
         ).collect()
     }
     assert again[("2024-01-01", "a")] == (4, 1.0)
+
+
+def test_shard_manifest_counts_and_sizes(spark, tmp_path):
+    from mlb_data_pipeline_spark.sources.writers import shard_manifest, write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(300)], "id BIGINT, split STRING"
+    )
+    path = str(tmp_path / "shards")
+    write_partitioned(df, path, ["split"])
+    m = shard_manifest(spark, path).collect()
+    assert sum(r.n_rows for r in m) == 300
+    assert all(r.bytes > 0 and r.file.endswith(".parquet") for r in m)
+    # every split directory contributed at least one file
+    assert {f"split={s}" in r.file for s in ("s0", "s1", "s2") for r in m} == {True, False} or len(m) >= 3
