@@ -145,8 +145,14 @@ def pretraining_data_pipeline(
     q = q.withColumn("n_tok", token_count(text_col)).localCheckpoint(eager=True)
     # 8. packing per split (window partitions by split — no global sort)
     packed = pack_sequences(q, id_col, "n_tok", pack_budget, partition_cols=["split"])
-    # 9. split-partitioned shard write
+    # 9. split-partitioned shard write + release manifest (_-prefixed
+    #    so parquet discovery ignores it; written AFTER the data commit)
     write_partitioned(packed, out_path, ["split"])
+    from ..sources.writers import shard_manifest
+
+    shard_manifest(spark, out_path).coalesce(1).write.mode("overwrite").parquet(
+        out_path.rstrip("/") + "/_MANIFEST"
+    )
     # 10. extend the corpus store with what was RELEASED
     append_signature_store(q, id_col, text_col, store_path)
     return (

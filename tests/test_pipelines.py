@@ -279,3 +279,25 @@ def test_pretraining_pipeline_round6_knobs(spark, tmp_path):
         assert para not in t202 and "derivative intro" in t202
     if 201 in ids:  # first occurrence keeps its copy
         assert para in written.filter(F.col("doc_id") == 201).first().text
+
+
+def test_pretraining_pipeline_writes_manifest(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.dedup import build_signature_store
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12)), "web") for i in range(5)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    store = str(tmp_path / "store")
+    build_signature_store(corpus, "doc_id", "text", store)
+    bench = spark.createDataFrame([(900, "held out words")], "doc_id BIGINT, text STRING")
+    delta = spark.createDataFrame(
+        [(100 + i, " ".join(f"d{i}x{j}" for j in range(25)), "web") for i in range(6)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    out = str(tmp_path / "shards")
+    pretraining_data_pipeline(spark, delta, bench, store, out, mix={"web": 1.0}, pack_budget=64)
+    data_rows = spark.read.parquet(out).count()
+    manifest = spark.read.parquet(out + "/_MANIFEST").collect()
+    assert sum(r.n_rows for r in manifest) == data_rows > 0
