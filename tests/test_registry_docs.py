@@ -18,3 +18,12 @@ def test_survey_registry_map_in_sync():
         text=True,
     )
     assert out.returncode == 0, out.stdout + out.stderr
+
+
+def test_operators_doc_in_sync():
+    out = subprocess.run(
+        [sys.executable, os.path.join(_ROOT, "tools", "gen_operators_doc.py"), "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
