@@ -659,3 +659,27 @@ def test_remove_duplicate_spans_overlapping_coverage_and_guard(spark):
     bad = spark.createDataFrame([(-1, " ".join(f"x{j}" for j in range(9)))], "doc_id BIGINT, text STRING")
     with pytest.raises(SparkRuntimeException, match="must be >= 0"):
         remove_duplicate_spans(bad, "doc_id", "text").collect()
+
+
+def test_round6_operators_survive_empty_input(spark):
+    # degenerate-shape sweep: zero-row frames must produce zero-row
+    # results, never sequence/agg errors
+    from mlb_data_pipeline_spark.operators.curation import group_quota_sample
+    from mlb_data_pipeline_spark.operators.dedup import (
+        fuzzy_pairs,
+        remove_duplicate_spans,
+        winnow_fingerprint_pairs,
+    )
+    from mlb_data_pipeline_spark.operators.relational import numeric_histogram, table_profile
+    from mlb_data_pipeline_spark.operators.search import tfidf_keywords, unigram_logprob
+
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING, source STRING, value DOUBLE")
+    assert winnow_fingerprint_pairs(empty, "doc_id", "text").count() == 0
+    assert fuzzy_pairs(empty, "doc_id", "text").count() == 0
+    assert remove_duplicate_spans(empty, "doc_id", "text").count() == 0
+    assert tfidf_keywords(empty, k=3).count() == 0
+    assert unigram_logprob(empty).count() == 0
+    assert group_quota_sample(empty, ["source"], "doc_id", 5).count() == 0
+    assert numeric_histogram(empty, "value", 0.0, 1.0, 4).count() == 0
+    prof = {r.column: r for r in table_profile(empty, ["value"]).collect()}
+    assert prof["value"].n_nulls == 0 and prof["value"].n_distinct == 0
