@@ -326,3 +326,37 @@ def group_quota_sample(
         .filter(F.col("__qr") <= k)
         .drop("__qr")
     )
+
+
+def seeded_shuffle(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic global example shuffle -> (shard, position): the
+    training-order step between curation and the shard write. Training
+    runs need documents in a reproducible pseudo-random order that is
+    independent of source/ingest order (adjacent same-source documents
+    bias gradients) and re-derivable from (salt, key) alone — random()
+    gives neither, and a global orderBy over md5 would range-shuffle
+    the whole corpus through one sort.
+
+    shard = int(md5(salt || key)[:4 hex]) mod n_shards spreads keys
+    uniformly; position = rank of md5(salt || key) WITHIN the shard
+    (ties broken by the key). Both depend only on (salt, key): adding
+    documents never reorders existing (shard, position) pairs relative
+    to each other, and a new salt is a fresh permutation. Cost is ONE
+    hash shuffle on shard + per-shard sorts (each ~1/n_shards of the
+    data — no global sort anywhere); downstream,
+    ``write_partitioned(out, path, ["shard"])`` lands one training
+    file per shard already in reading order.
+
+    Rows sharing the same key value get distinct consecutive positions
+    in an engine-arbitrary relative order (row_number must break the
+    tie somehow) — pass a unique key (the primary id) for a fully
+    deterministic order, same contract as ``group_quota_sample``."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary"))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int")) % n_shards
+    out = df.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(h.asc(), F.col(key_col).asc())
+    return out.withColumn("position", F.row_number().over(w))

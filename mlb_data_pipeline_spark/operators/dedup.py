@@ -989,3 +989,41 @@ def neardup_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     return labeled.filter(
         F.col("__cc_component").isNull() | (F.col(id_col) == F.col("__cc_component"))
     ).drop("__cc_id", "__cc_component")
+
+
+def neardup_dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_by: list[Column],
+) -> DataFrame:
+    """``neardup_dedup`` with an explicit keep POLICY: one survivor per
+    near-dup cluster chosen by ``order_by`` (e.g. quality score
+    descending — curation usually wants the best-written copy, not the
+    numerically smallest id; min-id is this with ``[col(id).asc()]``).
+    Ties must be broken deterministically, so ``order_by`` is always
+    extended with the id ascending as the final key.
+
+    Same plan shape as ``neardup_dedup``: connected components over the
+    pair graph, then ONE window ranking cluster members. Singletons
+    (the overwhelming majority of a deduped corpus) NEVER enter the
+    window — ranking them too would funnel every unclustered row into
+    the single NULL-component partition, one task sorting ~the whole
+    corpus. They pass through a filter instead, so the extra cost over
+    min-id is a row_number over just the clustered rows (each cluster
+    a few rows). The ordering columns are resolved against ``df``,
+    letting the policy use any corpus column (length, quality score,
+    recency) without a second join."""
+    comp = connected_components(pairs).select(
+        F.col("id").alias("__cc_id"), F.col("component").alias("__cc_component")
+    )
+    labeled = df.join(comp, df[id_col] == comp["__cc_id"], "left")
+    singles = labeled.filter(F.col("__cc_component").isNull())
+    clustered = labeled.filter(F.col("__cc_component").isNotNull())
+    w = Window.partitionBy("__cc_component").orderBy(*order_by, F.col(id_col).asc())
+    best = (
+        clustered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return singles.unionByName(best).drop("__cc_id", "__cc_component")

@@ -261,6 +261,78 @@ def numeric_histogram(
     )
 
 
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the dataset-monitoring sibling of ``dataset_diff`` (which
+    answers *which rows* changed; this answers *did the distribution*
+    move, the alert a 100 TB ingest needs when upstream silently starts
+    sending different data). Bins both sides with ``numeric_histogram``'s
+    clamped fixed-bin formula, full-outer joins the two histograms, and
+    reports per-bin PSI contributions plus the total:
+
+        PSI = sum_bins (p_a - p_b) * ln(p_a / p_b)
+
+    with additive smoothing p = (n + 0.5) / (total + 0.5 * nbins) so
+    empty bins never divide by zero (bins empty on BOTH sides are
+    excluded — they carry no evidence; with smoothing they would still
+    contribute a spurious epsilon when the totals differ). Rule of
+    thumb: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 investigate.
+
+    Engine-neutral arithmetic (same contract as the BM25 idf): every
+    double op in pinned order, ln floor-quantized at 1e-6, and each
+    bin's PSI term floor-quantized to integer 1e-9 units so the TOTAL
+    is a sum of longs — order-free, identical bits on any engine and
+    any partitioning. Cost: two grouped counts (combiner-friendly,
+    nbins rows per task on the shuffle) + one nbins-row join; the
+    single-partition window at the end touches nbins rows, never data.
+    """
+    ha = (
+        numeric_histogram(df_a, col, lo, hi, nbins)
+        .select("bin", F.col("n").alias("n_a"))
+    )
+    hb = (
+        numeric_histogram(df_b, col, lo, hi, nbins)
+        .select("bin", F.col("n").alias("n_b"))
+    )
+    j = ha.join(hb, "bin", "full").select(
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    # constant partition key: same single-partition evaluation over the
+    # nbins-row frame, without WindowExec's all-data warning
+    w = Window.partitionBy(F.lit(0))
+    half = float(0.5 * nbins)
+    pa = (F.col("n_a").cast("double") + F.lit(0.5)) / (
+        F.sum("n_a").over(w).cast("double") + F.lit(half)
+    )
+    pb = (F.col("n_b").cast("double") + F.lit(0.5)) / (
+        F.sum("n_b").over(w).cast("double") + F.lit(half)
+    )
+    qln = F.floor(F.log(pa / pb) * F.lit(1000000.0)) / F.lit(1000000.0)
+    units = F.floor((pa - pb) * qln * F.lit(1000000000.0)).cast("long")
+    return (
+        j.select("bin", "n_a", "n_b", units.alias("__u"))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            (F.col("__u").cast("double") / F.lit(1000000000.0)).alias("psi_term"),
+            (F.sum("__u").over(w).cast("double") / F.lit(1000000000.0)).alias(
+                "psi_total"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
 def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """ANALYZE-style column profile — (column, n_nulls, n_distinct,
     min_value, max_value) per requested column, the schema-QA report a

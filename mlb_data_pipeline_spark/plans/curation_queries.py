@@ -641,3 +641,37 @@ def q99_pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# R04 — deterministic corpus shuffle -> (shard, position): the
+#        training-order assignment between curation and the shard
+#        write. Shard membership and within-shard order derive from
+#        md5(key) alone, so the oracle is the same hash arithmetic in
+#        SQL; doc_id is unique, making the full order deterministic.
+# ---------------------------------------------------------------------------
+
+_R04_SQL = """
+WITH k AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS position,
+       doc_id, source
+FROM k
+ORDER BY shard, position
+"""
+
+
+@query("r04_seeded_shuffle", oracle=_R04_SQL, covers="curation:shuffle,O3,P8")
+def r04_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import seeded_shuffle
+    from ..operators.relational import ordered_small
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = seeded_shuffle(docs, "doc_id", n_shards=8).select(
+        "shard", "position", "doc_id", "source"
+    )
+    return ordered_small(out, "shard", "position")

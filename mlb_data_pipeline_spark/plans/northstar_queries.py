@@ -769,3 +769,86 @@ def q92_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = remove_duplicate_spans(docs, "doc_id", "text", span_tokens=8)
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# R05 — near-dup dedup with a keep-BEST policy: same MinHash pair graph
+#        and reach-set components as q65, but the survivor per cluster
+#        is the LONGEST document (n_chars desc, id tiebreak) instead of
+#        the minimum id — the curation rule "keep the fullest copy".
+#        Singletons pass through untouched.
+# ---------------------------------------------------------------------------
+
+_R05_SQL = """
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [] END AS shingles
+  FROM d
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+                                      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS gs
+  FROM sh
+),
+mh AS (
+  SELECT e.doc_id, b.band,
+         MIN(((e.gv >> 30) + b.band * (e.gv & 1073741823)) % 2147483647) AS m
+  FROM (SELECT doc_id, unnest(gs) AS gv FROM g) e
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+  GROUP BY e.doc_id, b.band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b ON a.band = b.band AND a.m = b.m AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.id_a
+  JOIN g gb ON gb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+          / len(list_distinct(list_concat(ga.gs, gb.gs))) >= 0.3
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+m AS (
+  SELECT dd.doc_id, dd.source, dd.n_chars, c.component
+  FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.id
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+  FROM m WHERE component IS NOT NULL
+)
+SELECT doc_id, source, n_chars FROM m WHERE component IS NULL
+UNION ALL
+SELECT doc_id, source, n_chars FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@query("r05_neardup_keep_best", oracle=_R05_SQL, covers="V4,J1,O3")
+def r05_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q65's pair graph + components, with the keep policy inverted to
+    best-copy-wins: ``neardup_dedup_keep_best`` ordered by n_chars
+    descending. Exercises the policy window AND the singleton
+    pass-through against the full recursive-CTE oracle."""
+    from ..operators.dedup import neardup_dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.3, n_hashes=4, shingle_n=3)
+    kept = neardup_dedup_keep_best(
+        docs, pairs.select("id_a", "id_b"), "doc_id", [F.col("n_chars").desc()]
+    )
+    return ordered_small(kept.select("doc_id", "source", "n_chars"), "doc_id")

@@ -1040,3 +1040,55 @@ def r01_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# R03 — distribution drift (PSI) between two event populations: the
+#        dataset-monitoring report next to q93's histogram and q08's
+#        row-level diff. 'click' values vs 'purchase' values over the
+#        same [0, 500) x 20 axis; per-bin PSI contributions are
+#        floor-quantized to integer 1e-9 units so the total is a sum
+#        of longs — order-free, bit-identical on any engine.
+# ---------------------------------------------------------------------------
+
+_R03_SQL = """
+WITH ha AS (
+  SELECT CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) * 20.0 / 500.0), 0), 19) AS INT) AS bin,
+         COUNT(*) AS n_a
+  FROM events WHERE value IS NOT NULL AND event_type = 'click' GROUP BY 1
+),
+hb AS (
+  SELECT CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) * 20.0 / 500.0), 0), 19) AS INT) AS bin,
+         COUNT(*) AS n_b
+  FROM events WHERE value IS NOT NULL AND event_type = 'purchase' GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(ha.bin, hb.bin) AS bin, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM ha FULL JOIN hb ON ha.bin = hb.bin
+),
+p AS (
+  SELECT bin, n_a, n_b,
+         (CAST(n_a AS DOUBLE) + 0.5) / (CAST(SUM(n_a) OVER () AS DOUBLE) + 10.0) AS pa,
+         (CAST(n_b AS DOUBLE) + 0.5) / (CAST(SUM(n_b) OVER () AS DOUBLE) + 10.0) AS pb
+  FROM j
+),
+t AS (
+  SELECT bin, n_a, n_b,
+         CAST(floor((pa - pb) * (floor(ln(pa / pb) * 1000000.0) / 1000000.0) * 1000000000.0) AS BIGINT) AS u
+  FROM p
+)
+SELECT bin, n_a, n_b,
+       CAST(u AS DOUBLE) / 1000000000.0 AS psi_term,
+       CAST(SUM(u) OVER () AS DOUBLE) / 1000000000.0 AS psi_total
+FROM t ORDER BY bin
+"""
+
+
+@query("r03_distribution_drift", oracle=_R03_SQL, covers="A2,J3,O6")
+def r03_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import distribution_drift
+
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "click")
+    b = events.filter(F.col("event_type") == "purchase")
+    return distribution_drift(a, b, "value", 0.0, 500.0, 20)

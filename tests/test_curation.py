@@ -356,3 +356,36 @@ def test_pseudonymize_preserves_join_semantics_and_null(spark):
     assert other[0].t != toks[0]
     with pytest.raises(ValueError):
         pseudonymize_sql("uid", "bad'salt")
+
+
+def test_seeded_shuffle_contiguous_deterministic_salted(spark):
+    from mlb_data_pipeline_spark.operators.curation import seeded_shuffle
+
+    import pytest as _pytest
+
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    out = seeded_shuffle(df, "k", n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    assert set(by_shard) <= set(range(4)) and len(by_shard) == 4
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+    # deterministic: same (salt, key) -> same (shard, position)
+    again = seeded_shuffle(df, "k", n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # growing the corpus never moves existing keys relative to each other
+    grown = seeded_shuffle(
+        spark.range(0, 300).withColumnRenamed("id", "k"), "k", n_shards=4
+    ).collect()
+    pos0 = {(r.shard, r.k): r.position for r in out}
+    posg = {(r.shard, r.k): r.position for r in grown if r.k < 200}
+    for shard in range(4):
+        old = sorted((p, k) for (s, k), p in pos0.items() if s == shard)
+        new = sorted((p, k) for (s, k), p in posg.items() if s == shard)
+        assert [k for _, k in old] == [k for _, k in new], shard
+    # a new salt is a different permutation (overwhelmingly)
+    salted = seeded_shuffle(df, "k", n_shards=4, salt="v2").collect()
+    assert sorted(map(tuple, salted)) != sorted(map(tuple, out))
+    with _pytest.raises(ValueError):
+        seeded_shuffle(df, "k", n_shards=0)

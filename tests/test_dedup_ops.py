@@ -683,3 +683,31 @@ def test_round6_operators_survive_empty_input(spark):
     assert numeric_histogram(empty, "value", 0.0, 1.0, 4).count() == 0
     prof = {r.column: r for r in table_profile(empty, ["value"]).collect()}
     assert prof["value"].n_nulls == 0 and prof["value"].n_distinct == 0
+
+
+def test_neardup_keep_best_policy_and_singletons(spark):
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.dedup import (
+        neardup_dedup,
+        neardup_dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (10, 7), (11, 7), (20, 5)],
+        "id BIGINT, score BIGINT",
+    )
+    # cluster {1,2,3} via a chain (1-2, 2-3); cluster {10,11} ties on
+    # score; 20 is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a BIGINT, id_b BIGINT"
+    )
+    kept = neardup_dedup_keep_best(docs, pairs, "id", [F.col("score").desc()])
+    assert sorted(r.id for r in kept.collect()) == [2, 10, 20]  # best score; tie -> min id
+    # ordered by id asc the policy degenerates to min-id == neardup_dedup
+    by_id = neardup_dedup_keep_best(docs, pairs, "id", [F.col("id").asc()])
+    base = neardup_dedup(docs, pairs, "id")
+    assert sorted(r.id for r in by_id.collect()) == sorted(r.id for r in base.collect())
+    # empty pair graph: everything survives
+    empty = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    assert neardup_dedup_keep_best(docs, empty, "id", [F.col("score").desc()]).count() == 6

@@ -116,3 +116,36 @@ def test_salted_join_equals_plain_join_and_partitions_on_salt(spark):
     assert "__salt" in plan
     with pytest.raises(ValueError):
         salted_join(big, small, ["k"], n_salts=0)
+
+
+def test_distribution_drift_zero_self_positive_shifted(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.relational import distribution_drift
+
+    a = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("x"))
+    # identical populations: every bin matches -> PSI exactly 0
+    same = distribution_drift(a, a, "x", 0.0, 100.0, 10).collect()
+    assert all(r.psi_term == 0.0 for r in same)
+    assert same[0].psi_total == 0.0
+    # shifted population concentrates mass in the top bins -> large PSI
+    b = spark.range(0, 1000).select(
+        (F.lit(50.0) + (F.col("id") % 50).cast("double")).alias("x")
+    )
+    shifted = distribution_drift(a, b, "x", 0.0, 100.0, 10).collect()
+    assert shifted[0].psi_total > 0.25
+    assert all(r.psi_total == shifted[0].psi_total for r in shifted)
+    # per-bin terms sum to the total (within the 1e-9 quantization)
+    assert abs(sum(r.psi_term for r in shifted) - shifted[0].psi_total) < 1e-6
+    # an empty side still produces a defined report: smoothing turns it
+    # into the uniform reference, so a NON-uniform A reads as drift
+    skew = spark.range(0, 1000).select(
+        F.least(F.col("id") % 100, F.lit(9)).cast("double").alias("x")
+    )
+    empty = a.filter(F.col("x") < -1)
+    rep = distribution_drift(skew, empty, "x", 0.0, 100.0, 10).collect()
+    assert all(not (r.psi_total != r.psi_total) for r in rep)
+    assert rep[0].psi_total > 0.25
+    with _pytest.raises(ValueError):
+        distribution_drift(a, a, "x", 0.0, 0.0, 10)
