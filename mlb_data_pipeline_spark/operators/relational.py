@@ -408,3 +408,52 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
     )
     return big2.join(small2, on + ["__salt"], how).drop("__salt")
+
+
+def categorical_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """``distribution_drift`` for categorical columns: PSI over the
+    category frequency tables instead of numeric bins (the monitor for
+    "did the source/language/event-type MIX shift between snapshots").
+    Categories absent from one side get additive smoothing with
+    nbins = the number of observed categories; NULL is tracked as its
+    own ``<NULL>`` category (an upstream change that starts nulling a
+    field is exactly what this alarm is for — and NULL join keys never
+    match, so it must be a sentinel BEFORE the full-outer join, not a
+    null group). Same engine-neutral arithmetic as
+    the numeric form: pinned op order, 1e-6-quantized ln, per-category
+    terms floor-quantized to integer 1e-9 units so the total is an
+    order-free sum of longs.
+
+    Cost: two grouped counts (combiner-friendly) + one full-outer join
+    on category + a single-partition window over the category rows —
+    fine up to ~millions of distinct categories; for id-like columns
+    use ``distribution_drift`` over a hash bucket instead."""
+    na = F.col("n_a")
+    nb = F.col("n_b")
+    cat = F.coalesce(F.col(col).cast("string"), F.lit("<NULL>")).alias("category")
+    ha = df_a.groupBy(cat).agg(F.count("*").alias("n_a"))
+    hb = df_b.groupBy(cat).agg(F.count("*").alias("n_b"))
+    j = ha.join(hb, "category", "full").select(
+        "category",
+        F.coalesce(na, F.lit(0)).alias("n_a"),
+        F.coalesce(nb, F.lit(0)).alias("n_b"),
+    )
+    w = Window.partitionBy(F.lit(0))
+    half = F.count("*").over(w).cast("double") * F.lit(0.5)
+    pa = (na.cast("double") + F.lit(0.5)) / (F.sum(na).over(w).cast("double") + half)
+    pb = (nb.cast("double") + F.lit(0.5)) / (F.sum(nb).over(w).cast("double") + half)
+    qln = F.floor(F.log(pa / pb) * F.lit(1000000.0)) / F.lit(1000000.0)
+    units = F.floor((pa - pb) * qln * F.lit(1000000000.0)).cast("long")
+    return (
+        j.select("category", "n_a", "n_b", units.alias("__u"))
+        .select(
+            "category",
+            "n_a",
+            "n_b",
+            (F.col("__u").cast("double") / F.lit(1000000000.0)).alias("psi_term"),
+            (F.sum("__u").over(w).cast("double") / F.lit(1000000000.0)).alias(
+                "psi_total"
+            ),
+        )
+        .orderBy("category")
+    )

@@ -1092,3 +1092,53 @@ def r03_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = events.filter(F.col("event_type") == "click")
     b = events.filter(F.col("event_type") == "purchase")
     return distribution_drift(a, b, "value", 0.0, 500.0, 20)
+
+
+# ---------------------------------------------------------------------------
+# R06 — categorical drift (PSI over the category mix): event-type
+#        composition of the even-user cohort vs the odd-user cohort —
+#        the "did the MIX shift" alarm next to r03's numeric form.
+#        Same quantized-unit contract; smoothing width derives from the
+#        observed category count.
+# ---------------------------------------------------------------------------
+
+_R06_SQL = """
+WITH ha AS (
+  SELECT COALESCE(CAST(event_type AS VARCHAR), '<NULL>') AS category, COUNT(*) AS n_a
+  FROM events WHERE user_id % 2 = 0 GROUP BY 1
+),
+hb AS (
+  SELECT COALESCE(CAST(event_type AS VARCHAR), '<NULL>') AS category, COUNT(*) AS n_b
+  FROM events WHERE user_id % 2 = 1 GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(ha.category, hb.category) AS category,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM ha FULL JOIN hb ON ha.category = hb.category
+),
+p AS (
+  SELECT category, n_a, n_b,
+         (CAST(n_a AS DOUBLE) + 0.5) / (CAST(SUM(n_a) OVER () AS DOUBLE) + CAST(COUNT(*) OVER () AS DOUBLE) * 0.5) AS pa,
+         (CAST(n_b AS DOUBLE) + 0.5) / (CAST(SUM(n_b) OVER () AS DOUBLE) + CAST(COUNT(*) OVER () AS DOUBLE) * 0.5) AS pb
+  FROM j
+),
+t AS (
+  SELECT category, n_a, n_b,
+         CAST(floor((pa - pb) * (floor(ln(pa / pb) * 1000000.0) / 1000000.0) * 1000000000.0) AS BIGINT) AS u
+  FROM p
+)
+SELECT category, n_a, n_b,
+       CAST(u AS DOUBLE) / 1000000000.0 AS psi_term,
+       CAST(SUM(u) OVER () AS DOUBLE) / 1000000000.0 AS psi_total
+FROM t ORDER BY category
+"""
+
+
+@query("r06_categorical_drift", oracle=_R06_SQL, covers="A2,J3,O6")
+def r06_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import categorical_drift
+
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("user_id") % 2 == 0)
+    b = events.filter(F.col("user_id") % 2 == 1)
+    return categorical_drift(a, b, "event_type")

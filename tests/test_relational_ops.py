@@ -149,3 +149,25 @@ def test_distribution_drift_zero_self_positive_shifted(spark):
     assert rep[0].psi_total > 0.25
     with _pytest.raises(ValueError):
         distribution_drift(a, a, "x", 0.0, 0.0, 10)
+
+
+def test_categorical_drift_null_category_and_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.relational import categorical_drift
+
+    a = spark.createDataFrame(
+        [("x",), ("x",), ("y",), (None,)], "c STRING"
+    )
+    b = spark.createDataFrame(
+        [("x",), (None,), (None,), ("z",)], "c STRING"
+    )
+    rep = {r.category: r for r in categorical_drift(a, b, "c").collect()}
+    # NULLs from BOTH sides land in ONE <NULL> row (sentinel, not null key)
+    assert rep["<NULL>"].n_a == 1 and rep["<NULL>"].n_b == 2
+    # categories unique to one side appear with a zero count on the other
+    assert rep["y"].n_b == 0 and rep["z"].n_a == 0
+    assert set(rep) == {"x", "y", "z", "<NULL>"}
+    # identical inputs -> exactly zero
+    same = categorical_drift(a, a, "c").collect()
+    assert all(r.psi_term == 0.0 and r.psi_total == 0.0 for r in same)
