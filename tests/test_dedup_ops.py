@@ -711,3 +711,16 @@ def test_neardup_keep_best_policy_and_singletons(spark):
     # empty pair graph: everything survives
     empty = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
     assert neardup_dedup_keep_best(docs, empty, "id", [F.col("score").desc()]).count() == 6
+
+
+def test_new_drift_shuffle_ops_survive_empty_input(spark):
+    from mlb_data_pipeline_spark.operators.curation import seeded_shuffle
+    from mlb_data_pipeline_spark.operators.relational import (
+        categorical_drift,
+        distribution_drift,
+    )
+
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING, source STRING, value DOUBLE")
+    assert seeded_shuffle(empty, "doc_id", n_shards=4).count() == 0
+    assert distribution_drift(empty, empty, "value", 0.0, 1.0, 4).count() == 0
+    assert categorical_drift(empty, empty, "source").count() == 0

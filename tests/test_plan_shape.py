@@ -255,3 +255,47 @@ def test_indexed_tfidf_and_unigram_probe_never_scan_documents(spark, sf_dir):
         )
         assert "documents.parquet" not in plan, name
         assert "postings" in plan, name
+
+
+def test_seeded_shuffle_one_hash_exchange_no_global_sort(spark):
+    # the corpus shuffle must be ONE hash shuffle on shard + per-shard
+    # sorts; a rangepartitioning exchange would mean a global sort with
+    # its plan-re-executing boundary-sampling job
+    from mlb_data_pipeline_spark.operators.curation import seeded_shuffle
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    plan = (
+        seeded_shuffle(df, "k", n_shards=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_keep_best_window_never_sees_singletons(spark):
+    # the policy window partitions by component over CLUSTERED rows
+    # only; singletons must reach the output through a filter branch,
+    # not a NULL window partition (which would sort ~the whole corpus
+    # in one task)
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.dedup import neardup_dedup_keep_best
+
+    docs = spark.createDataFrame([(1, 5), (2, 9), (3, 1)], "id BIGINT, s BIGINT")
+    pairs = spark.createDataFrame([(1, 2)], "id_a BIGINT, id_b BIGINT")
+    plan = (
+        neardup_dedup_keep_best(docs, pairs, "id", [F.col("s").desc()])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # exactly ONE Window node (over the clustered branch), and the
+    # singleton branch reaches the Union through an isnull filter that
+    # bypasses it (the isnotnull side is pushed into the join by the
+    # optimizer — fine, it still gates the Window's input)
+    assert plan.count("Window [") == 1  # WindowGroupLimit is the rank-1 pushdown, not a 2nd window
+    assert "Union" in plan and "isnull(__cc_component" in plan
+    singleton_branch = plan.split("Union", 1)[1].split("+- Window")[0]
+    assert "isnull(__cc_component" in singleton_branch
