@@ -360,3 +360,44 @@ def seeded_shuffle(
     out = df.withColumn("shard", shard)
     w = Window.partitionBy("shard").orderBy(h.asc(), F.col(key_col).asc())
     return out.withColumn("position", F.row_number().over(w))
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: k rows with
+    inclusion probability proportional to ``weight_col`` (quality-biased
+    corpus subsetting — "sample 1M docs, preferring the well-written
+    ones"). Efraimidis-Spirakis A-Res: each row draws a uniform u from
+    md5(salt || key), ranks by u^(1/w), and the top-k ranks win. Like
+    every sampler in this module the draw depends only on (salt, key):
+    reproducible across runs, engines, and partitionings, and re-salted
+    per release.
+
+    Engine-neutral form: u = (first 52 md5 bits + 1) / 2^52 is an EXACT
+    double in (0, 1]; the rank u^(1/w) is compared through its log —
+    ln(u)/w preserves the order, needs one transcendental instead of
+    pow, and ln is floor-quantized at 1e-6 (the established JVM/libm
+    contract) before the exact double division by w. Ties (same
+    quantized rank) break by key. Rows with weight <= 0 or NULL are
+    excluded — a zero-weight row must never be sampled, and A-Res is
+    undefined there.
+
+    Scale: one narrow projection + global top-k (TakeOrderedAndProject
+    — no full sort); the output column ``__skey`` is dropped, callers
+    wanting the rank for audit use the returned order."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary"))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(2**52)
+    )
+    qln = F.floor(F.log(u) * F.lit(1000000.0)) / F.lit(1000000.0)
+    skey = qln / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__skey", skey)
+        .orderBy(F.col("__skey").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__skey")
+    )

@@ -675,3 +675,31 @@ def r04_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard", "position", "doc_id", "source"
     )
     return ordered_small(out, "shard", "position")
+
+
+# ---------------------------------------------------------------------------
+# R07 — weighted sampling without replacement (A-Res): 100 documents
+#        with inclusion probability proportional to n_chars. The rank
+#        u^(1/w) is compared through floor-quantized ln(u)/w, so both
+#        engines pick the identical sample set.
+# ---------------------------------------------------------------------------
+
+_R07_SQL = """
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         floor(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0) / 4503599627370496.0) * 1000000.0) / 1000000.0 AS qln
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, source, n_chars
+FROM w ORDER BY qln / CAST(n_chars AS DOUBLE) DESC, doc_id LIMIT 100
+"""
+
+
+@query("r07_weighted_sample", oracle=_R07_SQL, covers="curation:mixing,O1,O2")
+def r07_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs.select("doc_id", "source", "n_chars"), "doc_id", "n_chars", 100
+    )

@@ -389,3 +389,34 @@ def test_seeded_shuffle_contiguous_deterministic_salted(spark):
     assert sorted(map(tuple, salted)) != sorted(map(tuple, out))
     with _pytest.raises(ValueError):
         seeded_shuffle(df, "k", n_shards=0)
+
+
+def test_weighted_sample_proportional_deterministic_excludes_nonpositive(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.curation import weighted_sample
+
+    # 500 heavy rows (w=50) vs 500 light rows (w=1): a 200-sample
+    # should be overwhelmingly heavy (E[light] ~ 200/51 ~ 4)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 500, F.lit(50.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    got = weighted_sample(df, "k", "w", 200).collect()
+    assert len(got) == 200
+    heavy = sum(1 for r in got if r.k < 500)
+    assert heavy > 170
+    # deterministic; new salt -> different sample
+    again = weighted_sample(df, "k", "w", 200).collect()
+    assert [r.k for r in got] == [r.k for r in again]
+    salted = weighted_sample(df, "k", "w", 200, salt="v2").collect()
+    assert [r.k for r in salted] != [r.k for r in got]
+    # zero/NULL weights are never sampled; k > n returns all eligible
+    bad = spark.createDataFrame(
+        [(1, 0.0), (2, None), (3, 2.0)], "k BIGINT, w DOUBLE"
+    )
+    kept = weighted_sample(bad, "k", "w", 10).collect()
+    assert [r.k for r in kept] == [3]
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "k", "w", 0)
