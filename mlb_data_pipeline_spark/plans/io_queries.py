@@ -619,3 +619,37 @@ def r02_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, [F.trunc("event_date", "month").alias("month"), F.col("event_type")]
     )
     return monthly.orderBy("month", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# R08 — schema evolution across parquet batches: batch 'a' was written
+#        before s_acctbal existed; batch 'b' carries it. The merged
+#        read must surface the union schema with NULLs for the old
+#        files — Spark's default single-footer pick would make the
+#        column's existence depend on which file wins.
+# ---------------------------------------------------------------------------
+
+_R08_SQL = """
+SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS s_acctbal, 'a' AS batch FROM supplier
+UNION ALL
+SELECT s_suppkey, s_name, s_acctbal, 'b' AS batch FROM supplier
+ORDER BY batch, s_suppkey
+"""
+
+
+@query("r08_schema_evolution", oracle=_R08_SQL, covers="S3,S8,O9")
+def r08_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_parquet_evolved
+
+    path = _scratch(sf_dir, "r08_evolving")
+    supplier = load_table(spark, sf_dir, "supplier")
+    supplier.select("s_suppkey", "s_name").write.mode("overwrite").parquet(
+        os.path.join(path, "batch=a")
+    )
+    supplier.select("s_suppkey", "s_name", "s_acctbal").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "batch=b"))
+    merged = read_parquet_evolved(spark, path)
+    return merged.select("s_suppkey", "s_name", "s_acctbal", "batch").orderBy(
+        "batch", "s_suppkey"
+    )

@@ -52,6 +52,22 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """S3 variant for tables whose schema GREW over time: merge the
+    schemas of every file under ``path`` (columns added by later
+    batches read as NULL in earlier files) instead of trusting one
+    random footer — the lake reality for any dataset ingested over
+    months. Spark's default picks a single file's footer, so whether
+    the new column exists at all would depend on which file wins.
+
+    Cost note for 100 TB: mergeSchema reads every file footer at
+    planning time (a driver-side listing + distributed footer read).
+    Turn it on for EVOLVING tables, not as a session default
+    (spark.sql.parquet.mergeSchema); once a table's schema is settled,
+    pin it with an explicit .schema() and keep planning O(1)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def parse_schedule_payloads(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     """S4/T14 read side: nested API JSON -> relational rows.
 
