@@ -653,3 +653,39 @@ def r08_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("s_suppkey", "s_name", "s_acctbal", "batch").orderBy(
         "batch", "s_suppkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# R09 — compressed JSONL round-trip (the training-corpus wire format:
+#        one JSON object per line, gzip per file). Write documents as
+#        gzipped JSONL, scan it back with an explicit schema; the hash
+#        gate proves the codec + text round-trip is lossless. Gzip
+#        files are NOT splittable — one file = one task — so the write
+#        keeps Spark's natural many-files layout (parallelism survives
+#        as file-level, the lake norm for .jsonl.gz corpora).
+# ---------------------------------------------------------------------------
+
+_R09_SQL = """
+SELECT doc_id, source, n_chars, text FROM documents ORDER BY doc_id
+"""
+
+
+@query("r09_compressed_jsonl", oracle=_R09_SQL, covers="S2,S10,O9")
+def r09_compressed_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_json
+
+    path = _scratch(sf_dir, "r09_jsonl_gz")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    docs.write.mode("overwrite").option("compression", "gzip").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = read_json(spark, path, schema)
+    return back.select("doc_id", "source", "n_chars", "text").orderBy("doc_id")
