@@ -401,3 +401,42 @@ def weighted_sample(
         .limit(k)
         .drop("__skey")
     )
+
+
+def shuffle_packs(
+    df: DataFrame,
+    pack_cols: list[str],
+    n_shards: int,
+    salt: str = "",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """``seeded_shuffle`` at PACK granularity: every row of a pack gets
+    the same (shard, position), so packed sequences stay contiguous
+    while the packs themselves land in a reproducible pseudo-random
+    training order (shuffling row-wise after packing would interleave
+    documents of different packs — exactly what packing exists to
+    prevent). The pack key hashes injection-proof — each pack column
+    md5-digested separately, digests concatenated (no separator
+    collisions, same rule as ``dataset_diff``) — then shard and
+    within-shard order derive from md5(salt || key) exactly as in
+    ``seeded_shuffle``; ``dense_rank`` gives all rows of a pack one
+    position, consecutive packs consecutive positions. Pass
+    ``partition_cols`` (e.g. the split) to rank positions contiguously
+    per (partition, shard) — the layout a per-split training reader
+    expects — instead of per shard across all partitions. One hash
+    shuffle + per-shard sorts; write with
+    ``write_partitioned(out, path, [..., "shard"])`` after a
+    ``sortWithinPartitions("position")`` for files in reading order."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.concat(
+        *[F.md5(F.col(c).cast("string").cast("binary")) for c in pack_cols]
+    )
+    h = F.md5(F.concat(F.lit(salt), key).cast("binary"))
+    out = df.withColumn(
+        "shard", (F.conv(F.substring(h, 1, 4), 16, 10).cast("int")) % n_shards
+    ).withColumn("__pk", h)
+    w = Window.partitionBy(*(partition_cols or []), "shard").orderBy(
+        F.col("__pk").asc(), *[F.col(c).asc() for c in pack_cols]
+    )
+    return out.withColumn("position", F.dense_rank().over(w)).drop("__pk")

@@ -67,6 +67,7 @@ def pretraining_data_pipeline(
     min_compression_ratio: float | None = None,
     per_source_quota: int | None = None,
     remove_dup_spans: bool = False,
+    n_shuffle_shards: int | None = None,
 ) -> DataFrame:
     """Run one day's delta through the full curation chain and write
     packed, split-partitioned shards to ``out_path``. Returns the
@@ -146,8 +147,23 @@ def pretraining_data_pipeline(
     # 8. packing per split (window partitions by split — no global sort)
     packed = pack_sequences(q, id_col, "n_tok", pack_budget, partition_cols=["split"])
     # 9. split-partitioned shard write + release manifest (_-prefixed
-    #    so parquet discovery ignores it; written AFTER the data commit)
-    write_partitioned(packed, out_path, ["split"])
+    #    so parquet discovery ignores it; written AFTER the data commit).
+    #    With ``n_shuffle_shards`` the packs additionally get a
+    #    reproducible pseudo-random training order (shuffle_packs: pack
+    #    granularity, so packed sequences stay contiguous) and land as
+    #    (split, shard) dirs whose files are sorted by position — ready
+    #    to stream into training in reading order.
+    if n_shuffle_shards is not None:
+        from ..operators.curation import shuffle_packs
+
+        packed = shuffle_packs(
+            packed, ["split", "chunk_id"], n_shuffle_shards, salt=salt,
+            partition_cols=["split"],
+        )
+        ordered = packed.repartition("split", "shard").sortWithinPartitions("position")
+        write_partitioned(ordered, out_path, ["split", "shard"])
+    else:
+        write_partitioned(packed, out_path, ["split"])
     from ..sources.writers import shard_manifest
 
     shard_manifest(spark, out_path).coalesce(1).write.mode("overwrite").parquet(

@@ -301,3 +301,65 @@ def test_pretraining_pipeline_writes_manifest(spark, tmp_path):
     data_rows = spark.read.parquet(out).count()
     manifest = spark.read.parquet(out + "/_MANIFEST").collect()
     assert sum(r.n_rows for r in manifest) == data_rows > 0
+
+
+def test_pretraining_pipeline_shuffled_shards(spark, tmp_path):
+    """n_shuffle_shards: the release lands as (split, shard) dirs, rows
+    of one pack stay contiguous and share a (shard, position), files
+    are sorted by position, and the layout is reproducible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.dedup import build_signature_store
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+
+    seedc = spark.createDataFrame(
+        [(0, " ".join(f"s0w{j}" for j in range(12)), "web")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    bench = spark.createDataFrame(
+        [(900, " ".join(f"held{j}" for j in range(10)))], "doc_id BIGINT, text STRING"
+    )
+    delta = spark.createDataFrame(
+        [
+            (100 + i, " ".join("d%dw%dx%d" % (i, j, (i * j) % 11) for j in range(20)), "web")
+            for i in range(40)
+        ],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+
+    def run(tag):
+        store = str(tmp_path / f"store_{tag}")
+        build_signature_store(seedc, "doc_id", "text", store)
+        out = str(tmp_path / f"shards_{tag}")
+        pretraining_data_pipeline(
+            spark, delta, bench, store, out,
+            mix={"web": 1.0}, pack_budget=48, n_shuffle_shards=3,
+        )
+        return out
+
+    out = run("a")
+    # (split, shard) directory layout exists
+    train_dir = os.path.join(out, "split=train")
+    assert any(d.startswith("shard=") for d in os.listdir(train_dir))
+    written = spark.read.parquet(out)
+    rows = written.select("split", "shard", "position", "chunk_id", "doc_id").collect()
+    # all rows of one pack share one (shard, position)
+    packs = {}
+    for r in rows:
+        packs.setdefault((r.split, r.chunk_id), set()).add((r.shard, r.position))
+    assert all(len(v) == 1 for v in packs.values())
+    # positions are contiguous pack ranks per shard
+    per_shard = {}
+    for (split, _), locs in packs.items():
+        shard, pos = next(iter(locs))
+        per_shard.setdefault((split, shard), []).append(pos)
+    for key, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), key
+    # reproducible end-to-end
+    out2 = run("b")
+    again = spark.read.parquet(out2).select("shard", "position", "doc_id").collect()
+    assert sorted(map(tuple, again)) == sorted(
+        (r.shard, r.position, r.doc_id) for r in rows
+    )
