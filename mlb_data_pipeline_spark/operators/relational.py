@@ -457,3 +457,58 @@ def categorical_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+def zorder_key(
+    cols: list[tuple[str, float, float]], bits: int = 16
+) -> Column:
+    """Z-order (Morton) key over 2+ numeric columns — the multi-key
+    file-skipping layout ``compact_parquet``'s single-axis range
+    clustering can't give (a lexicographic sort clusters only its
+    leading key; bit-interleaving keeps EVERY dimension's locality, so
+    parquet min/max footers stay tight on all of them and a box
+    predicate prunes files on each dimension at once — the OPTIMIZE
+    ZORDER of lakehouse tables, from the Morton curve).
+
+    Each (col, lo, hi) normalizes through the histogram contract's
+    clamped fixed-bin formula — floor((x - lo) * 2^bits / (hi - lo)),
+    clamped to [0, 2^bits) — all single correctly-rounded IEEE ops, so
+    any engine computes the identical cell (``zorder_sql`` emits the
+    mirrored DuckDB expression from the same parameters). Bits then
+    interleave round-robin: bit b of column i lands at z-bit
+    b * n_cols + i. NULLs clamp to cell 0 (they sort first — scan
+    layout, not semantics). Total bits n_cols * bits must fit a signed
+    long (<= 62); the default 16 supports up to 3 columns."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns (use sort_cols for one)")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    z = F.lit(0).cast("long")
+    for i, (c, lo, hi) in enumerate(cols):
+        if not hi > lo:
+            raise ValueError(f"need hi > lo for {c}, got [{lo}, {hi})")
+        x = F.col(c).cast("double")
+        raw = F.floor((x - F.lit(float(lo))) * F.lit(float(2**bits)) / F.lit(float(hi - lo)))
+        v = F.coalesce(
+            F.least(F.greatest(raw, F.lit(0)), F.lit(2**bits - 1)), F.lit(0)
+        ).cast("long")
+        for b in range(bits):
+            z = z + F.shiftleft(F.shiftright(v, b).bitwiseAND(F.lit(1)), b * n + i)
+    return z
+
+
+def zorder_sql(cols: list[tuple[str, float, float]], bits: int = 16) -> str:
+    """DuckDB mirror of ``zorder_key`` — generated from the SAME
+    parameters so the two engines cannot drift (the ``redact_sql``
+    pattern)."""
+    n = len(cols)
+    terms = []
+    for i, (expr, lo, hi) in enumerate(cols):
+        cell = (
+            f"CAST(COALESCE(least(greatest(floor((CAST({expr} AS DOUBLE) - {float(lo)}) "
+            f"* {float(2 ** bits)} / {float(hi - lo)}), 0), {2 ** bits - 1}), 0) AS BIGINT)"
+        )
+        for b in range(bits):
+            terms.append(f"((({cell} >> {b}) & 1) << {b * n + i})")
+    return "(" + " + ".join(terms) + ")"

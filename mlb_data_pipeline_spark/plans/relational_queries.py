@@ -1142,3 +1142,34 @@ def r06_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = events.filter(F.col("user_id") % 2 == 0)
     b = events.filter(F.col("user_id") % 2 == 1)
     return categorical_drift(a, b, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# R10 — Z-order (Morton) key: the interleaved multi-column clustering
+#        key behind compact_parquet's zorder layout, exposed as a
+#        query so the bit arithmetic itself is hash-checked. The
+#        DuckDB oracle is GENERATED from the same (col, lo, hi, bits)
+#        parameters by zorder_sql, so the engines cannot drift.
+# ---------------------------------------------------------------------------
+
+from ..operators.relational import zorder_sql as _zsql
+
+_R10_COLS = [("value", 0.0, 512.0), ("user_id", 0.0, 2048.0)]
+_R10_SQL = f"""
+SELECT event_id, {_zsql(_R10_COLS, 8)} AS zkey
+FROM events
+ORDER BY zkey, event_id
+LIMIT 200
+"""
+
+
+@query("r10_zorder_key", oracle=_R10_SQL, covers="P2,O1,O9")
+def r10_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import zorder_key
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_id", zorder_key(_R10_COLS, 8).alias("zkey"))
+        .orderBy("zkey", "event_id")
+        .limit(200)
+    )

@@ -77,6 +77,8 @@ def compact_parquet(
     partition_cols: list[str] | None = None,
     target_files: int = 1,
     sort_cols: list[str] | None = None,
+    zorder: list[tuple[str, float, float]] | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """Rewrite a parquet dataset in place with a bounded file count —
     the maintenance pass an append-only store (signature store, IVF
@@ -99,11 +101,25 @@ def compact_parquet(
     parquet footer min/max stats become disjoint across files and a
     range predicate on the sort key prunes whole files/row-groups at
     scan time — the single-key form of layout optimization (for one
-    range key, range-clustering IS the optimal skip layout; multi-key
-    skipping wants interleaved orders, out of scope). This is how the
-    persisted text-index postings and the time-keyed event lake keep
-    probe scans proportional to the queried range, not the store."""
+    range key, range-clustering IS the optimal skip layout). For
+    MULTI-key box predicates pass ``zorder`` instead — (col, lo, hi)
+    triples clustered on the interleaved Morton key
+    (``operators.relational.zorder_key``), which keeps every
+    dimension's footer min/max tight at once (the lakehouse OPTIMIZE
+    ZORDER); the key is computed for layout only and dropped before
+    the write. This is how the persisted text-index postings and the
+    time-keyed event lake keep probe scans proportional to the queried
+    range, not the store."""
+    if zorder and sort_cols:
+        raise ValueError("pass sort_cols OR zorder, not both")
     df = spark.read.parquet(path).localCheckpoint(eager=True)
+    drop_after = []
+    if zorder:
+        from ..operators.relational import zorder_key
+
+        df = df.withColumn("__z", zorder_key(zorder, zorder_bits))
+        sort_cols = ["__z"]
+        drop_after = ["__z"]
     n = df.count()
     if partition_cols:
         cols = [F.col(c) for c in partition_cols]
@@ -112,12 +128,16 @@ def compact_parquet(
         out = df.repartition(*cols)
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
+        if drop_after:
+            out = out.drop(*drop_after)
         out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     else:
         if sort_cols:
             out = df.repartitionByRange(target_files, *[F.col(c) for c in sort_cols]).sortWithinPartitions(*sort_cols)
         else:
             out = df.repartition(target_files)
+        if drop_after:
+            out = out.drop(*drop_after)
         out.write.mode("overwrite").parquet(path)
     return n
 

@@ -487,3 +487,45 @@ def test_shard_manifest_counts_and_sizes(spark, tmp_path):
     assert all(r.bytes > 0 and r.file.endswith(".parquet") for r in m)
     # every split directory contributed at least one file
     assert {f"split={s}" in r.file for s in ("s0", "s1", "s2") for r in m} == {True, False} or len(m) >= 3
+
+
+def test_compact_zorder_box_query_touches_few_files(spark, tmp_path):
+    """Z-order layout: a box predicate on BOTH dimensions must
+    concentrate its rows in a minority of the compacted files (the
+    quadrant x < half, y < half occupies the first quarter of the
+    Morton curve), and the rewrite is content-identical."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "zstore")
+    # 64x64 grid, shuffled write order (hash-scrambled) so the input
+    # layout carries no accidental locality
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        F.floor(F.col("id") / 64).cast("double").alias("y"),
+        F.col("id").alias("rid"),
+    )
+    df.repartition(8, F.md5(F.col("rid").cast("string"))).write.mode(
+        "overwrite"
+    ).parquet(path)
+    n = compact_parquet(
+        spark, path, target_files=8, zorder=[("x", 0.0, 64.0), ("y", 0.0, 64.0)], zorder_bits=6
+    )
+    assert n == 4096
+    back = spark.read.parquet(path)
+    assert back.count() == 4096 and "__z" not in back.columns
+    total_files = back.select(F.input_file_name()).distinct().count()
+    assert total_files >= 4
+    box_files = (
+        back.filter((F.col("x") < 32) & (F.col("y") < 32))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    # quarter of the z-range -> at most ~quarter of the files (+1 slack
+    # for a range-partition boundary straddle)
+    assert box_files <= total_files // 4 + 1, (box_files, total_files)
+    with pytest.raises(ValueError):
+        compact_parquet(spark, path, sort_cols=["x"], zorder=[("x", 0.0, 1.0), ("y", 0.0, 1.0)])

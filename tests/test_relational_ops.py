@@ -171,3 +171,25 @@ def test_categorical_drift_null_category_and_disjoint(spark):
     # identical inputs -> exactly zero
     same = categorical_drift(a, a, "c").collect()
     assert all(r.psi_term == 0.0 and r.psi_total == 0.0 for r in same)
+
+
+def test_zorder_key_interleaves_and_validates(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.relational import zorder_key
+
+    # 2-bit toy: x=3 (bits 11), y=0 -> z bits x at even-ish positions
+    # b*n+i: x contributes bits 0 and 2 -> z=5; y=3,x=0 -> bits 1,3 -> z=10
+    df = spark.createDataFrame(
+        [(3.0, 0.0), (0.0, 3.0), (3.0, 3.0), (None, 0.0)], "x DOUBLE, y DOUBLE"
+    )
+    cols = [("x", 0.0, 4.0), ("y", 0.0, 4.0)]
+    got = [r.z for r in df.select(zorder_key(cols, 2).alias("z")).collect()]
+    assert got == [5, 10, 15, 0]  # NULL clamps to cell 0
+    with pytest.raises(ValueError):
+        zorder_key([("x", 0.0, 4.0)], 2)
+    with pytest.raises(ValueError):
+        zorder_key(cols, 32)
+    with pytest.raises(ValueError):
+        zorder_key([("x", 4.0, 4.0), ("y", 0.0, 1.0)], 2)
