@@ -507,7 +507,7 @@ capped AS (
 )
 SELECT domain,
        COUNT(*) AS n_pages,
-       SUM(CASE WHEN dr <= 50 THEN 1 ELSE 0 END) AS n_kept_cap50
+       CAST(SUM(CASE WHEN dr <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_cap50
 FROM capped
 GROUP BY 1
 ORDER BY 1

@@ -70,6 +70,28 @@ def test_registry_window_invariant():
     assert all(n >= "q60" for n in outside_oracled), outside_oracled
 
 
+def test_oracle_output_types_driver_safe(con):
+    """The driver hashes the DuckDB side through its own serializer, where
+    HUGEINT (bare SUM over ints) and DECIMAL surface differently from the
+    Spark side's BIGINT/DOUBLE even when the VALUES are equal — round 6's
+    only red (q27 n_kept_cap50, uncast SUM(CASE...) -> int128) was exactly
+    this. Pin: no oracle's output schema may contain a decimal/int128
+    column unless the Spark side is decimal too (the money-math family)."""
+    import re
+
+    for name in ORACLED:
+        q = REGISTRY[name]
+        tbl = con.execute(q.oracle).fetch_arrow_table()
+        for f in tbl.schema:
+            ts = str(f.type)
+            if "int128" in ts or re.match(r"decimal128\(38, 0\)", ts):
+                raise AssertionError(
+                    f"{name}.{f.name} is {ts} in DuckDB — wrap the aggregate "
+                    "in CAST(... AS BIGINT) so the driver's hash sees the "
+                    "same integer family as Spark"
+                )
+
+
 def test_catalog_pins_utc_timezone(spark, sf_dir):
     """A vanilla driver session may carry the host timezone; the catalog
     must pin UTC (the determinism contract's assumption and the DuckDB
