@@ -458,18 +458,14 @@ def refresh_signature_store(
     would have silently kept the stale signatures. O(store) I/O by
     nature (content-change cadence, not delta cadence); unchanged-id
     replays should keep using ``append_signature_store``."""
-    from ..sources.writers import delete_keys_partitioned
+    from ..sources.writers import delete_keys_partitioned, safe_rewrite
 
     spark = changed_docs.sparkSession
     sig_path, sh_path = _store_paths(path)
     ids = changed_docs.select(id_col)
     delete_keys_partitioned(spark, sig_path, ids, id_col, "band", -1)
-    kept = (
-        spark.read.parquet(sh_path)
-        .join(ids.distinct(), id_col, "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    kept.write.mode("overwrite").parquet(sh_path)
+    kept = spark.read.parquet(sh_path).join(ids.distinct(), id_col, "left_anti")
+    safe_rewrite(spark, sh_path, lambda tmp: kept.write.mode("overwrite").parquet(tmp))
     append_signature_store(changed_docs, id_col, text_col, path, n_hashes, shingle_n)
 
 
@@ -847,9 +843,17 @@ def fuzzy_pairs(
     levenshtein (banded O(d*n) DP, Spark 3.5+, vs O(n^2) full DP)
     verify exactly. Blocking is LOSSLESS when len - q + 1 > d*q (the
     positional-q-gram pigeonhole: d edits destroy at most d*q grams),
-    i.e. guaranteed for strings longer than ~(d+1)*q chars; below
-    that it is high-recall heuristic blocking — callers wanting exact
-    semantics on short strings should lower ``max_dist`` or ``q``.
+    i.e. guaranteed for strings longer than ~(d+1)*q chars; between
+    ``q`` and that bound it is high-recall heuristic blocking —
+    callers wanting exact semantics there should lower ``max_dist``
+    or ``q``. BELOW ``q`` blocking is lossless again: strings shorter
+    than ``q`` have no q-grams (they'd otherwise never pair, even two
+    identical ones), so strings with len < q + max_dist also emit
+    their distinct 1-grams and strings with len <= max_dist a shared
+    sentinel key — any pair at dist <= d with a sub-q member either
+    shares a character (1-gram block) or, sharing none, has
+    max(len) <= dist <= d (every char of the longer side must be
+    produced by an edit), hence both carry the sentinel.
     ``max_gram_freq`` drops stop-grams ("the", "ing") shared by more
     than that many strings before the pair join (``cap_hot_keys``) —
     at corpus scale hot grams, not pair verification, are the
@@ -859,7 +863,16 @@ def fuzzy_pairs(
     base = spread_for_cpu(df).select(
         F.col(id_col).alias("__id"), F.col(string_col).alias("__s")
     )
-    g = base.select("__id", "__s", F.explode(char_qgrams("__s", q)).alias("__g"))
+    length = F.length("__s")
+    empty = F.array().cast("array<string>")
+    block_keys = F.concat(
+        F.when(length >= q, char_qgrams("__s", q)).otherwise(empty),
+        # short-string tiers (see docstring): 1-gram blocks for anything
+        # that can pair with a sub-q string, sentinel for len <= d
+        F.when((length > 0) & (length < q + max_dist), char_qgrams("__s", 1)).otherwise(empty),
+        F.when(length <= max_dist, F.array(F.lit("\x00<short>"))).otherwise(empty),
+    )
+    g = base.select("__id", "__s", F.explode(block_keys).alias("__g"))
     if max_gram_freq is not None:
         g = cap_hot_keys(g, ["__g"], max_gram_freq)
     a = g.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__g")

@@ -390,9 +390,18 @@ def salted_join(
     sub-partitions — big rows get a DETERMINISTIC salt (xxhash64 over
     the whole row, so identical rows still co-locate and plans stay
     reproducible), the small side replicates once per salt, and the
-    join runs on (keys..., salt). The result is EXACTLY the plain
-    join — salting changes partitioning, never semantics — which is
-    why the r01 oracle is the unsalted SQL join.
+    join runs on (keys..., salt). For the supported join types the
+    result is EXACTLY the plain join — salting changes partitioning,
+    never semantics — which is why the r01 oracle is the unsalted SQL
+    join.
+
+    Supported ``how``: inner, left/left_outer, left_semi, left_anti —
+    the types where the REPLICATED (small) side never emits unmatched
+    rows. With right/full outer, a small-side key absent from the big
+    side would surface once per salt replica (n_salts duplicate
+    null-extended rows), so those types raise; put the preserved side
+    on the left, or use the plain join (an outer's unmatched small
+    rows are not skew-prone anyway).
 
     Prefer AQE's skew-join splitting where it fires (sort-merge joins
     over statistics it can see); explicit salting is the tool when the
@@ -401,6 +410,12 @@ def salted_join(
     small-side replication (the only cost) is cheap."""
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if how.lower().replace("_", "") not in {"inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"}:
+        raise ValueError(
+            f"salted_join does not preserve {how!r} semantics: the replicated "
+            "small side would emit its unmatched rows once per salt. Use "
+            "inner/left/left_semi/left_anti, or swap the sides."
+        )
     big2 = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

@@ -161,9 +161,11 @@ def pretraining_data_pipeline(
             partition_cols=["split"],
         )
         ordered = packed.repartition("split", "shard").sortWithinPartitions("position")
-        write_partitioned(ordered, out_path, ["split", "shard"])
+        # static overwrite: a rerun with a different n_shuffle_shards
+        # must not leave stale shard dirs for the manifest to certify
+        write_partitioned(ordered, out_path, ["split", "shard"], dynamic=False)
     else:
-        write_partitioned(packed, out_path, ["split"])
+        write_partitioned(packed, out_path, ["split"], dynamic=False)
     from ..sources.writers import shard_manifest
 
     shard_manifest(spark, out_path).coalesce(1).write.mode("overwrite").parquet(

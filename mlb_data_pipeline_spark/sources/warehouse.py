@@ -74,6 +74,11 @@ def scd2_apply(
     CLOSES the open row (valid_to = change ts) and INSERTS a new open
     row; an identical change is a no-op; an unseen key inserts its
     first open row; closed history always passes through untouched.
+    A change stamped EARLIER than the open row's valid_from is dropped
+    as stale (out-of-order protection: last-writer-wins by timestamp,
+    so the history never contains an inverted valid_to < valid_from
+    interval — the case a late-replayed older batch would otherwise
+    create).
 
     Multiple changes per key in one batch collapse to the latest by
     (ts desc) first — one window — so the operator is idempotent on
@@ -110,16 +115,22 @@ def scd2_apply(
     differs = fp("") != fp("__n_")
     has_open = F.col("valid_from").isNotNull()
     has_chg = F.col("__ts").isNotNull()
-    # surviving open rows: untouched keys, or no-op changes
-    keep_open = j.filter(has_open & (~has_chg | ~differs)).select(
+    # Out-of-order guard: a change stamped BEFORE the open row's
+    # valid_from is stale information (the open row already reflects a
+    # newer state). Closing with it would write valid_to < valid_from —
+    # an inverted interval — so late changes are no-ops (the streaming
+    # form's late-arriving replayed batch lands here). Pinned by test.
+    late = has_open & has_chg & (F.col("__ts") < F.col("valid_from"))
+    # surviving open rows: untouched keys, no-op changes, late changes
+    keep_open = j.filter(has_open & (~has_chg | ~differs | late)).select(
         *key_cols, *attr_cols, "valid_from", "valid_to"
     )
     # closed by this batch
-    newly_closed = j.filter(has_open & has_chg & differs).select(
+    newly_closed = j.filter(has_open & has_chg & differs & ~late).select(
         *key_cols, *attr_cols, "valid_from", F.col("__ts").alias("valid_to")
     )
     # inserted by this batch (changed keys and brand-new keys)
-    new_open = j.filter(has_chg & (~has_open | differs)).select(
+    new_open = j.filter(has_chg & (~has_open | (differs & ~late))).select(
         *key_cols,
         *[F.col(f"__n_{c}").alias(c) for c in attr_cols],
         F.col("__ts").alias("valid_from"),

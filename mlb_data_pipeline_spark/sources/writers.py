@@ -14,18 +14,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", mode: str = "overwrite") -> None:
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
     """S8: date-partitioned lake write. With
     ``partitionOverwriteMode=dynamic`` only the partitions present in
     ``df`` are replaced — the engine's idempotent daily-batch re-run
-    (reference: retry-safe daily blob overwrite, mlb_pipeline_dag.py:31-32)."""
-    (
-        df.write.format(fmt)
-        .mode(mode)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .save(path)
-    )
+    (reference: retry-safe daily blob overwrite, mlb_pipeline_dag.py:31-32).
+
+    Pass ``dynamic=False`` when ``df`` IS the complete dataset (e.g. a
+    shard release whose partition layout can change between runs):
+    static overwrite clears the whole path, so partitions absent from
+    this run — stale ``shard=`` dirs from a previous ``n_shards`` —
+    cannot survive into the new release."""
+    w = df.write.format(fmt).mode(mode)
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    else:
+        w = w.option("partitionOverwriteMode", "static")
+    w.partitionBy(*partition_cols).save(path)
 
 
 def write_json_single(df: DataFrame, path: str) -> None:
@@ -35,13 +47,94 @@ def write_json_single(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").json(path)
 
 
-def target_exists(spark: SparkSession, path: str) -> bool:
-    """True when ``path`` exists per the Hadoop FileSystem of its scheme
-    (local posix here; object stores on a cluster)."""
+def _fs_path(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def target_exists(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` exists per the Hadoop FileSystem of its scheme
+    (local posix here; object stores on a cluster)."""
+    fs, hpath, _ = _fs_path(spark, path)
     return bool(fs.exists(hpath))
+
+
+def _rename_or_raise(fs, jvm, src: str, dst: str) -> None:
+    ok = fs.rename(jvm.org.apache.hadoop.fs.Path(src), jvm.org.apache.hadoop.fs.Path(dst))
+    if not ok:
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
+def recover_dataset(spark: SparkSession, path: str) -> str:
+    """Complete an interrupted ``safe_rewrite`` swap at ``path``.
+
+    The swap protocol leaves at most one of two crash states behind:
+    ``path`` present with a stale ``<path>.__new``/``<path>.__old``
+    sibling (crash before or after the swap — delete the sibling), or
+    ``path`` absent with a committed ``<path>.__new`` (crash between
+    the two renames — roll it forward; if ``.__new`` lacks its
+    ``_SUCCESS`` marker, roll ``.__old`` back instead). Returns the
+    action taken (``clean``/``rolled_forward``/``rolled_back``).
+    Single-writer protocol: concurrent writers to one path are out of
+    contract, as for any directory-swap store."""
+    base = path.rstrip("/")
+    new, old = base + ".__new", base + ".__old"
+    fs, hpath, jvm = _fs_path(spark, base)
+    pnew = jvm.org.apache.hadoop.fs.Path(new)
+    pold = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(hpath):
+        for p in (pnew, pold):
+            if fs.exists(p):
+                fs.delete(p, True)
+        return "clean"
+    if fs.exists(pnew) and fs.exists(jvm.org.apache.hadoop.fs.Path(new + "/_SUCCESS")):
+        _rename_or_raise(fs, jvm, new, base)
+        if fs.exists(pold):
+            fs.delete(pold, True)
+        return "rolled_forward"
+    if fs.exists(pold):
+        _rename_or_raise(fs, jvm, old, base)
+        if fs.exists(pnew):
+            fs.delete(pnew, True)
+        return "rolled_back"
+    return "clean"  # first write: nothing at path yet
+
+
+def safe_rewrite(spark: SparkSession, path: str, build) -> None:
+    """Crash-safe in-place rewrite of the parquet dataset at ``path``.
+
+    Plain ``mode("overwrite")`` onto the path being read is
+    destroy-then-rebuild: Spark deletes the old files before the new
+    write commits, so a crash mid-write (or loss of an executor holding
+    localCheckpoint blocks) permanently destroys the store. Here
+    ``build(tmp_path)`` materializes the FULL new content into
+    ``<path>.__new`` — the source files are still on disk, so no
+    checkpoint is needed and the lineage may read ``path`` freely —
+    then the swap is two directory renames (path -> .__old,
+    .__new -> path) with ``recover_dataset`` completing either
+    half-done state on the next call. The old data survives until the
+    new data is fully committed; the window where ``path`` is absent is
+    two metadata renames, and recoverable.
+
+    Single-writer per path (the standard store contract). ``build``
+    must write a Hadoop-committed dataset (the ``_SUCCESS`` marker is
+    the roll-forward signal)."""
+    base = path.rstrip("/")
+    new, old = base + ".__new", base + ".__old"
+    recover_dataset(spark, base)
+    fs, hpath, jvm = _fs_path(spark, base)
+    pnew = jvm.org.apache.hadoop.fs.Path(new)
+    build(new)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(new + "/_SUCCESS")):
+        raise IOError(f"safe_rewrite: build() left no _SUCCESS marker under {new}")
+    if fs.exists(hpath):
+        _rename_or_raise(fs, jvm, base, old)
+    _rename_or_raise(fs, jvm, new, base)
+    pold = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(pold):
+        fs.delete(pold, True)
 
 
 def upsert_by_key(spark: SparkSession, target_path: str, new_df: DataFrame, key_cols: list[str], fmt: str = "parquet") -> None:
@@ -63,12 +156,12 @@ def upsert_by_key(spark: SparkSession, target_path: str, new_df: DataFrame, key_
         existing = spark.read.format(fmt).load(target_path)
         kept = existing.join(new_df.select(*key_cols).distinct(), on=key_cols, how="left_anti")
         merged = kept.unionByName(new_df)
+        safe_rewrite(
+            spark, target_path,
+            lambda tmp: merged.write.format(fmt).mode("overwrite").save(tmp),
+        )
     else:
-        merged = new_df
-    # Writing the relation we're reading is unsafe; localCheckpoint
-    # truncates the lineage (disk-backed, non-recomputable) so the
-    # overwrite can't re-scan the target mid-write.
-    merged.localCheckpoint(eager=True).write.format(fmt).mode("overwrite").save(target_path)
+        new_df.write.format(fmt).mode("overwrite").save(target_path)
 
 
 def compact_parquet(
@@ -90,9 +183,9 @@ def compact_parquet(
     ``partition_cols`` (+ a bounded salt when ``target_files > 1``), so
     the dynamic-partition write emits ~``target_files`` files per
     partition directory. Content is byte-for-byte the same rows — this
-    never changes data, only file topology. The read is checkpointed
-    (disk-backed, non-recomputable) before the overwrite, the same
-    read-then-rewrite safety as ``upsert_by_key``. Returns the row
+    never changes data, only file topology. The rewrite lands in a
+    temp directory and swaps in atomically (``safe_rewrite``) — a crash
+    mid-compaction leaves the original store intact. Returns the row
     count (callers typically assert it against pre-compaction).
 
     ``sort_cols`` additionally RANGE-CLUSTERS the rewrite on those
@@ -112,7 +205,7 @@ def compact_parquet(
     range, not the store."""
     if zorder and sort_cols:
         raise ValueError("pass sort_cols OR zorder, not both")
-    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    df = spark.read.parquet(path)
     drop_after = []
     if zorder:
         from ..operators.relational import zorder_key
@@ -130,7 +223,10 @@ def compact_parquet(
             out = out.sortWithinPartitions(*sort_cols)
         if drop_after:
             out = out.drop(*drop_after)
-        out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        safe_rewrite(
+            spark, path,
+            lambda tmp: out.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp),
+        )
     else:
         if sort_cols:
             out = df.repartitionByRange(target_files, *[F.col(c) for c in sort_cols]).sortWithinPartitions(*sort_cols)
@@ -138,7 +234,7 @@ def compact_parquet(
             out = df.repartition(target_files)
         if drop_after:
             out = out.drop(*drop_after)
-        out.write.mode("overwrite").parquet(path)
+        safe_rewrite(spark, path, lambda tmp: out.write.mode("overwrite").parquet(tmp))
     return n
 
 
@@ -147,9 +243,12 @@ def delete_by_predicate(spark: SparkSession, target_path: str, predicate, fmt: s
     pipeline.py:63-64) as a filtered rewrite. Returns rows deleted."""
     existing = spark.read.format(fmt).load(target_path)
     n_before = existing.count()
-    keep = existing.filter(~predicate).localCheckpoint(eager=True)
+    keep = existing.filter(~predicate)
     n_after = keep.count()
-    keep.write.format(fmt).mode("overwrite").save(target_path)
+    safe_rewrite(
+        spark, target_path,
+        lambda tmp: keep.write.format(fmt).mode("overwrite").save(tmp),
+    )
     return n_before - n_after
 
 
@@ -177,13 +276,17 @@ def delete_keys_partitioned(
     deleted."""
     existing = spark.read.parquet(path)
     n_before = existing.count()
-    kept = existing.join(ids.distinct(), id_col, "left_anti").localCheckpoint(eager=True)
+    kept = existing.join(ids.distinct(), id_col, "left_anti")
     n_after = kept.count()
-    kept.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    if schema_anchor is not None:
-        kept.drop(partition_col).limit(0).coalesce(1).write.mode("overwrite").parquet(
-            f"{path.rstrip('/')}/{partition_col}={schema_anchor}"
-        )
+
+    def build(tmp: str) -> None:
+        kept.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        if schema_anchor is not None:
+            kept.drop(partition_col).limit(0).coalesce(1).write.mode("overwrite").parquet(
+                f"{tmp}/{partition_col}={schema_anchor}"
+            )
+
+    safe_rewrite(spark, path, build)
     return n_before - n_after
 
 
@@ -262,6 +365,10 @@ def shard_manifest(spark: SparkSession, data_path: str) -> DataFrame:
     size_df = spark.createDataFrame(sizes, "file STRING, bytes BIGINT").withColumn(
         "path", norm(F.col("file"))
     )
-    return counts.join(size_df, "path", "inner").select(
-        "file", "n_rows", "bytes"
+    # LEFT join FROM the filesystem listing: a zero-row data file has no
+    # input_file_name() group, but the manifest exists precisely to
+    # certify the file set on disk — every .parquet file must appear,
+    # with n_rows = 0 when the scan saw nothing from it.
+    return size_df.join(counts, "path", "left").select(
+        "file", F.coalesce("n_rows", F.lit(0)).alias("n_rows"), "bytes"
     ).orderBy("file")

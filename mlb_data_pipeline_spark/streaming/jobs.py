@@ -367,8 +367,9 @@ def scd2_stream(
 ) -> None:
     """Streaming SCD Type-2 maintenance: each micro-batch of change
     rows merges into the persisted versioned dimension at ``dim_path``
-    via ``scd2_apply`` (read -> merge -> checkpoint -> overwrite, the
-    ``compact_parquet`` read-then-rewrite safety). Sequential batches
+    via ``scd2_apply`` (read -> merge -> atomic-swap rewrite: the new
+    dimension lands in a temp dir and replaces the old one by rename,
+    so a crash mid-write never destroys history). Sequential batches
     preserve INTERMEDIATE history — a key changed in batch 1 and again
     in batch 2 keeps both closed versions, which is exactly what
     distinguishes the streaming form from one collapsed batch apply.
@@ -381,12 +382,14 @@ def scd2_stream(
     from ..sources.warehouse import scd2_apply
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.writers import safe_rewrite
+
         spark = batch_df.sparkSession
         current = spark.read.parquet(dim_path)
-        merged = scd2_apply(
-            current, batch_df, key_cols, attr_cols, ts_col
-        ).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(dim_path)
+        merged = scd2_apply(current, batch_df, key_cols, attr_cols, ts_col)
+        safe_rewrite(
+            spark, dim_path, lambda tmp: merged.write.mode("overwrite").parquet(tmp)
+        )
 
     q = (
         changes_stream.writeStream.foreachBatch(process)

@@ -529,3 +529,120 @@ def test_compact_zorder_box_query_touches_few_files(spark, tmp_path):
     assert box_files <= total_files // 4 + 1, (box_files, total_files)
     with pytest.raises(ValueError):
         compact_parquet(spark, path, sort_cols=["x"], zorder=[("x", 0.0, 1.0), ("y", 0.0, 1.0)])
+
+
+def test_scd2_apply_out_of_order_change_is_noop(spark):
+    """A change stamped BEFORE the open row's valid_from (late replay of
+    an older batch) must not close the row with valid_to < valid_from —
+    it is stale information and drops. Round-6 advice item."""
+    import datetime
+
+    from mlb_data_pipeline_spark.sources.warehouse import scd2_apply
+
+    d = datetime.date
+    cur = spark.createDataFrame(
+        [(1, "silver", d(2023, 6, 1), None)],
+        "k BIGINT, tier STRING, valid_from DATE, valid_to DATE",
+    )
+    late = spark.createDataFrame(
+        [(1, "gold", d(2023, 1, 15))], "k BIGINT, tier STRING, change_ts DATE"
+    )
+    out = scd2_apply(cur, late, ["k"], ["tier"])
+    rows = {(r.k, r.tier, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {(1, "silver", d(2023, 6, 1), None)}
+    # global invariant on a mixed batch: no inverted validity intervals
+    mixed = spark.createDataFrame(
+        [(1, "gold", d(2023, 1, 15)), (2, "new", d(2024, 1, 1))],
+        "k BIGINT, tier STRING, change_ts DATE",
+    )
+    out2 = scd2_apply(cur, mixed, ["k"], ["tier"])
+    assert out2.filter("valid_to IS NOT NULL AND valid_to < valid_from").count() == 0
+    assert {(r.k, r.tier) for r in out2.collect()} == {(1, "silver"), (2, "new")}
+
+
+def test_safe_rewrite_swap_and_crash_recovery(spark, tmp_path):
+    """The read-then-rewrite family must never destroy-then-rebuild:
+    the new content lands in <path>.__new, swaps in by rename, and
+    either half-done crash state is completed by recover_dataset."""
+    import shutil
+
+    from mlb_data_pipeline_spark.sources.writers import recover_dataset, safe_rewrite
+
+    path = str(tmp_path / "store")
+    spark.range(10).write.parquet(path)
+    # normal rewrite: content replaced, no droppings left behind
+    nine = spark.read.parquet(path).filter("id < 9")
+    safe_rewrite(spark, path, lambda tmp: nine.write.parquet(tmp))
+    assert spark.read.parquet(path).count() == 9
+    assert not (tmp_path / "store.__new").exists()
+    assert not (tmp_path / "store.__old").exists()
+
+    # crash between the two renames: path absent, committed .__new + .__old
+    shutil.move(path, path + ".__old")
+    spark.range(5).write.parquet(path + ".__new")
+    assert recover_dataset(spark, path) == "rolled_forward"
+    assert spark.read.parquet(path).count() == 5
+    assert not (tmp_path / "store.__old").exists()
+
+    # crash during the build: uncommitted .__new (no _SUCCESS), path moved
+    shutil.move(path, path + ".__old")
+    (tmp_path / "store.__new").mkdir()
+    assert recover_dataset(spark, path) == "rolled_back"
+    assert spark.read.parquet(path).count() == 5
+    assert not (tmp_path / "store.__new").exists()
+
+    # stale siblings next to a healthy path are garbage-collected
+    (tmp_path / "store.__new").mkdir()
+    assert recover_dataset(spark, path) == "clean"
+    assert not (tmp_path / "store.__new").exists()
+
+
+def test_delete_by_predicate_is_atomic_swap(spark, tmp_path):
+    from mlb_data_pipeline_spark.sources.writers import delete_by_predicate
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "d")
+    spark.range(100).write.parquet(path)
+    assert delete_by_predicate(spark, path, F.col("id") >= 50) == 50
+    assert spark.read.parquet(path).count() == 50
+    assert not (tmp_path / "d.__new").exists() and not (tmp_path / "d.__old").exists()
+
+
+def test_shard_manifest_includes_zero_row_files(spark, tmp_path):
+    """A data file with zero rows has no input_file_name() group; the
+    manifest must still list it (left join from the FS listing) —
+    otherwise 'detect partial copies' misses exactly the broken file."""
+    import shutil
+
+    from mlb_data_pipeline_spark.sources.writers import shard_manifest
+
+    path = tmp_path / "rel"
+    spark.range(50).coalesce(1).write.parquet(str(path))
+    empty = tmp_path / "empty_src"
+    spark.range(0).coalesce(1).write.parquet(str(empty))
+    empty_part = next(p for p in empty.iterdir() if p.name.endswith(".parquet"))
+    shutil.copy(empty_part, path / "part-zero-rows.parquet")
+    m = {r.file.rsplit("/", 1)[-1]: r.n_rows for r in shard_manifest(spark, str(path)).collect()}
+    assert m["part-zero-rows.parquet"] == 0
+    assert sum(m.values()) == 50
+    assert len(m) == 2
+
+
+def test_write_partitioned_static_clears_stale_partitions(spark, tmp_path):
+    """A shard release rerun with fewer shards must not leave stale
+    shard dirs behind (dynamic overwrite would — and the manifest
+    would then certify them as part of the release)."""
+    from mlb_data_pipeline_spark.sources.writers import write_partitioned
+
+    path = str(tmp_path / "rel")
+    df2 = spark.createDataFrame([(1, "s0"), (2, "s1")], "id BIGINT, shard STRING")
+    write_partitioned(df2, path, ["shard"])
+    df1 = spark.createDataFrame([(3, "s0")], "id BIGINT, shard STRING")
+    # dynamic rerun keeps the now-stale s1...
+    write_partitioned(df1, path, ["shard"])
+    assert spark.read.parquet(path).count() == 2
+    # ...static rerun produces exactly the new layout
+    write_partitioned(df1, path, ["shard"], dynamic=False)
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 1 and got[0].id == 3 and got[0].shard == "s0"

@@ -193,3 +193,33 @@ def test_zorder_key_interleaves_and_validates(spark):
         zorder_key(cols, 32)
     with pytest.raises(ValueError):
         zorder_key([("x", 4.0, 4.0), ("y", 0.0, 1.0)], 2)
+
+
+def test_salted_join_left_exact_and_small_preserving_types_raise(spark):
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "orphan") for i in range(100)], "id BIGINT, k STRING"
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("unmatched", 9)], "k STRING, v INT"
+    )
+    # left join: unmatched BIG rows appear exactly once (big isn't replicated)
+    plain = {(r.id, r.k, r.v) for r in big.join(small, "k", "left").collect()}
+    got = [
+        (r.id, r.k, r.v)
+        for r in salted_join(big, small, ["k"], n_salts=4, how="left").collect()
+    ]
+    assert set(got) == plain and len(got) == len(plain)
+    # semi/anti are big-side row selections — also safe
+    assert (
+        salted_join(big, small, ["k"], n_salts=4, how="left_anti").count()
+        == big.join(small, "k", "left_anti").count()
+    )
+    # types where the REPLICATED side can emit unmatched rows must raise:
+    # 'unmatched' would otherwise surface n_salts times null-extended
+    for how in ("right", "full", "full_outer", "right_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, ["k"], n_salts=4, how=how)
