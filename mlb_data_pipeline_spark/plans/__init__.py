@@ -13,3 +13,4 @@ def load_all() -> None:
     from . import fixture_queries  # noqa: F401
     from . import curation_queries  # noqa: F401
     from . import search_queries  # noqa: F401
+    from . import graph_queries  # noqa: F401
