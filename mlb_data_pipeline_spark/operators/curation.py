@@ -440,3 +440,83 @@ def shuffle_packs(
         F.col("__pk").asc(), *[F.col(c).asc() for c in pack_cols]
     )
     return out.withColumn("position", F.dense_rank().over(w)).drop("__pk")
+
+
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1 — public
+# literature). Thresholds are the published ones; every ratio test is
+# expressed as an INTEGER cross-multiplication (5*n_alpha >= 4*n_words
+# instead of n_alpha/n_words >= 0.8) so the rule evaluation has no float
+# in it at all — bit-identical across engines by construction.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality signals + rule verdicts.
+
+    Adds integer signal columns (n_words, n_word_chars, n_alpha_words,
+    n_stopwords, n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines),
+    one boolean per published rule (r_*) and ``gopher_pass`` = AND of
+    all rules. One narrow projection — no shuffle, no UDF; the filter
+    a 100 TB corpus runs doc-at-a-time during ingestion.
+
+    Rules (integer form):
+      r_word_count      min_words <= n_words <= max_words
+      r_mean_word_len   3*n_words <= n_word_chars <= 10*n_words
+      r_symbol_ratio    10*n_symbols <= n_words          (# and ellipsis)
+      r_bullet_lines    10*n_bullet_lines <= 9*n_lines   (<= 90%)
+      r_ellipsis_lines  10*n_ellipsis_lines <= 3*n_lines (<= 30%)
+      r_alpha_words     5*n_alpha_words >= 4*n_words     (>= 80%)
+      r_stopwords       n_stopwords >= min_stopwords
+    """
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    lines = F.split(c, "\n")
+    sym = (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))) + (
+        F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    )
+    out = (
+        df.withColumn("n_words", F.size(words))
+        .withColumn(
+            "n_word_chars",
+            F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)),
+        )
+        .withColumn(
+            "n_alpha_words", F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        )
+        .withColumn(
+            "n_stopwords",
+            F.size(F.filter(words, lambda w: F.lower(w).isin(*GOPHER_STOPWORDS))),
+        )
+        .withColumn("n_symbols", sym)
+        .withColumn("n_lines", F.size(lines))
+        .withColumn(
+            "n_bullet_lines",
+            F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^([-*•])"))),
+        )
+        .withColumn(
+            "n_ellipsis_lines",
+            F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))),
+        )
+    )
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (3 * F.col("n_words") <= F.col("n_word_chars"))
+        & (F.col("n_word_chars") <= 10 * F.col("n_words")),
+        "r_symbol_ratio": 10 * F.col("n_symbols") <= F.col("n_words"),
+        "r_bullet_lines": 10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines"),
+        "r_ellipsis_lines": 10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"),
+        "r_alpha_words": 5 * F.col("n_alpha_words") >= 4 * F.col("n_words"),
+        "r_stopwords": F.col("n_stopwords") >= min_stopwords,
+    }
+    verdict = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        verdict = verdict & F.col(name)
+    return out.withColumn("gopher_pass", verdict)

@@ -703,3 +703,87 @@ def r07_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         docs.select("doc_id", "source", "n_chars"), "doc_id", "n_chars", 100
     )
+
+
+# ---------------------------------------------------------------------------
+# R12 — Gopher-style quality rule pack (Rae et al. 2021 table A1):
+#        per-source violation profile. Every rule is an integer
+#        cross-multiplication (operators/curation.py gopher_signals),
+#        so the verdicts carry no float at all.
+# ---------------------------------------------------------------------------
+
+_R12_SQL = r"""
+WITH s AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         COALESCE(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                          w -> length(w))), 0) AS n_word_chars,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> list_contains(['the','be','to','of','and','that','have','with'], lower(w)))) AS n_stopwords,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '…', ''))) AS n_symbols,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, chr(10)),
+                         ln -> regexp_matches(trim(ln), '^([-*•])'))) AS n_bullet_lines,
+         len(list_filter(string_split(text, chr(10)),
+                         ln -> regexp_matches(ln, '(\.\.\.|…)\s*$'))) AS n_ellipsis_lines
+  FROM documents
+), r AS (
+  SELECT source,
+         (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+         (3*n_words <= n_word_chars AND n_word_chars <= 10*n_words) AS r_mean_word_len,
+         (10*n_symbols <= n_words) AS r_symbol_ratio,
+         (10*n_bullet_lines <= 9*n_lines) AS r_bullet_lines,
+         (10*n_ellipsis_lines <= 3*n_lines) AS r_ellipsis_lines,
+         (5*n_alpha_words >= 4*n_words) AS r_alpha_words,
+         (n_stopwords >= 2) AS r_stopwords,
+         n_words
+  FROM s
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len AND r_symbol_ratio
+                      AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+                      AND r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS v_word_count,
+       CAST(SUM(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS v_mean_word_len,
+       CAST(SUM(CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS v_symbol_ratio,
+       CAST(SUM(CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha_words,
+       CAST(SUM(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS v_stopwords,
+       CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS mean_words
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("r12_gopher_quality", oracle=_R12_SQL, covers="curation:quality,T18,A2,A8")
+def r12_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-pack violation profile per source: which published
+    quality rule rejects how many documents — the go/no-go dashboard a
+    pretraining ingest runs before dedup. One narrow metric projection
+    (no UDF, no shuffle before the per-source agg)."""
+    from ..operators.curation import gopher_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = gopher_signals(docs)
+
+    def viol(rule: str) -> F.Column:
+        return F.sum(F.when(~F.col(rule), 1).otherwise(0)).cast("bigint")
+
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).cast("bigint").alias("n_pass"),
+            viol("r_word_count").alias("v_word_count"),
+            viol("r_mean_word_len").alias("v_mean_word_len"),
+            viol("r_symbol_ratio").alias("v_symbol_ratio"),
+            viol("r_alpha_words").alias("v_alpha_words"),
+            viol("r_stopwords").alias("v_stopwords"),
+            (F.sum("n_words").cast("double") / F.count("*")).alias("mean_words"),
+        )
+        .orderBy("source")
+    )
