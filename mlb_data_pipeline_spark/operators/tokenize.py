@@ -1,0 +1,126 @@
+"""Distributed BPE tokenizer training (round 7).
+
+A pretraining pipeline trains its tokenizer on the corpus it curates —
+byte-pair encoding (Sennrich et al. 2016, public literature) over the
+word-frequency table. The reference orchestrates text prep but has no
+tokenizer code; the engine provides the distributed form.
+
+Design for 100 TB: BPE never iterates over the corpus. The corpus
+collapses ONCE into the word-frequency table (|distinct words|, Zipf —
+millions of rows, not billions), and every merge iteration runs on that
+table: one explode-pairs + weighted count to pick the top pair (a
+1-row collect, bounded metadata), one Catalyst-only array fold to apply
+the merge. No Python UDF anywhere — the merge application is
+``F.aggregate`` over the symbol array inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokens
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, freq): the one corpus-scale pass BPE makes."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _init_symbols(wf: DataFrame) -> DataFrame:
+    """Split each word into single-character symbols."""
+    return wf.select(
+        "word",
+        "freq",
+        # split at every inter-character boundary: not the start, and a
+        # character must follow (bare (?!^) also matches end-of-string,
+        # and Spark's limit=-1 split KEEPS that trailing empty string)
+        F.split(F.col("word"), "(?!^)(?=.)").alias("syms"),
+    )
+
+
+def pair_counts(symbolized: DataFrame) -> DataFrame:
+    """(left, right, cnt): adjacent-symbol pair frequencies, weighted by
+    word freq. One explode + one map-side-combinable sum."""
+    pairs = F.when(
+        F.size("syms") > 1,
+        F.transform(
+            F.sequence(F.lit(0), F.size("syms") - 2),
+            lambda i: F.struct(
+                F.element_at("syms", i + 1).alias("left"),
+                F.element_at("syms", i + 2).alias("right"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    return (
+        symbolized.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def apply_merge(symbolized: DataFrame, left: str, right: str) -> DataFrame:
+    """Merge every non-overlapping (left, right) adjacency left-to-right
+    — the standard greedy BPE application — as a Catalyst array fold
+    (no UDF): walk the symbols, gluing ``right`` onto a trailing
+    ``left``. A just-merged token never re-merges in the same pass
+    (the fold compares the ORIGINAL pair, and the glued token equals
+    left+right, which only matches if that string is itself ``left`` —
+    the standard non-overlap rule)."""
+    merged = left + right
+    glue = F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return symbolized.withColumn("syms", glue)
+
+
+def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
+    list in training order. Ties break deterministically by
+    (cnt desc, left asc, right asc) so the vocabulary is reproducible
+    across runs and partitionings. Each iteration collects exactly ONE
+    row (the winning pair) — bounded metadata, same contract as the
+    centroid collects in operators/vector.py."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    sym = _init_symbols(word_freq_table(docs, text_col)).localCheckpoint(eager=False)
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            pair_counts(sym)
+            .orderBy(F.col("cnt").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].cnt < 2:  # nothing left worth merging
+            break
+        left, right = top[0].left, top[0].right
+        merges.append((left, right))
+        sym = apply_merge(sym, left, right)
+        # lineage grows one fold per merge; truncate periodically
+        if (i + 1) % 4 == 0:
+            sym = sym.localCheckpoint(eager=False)
+    return merges
+
+
+def encode_with_merges(symbolized: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge list in order — the tokenizer's encode path
+    over a symbolized word table (each merge is one codegen fold)."""
+    out = symbolized
+    for i, (left, right) in enumerate(merges):
+        out = apply_merge(out, left, right)
+        if (i + 1) % 4 == 0:
+            out = out.localCheckpoint(eager=False)
+    return out

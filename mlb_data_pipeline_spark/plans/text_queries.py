@@ -330,3 +330,47 @@ def q57_current_date_age(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# R13 — BPE pair statistics (tokenizer training, operators/tokenize.py):
+#        the first merge-selection pass, oracled end-to-end. The Spark
+#        side counts over the word-FREQUENCY table (the 100 TB shape:
+#        corpus collapses once, iterations never rescan it); the oracle
+#        counts raw occurrences — identical by construction.
+# ---------------------------------------------------------------------------
+
+_R13_SQL = r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents
+), p AS (
+  SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym
+  FROM w, unnest(generate_series(1, length(word) - 1)) AS t(i)
+  WHERE length(word) > 1
+)
+SELECT left_sym, right_sym, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM p
+GROUP BY 1, 2
+ORDER BY cnt DESC, left_sym, right_sym
+LIMIT 30
+"""
+
+
+@query("r13_bpe_pair_stats", oracle=_R13_SQL, covers="tokenize:bpe,T17,A2,O1")
+def r13_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-character pairs over the corpus word table — the
+    statistic BPE training maximizes each merge round."""
+    from ..operators.tokenize import _init_symbols, pair_counts, word_freq_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sym = _init_symbols(word_freq_table(docs))
+    return (
+        pair_counts(sym)
+        .select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "cnt",
+        )
+        .orderBy(F.col("cnt").desc(), "left_sym", "right_sym")
+        .limit(30)
+    )
