@@ -689,3 +689,52 @@ def r09_compressed_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = read_json(spark, path, schema)
     return back.select("doc_id", "source", "n_chars", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# R14 — media header parse round-trip (operators/multimodal.py): REAL
+#        container bytes (PNG/JPEG/GIF/WAV) synthesized per doc_id,
+#        parsed back by the stdlib header sniffer; the oracle recomputes
+#        the id->metadata derivation directly, so any parse defect on
+#        actual bytes is a hash mismatch. Binary never leaves the
+#        executors; two narrow mapInPandas, no shuffle.
+# ---------------------------------------------------------------------------
+
+_R14_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                       WHEN 2 THEN 'image/gif' ELSE 'audio/wav' END AS content_type,
+       CASE doc_id % 4 WHEN 0 THEN CAST(doc_id % 640 + 1 AS INT)
+                       WHEN 1 THEN CAST(doc_id % 1920 + 1 AS INT)
+                       WHEN 2 THEN CAST(doc_id % 320 + 1 AS INT) END AS width,
+       CASE doc_id % 4 WHEN 0 THEN CAST(doc_id % 480 + 1 AS INT)
+                       WHEN 1 THEN CAST(doc_id % 1080 + 1 AS INT)
+                       WHEN 2 THEN CAST(doc_id % 200 + 1 AS INT) END AS height,
+       CASE WHEN doc_id % 4 = 3 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 4 = 3 THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
+       CASE WHEN doc_id % 4 = 3
+            THEN CAST((1000 + doc_id % 500) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT)
+       END AS duration_ms
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+@query("r14_media_header_parse", oracle=_R14_SQL, covers="multimodal:headers,U2,P1")
+def r14_media_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate real PNG/JPEG/GIF/WAV containers, parse their headers
+    back with the stdlib sniffer, emit the typed metadata."""
+    from ..operators.multimodal import parse_media_meta, synth_media_payloads
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    parsed = parse_media_meta(synth_media_payloads(docs))
+    return parsed.select(
+        "doc_id",
+        F.col("media_meta.content_type").alias("content_type"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.sample_rate").alias("sample_rate"),
+        F.col("media_meta.channels").alias("channels"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    ).orderBy("doc_id")

@@ -58,3 +58,53 @@ def test_frame_sample_counts(spark, media):
 def test_decode_real_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_real(b"", "image/png")
+
+
+def test_sniff_media_headers():
+    import io
+    import wave
+
+    from mlb_data_pipeline_spark.operators.multimodal import (
+        make_gif, make_jpeg, make_png, make_wav, sniff_media,
+    )
+
+    png = sniff_media(make_png(640, 480))
+    assert (png["content_type"], png["width"], png["height"]) == ("image/png", 640, 480)
+    jpg = sniff_media(make_jpeg(1920, 1080))
+    assert (jpg["content_type"], jpg["width"], jpg["height"]) == ("image/jpeg", 1920, 1080)
+    gif = sniff_media(make_gif(320, 200))
+    assert (gif["content_type"], gif["width"], gif["height"]) == ("image/gif", 320, 200)
+    wav = sniff_media(make_wav(16000, 2, 8000))
+    assert (wav["content_type"], wav["sample_rate"], wav["channels"], wav["duration_ms"]) == (
+        "audio/wav", 16000, 2, 500,
+    )
+    # agreement with the stdlib writer, not just our own synthesizer
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000); w.writeframes(bytes(8000 * 2)); w.close()
+    std = sniff_media(buf.getvalue())
+    assert (std["sample_rate"], std["channels"], std["duration_ms"]) == (8000, 1, 1000)
+    # malformed payloads are data, not errors
+    assert sniff_media(b"")["content_type"] is None
+    assert sniff_media(None)["content_type"] is None
+    assert sniff_media(b"\xff\xd8truncated")["content_type"] == "image/jpeg"
+    assert sniff_media(_png_truncated())["content_type"] is None
+
+
+def _png_truncated():
+    from mlb_data_pipeline_spark.operators.multimodal import make_png
+
+    return make_png(10, 10)[:12]
+
+
+def test_parse_media_meta_distributed(spark):
+    from mlb_data_pipeline_spark.operators.multimodal import (
+        make_png, make_wav, parse_media_meta,
+    )
+
+    rows = [("a", make_png(5, 7)), ("b", make_wav(12000, 1, 600)), ("c", b"garbage")]
+    df = spark.createDataFrame(rows, "media_id STRING, payload BINARY")
+    got = {r.media_id: r.media_meta for r in parse_media_meta(df).collect()}
+    assert got["a"].width == 5 and got["a"].height == 7
+    assert got["b"].sample_rate == 12000 and got["b"].duration_ms == 50
+    assert got["c"].content_type is None
