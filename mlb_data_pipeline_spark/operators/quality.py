@@ -81,3 +81,46 @@ def expect_foreign_key(child: DataFrame, child_key: str, parent: DataFrame, pare
         F.col("violations").cast("long"),
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def outlier_flags(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    z: int = 3,
+) -> DataFrame:
+    """Per-group z-score outlier flag WITHOUT sqrt or mean division.
+
+    (x - mean)^2 > z^2 * var  ⟺  (n*x - Σx)^2 > z^2 * (n*Σx² - (Σx)²)
+
+    Multiplying through by n² removes every division and the sqrt, so
+    the group moments (n, Σx, Σx²) are computed EXACTLY in the decimal
+    domain (order-independent), and the final comparison is a fixed
+    sequence of IEEE-double ops on those exact inputs — bit-identical
+    across engines and partition orders, where a naive stddev_pop
+    comparison would be neither. Population variance semantics; groups
+    with n = 1 have var 0 and are never outliers (lhs = 0 ≤ 0 = rhs is
+    false only when x deviates, which it can't for n = 1).
+
+    One shuffle for the moments, broadcast back by group key.
+    """
+    from ..functions.numeric import dec
+
+    x2 = dec(value_col) * dec(value_col)
+    moments = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec(value_col)).alias("__sx"),
+        F.sum(x2).alias("__sxx"),
+    )
+    j = df.join(F.broadcast(moments), group_cols)
+    n_d = F.col("__n").cast("double")
+    sx_d = F.col("__sx").cast("double")
+    sxx_d = F.col("__sxx").cast("double")
+    # plain multiplies, not pow(): libm pow differs across engines
+    diff = n_d * F.col(value_col) - sx_d
+    rhs = F.lit(float(z * z)) * (n_d * sxx_d - sx_d * sx_d)
+    return (
+        j.withColumn("__diff", diff)
+        .withColumn("is_outlier", F.col("__diff") * F.col("__diff") > rhs)
+        .drop("__n", "__sx", "__sxx", "__diff")
+    )

@@ -787,3 +787,59 @@ def r12_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# R15 — per-group outlier profile (operators/quality.py outlier_flags):
+#        the z>3 test with every division and sqrt multiplied away, so
+#        the moments are exact decimals and the comparison is the same
+#        IEEE sequence in both engines.
+# ---------------------------------------------------------------------------
+
+_R15_SQL = """
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx
+  FROM events
+  GROUP BY event_type
+), f AS (
+  SELECT e.event_type, e.value,
+         (CAST(m.n AS DOUBLE) * e.value - CAST(m.sx AS DOUBLE))
+           * (CAST(m.n AS DOUBLE) * e.value - CAST(m.sx AS DOUBLE))
+           > 9.0 * (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                    - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)) AS is_outlier
+  FROM events e JOIN m ON e.event_type = m.event_type
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS outlier_rate
+FROM f
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("r15_outlier_profile", oracle=_R15_SQL, covers="quality:outliers,A2,J2", bench=False)
+def r15_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous-value profile per event type — the data-quality gate a
+    feed passes before entering training mixes. One moments shuffle,
+    one broadcast-back join, one counting agg."""
+    from ..operators.quality import outlier_flags
+
+    events = load_table(spark, sf_dir, "events")
+    flagged = outlier_flags(events, "value", ["event_type"], z=3)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            (
+                F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
