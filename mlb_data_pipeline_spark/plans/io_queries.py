@@ -738,3 +738,23 @@ def r14_media_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.channels").alias("channels"),
         F.col("media_meta.duration_ms").alias("duration_ms"),
     ).orderBy("doc_id")
+
+
+@query("r16_sketch_rollup_store", oracle=None, covers="sketch:hll_store,S8,A4,A2")
+def r16_sketch_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user rollup from the persisted HLL sketch store: raw
+    events collapse to one 16 KB sketch per (day, event_type) at ingest;
+    the per-type rollup unions the store — raw data untouched at query
+    time. Rows-only (Datasketches binaries are engine-specific); the
+    estimate/replay/pruning contract is pinned in
+    tests/test_sketch_store.py."""
+    from ..operators.sketch import build_sketch_store, rollup_estimate
+
+    path = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r16_sketch_store"
+    )
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    build_sketch_store(events, "day", ["event_type"], "user_id", path)
+    return rollup_estimate(spark, path, ["event_type"]).orderBy("event_type")
