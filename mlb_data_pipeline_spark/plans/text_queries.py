@@ -374,3 +374,48 @@ def r13_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "left_sym", "right_sym")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# R17 — Unicode NFC normalization, oracled against DuckDB's
+#        nfc_normalize(): decomposed combining marks are injected
+#        deterministically on BOTH sides (replace 'e' -> e+U+0301), so
+#        the normalizer's output hashes must agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_R17_SQL = """
+WITH d AS (
+  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS decomposed
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(length(decomposed) AS BIGINT) AS len_decomposed,
+       CAST(length(nfc_normalize(decomposed)) AS BIGINT) AS len_nfc,
+       md5(nfc_normalize(decomposed)) AS nfc_md5
+FROM d
+ORDER BY doc_id
+"""
+
+
+@query("r17_nfc_normalize", oracle=_R17_SQL, covers="T1,U2,text:unicode")
+def r17_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-normalize deterministically decomposed text and hash the
+    result — a normalizer defect (wrong form, dropped marks, locale
+    drift) is a hash mismatch against DuckDB's ICU-backed
+    nfc_normalize."""
+    from ..functions.textfn import nfc_normalize
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # DECOMPOSED form (e + combining acute), mirroring the oracle's
+    # 'e' || chr(769) — an explicit escape so editors can't precompose it
+    dec = F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301"))
+    return (
+        docs.select("doc_id", dec.alias("decomposed"))
+        .select(
+            "doc_id",
+            F.length("decomposed").cast("bigint").alias("len_decomposed"),
+            F.length(nfc_normalize(F.col("decomposed"))).cast("bigint").alias("len_nfc"),
+            F.md5(nfc_normalize(F.col("decomposed")).cast("binary")).alias("nfc_md5"),
+        )
+        .orderBy("doc_id")
+    )
