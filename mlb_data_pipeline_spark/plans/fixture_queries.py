@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.numeric import dec
 from ..sources.readers import read_csv
 from ..sources.schemas import GAME_LOGS, TEAMS
 from .registry import query
@@ -149,6 +150,7 @@ def q48_game_team_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOPIC_WEIGHTS = {"spark": 1.5, "vector": 2.0, "window": 1.25, "join": 1.75, "shuffle": 1.5, "general": 0.5}
 _PRIORITY_SOURCES = ["src0", "src1", "src2"]
+_EVENT_WEIGHTS = {"click": 1.0, "view": 0.5, "purchase": 5.0, "signup": 2.0, "error": 0.0}
 
 _TOPIC_CASE = "CASE topic " + " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in _TOPIC_WEIGHTS.items()
@@ -162,23 +164,49 @@ WITH topics AS (
          source IN ({", ".join(repr(s) for s in _PRIORITY_SOURCES)}) AS priority
   FROM documents
 )
-SELECT topic, priority, COUNT(*) AS n_docs,
+SELECT 'topic_weights' AS part, topic AS key, priority, COUNT(*) AS n_docs,
        CAST(ROUND(SUM(CAST(({_TOPIC_CASE}) * (CASE WHEN priority THEN 2.0 ELSE 1.0 END)
-                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS weighted_score
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS score
 FROM topics
-GROUP BY 1, 2
-ORDER BY 1, 2
+GROUP BY 2, 3
+UNION ALL
+SELECT 'weighted_day',
+       CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR),
+       CAST(NULL AS BOOLEAN),
+       COUNT(*),
+       CAST(ROUND(SUM(CAST(value * (CASE event_type
+              WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5 WHEN 'purchase' THEN 5.0
+              WHEN 'signup' THEN 2.0 WHEN 'error' THEN 0.0 END) AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM events
+GROUP BY 2
+UNION ALL
+SELECT 'json_bucket',
+       CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS VARCHAR),
+       CAST(NULL AS BOOLEAN),
+       COUNT(*),
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM events
+GROUP BY 2
+ORDER BY part, key, priority
 """
 
 
-@query("q49_config_topic_weights", oracle=_Q49_SQL, covers="A10,T20,T4,T6,A2")
+@query("q49_config_topic_weights", oracle=_Q49_SQL, covers="A10,T20,T4,T6,T14,A2")
 def q49_config_topic_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's config-driven scoring shape: a topic_weights map
-    (config.py:166-174) applied via a literal map lookup and a
-    priority list (priority_teams, config.py:177-183) applied as a
-    set-membership boost — both ship as broadcast literals, the corpus
-    never shuffles until the (topic, priority) aggregate. Weighted sums
-    run in the decimal domain per the determinism contract."""
+    """Config-driven scoring family, tagged union (round 7 merges the
+    former q31 event-scoring branches in, freeing that window slot for
+    the winnowing query):
+
+    * 'topic_weights' — the reference's topic_weights map
+      (config.py:166-174) as a literal-map lookup plus the
+      priority-list boost (config.py:177-183) as set membership; the
+      corpus never shuffles until the (topic, priority) aggregate.
+    * 'weighted_day' — per-day weighted event score via the same
+      literal-map device (A10/T20).
+    * 'json_bucket' — from_json over events.props (T14), bucketed sums.
+
+    All weighted sums run in the decimal domain per the determinism
+    contract."""
     docs = load_table(spark, sf_dir, "documents")
     topic_re = "(spark|vector|window|join|shuffle)"
     topic = F.when(
@@ -187,17 +215,33 @@ def q49_config_topic_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = F.create_map(*[F.lit(x) for kv in _TOPIC_WEIGHTS.items() for x in kv])
     priority = F.col("source").isin(*_PRIORITY_SOURCES)
     scored = docs.select(
-        topic.alias("topic"),
+        topic.alias("key"),
         priority.alias("priority"),
     ).withColumn(
         "w",
-        (weights.getItem(F.col("topic")) * F.when(F.col("priority"), 2.0).otherwise(1.0)).cast("decimal(18,6)"),
+        (weights.getItem(F.col("key")) * F.when(F.col("priority"), 2.0).otherwise(1.0)).cast("decimal(18,6)"),
     )
-    return (
-        scored.groupBy("topic", "priority")
+    topics_b = (
+        scored.groupBy("key", "priority")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.sum("w"), 2).cast("double").alias("weighted_score"),
+            F.round(F.sum("w"), 2).cast("double").alias("score"),
         )
-        .orderBy("topic", "priority")
+        .select(F.lit("topic_weights").alias("part"), "key", "priority", "n_docs", "score")
     )
+    events = load_table(spark, sf_dir, "events")
+    ev_weights = F.create_map(*[F.lit(x) for kv in _EVENT_WEIGHTS.items() for x in kv])
+    weighted = (F.col("value") * ev_weights.getItem(F.col("event_type"))).cast("decimal(18,6)")
+    null_prio = F.lit(None).cast("boolean").alias("priority")
+    day_b = (
+        events.groupBy(F.date_trunc("day", "ts").cast("date").cast("string").alias("key"))
+        .agg(F.count("*").alias("n_docs"), F.round(F.sum(weighted), 2).cast("double").alias("score"))
+        .select(F.lit("weighted_day").alias("part"), "key", null_prio, "n_docs", "score")
+    )
+    k = F.from_json("props", "k INT").getField("k")
+    json_b = (
+        events.groupBy((k % 10).cast("string").alias("key"))
+        .agg(F.count("*").alias("n_docs"), F.round(F.sum(dec("value")), 2).cast("double").alias("score"))
+        .select(F.lit("json_bucket").alias("part"), "key", null_prio, "n_docs", "score")
+    )
+    return topics_b.unionByName(day_b).unionByName(json_b).orderBy("part", "key", "priority")

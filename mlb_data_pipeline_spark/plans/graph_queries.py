@@ -72,11 +72,14 @@ LIMIT 20
 """
 
 
-_R11_SQL = _pagerank_sql(_N_ITER)
+_Q34_SQL = _pagerank_sql(_N_ITER)
 
 
-@query("r11_pagerank_influence", oracle=_R11_SQL, covers="graph:pagerank,J1,A2,O1,O2")
-def r11_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Named into the driver window (round 7 freed q34 by merging the
+# stream-dedup branch into q41) so the driver's independent run
+# exercises the iterative-join family.
+@query("q34_pagerank_influence", oracle=_Q34_SQL, covers="graph:pagerank,J1,A2,O1,O2")
+def q34_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier purchase graph, top 20.
 
     The curation read: a supplier bought by well-connected customers

@@ -174,26 +174,47 @@ def q19_vector_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q22 — HTML scrape parse (S6): title/body extraction rules
+# Q22 — feed-parse family (S6 HTML scrape + S5 RSS, tagged union;
+#        round 7 merged the former q43 RSS branch in)
 # ---------------------------------------------------------------------------
 
 _Q22_SQL = """
-SELECT doc_id,
+SELECT 'html' AS channel, doc_id,
+       CAST(NULL AS VARCHAR) AS link,
        'Doc #' || CAST(doc_id AS VARCHAR) AS title,
-       trim(substr(text, 1, 80)) || ' lang=' || lang AS body
+       trim(substr(text, 1, 80)) || ' lang=' || lang AS body,
+       CAST(NULL AS TIMESTAMP) AS published_ts,
+       CAST(NULL AS VARCHAR) AS title_xpath
 FROM documents
 WHERE doc_id < 100
-ORDER BY doc_id
+UNION ALL
+SELECT 'rss', CAST(NULL AS BIGINT), link, title, CAST(NULL AS VARCHAR),
+       CAST(published_ts AS TIMESTAMP), title AS title_xpath
+FROM (VALUES
+  ('https://ex.com/a1', 'Yankees win opener',   '2024-03-28 14:00:00'),
+  ('https://ex.com/a2', 'Padres walk off',      '2024-03-28 23:45:10'),
+  ('https://ex.com/a3', 'Trade rumors roundup', '2024-03-29 08:15:00')
+) AS t(link, title, published_ts)
+ORDER BY channel, doc_id, link
 """
 
 
-@query("q22_html_scrape_parse", oracle=_Q22_SQL, covers="S6,T15,T4,T3")
+@query("q22_html_scrape_parse", oracle=_Q22_SQL, covers="S6,S5,T15,T4,T3,T11,U2,T9")
 def q22_html_scrape_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Render documents as HTML pages, run the S6 scrape parser
-    (pipeline.py:24-38 rules: title = first <h1>, body = ' '-join of
-    <p> texts, tags stripped), and check the extraction recovers the
-    source fields exactly. The parse is pure JVM regex — the oracle
-    states the expected output directly from the source table."""
+    """Feed-parse family, tagged union (round 7 merges the former q43
+    RSS branch in, freeing that window slot for the SCD2 merge):
+
+    * 'html' — documents rendered as HTML pages, run through the S6
+      scrape parser (pipeline.py:24-38 rules: title = first <h1>, body
+      = ' '-join of <p> texts, tags stripped); the oracle states the
+      expected extraction directly from the source table.
+    * 'rss' — S5 feed ingestion with a canned payload: distributed item
+      extraction over the XML column (mapInPandas), CDATA handling,
+      RFC-822 pubDate parsing (mlb_pipeline_dag.py:43-59), plus a real
+      ``xpath_string`` re-extraction (T15) of each title that must
+      equal the regex-parsed title exactly."""
+    from ..sources.feeds import rss_source
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     pages = docs.select(
         "doc_id",
@@ -208,9 +229,30 @@ def q22_html_scrape_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     parsed = scrape_articles(pages, url_col="doc_id", html_col="html")
-    return parsed.select(
-        F.col("url").alias("doc_id"), "title", F.col("body").alias("body")
-    ).orderBy("doc_id")
+    html = parsed.select(
+        F.lit("html").alias("channel"),
+        F.col("url").alias("doc_id"),
+        F.lit(None).cast("string").alias("link"),
+        "title",
+        F.col("body").alias("body"),
+        F.lit(None).cast("timestamp").alias("published_ts"),
+        F.lit(None).cast("string").alias("title_xpath"),
+    )
+    feed = rss_source(spark, ["https://feeds.example/mlb.xml"], fetcher=lambda url: _CANNED_RSS)
+    item_xml = F.concat(F.lit("<item><t>"), F.col("title"), F.lit("</t><l>"), F.col("link"), F.lit("</l></item>"))
+    rss = (
+        feed.withColumn("title_xpath", F.xpath_string(item_xml, F.lit("/item/t")))
+        .select(
+            F.lit("rss").alias("channel"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            "link",
+            "title",
+            F.lit(None).cast("string").alias("body"),
+            "published_ts",
+            "title_xpath",
+        )
+    )
+    return html.unionByName(rss).orderBy("channel", "doc_id", "link")
 
 
 # ---------------------------------------------------------------------------
@@ -324,10 +366,8 @@ def q39_warehouse_layering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q43 — RSS/XML feed parse (S5): items -> (link, title, published_ts);
-#        plus a real xpath_string re-extraction (T15) of each item's
-#        title from reconstructed XML — the ElementTree-findall analogue
-#        (mlb_agent_framework_dag.py:60-67) under the same hash gate
+# Canned RSS payload for the q22 feed-parse family (the former q43
+# branch, merged round 7).
 # ---------------------------------------------------------------------------
 
 _CANNED_RSS = """<?xml version="1.0"?><rss version="2.0"><channel>
@@ -339,39 +379,6 @@ _CANNED_RSS = """<?xml version="1.0"?><rss version="2.0"><channel>
 <item><title>Trade rumors roundup</title><link>https://ex.com/a3</link>
 <pubDate>Fri, 29 Mar 2024 08:15:00 GMT</pubDate></item>
 </channel></rss>"""
-
-_Q43_SQL = """
-SELECT link, title, CAST(published_ts AS TIMESTAMP) AS published_ts,
-       title AS title_xpath
-FROM (VALUES
-  ('https://ex.com/a1', 'Yankees win opener',   '2024-03-28 14:00:00'),
-  ('https://ex.com/a2', 'Padres walk off',      '2024-03-28 23:45:10'),
-  ('https://ex.com/a3', 'Trade rumors roundup', '2024-03-29 08:15:00')
-) AS t(link, title, published_ts)
-ORDER BY link
-"""
-
-
-@query("q43_rss_feed_parse", oracle=_Q43_SQL, covers="S5,T15,T11,U2,T9")
-def q43_rss_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5 feed ingestion with a canned payload: driver-side fetch (stub),
-    distributed item extraction over the XML column (mapInPandas — one
-    feed document can carry thousands of items), CDATA handling, and
-    RFC-822 pubDate -> timestamp parsing (mlb_pipeline_dag.py:43-59).
-    ``title_xpath`` re-extracts each title with real ``xpath_string``
-    over per-item XML, so the XML-extraction operator (T15) sits under
-    the same golden-output oracle (it must equal the regex-parsed title
-    exactly)."""
-    from ..sources.feeds import rss_source
-
-    feed = rss_source(spark, ["https://feeds.example/mlb.xml"], fetcher=lambda url: _CANNED_RSS)
-    item_xml = F.concat(F.lit("<item><t>"), F.col("title"), F.lit("</t><l>"), F.col("link"), F.lit("</l></item>"))
-    return (
-        feed.withColumn("title_xpath", F.xpath_string(item_xml, F.lit("/item/t")))
-        .select("link", "title", "published_ts", "title_xpath")
-        .orderBy("link")
-    )
-
 
 # ---------------------------------------------------------------------------
 # Q78 — quarantine ingestion (S2 hardened): JSON-lines with planted
@@ -514,8 +521,8 @@ ORDER BY c_custkey, valid_from
 """
 
 
-@query("q96_scd2_merge", oracle=_Q96_SQL, covers="S12,J3,O4,A2")
-def q96_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q43_scd2_merge", oracle=_Q96_SQL, covers="S12,J3,O4,A2")
+def q43_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
 
     from ..sources.warehouse import scd2_apply

@@ -584,7 +584,7 @@ def q01_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        scrape_store_embed.py, re-expressed as a sublinear fingerprint.
 # ---------------------------------------------------------------------------
 
-_Q86_SQL = """
+_Q31_SQL_WINNOW = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g AS (
   SELECT doc_id,
@@ -608,8 +608,8 @@ ORDER BY id_a, id_b
 """
 
 
-@query("q86_winnow_overlap", oracle=_Q86_SQL, covers="V4,T17")
-def q86_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q31_winnow_overlap", oracle=_Q31_SQL_WINNOW, covers="V4,T17")
+def q31_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import winnow_fingerprint_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -627,7 +627,7 @@ def q86_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        q44 mirrors its hot-band cap.
 # ---------------------------------------------------------------------------
 
-_Q87_SQL = """
+_Q09_SQL_FUZZY = """
 WITH t AS (
   SELECT doc_id, array_to_string((string_split(text, ' '))[1:6], ' ') AS title
   FROM documents
@@ -651,8 +651,8 @@ ORDER BY id_a, id_b
 """
 
 
-@query("q87_fuzzy_title_dedup", oracle=_Q87_SQL, covers="V4,T2,J1")
-def q87_fuzzy_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q09_fuzzy_title_dedup", oracle=_Q09_SQL_FUZZY, covers="V4,T2,J1")
+def q09_fuzzy_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import fuzzy_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -723,7 +723,7 @@ def q90_winnow_contamination_store(spark: SparkSession, sf_dir: str) -> DataFram
 #        mirrored exactly in DuckDB.
 # ---------------------------------------------------------------------------
 
-_Q92_SQL = """
+_Q06_SQL_SPANS = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g AS (
   SELECT doc_id, toks,
@@ -762,8 +762,8 @@ ORDER BY doc_id
 """
 
 
-@query("q92_remove_duplicate_spans", oracle=_Q92_SQL, covers="V4,T17,P9")
-def q92_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q06_remove_duplicate_spans", oracle=_Q06_SQL_SPANS, covers="V4,T17,P9")
+def q06_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import remove_duplicate_spans
 
     docs = load_table(spark, sf_dir, "documents")

@@ -213,37 +213,6 @@ def q04_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q06 — ordered string agg (A5/A6); reference "; ".join(titles)
-#        (mlb_pipeline_dag.py:137)
-# ---------------------------------------------------------------------------
-
-_Q06_SQL = """
-SELECT n.n_name AS nation,
-       string_agg(c.c_name, ';' ORDER BY c.c_name) AS customer_names,
-       COUNT(*) AS n_customers
-FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE c.c_acctbal > 9000
-GROUP BY n.n_name
-ORDER BY n.n_name
-"""
-
-
-@query("q06_string_agg", oracle=_Q06_SQL, covers="A5,A6,J2")
-def q06_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
-    nation = load_table(spark, sf_dir, "nation")
-    return (
-        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.array_join(F.array_sort(F.collect_list("c_name")), ";").alias("customer_names"),
-            F.count("*").alias("n_customers"),
-        )
-        .orderBy("nation")
-    )
-
-
-# ---------------------------------------------------------------------------
 # Q07 — grouping sets: ROLLUP and CUBE over the same base, tagged (A7)
 # ---------------------------------------------------------------------------
 
@@ -251,67 +220,98 @@ _Q07_SQL = """
 WITH base AS (
   SELECT n.n_name AS nation, c.c_mktsegment AS segment, c.c_acctbal
   FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+ranked AS (
+  SELECT nation, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY c_acctbal) AS rn,
+         COUNT(*) OVER (PARTITION BY nation) AS n
+  FROM base
 )
 SELECT 'rollup' AS grouping_op, nation, segment,
        CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal,
-       COUNT(*) AS n_customers
+       COUNT(*) AS n_customers,
+       CAST(NULL AS VARCHAR) AS customer_names
 FROM base GROUP BY ROLLUP (nation, segment)
 UNION ALL
-SELECT 'cube' AS grouping_op, nation, segment,
-       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal,
-       COUNT(*) AS n_customers
+SELECT 'cube', nation, segment,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE),
+       COUNT(*),
+       CAST(NULL AS VARCHAR)
 FROM base GROUP BY CUBE (nation, segment)
+UNION ALL
+SELECT 'string_agg', n.n_name, CAST(NULL AS VARCHAR),
+       CAST(NULL AS DOUBLE),
+       COUNT(*),
+       string_agg(c.c_name, ';' ORDER BY c.c_name)
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > 9000
+GROUP BY n.n_name
+UNION ALL
+SELECT 'median', nation, CAST(NULL AS VARCHAR),
+       CAST((MAX(CASE WHEN rn = (n + 1) // 2 THEN bal END)
+             + MAX(CASE WHEN rn = (n + 2) // 2 THEN bal END))
+            * CAST(0.5 AS DECIMAL(2,1)) AS DOUBLE),
+       CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR)
+FROM ranked
+WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+GROUP BY nation
 ORDER BY grouping_op, nation NULLS LAST, segment NULLS LAST
 """
 
 
-@query("q07_grouping_sets", oracle=_Q07_SQL, covers="A7,J2")
+@query("q07_grouping_sets", oracle=_Q07_SQL, covers="A7,A5,A6,A9,O3,J2")
 def q07_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped-aggregation family over customer x nation, tagged union
+    # (round 7 merges the former q06 ordered string agg and q09 exact
+    # median in, freeing those window slots for the duplicate-span and
+    # fuzzy-dedup queries): ROLLUP, CUBE, ordered string_agg, and the
+    # interpolated exact median are four spellings of "aggregate the
+    # same base", verified independently by the grouping_op tag.
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     base = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .select(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"), "c_acctbal")
     )
+    null_names = F.lit(None).cast("string").alias("customer_names")
     aggs = [dsum("c_acctbal").alias("total_acctbal"), F.count("*").alias("n_customers")]
-    rolled = base.rollup("nation", "segment").agg(*aggs).select(F.lit("rollup").alias("grouping_op"), "*")
-    cubed = base.cube("nation", "segment").agg(*aggs).select(F.lit("cube").alias("grouping_op"), "*")
-    return rolled.unionByName(cubed).orderBy(
+    rolled = base.rollup("nation", "segment").agg(*aggs).select(
+        F.lit("rollup").alias("grouping_op"), "*", null_names
+    )
+    cubed = base.cube("nation", "segment").agg(*aggs).select(
+        F.lit("cube").alias("grouping_op"), "*", null_names
+    )
+    rich = customer.filter(F.col("c_acctbal") > 9000)
+    strung = (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), ";").alias("customer_names"),
+        )
+        .select(
+            F.lit("string_agg").alias("grouping_op"),
+            "nation",
+            F.lit(None).cast("string").alias("segment"),
+            F.lit(None).cast("double").alias("total_acctbal"),
+            "n_customers",
+            "customer_names",
+        )
+    )
+    med = median_exact(
+        base.select("nation", "c_acctbal"), ["nation"], "c_acctbal", "total_acctbal"
+    ).select(
+        F.lit("median").alias("grouping_op"),
+        "nation",
+        F.lit(None).cast("string").alias("segment"),
+        "total_acctbal",
+        F.lit(None).cast("long").alias("n_customers"),
+        null_names,
+    )
+    return rolled.unionByName(cubed).unionByName(strung).unionByName(med).orderBy(
         "grouping_op", F.col("nation").asc_nulls_last(), F.col("segment").asc_nulls_last()
     )
-
-
-# ---------------------------------------------------------------------------
-# Q09 — exact interpolated median per group (A9), decimal-domain midpoint
-# ---------------------------------------------------------------------------
-
-_Q09_SQL = """
-WITH ranked AS (
-  SELECT n.n_name AS nation,
-         CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal,
-         ROW_NUMBER() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal) AS rn,
-         COUNT(*) OVER (PARTITION BY n.n_name) AS n
-  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-)
-SELECT nation,
-       CAST((MAX(CASE WHEN rn = (n + 1) // 2 THEN bal END)
-             + MAX(CASE WHEN rn = (n + 2) // 2 THEN bal END))
-            * CAST(0.5 AS DECIMAL(2,1)) AS DOUBLE) AS median_acctbal
-FROM ranked
-WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
-GROUP BY nation
-ORDER BY nation
-"""
-
-
-@query("q09_median_acctbal", oracle=_Q09_SQL, covers="A9,O3")
-def q09_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    joined = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
-        F.col("n_name").alias("nation"), "c_acctbal"
-    )
-    return median_exact(joined, ["nation"], "c_acctbal", "median_acctbal").orderBy("nation")
 
 
 # ---------------------------------------------------------------------------

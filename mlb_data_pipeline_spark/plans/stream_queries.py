@@ -120,45 +120,6 @@ def q33_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q34 — dedup on event_id keeping min ts (ST6 batch form). The input is
-#        a union of two overlapping slices, so duplicates genuinely exist
-#        (raw event_id is unique in the table — deduping it alone would
-#        be trivially green).
-# ---------------------------------------------------------------------------
-
-_Q34_SQL = """
-WITH unioned AS (
-  SELECT event_id, ts, event_type FROM events
-  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
-  UNION ALL
-  SELECT event_id, ts, event_type FROM events
-  WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-02-15'
-), deduped AS (
-  SELECT event_id, event_type
-  FROM (SELECT event_id, event_type,
-               ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, event_type) AS rn
-        FROM unioned)
-  WHERE rn = 1
-)
-SELECT event_type, COUNT(*) AS n_unique
-FROM deduped
-GROUP BY event_type
-ORDER BY event_type
-"""
-
-
-@query("q34_stream_dedup", oracle=_Q34_SQL, covers="ST6,O7,A3")
-def q34_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    s1 = events.filter((F.col("ts") >= F.lit("2024-01-01")) & (F.col("ts") < F.lit("2024-02-01")))
-    s2 = events.filter((F.col("ts") >= F.lit("2024-01-15")) & (F.col("ts") < F.lit("2024-02-15")))
-    unioned = s1.unionByName(s2)
-    w = Window.partitionBy("event_id").orderBy("ts", "event_type")
-    deduped = unioned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return deduped.groupBy("event_type").agg(F.count("*").alias("n_unique")).orderBy("event_type")
-
-
-# ---------------------------------------------------------------------------
 # Q41 — sliding 1h window / 15min slide counts (ST3 batch form)
 # ---------------------------------------------------------------------------
 
@@ -168,15 +129,33 @@ w AS (
   SELECT make_timestamp((us // 900000000) * 900000000 - CAST(k.k AS BIGINT) * 900000000) AS win_start,
          event_type
   FROM e, (SELECT unnest([0, 1, 2, 3]) AS k) k
+),
+unioned AS (
+  SELECT event_id, ts, event_type FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+  UNION ALL
+  SELECT event_id, ts, event_type FROM events
+  WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-02-15'
+),
+deduped AS (
+  SELECT event_id, event_type
+  FROM (SELECT event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, event_type) AS rn
+        FROM unioned)
+  WHERE rn = 1
 )
-SELECT win_start, event_type, COUNT(*) AS n_events
+SELECT 'sliding' AS part, win_start, event_type, COUNT(*) AS n_events
 FROM w
-GROUP BY 1, 2
-ORDER BY 1, 2
+GROUP BY 2, 3
+UNION ALL
+SELECT 'stream_dedup', CAST(NULL AS TIMESTAMP), event_type, COUNT(*)
+FROM deduped
+GROUP BY 3
+ORDER BY part, win_start, event_type
 """
 
 
-@query("q41_sliding_window", oracle=_Q41_SQL, covers="ST3,A2,T11")
+@query("q41_sliding_window", oracle=_Q41_SQL, covers="ST3,ST6,O7,A3,A2,T11")
 def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window counts: every event lands in exactly window/slide =
     4 overlapping epoch-aligned windows. Spark's ``F.window`` explodes to
@@ -184,10 +163,32 @@ def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond arithmetic (floor-to-slide minus k slides) — no float
     time math on either side. The streaming form of the same window spec
     runs in streaming/jobs.py (tests assert each event is counted 4x)."""
+    # Windowed-events family, tagged union (round 7 merges the former
+    # q34 stream-dedup branch in, freeing that window slot for PageRank).
     events = load_table(spark, sf_dir, "events")
-    return (
+    sliding = (
         events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
-        .orderBy("win_start", "event_type")
+        .select(
+            F.lit("sliding").alias("part"),
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
     )
+    ev = events.select("event_id", "ts", "event_type")
+    s1 = ev.filter((F.col("ts") >= F.lit("2024-01-01")) & (F.col("ts") < F.lit("2024-02-01")))
+    s2 = ev.filter((F.col("ts") >= F.lit("2024-01-15")) & (F.col("ts") < F.lit("2024-02-15")))
+    w = Window.partitionBy("event_id").orderBy("ts", "event_type")
+    deduped = s1.unionByName(s2).withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    dedup_b = (
+        deduped.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.lit("stream_dedup").alias("part"),
+            F.lit(None).cast("timestamp").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return sliding.unionByName(dedup_b).orderBy("part", "win_start", "event_type")

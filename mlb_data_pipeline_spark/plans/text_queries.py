@@ -135,63 +135,6 @@ def q28_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q31 — events-scoring family, tagged union (merged round 6 to free a
-#        driver-window slot for the URL-curation query q27):
-#        * 'weighted_day' branch — weighted score via literal map
-#          (A10, T20); reference topic_weights (config.py:166-174);
-#        * 'json_bucket' branch — from_json over events.props (T14);
-#          reference json.dumps/loads (pipeline.py:46, utils.py:21-24).
-# ---------------------------------------------------------------------------
-
-_WEIGHTS = {"click": 1.0, "view": 0.5, "purchase": 5.0, "signup": 2.0, "error": 0.0}
-
-_Q31_SQL = """
-SELECT 'weighted_day' AS part,
-       CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS key,
-       CAST(ROUND(SUM(CAST(value * (CASE event_type
-              WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5 WHEN 'purchase' THEN 5.0
-              WHEN 'signup' THEN 2.0 WHEN 'error' THEN 0.0 END) AS DECIMAL(18,6))), 2) AS DOUBLE)
-         AS score,
-       COUNT(*) AS n
-FROM events
-GROUP BY 2
-UNION ALL
-SELECT 'json_bucket',
-       CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS VARCHAR),
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE),
-       COUNT(*)
-FROM events
-GROUP BY 2
-ORDER BY part, key
-"""
-
-
-@query("q31_weighted_score", oracle=_Q31_SQL, covers="A10,T20,T14,A2")
-def q31_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    weights = F.create_map(*[F.lit(x) for kv in _WEIGHTS.items() for x in kv])
-    weighted = (F.col("value") * weights.getItem(F.col("event_type"))).cast("decimal(18,6)")
-    weighted_day = (
-        events.groupBy(F.date_trunc("day", "ts").cast("date").cast("string").alias("key"))
-        .agg(
-            F.round(F.sum(weighted), 2).cast("double").alias("score"),
-            F.count("*").alias("n"),
-        )
-        .select(F.lit("weighted_day").alias("part"), "key", "score", "n")
-    )
-    k = F.from_json("props", "k INT").getField("k")
-    json_bucket = (
-        events.groupBy((k % 10).cast("string").alias("key"))
-        .agg(
-            F.round(F.sum(dec("value")), 2).cast("double").alias("score"),
-            F.count("*").alias("n"),
-        )
-        .select(F.lit("json_bucket").alias("part"), "key", "score", "n")
-    )
-    return weighted_day.unionByName(json_bucket).orderBy("part", "key")
-
-
-# ---------------------------------------------------------------------------
 # Q35 — row-assembly family, tagged union (merged round 6 to free a
 #        driver-window slot for the BM25 query q03):
 #        * 'article_json' branch — struct pack + to_json (P9, T9);

@@ -46,8 +46,13 @@ def test_registry_window_invariant():
     redundant early demos to free the slots): q01 incremental near-dup
     (ex-q64), q03 BM25 (ex-q73), q08 snapshot diff (ex-q77), q23
     chunking (ex-q79), q25 bucketed join (ex-q83), q27 URL curation
-    (ex-q84) — so the driver's independent run now exercises the
-    newest operator families, not just the §2 core."""
+    (ex-q84). Round 7 rotated five more (q06 string-agg -> q07 family,
+    q09 median -> q07 family, q31 events scoring -> q49 family, q34
+    stream dedup -> q41 family, q43 RSS -> q22 family): q06 duplicate-
+    span removal (ex-q92), q09 fuzzy title dedup (ex-q87), q31
+    winnowing (ex-q86), q34 PageRank (new round 7), q43 SCD2 merge
+    (ex-q96) — so the driver's independent run exercises the newest
+    operator families, not just the §2 core."""
     names = sorted(REGISTRY)
     windowed = names[:50]
     assert all(REGISTRY[n].oracle is not None for n in windowed), (
@@ -61,6 +66,11 @@ def test_registry_window_invariant():
         "q23_chunk_windows",
         "q25_bucketed_join",
         "q27_url_curation",
+        "q06_remove_duplicate_spans",
+        "q09_fuzzy_title_dedup",
+        "q31_winnow_overlap",
+        "q34_pagerank_influence",
+        "q43_scd2_merge",
     }
     assert rotated <= set(windowed), rotated - set(windowed)
     outside_oracled = [n for n in names[50:] if REGISTRY[n].oracle is not None]
