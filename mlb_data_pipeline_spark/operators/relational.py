@@ -527,3 +527,45 @@ def zorder_sql(cols: list[tuple[str, float, float]], bits: int = 16) -> str:
         for b in range(bits):
             terms.append(f"((({cell} >> {b}) & 1) << {b * n + i})")
     return "(" + " + ".join(terms) + ")"
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnostics: the report a pipeline runs BEFORE
+    choosing between a plain shuffle join, AQE skew splitting, and
+    ``salted_join``. Emits the ``top_n`` heaviest keys with their row
+    counts, each key's share of the table, its ratio to the mean key
+    load, and the ``n_salts`` that would level it (ceil of that ratio —
+    the value to pass to ``salted_join``).
+
+    One map-side-combinable count per key + a top-N — the same cost as
+    the aggregation the join would run anyway. All ratios are single
+    IEEE divisions of exact integer counts (engine-identical)."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").cast("long").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), *[F.col(c) for c in key_cols]).limit(top_n)
+    return (
+        top.crossJoin(F.broadcast(totals))  # 1-row scalar join
+        .select(
+            *key_cols,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total")).alias("share"),
+            (
+                F.col("n_rows").cast("double")
+                * F.col("__n_keys")
+                / F.col("__total")
+            ).alias("skew_ratio"),
+            F.ceil(
+                F.col("n_rows").cast("double") * F.col("__n_keys") / F.col("__total")
+            )
+            .cast("long")
+            .alias("suggested_salts"),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(c) for c in key_cols])
+    )

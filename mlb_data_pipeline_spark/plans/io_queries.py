@@ -765,3 +765,45 @@ def r16_sketch_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build_sketch_store(events, "day", ["event_type"], "user_id", path)
     return rollup_estimate(spark, path, ["event_type"]).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# R19 — versioned dataset store round-trip (sources/writers.py
+#        versioned_write/read_version): two releases committed, both
+#        read back — the current via the pointer, the old via time
+#        travel — and audited against the source table. A lost row,
+#        stale pointer, or cross-version bleed breaks the hash.
+# ---------------------------------------------------------------------------
+
+_R19_SQL = """
+SELECT 'v1' AS release, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+UNION ALL
+SELECT 'current', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+FROM orders
+ORDER BY release
+"""
+
+
+@query("r19_versioned_store", oracle=_R19_SQL, covers="S8,S12,P3,A2")
+def r19_versioned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import _fs_path, read_version, versioned_write
+
+    path = _scratch(sf_dir, "r19_versioned_orders")
+    # rebuild the store from scratch each call (deterministic reruns)
+    fs, hpath, _ = _fs_path(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    v1 = versioned_write(orders.filter(F.col("o_orderdate") < F.lit("1996-01-01")), path)
+    versioned_write(orders, path)
+    agg = lambda df, tag: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    ).select(F.lit(tag).alias("release"), "n_orders", "key_sum")
+    return (
+        agg(read_version(spark, path, v1), "v1")
+        .unionByName(agg(read_version(spark, path), "current"))
+        .orderBy("release")
+    )

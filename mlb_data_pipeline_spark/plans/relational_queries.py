@@ -1173,3 +1173,35 @@ def r10_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "event_id")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# R18 — join-key skew report (operators/relational.py skew_report): the
+#        pre-join diagnostic that decides plain shuffle vs AQE skew
+#        split vs salted_join. Counts are exact integers; ratios are
+#        single IEEE divisions; suggested_salts = ceil(ratio).
+# ---------------------------------------------------------------------------
+
+_R18_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+),
+totals AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS n_keys FROM counts
+)
+SELECT l_suppkey, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows AS DOUBLE) / total AS share,
+       CAST(n_rows AS DOUBLE) * n_keys / total AS skew_ratio,
+       CAST(CEIL(CAST(n_rows AS DOUBLE) * n_keys / total) AS BIGINT) AS suggested_salts
+FROM counts CROSS JOIN totals
+ORDER BY n_rows DESC, l_suppkey
+LIMIT 10
+"""
+
+
+@query("r18_skew_report", oracle=_R18_SQL, covers="A2,O1,O2,J9")
+def r18_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import skew_report
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return skew_report(lineitem, ["l_suppkey"], top_n=10)

@@ -372,3 +372,102 @@ def shard_manifest(spark: SparkSession, data_path: str) -> DataFrame:
     return size_df.join(counts, "path", "left").select(
         "file", F.coalesce("n_rows", F.lit(0)).alias("n_rows"), "bytes"
     ).orderBy("file")
+
+
+# ---------------------------------------------------------------------------
+# Versioned dataset store (round 7): time-travel for the rewrite family.
+# safe_rewrite keeps ONE version with an atomic swap; this store keeps N
+# — each write is a whole new `v=<n>` directory plus a pointer-file
+# flip, so readers never observe a half-written dataset, concurrent
+# readers of the PREVIOUS version are undisturbed by a new write, and
+# yesterday's release stays queryable for diffs (q08's snapshot-diff
+# shape) and rollbacks.
+# ---------------------------------------------------------------------------
+
+
+def _version_dirs(fs, jvm, base: str) -> list[int]:
+    hbase = jvm.org.apache.hadoop.fs.Path(base)
+    if not fs.exists(hbase):
+        return []
+    out = []
+    for st in fs.listStatus(hbase):
+        name = st.getPath().getName()
+        if name.startswith("v=") and name[2:].isdigit():
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}/{name}/_SUCCESS")):
+                out.append(int(name[2:]))
+    return sorted(out)
+
+
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed (fully written) versions at ``path``, ascending."""
+    fs, _, jvm = _fs_path(spark, path.rstrip("/"))
+    return _version_dirs(fs, jvm, path.rstrip("/"))
+
+
+def current_version(spark: SparkSession, path: str) -> int | None:
+    """The pointer-file version, falling back to the max committed
+    version when the pointer is missing or stale (a crash between the
+    data write and the pointer flip leaves the previous pointer — both
+    states are valid reads; the fallback only fires when the pointer
+    file itself is gone)."""
+    base = path.rstrip("/")
+    fs, _, jvm = _fs_path(spark, base)
+    ptr = jvm.org.apache.hadoop.fs.Path(base + "/_CURRENT")
+    if fs.exists(ptr):
+        stream = fs.open(ptr)
+        try:
+            raw = bytes(stream.readAllBytes()).decode("ascii").strip()
+        finally:
+            stream.close()
+        v = int(raw)
+        if v in set(_version_dirs(fs, jvm, base)):
+            return v
+    versions = _version_dirs(fs, jvm, base)
+    return versions[-1] if versions else None
+
+
+def versioned_write(
+    df: DataFrame, path: str, keep_versions: int = 3, fmt: str = "parquet"
+) -> int:
+    """Commit ``df`` as the next version of the dataset at ``path``.
+
+    Protocol: write ``v=<n>`` completely (Hadoop commit, _SUCCESS), then
+    flip the ``_CURRENT`` pointer (write sibling temp + rename — two
+    metadata ops; a crash in between leaves the previous pointer valid
+    and the new version readable by explicit id). Old versions beyond
+    ``keep_versions`` are pruned AFTER the flip, never the current one.
+    Returns the committed version id."""
+    if keep_versions < 1:
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    fs, _, jvm = _fs_path(spark, base)
+    versions = _version_dirs(fs, jvm, base)
+    v = (versions[-1] + 1) if versions else 1
+    df.write.format(fmt).mode("overwrite").save(f"{base}/v={v}")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{base}/_CURRENT.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(str(v).encode("ascii"))
+    finally:
+        out.close()
+    ptr = jvm.org.apache.hadoop.fs.Path(base + "/_CURRENT")
+    if fs.exists(ptr):
+        fs.delete(ptr, False)
+    _rename_or_raise(fs, jvm, f"{base}/_CURRENT.tmp", base + "/_CURRENT")
+    for old in _version_dirs(fs, jvm, base)[:-keep_versions]:
+        if old != v:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/v={old}"), True)
+    return v
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None, fmt: str = "parquet"
+) -> DataFrame:
+    """Read the current (pointer) version, or time-travel to an explicit
+    one. Raises KeyError for a pruned/unknown version id."""
+    base = path.rstrip("/")
+    v = current_version(spark, base) if version is None else version
+    if v is None or v not in set(list_versions(spark, base)):
+        raise KeyError(f"no committed version {version!r} under {base}")
+    return spark.read.format(fmt).load(f"{base}/v={v}")

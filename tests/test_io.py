@@ -646,3 +646,57 @@ def test_write_partitioned_static_clears_stale_partitions(spark, tmp_path):
     write_partitioned(df1, path, ["shard"], dynamic=False)
     got = spark.read.parquet(path).collect()
     assert len(got) == 1 and got[0].id == 3 and got[0].shard == "s0"
+
+
+def test_versioned_store_roundtrip_and_travel(spark, tmp_path):
+    from mlb_data_pipeline_spark.sources.writers import (
+        current_version, list_versions, read_version, versioned_write,
+    )
+
+    path = str(tmp_path / "vstore")
+    d1 = spark.range(10).withColumnRenamed("id", "k")
+    d2 = spark.range(20).withColumnRenamed("id", "k")
+    v1 = versioned_write(d1, path)
+    v2 = versioned_write(d2, path)
+    assert (v1, v2) == (1, 2)
+    assert current_version(spark, path) == 2
+    assert read_version(spark, path).count() == 20          # pointer read
+    assert read_version(spark, path, 1).count() == 10       # time travel
+    assert list_versions(spark, path) == [1, 2]
+
+
+def test_versioned_store_retention_never_prunes_current(spark, tmp_path):
+    from mlb_data_pipeline_spark.sources.writers import (
+        list_versions, read_version, versioned_write,
+    )
+    import pytest
+
+    path = str(tmp_path / "vstore")
+    for n in (5, 6, 7, 8):
+        versioned_write(spark.range(n), path, keep_versions=2)
+    assert list_versions(spark, path) == [3, 4]
+    assert read_version(spark, path).count() == 8
+    with pytest.raises(KeyError):
+        read_version(spark, path, 1)  # pruned
+
+
+def test_versioned_store_pointer_crash_fallback(spark, tmp_path):
+    import os
+    import shutil
+
+    from mlb_data_pipeline_spark.sources.writers import (
+        current_version, read_version, versioned_write,
+    )
+
+    path = str(tmp_path / "vstore")
+    versioned_write(spark.range(3), path)
+    versioned_write(spark.range(7), path)
+    # crash between data write and pointer flip == pointer still at v2
+    # while v3 exists; simulate the worse case: pointer file LOST
+    os.remove(os.path.join(path, "_CURRENT"))
+    assert current_version(spark, path) == 2  # falls back to max committed
+    assert read_version(spark, path).count() == 7
+    # a half-written version dir (no _SUCCESS) is never visible
+    os.makedirs(os.path.join(path, "v=9"))
+    assert current_version(spark, path) == 2
+    shutil.rmtree(os.path.join(path, "v=9"))
