@@ -60,6 +60,7 @@ def pretraining_data_pipeline(
     mix: dict[str, float],
     min_chars: int = 20,
     max_repetition: float = 0.5,
+    gopher_rules: bool = False,
     neardup_threshold: float = 0.5,
     contamination_span_tokens: int = 8,
     pack_budget: int = 2048,
@@ -97,6 +98,14 @@ def pretraining_data_pipeline(
         q = q.filter(
             compression_ratio_udf()(F.col(text_col)) >= F.lit(min_compression_ratio)
         )
+    if gopher_rules:
+        # the full published rule pack (round 7): integer-exact rule
+        # verdicts, same narrow no-shuffle projection as the filters
+        # above — drop the signal columns after gating
+        from ..operators.curation import gopher_signals
+
+        sig = gopher_signals(q, text_col)
+        q = sig.filter(F.col("gopher_pass")).select(*q.columns)
     # 2. exact dedup inside the delta (deterministic canonical row)
     q = dedup_exact(q, [text_col], [id_col])
     # 3. near-dup vs the persisted corpus + within-delta (one banding

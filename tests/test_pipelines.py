@@ -363,3 +363,43 @@ def test_pretraining_pipeline_shuffled_shards(spark, tmp_path):
     assert sorted(map(tuple, again)) == sorted(
         (r.shard, r.position, r.doc_id) for r in rows
     )
+
+
+def test_pretraining_pipeline_gopher_gate(spark, tmp_path):
+    """gopher_rules=True: the full rule pack gates inside the chain —
+    a stopword-free doc dies at the gopher stage while a natural-text
+    doc of the same length survives every other gate untouched."""
+    from mlb_data_pipeline_spark.operators.dedup import build_signature_store
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12)), "web") for i in range(5)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    store = str(tmp_path / "store")
+    build_signature_store(corpus, "doc_id", "text", store)
+    # >= 50 words, stopword-rich, NON-repetitive (the chain's own
+    # repetition ceiling must not be what drops anything here)
+    natural = " ".join(
+        f"the row{j} is good and that table{j} works with value{j}" for j in range(8)
+    )
+    synthetic = " ".join(f"tok{j}" for j in range(90))  # 90 words, zero stopwords
+    delta = spark.createDataFrame(
+        [(1, natural, "web"), (2, synthetic, "web")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    bench = spark.createDataFrame([(900, "held out probe words")], "doc_id BIGINT, text STRING")
+    out = str(tmp_path / "shards")
+    pretraining_data_pipeline(
+        spark, delta, bench, store, out,
+        mix={"web": 1.0}, pack_budget=512, gopher_rules=True,
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1}
+    # and with the gate off, both survive (nothing else drops doc 2)
+    out2 = str(tmp_path / "shards2")
+    pretraining_data_pipeline(
+        spark, delta, bench, store, out2,
+        mix={"web": 1.0}, pack_budget=512, gopher_rules=False,
+    )
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {1, 2}

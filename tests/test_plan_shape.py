@@ -299,3 +299,40 @@ def test_keep_best_window_never_sees_singletons(spark):
     assert "Union" in plan and "isnull(__cc_component" in plan
     singleton_branch = plan.split("Union", 1)[1].split("+- Window")[0]
     assert "isnull(__cc_component" in singleton_branch
+
+
+def test_gopher_profile_single_shuffle(spark, sf_dir):
+    # r12: one narrow metric projection then ONE exchange for the
+    # per-source aggregate — a second exchange would mean the rule
+    # evaluation itself shuffles
+    plan = plan_of(spark, sf_dir, "r12_gopher_quality")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    n_exchanges = body.count("Exchange")
+    assert n_exchanges <= 2, plan  # partial->final agg pair at most
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan  # no UDF
+
+
+def test_media_parse_no_shuffle(spark, sf_dir):
+    # r14: generate -> parse is two narrow mapInPandas; the only
+    # allowed exchange is the final orderBy's range partitioning
+    plan = plan_of(spark, sf_dir, "r14_media_header_parse")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", body)
+    assert all("rangepartitioning" in e.lower() or "SinglePartition" in e for e in exchanges), exchanges
+
+
+def test_skew_report_is_topn(spark, sf_dir):
+    # r18: the heavy-key probe must be agg + TakeOrdered, never a
+    # global sort of the key spine
+    plan = plan_of(spark, sf_dir, "r18_skew_report")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pagerank_no_cartesian(spark, sf_dir):
+    # q34: three iterations of equi-joins — any BroadcastNestedLoop or
+    # Cartesian means a join lost its keys
+    plan = plan_of(spark, sf_dir, "q34_pagerank_influence")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
