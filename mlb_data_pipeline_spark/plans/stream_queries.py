@@ -192,3 +192,173 @@ def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sliding.unionByName(dedup_b).orderBy("part", "win_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# R20 — time-series resample to OHLC bars (the downsampling pass a
+#        metrics/feature pipeline runs before modeling): open/close via
+#        min_by/max_by on a UNIQUE BIGINT order key (epoch micros
+#        composed with event_id — timestamp ties would otherwise make
+#        open/close nondeterministic), high/low/volume as plain aggs.
+# ---------------------------------------------------------------------------
+
+_R20_SQL = """
+WITH e AS (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bar_start,
+         epoch_us(ts) * 1000 + event_id % 1000 AS ord,
+         value
+  FROM events
+)
+SELECT event_type, bar_start,
+       arg_min(value, ord) AS open,
+       arg_max(value, ord) AS close,
+       CAST(ROUND(MAX(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS high,
+       CAST(ROUND(MIN(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS low,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS volume
+FROM e
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("r20_ohlc_resample", oracle=_R20_SQL, covers="A2,T11,O5")
+def r20_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type. min_by/max_by pick open/close
+    by a composed unique BIGINT (no window, no sort — one combinable
+    agg); money math in the decimal domain."""
+    events = load_table(spark, sf_dir, "events")
+    ord_key = (
+        F.unix_micros("ts") * F.lit(1000) + F.col("event_id") % F.lit(1000)
+    )
+    e = events.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar_start"),
+        ord_key.alias("ord"),
+        "value",
+    )
+    return (
+        e.groupBy("event_type", "bar_start")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max_by("value", "ord").alias("close"),
+            F.round(F.max(dec("value")), 2).cast("double").alias("high"),
+            F.round(F.min(dec("value")), 2).cast("double").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("volume"),
+        )
+        .orderBy("event_type", "bar_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R21 — ordered-funnel analysis: users progressing view -> click ->
+#        purchase IN ORDER, each step strictly after the previous
+#        step's first occurrence AND within a 1-day conversion window
+#        (without the window every user on this dense data completes
+#        the funnel and the steps verify nothing). Two grouped mins +
+#        two equi-joins — no per-user sort; counts are exact integers.
+# ---------------------------------------------------------------------------
+
+_R21_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 1 DAY
+  GROUP BY e.user_id
+)
+SELECT step, n_users FROM (
+  SELECT 1 AS step_ord, 'view' AS step, COUNT(*) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'view>click', COUNT(*) FROM c
+  UNION ALL
+  SELECT 3, 'view>click>purchase', COUNT(*) FROM p
+) ORDER BY step_ord
+"""
+
+
+@query("r21_funnel_steps", oracle=_R21_SQL, covers="A2,J4,O7")
+def r21_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev, prev_t: str, out_t: str):
+        e = events.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out_t))
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_t))
+                & (F.col("ts") <= F.col(prev_t) + F.expr("INTERVAL 1 DAY"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    count = lambda df, tag: df.agg(F.count(F.lit(1)).alias("n_users")).select(  # noqa: E731
+        F.lit(tag).alias("step"), "n_users"
+    )
+    return (
+        count(v, "view")
+        .unionByName(count(c, "view>click"))
+        .unionByName(count(p, "view>click>purchase"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# R22 — cohort retention matrix: users bucketed by first-seen month,
+#        counted per months-since-cohort. Month distance is integer
+#        year*12+month arithmetic — no date subtraction semantics to
+#        disagree on. Two grouped passes + one equi-join.
+# ---------------------------------------------------------------------------
+
+_R22_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_trunc('month', f.first_ts) AS DATE) AS cohort_month,
+         (year(e.ts) * 12 + month(e.ts))
+           - (year(f.first_ts) * 12 + month(f.first_ts)) AS months_since
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT cohort_month, months_since, COUNT(*) AS n_users
+FROM act
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("r22_cohort_retention", oracle=_R22_SQL, covers="A2,A3,J1,T11")
+def r22_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    f = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    mo = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    act = (
+        events.join(f, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("month", "first_ts").cast("date").alias("cohort_month"),
+            (mo(F.col("ts")) - mo(F.col("first_ts"))).alias("months_since"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_month", "months_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_month", "months_since")
+    )
