@@ -70,11 +70,19 @@ def append_sketch_store(
     """Daily-cadence maintenance: sketch ONLY the delta's partitions and
     append them. Partition-value guard (left-anti on the store's
     existing part values) makes a replayed delta a no-op — same
-    append-only contract as the signature/IVF/text stores."""
+    append-only contract as the signature/IVF/text stores. A missing or
+    still-empty store bootstraps from the first append (an empty
+    partitioned parquet dir has no readable schema, so the guard treats
+    it as zero existing partitions)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     spark = delta.sparkSession
     base = path.rstrip("/")
-    existing = spark.read.parquet(base).select(part_col).distinct()
-    fresh = delta.join(existing, part_col, "left_anti")
+    try:
+        existing = spark.read.parquet(base).select(part_col).distinct()
+        fresh = delta.join(existing, part_col, "left_anti")
+    except AnalysisException:
+        fresh = delta
     sketch_partition(fresh, part_col, group_cols, value_col, lg_k).write.mode(
         "append"
     ).partitionBy(part_col).parquet(base)

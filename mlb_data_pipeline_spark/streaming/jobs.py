@@ -398,3 +398,43 @@ def scd2_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def sketch_store_stream(
+    events_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    part_col: str,
+    group_cols: list[str],
+    value_col: str,
+) -> None:
+    """Streaming maintenance for the HLL sketch store (the fourth leg of
+    the streaming-store family: signatures, postings, inverted file,
+    now sketches): each micro-batch folds into one sketch row per
+    (partition, group) and appends through the store's partition-value
+    guard — so a rollup after batch N reflects batches 1..N and raw
+    events are never retained. State is the PARQUET STORE (restart-safe,
+    shared with the batch path).
+
+    Delivery: foreachBatch is at-least-once; the append's partition
+    guard (left-anti on existing part values) makes a replayed batch a
+    no-op. Contract: a micro-batch carries whole partitions (e.g. the
+    stream is day-files and part_col is the day) — a partition split
+    ACROSS batches would be half-sketched, exactly as in the batch
+    append path. The store must exist (``build_sketch_store``, possibly
+    over an empty frame) before the stream starts."""
+    from ..operators.sketch import append_sketch_store
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_sketch_store(
+            batch_df.localCheckpoint(eager=True),
+            part_col, group_cols, value_col, store_path,
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

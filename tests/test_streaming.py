@@ -477,3 +477,49 @@ def test_scd2_stream_preserves_intermediate_history(spark, tmp_path):
         (2, "bronze", d(2023, 1, 1), None),            # no-op stayed open
         (9, "new", d(2024, 6, 1), None),
     }
+
+
+def test_sketch_store_stream_equals_batch(spark, tmp_path):
+    """Streamed sketch-store appends == a store built in one batch pass:
+    identical rollup estimates, and a restart (replayed batch) is a
+    no-op."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.sketch import (
+        build_sketch_store, rollup_estimate,
+    )
+    from mlb_data_pipeline_spark.streaming import sketch_store_stream
+
+    def mk(day_lo, day_hi):
+        return (
+            spark.range(day_lo * 1000, day_hi * 1000)
+            .select(
+                (F.col("id") / 1000).cast("int").alias("day"),
+                F.when(F.col("id") % 3 == 0, "click").otherwise("view").alias("etype"),
+                ((F.col("id") * 7919) % 400).alias("user_id"),
+            )
+        )
+
+    src = str(tmp_path / "src")
+    mk(0, 2).coalesce(1).write.mode("append").parquet(src)
+    mk(2, 4).coalesce(1).write.mode("append").parquet(src)
+    store = str(tmp_path / "store")
+    # no bootstrap needed: the first streamed append creates the store
+    stream = (
+        spark.readStream.schema("day INT, etype STRING, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sketch_store_stream(stream, store, str(tmp_path / "ckpt"), "day", ["etype"], "user_id")
+    streamed = sorted(map(tuple, rollup_estimate(spark, store, ["etype"]).collect()))
+    whole = str(tmp_path / "whole")
+    build_sketch_store(mk(0, 4), "day", ["etype"], "user_id", whole)
+    assert streamed == sorted(map(tuple, rollup_estimate(spark, whole, ["etype"]).collect()))
+    # replayed batch: append the same files again via a fresh stream+ckpt
+    stream2 = (
+        spark.readStream.schema("day INT, etype STRING, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sketch_store_stream(stream2, store, str(tmp_path / "ckpt2"), "day", ["etype"], "user_id")
+    assert streamed == sorted(map(tuple, rollup_estimate(spark, store, ["etype"]).collect()))
