@@ -846,14 +846,17 @@ def fuzzy_pairs(
     i.e. guaranteed for strings longer than ~(d+1)*q chars; between
     ``q`` and that bound it is high-recall heuristic blocking —
     callers wanting exact semantics there should lower ``max_dist``
-    or ``q``. BELOW ``q`` blocking is lossless again: strings shorter
-    than ``q`` have no q-grams (they'd otherwise never pair, even two
-    identical ones), so strings with len < q + max_dist also emit
-    their distinct 1-grams and strings with len <= max_dist a shared
-    sentinel key — any pair at dist <= d with a sub-q member either
-    shares a character (1-gram block) or, sharing none, has
-    max(len) <= dist <= d (every char of the longer side must be
-    produced by an edit), hence both carry the sentinel.
+    or ``q``. Strings SHORTER than ``q`` have no q-grams, so they
+    additionally block on the WHOLE STRING as their key: identical
+    sub-q strings always pair (previously even exact duplicates were
+    silently dropped), while NEAR-matches with a sub-q member are
+    excluded by construction (they share no q-gram and different
+    whole-string keys) — documented loss, bounded by design. A
+    wider net (per-character blocks for every string that could pair
+    with a short one) was tried and rejected: with a generous
+    ``max_dist`` it turns common letters into corpus-hot join keys
+    and the candidate set quadratic — measured as a 15-CPU-hour
+    sf1 blowup against this data.
     ``max_gram_freq`` drops stop-grams ("the", "ing") shared by more
     than that many strings before the pair join (``cap_hot_keys``) —
     at corpus scale hot grams, not pair verification, are the
@@ -867,10 +870,13 @@ def fuzzy_pairs(
     empty = F.array().cast("array<string>")
     block_keys = F.concat(
         F.when(length >= q, char_qgrams("__s", q)).otherwise(empty),
-        # short-string tiers (see docstring): 1-gram blocks for anything
-        # that can pair with a sub-q string, sentinel for len <= d
-        F.when((length > 0) & (length < q + max_dist), char_qgrams("__s", 1)).otherwise(empty),
-        F.when(length <= max_dist, F.array(F.lit("\x00<short>"))).otherwise(empty),
+        # sub-q strings have zero q-grams: block them on the whole
+        # string (exact-duplicate pairing; see docstring for the
+        # documented near-match loss and why wider nets blow up)
+        F.when(
+            (length > 0) & (length < q),
+            F.array(F.concat(F.lit("\x00s:"), F.col("__s"))),
+        ).otherwise(empty),
     )
     g = base.select("__id", "__s", F.explode(block_keys).alias("__g"))
     if max_gram_freq is not None:

@@ -726,24 +726,22 @@ def test_new_drift_shuffle_ops_survive_empty_input(spark):
     assert categorical_drift(empty, empty, "source").count() == 0
 
 
-def test_fuzzy_pairs_short_strings_lossless_below_q(spark):
+def test_fuzzy_pairs_short_strings_exact_dup_block(spark):
     """Strings shorter than q have no q-grams; round-6 advice flagged
-    that even IDENTICAL short strings could never pair. The short-string
-    tiers (1-gram blocks for len < q+d, sentinel for len <= d) make
-    blocking lossless below q: any dist<=d pair with a sub-q member
-    either shares a character or has max(len) <= d (no-shared-char
-    implies every char of the longer side is edited in)."""
+    that even IDENTICAL short strings could never pair. Sub-q strings
+    now block on the whole string: exact short duplicates always pair;
+    NEAR-matches with a sub-q member are a documented loss (a wider
+    per-character net was measured quadratic at sf1 — see the operator
+    docstring)."""
     from mlb_data_pipeline_spark.operators.dedup import fuzzy_pairs
 
     df = spark.createDataFrame(
         [
             (1, "ab"),       # identical short pair with 2
             (2, "ab"),
-            (3, "ax"),       # dist 1 from "ab"
-            (4, "cd"),       # dist 2 from "ab", NO shared char (sentinel tier)
-            (5, "abc"),      # cross-boundary: len==q, dist 1 from "ab"
+            (3, "ax"),       # dist 1 from "ab" — documented loss, no shared key
+            (5, "abc"),      # len==q: q-gram tier, no short key
             (6, "zzzzzzzz"), # far from everything
-            (7, ""),         # empty: dist 2 from "ab" via sentinel
         ],
         "id BIGINT, s STRING",
     )
@@ -751,9 +749,11 @@ def test_fuzzy_pairs_short_strings_lossless_below_q(spark):
         (r.id_a, r.id_b, r.edit_dist)
         for r in fuzzy_pairs(df, "id", "s", max_dist=2, q=3).collect()
     }
-    assert (1, 2, 0) in got          # identical short strings
-    assert (1, 3, 1) in got and (2, 3, 1) in got
-    assert (1, 4, 2) in got          # disjoint-alphabet short pair
-    assert (1, 5, 1) in got          # sub-q vs len==q
-    assert (1, 7, 2) in got          # empty vs short
+    assert (1, 2, 0) in got                      # identical short strings pair
     assert not any(6 in (a, b) for a, b, _ in got)
+    # documented loss: sub-q near-matches (1,3) and cross-boundary (1,5)
+    # are NOT guaranteed — pin that the current blocking indeed omits
+    # them, so a future widening is a deliberate decision, not drift
+    assert (1, 3, 1) not in got
+    # and the short-string key never collides with a real q-gram
+    assert all(d <= 2 for _, _, d in got)

@@ -66,11 +66,12 @@ def _ensure(dst: str, copies: int) -> str:
 
 
 # q38/q45: replica breaks their cardinality premise (see docstring).
-# q87: the registered demo runs q-gram blocking UNCAPPED for lossless
+# q09 (ex-q87, rotated into the driver window round 7): the registered
+# demo runs q-gram blocking UNCAPPED for lossless
 # semantics; the synthetic small-vocab titles make every doc share
 # grams, so the candidate join is quadratic at sf1 (production sets
 # max_gram_freq — the cap the demo deliberately leaves off).
-DEFAULT_SKIP = ("q38", "q45", "q87")
+DEFAULT_SKIP = ("q38", "q45", "q09")
 
 
 def main() -> int:
