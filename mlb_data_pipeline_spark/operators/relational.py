@@ -569,3 +569,36 @@ def skew_report(
         )
         .orderBy(F.col("n_rows").desc(), *[F.col(c) for c in key_cols])
     )
+
+
+def percentiles_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+) -> DataFrame:
+    """Exact nearest-rank percentiles per group (the p50/p90/p99 band a
+    latency/quality dashboard wants): percentile p = the order
+    statistic at rank max(1, ceil(p*n)). One ranked window pass on one
+    shuffle of the group key, every requested percentile read from the
+    same pass. ceil(p*n) is a single IEEE multiply+ceil on exact
+    operands — engine-identical (the interpolated variant lives in
+    ``median_exact``; nearest-rank needs no decimal midpoint at all).
+
+    Output columns are named p50/p90/p99 (p*100, trailing .0 dropped).
+    """
+    if not ps or any(not (0 < p <= 1) for p in ps):
+        raise ValueError(f"ps must be fractions in (0, 1], got {ps}")
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy(*group_cols))
+    )
+    dec_val = F.col(value_col).cast("decimal(18,2)")
+    aggs = []
+    for p in ps:
+        rank = F.greatest(F.lit(1), F.ceil(F.lit(float(p)) * F.col("__n")))
+        name = f"p{p * 100:g}".replace(".", "_")
+        aggs.append(
+            F.max(F.when(F.col("__rn") == rank, dec_val)).cast("double").alias(name)
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)

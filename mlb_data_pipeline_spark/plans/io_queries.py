@@ -807,3 +807,73 @@ def r19_versioned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(read_version(spark, path), "current"))
         .orderBy("release")
     )
+
+
+# ---------------------------------------------------------------------------
+# R24 — CDC changelog apply (sources/warehouse.py apply_changelog):
+#        base snapshot + (key, seq, op, attrs) log -> latest state.
+#        The synthetic log updates every 10th customer (two competing
+#        updates — the higher seq must win), deletes every 25th, and
+#        inserts fresh keys; the oracle reconstructs the same final
+#        state with window SQL.
+# ---------------------------------------------------------------------------
+
+_R24_SQL = """
+WITH log AS (
+  SELECT c_custkey, 1 AS seq, 'U' AS op, 'STALE' AS c_mktsegment FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 2, 'U', 'MOVED' FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 3, 'D', c_mktsegment FROM customer WHERE c_custkey % 25 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 1, 'I', 'FRESH' FROM customer WHERE c_custkey % 50 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT log.*, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM log
+  ) WHERE rn = 1
+),
+final AS (
+  SELECT c.c_custkey, c.c_mktsegment
+  FROM customer c LEFT JOIN latest l ON c.c_custkey = l.c_custkey
+  WHERE l.c_custkey IS NULL
+  UNION ALL
+  SELECT c_custkey, c_mktsegment FROM latest WHERE op <> 'D'
+)
+SELECT c_mktsegment, COUNT(*) AS n_keys, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM final
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("r24_cdc_apply", oracle=_R24_SQL, covers="S12,J5,O7,A2")
+def r24_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.warehouse import apply_changelog
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def slice_(mod, seq, op, seg=None, key_shift=0):
+        d = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % mod == 0)
+        return d.select(
+            (F.col("c_custkey") + key_shift).alias("c_custkey"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            (F.lit(seg) if seg else F.col("c_mktsegment")).alias("c_mktsegment"),
+        )
+
+    log = (
+        slice_(10, 1, "U", "STALE")
+        .unionByName(slice_(10, 2, "U", "MOVED"))
+        .unionByName(slice_(25, 3, "D"))
+        .unionByName(slice_(50, 1, "I", "FRESH", key_shift=1_000_000))
+    )
+    final = apply_changelog(cust, log, ["c_custkey"], "seq")
+    return (
+        final.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )

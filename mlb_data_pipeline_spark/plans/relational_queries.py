@@ -1205,3 +1205,37 @@ def r18_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     return skew_report(lineitem, ["l_suppkey"], top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# R23 — exact percentile bands (nearest-rank p50/p90/p99 per group):
+#        the latency-dashboard statistic, from ONE ranked pass; rank
+#        selection is ceil(p*n) on exact operands, output through the
+#        decimal domain.
+# ---------------------------------------------------------------------------
+
+_R23_SQL = """
+WITH ranked AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(CASE WHEN rn = GREATEST(1, CEIL(CAST(0.5 AS DOUBLE) * n)) THEN v END) AS DOUBLE) AS p50,
+       CAST(MAX(CASE WHEN rn = GREATEST(1, CEIL(CAST(0.9 AS DOUBLE) * n)) THEN v END) AS DOUBLE) AS p90,
+       CAST(MAX(CASE WHEN rn = GREATEST(1, CEIL(CAST(0.99 AS DOUBLE) * n)) THEN v END) AS DOUBLE) AS p99
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("r23_percentile_bands", oracle=_R23_SQL, covers="A9,O3,A2")
+def r23_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import percentiles_exact
+
+    events = load_table(spark, sf_dir, "events")
+    return percentiles_exact(events, ["event_type"], "value", [0.5, 0.9, 0.99]).orderBy(
+        "event_type"
+    )

@@ -14,7 +14,7 @@ import os
 import shutil
 from urllib.parse import urlparse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 LAYERS = ("raw", "staging", "analytics")
 
@@ -192,3 +192,37 @@ def rollup_from_store(
         F.sum("n").alias("n"),
         F.round(F.sum("partial_sum"), scale).cast("double").alias("total"),
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    log: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC apply: materialize a table from a base snapshot plus a
+    change log of (keys..., seq, op, attrs...) rows where op is
+    'I'/'U' (upsert) or 'D' (delete) — the Debezium/binlog-consumer
+    shape next to ``scd2_apply`` (which keeps history; this keeps the
+    LATEST state).
+
+    Per key only the HIGHEST-``seq_col`` log row decides: earlier ops
+    are superseded (so the apply is idempotent on replayed/compacted
+    logs and insensitive to log duplication). ``seq_col`` must be a
+    total order per key (a binlog offset / LSN; a bare timestamp with
+    ties is not enough — compose one the way r20 composes its order
+    key). One window over the log (shuffle on key), one anti-join on
+    the base, one union — the log is delta-sized, the base is scanned
+    once."""
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = base.join(latest.select(*key_cols), key_cols, "left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*base.columns)
+    return untouched.unionByName(upserts)

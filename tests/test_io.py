@@ -700,3 +700,26 @@ def test_versioned_store_pointer_crash_fallback(spark, tmp_path):
     os.makedirs(os.path.join(path, "v=9"))
     assert current_version(spark, path) == 2
     shutil.rmtree(os.path.join(path, "v=9"))
+
+
+def test_apply_changelog_semantics(spark):
+    from mlb_data_pipeline_spark.sources.warehouse import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING"
+    )
+    log = spark.createDataFrame(
+        [
+            (2, 1, "U", "b1"), (2, 2, "U", "b2"),   # higher seq wins
+            (3, 1, "D", "x"),                        # delete
+            (4, 1, "I", "d"),                        # insert new key
+            (4, 2, "D", "d"), (4, 3, "I", "d2"),     # delete then re-insert
+        ],
+        "k BIGINT, seq INT, op STRING, v STRING",
+    )
+    got = {(r.k, r.v) for r in apply_changelog(base, log, ["k"], "seq").collect()}
+    assert got == {(1, "a"), (2, "b2"), (4, "d2")}
+    # idempotent: applying the same log to the RESULT changes nothing
+    out = apply_changelog(base, log, ["k"], "seq")
+    again = {(r.k, r.v) for r in apply_changelog(out, log, ["k"], "seq").collect()}
+    assert again == got

@@ -223,3 +223,22 @@ def test_salted_join_left_exact_and_small_preserving_types_raise(spark):
     for how in ("right", "full", "full_outer", "right_outer", "outer"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(big, small, ["k"], n_salts=4, how=how)
+
+
+def test_percentiles_exact_nearest_rank(spark):
+    from mlb_data_pipeline_spark.operators.relational import percentiles_exact
+
+    rows = [("g", float(v)) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, "grp STRING, value DOUBLE")
+    [r] = percentiles_exact(df, ["grp"], "value", [0.5, 0.9, 0.99, 1.0]).collect()
+    assert (r.p50, r.p90, r.p99, r.p100) == (50.0, 90.0, 99.0, 100.0)
+    # singleton group: every percentile is the single value
+    [s] = percentiles_exact(
+        spark.createDataFrame([("x", 7.0)], "grp STRING, value DOUBLE"),
+        ["grp"], "value", [0.5, 0.99],
+    ).collect()
+    assert (s.p50, s.p99) == (7.0, 7.0)
+    import pytest
+
+    with pytest.raises(ValueError):
+        percentiles_exact(df, ["grp"], "value", [0.0])
