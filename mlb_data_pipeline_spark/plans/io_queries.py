@@ -877,3 +877,50 @@ def r24_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# R25 — custom Python DataSource (Spark 4 pyspark.sql.datasource): the
+#        RSS feed family as a REAL pluggable `spark.read.format("rss")`
+#        source — one partition per feed file, parsed executor-side.
+#        Two deterministic feed files are materialized under scratch;
+#        the oracle states the expected parse as literals (the same
+#        golden-output contract the classic q22 rss branch uses).
+# ---------------------------------------------------------------------------
+
+_R25_FEEDS = {
+    "feed_a.xml": """<?xml version="1.0"?><rss version="2.0"><channel>
+<item><title><![CDATA[Yankees win opener]]></title><link>https://ex.com/a1</link>
+<pubDate>Thu, 28 Mar 2024 14:00:00 GMT</pubDate></item>
+<item><title>Padres walk off</title><link>https://ex.com/a2</link>
+<pubDate>Thu, 28 Mar 2024 23:45:10 GMT</pubDate></item>
+</channel></rss>""",
+    "feed_b.xml": """<?xml version="1.0"?><rss version="2.0"><channel>
+<item><title>Trade rumors roundup</title><link>https://ex.com/b1</link>
+<pubDate>Fri, 29 Mar 2024 08:15:00 GMT</pubDate></item>
+</channel></rss>""",
+}
+
+_R25_SQL = """
+SELECT link, title, CAST(published_ts AS TIMESTAMP) AS published_ts, feed_file
+FROM (VALUES
+  ('https://ex.com/a1', 'Yankees win opener',   '2024-03-28 14:00:00', 'feed_a.xml'),
+  ('https://ex.com/a2', 'Padres walk off',      '2024-03-28 23:45:10', 'feed_a.xml'),
+  ('https://ex.com/b1', 'Trade rumors roundup', '2024-03-29 08:15:00', 'feed_b.xml')
+) AS t(link, title, published_ts, feed_file)
+ORDER BY link
+"""
+
+
+@query("r25_python_datasource", oracle=_R25_SQL, covers="S5,S4,U2,T9")
+def r25_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pydatasource import RssDataSource
+
+    feed_dir = _scratch(sf_dir, "r25_feeds")
+    os.makedirs(feed_dir, exist_ok=True)
+    for name, xml in _R25_FEEDS.items():
+        with open(os.path.join(feed_dir, name), "w", encoding="utf-8") as fh:
+            fh.write(xml)
+    # idempotent per session; re-registering the same source is allowed
+    spark.dataSource.register(RssDataSource)
+    return spark.read.format("rss").load(feed_dir).orderBy("link")

@@ -91,3 +91,45 @@ def test_write_binary_files_layout(spark, tmp_path):
     assert open(os.path.join(root, "audio", "20240501", "ep1.mp3"), "rb").read() == b"\x00\x01\x02"
     assert open(os.path.join(root, "audio", "20240502", "ep2.mp3"), "rb").read() == b"\xff" * 10
     assert open(os.path.join(root, "scripts", "20240501", "ep1.txt"), "rb").read() == b"hello"
+
+
+def test_python_datasource_matches_classic_helper(spark, tmp_path):
+    """The pluggable spark.read.format('rss') source and the classic
+    rss_source helper must parse identically (same regex kernel)."""
+    from mlb_data_pipeline_spark.sources.feeds import rss_source
+    from mlb_data_pipeline_spark.sources.pydatasource import RssDataSource
+
+    xml = """<?xml version="1.0"?><rss><channel>
+<item><title><![CDATA[A &amp; B]]></title><link>https://x/1</link>
+<pubDate>Thu, 28 Mar 2024 14:00:00 GMT</pubDate></item>
+<item><title>No date item</title><link>https://x/2</link></item>
+</channel></rss>"""
+    (tmp_path / "f.xml").write_text(xml)
+    spark.dataSource.register(RssDataSource)
+    via_source = {
+        (r.link, r.title, r.published_ts)
+        for r in spark.read.format("rss").load(str(tmp_path)).collect()
+    }
+    via_helper = {
+        (r.link, r.title, r.published_ts)
+        for r in rss_source(spark, ["u"], fetcher=lambda u: xml).collect()
+    }
+    assert via_source == via_helper
+    assert ("https://x/2", "No date item", None) in via_source
+
+
+def test_python_datasource_partition_per_file(spark, tmp_path):
+    from mlb_data_pipeline_spark.sources.pydatasource import RssDataSource
+
+    for i in range(3):
+        (tmp_path / f"f{i}.xml").write_text(
+            f"<rss><channel><item><title>t{i}</title><link>l{i}</link></item></channel></rss>"
+        )
+    spark.dataSource.register(RssDataSource)
+    df = spark.read.format("rss").load(str(tmp_path))
+    assert df.rdd.getNumPartitions() == 3  # one partition per feed file
+    assert {r.feed_file for r in df.collect()} == {"f0.xml", "f1.xml", "f2.xml"}
+    import pytest
+
+    with pytest.raises(Exception):
+        spark.read.format("rss").load(str(tmp_path / "empty")).collect()
