@@ -69,6 +69,7 @@ def pretraining_data_pipeline(
     per_source_quota: int | None = None,
     remove_dup_spans: bool = False,
     n_shuffle_shards: int | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Run one day's delta through the full curation chain and write
     packed, split-partitioned shards to ``out_path``. Returns the
@@ -84,7 +85,26 @@ def pretraining_data_pipeline(
     exist (``build_signature_store`` at corpus bootstrap); kept docs are
     appended to it at the END, so a failed run can re-execute without
     having poisoned the store with docs that were never released
-    (the append's id guard additionally makes replays no-ops)."""
+    (the append's id guard additionally makes replays no-ops).
+
+    ``metrics_out``: pass a dict to receive per-gate surviving row
+    counts (input/quality/exact_dedup/neardup/decontaminated/mixed —
+    the funnel a release report needs). Implemented with
+    ``pyspark.sql.Observation`` metrics, which piggyback on the
+    chain's ONE materializing action — observability costs zero extra
+    jobs, exactly the property a 100 TB run requires."""
+    from pyspark.sql import Observation
+
+    observations: list[tuple[str, Observation]] = []
+
+    def gate(df: DataFrame, name: str) -> DataFrame:
+        if metrics_out is None:
+            return df
+        obs = Observation(f"gate_{name}")
+        observations.append((name, obs))
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    delta = gate(delta, "input")
     # 1. quality: minimum length + repetition ceiling (Gopher/C4-style);
     #    optionally the zlib redundancy floor (round 6 — boilerplate and
     #    generated spam compress far below prose)
@@ -106,14 +126,17 @@ def pretraining_data_pipeline(
 
         sig = gopher_signals(q, text_col)
         q = sig.filter(F.col("gopher_pass")).select(*q.columns)
+    q = gate(q, "quality")
     # 2. exact dedup inside the delta (deterministic canonical row)
     q = dedup_exact(q, [text_col], [id_col])
+    q = gate(q, "exact_dedup")
     # 3. near-dup vs the persisted corpus + within-delta (one banding
     #    pass over the delta; the corpus side is a store scan)
     pairs = incremental_neardup_pairs(
         q, store_path, id_col, text_col, neardup_threshold
     )
     q = incremental_dedup_keep(q, pairs, id_col)
+    q = gate(q, "neardup")
     # 4. contamination: drop any doc sharing a verbatim span with the
     #    benchmark set (train-test leakage gate) — through the persisted
     #    span store when given (eval suite hashed once per release),
@@ -130,6 +153,7 @@ def pretraining_data_pipeline(
         )
     dirty = overlaps.select(F.col("corpus_id").alias(id_col)).distinct()
     q = q.join(dirty, on=id_col, how="left_anti")
+    q = gate(q, "decontaminated")
     # 4b. optional within-release duplicate-span removal (round 6,
     #     ExactSubstr at fixed width): rewrites, never drops — O(delta)
     #     because only the delta's spans participate
@@ -148,11 +172,17 @@ def pretraining_data_pipeline(
         from ..operators.curation import group_quota_sample
 
         q = group_quota_sample(q, [strata_col], id_col, per_source_quota, salt=salt)
+    q = gate(q, "mixed")
     q = hash_split(q, id_col)
     q = q.withColumn(text_col, redact(text_col))
     # the kept set feeds packing, the write, the summary AND the store
     # append — checkpoint once instead of recomputing the chain 4x
     q = q.withColumn("n_tok", token_count(text_col)).localCheckpoint(eager=True)
+    if metrics_out is not None:
+        # the eager checkpoint above is the chain's materializing
+        # action; every gate observation is now populated
+        for name, obs in observations:
+            metrics_out[name] = obs.get["rows"]
     # 8. packing per split (window partitions by split — no global sort)
     packed = pack_sequences(q, id_col, "n_tok", pack_budget, partition_cols=["split"])
     # 9. split-partitioned shard write + release manifest (_-prefixed

@@ -403,3 +403,45 @@ def test_pretraining_pipeline_gopher_gate(spark, tmp_path):
         mix={"web": 1.0}, pack_budget=512, gopher_rules=False,
     )
     assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {1, 2}
+
+
+def test_pretraining_pipeline_gate_metrics(spark, tmp_path):
+    """metrics_out reports the per-gate funnel off the chain's single
+    materializing action — each planted victim shows up as a drop at
+    exactly its gate."""
+    from mlb_data_pipeline_spark.operators.dedup import build_signature_store
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12)), "web") for i in range(20)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    store = str(tmp_path / "store")
+    build_signature_store(corpus, "doc_id", "text", store)
+    probe = " ".join(f"p{j}" for j in range(8))
+    bench = spark.createDataFrame([(900, probe + " held out")], "doc_id BIGINT, text STRING")
+    good = " ".join(f"g{{0}}x{j}" for j in range(30))
+    delta = spark.createDataFrame(
+        [
+            (100, "too short", "web"),
+            (101, " ".join(["loop the"] * 30), "web"),
+            (102, " ".join(f"c5w{j}" for j in range(11)) + " tail", "web"),
+            (103, " ".join(f"a{j}" for j in range(30)) + " " + probe, "web"),
+            (104, good.format(4), "web"),
+            (105, good.format(5), "web"),
+            (106, good.format(6), "unlisted_source"),
+            (107, good.format(7), "web"),
+        ],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    metrics: dict = {}
+    pretraining_data_pipeline(
+        spark, delta, bench, store, str(tmp_path / "shards"),
+        mix={"web": 1.0}, pack_budget=64, metrics_out=metrics,
+    )
+    assert metrics["input"] == 8
+    assert metrics["quality"] == 6          # 100 (short) + 101 (repetition)
+    assert metrics["exact_dedup"] == 6
+    assert metrics["neardup"] == 5          # 102 near-dups corpus doc
+    assert metrics["decontaminated"] == 4   # 103 contaminated
+    assert metrics["mixed"] == 3            # 106 unlisted stratum
