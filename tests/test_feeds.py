@@ -133,3 +133,46 @@ def test_python_datasource_partition_per_file(spark, tmp_path):
 
     with pytest.raises(Exception):
         spark.read.format("rss").load(str(tmp_path / "empty")).collect()
+
+
+def test_python_datasource_streaming(spark, tmp_path):
+    """spark.readStream.format('rss'): micro-batches advance a filename
+    high-water mark; a second availableNow run with the SAME checkpoint
+    picks up only files that arrived in between."""
+    from mlb_data_pipeline_spark.sources.pydatasource import RssDataSource
+
+    feed_dir = tmp_path / "feeds"
+    feed_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(name, n):
+        items = "".join(
+            f"<item><title>{name}-t{i}</title><link>{name}/l{i}</link></item>"
+            for i in range(n)
+        )
+        (feed_dir / f"{name}.xml").write_text(f"<rss><channel>{items}</channel></rss>")
+
+    feed("a", 2)
+    feed("b", 1)
+    spark.dataSource.register(RssDataSource)
+
+    def run():
+        q = (
+            spark.readStream.format("rss")
+            .load(str(feed_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    first = {(r.link, r.feed_file) for r in spark.read.parquet(out).collect()}
+    assert first == {("a/l0", "a.xml"), ("a/l1", "a.xml"), ("b/l0", "b.xml")}
+    feed("c", 1)
+    run()
+    second = {(r.link, r.feed_file) for r in spark.read.parquet(out).collect()}
+    assert second == first | {("c/l0", "c.xml")}  # only the new file, no replays
