@@ -403,6 +403,49 @@ def weighted_sample(
     )
 
 
+def gumbel_topk(
+    df: DataFrame, key_col: str, logweight_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic sampling without replacement with inclusion
+    probability proportional to exp(``logweight_col``) — the Gumbel-max
+    trick: perturb each log weight with an independent Gumbel draw
+    g = -ln(-ln u) and keep the k largest perturbed keys. This is the
+    sampler DSIR-style data selection needs (importance weights live in
+    log space; ``weighted_sample`` would require exponentiating them,
+    overflowing for |logratio| beyond ~700 and breaking engine
+    neutrality on the transcendental).
+
+    Engine-neutral draws by the module's contract: u depends only on
+    (salt, key) — u = (first 52 md5 bits + 1) / 2^53, an exact double
+    in (0, 0.5], so ln(u) < 0 strictly and the outer ln's argument is
+    always positive. Both lns are floor-quantized at 1e-6, every other
+    step one correctly rounded IEEE op, ties break by key. NULL log
+    weights are excluded (no weight, never sampled); any finite log
+    weight (negative included) is valid.
+
+    Scale: one narrow projection + global top-k
+    (TakeOrderedAndProject, no full sort), same as the other samplers
+    in this module."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary"))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(2**53)
+    )
+
+    def _q(x):
+        return F.floor(x * F.lit(1000000.0)) / F.lit(1000000.0)
+
+    gumbel = -_q(F.log(-_q(F.log(u))))
+    return (
+        df.filter(F.col(logweight_col).isNotNull())
+        .withColumn("__gkey", F.col(logweight_col).cast("double") + gumbel)
+        .orderBy(F.col("__gkey").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__gkey")
+    )
+
+
 def shuffle_packs(
     df: DataFrame,
     pack_cols: list[str],

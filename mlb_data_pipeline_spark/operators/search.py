@@ -633,3 +633,84 @@ def unigram_logprob(
             / F.col("dl")
         ).alias("logprob")
     )
+
+
+def dsir_logratio(
+    candidates: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023) at unigram order: score every candidate document by the mean
+    per-token log importance ratio ln p_target(t) - ln p_source(t),
+    where both unigram LMs are Lidstone-smoothed over the SHARED vocab
+    (the union of both corpora's terms, so a term unseen in the target
+    gets mass alpha / (T_t + alpha*V), not zero). Feed the result to
+    ``curation.gumbel_topk`` to draw the DSIR sample: Gumbel-max top-k
+    on the log ratio IS sampling without replacement proportional to
+    the importance weight exp(logratio), no exp() ever evaluated.
+
+    Reference parity: the reference pipeline has no data-selection
+    stage at all (its corpus is a fixed scrape list,
+    scripts/scrape_store_embed.py); this is part of the
+    training-data-curation surface the engine adds on top.
+
+    Scale: two postings builds (one scan each side), two term-keyed
+    LM aggregations, one broadcast totals row, one (doc)-keyed fold.
+    The target corpus is typically tiny (a benchmark / domain sample)
+    — its LM is a term-keyed aggregate, never a crossed structure.
+    Engine-neutral by the established contract: each ln() floor-
+    quantized at 1e-6 (JVM vs libm 1-ulp), per-doc sum folded in
+    term-sorted order, all other steps single correctly-rounded IEEE
+    ops. Zero-token candidates have no postings and are absent (no
+    likelihood to speak of), matching ``unigram_logprob``.
+
+    Returns (id_col, dl, logratio); logratio is per-token."""
+    cand_idx = build_text_index(candidates, id_col=id_col, text_col=text_col)
+    tgt_idx = build_text_index(target, id_col=id_col, text_col=text_col)
+    src_lm = cand_idx.postings.groupBy("term").agg(F.sum("tf").alias("__ctf_s"))
+    tgt_lm = tgt_idx.postings.groupBy("term").agg(F.sum("tf").alias("__ctf_t"))
+    vocab = (
+        src_lm.join(tgt_lm, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("__ctf_s", F.lit(0)).alias("__ctf_s"),
+            F.coalesce("__ctf_t", F.lit(0)).alias("__ctf_t"),
+        )
+    )
+    totals = vocab.agg(
+        F.sum("__ctf_s").alias("__Ts"),
+        F.sum("__ctf_t").alias("__Tt"),
+        F.count("*").alias("__V"),
+    )
+
+    def _qln(num, den):
+        return F.floor(F.log(num / den) * F.lit(1000000.0)) / F.lit(1000000.0)
+
+    joined = cand_idx.postings.join(vocab, "term").join(F.broadcast(totals))
+    lr = (
+        _qln(
+            F.col("__ctf_t") + F.lit(alpha),
+            F.col("__Tt") + F.lit(alpha) * F.col("__V"),
+        )
+        - _qln(
+            F.col("__ctf_s") + F.lit(alpha),
+            F.col("__Ts") + F.lit(alpha) * F.col("__V"),
+        )
+    )
+    per_term = joined.select(
+        id_col, "dl", "term", (F.col("tf") * lr).alias("__lr")
+    )
+    return per_term.groupBy(id_col, "dl").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "__lr"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__lr"],
+            )
+            / F.col("dl")
+        ).alias("logratio")
+    )

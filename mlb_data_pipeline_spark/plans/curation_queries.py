@@ -843,3 +843,80 @@ def r15_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# R26/R27 — DSIR data selection (Xie et al., NeurIPS 2023) at unigram
+#        order: every candidate doc scored by its mean per-token log
+#        importance ratio toward a target domain (here: the English
+#        slice), then the selection drawn by Gumbel-max top-k — i.e.
+#        sampled without replacement proportional to exp(logratio)
+#        with no exp() ever evaluated. Both halves oracled bit-exact:
+#        the two smoothed LMs share one vocab, every ln is floor-
+#        quantized at 1e-6, the per-doc sum folds term-sorted, and the
+#        Gumbel draws depend only on (salt, doc_id).
+# ---------------------------------------------------------------------------
+
+_R26_CTE = """
+WITH base AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+tok AS (SELECT doc_id, lang, len(toks) AS dl, unnest(toks) AS term FROM base),
+tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+src_lm AS (SELECT term, SUM(tf) AS ctf_s FROM tf GROUP BY 1),
+tgt_lm AS (SELECT term, COUNT(*) AS ctf_t FROM tok WHERE lang = 'en' GROUP BY 1),
+vocab AS (
+  SELECT COALESCE(s.term, t.term) AS term,
+         COALESCE(s.ctf_s, 0) AS ctf_s,
+         COALESCE(t.ctf_t, 0) AS ctf_t
+  FROM src_lm s FULL OUTER JOIN tgt_lm t ON s.term = t.term
+),
+tot AS (SELECT SUM(ctf_s) AS ts, SUM(ctf_t) AS tt, COUNT(*) AS v FROM vocab),
+per AS (
+  SELECT tf.doc_id, tf.dl, tf.term,
+         tf.tf * ((floor(ln((vocab.ctf_t + 0.5) / (tot.tt + 0.5 * tot.v)) * 1000000.0) / 1000000.0)
+                - (floor(ln((vocab.ctf_s + 0.5) / (tot.ts + 0.5 * tot.v)) * 1000000.0) / 1000000.0)) AS lr
+  FROM tf JOIN vocab USING (term), tot
+),
+scored AS (
+  SELECT doc_id, dl,
+         list_reduce(list(lr ORDER BY term), (a, x) -> a + x) / dl AS logratio
+  FROM per GROUP BY doc_id, dl
+)
+"""
+
+_R26_SQL = _R26_CTE + "SELECT doc_id, dl, logratio FROM scored ORDER BY doc_id"
+
+_R27_SQL = _R26_CTE + """
+SELECT doc_id, dl, logratio FROM scored
+ORDER BY logratio
+         - (floor(ln(-(floor(ln((CAST(('0x' || substr(md5('r27' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+                               / 9007199254740992.0) * 1000000.0) / 1000000.0)) * 1000000.0) / 1000000.0)
+         DESC, doc_id
+LIMIT 60
+"""
+
+
+@query("r26_dsir_logratio", oracle=_R26_SQL, covers="curation:selection,T18,A2")
+def r26_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate DSIR importance score toward the English slice of
+    the corpus. Two postings builds, two term-keyed LM aggregations,
+    one broadcast totals row, one doc-keyed fold."""
+    from ..operators.search import dsir_logratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logratio(docs, docs.filter(F.col("lang") == "en")).orderBy("doc_id")
+
+
+@query("r27_dsir_select", oracle=_R27_SQL, covers="curation:selection,O1,O2")
+def r27_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR draw: 60 docs sampled without replacement proportional
+    to exp(logratio) via seeded Gumbel-max top-k — the module's
+    engine-neutral draw contract, so both engines pick the identical
+    sample set."""
+    from ..operators.curation import gumbel_topk
+    from ..operators.search import dsir_logratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_logratio(docs, docs.filter(F.col("lang") == "en"))
+    return gumbel_topk(scored, "doc_id", "logratio", 60, salt="r27")

@@ -420,3 +420,67 @@ def test_weighted_sample_proportional_deterministic_excludes_nonpositive(spark):
     assert [r.k for r in kept] == [3]
     with _pytest.raises(ValueError):
         weighted_sample(df, "k", "w", 0)
+
+
+# ---------------------------------------------------------------------------
+# gumbel_topk + dsir_logratio (DSIR data selection, r26/r27)
+# ---------------------------------------------------------------------------
+
+
+def test_gumbel_topk_deterministic_and_salted(spark):
+    from mlb_data_pipeline_spark.operators.curation import gumbel_topk
+
+    df = spark.createDataFrame(
+        [(i, float(-(i % 7))) for i in range(500)], "doc_id BIGINT, lw DOUBLE"
+    )
+    a = {r.doc_id for r in gumbel_topk(df, "doc_id", "lw", 50, salt="s1").collect()}
+    b = {r.doc_id for r in gumbel_topk(df.repartition(11), "doc_id", "lw", 50, salt="s1").collect()}
+    c = {r.doc_id for r in gumbel_topk(df, "doc_id", "lw", 50, salt="s2").collect()}
+    assert a == b  # draw is a function of (salt, key) alone
+    assert a != c  # re-salting re-draws
+    assert len(a) == 50
+
+
+def test_gumbel_topk_proportional_to_exp_logweight(spark):
+    """Group A's log weight exceeds B's by ln(20): with 100 of each and
+    k=50, A's expected share is ~95%; assert it dominates."""
+    import math
+
+    from mlb_data_pipeline_spark.operators.curation import gumbel_topk
+
+    rows = [(i, math.log(20.0)) for i in range(100)] + [
+        (i, 0.0) for i in range(100, 200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lw DOUBLE")
+    picked = {r.doc_id for r in gumbel_topk(df, "doc_id", "lw", 50, salt="p").collect()}
+    n_heavy = sum(1 for d in picked if d < 100)
+    assert n_heavy >= 40  # E ~ 47.5 of 50
+
+
+def test_gumbel_topk_excludes_null_logweight_accepts_negative(spark):
+    from mlb_data_pipeline_spark.operators.curation import gumbel_topk
+
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, None), (3, -700.0)], "doc_id BIGINT, lw DOUBLE"
+    )
+    got = {r.doc_id for r in gumbel_topk(df, "doc_id", "lw", 3).collect()}
+    assert got == {1, 3}  # null never sampled; any finite log weight valid
+
+
+def test_dsir_logratio_prefers_target_like_docs(spark):
+    """Planted domains: target-vocabulary docs must outscore off-domain
+    docs, and a doc mixing both lands between."""
+    from mlb_data_pipeline_spark.operators.search import dsir_logratio
+
+    tgt_text = "alpha beta gamma delta alpha beta"
+    off_text = "zonk quux blorp wibble zonk quux"
+    cands = spark.createDataFrame(
+        [(1, tgt_text), (2, off_text), (3, "alpha beta zonk quux"), (4, "")],
+        "doc_id BIGINT, text STRING",
+    )
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma delta " * 5)], "doc_id BIGINT, text STRING"
+    )
+    got = {r.doc_id: r.logratio for r in dsir_logratio(cands, target).collect()}
+    assert 4 not in got  # zero-token doc: no likelihood
+    assert got[1] > got[3] > got[2]
