@@ -1120,6 +1120,81 @@ def semantic_dedup(
     return df.join(drop, id_col, "left_anti")
 
 
+def semantic_contamination(
+    corpus: DataFrame | None,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    index: "IvfIndex | None" = None,
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Cross-corpus SEMANTIC contamination scan: corpus documents whose
+    embedding sits within cosine ``threshold`` of any benchmark item —
+    the paraphrase tier the exact-span scan (dedup.contamination_scan)
+    and the winnowing store cannot see, because a reworded eval question
+    shares no 8-gram with its source. Complements them the way SemDeDup
+    complements MinHash.
+
+    Same candidate structure as ``ivf_knn_join``: corpus rows sit in
+    their IVF list (or come free from a persisted/loaded index — the
+    daily-cadence route, where the benchmark suite is re-screened
+    against a 100 TB corpus without re-clustering it); each benchmark
+    vector probes its ``n_probe`` nearest lists; candidates are the
+    (probed list = corpus list) equi-join, |corpus| * n_probe / n_lists
+    per benchmark item, never the full cross product. Every candidate
+    is verified with an exact cosine, so precision is exact; recall is
+    bounded by probe locality and measured in tests against the
+    brute-force tier (``n_probe == n_lists`` IS brute force — the
+    pytest invariant). The benchmark side is eval-suite sized: its
+    probe fan-out (|benchmark| * n_probe rows) broadcasts.
+
+    Returns one row per contaminated (corpus doc, benchmark item) pair:
+    (id_col, bench_id, sim), sim >= threshold. Feed the distinct
+    id_col set to a left_anti join to decontaminate."""
+    if index is not None:
+        cents = index.centroids
+        assigned = index.assignments
+        id_col, vec_col = index.id_col, index.vec_col
+        n_lists = len(cents)
+    else:
+        if corpus is None:
+            raise ValueError("semantic_contamination needs a corpus or a prebuilt index")
+        cents = centroids if centroids is not None else train_ivf_centroids(
+            corpus, vec_col, n_lists, seed
+        )
+        assigned = corpus.select(id_col, vec_col).withColumn(
+            "__list", _nearest_list_udf(cents)(F.col(vec_col))
+        )
+    n_probe = min(n_probe, n_lists)
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(vs: pd.Series) -> pd.Series:
+        cm = np.asarray(cents)
+        v = np.stack(vs.to_numpy()).astype("float64")
+        d = ((v[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    probed = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("__bv")
+    ).withColumn("__list", F.explode(probe_lists(F.col("__bv"))))
+    pdot = dot_arrow()
+    cand = F.broadcast(probed).join(assigned, "__list")
+    return (
+        cand.withColumn(
+            sim_col, pdot("__bv", vec_col) / (norm("__bv") * norm(vec_col))
+        )
+        .filter(F.col(sim_col) >= threshold)
+        .select(id_col, "bench_id", sim_col)
+    )
+
+
 def ivf_params(n_rows: int, *, target_candidates_per_query: int | None = None, n_probe: int = 4) -> int:
     """Auto operating point for the IVF family (the coarse-quantizer
     analogue of ``lsh_params``): pick ``n_lists``.

@@ -341,3 +341,41 @@ def q76_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"))
         .orderBy("origin")
     )
+
+
+# ---------------------------------------------------------------------------
+# R28 — cross-corpus SEMANTIC contamination (the paraphrase tier of
+#        q67's exact-span scan): benchmark = every 41st embedding,
+#        corpus = the rest plus one planted near-paraphrase per
+#        benchmark item (the q76 roll-mixture, cosine >= 0.999 to its
+#        source), so the scan must flag exactly the planted mass and
+#        none of the isotropic background. Rows-only by design (MLlib
+#        KMeans assignment); exactness of the flagged set vs the
+#        brute-force tier is pinned in tests/test_vector_ops.py.
+# ---------------------------------------------------------------------------
+
+
+@query("r28_semantic_contamination", oracle=None, covers="V4,C6,J2")
+def r28_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vector import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 41 == 0)
+    # plant a paraphrase of every benchmark item (negative id -src-1),
+    # then drop the originals: the corpus holds the background plus the
+    # planted leaks, never a verbatim benchmark row
+    corpus = _plant_semantic_dups(emb, every=41).filter(
+        (F.col("vec_id") % 41 != 0) | (F.col("vec_id") < 0)
+    )
+    flagged = semantic_contamination(
+        corpus, bench, "vec_id", "embedding",
+        threshold=0.95, n_lists=8, n_probe=3,
+    )
+    return (
+        flagged.select(
+            F.when(F.col("vec_id") < 0, "planted").otherwise("background").alias("origin")
+        )
+        .groupBy("origin")
+        .agg(F.count("*").alias("n_flagged"))
+        .orderBy("origin")
+    )

@@ -685,3 +685,61 @@ def test_similarity_join_memory_budget_routes_to_pq(spark, emb):
     assert {
         (r.query_id, r.rank): r.neighbor_id for r in got2.collect()
     } == {kk: v for kk, (v, _) in exact.items()}
+
+
+# ---------------------------------------------------------------------------
+# semantic_contamination (r28): cross-corpus paraphrase-tier scan
+# ---------------------------------------------------------------------------
+
+
+def _contamination_fixture(spark, emb, every=10):
+    """benchmark = every Nth embedding; corpus = the rest + a planted
+    near-paraphrase (id = -src - 1, cos >= 0.999) of each benchmark
+    item — so the true contaminated set is exactly the planted ids."""
+    union, n_planted = _planted_corpus(spark, emb, every=every)
+    bench = emb.filter(F.col("vec_id") % every == 0)
+    corpus = union.filter((F.col("vec_id") % every != 0) | (F.col("vec_id") < 0))
+    return corpus, bench, n_planted
+
+
+def test_semantic_contamination_full_probe_is_exact(spark, emb):
+    """n_probe == n_lists degrades to brute force: flagged pairs equal
+    the exact cross-corpus cosine pairs."""
+    from mlb_data_pipeline_spark.operators.vector import semantic_contamination
+
+    corpus, bench, _ = _contamination_fixture(spark, emb.limit(120))
+    got = {
+        (r.vec_id, r.bench_id)
+        for r in semantic_contamination(
+            corpus, bench, "vec_id", "embedding",
+            threshold=0.95, n_lists=4, n_probe=4,
+        ).collect()
+    }
+    cross = corpus.select(
+        F.col("vec_id"), F.col("embedding").alias("__cv")
+    ).crossJoin(bench.select(F.col("vec_id").alias("bench_id"), F.col("embedding").alias("__bv")))
+    dot = F.aggregate(F.zip_with("__cv", "__bv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+    exact = {
+        (r.vec_id, r.bench_id)
+        for r in cross.withColumn("sim", dot / (nrm("__cv") * nrm("__bv")))
+        .filter(F.col("sim") >= 0.95)
+        .collect()
+    }
+    assert got == exact and len(exact) > 0
+
+
+def test_semantic_contamination_probed_recall_and_precision(spark, emb):
+    from mlb_data_pipeline_spark.operators.vector import semantic_contamination
+
+    corpus, bench, n_planted = _contamination_fixture(spark, emb)
+    flagged = semantic_contamination(
+        corpus, bench, "vec_id", "embedding", threshold=0.95, n_lists=8, n_probe=3
+    )
+    rows = flagged.collect()
+    hit = {r.vec_id for r in rows if r.vec_id < 0 and r.vec_id == -r.bench_id - 1}
+    assert len(hit) / n_planted >= 0.8  # probe locality bounds recall
+    assert all(r.sim >= 0.95 for r in rows)  # precision exact by verification
+    # decontamination: anti-join removes exactly the flagged docs
+    kept = corpus.join(flagged.select("vec_id").distinct(), "vec_id", "left_anti")
+    assert kept.count() == corpus.count() - flagged.select("vec_id").distinct().count()
