@@ -124,3 +124,72 @@ def outlier_flags(
         .withColumn("is_outlier", F.col("__diff") * F.col("__diff") > rhs)
         .drop("__n", "__sx", "__sxx", "__diff")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filter — the trained-classifier tier above the
+# heuristic rule packs (gopher_signals, text profiles). CCNet and the
+# GPT-3 data work both gate web text with a linear classifier over
+# hashed bag-of-ngram features trained on a small "good vs bad" seed
+# set; this is that operator Spark-first: HashingTF (murmur3 feature
+# hashing, vocabulary-free so the feature space never needs a
+# corpus-wide fit) + MLlib logistic regression. Training touches the
+# SEED SET (thousands of rows); scoring the 100 TB corpus is one
+# narrow pass through the saved model's coefficient vector — no
+# shuffle, no vocabulary broadcast beyond n_features weights.
+# ---------------------------------------------------------------------------
+
+
+def train_quality_model(
+    labeled_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_features: int = 1 << 16,
+    reg_param: float = 1e-3,
+    max_iter: int = 50,
+):
+    """Fit the quality classifier on a labeled seed set (label 1 =
+    keep-worthy, 0 = reject). Returns a PipelineModel; persist with
+    ``model.write().overwrite().save(path)`` and reload with
+    ``PipelineModel.load`` — the deployment trains once on the curated
+    seed set and scores every ingest delta with the frozen weights.
+    Tokenization matches the engine's text contract (lower,
+    ``[a-z0-9]+``)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    tokens = labeled_docs.withColumn(
+        "__toks", F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    )
+    pipe = Pipeline(
+        stages=[
+            HashingTF(inputCol="__toks", outputCol="__feat", numFeatures=n_features),
+            LogisticRegression(
+                featuresCol="__feat",
+                labelCol=label_col,
+                regParam=reg_param,
+                maxIter=max_iter,
+                standardization=False,
+            ),
+        ]
+    )
+    return pipe.fit(tokens)
+
+
+def score_quality(model, docs: DataFrame, *, text_col: str = "text", score_col: str = "quality_prob") -> DataFrame:
+    """Score documents with a trained quality model: appends
+    ``score_col`` = P(keep | text). One narrow pass — hashing and the
+    coefficient dot product are per-row, the model ships as task
+    literals; filter on the score to gate an ingest."""
+    from pyspark.ml.functions import vector_to_array
+
+    tokens = docs.withColumn(
+        "__toks", F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    )
+    scored = model.transform(tokens)
+    prob = F.element_at(vector_to_array(F.col("probability")), 2)
+    return scored.withColumn(score_col, prob).drop(
+        "__toks", "__feat", "rawPrediction", "probability", "prediction"
+    )

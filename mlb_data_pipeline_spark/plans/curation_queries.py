@@ -920,3 +920,43 @@ def r27_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = dsir_logratio(docs, docs.filter(F.col("lang") == "en"))
     return gumbel_topk(scored, "doc_id", "logratio", 60, salt="r27")
+
+
+# ---------------------------------------------------------------------------
+# R29 — trained quality classifier (the CCNet / GPT-3 model-based
+#        filter tier above r12's heuristic rule pack): hashed
+#        bag-of-words + MLlib logistic regression. The synthetic corpus
+#        carries no natural quality signal (every lang shares one
+#        vocabulary), so the query PLANTS the reject class — a
+#        vowel-mangled corruption of each doc at id + 10^6, disjoint
+#        token space — trains on 4/5 of the union and reports the
+#        held-out confusion counts. Rows-only by design (LBFGS training
+#        is not SQL-expressible); separation, frozen-model determinism
+#        and the save/load round-trip are pinned in
+#        tests/test_quality_ops.py.
+# ---------------------------------------------------------------------------
+
+
+@query("r29_quality_classifier", oracle=None, covers="quality:model,U2,A2")
+def r29_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import score_quality, train_quality_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.select("doc_id", "text", F.lit(1).alias("label"))
+    corrupted = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.translate("text", "aeiou", "qzxvk").alias("text"),
+        F.lit(0).alias("label"),
+    )
+    union = clean.unionByName(corrupted)
+    model = train_quality_model(union.filter(F.col("doc_id") % 5 != 0))
+    held_out = union.filter(F.col("doc_id") % 5 == 0)
+    scored = score_quality(model, held_out)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("quality_prob") >= 0.5).cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("label")
+    )
