@@ -714,3 +714,83 @@ def dsir_logratio(
             / F.col("dl")
         ).alias("logratio")
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean CONDITIONAL log-likelihood under the corpus's
+    own bigram LM — the next perplexity-filter order above
+    ``unigram_logprob`` (a doc of corpus-common words in corpus-unseen
+    ORDER scores low here while scoring fine at unigram order: shuffled
+    text, boilerplate stitching, n-gram spam).
+
+    score(d) = sum_{i=2..dl} ln p(w_i | w_{i-1}) / (dl - 1), with
+    add-alpha smoothing p(b|a) = (c(ab) + alpha) / (c(a·) + alpha * V)
+    where c(ab) are corpus bigram counts, c(a·) the bigram-derived
+    context counts, and V the unigram vocab size — a proper
+    conditional distribution (sums to 1 over the vocab per context).
+
+    Scale shape: tokenize once, derive the bigram stream with an
+    in-row array transform (no positional self-join), then the same
+    combiner-friendly aggregation family as the unigram scorer: one
+    (doc, bigram) count, one corpus bigram count, one context rollup
+    OF THE BIGRAM COUNTS (never a second corpus pass), one broadcast
+    V row. Engine-neutral by the established contract: ln
+    floor-quantized at 1e-6, per-doc sum folded in bigram-sorted
+    order. Docs with fewer than two tokens have no bigram likelihood
+    and are absent.
+
+    Returns (id_col, dl, logprob); logprob is per-transition, <= 0."""
+    base = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    base = base.withColumn("dl", F.size("__toks")).filter(F.col("dl") >= 2)
+    bigrams = base.select(
+        id_col,
+        "dl",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.col("dl")),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("__toks", (i - 1).cast("int")),
+                    F.element_at("__toks", i.cast("int")),
+                ),
+            )
+        ).alias("bg"),
+    )
+    tf = bigrams.groupBy(id_col, "dl", "bg").agg(F.count("*").alias("tf"))
+    lm = tf.groupBy("bg").agg(F.sum("tf").alias("__cbg"))
+    ctx = lm.withColumn("__a", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    ctx = ctx.groupBy("__a").agg(F.sum("__cbg").alias("__cctx"))
+    vocab = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("term"))
+        .agg(F.count_distinct("term").alias("__V"))
+    )
+    joined = (
+        tf.join(lm, "bg")
+        .withColumn("__a", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(ctx, "__a")
+        .join(F.broadcast(vocab))
+    )
+    qln = F.floor(
+        F.log(
+            (F.col("__cbg") + F.lit(alpha))
+            / (F.col("__cctx") + F.lit(alpha) * F.col("__V"))
+        )
+        * F.lit(1000000.0)
+    ) / F.lit(1000000.0)
+    per = joined.select(id_col, "dl", "bg", (F.col("tf") * qln).alias("__lp"))
+    return per.groupBy(id_col, "dl").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("bg", "__lp"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__lp"],
+            )
+            / (F.col("dl") - 1)
+        ).alias("logprob")
+    )

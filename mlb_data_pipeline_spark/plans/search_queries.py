@@ -282,3 +282,44 @@ def q98_unigram_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _loaded_index(spark, sf_dir, "q98_text_index")
     return unigram_logprob(index=idx).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# R30 — bigram-LM perplexity scoring (the conditional-order extension
+#        of q91): p(b|a) add-alpha smoothed over bigram-derived context
+#        counts, per-doc mean transition log-likelihood. Same
+#        engine-neutral contract as the whole postings family.
+# ---------------------------------------------------------------------------
+
+_R30_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+d AS (SELECT doc_id, toks, len(toks) AS dl FROM base WHERE len(toks) >= 2),
+bgs AS (
+  SELECT doc_id, dl,
+         unnest(list_transform(range(2, dl + 1), i -> toks[i - 1] || ' ' || toks[i])) AS bg
+  FROM d
+),
+tf AS (SELECT doc_id, dl, bg, COUNT(*) AS tf FROM bgs GROUP BY 1, 2, 3),
+lm AS (SELECT bg, SUM(tf) AS cbg FROM tf GROUP BY 1),
+ctx AS (SELECT split_part(bg, ' ', 1) AS a, SUM(cbg) AS cctx FROM lm GROUP BY 1),
+voc AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM base)),
+per AS (
+  SELECT tf.doc_id, tf.dl, tf.bg,
+         tf.tf * (floor(ln((lm.cbg + 0.5) / (ctx.cctx + 0.5 * voc.v)) * 1000000.0) / 1000000.0) AS lp
+  FROM tf JOIN lm USING (bg) JOIN ctx ON split_part(tf.bg, ' ', 1) = ctx.a, voc
+)
+SELECT doc_id, dl,
+       list_reduce(list(lp ORDER BY bg), (a, x) -> a + x) / (dl - 1) AS logprob
+FROM per GROUP BY doc_id, dl
+ORDER BY doc_id
+"""
+
+
+@query("r30_bigram_logprob", oracle=_R30_SQL, covers="T18,A2,P9")
+def r30_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs).orderBy("doc_id")

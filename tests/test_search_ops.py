@@ -391,3 +391,22 @@ def test_unigram_logprob_flags_rare_token_doc(spark):
     got = {r.doc_id: r.logprob for r in unigram_logprob(df).collect()}
     assert got[3] < got[1] < 0  # gibberish scores strictly lower; all <= 0
     assert abs(got[1] - got[2]) < 1e-12  # identical docs, identical score
+
+
+def test_bigram_logprob_detects_scrambled_order(spark):
+    """A doc with corpus-common TOKENS in corpus-unseen ORDER scores
+    ~equal at unigram order but far lower at bigram order — the
+    property that makes the conditional scorer worth its extra
+    aggregation."""
+    from mlb_data_pipeline_spark.operators.search import bigram_logprob, unigram_logprob
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the over fox lazy quick jumps brown the"
+    rows = [(i, phrase) for i in range(20)] + [(100, scrambled), (101, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    uni = {r.doc_id: r.logprob for r in unigram_logprob(docs).collect()}
+    bi = {r.doc_id: r.logprob for r in bigram_logprob(docs).collect()}
+    assert 101 not in bi and 101 in uni  # dl<2: no transition likelihood
+    assert abs(uni[100] - uni[0]) < 0.2  # same bag of words
+    assert bi[100] < bi[0] - 1.0  # unseen transitions crater the score
+    assert all(v <= 0 for v in bi.values())
