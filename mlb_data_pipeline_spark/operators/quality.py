@@ -175,7 +175,24 @@ def train_quality_model(
             ),
         ]
     )
-    return pipe.fit(tokens)
+    fitted = pipe.fit(tokens)
+    # Strip the training summary: the freshly fitted LR model references
+    # it, and the summary holds the SparkSession — shipping the model
+    # inside a plan that crosses an RDD boundary then dies with
+    # "Task not serializable". Persisted models carry no summary, so a
+    # disk round-trip is the supported way to drop it (and matches the
+    # deployment shape: train once, load frozen weights everywhere).
+    import shutil
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    tmp = tempfile.mkdtemp(prefix="quality_model_")
+    try:
+        fitted.write().overwrite().save(tmp)
+        return PipelineModel.load(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def score_quality(model, docs: DataFrame, *, text_col: str = "text", score_col: str = "quality_prob") -> DataFrame:

@@ -61,8 +61,14 @@ def pretraining_data_pipeline(
     min_chars: int = 20,
     max_repetition: float = 0.5,
     gopher_rules: bool = False,
+    quality_model=None,
+    min_quality_prob: float = 0.5,
     neardup_threshold: float = 0.5,
     contamination_span_tokens: int = 8,
+    semantic_bench: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
     pack_budget: int = 2048,
     salt: str = "",
     min_compression_ratio: float | None = None,
@@ -126,6 +132,16 @@ def pretraining_data_pipeline(
 
         sig = gopher_signals(q, text_col)
         q = sig.filter(F.col("gopher_pass")).select(*q.columns)
+    if quality_model is not None:
+        # trained-classifier tier (round 7): frozen weights, one narrow
+        # per-row pass — train_quality_model fits once on the seed set,
+        # every daily delta scores against the same model
+        from ..operators.quality import score_quality
+
+        scored = score_quality(quality_model, q, text_col=text_col)
+        q = scored.filter(F.col("quality_prob") >= F.lit(min_quality_prob)).select(
+            *q.columns
+        )
     q = gate(q, "quality")
     # 2. exact dedup inside the delta (deterministic canonical row)
     q = dedup_exact(q, [text_col], [id_col])
@@ -153,7 +169,46 @@ def pretraining_data_pipeline(
         )
     dirty = overlaps.select(F.col("corpus_id").alias(id_col)).distinct()
     q = q.join(dirty, on=id_col, how="left_anti")
+    if semantic_bench is not None:
+        # paraphrase-tier contamination (round 7): a reworded eval item
+        # shares no 8-gram with its source, but its embedding is still
+        # within cosine threshold. semantic_bench carries the benchmark
+        # EMBEDDINGS (id_col + "embedding"); the delta embeds here —
+        # one narrow pass, eval-suite-sized probe fan-out
+        from ..functions.embed import embed_column
+        from ..operators.vector import semantic_contamination
+
+        # checkpoint: the count that sizes n_lists, the KMeans fit and
+        # the assignment pass all reuse one materialization
+        delta_emb = embed_column(q.select(id_col, text_col), text_col).localCheckpoint(
+            eager=True
+        )
+        n_kept = delta_emb.count()
+        sem_dirty = semantic_contamination(
+            delta_emb,
+            semantic_bench,
+            id_col,
+            "embedding",
+            threshold=semantic_threshold,
+            n_lists=max(2, min(64, n_kept // 64)),
+        ).select(id_col).distinct()
+        q = q.join(sem_dirty, on=id_col, how="left_anti")
     q = gate(q, "decontaminated")
+    # 4c. optional DSIR selection (round 7): keep ``dsir_keep`` docs
+    #     sampled proportional to exp(importance logratio) toward the
+    #     target domain — Gumbel-max top-k, draws keyed on (salt, id)
+    if dsir_target is not None:
+        if dsir_keep is None:
+            raise ValueError("dsir_target needs dsir_keep")
+        from ..operators.curation import gumbel_topk
+        from ..operators.search import dsir_logratio
+
+        scored = dsir_logratio(
+            q, dsir_target, id_col=id_col, text_col=text_col
+        )
+        chosen = gumbel_topk(scored, id_col, "logratio", dsir_keep, salt=salt)
+        q = q.join(chosen.select(id_col), on=id_col, how="left_semi")
+        q = gate(q, "dsir_selected")
     # 4b. optional within-release duplicate-span removal (round 6,
     #     ExactSubstr at fixed width): rewrites, never drops — O(delta)
     #     because only the delta's spans participate

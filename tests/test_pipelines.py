@@ -445,3 +445,81 @@ def test_pretraining_pipeline_gate_metrics(spark, tmp_path):
     assert metrics["neardup"] == 5          # 102 near-dups corpus doc
     assert metrics["decontaminated"] == 4   # 103 contaminated
     assert metrics["mixed"] == 3            # 106 unlisted stratum
+
+
+def test_pretraining_pipeline_round7_gates(spark, tmp_path):
+    """Round-7 gates: the trained quality model drops fluent-looking
+    gibberish the heuristics pass, the semantic gate drops a benchmark
+    item too short for the span scan, and DSIR selection keeps the
+    target-domain docs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.functions.embed import embed_column
+    from mlb_data_pipeline_spark.operators.dedup import build_signature_store
+    from mlb_data_pipeline_spark.operators.quality import train_quality_model
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+
+    random.seed(5)
+    # two FLUENT vocabularies (both label-1 for the model) so the model
+    # axis (fluent vs junk) is independent of the DSIR axis (domain)
+    general_vocab = "the quick brown fox jumps over a lazy dog near the still river bank".split()
+    domain_vocab = "stock market bond yield trade price index fund share dividend".split()
+    junk_vocab = ["j%04x" % random.randrange(1 << 16) for _ in range(50)]
+    seed = [(i, " ".join(random.choices(general_vocab, k=25)), 1) for i in range(80)]
+    seed += [(i + 80, " ".join(random.choices(domain_vocab, k=25)), 1) for i in range(80)]
+    seed += [(i + 160, " ".join(random.choices(junk_vocab, k=25)), 0) for i in range(160)]
+    model = train_quality_model(
+        spark.createDataFrame(seed, "doc_id BIGINT, text STRING, label INT")
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12)), "web") for i in range(10)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    store = str(tmp_path / "store7")
+    build_signature_store(corpus, "doc_id", "text", store)
+
+    span_probe = " ".join(f"p{j}" for j in range(8))
+    bench = spark.createDataFrame(
+        [(900, span_probe + " held out")], "doc_id BIGINT, text STRING"
+    )
+    short_eval = "stock market bond yield trade price"  # 6 tokens < span width 8
+    sem_bench = embed_column(
+        spark.createDataFrame([(901, short_eval)], "doc_id BIGINT, text STRING"),
+        "text",
+    ).select("doc_id", "embedding")
+    target = spark.createDataFrame(
+        [(950, " ".join(random.choices(domain_vocab, k=40)))], "doc_id BIGINT, text STRING"
+    )
+
+    def domain_doc(i):
+        return " ".join(random.choices(domain_vocab, k=20)) + f" tail{i}"
+
+    delta_rows = [
+        (200, " ".join(random.choices(junk_vocab, k=20)), "web"),       # model gate
+        (201, short_eval, "web"),                                        # semantic gate
+        (202, " ".join(random.choices(general_vocab, k=20)), "web"),     # dsir: fluent but off-domain
+        (203, domain_doc(3), "web"),
+        (204, domain_doc(4), "web"),
+        (205, domain_doc(5), "web"),
+    ]
+    delta = spark.createDataFrame(delta_rows, "doc_id BIGINT, text STRING, source STRING")
+
+    metrics = {}
+    out = str(tmp_path / "shards7")
+    pretraining_data_pipeline(
+        spark, delta, bench, store, out,
+        mix={"web": 1.0}, pack_budget=64, min_chars=10,
+        quality_model=model, min_quality_prob=0.2,
+        semantic_bench=sem_bench, semantic_threshold=0.95,
+        dsir_target=target, dsir_keep=3,
+        metrics_out=metrics,
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {203, 204, 205}
+    assert metrics["input"] == 6
+    assert metrics["quality"] == 5          # 200 dropped by the model
+    assert metrics["decontaminated"] == 4   # 201 dropped semantically
+    assert metrics["dsir_selected"] == 3    # 202 loses the importance draw
