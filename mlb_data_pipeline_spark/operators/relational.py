@@ -602,3 +602,115 @@ def percentiles_exact(
             F.max(F.when(F.col("__rn") == rank, dec_val)).cast("double").alias(name)
         )
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    how: str = "left_semi",
+    n_hashes: int = 5,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    max_bits: int = 1 << 30,
+) -> DataFrame:
+    """Equi-join with an explicit Bloom-filter pre-filter on the big
+    side: build a bitmap over the small side's join keys, broadcast it
+    (megabytes, even when the small side itself is far too large to
+    broadcast as data), drop big-side rows the bitmap rejects BEFORE
+    the shuffle, then run the exact join over the survivors. The
+    result is EXACTLY ``big.join(small, on, how)`` — the bloom only
+    prunes (false positives are removed by the exact join; a Bloom
+    filter has no false negatives) — which is why the r31 oracle is
+    the plain SQL join.
+
+    When it pays: a selective semi/inner join whose small side is
+    above the broadcast threshold. At 100 TB the win is shuffle bytes
+    — a 1%-selective probe ships ~1% of the fact table instead of all
+    of it. For left_anti the bitmap works in reverse: rows the bloom
+    REJECTS are definite non-matches and bypass the join entirely;
+    only maybe-match rows (the small fraction) pay the shuffle.
+
+    Spark's runtime row-level filtering
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects the
+    same trick automatically, but only when the creation side already
+    carries a selective scan filter and the join is shuffle-shaped;
+    the explicit form covers pre-aggregated/derived small sides and
+    lets several consumers reuse one pruned big side.
+
+    Mechanics (no UDF, engine-neutral): positions are
+    ``pmod(xxhash64(keys..., i), m)`` for i < n_hashes; the bitmap is
+    built as (word_index, bit_or(bit)) — one combinable aggregation
+    over exploded positions — then collected to the driver (bounded by
+    construction: m/8 bytes, the same metadata-sized collect as the
+    IVF centroid load) and embedded as an ``array<bigint>`` LITERAL,
+    so the probe is a plain codegen'd Filter of k element_at + shift +
+    mask tests sitting directly on the big-side scan, BELOW its
+    exchange. The one-row-broadcast alternative (bitmap as a joined
+    column) is a trap: the probe becomes a join condition referencing
+    both sides, Catalyst cannot push it through, and join reordering
+    hoists it ABOVE the verify join's shuffle — pruning nothing. ``m``
+    is sized from ``expected_items`` (or one count() of the small
+    side) at the standard -n*ln(fpp)/ln(2)^2, clamped to ``max_bits``
+    (clamping raises the false-positive rate, never correctness).
+    """
+    import math
+
+    hnorm = how.lower().replace("_", "")
+    if hnorm not in {"inner", "leftsemi", "semi", "leftanti", "anti"}:
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/left_semi/left_anti, got {how!r}: "
+            "outer joins keep bloom-rejected big rows, so the pre-filter would "
+            "change semantics"
+        )
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+
+    n = expected_items if expected_items is not None else small.count()
+    m = max(64, int(math.ceil(-max(n, 1) * math.log(fpp) / (math.log(2) ** 2))))
+    m = min(((m + 63) // 64) * 64, max_bits)
+    nwords = m // 64
+
+    keys = [F.col(c) for c in on]
+
+    def positions(i: int) -> Column:
+        return F.pmod(F.xxhash64(*keys, F.lit(i)), F.lit(m))
+
+    pos = small.select(
+        F.explode(F.array(*[positions(i) for i in range(n_hashes)])).alias("__p")
+    ).distinct()
+    words = pos.groupBy(F.shiftright(F.col("__p"), 6).alias("__w")).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                F.col("__p").bitwiseAND(F.lit(63)).cast("int"),
+            )
+        ).alias("__word")
+    )
+    bitmap = [0] * nwords
+    for row in words.collect():  # bounded: m/8 bytes of bitmap metadata
+        bitmap[row["__w"]] = row["__word"]
+    bloom = F.lit(bitmap) if nwords else F.array().cast("array<bigint>")
+
+    # one forall over the k positions so the bitmap literal appears
+    # ONCE in the expression tree (k element_at tests would serialize
+    # the array k times into the task binary)
+    maybe_match = F.forall(
+        F.array(*[positions(i) for i in range(n_hashes)]),
+        lambda p: F.call_function(
+            "shiftright",
+            F.element_at(bloom, (F.shiftright(p, 6) + F.lit(1)).cast("int")),
+            p.bitwiseAND(F.lit(63)).cast("int"),
+        ).bitwiseAND(F.lit(1))
+        == F.lit(1),
+    )
+
+    if hnorm in {"leftanti", "anti"}:
+        return big.filter(~maybe_match).unionByName(
+            big.filter(maybe_match).join(small, on, "left_anti")
+        )
+    return big.filter(maybe_match).join(small, on, how)

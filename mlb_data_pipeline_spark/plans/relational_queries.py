@@ -1239,3 +1239,53 @@ def r23_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentiles_exact(events, ["event_type"], "value", [0.5, 0.9, 0.99]).orderBy(
         "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# R31 — Bloom-prefilter join: lineitem semi/anti-joined to the ~10%
+#        of orders above a price threshold, with the big side pruned
+#        by a broadcast Bloom bitmap BEFORE its shuffle (and, for
+#        anti, bloom-rejected rows bypassing the join entirely). The
+#        oracle is the PLAIN semi/anti join — the bloom is an exact
+#        pre-filter (no false negatives; false positives removed by
+#        the verify join), so it must never change results, only
+#        shuffle bytes. Both branches in one tagged union so each
+#        path stays independently hash-verified.
+# ---------------------------------------------------------------------------
+
+_R31_SQL = """
+WITH hot AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+SELECT 'semi' AS tag, l_returnflag,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM hot)
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'anti' AS tag, l_returnflag,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM hot)
+GROUP BY l_returnflag
+ORDER BY tag, l_returnflag
+"""
+
+
+@query("r31_bloom_semi_join", oracle=_R31_SQL, covers="J4,J5,A2,A8")
+def r31_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import bloom_prefilter_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    hot = orders.filter(F.col("o_totalprice") > 450000.0).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    branches = []
+    for tag, how in (("semi", "left_semi"), ("anti", "left_anti")):
+        joined = bloom_prefilter_join(lineitem, hot, ["l_orderkey"], how=how)
+        branches.append(joined.withColumn("tag", F.lit(tag)))
+    u = branches[0].unionByName(branches[1])
+    return (
+        u.groupBy("tag", "l_returnflag")
+        .agg(F.count("*").alias("n"), wmoney(cents("l_quantity"), 4, 2).alias("sum_qty"))
+        .orderBy("tag", "l_returnflag")
+    )

@@ -336,3 +336,26 @@ def test_pagerank_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q34_pagerank_influence")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prefilter_is_a_scan_filter_below_the_join(spark):
+    # the bloom probe must be a plain Filter on the big side UNDER the
+    # verify join (and under the big side's exchange when one exists) —
+    # a probe expressed as a join condition gets hoisted above the
+    # shuffle and prunes nothing
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.relational import bloom_prefilter_join
+
+    big = spark.range(5000).select((F.col("id") % 1000).alias("k"), F.col("id").alias("v"))
+    small = spark.range(30).select((F.col("id") * 31).alias("k"))
+    res = bloom_prefilter_join(big, small, ["k"], how="left_semi")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    join_pos = min(
+        (plan.find(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") if plan.find(j) >= 0),
+        default=-1,
+    )
+    probe_pos = plan.find("element_at")
+    assert join_pos >= 0 and probe_pos >= 0, plan
+    assert probe_pos > join_pos, "bloom probe filter must sit BELOW the verify join"
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -242,3 +242,53 @@ def test_percentiles_exact_nearest_rank(spark):
 
     with pytest.raises(ValueError):
         percentiles_exact(df, ["grp"], "value", [0.0])
+
+
+def test_bloom_prefilter_join_equals_plain_join_all_hows(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.relational import bloom_prefilter_join
+
+    big = spark.range(5000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(30).select((F.col("id") * 31).alias("k"), F.col("id").alias("w"))
+    for how in ("left_semi", "inner", "left_anti"):
+        got = sorted(tuple(r) for r in bloom_prefilter_join(big, small, ["k"], how=how).collect())
+        want = sorted(tuple(r) for r in big.join(small, ["k"], how).collect())
+        assert got == want, how
+    # empty small side: semi empty, anti is the whole big side — no job
+    # may fail on the all-zero bitmap
+    empty = small.filter("k < 0")
+    assert bloom_prefilter_join(big, empty, ["k"], how="left_semi").count() == 0
+    assert bloom_prefilter_join(big, empty, ["k"], how="left_anti").count() == 5000
+    # outer joins would keep bloom-rejected rows: must refuse
+    with pytest.raises(ValueError):
+        bloom_prefilter_join(big, small, ["k"], how="left")
+    with pytest.raises(ValueError):
+        bloom_prefilter_join(big, small, ["k"], fpp=1.5)
+    with pytest.raises(ValueError):
+        bloom_prefilter_join(big, small, ["k"], n_hashes=0)
+
+
+def test_bloom_prefilter_join_multi_key_and_null_keys(spark):
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.relational import bloom_prefilter_join
+
+    big = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 11), (2, "a", 12), (None, "a", 13), (3, None, 14)],
+        "k1 INT, k2 STRING, v INT",
+    )
+    small = spark.createDataFrame([(1, "a"), (9, "z")], "k1 INT, k2 STRING")
+    for how in ("left_semi", "inner", "left_anti"):
+        got = sorted(
+            (tuple(r) for r in bloom_prefilter_join(big, small, ["k1", "k2"], how=how).collect()),
+            key=repr,
+        )
+        want = sorted(
+            (tuple(r) for r in big.join(small, ["k1", "k2"], how).collect()), key=repr
+        )
+        # null join keys never match; for anti they must all survive
+        assert got == want, how
