@@ -794,3 +794,86 @@ def bigram_logprob(
             / (F.col("dl") - 1)
         ).alias("logprob")
     )
+
+
+def perplexity_tiers(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    calib_fraction: float = 0.2,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    salt: str = "",
+) -> DataFrame:
+    """CCNet-style perplexity tiering: split the corpus into ``head`` /
+    ``middle`` / ``tail`` by LM score (here ``bigram_logprob`` — higher
+    logprob = lower perplexity = head), so downstream mixing can keep
+    the head, subsample the middle, and drop or re-review the tail instead
+    of applying one hard quality cutoff.
+
+    Scale shape: CCNet's trick is that tier BOUNDARIES come from a
+    calibration set, not a global ranking — a global ntile over 100 TB
+    would be a single-partition sort. Here the boundaries are exact
+    nearest-rank quantiles of a DETERMINISTIC hash sample
+    (``hash_keep``, so the calibration set — and therefore every tier
+    assignment — is reproducible across engines, sessions and
+    partitionings; ``rand()`` sampling would make the whole output
+    nondeterministic). The sample is the only thing sorted (one
+    bounded window); assignment is a narrow comparison pass against
+    the broadcast one-row cutoffs. Ties take the BETTER tier
+    (logprob >= cut_high -> head, >= cut_low -> middle, else tail):
+    a corpus with many identically-scored docs must not collapse into
+    tail when the cutoff lands ON the shared score — at threshold
+    means kept, as in CCNet's perplexity cutoffs. An
+    empty calibration sample leaves both cutoffs NULL and every doc in
+    ``tail`` (both engines agree on NULL CASE semantics) — size
+    ``calib_fraction`` so that cannot happen.
+
+    Returns (id_col, dl, logprob, tier); docs with fewer than two
+    tokens carry no LM score and are absent, as in ``bigram_logprob``.
+    """
+    from pyspark.sql import Window
+
+    from .curation import hash_keep
+
+    if not 0.0 < calib_fraction <= 1.0:
+        raise ValueError(f"calib_fraction must be in (0, 1], got {calib_fraction}")
+    lo, hi = cuts
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+
+    scored = bigram_logprob(docs, id_col=id_col, text_col=text_col)
+    calib = scored.filter(hash_keep(id_col, calib_fraction, salt))
+    # constant partition key: the ranking IS single-partition (that is
+    # the point — only the bounded sample gets totally ordered), but an
+    # empty partition spec makes WindowExec warn on every task
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("logprob").asc(), F.col(id_col).asc()
+    )
+    ranked = calib.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy(F.lit(0)))
+    )
+    cutrow = ranked.agg(
+        F.max(
+            F.when(
+                F.col("__rn") == F.greatest(F.lit(1), F.ceil(F.lit(lo) * F.col("__n"))),
+                F.col("logprob"),
+            )
+        ).alias("__cut_lo"),
+        F.max(
+            F.when(
+                F.col("__rn") == F.greatest(F.lit(1), F.ceil(F.lit(hi) * F.col("__n"))),
+                F.col("logprob"),
+            )
+        ).alias("__cut_hi"),
+    )
+    tier = (
+        F.when(F.col("logprob") >= F.col("__cut_hi"), F.lit("head"))
+        .when(F.col("logprob") >= F.col("__cut_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cutrow))
+        .withColumn("tier", tier)
+        .drop("__cut_lo", "__cut_hi")
+    )

@@ -63,6 +63,7 @@ def pretraining_data_pipeline(
     gopher_rules: bool = False,
     quality_model=None,
     min_quality_prob: float = 0.5,
+    perplexity_keep: tuple[str, ...] | None = None,
     neardup_threshold: float = 0.5,
     contamination_span_tokens: int = 8,
     semantic_bench: DataFrame | None = None,
@@ -142,6 +143,22 @@ def pretraining_data_pipeline(
         q = scored.filter(F.col("quality_prob") >= F.lit(min_quality_prob)).select(
             *q.columns
         )
+    if perplexity_keep is not None:
+        # CCNet tier gate (round 7): keep only the named perplexity
+        # tiers of the delta's bigram-LM score. Boundaries come from a
+        # deterministic hash-sample calibration, never a global sort;
+        # docs under two tokens carry no LM score and are dropped with
+        # the tail (min_chars catches them first in practice)
+        from ..operators.search import perplexity_tiers
+
+        # checkpoint: the LM's tf/context/vocab passes and the semi-join
+        # back all reuse one materialization — and the branch must not
+        # re-embed the upstream gate Observations (an observe node may
+        # appear in a plan only once)
+        base = q.select(id_col, text_col).localCheckpoint(eager=True)
+        tiers = perplexity_tiers(base, id_col=id_col, text_col=text_col, salt=salt)
+        keep = tiers.filter(F.col("tier").isin(*perplexity_keep)).select(id_col)
+        q = q.join(keep, on=id_col, how="left_semi")
     q = gate(q, "quality")
     # 2. exact dedup inside the delta (deterministic canonical row)
     q = dedup_exact(q, [text_col], [id_col])

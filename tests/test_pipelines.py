@@ -523,3 +523,43 @@ def test_pretraining_pipeline_round7_gates(spark, tmp_path):
     assert metrics["quality"] == 5          # 200 dropped by the model
     assert metrics["decontaminated"] == 4   # 201 dropped semantically
     assert metrics["dsir_selected"] == 3    # 202 loses the importance draw
+
+
+def test_pretraining_pipeline_perplexity_gate(spark, tmp_path):
+    """The CCNet tier gate drops scrambled-order junk: the junk docs
+    score in the tail of the delta's bigram LM and never reach the
+    shards, while fluent docs survive."""
+    from mlb_data_pipeline_spark.operators.dedup import build_signature_store
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12)), "web") for i in range(10)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    store = str(tmp_path / "storep")
+    build_signature_store(corpus, "doc_id", "text", store)
+    bench = spark.createDataFrame(
+        [(900, " ".join(f"p{j}" for j in range(8)))], "doc_id BIGINT, text STRING"
+    )
+
+    phrase = "the quick brown fox jumps over the lazy dog again and again"
+    delta_rows = [(200 + i, phrase + f" tail{i}", "web") for i in range(30)]
+    delta_rows += [
+        (400 + i, "zz%d qq%d vv%d kk%d ww%d nn%d" % (i, i + 1, i + 2, i + 3, i + 4, i + 5), "web")
+        for i in range(3)
+    ]
+    delta = spark.createDataFrame(delta_rows, "doc_id BIGINT, text STRING, source STRING")
+
+    metrics = {}
+    out = str(tmp_path / "shardsp")
+    pretraining_data_pipeline(
+        spark, delta, bench, store, out,
+        mix={"web": 1.0}, pack_budget=64, min_chars=10,
+        perplexity_keep=("head", "middle"), salt="pgate",
+        metrics_out=metrics,
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept  # fluent docs survive
+    assert not kept & {400, 401, 402}  # scrambled junk gated out
+    assert metrics["input"] == 33
+    assert metrics["quality"] < 33  # the tier gate actually dropped rows

@@ -410,3 +410,33 @@ def test_bigram_logprob_detects_scrambled_order(spark):
     assert abs(uni[100] - uni[0]) < 0.2  # same bag of words
     assert bi[100] < bi[0] - 1.0  # unseen transitions crater the score
     assert all(v <= 0 for v in bi.values())
+
+
+def test_perplexity_tiers_orders_planted_docs_and_is_partition_stable(spark):
+    """Fluent repeated-phrase docs tier above scrambled ones; the tail
+    catches the junk. Boundaries come from a deterministic hash sample,
+    so the assignment must not move under a different partitioning."""
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.search import perplexity_tiers
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, phrase) for i in range(40)]
+    rows += [(100 + i, "zz%d qq%d vv%d kk%d ww%d" % (i, i + 1, i + 2, i + 3, i + 4)) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = perplexity_tiers(docs, calib_fraction=0.5, salt="t")
+    got = {r.doc_id: r.tier for r in out.collect()}
+    # every junk doc must tier at or below every fluent doc; junk fills the tail
+    fluent = {got[i] for i in range(40)}
+    junk = {got[100 + i] for i in range(6)}
+    # ties take the better tier: the identically-scored fluent mass
+    # sits ON both cutoffs and lands in head, junk falls below
+    assert fluent == {"head"}
+    assert junk == {"tail"}
+    # deterministic under repartitioning (the rand()-sampling failure mode)
+    got2 = {r.doc_id: r.tier for r in perplexity_tiers(docs.repartition(13), calib_fraction=0.5, salt="t").collect()}
+    assert got2 == got
+    with pytest.raises(ValueError):
+        perplexity_tiers(docs, calib_fraction=0.0)
+    with pytest.raises(ValueError):
+        perplexity_tiers(docs, cuts=(0.7, 0.3))
