@@ -563,3 +563,46 @@ def gopher_signals(
         out = out.withColumn(name, cond)
         verdict = verdict & F.col(name)
     return out.withColumn("gopher_pass", verdict)
+
+
+def time_split(
+    df: DataFrame,
+    time_col: str,
+    train_end,
+    *,
+    embargo_days: int = 0,
+    out_col: str = "split",
+    drop_embargo: bool = True,
+) -> DataFrame:
+    """Temporal holdout split with an embargo gap — the time-axis
+    complement to ``hash_split``. Rows strictly before ``train_end``
+    are ``train``; rows at or after ``train_end + embargo_days`` are
+    ``test``; rows inside the embargo window are DROPPED by default
+    (or labeled ``embargo`` with ``drop_embargo=False``). The gap is
+    the leakage buffer: for time-correlated data (user sessions, news
+    cycles, market ticks) a zero-gap split lets near-boundary train
+    rows leak the test period's signal — the standard fix in
+    forecasting/financial ML evaluation (purged/embargoed splits).
+
+    Narrow: one comparison per row, no shuffle; the boundary
+    predicates push down to the scan, so a train-only reader prunes
+    test-period partitions for free on date-partitioned data.
+    """
+    if embargo_days < 0:
+        raise ValueError(f"embargo_days must be >= 0, got {embargo_days}")
+    t = F.col(time_col)
+    cutoff = F.lit(train_end).cast(df.schema[time_col].dataType)
+    # interval arithmetic (not date_add, which truncates timestamps to
+    # dates): date + N days stays a date, timestamp stays a timestamp
+    test_start = (
+        cutoff + F.expr(f"INTERVAL {int(embargo_days)} DAY") if embargo_days else cutoff
+    )
+    split = (
+        F.when(t < cutoff, F.lit("train"))
+        .when(t >= test_start, F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    out = df.withColumn(out_col, split)
+    if drop_embargo:
+        out = out.filter(F.col(out_col) != "embargo")
+    return out

@@ -960,3 +960,48 @@ def r29_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# R33 — embargoed temporal holdout: train strictly before 1996-07-01,
+#        test from 30 days after, the gap dropped — the leakage buffer
+#        a time-correlated eval needs (zero-gap splits let boundary
+#        train rows carry the test period's signal). Per-split count,
+#        boundary min/max and exact-decimal revenue prove both cut
+#        points land exactly where the oracle's do.
+# ---------------------------------------------------------------------------
+
+_R33_SQL = """
+WITH s AS (
+  SELECT o_totalprice, o_orderdate,
+         CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 'train'
+              WHEN o_orderdate >= TIMESTAMP '1996-07-01' + INTERVAL 30 DAY THEN 'test'
+              ELSE 'embargo' END AS split
+  FROM orders
+)
+SELECT split, COUNT(*) AS n,
+       CAST(MIN(o_orderdate) AS DATE) AS first_day,
+       CAST(MAX(o_orderdate) AS DATE) AS last_day,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM s WHERE split <> 'embargo'
+GROUP BY split ORDER BY split
+"""
+
+
+@query("r33_time_split", oracle=_R33_SQL, covers="C1,P3,A2")
+def r33_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import cents, wmoney
+    from ..operators.curation import time_split
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = time_split(orders, "o_orderdate", "1996-07-01", embargo_days=30)
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderdate").cast("date").alias("first_day"),
+            F.max("o_orderdate").cast("date").alias("last_day"),
+            wmoney(cents("o_totalprice"), 10, 2).alias("revenue"),
+        )
+        .orderBy("split")
+    )

@@ -23,3 +23,33 @@ def test_gopher_signals_rules(spark):
     # integer cross-multiplication == the published ratio semantics
     r = got[5]
     assert (10 * r.n_symbols <= r.n_words) == r.r_symbol_ratio
+
+
+def test_time_split_boundaries_and_embargo(spark):
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.curation import time_split
+
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(1996, 1, 1) + datetime.timedelta(days=i)) for i in range(10)],
+        "id INT, ts TIMESTAMP",
+    )
+    got = {r.id: r.split for r in time_split(df, "ts", "1996-01-05", embargo_days=2, drop_embargo=False).collect()}
+    # strict-before train, cutoff itself is embargoed, test starts at +embargo
+    assert got == {0: "train", 1: "train", 2: "train", 3: "train",
+                   4: "embargo", 5: "embargo",
+                   6: "test", 7: "test", 8: "test", 9: "test"}
+    dropped = {r.id for r in time_split(df, "ts", "1996-01-05", embargo_days=2).collect()}
+    assert dropped == {0, 1, 2, 3, 6, 7, 8, 9}
+    # zero embargo: the cutoff row goes straight to test, nothing dropped
+    z = {r.id: r.split for r in time_split(df, "ts", "1996-01-05").collect()}
+    assert z[4] == "test" and len(z) == 10
+    # date-typed column takes the same boundaries
+    d = df.withColumn("d", F.col("ts").cast("date"))
+    gd = {r.id: r.split for r in time_split(d, "d", "1996-01-05", embargo_days=2).collect()}
+    assert gd == {k: v for k, v in got.items() if v != "embargo"}
+    with pytest.raises(ValueError):
+        time_split(df, "ts", "1996-01-05", embargo_days=-1)
