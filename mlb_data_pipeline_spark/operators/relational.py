@@ -604,6 +604,62 @@ def percentiles_exact(
     return ranked.groupBy(*group_cols).agg(*aggs)
 
 
+def bloom_size_bits(n: int, fpp: float, max_bits: int = 1 << 30) -> int:
+    """Standard Bloom sizing -n*ln(fpp)/ln(2)^2, rounded up to whole
+    64-bit words, floored at one word, clamped to ``max_bits``
+    (clamping raises the false-positive rate, never correctness)."""
+    import math
+
+    m = max(64, int(math.ceil(-max(n, 1) * math.log(fpp) / (math.log(2) ** 2))))
+    return min(((m + 63) // 64) * 64, max_bits)
+
+
+def _bloom_positions(on: list[str], m: int, n_hashes: int) -> list[Column]:
+    keys = [F.col(c) for c in on]
+    return [
+        F.pmod(F.xxhash64(*keys, F.lit(i)), F.lit(m)) for i in range(n_hashes)
+    ]
+
+
+def bloom_words(df: DataFrame, on: list[str], m: int, n_hashes: int) -> DataFrame:
+    """Sparse Bloom bitmap over ``df``'s key columns as (__w word index,
+    __word 64-bit word) rows — one combinable bit_or aggregation over
+    the exploded hash positions; only non-zero words appear. The shared
+    builder behind ``bloom_prefilter_join`` and the persisted bloom
+    store (operators/bloomstore.py)."""
+    pos = df.select(
+        F.explode(F.array(*_bloom_positions(on, m, n_hashes))).alias("__p")
+    ).distinct()
+    return pos.groupBy(F.shiftright(F.col("__p"), 6).alias("__w")).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                F.col("__p").bitwiseAND(F.lit(63)).cast("int"),
+            )
+        ).alias("__word")
+    )
+
+
+def bloom_probe(bitmap: list[int], on: list[str], m: int, n_hashes: int) -> Column:
+    """Boolean maybe-in-set predicate over the DENSE bitmap (length
+    m/64, embedded as an array literal): true iff every hash position's
+    bit is set. One ``forall`` over the k positions so the bitmap
+    literal appears ONCE in the expression tree (k separate element_at
+    tests would serialize the array k times into the task binary).
+    Codegen'd, pushable — a plain Filter wherever it lands."""
+    bloom = F.lit(bitmap) if bitmap else F.array().cast("array<bigint>")
+    return F.forall(
+        F.array(*_bloom_positions(on, m, n_hashes)),
+        lambda p: F.call_function(
+            "shiftright",
+            F.element_at(bloom, (F.shiftright(p, 6) + F.lit(1)).cast("int")),
+            p.bitwiseAND(F.lit(63)).cast("int"),
+        ).bitwiseAND(F.lit(1))
+        == F.lit(1),
+    )
+
+
 def bloom_prefilter_join(
     big: DataFrame,
     small: DataFrame,
@@ -655,8 +711,6 @@ def bloom_prefilter_join(
     side) at the standard -n*ln(fpp)/ln(2)^2, clamped to ``max_bits``
     (clamping raises the false-positive rate, never correctness).
     """
-    import math
-
     hnorm = how.lower().replace("_", "")
     if hnorm not in {"inner", "leftsemi", "semi", "leftanti", "anti"}:
         raise ValueError(
@@ -670,44 +724,12 @@ def bloom_prefilter_join(
         raise ValueError(f"fpp must be in (0, 1), got {fpp}")
 
     n = expected_items if expected_items is not None else small.count()
-    m = max(64, int(math.ceil(-max(n, 1) * math.log(fpp) / (math.log(2) ** 2))))
-    m = min(((m + 63) // 64) * 64, max_bits)
-    nwords = m // 64
-
-    keys = [F.col(c) for c in on]
-
-    def positions(i: int) -> Column:
-        return F.pmod(F.xxhash64(*keys, F.lit(i)), F.lit(m))
-
-    pos = small.select(
-        F.explode(F.array(*[positions(i) for i in range(n_hashes)])).alias("__p")
-    ).distinct()
-    words = pos.groupBy(F.shiftright(F.col("__p"), 6).alias("__w")).agg(
-        F.bit_or(
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("bigint"),
-                F.col("__p").bitwiseAND(F.lit(63)).cast("int"),
-            )
-        ).alias("__word")
-    )
-    bitmap = [0] * nwords
-    for row in words.collect():  # bounded: m/8 bytes of bitmap metadata
+    m = bloom_size_bits(n, fpp, max_bits)
+    bitmap = [0] * (m // 64)
+    for row in bloom_words(small, on, m, n_hashes).collect():
+        # bounded: m/8 bytes of bitmap metadata
         bitmap[row["__w"]] = row["__word"]
-    bloom = F.lit(bitmap) if nwords else F.array().cast("array<bigint>")
-
-    # one forall over the k positions so the bitmap literal appears
-    # ONCE in the expression tree (k element_at tests would serialize
-    # the array k times into the task binary)
-    maybe_match = F.forall(
-        F.array(*[positions(i) for i in range(n_hashes)]),
-        lambda p: F.call_function(
-            "shiftright",
-            F.element_at(bloom, (F.shiftright(p, 6) + F.lit(1)).cast("int")),
-            p.bitwiseAND(F.lit(63)).cast("int"),
-        ).bitwiseAND(F.lit(1))
-        == F.lit(1),
-    )
+    maybe_match = bloom_probe(bitmap, on, m, n_hashes)
 
     if hnorm in {"leftanti", "anti"}:
         return big.filter(~maybe_match).unionByName(

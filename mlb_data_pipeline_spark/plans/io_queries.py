@@ -924,3 +924,36 @@ def r25_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idempotent per session; re-registering the same source is allowed
     spark.dataSource.register(RssDataSource)
     return spark.read.format("rss").load(feed_dir).orderBy("link")
+
+
+@query("r34_bloom_seen_store", oracle=None, covers="bloom:store,P3,A2")
+def r34_bloom_seen_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest membership gate from the persisted Bloom seen-keys store:
+    even-doc texts are 'yesterday's corpus' (one bitmap, m/8 bytes
+    total); today's full scan splits into definitely-new vs maybe-seen
+    with one narrow filter — no join against history, no history scan.
+    Every even doc must land in maybe_seen (no false negatives); odd
+    docs land in new minus the ~fpp collisions. Rows-only (xxhash64 is
+    engine-specific); the gate contract is pinned in
+    tests/test_bloom_store.py."""
+    from ..operators.bloomstore import bloom_store_filter, build_bloom_store
+
+    path = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r34_bloom_store"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    build_bloom_store(seen, ["text"], path, expected_items=4 * seen.count(), mode="overwrite")
+    new = bloom_store_filter(docs, ["text"], path, keep="new")
+    maybe = bloom_store_filter(docs, ["text"], path, keep="maybe_seen")
+    u = new.withColumn("gate", F.lit("new")).unionByName(
+        maybe.withColumn("gate", F.lit("maybe_seen"))
+    )
+    return (
+        u.groupBy("gate")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("doc_id") % 2 == 0).cast("bigint")).alias("n_even"),
+        )
+        .orderBy("gate")
+    )

@@ -438,3 +438,36 @@ def sketch_store_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def bloom_store_stream(
+    keys_stream: DataFrame,
+    on: list[str],
+    store_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming maintenance for the Bloom seen-keys store (the fifth
+    leg of the streaming-store family: signatures, postings, inverted
+    file, sketches, now the ingest membership bitmap): each micro-batch
+    ORs its keys into the persisted bitmap, so the next ingest's
+    definitely-new/maybe-seen gate reflects every batch so far without
+    retaining a single raw key. State is the PARQUET STORE
+    (restart-safe, shared with the batch path).
+
+    Delivery: foreachBatch is at-least-once — and this store is the one
+    whose merge is NATURALLY idempotent (bit_or of already-set bits is
+    a no-op), so redelivered batches need no replay guard at all. The
+    store must exist (``build_bloom_store``, sized for the lifetime key
+    count) before the stream starts."""
+    from ..operators.bloomstore import append_bloom_store
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_bloom_store(batch_df.localCheckpoint(eager=True), on, store_path)
+
+    q = (
+        keys_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
