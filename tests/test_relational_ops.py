@@ -292,3 +292,31 @@ def test_bloom_prefilter_join_multi_key_and_null_keys(spark):
         )
         # null join keys never match; for anti they must all survive
         assert got == want, how
+
+
+def test_round7_late_ops_survive_empty_input(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.bloomstore import (
+        bloom_store_filter,
+        bloom_store_stats,
+        build_bloom_store,
+    )
+    from mlb_data_pipeline_spark.operators.curation import time_split
+    from mlb_data_pipeline_spark.operators.relational import bloom_prefilter_join
+    from mlb_data_pipeline_spark.operators.search import perplexity_tiers
+
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING, ts TIMESTAMP, k BIGINT")
+    some = spark.createDataFrame([(1, "a b c d", None, 1)], "doc_id BIGINT, text STRING, ts TIMESTAMP, k BIGINT")
+    # empty big side, empty small side, both
+    assert bloom_prefilter_join(empty, some, ["k"]).count() == 0
+    assert bloom_prefilter_join(some, empty, ["k"]).count() == 0
+    assert bloom_prefilter_join(empty, empty, ["k"], how="left_anti").count() == 0
+    # tiers over an empty corpus: no rows, no crash (empty calib too)
+    assert perplexity_tiers(empty).count() == 0
+    # time split over empty input
+    assert time_split(empty, "ts", "1996-01-01", embargo_days=5).count() == 0
+    # bloom store built over nothing still gates (everything is new)
+    path = str(tmp_path / "bloom_empty")
+    build_bloom_store(empty, ["text"], path, expected_items=100)
+    assert bloom_store_filter(some, ["text"], path, keep="new").count() == 1
+    assert bloom_store_filter(some, ["text"], path, keep="maybe_seen").count() == 0
+    assert bloom_store_stats(spark, path).collect()[0].bits_set == 0
