@@ -678,7 +678,7 @@ def bloom_prefilter_join(
     the shuffle, then run the exact join over the survivors. The
     result is EXACTLY ``big.join(small, on, how)`` — the bloom only
     prunes (false positives are removed by the exact join; a Bloom
-    filter has no false negatives) — which is why the r31 oracle is
+    filter has no false negatives) — which is why the q13 oracle is
     the plain SQL join.
 
     When it pays: a selective semi/inner join whose small side is

@@ -433,67 +433,6 @@ def q12_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q13 — outer-join shapes (J3 left + full), tagged union: left join
-#        keeps zero-order customers; full outer keeps both unmatched
-#        sides with null extension
-# ---------------------------------------------------------------------------
-
-_Q13_SQL = """
-WITH lefted AS (
-  SELECT 'left' AS side, c.c_custkey AS custkey,
-         CAST(NULL AS DOUBLE) AS acctbal, COUNT(o.o_orderkey) AS n_orders
-  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-  GROUP BY c.c_custkey
-),
-hi_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
-o99 AS (SELECT o_custkey, COUNT(*) AS n_orders
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '1999-07-01'
-        GROUP BY o_custkey),
-fulled AS (
-  SELECT 'full' AS side, COALESCE(c.c_custkey, o.o_custkey) AS custkey,
-         c.c_acctbal AS acctbal, o.n_orders
-  FROM hi_cust c FULL OUTER JOIN o99 o ON c.c_custkey = o.o_custkey
-)
-SELECT * FROM lefted UNION ALL SELECT * FROM fulled
-ORDER BY side, custkey
-"""
-
-
-@query("q13_outer_join_shapes", oracle=_Q13_SQL, covers="J3")
-def q13_outer_join_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    lefted = (
-        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
-        .groupBy(F.col("c_custkey").alias("custkey"))
-        .agg(F.count("o_orderkey").alias("n_orders"))
-        .select(
-            F.lit("left").alias("side"),
-            "custkey",
-            F.lit(None).cast("double").alias("acctbal"),
-            "n_orders",
-        )
-    )
-    hi = customer.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
-    o99 = (
-        orders.filter((F.col("o_orderdate") >= F.lit("1999-01-01")) & (F.col("o_orderdate") < F.lit("1999-07-01")))
-        .groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"))
-    )
-    fulled = (
-        hi.join(o99, hi.c_custkey == o99.o_custkey, "full_outer")
-        .select(
-            F.lit("full").alias("side"),
-            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
-            F.col("c_acctbal").alias("acctbal"),
-            "n_orders",
-        )
-    )
-    return lefted.unionByName(fulled).orderBy("side", "custkey")
-
-
-# ---------------------------------------------------------------------------
 # Q14 — left semi + left anti (J4/J5, tagged union): customers with
 #        >=1 order in a date range vs their complement (the reference's
 #        keyed-delete semantics, scripts/scrape_store_embed.py:79).
@@ -503,56 +442,75 @@ def q13_outer_join_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q14_SQL = """
-SELECT 'active' AS membership, c_custkey, c_name, CAST(NULL AS BIGINT) AS n
+SELECT 'active' AS membership, c_custkey, c_name,
+       CAST(NULL AS DOUBLE) AS acctbal, CAST(NULL AS BIGINT) AS n
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = customer.c_custkey
                 AND o.o_orderdate >= TIMESTAMP '1999-01-01'
                 AND o.o_orderdate < TIMESTAMP '1999-07-01')
 UNION ALL
-SELECT 'orderless' AS membership, c_custkey, c_name, CAST(NULL AS BIGINT) AS n
+SELECT 'orderless' AS membership, c_custkey, c_name,
+       CAST(NULL AS DOUBLE) AS acctbal, CAST(NULL AS BIGINT) AS n
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = customer.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '1999-01-01'
                     AND o.o_orderdate < TIMESTAMP '1999-07-01')
 UNION ALL
-SELECT 'except', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), COUNT(*) FROM (
+SELECT 'except', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), COUNT(*) FROM (
   SELECT c_custkey FROM customer WHERE c_acctbal > 5000
   EXCEPT
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 )
 UNION ALL
-SELECT 'intersect', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), COUNT(*) FROM (
+SELECT 'intersect', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), COUNT(*) FROM (
   SELECT c_custkey FROM customer WHERE c_acctbal > 5000
   INTERSECT
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 )
+UNION ALL
+SELECT 'outer_left', c.c_custkey, CAST(NULL AS VARCHAR),
+       CAST(NULL AS DOUBLE), COUNT(o.o_orderkey)
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+UNION ALL
+SELECT 'outer_full', COALESCE(c.c_custkey, o.o_custkey), CAST(NULL AS VARCHAR),
+       CAST(c.c_acctbal AS DOUBLE), o.n_orders
+FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '1999-07-01'
+                 GROUP BY o_custkey) o
+ON c.c_custkey = o.o_custkey
 ORDER BY membership, c_custkey
 """
 
 
-@query("q14_semi_anti_membership", oracle=_Q14_SQL, covers="J4,J5,O7,O8")
+@query("q14_semi_anti_membership", oracle=_Q14_SQL, covers="J3,J4,J5,O7,O8")
 def q14_semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Membership family, tagged union (round 6 adds the set-op branches
-    # from the former q23, freeing that window slot for chunking):
-    # semi/anti joins and EXCEPT/INTERSECT are the two API spellings of
-    # set membership, verified independently by the tag.
+    # Join-shapes/membership family, tagged union (round 6 added the
+    # set-op branches from the former q23; round 7 folds in the former
+    # q13's outer-join shapes, freeing that window slot for the
+    # bloom-prefilter join): semi/anti joins, EXCEPT/INTERSECT, and
+    # left/full outer are each independently verified by the tag.
     # Date-ranged slice so BOTH join branches are non-empty at every
     # SF — an all-time anti join returns 0 rows on this data and
     # verifies nothing.
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
+    all_orders = load_table(spark, sf_dir, "orders")
+    orders = all_orders.filter(
         (F.col("o_orderdate") >= F.lit("1999-01-01")) & (F.col("o_orderdate") < F.lit("1999-07-01"))
     )
     null_n = F.lit(None).cast("long").alias("n")
+    null_bal = F.lit(None).cast("double").alias("acctbal")
     semi = (
         customer.join(orders, orders.o_custkey == customer.c_custkey, "left_semi")
-        .select(F.lit("active").alias("membership"), "c_custkey", "c_name", null_n)
+        .select(F.lit("active").alias("membership"), "c_custkey", "c_name", null_bal, null_n)
     )
     anti = (
         customer.join(orders, orders.o_custkey == customer.c_custkey, "left_anti")
-        .select(F.lit("orderless").alias("membership"), "c_custkey", "c_name", null_n)
+        .select(F.lit("orderless").alias("membership"), "c_custkey", "c_name", null_bal, null_n)
     )
     rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -560,12 +518,42 @@ def q14_semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hold whether or not c_custkey is unique in the inputs.
     null_key = [F.lit(None).cast("long").alias("c_custkey"), F.lit(None).cast("string").alias("c_name")]
     ex = rich.subtract(building).agg(F.count("*").alias("n")).select(
-        F.lit("except").alias("membership"), *null_key, "n"
+        F.lit("except").alias("membership"), *null_key, null_bal, "n"
     )
     inter = rich.intersect(building).agg(F.count("*").alias("n")).select(
-        F.lit("intersect").alias("membership"), *null_key, "n"
+        F.lit("intersect").alias("membership"), *null_key, null_bal, "n"
     )
-    return semi.unionByName(anti).unionByName(ex).unionByName(inter).orderBy("membership", "c_custkey")
+    # outer-join shapes (ex-q13): left keeps zero-order customers, full
+    # keeps both unmatched sides with null extension
+    lefted = (
+        customer.join(all_orders, all_orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
+        .select(
+            F.lit("outer_left").alias("membership"),
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_name"),
+            null_bal,
+            "n",
+        )
+    )
+    hi = customer.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
+    o99 = orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    fulled = hi.join(o99, hi.c_custkey == o99.o_custkey, "full_outer").select(
+        F.lit("outer_full").alias("membership"),
+        F.coalesce("c_custkey", "o_custkey").alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        "n",
+    )
+    return (
+        semi.unionByName(anti)
+        .unionByName(ex)
+        .unionByName(inter)
+        .unionByName(lefted)
+        .unionByName(fulled)
+        .orderBy("membership", "c_custkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1242,7 +1230,9 @@ def r23_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R31 — Bloom-prefilter join: lineitem semi/anti-joined to the ~10%
+# Q13 — Bloom-prefilter join (rotated INTO the driver window round 7,
+#        ex-r31; the former q13 outer-join shapes merged into q14's
+#        join-shapes family): lineitem semi/anti-joined to the ~10%
 #        of orders above a price threshold, with the big side pruned
 #        by a broadcast Bloom bitmap BEFORE its shuffle (and, for
 #        anti, bloom-rejected rows bypassing the join entirely). The
@@ -1253,7 +1243,7 @@ def r23_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        path stays independently hash-verified.
 # ---------------------------------------------------------------------------
 
-_R31_SQL = """
+_Q13_SQL = """
 WITH hot AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
 SELECT 'semi' AS tag, l_returnflag,
        COUNT(*) AS n,
@@ -1270,8 +1260,8 @@ ORDER BY tag, l_returnflag
 """
 
 
-@query("r31_bloom_semi_join", oracle=_R31_SQL, covers="J4,J5,A2,A8")
-def r31_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q13_bloom_prefilter_join", oracle=_Q13_SQL, covers="J4,J5,A2,A8")
+def q13_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import bloom_prefilter_join
 
     lineitem = load_table(spark, sf_dir, "lineitem")

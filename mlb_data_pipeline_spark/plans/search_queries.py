@@ -323,71 +323,3 @@ def r30_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_logprob(docs).orderBy("doc_id")
-
-
-# ---------------------------------------------------------------------------
-# R32 — CCNet-style perplexity tiers over the bigram-LM score (r30's
-#        scored output): head / middle / tail with boundaries from a
-#        DETERMINISTIC md5-sample calibration set — the scale answer
-#        to "ntile over the whole corpus" (a single-partition sort at
-#        100 TB). Only the bounded sample is ranked; assignment is a
-#        narrow comparison against the broadcast one-row cutoffs. The
-#        oracle replays the identical sample, nearest-rank cutoffs and
-#        ties-take-the-better-tier rule, so tiers are bit-identical.
-# ---------------------------------------------------------------------------
-
-_R32_SQL = """
-WITH base AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
-),
-d AS (SELECT doc_id, toks, len(toks) AS dl FROM base WHERE len(toks) >= 2),
-bgs AS (
-  SELECT doc_id, dl,
-         unnest(list_transform(range(2, dl + 1), i -> toks[i - 1] || ' ' || toks[i])) AS bg
-  FROM d
-),
-tf AS (SELECT doc_id, dl, bg, COUNT(*) AS tf FROM bgs GROUP BY 1, 2, 3),
-lm AS (SELECT bg, SUM(tf) AS cbg FROM tf GROUP BY 1),
-ctx AS (SELECT split_part(bg, ' ', 1) AS a, SUM(cbg) AS cctx FROM lm GROUP BY 1),
-voc AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM base)),
-per AS (
-  SELECT tf.doc_id, tf.dl, tf.bg,
-         tf.tf * (floor(ln((lm.cbg + 0.5) / (ctx.cctx + 0.5 * voc.v)) * 1000000.0) / 1000000.0) AS lp
-  FROM tf JOIN lm USING (bg) JOIN ctx ON split_part(tf.bg, ' ', 1) = ctx.a, voc
-),
-scored AS (
-  SELECT doc_id, dl,
-         list_reduce(list(lp ORDER BY bg), (a, x) -> a + x) / (dl - 1) AS logprob
-  FROM per GROUP BY doc_id, dl
-),
-calib AS (
-  SELECT * FROM scored
-  WHERE CAST(('0x' || substr(md5('ppl' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        < CAST(0.2 * 4294967296.0 AS BIGINT)
-),
-ranked AS (
-  SELECT logprob,
-         row_number() OVER (ORDER BY logprob, doc_id) AS rn,
-         COUNT(*) OVER () AS n
-  FROM calib
-),
-cut AS (
-  SELECT MAX(CASE WHEN rn = GREATEST(1, CEIL(0.3333333333333333 * n)) THEN logprob END) AS cut_lo,
-         MAX(CASE WHEN rn = GREATEST(1, CEIL(0.6666666666666666 * n)) THEN logprob END) AS cut_hi
-  FROM ranked
-)
-SELECT s.doc_id, s.dl, s.logprob,
-       CASE WHEN s.logprob >= cut.cut_hi THEN 'head'
-            WHEN s.logprob >= cut.cut_lo THEN 'middle'
-            ELSE 'tail' END AS tier
-FROM scored s, cut
-ORDER BY s.doc_id
-"""
-
-
-@query("r32_perplexity_tiers", oracle=_R32_SQL, covers="T18,A9,C5")
-def r32_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.search import perplexity_tiers
-
-    docs = load_table(spark, sf_dir, "documents")
-    return perplexity_tiers(docs, calib_fraction=0.2, salt="ppl").orderBy("doc_id")

@@ -105,33 +105,100 @@ def q26_ship_delay_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q28 — array ops over embeddings (T19)
+# Q28 — array ops + CCNet perplexity tiers, tagged union (round 7:
+#        the tiers branch rotated INTO the driver window, ex-r32):
+#        * 'array' branch — element/size ops over embeddings (T19);
+#        * 'ppl_tier' branch — head/middle/tail by bigram-LM score with
+#          boundaries from a DETERMINISTIC md5-sample calibration set
+#          (never a global ranking — that is a single-partition sort at
+#          100 TB); ties take the better tier. The oracle replays the
+#          identical sample, nearest-rank cutoffs and tie rule.
 # ---------------------------------------------------------------------------
 
 _Q28_SQL = """
-SELECT vec_id, label,
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+d AS (SELECT doc_id, toks, len(toks) AS dl FROM base WHERE len(toks) >= 2),
+bgs AS (
+  SELECT doc_id, dl,
+         unnest(list_transform(range(2, dl + 1), i -> toks[i - 1] || ' ' || toks[i])) AS bg
+  FROM d
+),
+tf AS (SELECT doc_id, dl, bg, COUNT(*) AS tf FROM bgs GROUP BY 1, 2, 3),
+lm AS (SELECT bg, SUM(tf) AS cbg FROM tf GROUP BY 1),
+ctx AS (SELECT split_part(bg, ' ', 1) AS a, SUM(cbg) AS cctx FROM lm GROUP BY 1),
+voc AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM base)),
+per AS (
+  SELECT tf.doc_id, tf.dl, tf.bg,
+         tf.tf * (floor(ln((lm.cbg + 0.5) / (ctx.cctx + 0.5 * voc.v)) * 1000000.0) / 1000000.0) AS lp
+  FROM tf JOIN lm USING (bg) JOIN ctx ON split_part(tf.bg, ' ', 1) = ctx.a, voc
+),
+scored AS (
+  SELECT doc_id, dl,
+         list_reduce(list(lp ORDER BY bg), (a, x) -> a + x) / (dl - 1) AS logprob
+  FROM per GROUP BY doc_id, dl
+),
+calib AS (
+  SELECT * FROM scored
+  WHERE CAST(('0x' || substr(md5('ppl' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        < CAST(0.2 * 4294967296.0 AS BIGINT)
+),
+ranked AS (
+  SELECT logprob,
+         row_number() OVER (ORDER BY logprob, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM calib
+),
+cut AS (
+  SELECT MAX(CASE WHEN rn = GREATEST(1, CEIL(0.3333333333333333 * n)) THEN logprob END) AS cut_lo,
+         MAX(CASE WHEN rn = GREATEST(1, CEIL(0.6666666666666666 * n)) THEN logprob END) AS cut_hi
+  FROM ranked
+)
+SELECT 'array' AS part, vec_id AS rid, CAST(label AS VARCHAR) AS label,
        len(embedding) AS dim,
-       CAST(embedding[1] AS DOUBLE) AS first_val,
-       CAST(embedding[64] AS DOUBLE) AS last_val,
+       CAST(embedding[1] AS DOUBLE) AS v1,
+       CAST(embedding[64] AS DOUBLE) AS v2,
        CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
-         + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head_sum
+         + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS v3
 FROM embeddings
-ORDER BY vec_id
+UNION ALL
+SELECT 'ppl_tier', s.doc_id,
+       CASE WHEN s.logprob >= cut.cut_hi THEN 'head'
+            WHEN s.logprob >= cut.cut_lo THEN 'middle'
+            ELSE 'tail' END,
+       s.dl, s.logprob, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM scored s, cut
+ORDER BY part, rid
 """
 
 
-@query("q28_array_ops", oracle=_Q28_SQL, covers="T19")
-def q28_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q28_array_tiers", oracle=_Q28_SQL, covers="T19,T18,A9,C5")
+def q28_array_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import perplexity_tiers
+
     emb = load_table(spark, sf_dir, "embeddings")
     el = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
-    return emb.select(
-        "vec_id",
-        "label",
+    arr = emb.select(
+        F.lit("array").alias("part"),
+        F.col("vec_id").alias("rid"),
+        F.col("label").cast("string").alias("label"),
         F.size("embedding").alias("dim"),
-        el(1).alias("first_val"),
-        el(64).alias("last_val"),
-        (el(1) + el(2) + el(3) + el(4)).alias("head_sum"),
-    ).orderBy("vec_id")
+        el(1).alias("v1"),
+        el(64).alias("v2"),
+        (el(1) + el(2) + el(3) + el(4)).alias("v3"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tiers = perplexity_tiers(docs, calib_fraction=0.2, salt="ppl").select(
+        F.lit("ppl_tier").alias("part"),
+        F.col("doc_id").alias("rid"),
+        F.col("tier").alias("label"),
+        F.col("dl").cast("int").alias("dim"),
+        F.col("logprob").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    return arr.unionByName(tiers).orderBy("part", "rid")
 
 
 # ---------------------------------------------------------------------------

@@ -52,7 +52,11 @@ def test_registry_window_invariant():
     span removal (ex-q92), q09 fuzzy title dedup (ex-q87), q31
     winnowing (ex-q86), q34 PageRank (new round 7), q43 SCD2 merge
     (ex-q96) — so the driver's independent run exercises the newest
-    operator families, not just the §2 core."""
+    operator families, not just the §2 core. A second round-7 rotation
+    moved the late flagships in as well: q13 bloom-prefilter join
+    (ex-r31; old q13 outer shapes folded into q14) and q28's
+    perplexity-tier branch (ex-r32; tagged union with the array-ops
+    demo)."""
     names = sorted(REGISTRY)
     windowed = names[:50]
     assert all(REGISTRY[n].oracle is not None for n in windowed), (
