@@ -1219,3 +1219,72 @@ def ivf_params(n_rows: int, *, target_candidates_per_query: int | None = None, n
             raise ValueError("target_candidates_per_query must be > 0")
         n_lists = max(n_lists, -(-n_rows * n_probe // target_candidates_per_query))
     return max(4, min(n_lists, max(4, n_rows // 8)))
+
+
+def hard_negative_mining(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    k_neg: int = 3,
+    queries: DataFrame | None = None,
+    max_queries: int | None = 10_000,
+) -> DataFrame:
+    """Contrastive-pair construction for embedding-model training: for
+    each anchor, the nearest SAME-label row is the positive and the
+    ``k_neg`` nearest DIFFERENT-label rows are the hard negatives — the
+    near-the-margin examples that teach the model more per pair than
+    random negatives (in-batch random negatives are mostly trivially
+    far; the hard ones sit just across the decision boundary).
+
+    The label split must happen BEFORE ranking (a plain k-NN top-k then
+    filter would return fewer-than-k negatives whenever same-label rows
+    crowd the neighborhood), so this is one scored broadcast join
+    ranked per (anchor, role) — same guarded broadcast shape, Arrow
+    dot kernel and (sim DESC, id ASC) determinism as ``knn_join``.
+
+    Returns (anchor_id, role 'positive'|'negative', rank, neighbor id,
+    label, sim). Anchors whose label has no other member emit no
+    positive row — a single-member class has nothing to contrast.
+    """
+    if k_neg < 1:
+        raise ValueError(f"k_neg must be >= 1, got {k_neg}")
+    anchors = queries if queries is not None else emb
+    if max_queries is not None and _over_limit(anchors, id_col, max_queries):
+        raise ValueError(
+            f"hard_negative_mining broadcasts the anchor set: more than "
+            f"max_queries={max_queries} anchors would OOM the broadcast; batch the "
+            "anchor side (or route candidate generation through ivf_knn_join) at scale"
+        )
+    q = _prefix(anchors.select(id_col, vec_col, label_col), "q_").withColumn(
+        "__qn", norm(f"q_{vec_col}")
+    )
+    joined = emb.withColumn("__cn", norm(vec_col)).join(F.broadcast(q)).filter(
+        F.col(f"q_{id_col}") != F.col(id_col)
+    )
+    pdot = dot_arrow_seq()
+    scored = joined.withColumn(
+        "sim", pdot(f"q_{vec_col}", vec_col) / (F.col("__qn") * F.col("__cn"))
+    ).withColumn(
+        "role",
+        F.when(F.col(f"q_{label_col}") == F.col(label_col), "positive").otherwise(
+            "negative"
+        ),
+    )
+    w = Window.partitionBy(f"q_{id_col}", "role").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    kept = ranked.filter(
+        ((F.col("role") == "positive") & (F.col("rank") == 1))
+        | ((F.col("role") == "negative") & (F.col("rank") <= k_neg))
+    )
+    return kept.select(
+        F.col(f"q_{id_col}").alias("anchor_id"),
+        "role",
+        "rank",
+        F.col(id_col),
+        F.col(label_col),
+        "sim",
+    )

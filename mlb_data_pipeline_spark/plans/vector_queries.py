@@ -379,3 +379,51 @@ def r28_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_flagged"))
         .orderBy("origin")
     )
+
+
+# ---------------------------------------------------------------------------
+# R35 — hard-negative mining for contrastive training: per anchor, the
+#        nearest same-label positive + top-3 nearest different-label
+#        negatives. The label split happens BEFORE ranking (top-k-then-
+#        filter under-delivers negatives when same-label rows crowd the
+#        neighborhood); determinism = (sim DESC, id ASC) + round(sim,4)
+#        on both engines, the q36 contract.
+# ---------------------------------------------------------------------------
+
+_R35_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+     q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 8),
+     scored AS (
+       SELECT q.vec_id AS anchor_id,
+              CASE WHEN e.label = q.label THEN 'positive' ELSE 'negative' END AS role,
+              e.vec_id, e.label,
+              list_dot_product(e.v, q.v)
+                / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS rawsim
+       FROM e CROSS JOIN q
+       WHERE e.vec_id <> q.vec_id
+     ),
+     ranked AS (
+       SELECT anchor_id, role, vec_id, label, rawsim,
+              ROW_NUMBER() OVER (PARTITION BY anchor_id, role
+                                 ORDER BY rawsim DESC, vec_id) AS rank
+       FROM scored
+     )
+SELECT anchor_id, role, rank, vec_id, label,
+       CAST(ROUND(rawsim, 4) AS DOUBLE) AS sim
+FROM ranked
+WHERE (role = 'positive' AND rank = 1) OR (role = 'negative' AND rank <= 3)
+ORDER BY anchor_id, role, rank
+"""
+
+
+@query("r35_hard_negatives", oracle=_R35_SQL, covers="V3,O3,J9,A8")
+def r35_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vector import hard_negative_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8)
+    out = hard_negative_mining(emb, "vec_id", "embedding", "label", k_neg=3, queries=anchors)
+    return out.select(
+        "anchor_id", "role", "rank", "vec_id", "label",
+        F.round("sim", 4).cast("double").alias("sim"),
+    ).orderBy("anchor_id", "role", "rank")

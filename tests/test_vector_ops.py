@@ -743,3 +743,46 @@ def test_semantic_contamination_probed_recall_and_precision(spark, emb):
     # decontamination: anti-join removes exactly the flagged docs
     kept = corpus.join(flagged.select("vec_id").distinct(), "vec_id", "left_anti")
     assert kept.count() == corpus.count() - flagged.select("vec_id").distinct().count()
+
+
+def test_hard_negative_mining_planted_clusters(spark):
+    """Two tight clusters with labels: each anchor's positive is its
+    same-label twin; the hard negatives are the other cluster's nearest
+    members, ALWAYS k_neg of them even though same-label rows crowd the
+    neighborhood (the top-k-then-filter failure mode); a single-member
+    label emits no positive row."""
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.vector import hard_negative_mining
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 2
+
+    rows = [
+        (0, "a", vec(1.00, 0.00)),
+        (1, "a", vec(0.99, 0.01)),
+        (2, "a", vec(0.98, 0.02)),
+        (3, "b", vec(0.00, 1.00)),
+        (4, "b", vec(0.01, 0.99)),
+        (5, "c", vec(0.70, 0.70)),  # single-member label: no positive
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, label STRING, embedding ARRAY<DOUBLE>")
+    out = hard_negative_mining(emb, "vec_id", "embedding", "label", k_neg=2)
+    by_anchor = {}
+    for r in out.collect():
+        by_anchor.setdefault(r.anchor_id, {}).setdefault(r.role, []).append(r)
+    # anchor 0: positive is same-label (1, the closest twin)
+    assert by_anchor[0]["positive"][0].vec_id == 1
+    assert all(r.label == "a" for r in by_anchor[0]["positive"])
+    # negatives: exactly k_neg, none share the anchor's label
+    negs = by_anchor[0]["negative"]
+    assert len(negs) == 2 and all(r.label != "a" for r in negs)
+    # nearest different-label row for cluster a is c's diagonal vector
+    assert negs[0].vec_id == 5
+    # single-member label c: no positive row, negatives still mined
+    assert "positive" not in by_anchor[5]
+    assert len(by_anchor[5]["negative"]) == 2
+    with pytest.raises(ValueError):
+        hard_negative_mining(emb, "vec_id", "embedding", "label", k_neg=0)
+    with pytest.raises(ValueError):
+        hard_negative_mining(emb, "vec_id", "embedding", "label", max_queries=2)
