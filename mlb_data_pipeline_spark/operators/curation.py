@@ -606,3 +606,65 @@ def time_split(
     if drop_embargo:
         out = out.filter(F.col(out_col) != "embargo")
     return out
+
+
+def length_buckets(
+    df: DataFrame,
+    len_col: str,
+    boundaries: list[int],
+    *,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row to a length bucket (``boundaries`` are inclusive
+    upper edges; one overflow bucket catches the rest) — the batching
+    prep that keeps padding waste bounded: batching similar-length
+    sequences together means each batch pads to ITS max, not the
+    corpus max. Bucket label = the edge value (overflow = -1), so
+    labels are stable as data grows. Narrow: one comparison chain per
+    row, no shuffle — the downstream writer partitions by the bucket
+    column and gets its shuffle there, once.
+    """
+    if not boundaries or sorted(boundaries) != list(boundaries) or len(set(boundaries)) != len(boundaries):
+        raise ValueError(f"boundaries must be non-empty, strictly increasing, got {boundaries}")
+    expr = F.lit(-1)
+    for b in reversed(boundaries):
+        expr = F.when(F.col(len_col) <= b, F.lit(b)).otherwise(expr)
+    return df.withColumn(bucket_col, expr)
+
+
+def padding_waste_report(
+    df: DataFrame,
+    len_col: str,
+    boundaries: list[int],
+) -> DataFrame:
+    """Per-bucket padding economics for ``length_buckets``: rows, the
+    bucket's observed max length, tokens padded-to-bucket-max vs
+    padded-to-global-max, and the integer token savings — the report
+    that justifies (or kills) a bucketed batching layout before anyone
+    re-shards 100 TB. All sums are exact longs (combinable, one
+    shuffle on the bucket key + one broadcast-back of the 1-row global
+    max)."""
+    bucketed = length_buckets(df, len_col, boundaries)
+    gmax = bucketed.agg(F.max(len_col).alias("__gmax"))
+    per = (
+        bucketed.join(F.broadcast(gmax))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max(len_col).alias("bucket_max"),
+            F.sum(F.col(len_col).cast("bigint")).alias("real_tokens"),
+            F.max("__gmax").alias("__gmax"),
+        )
+    )
+    return per.select(
+        "bucket",
+        "n_rows",
+        "bucket_max",
+        (F.col("n_rows") * F.col("bucket_max") - F.col("real_tokens")).alias(
+            "pad_bucketed"
+        ),
+        (F.col("n_rows") * F.col("__gmax") - F.col("real_tokens")).alias("pad_global"),
+        (F.col("n_rows") * (F.col("__gmax") - F.col("bucket_max"))).alias(
+            "tokens_saved"
+        ),
+    )

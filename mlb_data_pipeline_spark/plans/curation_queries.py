@@ -1005,3 +1005,40 @@ def r33_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# R36 — padding-waste report over length buckets: the batching-layout
+#        economics (pad to bucket max vs corpus max) that justifies a
+#        bucketed re-shard before paying for one. Buckets on the
+#        documents token count; all sums exact longs.
+# ---------------------------------------------------------------------------
+
+_R36_SQL = """
+WITH b AS (
+  SELECT n_tokens,
+         CASE WHEN n_tokens <= 16 THEN 16
+              WHEN n_tokens <= 32 THEN 32
+              WHEN n_tokens <= 64 THEN 64
+              ELSE -1 END AS bucket
+  FROM (SELECT len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents)
+),
+g AS (SELECT MAX(n_tokens) AS gmax FROM b)
+SELECT bucket, COUNT(*) AS n_rows, MAX(n_tokens) AS bucket_max,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_bucketed,
+       CAST(COUNT(*) * MAX(g.gmax) - SUM(n_tokens) AS BIGINT) AS pad_global,
+       CAST(COUNT(*) * (MAX(g.gmax) - MAX(n_tokens)) AS BIGINT) AS tokens_saved
+FROM b, g
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("r36_padding_waste", oracle=_R36_SQL, covers="A2,A8,P2")
+def r36_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import padding_waste_report
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        token_count("text").alias("n_tokens")
+    )
+    return padding_waste_report(docs, "n_tokens", [16, 32, 64]).orderBy("bucket")

@@ -53,3 +53,31 @@ def test_time_split_boundaries_and_embargo(spark):
     assert gd == {k: v for k, v in got.items() if v != "embargo"}
     with pytest.raises(ValueError):
         time_split(df, "ts", "1996-01-05", embargo_days=-1)
+
+
+def test_length_buckets_and_padding_waste(spark):
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.curation import (
+        length_buckets,
+        padding_waste_report,
+    )
+
+    df = spark.createDataFrame([(8,), (16,), (17,), (30,), (100,)], "dl INT")
+    got = {r.dl: r.bucket for r in length_buckets(df, "dl", [16, 32]).collect()}
+    # inclusive upper edges; overflow labeled -1
+    assert got == {8: 16, 16: 16, 17: 32, 30: 32, 100: -1}
+    rep = {r.bucket: r for r in padding_waste_report(df, "dl", [16, 32]).collect()}
+    # bucket 16: rows (8,16), max 16 -> bucketed pad = 8; global max 100
+    assert rep[16].pad_bucketed == (16 - 8) + (16 - 16)
+    assert rep[16].pad_global == (100 - 8) + (100 - 16)
+    assert rep[16].tokens_saved == 2 * (100 - 16)
+    # overflow bucket pads nothing beyond itself vs global
+    assert rep[-1].pad_bucketed == 0 and rep[-1].tokens_saved == 0
+    # every bucket: saved == global - bucketed (accounting identity)
+    for r in rep.values():
+        assert r.tokens_saved == r.pad_global - r.pad_bucketed
+    with pytest.raises(ValueError):
+        length_buckets(df, "dl", [])
+    with pytest.raises(ValueError):
+        length_buckets(df, "dl", [32, 16])
