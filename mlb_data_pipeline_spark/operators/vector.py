@@ -1288,3 +1288,76 @@ def hard_negative_mining(
         F.col(label_col),
         "sim",
     )
+
+
+def mmr_select(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sim_col: str,
+    k: int,
+    *,
+    lam: float = 0.7,
+    max_candidates: int = 1_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection over a BOUNDED candidate
+    set (Carbonell & Goldstein 1998): pick k results that are relevant
+    AND mutually diverse. Iteration i takes
+    argmax lam*sim(q,d) - (1-lam)*max_{s in selected} sim(d,s) —
+    pure top-k ranking returns near-duplicate passages; MMR's penalty
+    term spends the k slots on distinct evidence, the re-rank step a
+    RAG context assembler wants between retrieval and prompt packing.
+
+    Selection is inherently sequential, so this is the PageRank shape:
+    k tiny iterations, each one anti-join + bounded pairwise cosine
+    against the (<= k)-row selected set + a deterministic
+    TakeOrdered(1) on (score DESC, id ASC) — never a driver-side loop
+    over collected vectors. Candidates are a rerank set by contract
+    (someone's top-N), so the operator refuses more than
+    ``max_candidates`` rows rather than silently running a quadratic
+    pass. Determinism: sims arrive bit-exact (Arrow-seq/JVM fold), the
+    score mix is one IEEE multiply-subtract with identical literals on
+    both engines, ties break on id — the r37 oracle replays the exact
+    unrolled selection.
+
+    Returns the selected rows (id, sim) with ``pos`` 1..k in selection
+    order; fewer than k rows when the candidate set is smaller.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if _over_limit(candidates, id_col, max_candidates):
+        raise ValueError(
+            f"mmr_select is a re-rank over a bounded candidate set: more than "
+            f"max_candidates={max_candidates} rows means the caller skipped the "
+            "retrieval top-N; run knn/ivf first"
+        )
+    base = candidates.select(id_col, vec_col, sim_col)
+    first = (
+        base.orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+        .limit(1)
+        .withColumn("pos", F.lit(1))
+    )
+    selected = first.localCheckpoint(eager=True)
+    for i in range(2, k + 1):
+        sel_vecs = _prefix(selected.select(id_col, vec_col), "s_")
+        rest = base.join(
+            selected.select(id_col), on=id_col, how="left_anti"
+        )
+        pen = (
+            rest.join(F.broadcast(sel_vecs))
+            .withColumn("__pair", cosine(vec_col, f"s_{vec_col}"))
+            .groupBy(id_col, vec_col, sim_col)
+            .agg(F.max("__pair").alias("__pen"))
+        )
+        score = F.lit(lam) * F.col(sim_col) - F.lit(1.0 - lam) * F.col("__pen")
+        nxt = (
+            pen.withColumn("__score", score)
+            .orderBy(F.col("__score").desc(), F.col(id_col).asc())
+            .limit(1)
+            .select(id_col, vec_col, sim_col)
+            .withColumn("pos", F.lit(i))
+        )
+        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
+    return selected.drop(vec_col)

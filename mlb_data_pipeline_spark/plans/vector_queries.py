@@ -427,3 +427,75 @@ def r35_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id", "role", "rank", "vec_id", "label",
         F.round("sim", 4).cast("double").alias("sim"),
     ).orderBy("anchor_id", "role", "rank")
+
+
+# ---------------------------------------------------------------------------
+# R37 — MMR diversified re-rank (Carbonell-Goldstein) over the query's
+#        top-8 candidates: 3 unrolled selections at lam=0.7, each the
+#        argmax of lam*sim - (1-lam)*max-sim-to-selected with the
+#        (score DESC, id ASC) tie rule. The oracle replays the exact
+#        selection sequence as an unrolled CTE (the PageRank pattern
+#        for iterative algorithms); (1-lam) is spelled as the IEEE
+#        value of the Spark side's 1.0-0.7 so the mixed scores are
+#        bit-identical.
+# ---------------------------------------------------------------------------
+
+_R37_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.v,
+         list_dot_product(e.v, q.v)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+  ORDER BY sim DESC, e.vec_id LIMIT 8
+),
+s1 AS (SELECT vec_id, v, sim, 1 AS pos FROM cand ORDER BY sim DESC, vec_id LIMIT 1),
+p2 AS (
+  SELECT c.vec_id,
+         MAX(list_dot_product(c.v, s.v)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))) AS pen
+  FROM cand c, s1 s WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+  GROUP BY c.vec_id
+),
+s2 AS (
+  SELECT c.vec_id, c.v, c.sim, 2 AS pos
+  FROM cand c JOIN p2 USING (vec_id)
+  ORDER BY CAST(0.7 AS DOUBLE) * c.sim - CAST(0.30000000000000004 AS DOUBLE) * p2.pen DESC, c.vec_id
+  LIMIT 1
+),
+sel2 AS (SELECT vec_id, v FROM s1 UNION ALL SELECT vec_id, v FROM s2),
+p3 AS (
+  SELECT c.vec_id,
+         MAX(list_dot_product(c.v, s.v)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))) AS pen
+  FROM cand c, sel2 s WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+  GROUP BY c.vec_id
+),
+s3 AS (
+  SELECT c.vec_id, c.v, c.sim, 3 AS pos
+  FROM cand c JOIN p3 USING (vec_id)
+  ORDER BY CAST(0.7 AS DOUBLE) * c.sim - CAST(0.30000000000000004 AS DOUBLE) * p3.pen DESC, c.vec_id
+  LIMIT 1
+)
+SELECT pos, vec_id, CAST(ROUND(sim, 4) AS DOUBLE) AS sim FROM (
+  SELECT pos, vec_id, sim FROM s1
+  UNION ALL SELECT pos, vec_id, sim FROM s2
+  UNION ALL SELECT pos, vec_id, sim FROM s3
+) ORDER BY pos
+"""
+
+
+@query("r37_mmr_rerank", oracle=_R37_SQL, covers="V2,V5,O3,J9")
+def r37_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vector import knn_join, mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchor = emb.filter(F.col("vec_id") == 0)
+    cand = knn_join(emb, anchor, "vec_id", "embedding", k=8).select(
+        "vec_id", "embedding", "sim"
+    )
+    out = mmr_select(cand, "vec_id", "embedding", "sim", 3, lam=0.7)
+    return out.select(
+        "pos", "vec_id", F.round("sim", 4).cast("double").alias("sim")
+    ).orderBy("pos")

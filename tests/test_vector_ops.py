@@ -786,3 +786,32 @@ def test_hard_negative_mining_planted_clusters(spark):
         hard_negative_mining(emb, "vec_id", "embedding", "label", k_neg=0)
     with pytest.raises(ValueError):
         hard_negative_mining(emb, "vec_id", "embedding", "label", max_queries=2)
+
+
+def test_mmr_select_prefers_diverse_over_near_duplicate(spark):
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.vector import mmr_select
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0.99),
+        (2, [0.999, 0.001, 0.0], 0.985),   # near-dup of 1, higher sim than 3
+        (3, [0.0, 1.0, 0.0], 0.80),        # diverse
+        (4, [0.998, 0.002, 0.0], 0.984),   # near-dup of 1
+    ]
+    cand = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, sim DOUBLE")
+    got = [(r.pos, r.vec_id) for r in mmr_select(cand, "vec_id", "embedding", "sim", 2, lam=0.5).orderBy("pos").collect()]
+    # slot 1 = top sim; slot 2 = the DIVERSE doc despite lower sim —
+    # pure top-k would have picked the near-duplicate 2
+    assert got == [(1, 1), (2, 3)]
+    # lam=1.0 degenerates to pure top-k (penalty ignored)
+    topk = [(r.pos, r.vec_id) for r in mmr_select(cand, "vec_id", "embedding", "sim", 3, lam=1.0).orderBy("pos").collect()]
+    assert topk == [(1, 1), (2, 2), (3, 4)]
+    # k beyond candidates: returns all, no crash
+    assert mmr_select(cand, "vec_id", "embedding", "sim", 10).count() == 4
+    with pytest.raises(ValueError):
+        mmr_select(cand, "vec_id", "embedding", "sim", 0)
+    with pytest.raises(ValueError):
+        mmr_select(cand, "vec_id", "embedding", "sim", 2, lam=1.5)
+    with pytest.raises(ValueError):
+        mmr_select(cand, "vec_id", "embedding", "sim", 2, max_candidates=2)
