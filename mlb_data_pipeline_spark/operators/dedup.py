@@ -1046,3 +1046,109 @@ def neardup_dedup_keep_best(
         .drop("__rn")
     )
     return singles.unionByName(best).drop("__cc_id", "__cc_component")
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int,
+    *,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join via prefix filtering
+    (Chaudhuri et al. SSJoin / Xiao et al. PPJoin): all pairs with
+    jaccard(tokens(a), tokens(b)) >= threshold_pct/100 — lossless, the
+    exact tier between hash-identical dedup and the probabilistic
+    MinHash/SimHash family (q44/q46 trade recall for volume; this
+    trades volume bounds for a guarantee).
+
+    Why it scales: under ANY global token order, two sets meeting the
+    threshold MUST share a token inside their (|s| - ceil(t|s|) + 1)-
+    prefixes — if the prefixes were disjoint, the overlap would be
+    capped by the suffix lengths, below what jaccard >= t requires. So
+    candidates come from an equi-join on PREFIX tokens only, and the
+    order is chosen rarest-first (ascending document frequency, token
+    tiebreak), which puts each doc's least-common tokens in its prefix
+    and keeps per-token join fan-out near the df floor. No global sort
+    anywhere: each doc's tokens order locally by the joined (df, token)
+    struct. The size-ratio filter (100|a| >= t|b| both ways) prunes
+    before verification; verification is an exact sorted-array
+    intersect compared by INTEGER cross-multiplication
+    (100*overlap >= t*(|a|+|b|-overlap)) — no float anywhere in the
+    verdict, hence oracle-safe.
+
+    Cost shape: one token-df shuffle, one per-doc regroup, one prefix
+    equi-join (bounded by rare-token co-occurrence), one id-pair join
+    back to the token arrays. A corpus of mass near-duplicates makes
+    any EXACT join quadratic in the duplicate class size by definition
+    of its output; the probabilistic tiers with caps are the escape
+    hatch there.
+
+    Returns (id_a, id_b, overlap, size_a, size_b) with id_a < id_b.
+    Docs with fewer than ``min_tokens`` distinct tokens are excluded.
+    """
+    if not 0 < threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be in (0, 100], got {threshold_pct}")
+    t = threshold_pct
+    base = docs.select(F.col(id_col), token_set(text_col).alias("__set")).filter(
+        F.size("__set") >= min_tokens
+    )
+    toks = base.select(id_col, F.explode("__set").alias("__tok"))
+    dfreq = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
+    ordered = (
+        toks.join(dfreq, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__tok"))),
+                lambda s: s["__tok"],
+            ).alias("__arr")
+        )
+        .withColumn("__n", F.size("__arr"))
+        # prefix length |s| - ceil(t|s|/100) + 1, ceil in exact ints
+        .withColumn(
+            "__p",
+            F.col("__n")
+            - F.floor((F.col("__n") * t + F.lit(99)) / F.lit(100)).cast("int")
+            + F.lit(1),
+        )
+    ).localCheckpoint(eager=False)
+    pref = ordered.select(
+        F.col(id_col), "__n", F.explode(F.slice("__arr", 1, F.col("__p"))).alias("__tok")
+    )
+    a = _prefix_cols(pref, "a_", id_col)
+    b = _prefix_cols(pref, "b_", id_col)
+    cand = (
+        a.join(b, a["a___tok"] == b["b___tok"])
+        .filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+        # size ratio: jac >= t needs t|b| <= 100|a| (and symmetrically)
+        .filter(
+            (F.lit(100) * F.col("a___n") >= F.lit(t) * F.col("b___n"))
+            & (F.lit(100) * F.col("b___n") >= F.lit(t) * F.col("a___n"))
+        )
+        .select(
+            F.col(f"a_{id_col}").alias("id_a"), F.col(f"b_{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    la = ordered.select(F.col(id_col).alias("id_a"), F.col("__arr").alias("__arr_a"), F.col("__n").alias("size_a"))
+    lb = ordered.select(F.col(id_col).alias("id_b"), F.col("__arr").alias("__arr_b"), F.col("__n").alias("size_b"))
+    verified = (
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
+        .withColumn("overlap", F.size(F.array_intersect("__arr_a", "__arr_b")))
+        .filter(
+            F.lit(100) * F.col("overlap")
+            >= F.lit(t) * (F.col("size_a") + F.col("size_b") - F.col("overlap"))
+        )
+    )
+    return verified.select("id_a", "id_b", "overlap", "size_a", "size_b")
+
+
+def _prefix_cols(df: DataFrame, prefix: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}{id_col}"),
+        F.col("__n").alias(f"{prefix}__n"),
+        F.col("__tok").alias(f"{prefix}__tok"),
+    )

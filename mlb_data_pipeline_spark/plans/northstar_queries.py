@@ -852,3 +852,41 @@ def r05_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, pairs.select("id_a", "id_b"), "doc_id", [F.col("n_chars").desc()]
     )
     return ordered_small(kept.select("doc_id", "source", "n_chars"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# R38 — EXACT Jaccard similarity join via prefix filtering (SSJoin/
+#        PPJoin): every src0 pair at >= 80% token-set Jaccard —
+#        lossless, the guarantee tier between hash-identical dedup and
+#        the recall-bounded MinHash/SimHash family. The Spark side
+#        joins only on rarest-first PREFIX tokens (candidates bounded
+#        by rare-token co-occurrence, no global sort); the oracle is
+#        the NAIVE all-pairs within the source block — prefix
+#        filtering must change cost, never results. Verification is
+#        integer cross-multiplication on both engines.
+# ---------------------------------------------------------------------------
+
+_R38_SQL = """
+WITH s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS st
+  FROM documents WHERE source = 'src0'
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.st, b.st)) AS overlap,
+         len(a.st) AS size_a, len(b.st) AS size_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, overlap, size_a, size_b
+FROM p
+WHERE 100 * overlap >= 80 * (size_a + size_b - overlap)
+ORDER BY id_a, id_b
+"""
+
+
+@query("r38_jaccard_prefix_join", oracle=_R38_SQL, covers="V4,J1,A2,T17")
+def r38_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_prefix_join
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return jaccard_prefix_join(docs, "doc_id", "text", 80).orderBy("id_a", "id_b")

@@ -757,3 +757,43 @@ def test_fuzzy_pairs_short_strings_exact_dup_block(spark):
     assert (1, 3, 1) not in got
     # and the short-string key never collides with a real q-gram
     assert all(d <= 2 for _, _, d in got)
+
+def test_jaccard_prefix_join_equals_brute_force(spark):
+    """Prefix filtering is LOSSLESS: results must equal the naive
+    all-pairs join at every threshold, including boundary-exact pairs
+    (jaccard == t), sub-threshold near-misses, and identical docs."""
+    import itertools
+    import random
+
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.dedup import jaccard_prefix_join
+
+    random.seed(11)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [(i, " ".join(random.sample(vocab, random.randint(3, 10)))) for i in range(60)]
+    rows += [
+        (100, "a b c d e"),
+        (101, "a b c d e f"),   # jac = 5/6
+        (102, "a b c d e"),     # jac = 1.0 with 100
+        (103, "a b c x y z"),   # jac(100,103) = 3/8 — below 50
+        (104, "solo"),          # size-1 set
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    data = {r[0]: set(r[1].split()) for r in rows}
+
+    for t in (50, 80, 83, 100):
+        got = {(r.id_a, r.id_b) for r in jaccard_prefix_join(docs, "doc_id", "text", t).collect()}
+        want = set()
+        for x, y in itertools.combinations(sorted(data), 2):
+            o = len(data[x] & data[y]); u = len(data[x] | data[y])
+            if 100 * o >= t * u:
+                want.add((x, y))
+        assert got == want, f"t={t}: {got ^ want}"
+    # t=83: 5/6 (0.8333) passes 83 but fails 84 — the integer boundary
+    got84 = {(r.id_a, r.id_b) for r in jaccard_prefix_join(docs, "doc_id", "text", 84).collect()}
+    assert (100, 101) not in got84 and (100, 102) in got84
+    with pytest.raises(ValueError):
+        jaccard_prefix_join(docs, "doc_id", "text", 0)
+    with pytest.raises(ValueError):
+        jaccard_prefix_join(docs, "doc_id", "text", 101)
