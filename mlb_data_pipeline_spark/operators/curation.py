@@ -668,3 +668,80 @@ def padding_waste_report(
             "tokens_saved"
         ),
     )
+
+
+def mixture_allocation(
+    df: DataFrame,
+    strata_col: str,
+    size_col: str,
+    weights: dict[str, int],
+    budget: int,
+) -> DataFrame:
+    """Token-budget allocation across sources for a pretraining mix:
+    split ``budget`` tokens across strata proportional to integer
+    ``weights`` (parts, e.g. {"web": 60, "code": 30, "wiki": 10}),
+    capped by what each source actually has — the water-filling
+    problem every data recipe solves before sampling. A source whose
+    capacity falls short of its proportional share is SATURATED (takes
+    everything it has); its unused share redistributes to the rest,
+    recursively, which is exactly the classic closed form: order
+    sources by capacity/weight ascending — the saturated set is always
+    a prefix of that order — and test each prefix with integer
+    cross-multiplication (avail_i * W_rest <= w_i * B_rest, no float
+    in any verdict). Unsaturated sources get
+    floor(w_i * B_rest / W_rest) exactly.
+
+    One grouped agg over the data + window passes over the
+    #strata-row summary (bounded by the mixture spec, never data
+    size). Strata absent from ``weights`` are excluded (an unlisted
+    source must never silently take budget). Returns (stratum, avail,
+    weight, alloc, saturated) — feed ``alloc/avail`` per stratum into
+    ``stratified_hash_sample``/``temperature_mix`` to realize the
+    draw. The only floats are the ratio ORDER key (an exact-integer
+    division, bit-identical across engines); every allocation verdict
+    and value is integer arithmetic.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if not weights or any(w <= 0 or w != int(w) for w in weights.values()):
+        raise ValueError(f"weights must be positive integers, got {weights}")
+    wexpr = F.lit(None).cast("long")
+    for name, w in sorted(weights.items()):
+        wexpr = F.when(F.col(strata_col) == name, F.lit(int(w))).otherwise(wexpr)
+    per = (
+        df.withColumn("__w", wexpr)
+        .filter(F.col("__w").isNotNull())
+        .groupBy(strata_col)
+        .agg(
+            F.sum(F.col(size_col).cast("bigint")).alias("avail"),
+            F.max("__w").alias("weight"),
+        )
+    )
+    w_rank = Window.partitionBy(F.lit(0)).orderBy(
+        (F.col("avail") / F.col("weight")).asc(), F.col(strata_col).asc()
+    )
+    prior = w_rank.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn(
+        "__cum_avail", F.coalesce(F.sum("avail").over(prior), F.lit(0))
+    ).withColumn("__cum_w", F.coalesce(F.sum("weight").over(prior), F.lit(0)))
+    tot = Window.partitionBy(F.lit(0))
+    ranked = ranked.withColumn("__W", F.sum("weight").over(tot))
+    # saturated iff capacity can't cover the proportional share of the
+    # budget left after every earlier (poorer) source took its all:
+    # avail_i * (W - cumw_i) <= w_i * (budget - cumavail_i) — a prefix
+    # of the ratio order by the exchange argument, all-integer
+    sat = F.col("avail") * (F.col("__W") - F.col("__cum_w")) <= F.col("weight") * (
+        F.lit(budget) - F.col("__cum_avail")
+    )
+    ranked = ranked.withColumn("saturated", sat)
+    ranked = ranked.withColumn(
+        "__sat_avail", F.sum(F.when(sat, F.col("avail")).otherwise(0)).over(tot)
+    ).withColumn("__sat_w", F.sum(F.when(sat, F.col("weight")).otherwise(0)).over(tot))
+    b_rest = F.lit(budget) - F.col("__sat_avail")
+    w_rest = F.col("__W") - F.col("__sat_w")
+    alloc = F.when(F.col("saturated"), F.col("avail")).otherwise(
+        F.floor(F.col("weight") * b_rest / w_rest).cast("bigint")
+    )
+    return ranked.select(
+        F.col(strata_col), "avail", "weight", alloc.alias("alloc"), "saturated"
+    )

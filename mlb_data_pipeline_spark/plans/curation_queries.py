@@ -1042,3 +1042,61 @@ def r36_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tokens")
     )
     return padding_waste_report(docs, "n_tokens", [16, 32, 64]).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# R39 — token-budget mixture allocation (water-filling): split a 6000-
+#        token budget across four weighted sources, capped by capacity;
+#        a source that cannot cover its proportional share saturates
+#        and its unused share redistributes — the closed form orders
+#        sources by capacity/weight and tests each prefix with integer
+#        cross-multiplication (no float in any verdict; the ratio ORDER
+#        key is the only division, identical IEEE on both engines). At
+#        driver scale the budget saturates the big-weight sources; at
+#        sf1 capacities dwarf it and the pure proportional branch runs.
+# ---------------------------------------------------------------------------
+
+_R39_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS avail,
+         CAST(CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 30
+                          WHEN 'src2' THEN 15 WHEN 'src3' THEN 5 END AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+f AS (SELECT * FROM per WHERE weight IS NOT NULL),
+r AS (
+  SELECT *,
+         COALESCE(SUM(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / weight, source
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_avail,
+         COALESCE(SUM(weight) OVER (ORDER BY CAST(avail AS DOUBLE) / weight, source
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_w,
+         SUM(weight) OVER () AS w_all
+  FROM f
+),
+s AS (SELECT *, avail * (w_all - cum_w) <= weight * (6000 - cum_avail) AS saturated FROM r),
+t AS (
+  SELECT *,
+         SUM(CASE WHEN saturated THEN avail ELSE 0 END) OVER () AS sat_avail,
+         SUM(CASE WHEN saturated THEN weight ELSE 0 END) OVER () AS sat_w
+  FROM s
+)
+SELECT source, avail, weight,
+       CASE WHEN saturated THEN avail
+            ELSE CAST(FLOOR(weight * (6000 - sat_avail) / (w_all - sat_w)) AS BIGINT)
+       END AS alloc,
+       saturated
+FROM t ORDER BY source
+"""
+
+
+@query("r39_mixture_allocation", oracle=_R39_SQL, covers="C5,A2,O4")
+def r39_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import mixture_allocation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", token_count("text").alias("n_tok")
+    )
+    return mixture_allocation(
+        docs, "source", "n_tok", {"src0": 50, "src1": 30, "src2": 15, "src3": 5}, 6000
+    ).orderBy("source")

@@ -81,3 +81,61 @@ def test_length_buckets_and_padding_waste(spark):
         length_buckets(df, "dl", [])
     with pytest.raises(ValueError):
         length_buckets(df, "dl", [32, 16])
+
+
+def test_mixture_allocation_water_filling_properties(spark):
+    """Allocation respects caps, exhausts the budget when capacity
+    allows, redistributes a saturated source's unused share, and
+    matches an independent iterative water-filling solver on a fuzz
+    sweep (including budget 0, budget > total, single source)."""
+    import random
+
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.curation import mixture_allocation
+
+    def reference(avail, weights, budget):
+        alloc, B, active = {}, budget, set(avail)
+        while active:
+            W = sum(weights[s] for s in active)
+            sat = {s for s in active if avail[s] * W <= weights[s] * B}
+            if not sat:
+                for s in active:
+                    alloc[s] = (weights[s] * B) // W
+                return alloc
+            for s in sat:
+                alloc[s] = avail[s]
+                B -= avail[s]
+                active.discard(s)
+        return alloc
+
+    random.seed(17)
+    cases = [
+        ({"a": 100, "b": 100}, {"a": 1, "b": 1}, 0),
+        ({"a": 100, "b": 100}, {"a": 1, "b": 1}, 1000),   # budget > total
+        ({"a": 10, "b": 1000}, {"a": 5, "b": 1}, 600),    # a saturates
+        ({"a": 7}, {"a": 3}, 5),                           # single source
+    ]
+    cases += [
+        (
+            {f"s{i}": random.randint(0, 2000) for i in range(random.randint(1, 5))},
+            None, random.randint(0, 4000),
+        )
+        for _ in range(10)
+    ]
+    for avail, weights, budget in cases:
+        if weights is None:
+            weights = {s: random.randint(1, 9) for s in avail}
+        rows = [(s, a) for s, a in avail.items()]
+        df = spark.createDataFrame(rows, "source STRING, n_tok BIGINT")
+        got = {r.source: r.alloc for r in mixture_allocation(df, "source", "n_tok", weights, budget).collect()}
+        assert got == reference(avail, weights, budget), (avail, weights, budget, got)
+        assert all(got[s] <= avail[s] for s in avail)
+    # unlisted strata are excluded, never silently budgeted
+    df = spark.createDataFrame([("a", 50), ("ghost", 50)], "source STRING, n_tok BIGINT")
+    out = mixture_allocation(df, "source", "n_tok", {"a": 1}, 100)
+    assert {r.source for r in out.collect()} == {"a"}
+    with pytest.raises(ValueError):
+        mixture_allocation(df, "source", "n_tok", {"a": 0}, 10)
+    with pytest.raises(ValueError):
+        mixture_allocation(df, "source", "n_tok", {"a": 1}, -1)
