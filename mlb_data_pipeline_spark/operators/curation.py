@@ -584,9 +584,11 @@ def time_split(
     rows leak the test period's signal — the standard fix in
     forecasting/financial ML evaluation (purged/embargoed splits).
 
-    Narrow: one comparison per row, no shuffle; the boundary
-    predicates push down to the scan, so a train-only reader prunes
-    test-period partitions for free on date-partitioned data.
+    Narrow: one comparison per row, no shuffle. Note the labeled
+    form is a CASE expression, which parquet cannot take as a pushed
+    filter — a reader that wants only ONE side should use
+    ``time_slice`` (plain boundary comparisons that DO push down and
+    prune date-partitioned files).
     """
     if embargo_days < 0:
         raise ValueError(f"embargo_days must be >= 0, got {embargo_days}")
@@ -606,6 +608,33 @@ def time_split(
     if drop_embargo:
         out = out.filter(F.col(out_col) != "embargo")
     return out
+
+
+def time_slice(
+    df: DataFrame,
+    time_col: str,
+    train_end,
+    part: str,
+    *,
+    embargo_days: int = 0,
+) -> DataFrame:
+    """One side of ``time_split`` as PLAIN boundary comparisons — the
+    production reader path: ``t < cutoff`` / ``t >= cutoff + embargo``
+    push down as parquet filters (pinned in tests/test_plan_shape.py),
+    so a train-only scan prunes the test period's files/partitions at
+    the source instead of labeling and discarding them."""
+    if embargo_days < 0:
+        raise ValueError(f"embargo_days must be >= 0, got {embargo_days}")
+    if part not in {"train", "test"}:
+        raise ValueError(f"part must be 'train' or 'test', got {part!r}")
+    t = F.col(time_col)
+    cutoff = F.lit(train_end).cast(df.schema[time_col].dataType)
+    if part == "train":
+        return df.filter(t < cutoff)
+    start = (
+        cutoff + F.expr(f"INTERVAL {int(embargo_days)} DAY") if embargo_days else cutoff
+    )
+    return df.filter(t >= start)
 
 
 def length_buckets(

@@ -70,6 +70,7 @@ def pretraining_data_pipeline(
     semantic_threshold: float = 0.95,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
+    token_budget: int | None = None,
     pack_budget: int = 2048,
     salt: str = "",
     min_compression_ratio: float | None = None,
@@ -239,7 +240,28 @@ def pretraining_data_pipeline(
         )
     # 5-7. mixing -> split -> redaction (all narrow); optionally an
     #     exact per-source quota after the fractional mix (round 6)
-    q = stratified_hash_sample(q, id_col, strata_col, mix, salt=salt)
+    if token_budget is not None:
+        # budget-driven mix (round 7): solve the water-filling
+        # allocation over the SURVIVING delta's per-source token
+        # counts, then realize it as per-source keep fractions. The
+        # allocation summary is #strata rows — bounded metadata, the
+        # same class of driver collect as the IVF centroid load.
+        from ..functions.textfn import token_count as _tc
+        from ..operators.curation import mixture_allocation
+
+        weights = {k: int(round(v)) for k, v in mix.items()}
+        counted = q.select(strata_col, _tc(text_col).alias("__n_tok"))
+        summary = mixture_allocation(
+            counted, strata_col, "__n_tok", weights, token_budget
+        ).collect()
+        fractions = {
+            r[strata_col]: (1.0 if r["saturated"] else min(1.0, r["alloc"] / r["avail"]))
+            for r in summary
+            if r["avail"] > 0
+        }
+        q = stratified_hash_sample(q, id_col, strata_col, fractions, salt=salt)
+    else:
+        q = stratified_hash_sample(q, id_col, strata_col, mix, salt=salt)
     if per_source_quota is not None:
         from ..operators.curation import group_quota_sample
 

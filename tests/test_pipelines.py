@@ -563,3 +563,45 @@ def test_pretraining_pipeline_perplexity_gate(spark, tmp_path):
     assert not kept & {400, 401, 402}  # scrambled junk gated out
     assert metrics["input"] == 33
     assert metrics["quality"] < 33  # the tier gate actually dropped rows
+
+
+def test_pretraining_pipeline_token_budget_mix(spark, tmp_path):
+    """Budget-driven mixing: with token_budget set, mix weights act as
+    water-filling PARTS — a source whose capacity falls short takes
+    everything it has and the slack flows to the others; the realized
+    shard token counts respect both the caps and the budget."""
+    from mlb_data_pipeline_spark.functions.textfn import token_count
+    from mlb_data_pipeline_spark.operators.dedup import build_signature_store
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12)), "web") for i in range(5)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    store = str(tmp_path / "storeb")
+    build_signature_store(corpus, "doc_id", "text", store)
+    bench = spark.createDataFrame(
+        [(900, " ".join(f"p{j}" for j in range(8)))], "doc_id BIGINT, text STRING"
+    )
+    # web: plenty of tokens; code: tiny capacity with a huge weight ->
+    # saturates, its slack flows to web
+    rows = [(200 + i, " ".join(f"w{i}t{j}" for j in range(20)), "web") for i in range(40)]
+    rows += [(400 + i, " ".join(f"k{i}t{j}" for j in range(20)), "code") for i in range(2)]
+    delta = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+
+    out = str(tmp_path / "shardsb")
+    pretraining_data_pipeline(
+        spark, delta, bench, store, out,
+        mix={"web": 1, "code": 9}, token_budget=300,
+        pack_budget=64, min_chars=10, salt="b",
+    )
+    kept = spark.read.parquet(out).select("doc_id", "source", "text").distinct()
+    per = {r.source: r.tok for r in kept.groupBy("source").agg(
+        F.sum(token_count("text")).alias("tok")).collect()}
+    # code saturates: both its docs (40 tokens) survive in full
+    assert per.get("code", 0) == 40
+    # web gets roughly the remaining 260 tokens (hash sampling is
+    # Bernoulli, so allow slack) and never exceeds its capacity
+    assert 0 < per["web"] <= 800
+    assert per["web"] + per["code"] <= 300 + 200  # budget + sampling slack

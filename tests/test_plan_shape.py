@@ -359,3 +359,34 @@ def test_bloom_prefilter_is_a_scan_filter_below_the_join(spark):
     assert join_pos >= 0 and probe_pos >= 0, plan
     assert probe_pos > join_pos, "bloom probe filter must sit BELOW the verify join"
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_split_train_filter_pushes_down_to_scan(spark, tmp_path):
+    # the train-side boundary predicate must reach the parquet scan as
+    # a PushedFilter — a date-partitioned 100 TB table then prunes
+    # test-period files for free
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.curation import time_slice, time_split
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, datetime.datetime(1996, 1, 1) + datetime.timedelta(days=i)) for i in range(30)],
+        "id INT, ts TIMESTAMP",
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    train = time_slice(df, "ts", "1996-01-10", "train")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    # the boundary comparison reaches the scan as a pushed filter
+    assert "LessThan(ts" in plan and "PushedFilters: [IsNotNull(ts), LessThan(ts" in plan, plan
+    test = time_slice(df, "ts", "1996-01-10", "test", embargo_days=5)
+    plan2 = test._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(ts" in plan2, plan2
+    # the slices agree with the labeled split
+    labeled = time_split(df, "ts", "1996-01-10", embargo_days=5)
+    want_train = {r.id for r in labeled.filter(F.col("split") == "train").collect()}
+    assert {r.id for r in train.collect()} == want_train
+    want_test = {r.id for r in labeled.filter(F.col("split") == "test").collect()}
+    assert {r.id for r in test.collect()} == want_test
