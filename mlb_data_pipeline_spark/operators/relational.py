@@ -647,8 +647,19 @@ def bloom_probe(bitmap: list[int], on: list[str], m: int, n_hashes: int) -> Colu
     bit is set. One ``forall`` over the k positions so the bitmap
     literal appears ONCE in the expression tree (k separate element_at
     tests would serialize the array k times into the task binary).
-    Codegen'd, pushable — a plain Filter wherever it lands."""
-    bloom = F.lit(bitmap) if bitmap else F.array().cast("array<bigint>")
+    Codegen'd, pushable — a plain Filter wherever it lands.
+
+    The literal enters the plan as ONE string parsed by
+    ``cast(split(...) as array<bigint>)`` — a foldable expression
+    Catalyst evaluates once at optimization — NOT ``F.lit(list)``:
+    py4j marshals Python lists element-by-element (~3k elements/s, 30
+    seconds for a 90k-word bitmap measured), while a single string
+    crosses the gateway as one blob in milliseconds."""
+    if bitmap:
+        packed = ",".join(map(str, bitmap))
+        bloom = F.expr(f"cast(split('{packed}', ',') as array<bigint>)")
+    else:
+        bloom = F.array().cast("array<bigint>")
     return F.forall(
         F.array(*_bloom_positions(on, m, n_hashes)),
         lambda p: F.call_function(
