@@ -96,3 +96,30 @@ def hybrid_retrieve(
     return top.join(store.select(id_col, "text"), id_col).orderBy(
         F.col("rrf_score").desc(), F.col(id_col).asc()
     )
+
+
+def retrieve_diverse(
+    spark: SparkSession,
+    store: DataFrame,
+    query_text: str,
+    k: int = 3,
+    *,
+    id_col: str = "url",
+    candidate_k: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Diversity-aware retrieval: cosine top-``candidate_k`` candidates,
+    then MMR selects ``k`` of them (lam*relevance minus
+    (1-lam)*max-similarity-to-already-chosen) — so a store where one
+    passage was chunked into many overlapping windows fills ONE context
+    slot with it, not all of them. The expensive part stays the narrow
+    scan + TakeOrdered(candidate_k); MMR re-ranks only the bounded
+    candidate set (k tiny iterations, see ``mmr_select``)."""
+    from ..operators.vector import mmr_select
+
+    qvec = fake_encode(query_text)
+    cand = cosine_topk(store, qvec, id_col, "embedding", candidate_k).select(
+        id_col, "embedding", "sim"
+    )
+    picked = mmr_select(cand, id_col, "embedding", "sim", k, lam=lam)
+    return picked.join(store.select(id_col, "text"), id_col).orderBy("pos")

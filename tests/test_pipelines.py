@@ -605,3 +605,26 @@ def test_pretraining_pipeline_token_budget_mix(spark, tmp_path):
     # Bernoulli, so allow slack) and never exceeds its capacity
     assert 0 < per["web"] <= 800
     assert per["web"] + per["code"] <= 300 + 200  # budget + sampling slack
+
+
+def test_retrieve_diverse_spends_slots_on_distinct_evidence(spark):
+    """A store holding three near-identical chunks of one page plus one
+    distinct page: plain top-3 retrieval wastes two slots on clones;
+    retrieve_diverse keeps the best clone and the distinct page."""
+    from mlb_data_pipeline_spark.functions.embed import embed_column
+    from mlb_data_pipeline_spark.pipelines.rag import retrieve, retrieve_diverse
+
+    rows = [
+        ("a#0", "alpha beta gamma delta"),
+        ("a#1", "alpha beta gamma delta"),      # identical chunk
+        ("a#2", "alpha beta gamma delta"),      # identical chunk
+        ("b#0", "totally different topic here"),
+    ]
+    store = embed_column(
+        spark.createDataFrame(rows, "url STRING, text STRING"), "text"
+    )
+    q = "alpha beta gamma delta"
+    plain = [r.url for r in retrieve(spark, store, q, 3).orderBy("rank").collect()]
+    assert plain == ["a#0", "a#1", "a#2"]  # the failure mode
+    diverse = [r.url for r in retrieve_diverse(spark, store, q, 2, lam=0.5).orderBy("pos").collect()]
+    assert diverse[0] == "a#0" and diverse[1] == "b#0"
