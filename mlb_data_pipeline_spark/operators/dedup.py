@@ -1152,3 +1152,89 @@ def _prefix_cols(df: DataFrame, prefix: str, id_col: str) -> DataFrame:
         F.col("__n").alias(f"{prefix}__n"),
         F.col("__tok").alias(f"{prefix}__tok"),
     )
+
+
+def containment_prefix_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int,
+    *,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """EXACT asymmetric containment join: all ordered pairs (a, b),
+    a != b, where |tokens(a) ∩ tokens(b)| >= t*|tokens(a)| — "most of
+    a's vocabulary sits inside b". The quote/subset tier Jaccard
+    cannot see: a paragraph wholly quoted inside a long article has
+    tiny Jaccard (the union is article-sized) but containment 1.0.
+
+    Prefix filtering works one-sided here: if the pair meets the
+    threshold, the overlap is at least ceil(t|a|), so a's
+    (|a| - ceil(t|a|) + 1)-prefix under the global rarest-first order
+    must hit SOME token of b (any b token, not just b's prefix — with
+    no upper bound on |b| the candidate join runs a-prefix tokens
+    against the full posting list, bounded by the document frequency
+    of a's rarest tokens). Verification is the exact sorted-array
+    intersect with the integer cross-multiplied verdict
+    (100*overlap >= t*|a|), lossless like ``jaccard_prefix_join``.
+
+    Returns (id_sub, id_super, overlap, size_sub, size_super): id_sub
+    is the (near-)contained doc. Pairs are ORDERED — containment is
+    not symmetric — so (a,b) and (b,a) can both appear (mutual
+    containment == near-identical sets).
+    """
+    if not 0 < threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be in (0, 100], got {threshold_pct}")
+    t = threshold_pct
+    base = docs.select(F.col(id_col), token_set(text_col).alias("__set")).filter(
+        F.size("__set") >= min_tokens
+    )
+    toks = base.select(id_col, F.explode("__set").alias("__tok"))
+    dfreq = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
+    ordered = (
+        toks.join(dfreq, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__tok"))),
+                lambda s: s["__tok"],
+            ).alias("__arr")
+        )
+        .withColumn("__n", F.size("__arr"))
+        .withColumn(
+            "__p",
+            F.col("__n")
+            - F.floor((F.col("__n") * t + F.lit(99)) / F.lit(100)).cast("int")
+            + F.lit(1),
+        )
+    ).localCheckpoint(eager=False)
+    pref = ordered.select(
+        F.col(id_col).alias("id_sub"),
+        F.explode(F.slice("__arr", 1, F.col("__p"))).alias("__tok"),
+    )
+    postings = ordered.select(
+        F.col(id_col).alias("id_super"), F.explode("__arr").alias("__tok")
+    )
+    cand = (
+        pref.join(postings, "__tok")
+        .filter(F.col("id_sub") != F.col("id_super"))
+        .select("id_sub", "id_super")
+        .distinct()
+    )
+    la = ordered.select(
+        F.col(id_col).alias("id_sub"),
+        F.col("__arr").alias("__arr_a"),
+        F.col("__n").alias("size_sub"),
+    )
+    lb = ordered.select(
+        F.col(id_col).alias("id_super"),
+        F.col("__arr").alias("__arr_b"),
+        F.col("__n").alias("size_super"),
+    )
+    return (
+        cand.join(la, "id_sub")
+        .join(lb, "id_super")
+        .withColumn("overlap", F.size(F.array_intersect("__arr_a", "__arr_b")))
+        .filter(F.lit(100) * F.col("overlap") >= F.lit(t) * F.col("size_sub"))
+        .select("id_sub", "id_super", "overlap", "size_sub", "size_super")
+    )

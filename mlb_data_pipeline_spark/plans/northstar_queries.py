@@ -890,3 +890,42 @@ def r38_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
     return jaccard_prefix_join(docs, "doc_id", "text", 80).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# R40 — EXACT containment join (asymmetric): every ordered src0 pair
+#        where >= 90% of a's token vocabulary sits inside b — the
+#        quote/subset duplication tier Jaccard cannot see (a paragraph
+#        wholly quoted in a long article has tiny Jaccard but
+#        containment 1.0). Spark candidates = a's rarest-first prefix
+#        tokens against the full posting list; the oracle is naive
+#        ordered all-pairs — prefix filtering changes cost, never
+#        results.
+# ---------------------------------------------------------------------------
+
+_R40_SQL = """
+WITH s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS st
+  FROM documents WHERE source = 'src0'
+),
+p AS (
+  SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+         len(list_intersect(a.st, b.st)) AS overlap,
+         len(a.st) AS size_sub, len(b.st) AS size_super
+  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+)
+SELECT id_sub, id_super, overlap, size_sub, size_super
+FROM p
+WHERE 100 * overlap >= 90 * size_sub
+ORDER BY id_sub, id_super
+"""
+
+
+@query("r40_containment_join", oracle=_R40_SQL, covers="V4,J1,A2,T17")
+def r40_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_prefix_join
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return containment_prefix_join(docs, "doc_id", "text", 90).orderBy(
+        "id_sub", "id_super"
+    )

@@ -797,3 +797,47 @@ def test_jaccard_prefix_join_equals_brute_force(spark):
         jaccard_prefix_join(docs, "doc_id", "text", 0)
     with pytest.raises(ValueError):
         jaccard_prefix_join(docs, "doc_id", "text", 101)
+
+
+def test_containment_prefix_join_quote_tier_and_losslessness(spark):
+    """The quoted-paragraph case Jaccard misses: a small doc fully
+    inside a big one has containment 1.0 but Jaccard ~|a|/|b|. Results
+    must equal the naive ordered all-pairs join (lossless), pairs are
+    ordered (mutual containment = both directions present)."""
+    import itertools
+    import random
+
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.dedup import (
+        containment_prefix_join,
+        jaccard_prefix_join,
+    )
+
+    random.seed(13)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(random.sample(vocab, random.randint(3, 8)))) for i in range(40)]
+    rows += [
+        (100, "q1 q2 q3"),
+        (101, "q1 q2 q3 " + " ".join(f"f{j}" for j in range(30))),  # quotes 100
+        (102, "q1 q2 q3"),                                          # mutual with 100
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    data = {r[0]: set(r[1].split()) for r in rows}
+    for t in (70, 90, 100):
+        got = {(r.id_sub, r.id_super) for r in containment_prefix_join(docs, "doc_id", "text", t).collect()}
+        want = {
+            (a, b)
+            for a, b in itertools.permutations(sorted(data), 2)
+            if 100 * len(data[a] & data[b]) >= t * len(data[a])
+        }
+        assert got == want, f"t={t}: {got ^ want}"
+    full = {(r.id_sub, r.id_super) for r in containment_prefix_join(docs, "doc_id", "text", 100).collect()}
+    assert (100, 101) in full                 # quote detected at t=100
+    assert (101, 100) not in full             # asymmetric: the article is not in the quote
+    assert (100, 102) in full and (102, 100) in full  # mutual containment
+    # and Jaccard at the same bar indeed misses the quote pair
+    jac = {(r.id_a, r.id_b) for r in jaccard_prefix_join(docs, "doc_id", "text", 90).collect()}
+    assert (100, 101) not in jac
+    with pytest.raises(ValueError):
+        containment_prefix_join(docs, "doc_id", "text", 0)
