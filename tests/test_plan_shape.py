@@ -390,3 +390,13 @@ def test_time_split_train_filter_pushes_down_to_scan(spark, tmp_path):
     assert {r.id for r in train.collect()} == want_train
     want_test = {r.id for r in labeled.filter(F.col("split") == "test").collect()}
     assert {r.id for r in test.collect()} == want_test
+
+
+def test_prefix_similarity_joins_have_no_cartesian(spark, sf_dir):
+    # r38/r40: every candidate must come from the prefix-token
+    # equi-join — a CartesianProduct or BNLJ means the filter theorem
+    # got lost and the plan went all-pairs
+    for name in ("r38_jaccard_prefix_join", "r40_containment_join"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

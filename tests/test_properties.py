@@ -167,3 +167,38 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
         lo90, hi90 = exact[et]["p90_bracket"]
         assert lo50 <= a["p50"] <= hi50, (et, a["p50"], lo50, hi50)
         assert lo90 <= a["p90"] <= hi90, (et, a["p90"], lo90, hi90)
+
+
+def test_jaccard_prefix_join_lossless_property(spark):
+    """Hypothesis sweep: for random small corpora and thresholds, the
+    prefix-filtered join equals naive all-pairs — the losslessness
+    theorem exercised over adversarial shapes (empty sets excluded by
+    construction; duplicate docs, singletons, full-vocab docs all
+    generated)."""
+    from hypothesis import given, settings, strategies as st
+
+    from mlb_data_pipeline_spark.operators.dedup import jaccard_prefix_join
+
+    token = st.integers(min_value=0, max_value=11).map(lambda i: f"t{i}")
+    doc = st.sets(token, min_size=1, max_size=8)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        docs=st.lists(doc, min_size=2, max_size=8),
+        t=st.integers(min_value=1, max_value=100),
+    )
+    def inner(docs, t):
+        import itertools
+
+        rows = [(i, " ".join(sorted(s))) for i, s in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        got = {(r.id_a, r.id_b) for r in jaccard_prefix_join(df, "doc_id", "text", t).collect()}
+        want = set()
+        for a, b in itertools.combinations(range(len(docs)), 2):
+            o = len(docs[a] & docs[b])
+            u = len(docs[a] | docs[b])
+            if 100 * o >= t * u:
+                want.add((a, b))
+        assert got == want, (docs, t, got ^ want)
+
+    inner()
