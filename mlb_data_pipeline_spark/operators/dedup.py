@@ -1238,3 +1238,178 @@ def containment_prefix_join(
         .filter(F.lit(100) * F.col("overlap") >= F.lit(t) * F.col("size_sub"))
         .select("id_sub", "id_super", "overlap", "size_sub", "size_super")
     )
+
+
+def _jstore_paths(path: str) -> tuple[str, str, str]:
+    base = path.rstrip("/")
+    return f"{base}/jdocs", f"{base}/jpostings", f"{base}/jdfreq"
+
+
+def _jaccard_ordered(docs: DataFrame, id_col: str, text_col: str, dfreq: DataFrame, t: int) -> DataFrame:
+    """Per-doc token arrays sorted under the GIVEN df order (unseen
+    tokens df=0, i.e. rarest) + prefix length for threshold ``t``."""
+    base = docs.select(F.col(id_col), token_set(text_col).alias("__set")).filter(
+        F.size("__set") >= 1
+    )
+    toks = base.select(id_col, F.explode("__set").alias("__tok"))
+    keyed = toks.join(dfreq, "__tok", "left").withColumn(
+        "__df", F.coalesce("__df", F.lit(0))
+    )
+    return (
+        keyed.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__tok"))),
+                lambda s: s["__tok"],
+            ).alias("__arr")
+        )
+        .withColumn("__n", F.size("__arr"))
+        .withColumn(
+            "__p",
+            F.col("__n")
+            - F.floor((F.col("__n") * t + F.lit(99)) / F.lit(100)).cast("int")
+            + F.lit(1),
+        )
+    )
+
+
+def build_jaccard_store(
+    docs: DataFrame, id_col: str, text_col: str, path: str, threshold_pct: int
+) -> None:
+    """One-time (per corpus version) build of the EXACT-near-dup store:
+    the incremental leg of ``jaccard_prefix_join``. Persists the token
+    document-frequency snapshot (the global prefix ORDER — pinned at
+    build time so every later delta computes prefixes under the SAME
+    total order, which is all the losslessness theorem needs; a common
+    order, not a current one), each doc's ordered token array, and the
+    corpus PREFIX postings (token -> doc, the only rows a delta's
+    candidate join ever touches). ``threshold_pct`` is part of the
+    store contract — prefixes are threshold-specific."""
+    if not 0 < threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be in (0, 100], got {threshold_pct}")
+    docs_p, post_p, dfreq_p = _jstore_paths(path)
+    base = docs.select(F.col(id_col), token_set(text_col).alias("__set")).filter(
+        F.size("__set") >= 1
+    )
+    toks = base.select(id_col, F.explode("__set").alias("__tok"))
+    dfreq = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
+    dfreq.write.mode("overwrite").parquet(dfreq_p)
+    spark = docs.sparkSession
+    ordered = _jaccard_ordered(docs, id_col, text_col, spark.read.parquet(dfreq_p), threshold_pct)
+    ordered.withColumn("__t", F.lit(threshold_pct)).write.mode("overwrite").parquet(docs_p)
+    spark.read.parquet(docs_p).select(
+        F.col(id_col), F.col("__n"), F.explode(F.slice("__arr", 1, F.col("__p"))).alias("__tok")
+    ).write.mode("overwrite").parquet(post_p)
+
+
+def incremental_jaccard_pairs(
+    delta: DataFrame, path: str, id_col: str, text_col: str
+) -> DataFrame:
+    """All EXACT Jaccard pairs (at the store's threshold) involving a
+    delta doc: delta-vs-corpus plus within-delta — O(delta) by the
+    store design: the corpus side is touched only through the PREFIX
+    POSTINGS equi-join (token-pruned) and an id-keyed array fetch for
+    the survivors; the corpus is never re-tokenized or re-sorted. Both
+    sides order tokens under the store's df snapshot, so the prefix-
+    intersection theorem applies to every pair and the result is
+    LOSSLESS — identical to ``jaccard_prefix_join`` over corpus ∪
+    delta restricted to delta-involving pairs (pinned in pytest; as
+    true document frequencies drift from the snapshot only candidate
+    SELECTIVITY degrades, never correctness — rebuild to refresh).
+
+    Returns (id_a, id_b, overlap, size_a, size_b), id_a < id_b."""
+    spark = delta.sparkSession
+    docs_p, post_p, dfreq_p = _jstore_paths(path)
+    store_docs = spark.read.parquet(docs_p)
+    t = int(store_docs.select("__t").first()[0])
+    dfreq = spark.read.parquet(dfreq_p)
+    ordered = _jaccard_ordered(delta, id_col, text_col, dfreq, t).localCheckpoint(
+        eager=False
+    )
+    dpref = ordered.select(
+        F.col(id_col), "__n", F.explode(F.slice("__arr", 1, F.col("__p"))).alias("__tok")
+    )
+    # delta-vs-corpus candidates: delta prefix ∩ corpus prefix postings
+    cpost = spark.read.parquet(post_p)
+    cross = (
+        dpref.select(F.col(id_col).alias("__did"), F.col("__n").alias("__dn"), "__tok")
+        .join(
+            cpost.select(F.col(id_col).alias("__cid"), F.col("__n").alias("__cn"), "__tok"),
+            "__tok",
+        )
+        .filter(F.col("__did") != F.col("__cid"))
+        .filter(
+            (F.lit(100) * F.col("__dn") >= F.lit(t) * F.col("__cn"))
+            & (F.lit(100) * F.col("__cn") >= F.lit(t) * F.col("__dn"))
+        )
+        .select("__did", "__cid")
+        .distinct()
+    )
+    darr = ordered.select(F.col(id_col).alias("__did"), F.col("__arr").alias("__arr_d"), F.col("__n").alias("__n_d"))
+    carr = store_docs.select(F.col(id_col).alias("__cid"), F.col("__arr").alias("__arr_c"), F.col("__n").alias("__n_c"))
+    cross_v = (
+        cross.join(darr, "__did")
+        .join(carr, "__cid")
+        .withColumn("overlap", F.size(F.array_intersect("__arr_d", "__arr_c")))
+        .filter(
+            F.lit(100) * F.col("overlap")
+            >= F.lit(t) * (F.col("__n_d") + F.col("__n_c") - F.col("overlap"))
+        )
+        .select(
+            F.least("__did", "__cid").alias("id_a"),
+            F.greatest("__did", "__cid").alias("id_b"),
+            "overlap",
+            F.when(F.col("__did") < F.col("__cid"), F.col("__n_d")).otherwise(F.col("__n_c")).alias("size_a"),
+            F.when(F.col("__did") < F.col("__cid"), F.col("__n_c")).otherwise(F.col("__n_d")).alias("size_b"),
+        )
+    )
+    # within-delta pairs under the SAME stored order
+    a = dpref.select(F.col(id_col).alias("a_id"), F.col("__n").alias("a_n"), "__tok")
+    b = dpref.select(F.col(id_col).alias("b_id"), F.col("__n").alias("b_n"), "__tok")
+    within_c = (
+        a.join(b, "__tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            (F.lit(100) * F.col("a_n") >= F.lit(t) * F.col("b_n"))
+            & (F.lit(100) * F.col("b_n") >= F.lit(t) * F.col("a_n"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    la = ordered.select(F.col(id_col).alias("a_id"), F.col("__arr").alias("__arr_a"), F.col("__n").alias("size_a"))
+    lb = ordered.select(F.col(id_col).alias("b_id"), F.col("__arr").alias("__arr_b"), F.col("__n").alias("size_b"))
+    within_v = (
+        within_c.join(la, "a_id")
+        .join(lb, "b_id")
+        .withColumn("overlap", F.size(F.array_intersect("__arr_a", "__arr_b")))
+        .filter(
+            F.lit(100) * F.col("overlap")
+            >= F.lit(t) * (F.col("size_a") + F.col("size_b") - F.col("overlap"))
+        )
+        .select(
+            F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"),
+            "overlap", "size_a", "size_b",
+        )
+    )
+    return cross_v.unionByName(within_v)
+
+
+def append_jaccard_store(delta: DataFrame, id_col: str, text_col: str, path: str) -> None:
+    """Append the delta's docs to the exact-near-dup store under the
+    STORED order (id guard: already-present ids are skipped, so
+    replays are no-ops). The df snapshot is deliberately NOT updated —
+    the pinned order is what keeps every historical prefix valid;
+    rebuild when drift makes candidates too loose."""
+    spark = delta.sparkSession
+    docs_p, post_p, dfreq_p = _jstore_paths(path)
+    store_docs = spark.read.parquet(docs_p)
+    t = int(store_docs.select("__t").first()[0])
+    existing = store_docs.select(id_col)
+    fresh = delta.join(existing, on=id_col, how="left_anti")
+    ordered = _jaccard_ordered(
+        fresh, id_col, text_col, spark.read.parquet(dfreq_p), t
+    ).withColumn("__t", F.lit(t)).localCheckpoint(eager=True)
+    ordered.write.mode("append").parquet(docs_p)
+    ordered.select(
+        F.col(id_col), F.col("__n"), F.explode(F.slice("__arr", 1, F.col("__p"))).alias("__tok")
+    ).write.mode("append").parquet(post_p)

@@ -929,3 +929,52 @@ def r40_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_prefix_join(docs, "doc_id", "text", 90).orderBy(
         "id_sub", "id_super"
     )
+
+
+# ---------------------------------------------------------------------------
+# R41 — incremental EXACT near-dup vs the persisted prefix store: the
+#        delta (src0 docs with id >= 300) pairs against yesterday's
+#        corpus (src0 docs with id < 300) at >= 80% Jaccard, plus
+#        within-delta pairs — all LOSSLESS, through the store's prefix
+#        postings (the corpus is never re-tokenized; both sides order
+#        under the store's pinned df snapshot, which is all the
+#        prefix-intersection theorem needs). Oracle: naive all-pairs
+#        over the union RESTRICTED to delta-involving pairs — the q64
+#        incremental-mirror pattern for the exact tier.
+# ---------------------------------------------------------------------------
+
+_R41_SQL = """
+WITH s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS st
+  FROM documents WHERE source = 'src0'
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.st, b.st)) AS overlap,
+         len(a.st) AS size_a, len(b.st) AS size_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE a.doc_id >= 300 OR b.doc_id >= 300
+)
+SELECT id_a, id_b, overlap, size_a, size_b
+FROM p
+WHERE 100 * overlap >= 80 * (size_a + size_b - overlap)
+ORDER BY id_a, id_b
+"""
+
+
+@query("r41_incremental_jaccard", oracle=_R41_SQL, covers="V4,J1,A2,I2")
+def r41_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.dedup import build_jaccard_store, incremental_jaccard_pairs
+
+    path = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r41_jstore"
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    delta = docs.filter(F.col("doc_id") >= 300)
+    build_jaccard_store(corpus, "doc_id", "text", path, 80)
+    return incremental_jaccard_pairs(delta, path, "doc_id", "text").orderBy(
+        "id_a", "id_b"
+    )

@@ -841,3 +841,62 @@ def test_containment_prefix_join_quote_tier_and_losslessness(spark):
     assert (100, 101) not in jac
     with pytest.raises(ValueError):
         containment_prefix_join(docs, "doc_id", "text", 0)
+
+
+def test_incremental_jaccard_store_matches_batch_and_day2(spark, tmp_path):
+    """Exact-tier incremental near-dup: delta-vs-store ∪ within-delta
+    equals the batch prefix join over corpus ∪ delta restricted to
+    delta-involving pairs; appended docs become corpus for day 2; a
+    replayed append is a no-op; the probe never re-tokenizes the
+    corpus (plan reads the store's postings, no cartesian)."""
+    import itertools
+    import random
+
+    from mlb_data_pipeline_spark.operators.dedup import (
+        append_jaccard_store,
+        build_jaccard_store,
+        incremental_jaccard_pairs,
+    )
+
+    random.seed(21)
+    vocab = [f"w{i}" for i in range(40)]
+    corpus_rows = [(i, " ".join(random.sample(vocab, random.randint(3, 8)))) for i in range(40)]
+    corpus_rows.append((98, "a b c d e"))
+    delta_rows = [(100 + i, " ".join(random.sample(vocab, random.randint(3, 8)))) for i in range(15)]
+    delta_rows += [(200, "a b c d e f"), (201, "a b c d e f")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id BIGINT, text STRING")
+    delta = spark.createDataFrame(delta_rows, "doc_id BIGINT, text STRING")
+    path = str(tmp_path / "jstore")
+    build_jaccard_store(corpus, "doc_id", "text", path, 80)
+
+    inc = incremental_jaccard_pairs(delta, path, "doc_id", "text")
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the probe reads the store's postings/docs parquet, nothing else
+    read = {f for f in inc.inputFiles()}
+    assert any("jpostings" in f for f in read) and any("jdocs" in f for f in read)
+    got = {(r.id_a, r.id_b) for r in inc.collect()}
+    data = {r[0]: set(r[1].split()) for r in corpus_rows + delta_rows}
+    delta_ids = {r[0] for r in delta_rows}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(data), 2)
+        if (a in delta_ids or b in delta_ids)
+        and 100 * len(data[a] & data[b]) >= 80 * len(data[a] | data[b])
+    }
+    assert got == want
+    assert (98, 200) in got and (200, 201) in got  # cross + within-delta
+
+    append_jaccard_store(delta, "doc_id", "text", path)
+    n_docs = spark.read.parquet(path + "/jdocs").count()
+    append_jaccard_store(delta, "doc_id", "text", path)  # replay
+    assert spark.read.parquet(path + "/jdocs").count() == n_docs
+    day2 = spark.createDataFrame([(300, "a b c d e f")], "doc_id BIGINT, text STRING")
+    got2 = {(r.id_a, r.id_b) for r in incremental_jaccard_pairs(day2, path, "doc_id", "text").collect()}
+    data[300] = set("a b c d e f".split())
+    want2 = {
+        (min(o, 300), max(o, 300))
+        for o in data
+        if o != 300 and 100 * len(data[o] & data[300]) >= 80 * len(data[o] | data[300])
+    }
+    assert got2 == want2 and (200, 300) in got2  # yesterday's delta is corpus now
