@@ -471,3 +471,36 @@ def bloom_store_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def jaccard_store_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming maintenance for the EXACT-near-dup prefix store (the
+    sixth leg of the streaming-store family): each micro-batch's docs
+    append under the store's pinned df-order snapshot, so the next
+    probe's losslessness guarantee covers every batch so far. State is
+    the PARQUET STORE (restart-safe, shared with the batch path).
+
+    Delivery: foreachBatch is at-least-once; the append's id guard
+    makes a replayed batch a no-op. The store must exist
+    (``build_jaccard_store``) before the stream starts — the build is
+    what pins the threshold and the token order."""
+    from ..operators.dedup import append_jaccard_store
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_jaccard_store(
+            batch_df.localCheckpoint(eager=True), id_col, text_col, store_path
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -88,3 +88,52 @@ def test_bloom_store_stream_equals_batch_build(spark, tmp_path):
     )
     bloom_store_stream(stream2, ["url"], store, str(tmp_path / "ckpt2"))
     assert tuple(bloom_store_stats(spark, store).collect()[0]) == s1
+
+
+def test_jaccard_store_stream_equals_batch_appends(spark, tmp_path):
+    """Streamed appends to the exact-near-dup store == batch appends:
+    a probe after the stream finds pairs against docs from EVERY
+    micro-batch, and a replayed stream is a no-op (id guard)."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.dedup import (
+        build_jaccard_store,
+        incremental_jaccard_pairs,
+    )
+    from mlb_data_pipeline_spark.streaming import jaccard_store_stream
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}x{j}" for j in range(6))) for i in range(10)],
+        "doc_id BIGINT, text STRING",
+    )
+    store = str(tmp_path / "jstore")
+    build_jaccard_store(corpus, "doc_id", "text", store, 80)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(100, "p q r s t")], "doc_id BIGINT, text STRING"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(101, "u v w x y")], "doc_id BIGINT, text STRING"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    jaccard_store_stream(stream, store, str(tmp_path / "ckpt"))
+    n = spark.read.parquet(store + "/jdocs").count()
+    assert n == 12  # both micro-batches landed
+    # probe sees docs from both micro-batches
+    probe = spark.createDataFrame(
+        [(200, "p q r s t"), (201, "u v w x y")], "doc_id BIGINT, text STRING"
+    )
+    got = {(r.id_a, r.id_b) for r in incremental_jaccard_pairs(probe, store, "doc_id", "text").collect()}
+    assert {(100, 200), (101, 201)} <= got
+    # replay through a fresh checkpoint: no-op
+    stream2 = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    jaccard_store_stream(stream2, store, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(store + "/jdocs").count() == n
