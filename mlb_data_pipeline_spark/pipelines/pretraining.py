@@ -71,6 +71,7 @@ def pretraining_data_pipeline(
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     token_budget: int | None = None,
+    exact_neardup_store: str | None = None,
     pack_budget: int = 2048,
     salt: str = "",
     min_compression_ratio: float | None = None,
@@ -165,10 +166,24 @@ def pretraining_data_pipeline(
     q = dedup_exact(q, [text_col], [id_col])
     q = gate(q, "exact_dedup")
     # 3. near-dup vs the persisted corpus + within-delta (one banding
-    #    pass over the delta; the corpus side is a store scan)
-    pairs = incremental_neardup_pairs(
-        q, store_path, id_col, text_col, neardup_threshold
-    )
+    #    pass over the delta; the corpus side is a store scan). With
+    #    ``exact_neardup_store`` the tier is the LOSSLESS prefix-join
+    #    store instead of MinHash (round 7): every threshold pair is
+    #    found, no recall bound — the corpus side is still only the
+    #    store's prefix postings
+    if exact_neardup_store is not None:
+        from ..operators.dedup import incremental_jaccard_pairs
+
+        # eager checkpoint: the pair plan must not re-embed the gate
+        # Observations (an observe node may appear in a plan only once)
+        pairs = incremental_jaccard_pairs(
+            q.select(id_col, text_col).localCheckpoint(eager=True),
+            exact_neardup_store, id_col, text_col,
+        )
+    else:
+        pairs = incremental_neardup_pairs(
+            q, store_path, id_col, text_col, neardup_threshold
+        )
     q = incremental_dedup_keep(q, pairs, id_col)
     q = gate(q, "neardup")
     # 4. contamination: drop any doc sharing a verbatim span with the
@@ -306,6 +321,10 @@ def pretraining_data_pipeline(
     )
     # 10. extend the corpus store with what was RELEASED
     append_signature_store(q, id_col, text_col, store_path)
+    if exact_neardup_store is not None:
+        from ..operators.dedup import append_jaccard_store
+
+        append_jaccard_store(q, id_col, text_col, exact_neardup_store)
     return (
         packed.groupBy("split", strata_col)
         .agg(

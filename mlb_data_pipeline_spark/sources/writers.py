@@ -345,23 +345,29 @@ def shard_manifest(spark: SparkSession, data_path: str) -> DataFrame:
     # part basename in every partition dir it writes — so the join key
     # is the full path normalized to a bare /-rooted form on both sides
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    counts = (
-        spark.read.parquet(data_path.rstrip("/"))
-        .groupBy(norm(F.input_file_name()).alias("path"))
-        .agg(F.count("*").alias("n_rows"))
-    )
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(data_path.rstrip("/"))
     fs = path.getFileSystem(conf)
     sizes = []
-    it = fs.listFiles(path, True)
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath().toString()
-        if p.endswith(".parquet"):
-            sizes.append((p, int(st.getLen())))
+    if fs.exists(path):
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if p.endswith(".parquet"):
+                sizes.append((p, int(st.getLen())))
+    if not sizes:
+        # an empty release (every doc filtered/deduped) is a legitimate
+        # outcome — the manifest certifies the empty file set instead of
+        # failing schema inference on a fileless directory
+        return spark.createDataFrame([], "file STRING, n_rows BIGINT, bytes BIGINT")
+    counts = (
+        spark.read.parquet(data_path.rstrip("/"))
+        .groupBy(norm(F.input_file_name()).alias("path"))
+        .agg(F.count("*").alias("n_rows"))
+    )
     size_df = spark.createDataFrame(sizes, "file STRING, bytes BIGINT").withColumn(
         "path", norm(F.col("file"))
     )

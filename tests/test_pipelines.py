@@ -628,3 +628,60 @@ def test_retrieve_diverse_spends_slots_on_distinct_evidence(spark):
     assert plain == ["a#0", "a#1", "a#2"]  # the failure mode
     diverse = [r.url for r in retrieve_diverse(spark, store, q, 2, lam=0.5).orderBy("pos").collect()]
     assert diverse[0] == "a#0" and diverse[1] == "b#0"
+
+
+def test_pretraining_pipeline_exact_neardup_tier(spark, tmp_path):
+    """With exact_neardup_store the chain's near-dup gate is the
+    lossless prefix-join tier: a delta doc whose token set matches a
+    corpus doc at the store threshold is dropped, the rest pass, kept
+    docs are appended so day 2 sees them."""
+    from mlb_data_pipeline_spark.operators.dedup import (
+        build_jaccard_store,
+        build_signature_store,
+    )
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12)), "web") for i in range(10)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    sig_store = str(tmp_path / "sig")
+    build_signature_store(corpus, "doc_id", "text", sig_store)
+    jstore = str(tmp_path / "jstore")
+    build_jaccard_store(corpus, "doc_id", "text", jstore, 80)
+    bench = spark.createDataFrame(
+        [(900, " ".join(f"p{j}" for j in range(8)))], "doc_id BIGINT, text STRING"
+    )
+    delta_rows = [
+        # same token SET as corpus doc 3 (reordered + one dup token):
+        # jaccard 1.0 — the exact tier must drop it
+        (200, " ".join(reversed([f"c3w{j}" for j in range(12)])) + " c3w0", "web"),
+        (201, " ".join(f"n1x{j}" for j in range(12)), "web"),
+        (202, " ".join(f"n2x{j}" for j in range(12)), "web"),
+    ]
+    delta = spark.createDataFrame(delta_rows, "doc_id BIGINT, text STRING, source STRING")
+    out = str(tmp_path / "shards")
+    metrics = {}
+    pretraining_data_pipeline(
+        spark, delta, bench, sig_store, out,
+        mix={"web": 1.0}, pack_budget=64, min_chars=10,
+        exact_neardup_store=jstore, metrics_out=metrics,
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {201, 202}
+    assert metrics["neardup"] == 2
+    # day-2: the appended kept docs are corpus now
+    day2 = spark.createDataFrame(
+        [(300, " ".join(f"n1x{j}" for j in range(12)), "web")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    out2 = str(tmp_path / "shards2")
+    pretraining_data_pipeline(
+        spark, day2, bench, sig_store, out2,
+        mix={"web": 1.0}, pack_budget=64, min_chars=10,
+        exact_neardup_store=jstore,
+    )
+    import pytest
+
+    with pytest.raises(Exception):
+        spark.read.parquet(out2).collect()  # everything deduped: empty release
