@@ -774,3 +774,27 @@ def mixture_allocation(
     return ranked.select(
         F.col(strata_col), "avail", "weight", alloc.alias("alloc"), "saturated"
     )
+
+
+def hash_fold(
+    df: DataFrame, key_col: str, n_folds: int, *, out_col: str = "fold", salt: str = ""
+) -> DataFrame:
+    """K-fold cross-validation assignment by key hash: fold =
+    md5-bucket of the key modulo ``n_folds`` — deterministic across
+    engines/sessions/partitionings (the ``hash_keep`` contract), so
+    every worker training on fold != i holds out EXACTLY the same
+    fold-i rows. Key on a GROUP id (user, domain, document) rather
+    than the row id when leakage between folds matters: all of a
+    group's rows land in one fold by construction. Narrow, no
+    shuffle."""
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
+    c = F.col(key_col)
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn(out_col, F.pmod(v, F.lit(n_folds)).cast("int"))

@@ -1100,3 +1100,40 @@ def r39_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_allocation(
         docs, "source", "n_tok", {"src0": 50, "src1": 30, "src2": 15, "src3": 5}, 6000
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# R42 — k-fold assignment audit: 5 folds over orders keyed on
+#        o_custkey (group-keyed so one customer never straddles a
+#        fold boundary), per-fold row/customer counts and exact
+#        revenue. The md5 draw replays identically in the oracle.
+# ---------------------------------------------------------------------------
+
+_R42_SQL = """
+WITH f AS (
+  SELECT o_custkey, o_totalprice,
+         CAST(CAST(('0x' || substr(md5('cv' || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INT) AS fold
+  FROM orders
+)
+SELECT fold, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM f GROUP BY fold ORDER BY fold
+"""
+
+
+@query("r42_hash_folds", oracle=_R42_SQL, covers="C1,A2,A3")
+def r42_hash_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import cents, wmoney
+    from ..operators.curation import hash_fold
+
+    orders = load_table(spark, sf_dir, "orders")
+    f = hash_fold(orders, "o_custkey", 5, salt="cv")
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            wmoney(cents("o_totalprice"), 10, 2).alias("revenue"),
+        )
+        .orderBy("fold")
+    )

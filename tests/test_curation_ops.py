@@ -139,3 +139,28 @@ def test_mixture_allocation_water_filling_properties(spark):
         mixture_allocation(df, "source", "n_tok", {"a": 0}, 10)
     with pytest.raises(ValueError):
         mixture_allocation(df, "source", "n_tok", {"a": 1}, -1)
+
+
+def test_hash_fold_group_integrity_and_determinism(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.curation import hash_fold
+
+    df = spark.createDataFrame(
+        [(i, i % 20) for i in range(400)], "row_id INT, group_id INT"
+    )
+    out = hash_fold(df, "group_id", 4, salt="s")
+    # a group never straddles folds
+    assert out.groupBy("group_id").agg(F.count_distinct("fold").alias("k")).filter("k > 1").count() == 0
+    # all folds in range and populated (20 groups over 4 folds)
+    folds = {r.fold for r in out.select("fold").distinct().collect()}
+    assert folds <= {0, 1, 2, 3} and len(folds) >= 2
+    # partition-count independent
+    again = {(r.row_id, r.fold) for r in hash_fold(df.repartition(7), "group_id", 4, salt="s").collect()}
+    assert again == {(r.row_id, r.fold) for r in out.collect()}
+    # different salts give different assignments somewhere
+    other = {(r.row_id, r.fold) for r in hash_fold(df, "group_id", 4, salt="t").collect()}
+    assert other != again
+    with pytest.raises(ValueError):
+        hash_fold(df, "group_id", 1)
