@@ -798,3 +798,66 @@ def hash_fold(
         10,
     ).cast("long")
     return df.withColumn(out_col, F.pmod(v, F.lit(n_folds)).cast("int"))
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: cut after every position whose
+    trailing ``window`` characters hash to 0 mod ``divisor`` — chunk
+    boundaries depend only on LOCAL content, so an insertion near the
+    start shifts every boundary's position but not the characters they
+    cut at: all downstream chunks keep their exact text, and
+    chunk-level dedup (exact or near) still matches them against the
+    unedited original. A fixed-stride chunker (``chunk_text``)
+    misaligns every window after one inserted byte. Expected chunk
+    length is ``divisor`` characters.
+
+    All Catalyst higher-order functions — per doc: one sequence over
+    positions, one md5 per position (bounded by doc length, the price
+    of content-defined cuts), array slicing for the chunks; no UDF, no
+    shuffle. The hash is md5 of the window substring (engine-neutral),
+    so the r43 oracle replays cuts bit-exactly. Docs shorter than
+    ``window`` come back as one chunk.
+
+    Returns (id_col, chunk_idx, char_start 0-based, n_chars,
+    chunk_text); empty trailing chunks are dropped.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1, got {divisor}")
+    text = F.col(text_col)
+    n = F.length(text)
+    positions = F.when(n >= window, F.sequence(F.lit(window), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashv = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(text.substr(i - F.lit(window) + 1, F.lit(window)).cast("binary")),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    cuts = F.filter(positions, lambda i: F.pmod(hashv(i), F.lit(divisor)) == 0)
+    starts = F.concat(F.array(F.lit(0).cast("int")), cuts.cast("array<int>"))
+    ends = F.concat(cuts.cast("array<int>"), F.array(n.cast("int")))
+    spans = F.filter(
+        F.arrays_zip(starts.alias("s"), ends.alias("e")),
+        lambda z: z["e"] > z["s"],
+    )
+    exploded = docs.select(
+        F.col(id_col), text.alias("__t"), F.posexplode(spans).alias("chunk_idx", "__z")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.col("__z.s").alias("char_start"),
+        (F.col("__z.e") - F.col("__z.s")).alias("n_chars"),
+        F.col("__t").substr(F.col("__z.s") + 1, F.col("__z.e") - F.col("__z.s")).alias("chunk_text"),
+    )

@@ -1137,3 +1137,54 @@ def r42_hash_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# R43 — content-defined chunking: cut after every position whose
+#        trailing 8 chars md5-hash to 0 mod 64 — boundaries depend
+#        only on local content, so edits shift chunk POSITIONS but not
+#        the characters they cut at, and chunk-level dedup keeps
+#        matching the unedited remainder (the property fixed-stride
+#        chunking lacks). The oracle replays the identical per-position
+#        md5 cuts; the only possible empty span is a trailing one, so
+#        filtering it never renumbers earlier chunks.
+# ---------------------------------------------------------------------------
+
+_R43_SQL = """
+WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+c AS (
+  SELECT doc_id, text, n,
+         list_filter(range(8, n + 1),
+           i -> CAST(('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8)) AS BIGINT) % 64 = 0
+         ) AS cuts
+  FROM d
+),
+z AS (
+  SELECT doc_id, text,
+         list_prepend(0, cuts) AS starts,
+         list_append(cuts, n) AS ends
+  FROM c
+),
+u AS (
+  SELECT doc_id, text, starts, ends,
+         unnest(range(1, len(starts) + 1)) AS k
+  FROM z
+)
+SELECT doc_id, CAST(k - 1 AS INT) AS chunk_idx,
+       CAST(starts[k] AS INT) AS char_start,
+       CAST(ends[k] - starts[k] AS INT) AS n_chars,
+       substr(text, CAST(starts[k] + 1 AS INT), CAST(ends[k] - starts[k] AS INT)) AS chunk_text
+FROM u
+WHERE ends[k] > starts[k]
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@query("r43_cdc_chunks", oracle=_R43_SQL, covers="C7,T3,U5")
+def r43_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs, "doc_id", "text", window=8, divisor=64).orderBy(
+        "doc_id", "chunk_idx"
+    )

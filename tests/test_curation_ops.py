@@ -164,3 +164,43 @@ def test_hash_fold_group_integrity_and_determinism(spark):
     assert other != again
     with pytest.raises(ValueError):
         hash_fold(df, "group_id", 1)
+
+
+def test_cdc_chunks_reassembly_and_insertion_stability(spark):
+    """Chunks reassemble the doc exactly; a prefix insertion changes
+    only the first chunk's text (boundaries are content-defined, so
+    downstream cut characters are unchanged); short docs come back
+    whole; chunk indices are dense from 0."""
+    import random
+
+    import pytest
+
+    from mlb_data_pipeline_spark.operators.curation import cdc_chunks
+
+    random.seed(3)
+    base = "".join(random.choice("abcdef gh") for _ in range(400))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "XY" + base), (3, "hi")], "doc_id BIGINT, text STRING"
+    )
+    rows = cdc_chunks(docs, "doc_id", "text", window=8, divisor=32).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert "".join(r.chunk_text for r in by_doc[1]) == base
+    assert "".join(r.chunk_text for r in by_doc[2]) == "XY" + base
+    assert [r.chunk_text for r in by_doc[3]] == ["hi"]  # sub-window doc: one chunk
+    # insertion stability: every chunk except the first is shared
+    c1 = [r.chunk_text for r in by_doc[1]]
+    c2 = [r.chunk_text for r in by_doc[2]]
+    assert c1[1:] == c2[1:] and c1[0] != c2[0]
+    # indices dense, offsets consistent
+    for chunks in by_doc.values():
+        assert [r.chunk_idx for r in chunks] == list(range(len(chunks)))
+        pos = 0
+        for r in chunks:
+            assert r.char_start == pos and r.n_chars == len(r.chunk_text)
+            pos += r.n_chars
+    with pytest.raises(ValueError):
+        cdc_chunks(docs, "doc_id", "text", window=0)
+    with pytest.raises(ValueError):
+        cdc_chunks(docs, "doc_id", "text", divisor=0)
