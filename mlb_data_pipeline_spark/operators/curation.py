@@ -861,3 +861,40 @@ def cdc_chunks(
         (F.col("__z.e") - F.col("__z.s")).alias("n_chars"),
         F.col("__t").substr(F.col("__z.s") + 1, F.col("__z.e") - F.col("__z.s")).alias("chunk_text"),
     )
+
+
+def duplicate_chunk_fraction(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Per-doc boilerplate signal at content-defined granularity: the
+    fraction of a doc's CDC chunks whose exact text also appears in
+    some OTHER doc — headers, footers, navigation, licence blocks and
+    syndicated paragraphs score high chunk-by-chunk even when the doc
+    as a whole is unique (doc-level near-dup misses partial
+    boilerplate; span-level scanning sees fixed widths). Because the
+    chunk boundaries are content-defined (``cdc_chunks``), the SAME
+    boilerplate text chunks identically in every doc that carries it,
+    wherever it sits.
+
+    Cost: the chunking pass + ONE combinable aggregation over chunk
+    hashes + one join back — the duplicate test joins on md5(chunk),
+    never the chunk text. Output keeps the verdict exact-integer:
+    (id_col, n_chunks, n_dup_chunks); callers threshold with a cross
+    multiply (e.g. keep while 100*n_dup <= 30*n_chunks).
+    """
+    chunks = cdc_chunks(docs, id_col, text_col, window=window, divisor=divisor)
+    keyed = chunks.select(F.col(id_col), F.md5("chunk_text").alias("__h")).distinct()
+    spread = keyed.groupBy("__h").agg(F.count_distinct(id_col).alias("__docs"))
+    return (
+        keyed.join(spread, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("__docs") > 1).cast("bigint")).alias("n_dup_chunks"),
+        )
+    )

@@ -1188,3 +1188,44 @@ def r43_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(docs, "doc_id", "text", window=8, divisor=64).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# R44 — duplicate-chunk fraction: per doc, how many of its CDC chunks
+#        appear verbatim in OTHER docs — the partial-boilerplate
+#        signal doc-level near-dup misses; content-defined boundaries
+#        make shared text chunk identically wherever it sits. Verdict
+#        columns are exact integers.
+# ---------------------------------------------------------------------------
+
+_R44_SQL = """
+WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+c AS (
+  SELECT doc_id, text, n,
+         list_filter(range(8, n + 1),
+           i -> CAST(('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8)) AS BIGINT) % 64 = 0
+         ) AS cuts
+  FROM d
+),
+z AS (SELECT doc_id, text, list_prepend(0, cuts) AS starts, list_append(cuts, n) AS ends FROM c),
+u AS (SELECT doc_id, text, starts, ends, unnest(range(1, len(starts) + 1)) AS k FROM z),
+ch AS (
+  SELECT DISTINCT doc_id,
+         md5(substr(text, CAST(starts[k] + 1 AS INT), CAST(ends[k] - starts[k] AS INT))) AS h
+  FROM u WHERE ends[k] > starts[k]
+),
+spread AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY h)
+SELECT ch.doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN spread.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+FROM ch JOIN spread USING (h)
+GROUP BY ch.doc_id
+ORDER BY ch.doc_id
+"""
+
+
+@query("r44_duplicate_chunk_fraction", oracle=_R44_SQL, covers="C7,V4,A2,A3")
+def r44_duplicate_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import duplicate_chunk_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_chunk_fraction(docs, "doc_id", "text").orderBy("doc_id")

@@ -204,3 +204,34 @@ def test_cdc_chunks_reassembly_and_insertion_stability(spark):
         cdc_chunks(docs, "doc_id", "text", window=0)
     with pytest.raises(ValueError):
         cdc_chunks(docs, "doc_id", "text", divisor=0)
+
+
+def test_duplicate_chunk_fraction_flags_shared_boilerplate(spark):
+    """Docs sharing a footer paragraph score dup chunks even though the
+    docs as wholes are unique; a fully-unique doc scores zero; a doc
+    whose whole text is copied scores everything."""
+    import random
+
+    from mlb_data_pipeline_spark.operators.curation import duplicate_chunk_fraction
+
+    random.seed(4)
+
+    def prose(n):
+        return "".join(random.choice("abcdef gh") for _ in range(n))
+
+    footer = prose(150)
+    unique_a, unique_b, unique_c = prose(300), prose(300), prose(300)
+    rows = [
+        (1, unique_a + footer),
+        (2, unique_b + footer),
+        (3, unique_c),          # fully unique
+        (4, unique_a + footer), # whole-text copy of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r for r in duplicate_chunk_fraction(docs, "doc_id", "text", divisor=32).collect()}
+    assert got[3].n_dup_chunks == 0
+    # docs 1 and 4 are identical: every chunk duplicated
+    assert got[1].n_dup_chunks == got[1].n_chunks
+    assert got[4].n_dup_chunks == got[4].n_chunks
+    # doc 2 shares only the footer region: some but not all chunks
+    assert 0 < got[2].n_dup_chunks < got[2].n_chunks
