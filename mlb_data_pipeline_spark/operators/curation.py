@@ -898,3 +898,58 @@ def duplicate_chunk_fraction(
             F.sum((F.col("__docs") > 1).cast("bigint")).alias("n_dup_chunks"),
         )
     )
+
+
+def remove_duplicate_chunks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Chunk-level boilerplate REMOVAL: rebuild each doc keeping a
+    chunk's text only in its canonical owner (the min-id doc carrying
+    that exact chunk) — shared footers/licence blocks/syndicated
+    paragraphs survive exactly once in the corpus while every doc's
+    unique prose is untouched. The rewrite complement of
+    ``duplicate_chunk_fraction`` (which only scores), at
+    content-defined granularity (``cdc_chunks``), so the same
+    boilerplate is recognized wherever it sits — the fixed-width
+    ``remove_duplicate_spans`` misses shifted copies.
+
+    Deterministic: ownership is min id per chunk hash; within-doc
+    repeats of an owned chunk all survive (ownership is a cross-doc
+    rule). One chunking pass + one combinable min-agg on chunk hashes
+    + one join back + a per-doc ordered rebuild (array_sort by chunk
+    index, no window). Returns (id_col, n_chunks, n_removed,
+    clean_text); a doc made entirely of others' boilerplate comes back
+    with an empty clean_text, not a missing row.
+    """
+    chunks = cdc_chunks(docs, id_col, text_col, window=window, divisor=divisor)
+    keyed = chunks.withColumn("__h", F.md5("chunk_text"))
+    owner = keyed.groupBy("__h").agg(F.min(id_col).alias("__owner"))
+    flagged = keyed.join(owner, "__h").withColumn(
+        "__keep", F.col(id_col) == F.col("__owner")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((~F.col("__keep")).cast("bigint")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("chunk_idx"), F.col("chunk_text")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                "",
+            ).alias("clean_text"),
+        )
+    )

@@ -1229,3 +1229,48 @@ def r44_duplicate_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_chunk_fraction(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# R45 — chunk-level boilerplate removal: rebuild every doc keeping a
+#        shared chunk's text only in its min-id canonical owner — the
+#        rewrite complement of r44's score, at content-defined
+#        granularity so shifted boilerplate is still recognized. The
+#        oracle replays ownership and the ordered rebuild (string_agg
+#        skips the dropped chunks' NULLs on both engines).
+# ---------------------------------------------------------------------------
+
+_R45_SQL = """
+WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+c AS (
+  SELECT doc_id, text, n,
+         list_filter(range(8, n + 1),
+           i -> CAST(('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8)) AS BIGINT) % 64 = 0
+         ) AS cuts
+  FROM d
+),
+z AS (SELECT doc_id, text, list_prepend(0, cuts) AS starts, list_append(cuts, n) AS ends FROM c),
+u AS (SELECT doc_id, text, starts, ends, unnest(range(1, len(starts) + 1)) AS k FROM z),
+ch AS (
+  SELECT doc_id, CAST(k - 1 AS INT) AS chunk_idx,
+         substr(text, CAST(starts[k] + 1 AS INT), CAST(ends[k] - starts[k] AS INT)) AS chunk_text
+  FROM u WHERE ends[k] > starts[k]
+),
+own AS (SELECT md5(chunk_text) AS h, MIN(doc_id) AS owner FROM ch GROUP BY 1),
+f AS (
+  SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text, ch.doc_id = own.owner AS keep
+  FROM ch JOIN own ON md5(ch.chunk_text) = own.h
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN keep THEN chunk_text END, '' ORDER BY chunk_idx), '') AS clean_text
+FROM f GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("r45_remove_duplicate_chunks", oracle=_R45_SQL, covers="C7,V4,A2,P9")
+def r45_remove_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import remove_duplicate_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_chunks(docs, "doc_id", "text").orderBy("doc_id")

@@ -235,3 +235,33 @@ def test_duplicate_chunk_fraction_flags_shared_boilerplate(spark):
     assert got[4].n_dup_chunks == got[4].n_chunks
     # doc 2 shares only the footer region: some but not all chunks
     assert 0 < got[2].n_dup_chunks < got[2].n_chunks
+
+
+def test_remove_duplicate_chunks_keeps_canonical_and_unique_prose(spark):
+    import random
+
+    from mlb_data_pipeline_spark.operators.curation import remove_duplicate_chunks
+
+    random.seed(4)
+
+    def prose(n):
+        return "".join(random.choice("abcdef gh") for _ in range(n))
+
+    footer = prose(150)
+    ua, ub = prose(300), prose(300)
+    docs = spark.createDataFrame(
+        [(1, ua + footer), (2, ub + footer), (3, ua + footer)],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r for r in remove_duplicate_chunks(docs, "doc_id", "text", divisor=32).collect()}
+    # doc 1 is canonical for everything it carries: untouched
+    assert got[1].clean_text == ua + footer and got[1].n_removed == 0
+    # doc 2 keeps its unique prose, loses the shared footer region
+    assert got[2].clean_text.startswith(ub[:100])
+    assert 0 < got[2].n_removed < got[2].n_chunks
+    assert footer[-50:] not in got[2].clean_text
+    # doc 3 duplicates doc 1 entirely: rebuilt empty, row still present
+    assert got[3].clean_text == "" and got[3].n_removed == got[3].n_chunks
+    # corpus-wide: every chunk's text survives exactly once
+    total_kept = sum(len(r.clean_text) for r in got.values())
+    assert total_kept == len(ua + footer) + len(got[2].clean_text)
