@@ -39,16 +39,29 @@ def rag_answer(spark: SparkSession, store: DataFrame, question: str, k: int = 3,
 
 
 def build_chunk_store(docs: DataFrame, id_col: str = "url", text_col: str = "text",
-                      *, size: int = 400, overlap: int = 80) -> DataFrame:
-    """Encoder-context-safe store build: sliding-window chunk (C7) then
-    embed each window (V1). Retrieval granularity becomes the chunk —
-    ``chunk_key`` is ``<doc id>#<window ordinal>`` and ``char_start``
-    re-anchors a hit into its source doc. Narrow end to end: the chunker
-    adds no shuffle and the embed UDF maps over the chunk rows."""
-    from ..operators.curation import chunk_text
+                      *, size: int = 400, overlap: int = 80,
+                      chunking: str = "sliding") -> DataFrame:
+    """Encoder-context-safe store build: chunk then embed each window
+    (V1). Retrieval granularity becomes the chunk — ``chunk_key`` is
+    ``<doc id>#<window ordinal>`` and ``char_start`` re-anchors a hit
+    into its source doc. Narrow end to end: the chunker adds no
+    shuffle and the embed UDF maps over the chunk rows.
+
+    ``chunking="sliding"`` (default) is the fixed-size overlapped
+    window (C7); ``"cdc"`` uses content-defined boundaries
+    (``cdc_chunks``, expected chunk length = ``size``, no overlap) —
+    re-crawled pages with small edits then produce mostly IDENTICAL
+    chunk rows, so store-level dedup and cached embeddings keep
+    applying to the unedited remainder."""
+    from ..operators.curation import cdc_chunks, chunk_text
     from ..operators.relational import spread_for_cpu
 
-    chunks = chunk_text(docs, id_col, text_col, size=size, overlap=overlap)
+    if chunking == "cdc":
+        chunks = cdc_chunks(docs, id_col, text_col, divisor=size)
+    elif chunking == "sliding":
+        chunks = chunk_text(docs, id_col, text_col, size=size, overlap=overlap)
+    else:
+        raise ValueError(f"chunking must be 'sliding' or 'cdc', got {chunking!r}")
     keyed = chunks.select(
         F.concat(F.col(id_col).cast("string"), F.lit("#"), F.col("chunk_idx")).alias("chunk_key"),
         F.col(id_col),

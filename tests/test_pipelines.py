@@ -685,3 +685,27 @@ def test_pretraining_pipeline_exact_neardup_tier(spark, tmp_path):
 
     with pytest.raises(Exception):
         spark.read.parquet(out2).collect()  # everything deduped: empty release
+
+
+def test_build_chunk_store_cdc_rows_stable_under_edit(spark):
+    """CDC-mode chunk store: re-ingesting an edited page produces
+    mostly identical chunk rows (same text, re-embeddable from cache);
+    the sliding-window store misaligns every window after the edit."""
+    import pytest
+
+    from mlb_data_pipeline_spark.pipelines.rag import build_chunk_store
+
+    import random
+    random.seed(8)
+    base = "".join(random.choice("abcdef gh") for _ in range(600))
+    v1 = spark.createDataFrame([("u", base)], "url STRING, text STRING")
+    v2 = spark.createDataFrame([("u", "EDIT " + base)], "url STRING, text STRING")
+    c1 = {r.text for r in build_chunk_store(v1, chunking="cdc", size=40).collect()}
+    c2 = {r.text for r in build_chunk_store(v2, chunking="cdc", size=40).collect()}
+    shared = len(c1 & c2)
+    assert shared >= len(c1) - 2  # only the chunk(s) at the edit differ
+    s1 = {r.text for r in build_chunk_store(v1, size=40, overlap=8).collect()}
+    s2 = {r.text for r in build_chunk_store(v2, size=40, overlap=8).collect()}
+    assert len(s1 & s2) < shared  # fixed stride loses alignment
+    with pytest.raises(ValueError):
+        build_chunk_store(v1, chunking="nope")
