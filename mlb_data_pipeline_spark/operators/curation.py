@@ -953,3 +953,93 @@ def remove_duplicate_chunks(
             ).alias("clean_text"),
         )
     )
+
+
+def build_boilerplate_store(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    window: int = 8,
+    divisor: int = 64,
+) -> None:
+    """Persist the corpus's CDC chunk hashes — the day-2 leg of the
+    boilerplate family: once built, a daily delta can drop every chunk
+    the corpus has EVER seen without re-chunking (or even reading) the
+    corpus text. Stores one md5 per distinct chunk; window/divisor are
+    part of the store contract (chunks must be cut identically on both
+    sides)."""
+    chunks = cdc_chunks(docs, id_col, text_col, window=window, divisor=divisor)
+    (
+        chunks.select(F.md5("chunk_text").alias("h")).distinct()
+        .withColumn("w", F.lit(window)).withColumn("d", F.lit(divisor))
+        .write.mode("overwrite").parquet(path.rstrip("/"))
+    )
+
+
+def remove_known_boilerplate(
+    delta: DataFrame, path: str, id_col: str, text_col: str
+) -> DataFrame:
+    """Rebuild each delta doc dropping every chunk whose hash the store
+    has seen (the corpus owns it) and keeping within-delta duplicates
+    only in their min-id delta doc — exactly ``remove_duplicate_chunks``
+    over corpus ∪ delta restricted to the delta, with the corpus side
+    touched ONLY through its hash store (a one-column semi-joinable
+    parquet; the corpus text is never read). Returns (id_col, n_chunks,
+    n_removed, clean_text), empty-not-missing for fully-boilerplate
+    docs."""
+    spark = delta.sparkSession
+    store = spark.read.parquet(path.rstrip("/"))
+    w, d = store.select("w", "d").first()
+    chunks = cdc_chunks(delta, id_col, text_col, window=int(w), divisor=int(d))
+    keyed = chunks.withColumn("__h", F.md5("chunk_text"))
+    known = store.select(F.col("h").alias("__h")).distinct()
+    owner = keyed.groupBy("__h").agg(F.min(id_col).alias("__owner"))
+    flagged = (
+        keyed.join(owner, "__h")
+        .join(known.withColumn("__known", F.lit(True)), "__h", "left")
+        .withColumn(
+            "__keep",
+            F.col("__known").isNull() & (F.col(id_col) == F.col("__owner")),
+        )
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((~F.col("__keep")).cast("bigint")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("chunk_idx"), F.col("chunk_text")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                "",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def append_boilerplate_store(delta: DataFrame, id_col: str, text_col: str, path: str) -> None:
+    """Append the delta's chunk hashes so tomorrow's delta sees today's
+    text as corpus. Append-only and naturally idempotent for the probe
+    (which is an existence semi-join: duplicate hash rows change
+    nothing); only hashes the store lacks are written, so replays add
+    no files' worth of rows either."""
+    spark = delta.sparkSession
+    store = spark.read.parquet(path.rstrip("/"))
+    w, d = store.select("w", "d").first()
+    fresh = (
+        cdc_chunks(delta, id_col, text_col, window=int(w), divisor=int(d))
+        .select(F.md5("chunk_text").alias("h")).distinct()
+        .join(store.select("h"), "h", "left_anti")
+        .withColumn("w", F.lit(int(w))).withColumn("d", F.lit(int(d)))
+    )
+    fresh.write.mode("append").parquet(path.rstrip("/"))

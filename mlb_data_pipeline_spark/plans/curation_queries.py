@@ -1274,3 +1274,65 @@ def r45_remove_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return remove_duplicate_chunks(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# R46 — incremental boilerplate removal vs the persisted chunk-hash
+#        store: the delta (src0 ids >= 300) drops every chunk the
+#        corpus (src0 ids < 300) has ever seen — corpus touched ONLY
+#        through its hash store — plus within-delta duplicates kept in
+#        their min-id delta doc. The oracle is remove_duplicate_chunks'
+#        SQL over the UNION restricted to delta docs, with corpus docs
+#        owning all their chunks (the r41/q64 incremental-mirror
+#        pattern, here for the rewrite family).
+# ---------------------------------------------------------------------------
+
+_R46_SQL = """
+WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE source = 'src0'),
+c AS (
+  SELECT doc_id, text, n,
+         list_filter(range(8, n + 1),
+           i -> CAST(('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8)) AS BIGINT) % 64 = 0
+         ) AS cuts
+  FROM d
+),
+z AS (SELECT doc_id, text, list_prepend(0, cuts) AS starts, list_append(cuts, n) AS ends FROM c),
+u AS (SELECT doc_id, text, starts, ends, unnest(range(1, len(starts) + 1)) AS k FROM z),
+ch AS (
+  SELECT doc_id, CAST(k - 1 AS INT) AS chunk_idx,
+         substr(text, CAST(starts[k] + 1 AS INT), CAST(ends[k] - starts[k] AS INT)) AS chunk_text
+  FROM u WHERE ends[k] > starts[k]
+),
+corpus_h AS (SELECT DISTINCT md5(chunk_text) AS h FROM ch WHERE doc_id < 300),
+delta_owner AS (
+  SELECT md5(chunk_text) AS h, MIN(doc_id) AS owner FROM ch WHERE doc_id >= 300 GROUP BY 1
+),
+f AS (
+  SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text,
+         corpus_h.h IS NULL AND ch.doc_id = delta_owner.owner AS keep
+  FROM ch
+  JOIN delta_owner ON md5(ch.chunk_text) = delta_owner.h
+  LEFT JOIN corpus_h ON md5(ch.chunk_text) = corpus_h.h
+  WHERE ch.doc_id >= 300
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN keep THEN chunk_text END, '' ORDER BY chunk_idx), '') AS clean_text
+FROM f GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("r46_incremental_boilerplate", oracle=_R46_SQL, covers="C7,V4,A2,I2")
+def r46_incremental_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.curation import build_boilerplate_store, remove_known_boilerplate
+
+    path = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r46_bpstore"
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    delta = docs.filter(F.col("doc_id") >= 300)
+    build_boilerplate_store(corpus, "doc_id", "text", path)
+    return remove_known_boilerplate(delta, path, "doc_id", "text").orderBy("doc_id")

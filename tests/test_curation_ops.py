@@ -265,3 +265,56 @@ def test_remove_duplicate_chunks_keeps_canonical_and_unique_prose(spark):
     # corpus-wide: every chunk's text survives exactly once
     total_kept = sum(len(r.clean_text) for r in got.values())
     assert total_kept == len(ua + footer) + len(got[2].clean_text)
+
+
+def test_boilerplate_store_day2_contract(spark, tmp_path):
+    """The store makes yesterday's boilerplate visible to today's delta
+    without reading corpus text; appends make today visible to
+    tomorrow; replayed appends add nothing; probe reads only the
+    store's parquet."""
+    import random
+
+    from mlb_data_pipeline_spark.operators.curation import (
+        append_boilerplate_store,
+        build_boilerplate_store,
+        remove_known_boilerplate,
+    )
+
+    random.seed(6)
+
+    def prose(n):
+        return "".join(random.choice("abcdef gh") for _ in range(n))
+
+    footer = prose(150)
+    corpus = spark.createDataFrame(
+        [(1, prose(300) + footer), (2, prose(300))], "doc_id BIGINT, text STRING"
+    )
+    store = str(tmp_path / "bp")
+    build_boilerplate_store(corpus, "doc_id", "text", store, divisor=32)
+
+    fresh = prose(250)
+    delta = spark.createDataFrame(
+        [(10, fresh + footer), (11, fresh)], "doc_id BIGINT, text STRING"
+    )
+    out = remove_known_boilerplate(delta, store, "doc_id", "text")
+    # probe never reads corpus text: only the store parquet is input
+    assert all("bp" in f for f in out.inputFiles())
+    got = {r.doc_id: r for r in out.collect()}
+    # doc 10: loses the corpus footer, keeps its fresh prose (it owns it)
+    assert footer[-40:] not in got[10].clean_text
+    assert got[10].clean_text.startswith(fresh[:80])
+    # doc 11 repeats doc 10's fresh prose within the delta: min-id owns
+    # every shared chunk; only doc 11's FINAL chunk survives (it ends at
+    # end-of-doc, while doc 10's corresponding chunk runs on into the
+    # footer, so their texts differ)
+    assert got[11].n_removed >= got[11].n_chunks - 1
+    assert len(got[11].clean_text) < len(fresh) // 2
+
+    append_boilerplate_store(delta, "doc_id", "text", store)
+    n = spark.read.parquet(store).count()
+    append_boilerplate_store(delta, "doc_id", "text", store)  # replay
+    assert spark.read.parquet(store).count() == n
+    # day 3: the delta's fresh prose is corpus now
+    day3 = spark.createDataFrame([(20, fresh)], "doc_id BIGINT, text STRING")
+    g3 = remove_known_boilerplate(day3, store, "doc_id", "text").collect()[0]
+    assert g3.clean_text == "" and g3.n_removed == g3.n_chunks
