@@ -72,6 +72,7 @@ def pretraining_data_pipeline(
     dsir_keep: int | None = None,
     token_budget: int | None = None,
     exact_neardup_store: str | None = None,
+    max_dup_chunk_pct: int | None = None,
     pack_budget: int = 2048,
     salt: str = "",
     min_compression_ratio: float | None = None,
@@ -145,6 +146,19 @@ def pretraining_data_pipeline(
         q = scored.filter(F.col("quality_prob") >= F.lit(min_quality_prob)).select(
             *q.columns
         )
+    if max_dup_chunk_pct is not None:
+        # partial-boilerplate gate (round 7): drop docs where more than
+        # max_dup_chunk_pct percent of CDC chunks appear in OTHER delta
+        # docs — integer cross-multiplied verdict, one hash agg + join
+        from ..operators.curation import duplicate_chunk_fraction
+
+        base = q.select(id_col, text_col).localCheckpoint(eager=True)
+        frac = duplicate_chunk_fraction(base, id_col, text_col)
+        keep = frac.filter(
+            F.lit(100) * F.col("n_dup_chunks")
+            <= F.lit(int(max_dup_chunk_pct)) * F.col("n_chunks")
+        ).select(id_col)
+        q = q.join(keep, on=id_col, how="left_semi")
     if perplexity_keep is not None:
         # CCNet tier gate (round 7): keep only the named perplexity
         # tiers of the delta's bigram-LM score. Boundaries come from a

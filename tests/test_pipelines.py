@@ -709,3 +709,46 @@ def test_build_chunk_store_cdc_rows_stable_under_edit(spark):
     assert len(s1 & s2) < shared  # fixed stride loses alignment
     with pytest.raises(ValueError):
         build_chunk_store(v1, chunking="nope")
+
+
+def test_pretraining_pipeline_dup_chunk_gate(spark, tmp_path):
+    """The boilerplate gate drops a delta doc that is mostly other
+    docs' chunks while unique docs pass."""
+    import random
+
+    from mlb_data_pipeline_spark.operators.dedup import build_signature_store
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+
+    random.seed(12)
+
+    def prose(n):
+        return "".join(random.choice("abcdef gh") for _ in range(n))
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12)), "web") for i in range(5)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    store = str(tmp_path / "sig")
+    build_signature_store(corpus, "doc_id", "text", store)
+    bench = spark.createDataFrame(
+        [(900, " ".join(f"p{j}" for j in range(8)))], "doc_id BIGINT, text STRING"
+    )
+    shared = prose(400)
+    delta = spark.createDataFrame(
+        [
+            (200, prose(400), "web"),              # unique: passes
+            (201, shared + prose(400), "web"),     # half shared: passes at 80
+            (202, shared + prose(30), "web"),      # mostly 201's chunks: gated
+        ],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    out = str(tmp_path / "sh")
+    metrics = {}
+    pretraining_data_pipeline(
+        spark, delta, bench, store, out,
+        mix={"web": 1.0}, pack_budget=64, min_chars=10,
+        max_dup_chunk_pct=80, metrics_out=metrics,
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 200 in kept and 201 in kept and 202 not in kept
+    assert metrics["quality"] == 2
