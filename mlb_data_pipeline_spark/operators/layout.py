@@ -1,0 +1,188 @@
+"""Multi-dimensional storage layout — Z-order (Morton) clustering.
+
+A date-partitioned lake (sources/writers.py ``write_partitioned``)
+prunes on ONE column; a second selective predicate (customer, price
+band, geo cell) still scans every file inside the partition. Z-order
+interleaves the bits of several scaled columns into one integer key, so
+a range-repartition + within-file sort on that key makes every file a
+small HYPER-RECTANGLE in all clustered dimensions at once: parquet
+footer min/max stats then prune file scans for predicates on ANY of the
+clustered columns, not just the partition column. This is the
+multi-dimensional half of the lake-layout story next to bucketing
+(S8/q83) and compaction-with-range-clustering (I8).
+
+Reference scope: the reference's lake is date-keyed blobs only
+(mlb_pipeline_dag.py:119); multi-column layout is part of the
+beyond-reference scale surface (SURVEY §2.15).
+
+100 TB design notes
+-------------------
+* The z-key is pure integer bit math (compare/shift/or) inside
+  whole-stage codegen — no UDF, no shuffle of its own.
+* ``write_zordered`` pays exactly ONE range shuffle (the same price as
+  any global layout decision) and writes ``n_files`` roughly equal-row
+  files; AQE cannot do this for you because the layout must survive
+  into the FILES, not just the stage.
+* Scaling to [0, 2^bits) uses integer floor division — engine-neutral
+  (DuckDB ``//``), no float in any key. ``bits * n_cols <= 62`` keeps
+  the key in a BIGINT.
+* Pruning is measurable, not asserted: ``file_stats`` reads the real
+  parquet footers and ``pruning_report`` computes the fraction of
+  files a box predicate can skip under the laid-out vs naive layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def floor_div(num: Column, den: int | Column) -> Column:
+    """Exact integer floor division of a non-negative long expression.
+
+    Long `/` in Spark is DOUBLE division; for products below 2^53 the
+    correctly-rounded quotient is within 1 of the true integer quotient,
+    so one ±1 correction in long math makes it exact — bit-identical to
+    DuckDB `//` without leaving the Column API."""
+    d = (F.lit(den) if isinstance(den, int) else den).cast("long")
+    q0 = (num / d).cast("long")
+    q1 = F.when(q0 * d > num, q0 - 1).otherwise(q0)
+    return F.when((q1 + 1) * d <= num, q1 + 1).otherwise(q1)
+
+
+def scale_to_bits_int(col: Column | str, lo: int, hi: int, bits: int) -> Column:
+    """Map an integer column in [lo, hi] to [0, 2^bits - 1] by integer
+    floor division — ((x - lo) * (2^bits - 1)) // (hi - lo), clamped so
+    out-of-range rows land in edge cells instead of corrupting the
+    interleave. Integer-exact (the form the oracle mirrors): never a
+    double in the key path."""
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("long")
+    clamped = F.least(F.greatest(c, F.lit(lo).cast("long")), F.lit(hi).cast("long"))
+    top = (1 << bits) - 1
+    return floor_div((clamped - F.lit(lo)) * F.lit(top), hi - lo)
+
+
+def scale_to_bits_cols(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """In-plan variant of ``scale_to_bits_int`` for DATA-DERIVED bounds
+    (1-row bound aggregates cross-joined in, never collected)."""
+    c = col.cast("long")
+    lo = lo.cast("long")
+    hi = hi.cast("long")
+    clamped = F.least(F.greatest(c, lo), hi)
+    top = (1 << bits) - 1
+    # degenerate hi == lo: every value maps to cell 0
+    return F.when(hi > lo, floor_div((clamped - lo) * F.lit(top).cast("long"), hi - lo)).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def zorder_key(cells: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of each cell column (already in
+    [0, 2^bits)) into one Morton key: bit b of column i lands at
+    position b * n + i. Pure shift/and/or — one codegen expression,
+    bit-identical in any engine with integer semantics."""
+    n = len(cells)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns (use a plain sort for 1)")
+    if bits * n > 62:
+        raise ValueError(f"bits*n_cols must be <= 62 to fit a BIGINT, got {bits * n}")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cells):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def zorder_key_sql(cell_exprs: list[str], bits: int) -> str:
+    """The identical interleave as portable SQL (DuckDB oracle side)."""
+    terms = []
+    for b in range(bits):
+        for i, e in enumerate(cell_exprs):
+            # fully parenthesized: DuckDB's `|` binds TIGHTER than `<<`,
+            # so `t1 | t2 << s` parses as `(t1 | t2) << s`
+            terms.append(f"(((({e}) >> {b}) & 1) << {b * len(cell_exprs) + i})")
+    return " | ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    specs: list[tuple[str, int, int]],
+    bits: int = 16,
+    n_files: int = 32,
+) -> None:
+    """Lay ``df`` out as ``n_files`` parquet files clustered on the
+    z-order of ``specs`` = [(col, lo, hi), ...]. One range shuffle on
+    the key, a within-partition sort so each FILE covers a contiguous
+    z-range, key dropped on write (derivable from the data)."""
+    cells = [scale_to_bits_int(c, lo, hi, bits) for c, lo, hi in specs]
+    z = zorder_key(cells, bits)
+    (
+        df.withColumn("__zkey", z)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max for ``cols`` from the REAL parquet footers (what
+    a scan's file-skipping sees) via pyarrow — one row per data file."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                cname = c.path_in_schema
+                if cname not in cols or c.statistics is None:
+                    continue
+                s = c.statistics
+                if s.min is not None:
+                    lo[cname] = s.min if cname not in lo else min(lo[cname], s.min)
+                if s.max is not None:
+                    hi[cname] = s.max if cname not in hi else max(hi[cname], s.max)
+        out.append({"file": name, "min": lo, "max": hi, "rows": md.num_rows})
+    return out
+
+
+def pruning_report(path: str, box: dict[str, tuple[float, float]]) -> dict:
+    """Fraction of files a conjunctive box predicate
+    ``{col: (lo, hi)}`` can SKIP from footer stats alone — the number a
+    100 TB scan actually feels. Returns files_total / files_hit /
+    skip_frac."""
+    stats = file_stats(path, list(box))
+    hit = 0
+    for fs in stats:
+        overlaps = all(
+            col in fs["min"] and col in fs["max"] and not (fs["max"][col] < lo or fs["min"][col] > hi)
+            for col, (lo, hi) in box.items()
+        )
+        hit += int(overlaps)
+    total = len(stats)
+    return {
+        "files_total": total,
+        "files_hit": hit,
+        "skip_frac": 0.0 if total == 0 else round(1.0 - hit / total, 4),
+    }
+
+
+def read_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -14,3 +14,4 @@ def load_all() -> None:
     from . import curation_queries  # noqa: F401
     from . import search_queries  # noqa: F401
     from . import graph_queries  # noqa: F401
+    from . import layout_queries  # noqa: F401

@@ -1,0 +1,88 @@
+"""Storage-layout query set — Z-order clustering (SURVEY §2.15).
+
+The z-key itself is oracled bit-exact (pure integer bit math mirrored
+in DuckDB); the file-level pruning payoff is measured from real parquet
+footers in tests (`tests/test_layout_ops.py`) and docs/PERF.md, since
+the oracle sees rows, not files.
+
+Reference scope: the reference lake is date-keyed blobs only
+(mlb_pipeline_dag.py:119) — multi-dimensional layout is part of the
+beyond-reference scale surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.layout import scale_to_bits_cols, zorder_key, zorder_key_sql
+from .registry import query
+
+_BITS = 8  # 8 bits/dim x 2 dims = 16-bit key; buckets = z >> 10 (64 cells)
+
+_CELL_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+), b AS (
+  SELECT MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+         MIN(pc) AS pc_lo, MAX(pc) AS pc_hi
+  FROM o
+), cells AS (
+  SELECT
+    CASE WHEN ck_hi > ck_lo
+         THEN ((LEAST(GREATEST(ck, ck_lo), ck_hi) - ck_lo) * 255) // (ck_hi - ck_lo)
+         ELSE 0 END AS cx,
+    CASE WHEN pc_hi > pc_lo
+         THEN ((LEAST(GREATEST(pc, pc_lo), pc_hi) - pc_lo) * 255) // (pc_hi - pc_lo)
+         ELSE 0 END AS cy
+  FROM o CROSS JOIN b
+)
+"""
+
+_R47_SQL = (
+    _CELL_SQL
+    + f", z AS (SELECT ({zorder_key_sql(['cx', 'cy'], _BITS)}) AS z FROM cells)\n"
+    + """
+SELECT z >> 10 AS bucket, COUNT(*) AS n_orders, MIN(z) AS z_min, MAX(z) AS z_max
+FROM z
+GROUP BY bucket
+ORDER BY bucket
+"""
+)
+
+
+@query("r47_zorder_key", oracle=_R47_SQL, covers="Y1")
+def r47_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key over (customer, price-cents) with
+    data-derived bounds: the layout key `write_zordered` clusters files
+    on, aggregated per 1024-key bucket so the oracle checks the FULL
+    key distribution, not a sample. Bounds come from one 1-row agg
+    cross-joined in (never collected); every step is integer-exact
+    (floor-div + shift/and/or) so both engines agree bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    bounds = o.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("pc").alias("pc_lo"),
+        F.max("pc").alias("pc_hi"),
+    )
+    j = o.crossJoin(F.broadcast(bounds))
+    cx = scale_to_bits_cols(F.col("ck"), F.col("ck_lo"), F.col("ck_hi"), _BITS)
+    cy = scale_to_bits_cols(F.col("pc"), F.col("pc_lo"), F.col("pc_hi"), _BITS)
+    z = zorder_key([cx, cy], _BITS)
+    return (
+        j.select(z.alias("z"))
+        .groupBy(F.shiftright("z", 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,118 @@
+"""Z-order layout operator tests (SURVEY §2.15 Y1).
+
+The key math is oracled in r47; here we pin (a) the interleave against
+a pure-Python reference, (b) floor_div exactness on adversarial
+quotients, and (c) the actual payoff: parquet-footer file pruning on a
+box predicate, z-ordered vs naive layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlb_data_pipeline_spark.operators.layout import (
+    file_stats,
+    floor_div,
+    pruning_report,
+    scale_to_bits_int,
+    write_zordered,
+    zorder_key,
+)
+
+
+def _py_interleave(cells: list[int], bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        for i, c in enumerate(cells):
+            z |= ((c >> b) & 1) << (b * len(cells) + i)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(x, y) for x in (0, 1, 2, 3, 100, 255) for y in (0, 1, 128, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key([F.col("x"), F.col("y")], 8).alias("z")).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _py_interleave([x, y], 8), (x, y)
+
+
+def test_zorder_key_three_dims(spark):
+    df = spark.createDataFrame([(5, 9, 12)], "a long, b long, c long")
+    z = df.select(zorder_key([F.col("a"), F.col("b"), F.col("c")], 4).alias("z")).head().z
+    assert z == _py_interleave([5, 9, 12], 4)
+
+
+def test_zorder_key_validation(spark):
+    with pytest.raises(ValueError):
+        zorder_key([F.lit(1).cast("long")], 8)  # < 2 cols
+    with pytest.raises(ValueError):
+        zorder_key([F.lit(1).cast("long")] * 4, 16)  # 64 bits > 62
+
+
+def test_floor_div_exact_on_adversarial_quotients(spark):
+    # exact multiples, one-off-each-side, and large products near 2^52
+    cases = []
+    for d in (1, 3, 7, 255, 999, 65535):
+        for n in (0, 1, d - 1, d, d + 1, 17 * d, 17 * d - 1, 10**15, 2**52 - 1):
+            if n >= 0:
+                cases.append((n, d))
+    df = spark.createDataFrame(cases, "n long, d long")
+    out = df.select("n", "d", floor_div(F.col("n"), F.col("d")).alias("q")).collect()
+    for r in out:
+        assert r.q == r.n // r.d, (r.n, r.d, r.q)
+
+
+def test_scale_to_bits_validation():
+    with pytest.raises(ValueError):
+        scale_to_bits_int("x", 5, 5, 8)
+    with pytest.raises(ValueError):
+        scale_to_bits_int("x", 0, 10, 40)
+
+
+def test_scale_to_bits_clamps_and_covers(spark):
+    df = spark.createDataFrame([(v,) for v in (-10, 0, 50, 100, 999)], "x long")
+    out = {r.x: r.cell for r in df.select("x", scale_to_bits_int("x", 0, 100, 8).alias("cell")).collect()}
+    assert out[-10] == 0 and out[0] == 0
+    assert out[100] == 255 and out[999] == 255
+    assert out[50] == (50 * 255) // 100
+
+
+def test_zordered_layout_prunes_files(spark, tmp_path):
+    # 200x200 grid; box = 1/16 of the area. Under z-order each file is a
+    # small hyper-rectangle, so most files miss the box entirely; under a
+    # naive round-robin layout every file spans the full range.
+    grid = spark.range(200 * 200).select(
+        (F.col("id") % 200).alias("x"), (F.col("id") / 200).cast("long").alias("y")
+    )
+    zpath = str(tmp_path / "zordered")
+    npath = str(tmp_path / "naive")
+    write_zordered(grid, zpath, [("x", 0, 199), ("y", 0, 199)], bits=8, n_files=16)
+    grid.repartition(16).write.mode("overwrite").parquet(npath)
+
+    box = {"x": (0, 49), "y": (0, 49)}
+    zrep = pruning_report(zpath, box)
+    nrep = pruning_report(npath, box)
+    assert zrep["files_total"] >= 8
+    assert zrep["skip_frac"] >= 0.5, zrep
+    assert nrep["skip_frac"] <= 0.1, nrep
+
+    # layout is a rewrite, not a transform: same rows back
+    assert spark.read.parquet(zpath).count() == 200 * 200
+    got = {(r.x, r.y) for r in spark.read.parquet(zpath).collect()}
+    assert len(got) == 200 * 200
+
+
+def test_file_stats_reads_real_footers(spark, tmp_path):
+    p = str(tmp_path / "one")
+    spark.createDataFrame([(1, 10), (5, 2)], "a long, b long").coalesce(1).write.parquet(p)
+    stats = [s for s in file_stats(p, ["a", "b"]) if s["rows"]]
+    assert len(stats) == 1
+    assert stats[0]["min"] == {"a": 1, "b": 2}
+    assert stats[0]["max"] == {"a": 5, "b": 10}
+    assert os.path.exists(p)
