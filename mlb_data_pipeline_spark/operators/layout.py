@@ -39,13 +39,25 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Exactness bound for the floor-div key path: every numerator
+# (clamped - lo) * (2^bits - 1) must stay below 2^53 so the double
+# quotient in floor_div is within 1 of the true integer quotient and
+# the ±1 correction restores exactness. Beyond 2^53 the correction can
+# be insufficient, and beyond 2^63 the long PRODUCT itself silently
+# overflows in non-ANSI Spark — either way the z-keys would be silently
+# wrong, so the bound is enforced, never assumed.
+_EXACT_PRODUCT_LIMIT = 1 << 53
+
+
 def floor_div(num: Column, den: int | Column) -> Column:
     """Exact integer floor division of a non-negative long expression.
 
     Long `/` in Spark is DOUBLE division; for products below 2^53 the
     correctly-rounded quotient is within 1 of the true integer quotient,
     so one ±1 correction in long math makes it exact — bit-identical to
-    DuckDB `//` without leaving the Column API."""
+    DuckDB `//` without leaving the Column API. Callers must keep
+    ``num < 2^53`` (see ``_EXACT_PRODUCT_LIMIT``); the scale_to_bits
+    wrappers enforce it."""
     d = (F.lit(den) if isinstance(den, int) else den).cast("long")
     q0 = (num / d).cast("long")
     q1 = F.when(q0 * d > num, q0 - 1).otherwise(q0)
@@ -62,24 +74,61 @@ def scale_to_bits_int(col: Column | str, lo: int, hi: int, bits: int) -> Column:
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
+    top = (1 << bits) - 1
+    # Exactness gate: (hi - lo) * top must stay under 2^53 or floor_div's
+    # ±1 correction no longer guarantees the true quotient (and past 2^63
+    # the product itself silently wraps). Wide ranges (e.g. epoch-micros
+    # spanning years) auto-pre-shift: dividing BOTH (x - lo) and
+    # (hi - lo) by 2^s keeps the math integer-exact for the shifted
+    # formula, costs at most one cell of placement (irrelevant for a
+    # layout key), and is engine-neutral (>> mirrors in any SQL).
+    shift = 0
+    while ((hi - lo) >> shift) * top >= _EXACT_PRODUCT_LIMIT:
+        shift += 1
+    rng = (hi - lo) >> shift
+    if rng < 1:
+        raise ValueError(
+            f"range [{lo}, {hi}] with bits={bits} cannot be scaled exactly; "
+            "reduce bits or pre-scale the column"
+        )
     c = F.col(col) if isinstance(col, str) else col
     c = c.cast("long")
     clamped = F.least(F.greatest(c, F.lit(lo).cast("long")), F.lit(hi).cast("long"))
-    top = (1 << bits) - 1
-    return floor_div((clamped - F.lit(lo)) * F.lit(top), hi - lo)
+    scaled = F.shiftright(clamped - F.lit(lo), shift) if shift else (clamped - F.lit(lo))
+    # post-shift product is < 2^53 by construction; floor_div is exact
+    return F.least(floor_div(scaled * F.lit(top), rng), F.lit(top).cast("long"))
 
 
 def scale_to_bits_cols(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """In-plan variant of ``scale_to_bits_int`` for DATA-DERIVED bounds
-    (1-row bound aggregates cross-joined in, never collected)."""
+    (1-row bound aggregates cross-joined in, never collected).
+
+    The bounds are runtime values, so the 2^53 exactness gate cannot be
+    checked in Python; instead an in-plan guard RAISES if the observed
+    range is too wide for exact floor division — silently-wrong z-keys
+    are never an outcome. Callers with wider ranges should pre-scale
+    the column (e.g. epoch-micros -> epoch-seconds) before keying."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
     c = col.cast("long")
     lo = lo.cast("long")
     hi = hi.cast("long")
     clamped = F.least(F.greatest(c, lo), hi)
     top = (1 << bits) - 1
+    max_range = (_EXACT_PRODUCT_LIMIT - 1) // top
     # degenerate hi == lo: every value maps to cell 0
-    return F.when(hi > lo, floor_div((clamped - lo) * F.lit(top).cast("long"), hi - lo)).otherwise(
-        F.lit(0).cast("long")
+    return (
+        F.when(
+            hi - lo > F.lit(max_range).cast("long"),
+            F.raise_error(
+                F.lit(
+                    f"scale_to_bits_cols: range exceeds {max_range} "
+                    f"(exact floor-div bound for bits={bits}); pre-scale the column"
+                )
+            ).cast("long"),
+        )
+        .when(hi > lo, floor_div((clamped - lo) * F.lit(top).cast("long"), hi - lo))
+        .otherwise(F.lit(0).cast("long"))
     )
 
 
@@ -135,9 +184,23 @@ def write_zordered(
     )
 
 
+# Physical types whose footer min/max are exact and totally ordered
+# under Python min()/max(). BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY stats may
+# be TRUNCATED bounds (parquet writers shorten long strings), so folding
+# them with min()/max() can under/overstate the range — those columns
+# are excluded, which downstream (pruning_report) treats as must-read.
+_EXACT_STAT_TYPES = {"BOOLEAN", "INT32", "INT64", "FLOAT", "DOUBLE"}
+
+
 def file_stats(path: str, cols: list[str]) -> list[dict]:
     """Per-file min/max for ``cols`` from the REAL parquet footers (what
-    a scan's file-skipping sees) via pyarrow — one row per data file."""
+    a scan's file-skipping sees) via pyarrow — one row per data file.
+
+    Only numeric/temporal physical types (``_EXACT_STAT_TYPES``) are
+    folded: string/binary footer stats may be truncated bounds, and a
+    wrong fold there would overstate pruning. A column absent from a
+    file's ``min``/``max`` dict means "no usable stats" — callers must
+    treat that file as unprunable on that column."""
     import pyarrow.parquet as pq
 
     out = []
@@ -154,7 +217,11 @@ def file_stats(path: str, cols: list[str]) -> list[dict]:
                 cname = c.path_in_schema
                 if cname not in cols or c.statistics is None:
                     continue
+                if c.physical_type not in _EXACT_STAT_TYPES:
+                    continue
                 s = c.statistics
+                if not s.has_min_max:
+                    continue
                 if s.min is not None:
                     lo[cname] = s.min if cname not in lo else min(lo[cname], s.min)
                 if s.max is not None:
@@ -171,11 +238,15 @@ def pruning_report(path: str, box: dict[str, tuple[float, float]]) -> dict:
     stats = file_stats(path, list(box))
     hit = 0
     for fs in stats:
-        overlaps = all(
-            col in fs["min"] and col in fs["max"] and not (fs["max"][col] < lo or fs["min"][col] > hi)
+        # A file is skippable ONLY on a provable min/max miss on some
+        # box column. Missing footer stats (stats disabled, all-null,
+        # excluded string type) mean the scanner MUST read the file, so
+        # the column contributes "might overlap", never "skip".
+        skippable = any(
+            col in fs["min"] and col in fs["max"] and (fs["max"][col] < lo or fs["min"][col] > hi)
             for col, (lo, hi) in box.items()
         )
-        hit += int(overlaps)
+        hit += int(not skippable)
     total = len(stats)
     return {
         "files_total": total,

@@ -108,6 +108,56 @@ def test_zordered_layout_prunes_files(spark, tmp_path):
     assert len(got) == 200 * 200
 
 
+def test_scale_to_bits_wide_range_auto_shifts_exactly(spark):
+    # epoch-micros spanning ~3 years: (hi-lo)*(2^16-1) >> 2^53 would
+    # silently overflow the old long path; the auto pre-shift keeps the
+    # math integer-exact. Pin Spark against the same shifted formula in
+    # pure Python.
+    lo, hi, bits = 1_600_000_000_000_000, 1_695_000_000_000_000, 16
+    top = (1 << bits) - 1
+    shift = 0
+    while ((hi - lo) >> shift) * top >= 1 << 53:
+        shift += 1
+    rng = (hi - lo) >> shift
+    vals = [lo, lo + 1, (lo + hi) // 2, hi - 1, hi, lo + 12_345_678_901_234]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = {r.x: r.cell for r in df.select("x", scale_to_bits_int("x", lo, hi, bits).alias("cell")).collect()}
+    for v in vals:
+        expect = min((((v - lo) >> shift) * top) // rng, top)
+        assert out[v] == expect, (v, out[v], expect)
+    assert out[lo] == 0 and out[hi] == top
+
+
+def test_scale_to_bits_cols_raises_on_overflow_range(spark):
+    from pyspark.sql.utils import PythonException
+
+    from mlb_data_pipeline_spark.operators.layout import scale_to_bits_cols
+
+    df = spark.createDataFrame([(5, 0, 1 << 60)], "x long, lo long, hi long")
+    bad = df.select(scale_to_bits_cols(F.col("x"), F.col("lo"), F.col("hi"), 16).alias("c"))
+    with pytest.raises(Exception, match="pre-scale|USER_RAISED_EXCEPTION|raise_error"):
+        bad.collect()
+
+
+def test_pruning_report_counts_statless_file_as_hit(spark, tmp_path):
+    # string column: footer stats excluded as potentially truncated, so
+    # the file must count as HIT (read), never skipped — even though
+    # the values are provably outside the box.
+    p = str(tmp_path / "strs")
+    spark.createDataFrame([("zzz",), ("yyy",)], "s string").coalesce(1).write.parquet(p)
+    rep = pruning_report(p, {"s": ("aaa", "bbb")})
+    assert rep["files_hit"] == rep["files_total"]
+    assert rep["skip_frac"] == 0.0
+
+
+def test_file_stats_excludes_string_columns(spark, tmp_path):
+    p = str(tmp_path / "mixed")
+    spark.createDataFrame([(1, "a"), (5, "b")], "n long, s string").coalesce(1).write.parquet(p)
+    stats = [s for s in file_stats(p, ["n", "s"]) if s["rows"]]
+    assert stats[0]["min"] == {"n": 1}
+    assert stats[0]["max"] == {"n": 5}
+
+
 def test_file_stats_reads_real_footers(spark, tmp_path):
     p = str(tmp_path / "one")
     spark.createDataFrame([(1, 10), (5, 2)], "a long, b long").coalesce(1).write.parquet(p)
