@@ -257,3 +257,81 @@ def pruning_report(path: str, box: dict[str, tuple[float, float]]) -> dict:
 
 def read_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Scan manifest + pruned read — the read-path half of the layout story
+# (round 9). write_zordered makes every file a small hyper-rectangle;
+# the manifest persists each file's footer min/max as a TINY parquet
+# table (one row per file x column — the Delta/Iceberg data-skipping
+# pattern), and pruned_read turns a box predicate into a file list
+# WITHOUT touching any data footer at plan time. At 100 TB the
+# manifest for ~100k files x 4 clustered columns is ~400k rows — a
+# sub-second driver decision that replaces opening 100k parquet
+# footers per query.
+# ---------------------------------------------------------------------------
+
+
+def zorder_specs(df: DataFrame, cols: list[str]) -> list[tuple[str, int, int]]:
+    """Data-derived (col, lo, hi) specs for ``write_zordered`` via ONE
+    1-row bounds aggregate — a bounded metadata collect (2 longs per
+    column), the same budget class as the IVF centroid load."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"__lo_{c}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"__hi_{c}"))
+    row = df.agg(*aggs).head()
+    return [(c, row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols]
+
+
+def build_scan_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """The footer stats of every data file in ``path`` as a DataFrame:
+    (file, rows, col, lo, hi) — long format so a box check is a plain
+    filter. Columns without usable stats (string/binary, all-null) are
+    simply ABSENT, which pruned_read treats as must-read."""
+    stats = file_stats(path, cols)
+    rows = []
+    for fs in stats:
+        for c in cols:
+            if c in fs["min"] and c in fs["max"]:
+                rows.append((fs["file"], int(fs["rows"]), c, float(fs["min"][c]), float(fs["max"][c])))
+    return spark.createDataFrame(rows, "file string, rows long, col string, lo double, hi double")
+
+
+def save_scan_manifest(spark: SparkSession, path: str, cols: list[str], manifest_path: str) -> None:
+    """Persist the manifest next to the lake (rebuild after any
+    rewrite: write_zordered, compaction, refresh)."""
+    build_scan_manifest(spark, path, cols).coalesce(1).write.mode("overwrite").parquet(manifest_path)
+
+
+def pruned_read(
+    spark: SparkSession, path: str, manifest_path: str, box: dict[str, tuple[float, float]]
+) -> DataFrame:
+    """Read only the files a conjunctive box predicate can possibly
+    touch, decided from the persisted manifest alone. Skip rule is the
+    conservative one (matches pruning_report): a file is dropped ONLY
+    on a provable min/max miss on some box column; files with missing
+    stats are read. Callers still apply the exact predicate — pruning
+    is a superset guarantee, never a filter.
+
+    The collect is file PATHS of kept files (metadata-scale); the
+    skip decision itself runs as a DataFrame filter so it would
+    distribute over a million-file manifest unchanged."""
+    mf = spark.read.parquet(manifest_path)
+    miss = F.lit(False)
+    for c, (lo, hi) in box.items():
+        try:
+            lo_f, hi_f = float(lo), float(hi)
+        except (TypeError, ValueError):
+            # non-numeric bound (string column): the manifest carries no
+            # usable stats for it, so it can never prove a miss — the
+            # column simply contributes no skip clause (must-read)
+            continue
+        miss = miss | ((F.col("col") == c) & ((F.col("hi") < F.lit(lo_f)) | (F.col("lo") > F.lit(hi_f))))
+    skip = mf.filter(miss).select("file").distinct()
+    keep = mf.select("file").distinct().join(skip, "file", "left_anti")
+    files = [os.path.join(path, r.file) for r in keep.collect()]
+    if not files:
+        # provably-empty box: an empty frame with the lake's schema
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*files)

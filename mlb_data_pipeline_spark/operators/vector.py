@@ -1361,3 +1361,138 @@ def mmr_select(
         )
         selected = selected.unionByName(nxt).localCheckpoint(eager=True)
     return selected.drop(vec_col)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the ORACLE-ABLE compression tier (round 9)
+# ---------------------------------------------------------------------------
+
+
+def sq8_bounds(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-dimension [min, max] of a vector column as ONE 1-row
+    DataFrame with two double arrays — the train step of SQ8 scalar
+    quantization. Never collected: callers cross-join (broadcast) it
+    into the encode plan, the same in-plan-bounds pattern as the
+    z-order key (operators/layout.py).
+
+    Unlike PQ codebooks (KMeans — seed-dependent, rows-only by design),
+    min/max are ORDER-FREE and engine-neutral, so everything downstream
+    of this aggregate is bit-exact oracle-able."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    v = F.col(vec_col)
+    aggs = []
+    for i in range(1, dim + 1):
+        e = F.element_at(v, i).cast("double")
+        aggs.append(F.min(e).alias(f"__lo_{i}"))
+        aggs.append(F.max(e).alias(f"__hi_{i}"))
+    return corpus.agg(*aggs).select(
+        F.array(*[F.col(f"__lo_{i}") for i in range(1, dim + 1)]).alias("sq_lo"),
+        F.array(*[F.col(f"__hi_{i}") for i in range(1, dim + 1)]).alias("sq_hi"),
+    )
+
+
+def sq8_encode(df: DataFrame, vec_col: str, bounds: DataFrame, code_col: str = "sq8") -> DataFrame:
+    """Quantize ``vec_col`` to TRUE int8 codes (array<tinyint>, one BYTE
+    per dimension — 4x smaller than float32, 8x smaller than double):
+    code_i = clamp(floor(((x_i - lo_i) * 255.0) / (hi_i - lo_i)), 0, 255) - 128.
+
+    The whole expression is floor/mult/div/compare on IEEE doubles —
+    correctly-rounded, identical in any engine — so codes are bit-exact
+    vs the DuckDB mirror (r48). Runs entirely inside whole-stage
+    codegen: no UDF, no Arrow hop (PQ's ADC path needs a pandas UDF;
+    this tier does not — the scale argument for SQ8 as the FIRST
+    memory rung). Degenerate dims (hi == lo) map to code 0 (-128
+    shifted), mirroring scale_to_bits_cols' convention."""
+    lo = lambda i: F.element_at(F.col("sq_lo"), i + F.lit(1))  # noqa: E731
+    hi = lambda i: F.element_at(F.col("sq_hi"), i + F.lit(1))  # noqa: E731
+
+    def q(x, i):
+        raw = F.floor(((x.cast("double") - lo(i)) * F.lit(255.0)) / (hi(i) - lo(i)))
+        clamped = F.least(F.greatest(raw, F.lit(0).cast("long")), F.lit(255).cast("long"))
+        return F.when(hi(i) > lo(i), clamped).otherwise(F.lit(0).cast("long")) - F.lit(128)
+
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(code_col, F.transform(F.col(vec_col), q).cast("array<tinyint>"))
+        .drop("sq_lo", "sq_hi")
+    )
+
+
+def sq8_reconstruct(code_col: str, lo_col: str = "sq_lo", hi_col: str = "sq_hi"):
+    """Dequantize int8 codes back to the cell MIDPOINT:
+    x̂_i = lo_i + (((c_i + 128) + 0.5) * (hi_i - lo_i)) / 255.0.
+    Pure IEEE add/mult/div in a fixed order — the DuckDB mirror
+    computes the identical doubles, so reconstructed vectors (and any
+    fold over them) stay bit-exact cross-engine."""
+
+    def recon(c, i):
+        span = F.element_at(F.col(hi_col), i + F.lit(1)) - F.element_at(F.col(lo_col), i + F.lit(1))
+        return F.element_at(F.col(lo_col), i + F.lit(1)) + (
+            ((c.cast("long") + F.lit(128)).cast("double") + F.lit(0.5)) * span
+        ) / F.lit(255.0)
+
+    return F.transform(F.col(code_col), recon)
+
+
+def sq8_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    rerank: bool = False,
+    rerank_factor: int = 4,
+    max_queries: int | None = 10_000,
+) -> DataFrame:
+    """Batch k-NN through SQ8 codes, asymmetric-distance style (the
+    FAISS SQ8 pattern): the CORPUS side lives as int8 codes (1 byte per
+    dim), each candidate is dequantized to its cell midpoint inside the
+    scoring expression, and cosine runs against the FULL-PRECISION
+    query vector. With 256 levels per dim the midpoint error is
+    <= span/510, so ranking is near-exact (recall pinned in pytest);
+    ``rerank=True`` rescores the top k*rerank_factor candidates with
+    exact cosine over the original vectors — the PQ two-stage contract
+    with NO UDF in either stage (PQ's ADC needs a pandas UDF; SQ8's
+    dequantize is plain codegen arithmetic).
+
+    Unlike PQ (KMeans codebooks — seed-bound, rows-only by design),
+    every SQ8 step is oracle-able: bounds are order-free min/max,
+    codes are floor-quantized doubles, reconstruction is fixed-order
+    IEEE arithmetic — r48 hash-checks the whole path vs DuckDB.
+
+    100 TB: corpus codes are dim BYTES per row — a billion 64-dim
+    vectors fit in 64 GB of executor cache vs 256 GB float32 — and the
+    scoring expression never leaves the JVM. The query side is
+    broadcast-guarded exactly like knn_join."""
+    if max_queries is not None and _over_limit(queries, id_col, max_queries):
+        raise ValueError(
+            f"sq8_knn_join broadcasts the query set: more than max_queries={max_queries} "
+            "query rows; route through similarity_join / ivf_knn_join at scale"
+        )
+    bounds = sq8_bounds(corpus, vec_col, dim)
+    ce = sq8_encode(corpus.select(id_col, vec_col), vec_col, bounds)
+    q = _prefix(queries.select(id_col, vec_col), "q_")
+    joined = (
+        ce.join(F.broadcast(q))
+        .filter(F.col(f"q_{id_col}") != F.col(id_col))
+        .crossJoin(F.broadcast(bounds))
+    )
+    scored = joined.withColumn("sim", cosine(sq8_reconstruct("sq8"), f"q_{vec_col}")).drop(
+        "sq_lo", "sq_hi"
+    )
+    w = Window.partitionBy(f"q_{id_col}").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    pre_k = k * rerank_factor if rerank else k
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= pre_k)
+    if not rerank:
+        return top.drop(f"q_{vec_col}", "sq8").withColumnRenamed(f"q_{id_col}", "query_id")
+    # exact-cosine rerank over the bounded candidate set (k*factor per query)
+    rescored = top.withColumn("sim", cosine(vec_col, f"q_{vec_col}")).drop("rank")
+    w2 = Window.partitionBy(f"q_{id_col}").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .drop(f"q_{vec_col}", "sq8")
+        .withColumnRenamed(f"q_{id_col}", "query_id")
+    )

@@ -1232,7 +1232,7 @@ def r44_duplicate_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R45 — chunk-level boilerplate removal: rebuild every doc keeping a
+# Q30 (ex-r45, rotated into the driver window round 9) — chunk-level boilerplate removal: rebuild every doc keeping a
 #        shared chunk's text only in its min-id canonical owner — the
 #        rewrite complement of r44's score, at content-defined
 #        granularity so shifted boilerplate is still recognized. The
@@ -1240,7 +1240,7 @@ def r44_duplicate_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        skips the dropped chunks' NULLs on both engines).
 # ---------------------------------------------------------------------------
 
-_R45_SQL = """
+_Q30_SQL_CHUNKS = """
 WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
 c AS (
   SELECT doc_id, text, n,
@@ -1268,8 +1268,8 @@ FROM f GROUP BY doc_id ORDER BY doc_id
 """
 
 
-@query("r45_remove_duplicate_chunks", oracle=_R45_SQL, covers="C7,V4,A2,P9")
-def r45_remove_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q30_remove_duplicate_chunks", oracle=_Q30_SQL_CHUNKS, covers="C7,V4,A2,P9")
+def q30_remove_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import remove_duplicate_chunks
 
     docs = load_table(spark, sf_dir, "documents")

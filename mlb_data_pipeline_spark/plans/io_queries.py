@@ -322,22 +322,14 @@ def q29_rest_schedule_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q39 — warehouse layering raw -> staging -> analytics (S12)
+# Warehouse layering raw -> staging -> analytics (S12). Ex-q39: merged
+# into q43's warehouse family as the 'layering' branch (round 9) — the
+# freed slot holds the z-order layout key (ex-r47). The standalone form
+# stays importable for tests.
 # ---------------------------------------------------------------------------
 
-_Q39_SQL = """
-SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
-       COUNT(*) AS n_orders,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
-FROM orders
-WHERE o_orderstatus = 'F'
-GROUP BY 1
-ORDER BY 1
-"""
 
-
-@query("q39_warehouse_layering", oracle=_Q39_SQL, covers="S12,A2,T16")
-def q39_warehouse_layering(spark: SparkSession, sf_dir: str) -> DataFrame:
+def warehouse_layering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's raw -> staging -> analytics layering
     (terraform/main.tf:46-66 datasets; dbt_project.yml:22-27: staging =
     views, marts = tables) as Spark SQL databases: raw = materialized
@@ -508,21 +500,44 @@ m AS (
          o.valid_from IS NOT NULL AS has_open,
          l.change_ts IS NOT NULL AS has_chg
   FROM cur o FULL OUTER JOIN latest l ON o.c_custkey = l.c_custkey
+),
+scd2 AS (
+  SELECT c_custkey, o_seg AS c_mktsegment, o_nat AS c_nationkey,
+         o_vf AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM m WHERE has_open AND (NOT has_chg OR NOT differs)
+  UNION ALL
+  SELECT c_custkey, o_seg, o_nat, o_vf, ts FROM m WHERE has_open AND has_chg AND differs
+  UNION ALL
+  SELECT c_custkey, n_seg, n_nat, ts, CAST(NULL AS DATE)
+  FROM m WHERE has_chg AND (NOT has_open OR differs)
+),
+layering AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         COUNT(*) AS n_orders,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+  FROM orders
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1
 )
-SELECT c_custkey, o_seg AS c_mktsegment, o_nat AS c_nationkey,
-       o_vf AS valid_from, CAST(NULL AS DATE) AS valid_to
-FROM m WHERE has_open AND (NOT has_chg OR NOT differs)
+SELECT 'scd2' AS part, c_custkey AS key, c_mktsegment AS seg,
+       CAST(c_nationkey AS BIGINT) AS nat, valid_from AS vf, valid_to AS vt,
+       CAST(NULL AS DOUBLE) AS val
+FROM scd2
 UNION ALL
-SELECT c_custkey, o_seg, o_nat, o_vf, ts FROM m WHERE has_open AND has_chg AND differs
-UNION ALL
-SELECT c_custkey, n_seg, n_nat, ts, CAST(NULL AS DATE)
-FROM m WHERE has_chg AND (NOT has_open OR differs)
-ORDER BY c_custkey, valid_from
+SELECT 'layering', order_year, CAST(NULL AS VARCHAR), n_orders,
+       CAST(NULL AS DATE), CAST(NULL AS DATE), total_value
+FROM layering
+ORDER BY part, key, vf
 """
 
 
-@query("q43_scd2_merge", oracle=_Q96_SQL, covers="S12,J3,O4,A2")
+@query("q43_scd2_merge", oracle=_Q96_SQL, covers="S12,J3,O4,A2,T16")
 def q43_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse family, tagged union (round 9: the raw->staging->
+    analytics layering demo merged in as the 'layering' branch,
+    freeing q39's slot for the z-order layout key):
+    * 'scd2' branch — SCD Type-2 merge of one change batch;
+    * 'layering' branch — the 3-layer warehouse path, mart checked."""
     import datetime
 
     from ..sources.warehouse import scd2_apply
@@ -557,7 +572,25 @@ def q43_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = scd2_apply(current, changes, ["c_custkey"], ["c_mktsegment", "c_nationkey"])
-    return out.orderBy("c_custkey", "valid_from")
+    scd2 = out.select(
+        F.lit("scd2").alias("part"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.col("valid_from").alias("vf"),
+        F.col("valid_to").alias("vt"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    layering = warehouse_layering(spark, sf_dir).select(
+        F.lit("layering").alias("part"),
+        F.col("order_year").cast("long").alias("key"),
+        F.lit(None).cast("string").alias("seg"),
+        F.col("n_orders").cast("long").alias("nat"),
+        F.lit(None).cast("date").alias("vf"),
+        F.lit(None).cast("date").alias("vt"),
+        F.col("total_value").alias("val"),
+    )
+    return scd2.unionByName(layering).orderBy("part", "key", "vf")
 
 
 # ---------------------------------------------------------------------------

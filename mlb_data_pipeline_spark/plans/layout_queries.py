@@ -42,7 +42,7 @@ WITH o AS (
 )
 """
 
-_R47_SQL = (
+_Q39_SQL_ZORDER = (
     _CELL_SQL
     + f", z AS (SELECT ({zorder_key_sql(['cx', 'cy'], _BITS)}) AS z FROM cells)\n"
     + """
@@ -54,12 +54,12 @@ ORDER BY bucket
 )
 
 
-@query("r47_zorder_key", oracle=_R47_SQL, covers="Y1")
-def r47_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q39_zorder_key", oracle=_Q39_SQL_ZORDER, covers="Y1")
+def q39_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) key over (customer, price-cents) with
     data-derived bounds: the layout key `write_zordered` clusters files
     on, aggregated per 1024-key bucket so the oracle checks the FULL
-    key distribution, not a sample. Bounds come from one 1-row agg
+    key distribution (rotated into the driver window round 9, ex-r47), not a sample. Bounds come from one 1-row agg
     cross-joined in (never collected); every step is integer-exact
     (floor-div + shift/and/or) so both engines agree bit-for-bit."""
     o = load_table(spark, sf_dir, "orders").select(
@@ -85,4 +85,57 @@ def r47_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("z").alias("z_max"),
         )
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R49 — manifest-pruned scan (Y2, round 9): the read-path half of the
+#        layout story. Orders land as a z-ordered lake, footer stats
+#        persist as a manifest table, and the box query plans its file
+#        list from the manifest ALONE (the Delta/Iceberg data-skipping
+#        pattern). The oracle runs the same box on the raw table — if
+#        pruning ever dropped a file it shouldn't, rows go missing and
+#        the hash breaks, so the PRUNING DECISION itself is under the
+#        gate. The measured skip fraction (files, not rows) is pinned
+#        in tests/test_layout_ops.py.
+# ---------------------------------------------------------------------------
+
+_R49_SQL = """
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(pc) AS BIGINT) AS total_cents,
+       MIN(ck) AS min_ck, MAX(ck) AS max_ck
+FROM (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+)
+WHERE ck BETWEEN 50 AND 600 AND pc BETWEEN 5000000 AND 20000000
+"""
+
+
+@query("r49_manifest_pruned_scan", oracle=_R49_SQL, covers="Y2,S3,S8,A2")
+def r49_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.layout import pruned_read, save_scan_manifest, write_zordered, zorder_specs
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r49_lake"
+    )
+    lake, manifest = os.path.join(base, "data"), os.path.join(base, "manifest")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    write_zordered(o, lake, zorder_specs(o, ["ck", "pc"]), bits=8, n_files=16)
+    save_scan_manifest(spark, lake, ["ck", "pc"], manifest)
+    box = {"ck": (50, 600), "pc": (5_000_000, 20_000_000)}
+    df = pruned_read(spark, lake, manifest, box)
+    return df.filter(
+        F.col("ck").between(50, 600) & F.col("pc").between(5_000_000, 20_000_000)
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("pc").cast("long").alias("total_cents"),
+        F.min("ck").alias("min_ck"),
+        F.max("ck").alias("max_ck"),
     )

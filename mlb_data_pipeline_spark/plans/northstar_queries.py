@@ -642,25 +642,63 @@ c AS (
   SELECT DISTINCT a.doc_id AS id_a, a.title AS title_a,
                   b.doc_id AS id_b, b.title AS title_b
   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+fuzzy AS (
+  SELECT id_a, id_b, CAST(levenshtein(title_a, title_b) AS BIGINT) AS edit_dist
+  FROM c
+  WHERE abs(len(title_a) - len(title_b)) <= 10
+    AND levenshtein(title_a, title_b) <= 10
+),
+keyed AS (
+  SELECT doc_id, source,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS dedup_key
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, source
+  FROM (SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY dedup_key ORDER BY doc_id) AS rn
+        FROM keyed)
+  WHERE rn = 1
 )
-SELECT id_a, id_b, CAST(levenshtein(title_a, title_b) AS BIGINT) AS edit_dist
-FROM c
-WHERE abs(len(title_a) - len(title_b)) <= 10
-  AND levenshtein(title_a, title_b) <= 10
-ORDER BY id_a, id_b
+SELECT 'fuzzy' AS part, CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS b, edit_dist AS n
+FROM fuzzy
+UNION ALL
+SELECT 'exact_norm', source, CAST(NULL AS VARCHAR), COUNT(*)
+FROM kept GROUP BY source
+ORDER BY part, a, b
 """
 
 
-@query("q09_fuzzy_title_dedup", oracle=_Q09_SQL_FUZZY, covers="V4,T2,J1")
+@query("q09_fuzzy_title_dedup", oracle=_Q09_SQL_FUZZY, covers="V4,T2,J1,A2")
 def q09_fuzzy_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family, tagged union (round 9: the exact normalized-key
+    dedup merged in — freeing the q30 slot for the chunk-level
+    boilerplate removal):
+    * 'fuzzy' branch — edit-distance title dedup via q-gram blocking;
+    * 'exact_norm' branch — canonical-row-per-normalized-key counts
+      (min doc_id wins, never dropDuplicates' arbitrary row)."""
     from ..operators.dedup import fuzzy_pairs
+    from .vector_queries import dedup_normalized
 
     docs = load_table(spark, sf_dir, "documents")
     titles = docs.select(
         "doc_id", F.array_join(F.slice(F.split("text", " "), 1, 6), " ").alias("title")
     )
     pairs = fuzzy_pairs(titles, "doc_id", "title", max_dist=10, q=3)
-    return ordered_small(pairs, "id_a", "id_b")
+    fuzzy = pairs.select(
+        F.lit("fuzzy").alias("part"),
+        F.col("id_a").cast("string").alias("a"),
+        F.col("id_b").cast("string").alias("b"),
+        F.col("edit_dist").cast("long").alias("n"),
+    )
+    exact = dedup_normalized(spark, sf_dir).select(
+        F.lit("exact_norm").alias("part"),
+        F.col("source").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.col("n_docs").alias("n"),
+    )
+    return fuzzy.unionByName(exact).orderBy("part", "a", "b")
 
 
 # ---------------------------------------------------------------------------
@@ -855,7 +893,7 @@ def r05_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R38 — EXACT Jaccard similarity join via prefix filtering (SSJoin/
+# Q16 (ex-r38, rotated into the driver window round 9) — EXACT Jaccard similarity join via prefix filtering (SSJoin/
 #        PPJoin): every src0 pair at >= 80% token-set Jaccard —
 #        lossless, the guarantee tier between hash-identical dedup and
 #        the recall-bounded MinHash/SimHash family. The Spark side
@@ -866,7 +904,7 @@ def r05_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        integer cross-multiplication on both engines.
 # ---------------------------------------------------------------------------
 
-_R38_SQL = """
+_Q16_SQL_JACCARD = """
 WITH s AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS st
   FROM documents WHERE source = 'src0'
@@ -884,8 +922,8 @@ ORDER BY id_a, id_b
 """
 
 
-@query("r38_jaccard_prefix_join", oracle=_R38_SQL, covers="V4,J1,A2,T17")
-def r38_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q16_jaccard_prefix_join", oracle=_Q16_SQL_JACCARD, covers="V4,J1,A2,T17")
+def q16_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_prefix_join
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
@@ -932,7 +970,7 @@ def r40_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R41 — incremental EXACT near-dup vs the persisted prefix store: the
+# Q20 (ex-r41, rotated into the driver window round 9) — incremental EXACT near-dup vs the persisted prefix store: the
 #        delta (src0 docs with id >= 300) pairs against yesterday's
 #        corpus (src0 docs with id < 300) at >= 80% Jaccard, plus
 #        within-delta pairs — all LOSSLESS, through the store's prefix
@@ -943,7 +981,7 @@ def r40_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        incremental-mirror pattern for the exact tier.
 # ---------------------------------------------------------------------------
 
-_R41_SQL = """
+_Q20_SQL_INC = """
 WITH s AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS st
   FROM documents WHERE source = 'src0'
@@ -962,14 +1000,14 @@ ORDER BY id_a, id_b
 """
 
 
-@query("r41_incremental_jaccard", oracle=_R41_SQL, covers="V4,J1,A2,I2")
-def r41_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q20_incremental_jaccard", oracle=_Q20_SQL_INC, covers="V4,J1,A2,I2")
+def q20_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..operators.dedup import build_jaccard_store, incremental_jaccard_pairs
 
     path = os.path.join(
-        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r41_jstore"
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "q20_jstore"
     )
     docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("doc_id") < 300)

@@ -557,60 +557,79 @@ def q14_semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q16 — band range join (J6), bucketed to avoid BNLJ
-# ---------------------------------------------------------------------------
-
-_Q16_SQL = """
-SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_pairs
-FROM part a JOIN part b
-  ON a.p_partkey < b.p_partkey
- AND abs(a.p_retailprice - b.p_retailprice) <= 0.05
-WHERE a.p_brand < b.p_brand
-GROUP BY 1, 2
-ORDER BY 1, 2
-"""
-
-
-@query("q16_price_band_pairs", oracle=_Q16_SQL, covers="J6")
-def q16_price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_partkey").alias("a_key"), F.col("p_brand").alias("brand_a"), F.col("p_retailprice").alias("price_a")
-    )
-    b = part.select(
-        F.col("p_partkey").alias("b_key"), F.col("p_brand").alias("brand_b"), F.col("p_retailprice").alias("price_b")
-    )
-    pairs = band_range_join(a, b, "price_a", "price_b", band=0.05)
-    return (
-        pairs.filter((F.col("a_key") < F.col("b_key")) & (F.col("brand_a") < F.col("brand_b")))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").alias("n_pairs"))
-        .orderBy("brand_a", "brand_b")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q17 — as-of: latest order per customer at a cutoff (J7)
+# Q17 — non-equi join family, tagged union (round 9: the band range
+#        join merged in to free the q16 slot for the exact Jaccard
+#        prefix join):
+#        * 'asof' branch — latest order per customer at a cutoff (J7);
+#        * 'band' branch — |price_a - price_b| <= 0.05 pair counts
+#          through the bucketed band join (J6) — bucketing keeps it an
+#          equi-join, never a BNLJ (plan pinned in test_plan_shape).
 # ---------------------------------------------------------------------------
 
 _Q17_SQL = """
-SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
-FROM (
-  SELECT o.*, ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-  FROM orders o
-  WHERE o_orderdate <= TIMESTAMP '1998-01-01'
+WITH asf AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+  FROM (
+    SELECT o.*, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders o
+    WHERE o_orderdate <= TIMESTAMP '1998-01-01'
+  )
+  WHERE rn = 1
+),
+band AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_pairs
+  FROM part a JOIN part b
+    ON a.p_partkey < b.p_partkey
+   AND abs(a.p_retailprice - b.p_retailprice) <= 0.05
+  WHERE a.p_brand < b.p_brand
+  GROUP BY 1, 2
 )
-WHERE rn = 1
-ORDER BY o_custkey
+SELECT 'asof' AS part, CAST(o_custkey AS VARCHAR) AS key_a,
+       CAST(o_orderkey AS VARCHAR) AS key_b, CAST(NULL AS BIGINT) AS n,
+       CAST(o_totalprice AS DOUBLE) AS val, o_orderdate AS ts
+FROM asf
+UNION ALL
+SELECT 'band', brand_a, brand_b, n_pairs, CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP)
+FROM band
+ORDER BY part, key_a, key_b
 """
 
 
-@query("q17_asof_latest_order", oracle=_Q17_SQL, covers="J7,O3")
+@query("q17_asof_latest_order", oracle=_Q17_SQL, covers="J7,J6,O3")
 def q17_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     latest = asof_latest(orders, ["o_custkey"], "o_orderdate", "1998-01-01", tiebreak=["o_orderkey"])
-    return latest.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice").orderBy("o_custkey")
+    asof = latest.select(
+        F.lit("asof").alias("part"),
+        F.col("o_custkey").cast("string").alias("key_a"),
+        F.col("o_orderkey").cast("string").alias("key_b"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("o_totalprice").cast("double").alias("val"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    pt = load_table(spark, sf_dir, "part")
+    a = pt.select(
+        F.col("p_partkey").alias("a_key"), F.col("p_brand").alias("brand_a"), F.col("p_retailprice").alias("price_a")
+    )
+    b = pt.select(
+        F.col("p_partkey").alias("b_key"), F.col("p_brand").alias("brand_b"), F.col("p_retailprice").alias("price_b")
+    )
+    pairs = band_range_join(a, b, "price_a", "price_b", band=0.05)
+    band = (
+        pairs.filter((F.col("a_key") < F.col("b_key")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.lit("band").alias("part"),
+            F.col("brand_a").alias("key_a"),
+            F.col("brand_b").alias("key_b"),
+            F.col("n_pairs").alias("n"),
+            F.lit(None).cast("double").alias("val"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    return asof.unionByName(band).orderBy("part", "key_a", "key_b")
 
 
 # ---------------------------------------------------------------------------
@@ -647,39 +666,13 @@ def crossjoin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q20 — rank + row_number within group (O3, O4)
-# ---------------------------------------------------------------------------
-
-_Q20_SQL = """
-SELECT n.n_name AS nation, c.c_custkey, c.c_acctbal,
-       RANK() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC) AS bal_rank,
-       ROW_NUMBER() OVER (PARTITION BY n.n_name
-                          ORDER BY c.c_acctbal DESC, c.c_custkey) AS bal_rn
-FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-QUALIFY bal_rn <= 5
-ORDER BY nation, bal_rn
-"""
-
-
-@query("q20_rank_customers", oracle=_Q20_SQL, covers="O3,O4")
-def q20_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    joined = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
-        F.col("n_name").alias("nation"), "c_custkey", "c_acctbal"
-    )
-    w_rank = Window.partitionBy("nation").orderBy(F.col("c_acctbal").desc())
-    w_rn = Window.partitionBy("nation").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return (
-        joined.withColumn("bal_rank", F.rank().over(w_rank))
-        .withColumn("bal_rn", F.row_number().over(w_rn))
-        .filter(F.col("bal_rn") <= 5)
-        .orderBy("nation", "bal_rn")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q21 — moving average over daily totals (O5, O6)
+# Q21 — window-function family, tagged union (round 9: the rank/
+#        row_number demo merged in to free the q20 slot for the
+#        incremental exact-Jaccard store):
+#        * 'movavg' branch — 7-day moving average over daily totals
+#          (O5/O6 frames);
+#        * 'rank' branch — top-5 customers per nation by rank +
+#          row_number (O3/O4 ranking).
 # ---------------------------------------------------------------------------
 
 _Q21_SQL = """
@@ -690,19 +683,36 @@ WITH daily AS (
   FROM orders
   WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '1999-04-01'
   GROUP BY 1
+),
+movavg AS (
+  SELECT order_day,
+         CAST(day_total_dec AS DOUBLE) AS day_total,
+         n_orders,
+         CAST(SUM(day_total_dec) OVER w AS DOUBLE)
+           / SUM(n_orders) OVER w AS avg_order_price_7d
+  FROM daily
+  WINDOW w AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+rnk AS (
+  SELECT n.n_name AS nation, c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+         RANK() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC) AS bal_rank,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal DESC, c.c_custkey) AS bal_rn
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  QUALIFY bal_rn <= 5
 )
-SELECT order_day,
-       CAST(day_total_dec AS DOUBLE) AS day_total,
-       n_orders,
-       CAST(SUM(day_total_dec) OVER w AS DOUBLE)
-         / SUM(n_orders) OVER w AS avg_order_price_7d
-FROM daily
-WINDOW w AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-ORDER BY order_day
+SELECT 'movavg' AS part, CAST(order_day AS VARCHAR) AS k, n_orders AS id,
+       day_total AS v, avg_order_price_7d AS v2,
+       CAST(NULL AS BIGINT) AS r1, CAST(NULL AS BIGINT) AS r2
+FROM movavg
+UNION ALL
+SELECT 'rank', nation, c_custkey, c_acctbal, CAST(NULL AS DOUBLE), bal_rank, bal_rn
+FROM rnk
+ORDER BY part, k, id
 """
 
 
-@query("q21_moving_avg_daily", oracle=_Q21_SQL, covers="O5,O6,A2")
+@query("q21_moving_avg_daily", oracle=_Q21_SQL, covers="O5,O6,O3,O4,A2")
 def q21_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load_table(spark, sf_dir, "orders")
@@ -711,19 +721,43 @@ def q21_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("o_totalprice")).alias("day_total_dec"), F.count("*").alias("n_orders"))
     )
     w = Window.orderBy("order_day").rowsBetween(-6, 0)
-    return (
+    movavg = (
         daily.withColumn(
             "avg_order_price_7d",
             F.sum("day_total_dec").over(w).cast("double") / F.sum("n_orders").over(w),
         )
         .select(
-            "order_day",
-            F.col("day_total_dec").cast("double").alias("day_total"),
-            "n_orders",
-            "avg_order_price_7d",
+            F.lit("movavg").alias("part"),
+            F.col("order_day").cast("string").alias("k"),
+            F.col("n_orders").alias("id"),
+            F.col("day_total_dec").cast("double").alias("v"),
+            F.col("avg_order_price_7d").alias("v2"),
+            F.lit(None).cast("long").alias("r1"),
+            F.lit(None).cast("long").alias("r2"),
         )
-        .orderBy("order_day")
     )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation"), "c_custkey", "c_acctbal"
+    )
+    w_rank = Window.partitionBy("nation").orderBy(F.col("c_acctbal").desc())
+    w_rn = Window.partitionBy("nation").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    rnk = (
+        joined.withColumn("bal_rank", F.rank().over(w_rank))
+        .withColumn("bal_rn", F.row_number().over(w_rn))
+        .filter(F.col("bal_rn") <= 5)
+        .select(
+            F.lit("rank").alias("part"),
+            F.col("nation").alias("k"),
+            F.col("c_custkey").cast("long").alias("id"),
+            F.col("c_acctbal").cast("double").alias("v"),
+            F.lit(None).cast("double").alias("v2"),
+            F.col("bal_rank").cast("long").alias("r1"),
+            F.col("bal_rn").cast("long").alias("r2"),
+        )
+    )
+    return movavg.unionByName(rnk).orderBy("part", "k", "id")
 
 
 # ---------------------------------------------------------------------------

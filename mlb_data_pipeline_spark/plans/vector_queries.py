@@ -22,31 +22,13 @@ from ..catalog import load_table
 from ..operators.vector import context_assembly, cosine_pairs_exact, cosine_pairs_lsh, knn_join
 from .registry import query
 
-# ---------------------------------------------------------------------------
-# Q30 — exact dedup on a normalized text key (V4); keyed-upsert semantics
-# ---------------------------------------------------------------------------
-
-_Q30_SQL = """
-WITH keyed AS (
-  SELECT doc_id, source,
-         array_to_string(string_split(text, ' ')[1:3], ' ') AS dedup_key
-  FROM documents
-), kept AS (
-  SELECT doc_id, source
-  FROM (SELECT doc_id, source,
-               ROW_NUMBER() OVER (PARTITION BY dedup_key ORDER BY doc_id) AS rn
-        FROM keyed)
-  WHERE rn = 1
-)
-SELECT source, COUNT(*) AS n_docs
-FROM kept
-GROUP BY source
-ORDER BY source
-"""
+# Q30's exact dedup-on-normalized-key demo moved into q09's dedup
+# family as the 'exact_norm' branch (round 9) — the freed slot holds
+# the chunk-level boilerplate removal (ex-r45). The standalone form
+# stays importable for tests.
 
 
-@query("q30_dedup_normalized", oracle=_Q30_SQL, covers="V4,A2,O3")
-def q30_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic dedup: canonical row per key = min doc_id (a plain
     # dropDuplicates keeps an arbitrary row — unacceptable under the
     # hash contract). One shuffle on the dedup key, then a count agg.
@@ -499,3 +481,66 @@ def r37_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "pos", "vec_id", F.round("sim", 4).cast("double").alias("sim")
     ).orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# R48 — SQ8 scalar-quantized k-NN (round 9): the oracle-able
+#        compression tier. Per-dim min/max bounds -> int8 codes ->
+#        midpoint dequantize in-plan -> cosine vs the full-precision
+#        query (asymmetric ADC, the FAISS SQ8 pattern). Every step is
+#        order-free min/max, floor-quantized doubles, or fixed-order
+#        IEEE arithmetic, so unlike PQ (KMeans, rows-only) the WHOLE
+#        quantized path is hash-checked vs DuckDB: bounds, codes,
+#        reconstruction, scores, ranking. Recall + exact-rerank
+#        contract pinned in tests/test_vector_ops.py.
+# ---------------------------------------------------------------------------
+
+_R48_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+bounds AS (SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi FROM e CROSS JOIN dims GROUP BY i),
+b AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM bounds),
+codes AS (
+  SELECT vec_id,
+         list_transform(range(1, 65), i ->
+           CASE WHEN his[i] > los[i]
+                THEN LEAST(GREATEST(CAST(floor(((v[i] - los[i]) * 255.0) / (his[i] - los[i])) AS BIGINT), 0), 255)
+                ELSE 0 END - 128) AS c
+  FROM e CROSS JOIN b
+),
+recon AS (
+  SELECT vec_id,
+         list_transform(range(1, 65),
+                        i -> los[i] + (((c[i] + 128) + 0.5) * (his[i] - los[i])) / 255.0) AS r
+  FROM codes CROSS JOIN b
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, recon.vec_id AS neighbor_id,
+         list_dot_product(recon.r, q.qv)
+           / (sqrt(list_dot_product(recon.r, recon.r)) * sqrt(list_dot_product(q.qv, q.qv))) AS rawsim
+  FROM recon CROSS JOIN q
+  WHERE recon.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(ROUND(rawsim, 4) AS DOUBLE) AS sim, rank
+FROM (SELECT query_id, neighbor_id, rawsim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rawsim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 2
+ORDER BY query_id, rank
+"""
+
+
+@query("r48_sq8_knn", oracle=_R48_SQL, covers="V3,V2,U2")
+def r48_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vector import sq8_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    top = sq8_knn_join(emb, queries, "vec_id", "embedding", k=2, dim=64)
+    return top.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round("sim", 4).cast("double").alias("sim"),
+        "rank",
+    ).orderBy("query_id", "rank")

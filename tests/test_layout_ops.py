@@ -166,3 +166,71 @@ def test_file_stats_reads_real_footers(spark, tmp_path):
     assert stats[0]["min"] == {"a": 1, "b": 2}
     assert stats[0]["max"] == {"a": 5, "b": 10}
     assert os.path.exists(p)
+
+
+# ---------------------------------------------------------------------------
+# Manifest-pruned read (Y2, round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_pruned_read_skips_files_and_loses_no_rows(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.layout import (
+        pruned_read,
+        save_scan_manifest,
+        write_zordered,
+    )
+
+    grid = spark.range(200 * 200).select(
+        (F.col("id") % 200).alias("x"), (F.col("id") / 200).cast("long").alias("y")
+    )
+    lake = str(tmp_path / "lake")
+    manifest = str(tmp_path / "manifest")
+    write_zordered(grid, lake, [("x", 0, 199), ("y", 0, 199)], bits=8, n_files=16)
+    save_scan_manifest(spark, lake, ["x", "y"], manifest)
+
+    box = {"x": (0, 49), "y": (0, 49)}
+    pr = pruned_read(spark, lake, manifest, box)
+    # superset guarantee: exact predicate on top gives the full answer
+    got = pr.filter(F.col("x").between(0, 49) & F.col("y").between(0, 49))
+    assert got.count() == 50 * 50
+    # and the scan really did skip files (the measured payoff)
+    n_read = len(got.inputFiles())
+    n_total = len(spark.read.parquet(lake).inputFiles())
+    assert n_read < n_total, (n_read, n_total)
+    assert n_read <= n_total // 2, (n_read, n_total)
+
+
+def test_pruned_read_empty_box_returns_empty_with_schema(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.layout import (
+        pruned_read,
+        save_scan_manifest,
+        write_zordered,
+    )
+
+    grid = spark.range(1000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") / 100).cast("long").alias("y")
+    )
+    lake = str(tmp_path / "lake2")
+    manifest = str(tmp_path / "manifest2")
+    write_zordered(grid, lake, [("x", 0, 99), ("y", 0, 9)], bits=8, n_files=4)
+    save_scan_manifest(spark, lake, ["x", "y"], manifest)
+    out = pruned_read(spark, lake, manifest, {"x": (10_000, 20_000)})
+    assert out.count() == 0
+    assert set(out.columns) == {"x", "y"}
+
+
+def test_pruned_read_missing_stats_column_is_conservative(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.layout import pruned_read, save_scan_manifest
+
+    # string column -> no usable footer stats -> manifest has no rows
+    # for it -> a box on it must read EVERY file, never skip
+    lake = str(tmp_path / "slake")
+    manifest = str(tmp_path / "smanifest")
+    spark.createDataFrame([(i, "zzz") for i in range(100)], "n long, s string").repartition(
+        4
+    ).write.parquet(lake)
+    save_scan_manifest(spark, lake, ["n", "s"], manifest)
+    out = pruned_read(spark, lake, manifest, {"s": ("aaa", "bbb")})
+    assert out.count() == 100  # all rows reachable; exact filter is the caller's
+    n_total = len(spark.read.parquet(lake).inputFiles())
+    assert len(out.inputFiles()) == n_total

@@ -56,7 +56,12 @@ def test_registry_window_invariant():
     moved the late flagships in as well: q13 bloom-prefilter join
     (ex-r31; old q13 outer shapes folded into q14) and q28's
     perplexity-tier branch (ex-r32; tagged union with the array-ops
-    demo)."""
+    demo). Round 9 rotated the late round-7/8 flagships in: q16 exact
+    Jaccard prefix join (ex-r38; band join folded into q17), q20
+    incremental Jaccard store (ex-r41; rank windows folded into q21),
+    q30 chunk-level boilerplate removal (ex-r45; normalized dedup
+    folded into q09), q39 z-order layout key (ex-r47; warehouse
+    layering folded into q43)."""
     names = sorted(REGISTRY)
     windowed = names[:50]
     assert all(REGISTRY[n].oracle is not None for n in windowed), (
@@ -75,6 +80,10 @@ def test_registry_window_invariant():
         "q31_winnow_overlap",
         "q34_pagerank_influence",
         "q43_scd2_merge",
+        "q16_jaccard_prefix_join",
+        "q20_incremental_jaccard",
+        "q30_remove_duplicate_chunks",
+        "q39_zorder_key",
     }
     assert rotated <= set(windowed), rotated - set(windowed)
     outside_oracled = [n for n in names[50:] if REGISTRY[n].oracle is not None]

@@ -65,7 +65,7 @@ def test_flagship_broadcasts_only_fixed_dims(spark, sf_dir):
 @pytest.mark.parametrize(
     "name",
     [
-        "q16_price_band_pairs",  # band join must stay an equi-join
+        "q17_asof_latest_order",  # band branch must stay an equi-join
         "q44_minhash_neardup",  # LSH banding must stay an equi-join
         "q52_embedding_neardup_lsh",
         "q45_ngram_jaccard",  # blocked pairs join on source
@@ -393,10 +393,10 @@ def test_time_split_train_filter_pushes_down_to_scan(spark, tmp_path):
 
 
 def test_prefix_similarity_joins_have_no_cartesian(spark, sf_dir):
-    # r38/r40: every candidate must come from the prefix-token
+    # q16 (ex-r38)/r40: every candidate must come from the prefix-token
     # equi-join — a CartesianProduct or BNLJ means the filter theorem
     # got lost and the plan went all-pairs
-    for name in ("r38_jaccard_prefix_join", "r40_containment_join"):
+    for name in ("q16_jaccard_prefix_join", "r40_containment_join"):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

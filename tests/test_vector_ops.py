@@ -815,3 +815,58 @@ def test_mmr_select_prefers_diverse_over_near_duplicate(spark):
         mmr_select(cand, "vec_id", "embedding", "sim", 2, lam=1.5)
     with pytest.raises(ValueError):
         mmr_select(cand, "vec_id", "embedding", "sim", 2, max_candidates=2)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (round 9): the oracle-able compression tier
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_codes_are_true_int8(spark, emb):
+    from pyspark.sql.types import ArrayType, ByteType
+
+    from mlb_data_pipeline_spark.operators.vector import sq8_bounds, sq8_encode
+
+    bounds = sq8_bounds(emb, "embedding", dim=64)
+    enc = sq8_encode(emb, "embedding", bounds)
+    field = dict((f.name, f.dataType) for f in enc.schema.fields)["sq8"]
+    assert isinstance(field, ArrayType) and isinstance(field.elementType, ByteType)
+    rows = enc.select("sq8").collect()
+    assert all(len(r.sq8) == 64 for r in rows)  # 64 BYTES vs 256 float32 bytes: 4x
+    assert all(-128 <= c <= 127 for r in rows for c in r.sq8)
+    # bounds rows hit both rails: some dim must reach -128 and some +127
+    flat = [c for r in rows for c in r.sq8]
+    assert min(flat) == -128 and max(flat) == 127
+
+
+def test_sq8_recall_high_and_full_rerank_equals_exact(spark, emb):
+    """256 quantization levels per dim keep the asymmetric-ADC cosine
+    ranking near-exact (midpoint error <= span/510 per dim; recall
+    pinned >= 0.9 on isotropic data, the hardest case); exact rerank
+    of a bounded candidate set restores the exact result entirely —
+    the PQ two-stage contract without any UDF in either stage."""
+    from mlb_data_pipeline_spark.operators.vector import sq8_knn_join
+
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_join(emb, queries, "vec_id", "embedding", k=3)
+    want = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    plain = sq8_knn_join(emb, queries, "vec_id", "embedding", k=3, dim=64)
+    got = {(r.query_id, r.vec_id) for r in plain.collect()}
+    assert len(got & want) / len(want) >= 0.9, (len(got & want), len(want))
+
+    full = sq8_knn_join(
+        emb, queries, "vec_id", "embedding", k=3, dim=64,
+        rerank=True, rerank_factor=(n + 2) // 3,
+    )
+    got_full = sorted((r.query_id, r.rank, r.vec_id) for r in full.collect())
+    want_ranked = sorted((r.query_id, r.rank, r.vec_id) for r in exact.collect())
+    assert got_full == want_ranked
+
+
+def test_sq8_query_guard_raises(spark, emb):
+    from mlb_data_pipeline_spark.operators.vector import sq8_knn_join
+
+    with pytest.raises(ValueError, match="max_queries"):
+        sq8_knn_join(emb, emb, "vec_id", "embedding", k=2, dim=64, max_queries=10)
