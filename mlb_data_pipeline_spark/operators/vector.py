@@ -942,9 +942,12 @@ def similarity_join(
       volume |corpus| * n_probe / n_lists, approximate recall. The right
       plan for corpus-vs-corpus joins at 100 TB.
     * more AND ``memory_budget_bytes`` set AND the float inverted file
-      (~ rows x dim x 4 bytes) exceeds it -> ``ivf_pq_knn_join``: the
-      probed lists are scanned as m-byte PQ codes (32x smaller at
-      dim=64/m=8) with an exact rerank of the shortlist
+      (~ rows x dim x 4 bytes) exceeds it -> the compressed tiers, in
+      fidelity order (round 9): if the SQ8 codes (rows x dim BYTES, 4x
+      smaller) fit the budget -> ``ivf_sq8_knn_join`` — near-exact
+      codegen-only scoring, small default rerank; only if even int8
+      codes blow the budget -> ``ivf_pq_knn_join`` (32x at dim=64/m=8,
+      ADC UDF scoring) with an exact rerank of the shortlist
       (``pq_rerank``, default 10*k — the standard FAISS deployment
       shape), so precision at k survives the compression.
 
@@ -968,8 +971,16 @@ def similarity_join(
                 )
             first = idx.assignments.select(idx.vec_col).first()
             dim = len(first[0]) if first is not None else 0
-            inverted_file_bytes = idx.assignments.count() * dim * 4
+            n_rows = idx.assignments.count()
+            inverted_file_bytes = n_rows * dim * 4
             if inverted_file_bytes > memory_budget_bytes:
+                if n_rows * dim <= memory_budget_bytes:
+                    # SQ8 rung: int8 codes fit — near-exact, no UDF
+                    return ivf_sq8_knn_join(
+                        idx, queries, k, dim=dim, n_probe=n_probe,
+                        rerank=(pq_rerank if pq_rerank is not None else 2 * k),
+                        sim_col=sim_col,
+                    )
                 codebooks = train_pq_codebooks(
                     idx.assignments, idx.vec_col, m_subvectors=pq_m, seed=seed
                 )
@@ -1495,4 +1506,166 @@ def sq8_knn_join(
         .filter(F.col("rank") <= k)
         .drop(f"q_{vec_col}", "sq8")
         .withColumnRenamed(f"q_{id_col}", "query_id")
+    )
+
+
+def ivf_sq8_knn_join(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_probe: int = 4,
+    rerank: int = 0,
+    sim_col: str = "sim",
+    bounds: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + SQ8: probe ``n_probe`` lists through the index centroids,
+    score the probed lists' int8 codes by in-plan midpoint dequantize +
+    cosine vs the full-precision query, optionally exact-rerank the
+    shortlist against the index's float vectors.
+
+    The middle memory rung of the IVF family: 4x smaller than the
+    float inverted file (dim bytes/row) where IVF-PQ is 32x — but the
+    scoring stage is pure codegen arithmetic (PQ's ADC pays a pandas
+    UDF per batch) and near-exact (midpoint error <= span/510/dim vs
+    PQ's subspace centroid error), so the default deployment needs a
+    far smaller rerank. Returns (query_id, neighbor_id, sim, rank)."""
+    id_col, vec_col = index.id_col, index.vec_col
+    cents = index.centroids
+    n_probe_eff = min(n_probe, len(cents))
+    b = bounds if bounds is not None else sq8_bounds(index.assignments, vec_col, dim)
+    codes = sq8_encode(index.assignments, vec_col, b).select(id_col, "__list", "sq8")
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(vs: pd.Series) -> pd.Series:
+        cm = np.asarray(cents)
+        v = np.stack(vs.to_numpy()).astype("float64")
+        d = ((v[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(list(np.argsort(d, axis=1)[:, :n_probe_eff].astype("int32")))
+
+    probed = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .withColumn("__list", F.explode(probe_lists(F.col("__qv"))))
+    )
+    cand = (
+        probed.join(codes, "__list")
+        .filter(F.col("query_id") != F.col(id_col))
+        .crossJoin(F.broadcast(b))
+    )
+    scored = cand.withColumn(sim_col, cosine(sq8_reconstruct("sq8"), "__qv")).drop(
+        "sq_lo", "sq_hi"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(k, rerank))
+    )
+    if rerank:
+        cv = index.assignments.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        pdot = dot_arrow()
+        rescored = (
+            shortlist.drop(sim_col, "rank", "sq8", "__list")
+            .join(cv, id_col)
+            .withColumn(sim_col, pdot("__qv", "__cv") / (norm("__qv") * norm("__cv")))
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+        return (
+            rescored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank")
+        )
+    return shortlist.filter(F.col("rank") <= k).select(
+        "query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted SQ8 store — the quantized tier's §2.11 day-2 leg
+# ---------------------------------------------------------------------------
+
+
+def save_sq8_index(corpus: DataFrame, id_col: str, vec_col: str, dim: int, path: str) -> None:
+    """Persist bounds (1 row) + meta + int8 codes. Bounds pin at build
+    time — deltas encode under the SAME bounds (out-of-range values
+    clamp to the rails, the standard SQ deployment: retrain bounds per
+    corpus VERSION, not per delta — the IVF-centroid contract)."""
+    spark = corpus.sparkSession
+    base = path.rstrip("/")
+    b = sq8_bounds(corpus, vec_col, dim)
+    b.coalesce(1).write.mode("overwrite").parquet(base + "/bounds")
+    spark.createDataFrame([(id_col, vec_col, dim)], "id_col STRING, vec_col STRING, dim INT").coalesce(
+        1
+    ).write.mode("overwrite").parquet(base + "/meta")
+    bounds = spark.read.parquet(base + "/bounds")
+    sq8_encode(corpus.select(id_col, vec_col), vec_col, bounds).select(id_col, "sq8").write.mode(
+        "overwrite"
+    ).parquet(base + "/codes")
+
+
+def append_sq8_index(new_rows: DataFrame, path: str) -> None:
+    """Encode a delta under the persisted bounds and append — id-guarded
+    (left-anti on the stored ids), so replays are no-ops."""
+    spark = new_rows.sparkSession
+    base = path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    bounds = spark.read.parquet(base + "/bounds")
+    existing = spark.read.parquet(base + "/codes").select(meta.id_col)
+    fresh = new_rows.select(meta.id_col, meta.vec_col).join(existing, meta.id_col, "left_anti")
+    sq8_encode(fresh, meta.vec_col, bounds).select(meta.id_col, "sq8").write.mode("append").parquet(
+        base + "/codes"
+    )
+
+
+def sq8_index_knn(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    rerank: int = 0,
+    corpus_vectors: DataFrame | None = None,
+    sim_col: str = "sim",
+    max_queries: int | None = 10_000,
+) -> DataFrame:
+    """Probe the persisted SQ8 store: the corpus side is a CODES-ONLY
+    parquet scan (dim bytes/row — the float vectors never load unless
+    reranking a bounded shortlist against ``corpus_vectors``)."""
+    base = path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    id_col, vec_col = meta.id_col, meta.vec_col
+    if max_queries is not None and _over_limit(queries, id_col, max_queries):
+        raise ValueError(
+            f"sq8_index_knn broadcasts the query set: more than max_queries={max_queries} "
+            "query rows; route through similarity_join / ivf_knn_join at scale"
+        )
+    bounds = spark.read.parquet(base + "/bounds")
+    codes = spark.read.parquet(base + "/codes")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    joined = (
+        codes.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col(id_col))
+        .crossJoin(F.broadcast(bounds))
+    )
+    scored = joined.withColumn(sim_col, cosine(sq8_reconstruct("sq8"), "__qv")).drop(
+        "sq_lo", "sq_hi"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= max(k, rerank))
+    )
+    if rerank and corpus_vectors is not None:
+        cv = corpus_vectors.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        pdot = dot_arrow()
+        rescored = (
+            shortlist.drop(sim_col, "rank", "sq8")
+            .join(cv, id_col)
+            .withColumn(sim_col, pdot("__qv", "__cv") / (norm("__qv") * norm("__cv")))
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+        return (
+            rescored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank")
+        )
+    return shortlist.filter(F.col("rank") <= k).select(
+        "query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank"
     )

@@ -870,3 +870,74 @@ def test_sq8_query_guard_raises(spark, emb):
 
     with pytest.raises(ValueError, match="max_queries"):
         sq8_knn_join(emb, emb, "vec_id", "embedding", k=2, dim=64, max_queries=10)
+
+
+def test_similarity_join_memory_budget_routes_to_sq8(spark, emb):
+    """The middle memory rung: a budget below the float inverted file
+    (rows*dim*4) but above the int8 codes (rows*dim) must route through
+    IVF-SQ8 — structural check on the plan, plus full-probe +
+    full-rerank == exact."""
+    from mlb_data_pipeline_spark.operators.vector import similarity_join
+
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    n = corpus.count()
+    budget = n * 64 * 2  # between n*64 (sq8) and n*64*4 (float)
+
+    routed = similarity_join(
+        corpus, queries, "vec_id", "embedding", k=3,
+        max_broadcast_queries=0, n_lists=4, n_probe=4,
+        memory_budget_bytes=budget, pq_rerank=0,
+    )
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "sq8" in plan and "pq_code" not in plan
+
+    exact = knn_join(corpus, queries, "vec_id", "embedding", k=3)
+    want = sorted((r.query_id, r.rank, r.vec_id) for r in exact.collect())
+    got = similarity_join(
+        corpus, queries, "vec_id", "embedding", k=3,
+        max_broadcast_queries=0, n_lists=4, n_probe=4,
+        memory_budget_bytes=budget, pq_rerank=n,
+    )
+    assert sorted((r.query_id, r.rank, r.neighbor_id) for r in got.collect()) == want
+
+
+def test_sq8_store_roundtrip_append_replay(spark, emb, tmp_path):
+    """§2.11 contract for the SQ8 store: probe-after-save == in-memory
+    result, delta appends are id-guarded (replay is a no-op), and the
+    probe plan reads CODES only — never the float corpus."""
+    from mlb_data_pipeline_spark.operators.vector import (
+        save_sq8_index,
+        append_sq8_index,
+        sq8_index_knn,
+        sq8_knn_join,
+    )
+
+    path = str(tmp_path / "sq8store")
+    corpus = emb.filter(F.col("vec_id") < 150).select("vec_id", "embedding")
+    delta = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 200)).select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+
+    save_sq8_index(corpus, "vec_id", "embedding", 64, path)
+    got1 = sq8_index_knn(spark, path, queries, k=3)
+    mem = sq8_knn_join(corpus, queries, "vec_id", "embedding", k=3, dim=64)
+    assert sorted((r.query_id, r.rank, r.neighbor_id) for r in got1.collect()) == sorted(
+        (r.query_id, r.rank, r.vec_id) for r in mem.collect()
+    )
+
+    append_sq8_index(delta, path)
+    n_codes = spark.read.parquet(path + "/codes").count()
+    assert n_codes == 200
+    append_sq8_index(delta, path)  # replay: id guard makes it a no-op
+    assert spark.read.parquet(path + "/codes").count() == n_codes
+
+    # corpus side is the CODES scan only: the float table appears once
+    # (the query side), never as the corpus input
+    probe = sq8_index_knn(spark, path, queries.limit(1), k=3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE float-vector scan (the query side); the corpus enters
+    # as the tinyint codes relation
+    assert plan.count("array<float>") == 1, plan
+    assert "array<tinyint>" in plan, plan
