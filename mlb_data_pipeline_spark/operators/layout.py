@@ -330,7 +330,15 @@ def pruned_read(
         miss = miss | ((F.col("col") == c) & ((F.col("hi") < F.lit(lo_f)) | (F.col("lo") > F.lit(hi_f))))
     skip = mf.filter(miss).select("file").distinct()
     keep = mf.select("file").distinct().join(skip, "file", "left_anti")
+    known = {r.file for r in mf.select("file").distinct().collect()}
     files = [os.path.join(path, r.file) for r in keep.collect()]
+    # STALENESS GUARD: a data file the manifest has never seen (appended
+    # after the last save_scan_manifest) carries no stats here, so it
+    # can never be skipped — pruning must stay a superset guarantee
+    # even against a stale manifest, not just a fresh one.
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".parquet") and name not in known:
+            files.append(os.path.join(path, name))
     if not files:
         # provably-empty box: an empty frame with the lake's schema
         return spark.read.parquet(path).limit(0)

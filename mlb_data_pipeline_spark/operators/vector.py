@@ -1669,3 +1669,28 @@ def sq8_index_knn(
     return shortlist.filter(F.col("rank") <= k).select(
         "query_id", F.col(id_col).alias("neighbor_id"), sim_col, "rank"
     )
+
+
+def refresh_sq8_index(changed_rows: DataFrame, path: str) -> None:
+    """Keyed content-change upsert for the persisted SQ8 store
+    (reference delete-then-add, scrape_store_embed.py:79): purge the
+    changed ids from the codes table via the crash-safe directory swap
+    and re-encode their new vectors under the SAME persisted bounds.
+    After a refresh, probes score the NEW vectors; the append-only id
+    guard alone would have silently kept the stale codes. O(store) I/O
+    by nature (content-change cadence); unchanged-id replays should
+    keep using ``append_sq8_index``."""
+    from ..sources.writers import safe_rewrite
+
+    spark = changed_rows.sparkSession
+    base = path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    changed_ids = changed_rows.select(meta.id_col).localCheckpoint(eager=True)
+
+    def build(tmp: str) -> None:
+        spark.read.parquet(base + "/codes").join(changed_ids, meta.id_col, "left_anti").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+
+    safe_rewrite(spark, base + "/codes", build)
+    append_sq8_index(changed_rows, base)

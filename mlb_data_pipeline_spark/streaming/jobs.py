@@ -504,3 +504,34 @@ def jaccard_store_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def sq8_index_stream(
+    vectors_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming SQ8-store maintenance (the quantized tier's streaming
+    leg, round 9) — same contract as ``ivf_index_stream``: each
+    micro-batch's (id, vector) rows encode under the PERSISTED bounds
+    and append to the codes table via ``append_sq8_index``; a probe
+    after batch N sees batches 1..N. Bounds do NOT retrain on the
+    stream (retrain per corpus version — the centroid contract);
+    out-of-range values clamp to the rails, so drift degrades
+    quantization precision gracefully, never correctness.
+
+    Delivery: foreachBatch is at-least-once on retry; the append is a
+    single id-guarded job, so replays converge. The store must exist
+    (``save_sq8_index``) before the stream starts."""
+    from ..operators.vector import append_sq8_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_sq8_index(batch_df.localCheckpoint(eager=True), index_path)
+
+    q = (
+        vectors_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -234,3 +234,33 @@ def test_pruned_read_missing_stats_column_is_conservative(spark, tmp_path):
     assert out.count() == 100  # all rows reachable; exact filter is the caller's
     n_total = len(spark.read.parquet(lake).inputFiles())
     assert len(out.inputFiles()) == n_total
+
+
+def test_pruned_read_stale_manifest_reads_new_files(spark, tmp_path):
+    """Files appended AFTER the manifest was built have no stats rows;
+    they must be read unconditionally or pruning silently loses rows.
+    (The append itself would normally be followed by a manifest
+    rebuild — this pins the safety net for the window in between.)"""
+    from mlb_data_pipeline_spark.operators.layout import (
+        pruned_read,
+        save_scan_manifest,
+        write_zordered,
+    )
+
+    grid = spark.range(1000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") / 100).cast("long").alias("y")
+    )
+    lake = str(tmp_path / "lake3")
+    manifest = str(tmp_path / "manifest3")
+    write_zordered(grid, lake, [("x", 0, 99), ("y", 0, 9)], bits=8, n_files=4)
+    save_scan_manifest(spark, lake, ["x", "y"], manifest)
+    # append rows INSIDE the box after the manifest snapshot
+    spark.createDataFrame([(5, 500), (6, 600)], "x long, y long").coalesce(1).write.mode(
+        "append"
+    ).parquet(lake)
+
+    out = pruned_read(spark, lake, manifest, {"x": (0, 10)})
+    got = out.filter(F.col("x").between(0, 10))
+    direct = spark.read.parquet(lake).filter(F.col("x").between(0, 10))
+    assert got.count() == direct.count()
+    assert {(r.x, r.y) for r in got.collect()} == {(r.x, r.y) for r in direct.collect()}

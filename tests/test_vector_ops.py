@@ -941,3 +941,36 @@ def test_sq8_store_roundtrip_append_replay(spark, emb, tmp_path):
     # as the tinyint codes relation
     assert plan.count("array<float>") == 1, plan
     assert "array<tinyint>" in plan, plan
+
+
+def test_sq8_refresh_reflects_changed_content(spark, emb, tmp_path):
+    """Content-change contract (the r5-verdict store rule, applied to
+    the SQ8 store): re-ingesting an id with CHANGED vector through
+    refresh_sq8_index must make probes score the NEW vector; the
+    append path alone would silently keep the stale codes. Unchanged
+    replay through append stays a no-op."""
+    from mlb_data_pipeline_spark.operators.vector import (
+        append_sq8_index,
+        refresh_sq8_index,
+        save_sq8_index,
+        sq8_index_knn,
+    )
+
+    path = str(tmp_path / "sq8r")
+    corpus = emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    save_sq8_index(corpus, "vec_id", "embedding", 64, path)
+
+    # make doc 50 a near-clone of doc 7's vector -> it must become 7's
+    # top neighbor after refresh
+    target = corpus.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    clone = [float(x) + 1e-4 for x in target]
+    changed = spark.createDataFrame([(50, clone)], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    append_sq8_index(changed, path)  # id guard: stale codes survive
+    q7 = corpus.filter(F.col("vec_id") == 7)
+    before = sq8_index_knn(spark, path, q7, k=1).collect()[0]
+
+    refresh_sq8_index(changed, path)
+    after = sq8_index_knn(spark, path, q7, k=1).collect()[0]
+    assert after.neighbor_id == 50, (before.neighbor_id, after.neighbor_id)
+    assert spark.read.parquet(path + "/codes").count() == 100  # still one row per id
