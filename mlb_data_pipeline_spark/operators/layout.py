@@ -343,3 +343,117 @@ def pruned_read(
         # provably-empty box: an empty frame with the lake's schema
         return spark.read.parquet(path).limit(0)
     return spark.read.parquet(*files)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve — the better-locality layout key (Y3, round 9).
+# Z-order is one interleave expression but jumps across space at power-
+# of-two seams (the "Z" diagonal): a box predicate straddling a seam
+# hits files whose z-ranges are far apart. The Hilbert curve visits
+# every cell of the 2^bits x 2^bits grid through ADJACENT cells only,
+# so equal-count key ranges (files) are tighter rectangles on average
+# — the curve Delta Lake's OPTIMIZE and Amazon Redshift both moved to
+# for multi-column layout. Price: a per-level state transform instead
+# of one interleave. Both engines unroll the SAME integer-only
+# transform (quadrant = 3*rx + ry - 2*rx*ry replaces the xor, so no
+# operator-precedence traps), level by level, as chained projections —
+# expression DAGs stay linear in `bits`, never exponential.
+# ---------------------------------------------------------------------------
+
+
+def with_hilbert_key(
+    df: DataFrame, x_col: str, y_col: str, bits: int, out_col: str = "__hkey"
+) -> DataFrame:
+    """Append the Hilbert d-index of integer cells (x, y) in
+    [0, 2^bits). Unrolls the standard xy2d walk (top bit down): at each
+    level s = 2^(bits-1-level), take quadrant bits (rx, ry), add
+    s*s*quadrant, then flip/swap the frame for the next level. One
+    narrow projection per level keeps the plan linear in ``bits``."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    n = 1 << bits
+    out = df.withColumn("__hx", F.col(x_col).cast("long")).withColumn(
+        "__hy", F.col(y_col).cast("long")
+    ).withColumn(out_col, F.lit(0).cast("long"))
+    for level in range(bits):
+        s = 1 << (bits - 1 - level)
+        rx = F.when(F.col("__hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(F.col("__hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        quadrant = F.lit(3) * rx + ry - F.lit(2) * rx * ry
+        d = F.col(out_col) + F.lit(s) * F.lit(s) * quadrant
+        # canonical rot: ry == 0 -> flip within the FULL grid by rx
+        # (n-1-x stays non-negative even when x >= s), then swap x/y;
+        # ry == 1 -> frame unchanged
+        flipped_x = F.when(rx == 1, F.lit(n - 1) - F.col("__hx")).otherwise(F.col("__hx"))
+        flipped_y = F.when(rx == 1, F.lit(n - 1) - F.col("__hy")).otherwise(F.col("__hy"))
+        new_x = F.when(ry == 0, flipped_y).otherwise(F.col("__hx"))
+        new_y = F.when(ry == 0, flipped_x).otherwise(F.col("__hy"))
+        out = out.withColumn("__nx", new_x).withColumn("__ny", new_y).withColumn(out_col, d)
+        out = out.drop("__hx", "__hy").withColumnRenamed("__nx", "__hx").withColumnRenamed(
+            "__ny", "__hy"
+        )
+    return out.drop("__hx", "__hy")
+
+
+def hilbert_key_sql(x_expr: str, y_expr: str, bits: int, src: str) -> str:
+    """The identical unrolled walk as a chained-CTE SQL fragment over
+    relation ``src`` (which must expose the cell columns referenced by
+    ``x_expr``/``y_expr`` plus any payload). Returns a WITH body whose
+    final relation ``h{bits}`` has all of ``src``'s columns plus
+    ``hkey``. Chained CTEs keep the SQL linear in ``bits`` — a single
+    substituted expression would be exponential (each level reads both
+    coordinates of the previous one)."""
+    steps = [
+        f"h0 AS (SELECT *, CAST(({x_expr}) AS BIGINT) AS hx0, "
+        f"CAST(({y_expr}) AS BIGINT) AS hy0, CAST(0 AS BIGINT) AS hk0 FROM {src})"
+    ]
+    n = 1 << bits
+    for level in range(bits):
+        s = 1 << (bits - 1 - level)
+        x, y, k = f"hx{level}", f"hy{level}", f"hk{level}"
+        nx, ny, nk = f"hx{level + 1}", f"hy{level + 1}", f"hk{level + 1}"
+        rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+        # level-numbered columns: the new values always read the PRIOR
+        # level's columns by distinct name, so alias-shadowing rules can
+        # never change the semantics; flips use the FULL grid (n-1-x,
+        # the canonical rot) so intermediates stay non-negative
+        steps.append(
+            f"h{level + 1} AS (SELECT * EXCLUDE ({x}, {y}, {k}),\n"
+            f"  CASE WHEN {ry} = 1 THEN {x} ELSE (CASE WHEN {rx} = 1 THEN {n - 1} - {y} ELSE {y} END) END AS {nx},\n"
+            f"  CASE WHEN {ry} = 1 THEN {y} ELSE (CASE WHEN {rx} = 1 THEN {n - 1} - {x} ELSE {x} END) END AS {ny},\n"
+            f"  {k} + {s} * {s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}) AS {nk}\n"
+            f"  FROM h{level})"
+        )
+    steps.append(
+        f"h_final AS (SELECT * EXCLUDE (hx{bits}, hy{bits}, hk{bits}), hk{bits} AS hkey FROM h{bits})"
+    )
+    return ",\n".join(steps)
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    specs: list[tuple[str, int, int]],
+    bits: int = 16,
+    n_files: int = 32,
+) -> None:
+    """``write_zordered``'s Hilbert sibling (2-D only — the curve's
+    state transform is planar; for 3+ columns use z-order): range-
+    repartition + within-file sort on the Hilbert key, key dropped on
+    write."""
+    if len(specs) != 2:
+        raise ValueError("write_hilbert clusters exactly 2 columns; use write_zordered for more")
+    (cx, lox, hix), (cy, loy, hiy) = specs
+    cells = df.withColumn("__cx", scale_to_bits_int(cx, lox, hix, bits)).withColumn(
+        "__cy", scale_to_bits_int(cy, loy, hiy, bits)
+    )
+    keyed = with_hilbert_key(cells, "__cx", "__cy", bits)
+    (
+        keyed.drop("__cx", "__cy")
+        .repartitionByRange(n_files, "__hkey")
+        .sortWithinPartitions("__hkey")
+        .drop("__hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

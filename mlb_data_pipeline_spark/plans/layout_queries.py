@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.layout import scale_to_bits_cols, zorder_key, zorder_key_sql
+from ..operators.layout import hilbert_key_sql, scale_to_bits_cols, zorder_key, zorder_key_sql
 from .registry import query
 
 _BITS = 8  # 8 bits/dim x 2 dims = 16-bit key; buckets = z >> 10 (64 cells)
@@ -138,4 +138,58 @@ def r49_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pc").cast("long").alias("total_cents"),
         F.min("ck").alias("min_ck"),
         F.max("ck").alias("max_ck"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R50 — Hilbert layout key (Y3, round 9): the better-locality sibling
+#        of q39's z-order key, same (customer, price-cents) cells,
+#        data-derived bounds, aggregated per 1024-key bucket so the
+#        oracle checks the FULL key distribution. The oracle unrolls
+#        the identical per-level integer state transform as chained
+#        CTEs (level-numbered columns — alias shadowing can't bite);
+#        curve-vs-curve pruning is measured in tests/test_layout_ops.py
+#        and docs/PERF.md.
+# ---------------------------------------------------------------------------
+
+_R50_SQL = (
+    _CELL_SQL
+    + ",\n"
+    + hilbert_key_sql("cx", "cy", _BITS, "cells")
+    + """
+SELECT hkey >> 10 AS bucket, COUNT(*) AS n_orders, MIN(hkey) AS h_min, MAX(hkey) AS h_max
+FROM h_final
+GROUP BY bucket
+ORDER BY bucket
+"""
+)
+
+
+@query("r50_hilbert_key", oracle=_R50_SQL, covers="Y3")
+def r50_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import with_hilbert_key
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    bounds = o.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("pc").alias("pc_lo"),
+        F.max("pc").alias("pc_hi"),
+    )
+    j = o.crossJoin(F.broadcast(bounds))
+    cells = j.withColumn(
+        "cx", scale_to_bits_cols(F.col("ck"), F.col("ck_lo"), F.col("ck_hi"), _BITS)
+    ).withColumn("cy", scale_to_bits_cols(F.col("pc"), F.col("pc_lo"), F.col("pc_hi"), _BITS))
+    keyed = with_hilbert_key(cells, "cx", "cy", _BITS, out_col="hkey")
+    return (
+        keyed.groupBy(F.shiftright("hkey", 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("hkey").alias("h_min"),
+            F.max("hkey").alias("h_max"),
+        )
+        .orderBy("bucket")
     )

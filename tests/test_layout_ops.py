@@ -264,3 +264,77 @@ def test_pruned_read_stale_manifest_reads_new_files(spark, tmp_path):
     direct = spark.read.parquet(lake).filter(F.col("x").between(0, 10))
     assert got.count() == direct.count()
     assert {(r.x, r.y) for r in got.collect()} == {(r.x, r.y) for r in direct.collect()}
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve (Y3, round 9)
+# ---------------------------------------------------------------------------
+
+
+def _py_xy2d(bits: int, x: int, y: int) -> int:
+    n = 1 << bits
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_python_reference_all_cells(spark):
+    from mlb_data_pipeline_spark.operators.layout import with_hilbert_key
+
+    bits = 4
+    n = 1 << bits
+    df = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    got = {
+        (r.x, r.y): r.__hkey if hasattr(r, "__hkey") else r["__hkey"]
+        for r in with_hilbert_key(df, "x", "y", bits).collect()
+    }
+    assert len(got) == n * n
+    for (x, y), d in got.items():
+        assert d == _py_xy2d(bits, x, y), (x, y)
+    # bijection onto [0, n^2): the space-filling property
+    assert sorted(got.values()) == list(range(n * n))
+
+
+def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark, tmp_path):
+    """The locality claim, measured: on the standard grid + box, the
+    Hilbert layout's footer-pruned file fraction must at least match
+    z-order's (adjacent-cell walks make equal-count key ranges tighter
+    rectangles on average)."""
+    from mlb_data_pipeline_spark.operators.layout import write_hilbert
+
+    grid = spark.range(200 * 200).select(
+        (F.col("id") % 200).alias("x"), (F.col("id") / 200).cast("long").alias("y")
+    )
+    zpath, hpath = str(tmp_path / "z"), str(tmp_path / "h")
+    specs = [("x", 0, 199), ("y", 0, 199)]
+    write_zordered(grid, zpath, specs, bits=8, n_files=16)
+    write_hilbert(grid, hpath, specs, bits=8, n_files=16)
+
+    assert spark.read.parquet(hpath).count() == 200 * 200
+    boxes = [
+        {"x": (0, 49), "y": (0, 49)},
+        {"x": (100, 149), "y": (60, 109)},
+        {"x": (150, 199), "y": (150, 199)},
+    ]
+    z_skips = [pruning_report(zpath, b)["skip_frac"] for b in boxes]
+    h_skips = [pruning_report(hpath, b)["skip_frac"] for b in boxes]
+    assert all(h >= 0.5 for h in h_skips), h_skips
+    assert sum(h_skips) >= sum(z_skips) - 1e-9, (h_skips, z_skips)
+
+
+def test_write_hilbert_rejects_non_2d(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.layout import write_hilbert
+
+    grid = spark.range(10).select(F.col("id").alias("x"), F.col("id").alias("y"))
+    with pytest.raises(ValueError, match="exactly 2"):
+        write_hilbert(grid, str(tmp_path / "no"), [("x", 0, 9)], bits=4)
