@@ -457,3 +457,30 @@ def write_hilbert(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def append_scan_manifest(spark: SparkSession, path: str, cols: list[str], manifest_path: str) -> None:
+    """Day-2 manifest maintenance: stat ONLY data files the manifest has
+    not seen (O(delta) footer reads, never a full re-stat) and append
+    their rows. With ``pruned_read``'s staleness guard this makes the
+    lake-append protocol: append data -> append manifest; a crash
+    between the two only costs pruning on the new files (they are
+    must-read until statted), never correctness. Idempotent: re-running
+    with no new files appends nothing."""
+    known = {r.file for r in spark.read.parquet(manifest_path).select("file").distinct().collect()}
+    new_names = [
+        n for n in sorted(os.listdir(path)) if n.endswith(".parquet") and n not in known
+    ]
+    if not new_names:
+        return
+    rows = []
+    for fs in file_stats(path, cols):
+        if fs["file"] not in set(new_names):
+            continue
+        for c in cols:
+            if c in fs["min"] and c in fs["max"]:
+                rows.append((fs["file"], int(fs["rows"]), c, float(fs["min"][c]), float(fs["max"][c])))
+    if rows:
+        spark.createDataFrame(
+            rows, "file string, rows long, col string, lo double, hi double"
+        ).coalesce(1).write.mode("append").parquet(manifest_path)

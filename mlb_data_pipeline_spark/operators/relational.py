@@ -747,3 +747,60 @@ def bloom_prefilter_join(
             big.filter(maybe_match).join(small, on, "left_anti")
         )
     return big.filter(maybe_match).join(small, on, how)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    grid: int,
+    max_cells: int = 1024,
+) -> DataFrame:
+    """All (left, right) pairs whose INTEGER intervals overlap
+    (l_start <= r_end AND r_start <= l_end) — the two-sided
+    generalization of ``band_range_join`` (sessions x promotions,
+    reservations x outages, reads x genes).
+
+    A naive non-equi join plans as BNLJ — O(n*m). Here both sides
+    explode onto a fixed grid of cells (cell = value // grid, one row
+    per covered cell), the join is a plain hash equi-join on the cell
+    id, and each overlapping pair is emitted EXACTLY ONCE without a
+    DISTINCT: only the join row whose cell equals
+    max(l_start, r_start) // grid — the first cell the overlap
+    region touches, a value both sides of any overlapping pair share —
+    survives. Intermediate volume is co-located cell membership, never
+    n*m, and the dedup is a stateless filter, not a shuffle.
+
+    ``grid`` should sit near the TYPICAL interval length (cells/row ~
+    len/grid + 1); ``max_cells`` guards degenerate spans — an interval
+    covering more than ``max_cells`` cells raises in-plan rather than
+    silently exploding the join (split such outliers or raise
+    ``grid``)."""
+    if grid < 1:
+        raise ValueError(f"grid must be >= 1, got {grid}")
+
+    def cells(start, end):
+        lo = F.floor(F.col(start) / grid).cast("long")
+        hi = F.floor(F.col(end) / grid).cast("long")
+        n = hi - lo + 1
+        guard = F.when(
+            n > F.lit(max_cells),
+            F.raise_error(
+                F.lit(
+                    f"interval spans more than max_cells={max_cells} grid cells; "
+                    "raise grid or split the outlier interval"
+                )
+            ).cast("long"),
+        ).otherwise(lo)
+        return F.sequence(guard, hi)
+
+    lexp = left.withColumn("__cell", F.explode(cells(left_start, left_end)))
+    rexp = right.withColumn("__cell", F.explode(cells(right_start, right_end)))
+    joined = lexp.join(rexp, "__cell").filter(
+        (F.col(left_start) <= F.col(right_end)) & (F.col(right_start) <= F.col(left_end))
+    )
+    first_cell = F.floor(F.greatest(F.col(left_start), F.col(right_start)) / grid).cast("long")
+    return joined.filter(F.col("__cell") == first_cell).drop("__cell")

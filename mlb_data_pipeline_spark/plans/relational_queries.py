@@ -1313,3 +1313,70 @@ def q13_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), wmoney(cents("l_quantity"), 4, 2).alias("sum_qty"))
         .orderBy("tag", "l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# R51 — interval-overlap join (round 9): the two-sided generalization
+#        of the band join (sessions x promotions, reservations x
+#        outages). Spark explodes both interval sets onto a day grid
+#        and emits each overlapping pair exactly once via the
+#        first-overlap-cell rule — a stateless filter, no DISTINCT
+#        shuffle; the oracle is the NAIVE non-equi join, so the grid
+#        decomposition must change cost, never results.
+# ---------------------------------------------------------------------------
+
+_R51_SQL = """
+WITH iv AS (
+  SELECT o_orderkey AS id, o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS s,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) + o_orderkey % 7 AS e
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+),
+l AS (SELECT * FROM iv WHERE o_custkey % 97 = 0),
+r AS (SELECT * FROM iv WHERE o_custkey % 89 = 0)
+SELECT l.id AS id_l, r.id AS id_r,
+       LEAST(l.e, r.e) - GREATEST(l.s, r.s) + 1 AS overlap_days
+FROM l JOIN r ON l.s <= r.e AND r.s <= l.e AND l.id <> r.id
+ORDER BY id_l, id_r
+"""
+
+
+@query("r51_interval_overlap", oracle=_R51_SQL, covers="J6,P2,O9")
+def r51_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import interval_overlap_join
+
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select(
+            F.col("o_orderkey").alias("id"),
+            "o_custkey",
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("s"),
+            (
+                F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).cast("long")
+                + F.col("o_orderkey") % 7
+            ).alias("e"),
+        )
+    )
+    left = iv.filter(F.col("o_custkey") % 97 == 0).select(
+        F.col("id").alias("id_l"), F.col("s").alias("s_l"), F.col("e").alias("e_l")
+    )
+    right = iv.filter(F.col("o_custkey") % 89 == 0).select(
+        F.col("id").alias("id_r"), F.col("s").alias("s_r"), F.col("e").alias("e_r")
+    )
+    pairs = interval_overlap_join(left, right, "s_l", "e_l", "s_r", "e_r", grid=7)
+    return (
+        pairs.filter(F.col("id_l") != F.col("id_r"))
+        .select(
+            "id_l",
+            "id_r",
+            (F.least("e_l", "e_r") - F.greatest("s_l", "s_r") + F.lit(1)).alias("overlap_days"),
+        )
+        .orderBy("id_l", "id_r")
+    )

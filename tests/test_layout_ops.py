@@ -338,3 +338,44 @@ def test_write_hilbert_rejects_non_2d(spark, tmp_path):
     grid = spark.range(10).select(F.col("id").alias("x"), F.col("id").alias("y"))
     with pytest.raises(ValueError, match="exactly 2"):
         write_hilbert(grid, str(tmp_path / "no"), [("x", 0, 9)], bits=4)
+
+
+def test_append_scan_manifest_incremental_and_idempotent(spark, tmp_path):
+    """Day-2 leg: after a lake append, append_scan_manifest stats only
+    the NEW files; pruning then skips them on provable misses again
+    (the staleness guard had them as must-read). Replays append
+    nothing."""
+    from mlb_data_pipeline_spark.operators.layout import (
+        append_scan_manifest,
+        pruned_read,
+        save_scan_manifest,
+        write_zordered,
+    )
+
+    grid = spark.range(1000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") / 100).cast("long").alias("y")
+    )
+    lake = str(tmp_path / "lake4")
+    manifest = str(tmp_path / "manifest4")
+    write_zordered(grid, lake, [("x", 0, 99), ("y", 0, 9)], bits=8, n_files=4)
+    save_scan_manifest(spark, lake, ["x", "y"], manifest)
+    n0 = spark.read.parquet(manifest).count()
+
+    # append a file far OUTSIDE the box
+    spark.createDataFrame([(900, 900), (950, 950)], "x long, y long").coalesce(1).write.mode(
+        "append"
+    ).parquet(lake)
+    # before the manifest append: staleness guard reads the new file
+    pre = pruned_read(spark, lake, manifest, {"x": (0, 10)})
+    n_total = len(spark.read.parquet(lake).inputFiles())
+    append_scan_manifest(spark, lake, ["x", "y"], manifest)
+    n1 = spark.read.parquet(manifest).count()
+    assert n1 == n0 + 2  # two stat rows (x, y) for the one new file
+    # after: the new file is provably outside the box -> skipped again
+    post = pruned_read(spark, lake, manifest, {"x": (0, 10)})
+    assert len(post.inputFiles()) < len(pre.inputFiles()) <= n_total
+    # rows identical either way
+    assert post.filter(F.col("x") <= 10).count() == pre.filter(F.col("x") <= 10).count()
+
+    append_scan_manifest(spark, lake, ["x", "y"], manifest)  # replay: no-op
+    assert spark.read.parquet(manifest).count() == n1

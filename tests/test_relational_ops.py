@@ -5,6 +5,7 @@ parity; these cover null handling, column selection, and key safety)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mlb_data_pipeline_spark.operators.relational import dataset_diff
@@ -320,3 +321,49 @@ def test_round7_late_ops_survive_empty_input(spark, tmp_path):
     assert bloom_store_filter(some, ["text"], path, keep="new").count() == 1
     assert bloom_store_filter(some, ["text"], path, keep="maybe_seen").count() == 0
     assert bloom_store_stats(spark, path).collect()[0].bits_set == 0
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_join_equals_naive(spark):
+    from mlb_data_pipeline_spark.operators.relational import interval_overlap_join
+
+    lrows = [(i, (i * 13) % 50, (i * 13) % 50 + (i % 9)) for i in range(60)]
+    rrows = [(100 + i, (i * 7) % 55, (i * 7) % 55 + (i % 6)) for i in range(60)]
+    left = spark.createDataFrame(lrows, "id_l long, s_l long, e_l long")
+    right = spark.createDataFrame(rrows, "id_r long, s_r long, e_r long")
+    want = {
+        (a, b)
+        for a, sa, ea in lrows
+        for b, sb, eb in rrows
+        if sa <= eb and sb <= ea
+    }
+    for grid in (1, 3, 5, 16):
+        got = {
+            (r.id_l, r.id_r)
+            for r in interval_overlap_join(
+                left, right, "s_l", "e_l", "s_r", "e_r", grid=grid
+            ).collect()
+        }
+        assert got == want, grid
+    # exactly-once: counts equal too (no duplicate pair rows)
+    n = interval_overlap_join(left, right, "s_l", "e_l", "s_r", "e_r", grid=3).count()
+    assert n == len(want)
+
+
+def test_interval_overlap_join_no_cartesian_and_guard(spark):
+    from mlb_data_pipeline_spark.operators.relational import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 0, 5)], "id_l long, s_l long, e_l long")
+    right = spark.createDataFrame([(2, 3, 9)], "id_r long, s_r long, e_r long")
+    out = interval_overlap_join(left, right, "s_l", "e_l", "s_r", "e_r", grid=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    wide = spark.createDataFrame([(3, 0, 10_000_000)], "id_l long, s_l long, e_l long")
+    bad = interval_overlap_join(wide, right, "s_l", "e_l", "s_r", "e_r", grid=1, max_cells=100)
+    with pytest.raises(Exception, match="max_cells|USER_RAISED"):
+        bad.collect()
