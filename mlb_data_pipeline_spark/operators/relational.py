@@ -490,27 +490,35 @@ def zorder_key(
     clamped to [0, 2^bits) — all single correctly-rounded IEEE ops, so
     any engine computes the identical cell (``zorder_sql`` emits the
     mirrored DuckDB expression from the same parameters). Bits then
-    interleave round-robin: bit b of column i lands at z-bit
+    interleave round-robin (shared with ``operators.layout.zorder_key``
+    — one interleave implementation): bit b of column i lands at z-bit
     b * n_cols + i. NULLs clamp to cell 0 (they sort first — scan
     layout, not semantics). Total bits n_cols * bits must fit a signed
-    long (<= 62); the default 16 supports up to 3 columns."""
+    long (<= 62); the default 16 supports up to 3 columns.
+
+    Sibling variants: THIS form takes float (lo, hi) over DOUBLE
+    columns — the OPTIMIZE-ZORDER path ``compact_parquet`` uses on
+    measure columns; ``operators.layout.scale_to_bits_int`` +
+    ``layout.zorder_key`` is the INTEGER-exact form for id/temporal
+    keys (floor-div cells, 2^53 exactness gate) used by
+    ``write_zordered``."""
+    from .layout import zorder_key as interleave
+
     n = len(cols)
     if n < 2:
         raise ValueError("zorder needs >= 2 columns (use sort_cols for one)")
     if n * bits > 62:
         raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
-    z = F.lit(0).cast("long")
-    for i, (c, lo, hi) in enumerate(cols):
+    cells = []
+    for c, lo, hi in cols:
         if not hi > lo:
             raise ValueError(f"need hi > lo for {c}, got [{lo}, {hi})")
         x = F.col(c).cast("double")
         raw = F.floor((x - F.lit(float(lo))) * F.lit(float(2**bits)) / F.lit(float(hi - lo)))
-        v = F.coalesce(
-            F.least(F.greatest(raw, F.lit(0)), F.lit(2**bits - 1)), F.lit(0)
-        ).cast("long")
-        for b in range(bits):
-            z = z + F.shiftleft(F.shiftright(v, b).bitwiseAND(F.lit(1)), b * n + i)
-    return z
+        cells.append(
+            F.coalesce(F.least(F.greatest(raw, F.lit(0)), F.lit(2**bits - 1)), F.lit(0)).cast("long")
+        )
+    return interleave(cells, bits)
 
 
 def zorder_sql(cols: list[tuple[str, float, float]], bits: int = 16) -> str:
