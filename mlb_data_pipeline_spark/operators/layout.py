@@ -305,7 +305,11 @@ def save_scan_manifest(spark: SparkSession, path: str, cols: list[str], manifest
 
 
 def pruned_read(
-    spark: SparkSession, path: str, manifest_path: str, box: dict[str, tuple[float, float]]
+    spark: SparkSession,
+    path: str,
+    manifest_path: str,
+    box: dict[str, tuple[float, float]],
+    bloom_filters: list[tuple[str, object]] | None = None,
 ) -> DataFrame:
     """Read only the files a conjunctive box predicate can possibly
     touch, decided from the persisted manifest alone. Skip rule is the
@@ -331,14 +335,26 @@ def pruned_read(
     skip = mf.filter(miss).select("file").distinct()
     keep = mf.select("file").distinct().join(skip, "file", "left_anti")
     known = {r.file for r in mf.select("file").distinct().collect()}
-    files = [os.path.join(path, r.file) for r in keep.collect()]
+    kept_names = {r.file for r in keep.collect()}
+    # optional equality skipping: each (bloom_manifest_path, value) drops
+    # files whose per-file Bloom bitmap PROVES the value absent — the
+    # string/high-cardinality complement of the min/max box rule (no
+    # false negatives; unknown files stay must-read)
+    for bloom_path, value in bloom_filters or []:
+        kept_names -= bloom_skippable_files(spark, bloom_path, value)
+    files = [os.path.join(path, n) for n in sorted(kept_names)]
     # STALENESS GUARD: a data file the manifest has never seen (appended
     # after the last save_scan_manifest) carries no stats here, so it
     # can never be skipped — pruning must stay a superset guarantee
     # even against a stale manifest, not just a fresh one.
-    for name in sorted(os.listdir(path)):
-        if name.endswith(".parquet") and name not in known:
-            files.append(os.path.join(path, name))
+    stale_must_read = {
+        name
+        for name in os.listdir(path)
+        if name.endswith(".parquet") and name not in known
+    }
+    for bloom_path, value in bloom_filters or []:
+        stale_must_read -= bloom_skippable_files(spark, bloom_path, value)
+    files.extend(os.path.join(path, n) for n in sorted(stale_must_read))
     if not files:
         # provably-empty box: an empty frame with the lake's schema
         return spark.read.parquet(path).limit(0)
@@ -484,3 +500,140 @@ def append_scan_manifest(spark: SparkSession, path: str, cols: list[str], manife
         spark.createDataFrame(
             rows, "file string, rows long, col string, lo double, hi double"
         ).coalesce(1).write.mode("append").parquet(manifest_path)
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom manifest (Y4, round 9) — equality-predicate file
+# skipping for STRING/high-cardinality columns, where min/max footer
+# stats are useless (and excluded as truncation-unsafe above). One
+# Bloom bitmap per (file), built in a single distributed pass with
+# input_file_name(), persisted sparse like the seen-keys store
+# (operators/bloomstore.py). A point lookup `col = v` then prunes every
+# file whose bitmap provably lacks v — the parquet-footer-bloom /
+# Iceberg pattern, lifted to the manifest so planning never opens a
+# footer. No false negatives by construction; false positives only
+# cost a read. Size m for the PER-FILE distinct count — bitmap bytes
+# per file is the storage price (keep fpp modest for high-cardinality
+# columns).
+# ---------------------------------------------------------------------------
+
+
+def save_bloom_manifest(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    manifest_path: str,
+    *,
+    expected_per_file: int | None = None,
+    fpp: float = 0.01,
+    n_hashes: int = 5,
+) -> None:
+    """Build per-file Bloom bitmaps over ``col`` in ONE distributed
+    pass (scan + distinct positions + bit_or per file word). The files
+    list persists too, so probes can tell "bitmap proves a miss" from
+    "file unknown to this manifest" (appended later -> must-read)."""
+    from .relational import _bloom_positions, bloom_size_bits
+
+    base = manifest_path.rstrip("/")
+    lake = spark.read.parquet(path).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"), F.col(col)
+    )
+    names = [n for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
+    if expected_per_file is None:
+        total = lake.count()
+        expected_per_file = max(1, total // max(1, len(names)))
+    m = bloom_size_bits(expected_per_file, fpp)
+    pos = lake.select(
+        "file", F.explode(F.array(*_bloom_positions([col], m, n_hashes))).alias("__p")
+    ).distinct()
+    words = pos.groupBy("file", F.shiftright(F.col("__p"), 6).alias("widx")).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), F.col("__p").bitwiseAND(F.lit(63)).cast("int")
+            )
+        ).alias("word")
+    )
+    words.write.mode("overwrite").parquet(base + "/words")
+    spark.createDataFrame([(col, m, n_hashes)], "col STRING, m LONG, k INT").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(base + "/meta")
+    spark.createDataFrame([(n,) for n in names], "file STRING").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(base + "/files")
+
+
+def bloom_skippable_files(spark: SparkSession, manifest_path: str, value) -> set[str]:
+    """Files the Bloom manifest PROVES cannot contain ``value`` on its
+    column (some hash bit absent). Only files the manifest has seen can
+    be skipped; the probe touches <= k bitmap words per file (one tiny
+    filtered scan of the words table), and the value's positions come
+    from one 1-row Spark job so the hash is exactly the build's
+    xxhash64 — never a Python reimplementation that could drift."""
+    from .relational import _bloom_positions
+
+    base = manifest_path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    pos = (
+        spark.range(1)
+        .select(F.lit(value).alias(meta.col))
+        .select(F.array(*_bloom_positions([meta.col], int(meta.m), int(meta.k))).alias("p"))
+        .head()
+        .p
+    )
+    need = {}  # widx -> required bit mask
+    for p in pos:
+        need.setdefault(p >> 6, 0)
+        need[p >> 6] |= 1 << (p & 63)
+    words = (
+        spark.read.parquet(base + "/words")
+        .filter(F.col("widx").isin(list(need)))
+        .collect()
+    )
+    have: dict[str, dict[int, int]] = {}
+    for r in words:
+        have.setdefault(r.file, {})[r.widx] = r.word
+    known = {r.file for r in spark.read.parquet(base + "/files").collect()}
+    skippable = set()
+    for f in known:
+        fw = have.get(f, {})
+        if any((fw.get(w, 0) & mask) != mask for w, mask in need.items()):
+            skippable.add(f)
+    return skippable
+
+
+def append_bloom_manifest(spark: SparkSession, path: str, manifest_path: str) -> None:
+    """Day-2 leg: bitmap + files rows for data files the manifest has
+    not seen, under the SAME (m, k). O(delta) scan; replay appends
+    nothing."""
+    from .relational import _bloom_positions
+
+    base = manifest_path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    known = {r.file for r in spark.read.parquet(base + "/files").collect()}
+    new_names = [
+        n for n in sorted(os.listdir(path)) if n.endswith(".parquet") and n not in known
+    ]
+    if not new_names:
+        return
+    lake = (
+        spark.read.parquet(*[os.path.join(path, n) for n in new_names])
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+            F.col(meta.col),
+        )
+    )
+    pos = lake.select(
+        "file",
+        F.explode(F.array(*_bloom_positions([meta.col], int(meta.m), int(meta.k)))).alias("__p"),
+    ).distinct()
+    words = pos.groupBy("file", F.shiftright(F.col("__p"), 6).alias("widx")).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), F.col("__p").bitwiseAND(F.lit(63)).cast("int")
+            )
+        ).alias("word")
+    )
+    words.write.mode("append").parquet(base + "/words")
+    spark.createDataFrame([(n,) for n in new_names], "file STRING").coalesce(1).write.mode(
+        "append"
+    ).parquet(base + "/files")

@@ -193,3 +193,53 @@ def r50_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# R52 — Bloom-manifest pruned scan (Y4, round 9): equality-predicate
+#        file skipping for a STRING column, where the box manifest's
+#        min/max rule is useless by design. Lake hash-clusters on
+#        source, per-file Bloom bitmaps persist next to it, and the
+#        point lookup reads only files whose bitmap might contain the
+#        value. The oracle is the direct filter on the raw table — a
+#        Bloom FALSE NEGATIVE (the one failure mode that loses rows)
+#        breaks the hash; false positives only cost a read. The hash
+#        itself (xxhash64) never reaches the output, so the query stays
+#        fully oracled even though the bitmap is engine-specific —
+#        the q13 bloom-join contract, lifted to file pruning.
+# ---------------------------------------------------------------------------
+
+_R52_SQL = """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+WHERE source = 'src3'
+"""
+
+
+@query("r52_bloom_pruned_scan", oracle=_R52_SQL, covers="Y4,S3,A2,P3")
+def r52_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.layout import pruned_read, save_bloom_manifest, save_scan_manifest
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r52_lake"
+    )
+    lake = os.path.join(base, "data")
+    box_m = os.path.join(base, "box_manifest")
+    bloom_m = os.path.join(base, "bloom_manifest")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    docs.repartition(8, "source").write.mode("overwrite").parquet(lake)
+    save_scan_manifest(spark, lake, ["doc_id", "n_chars"], box_m)
+    save_bloom_manifest(spark, lake, "source", bloom_m)
+    df = pruned_read(
+        spark, lake, box_m, {"doc_id": (0, 2**62)}, bloom_filters=[(bloom_m, "src3")]
+    )
+    return df.filter(F.col("source") == "src3").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -379,3 +379,80 @@ def test_append_scan_manifest_incremental_and_idempotent(spark, tmp_path):
 
     append_scan_manifest(spark, lake, ["x", "y"], manifest)  # replay: no-op
     assert spark.read.parquet(manifest).count() == n1
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom manifest (Y4, round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_manifest_skips_files_no_false_negatives(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.layout import (
+        bloom_skippable_files,
+        pruned_read,
+        save_bloom_manifest,
+        save_scan_manifest,
+    )
+
+    # hash-cluster by source so each file holds few sources
+    rows = [(i, f"src{i % 8}", i * 10) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, source string, n long")
+    lake = str(tmp_path / "blake")
+    df.repartition(8, "source").write.parquet(lake)
+    box_manifest = str(tmp_path / "bbox")
+    bloom_manifest = str(tmp_path / "bbloom")
+    save_scan_manifest(spark, lake, ["id", "n"], box_manifest)
+    save_bloom_manifest(spark, lake, "source", bloom_manifest)
+
+    n_total = len(spark.read.parquet(lake).inputFiles())
+    skippable = bloom_skippable_files(spark, bloom_manifest, "src3")
+    assert skippable  # hash clustering -> most files provably lack src3
+
+    out = pruned_read(
+        spark, lake, box_manifest, {"id": (0, 10**9)},
+        bloom_filters=[(bloom_manifest, "src3")],
+    )
+    got = out.filter(F.col("source") == "src3")
+    assert got.count() == 500  # every src3 row survives: no false negatives
+    assert len(out.inputFiles()) < n_total
+
+
+def test_bloom_manifest_unknown_file_is_must_read(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.layout import (
+        append_bloom_manifest,
+        bloom_skippable_files,
+        pruned_read,
+        save_bloom_manifest,
+        save_scan_manifest,
+    )
+
+    df = spark.createDataFrame([(i, "alpha") for i in range(100)], "id long, source string")
+    lake = str(tmp_path / "blake2")
+    df.coalesce(2).write.parquet(lake)
+    box_manifest = str(tmp_path / "bbox2")
+    bloom_manifest = str(tmp_path / "bbloom2")
+    save_scan_manifest(spark, lake, ["id"], box_manifest)
+    save_bloom_manifest(spark, lake, "source", bloom_manifest)
+
+    # append a file with a NEW source value after both snapshots
+    spark.createDataFrame([(999, "omega")], "id long, source string").coalesce(1).write.mode(
+        "append"
+    ).parquet(lake)
+
+    # bloom proves 'omega' absent from the ORIGINAL files; the appended
+    # file is unknown to both manifests -> must-read -> the row is found
+    out = pruned_read(
+        spark, lake, box_manifest, {"id": (0, 10**9)},
+        bloom_filters=[(bloom_manifest, "omega")],
+    )
+    assert out.filter(F.col("source") == "omega").count() == 1
+
+    # day-2: append the bloom rows; now 'beta' lookups skip it too
+    append_bloom_manifest(spark, lake, bloom_manifest)
+    skip_after = bloom_skippable_files(spark, bloom_manifest, "beta")
+    n_files = len(spark.read.parquet(lake).inputFiles())
+    assert len(skip_after) == n_files  # nothing anywhere contains 'beta'
+    append_bloom_manifest(spark, lake, bloom_manifest)  # replay no-op
+    n_words = spark.read.parquet(bloom_manifest + "/words").count()
+    append_bloom_manifest(spark, lake, bloom_manifest)
+    assert spark.read.parquet(bloom_manifest + "/words").count() == n_words
