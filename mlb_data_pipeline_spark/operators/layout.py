@@ -49,6 +49,33 @@ from pyspark.sql import functions as F
 _EXACT_PRODUCT_LIMIT = 1 << 53
 
 
+def _data_files(path: str) -> list[str]:
+    """Sorted RELATIVE paths of every parquet data file under ``path``,
+    recursing through partition directories (``dt=...``,
+    ``ingest_batch=...``) — the one listing primitive the manifest
+    family shares, so flat and partitioned lakes behave identically."""
+    out = []
+    base = os.path.abspath(path)
+    for root, _dirs, names in os.walk(base):
+        for n in names:
+            if n.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(root, n), base))
+    return sorted(out)
+
+
+def _relpath_col(path: str):
+    """``input_file_name()`` reduced to the path RELATIVE to the lake
+    root — one regexp strip of the resolved ``file:`` URI prefix, so
+    bloom-manifest file names match ``_data_files`` in flat and
+    partitioned lakes alike."""
+    import re as _re
+
+    base = os.path.abspath(path)
+    return F.regexp_replace(
+        F.input_file_name(), "^(file:/*)?" + _re.escape(base.lstrip("/")) + "/", ""
+    )
+
+
 def floor_div(num: Column, den: int | Column) -> Column:
     """Exact integer floor division of a non-negative long expression.
 
@@ -204,9 +231,7 @@ def file_stats(path: str, cols: list[str]) -> list[dict]:
     import pyarrow.parquet as pq
 
     out = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
+    for name in _data_files(path):
         md = pq.ParquetFile(os.path.join(path, name)).metadata
         lo: dict[str, object] = {}
         hi: dict[str, object] = {}
@@ -342,23 +367,24 @@ def pruned_read(
     # false negatives; unknown files stay must-read)
     for bloom_path, value in bloom_filters or []:
         kept_names -= bloom_skippable_files(spark, bloom_path, value)
-    files = [os.path.join(path, n) for n in sorted(kept_names)]
+    on_disk = set(_data_files(path))
+    # a manifest row may outlive its file (idempotent stream-replay
+    # rewrites, compaction): vanished files are simply not read
+    files = [os.path.join(path, n) for n in sorted(kept_names & on_disk)]
     # STALENESS GUARD: a data file the manifest has never seen (appended
     # after the last save_scan_manifest) carries no stats here, so it
     # can never be skipped — pruning must stay a superset guarantee
     # even against a stale manifest, not just a fresh one.
-    stale_must_read = {
-        name
-        for name in os.listdir(path)
-        if name.endswith(".parquet") and name not in known
-    }
+    stale_must_read = on_disk - known
     for bloom_path, value in bloom_filters or []:
         stale_must_read -= bloom_skippable_files(spark, bloom_path, value)
     files.extend(os.path.join(path, n) for n in sorted(stale_must_read))
     if not files:
         # provably-empty box: an empty frame with the lake's schema
         return spark.read.parquet(path).limit(0)
-    return spark.read.parquet(*files)
+    # basePath keeps partition-directory columns (dt=..., ingest_batch=...)
+    # in the schema exactly as a whole-lake read would
+    return spark.read.option("basePath", path).parquet(*files)
 
 
 # ---------------------------------------------------------------------------
@@ -484,9 +510,7 @@ def append_scan_manifest(spark: SparkSession, path: str, cols: list[str], manife
     must-read until statted), never correctness. Idempotent: re-running
     with no new files appends nothing."""
     known = {r.file for r in spark.read.parquet(manifest_path).select("file").distinct().collect()}
-    new_names = [
-        n for n in sorted(os.listdir(path)) if n.endswith(".parquet") and n not in known
-    ]
+    new_names = [n for n in _data_files(path) if n not in known]
     if not new_names:
         return
     rows = []
@@ -535,10 +559,8 @@ def save_bloom_manifest(
     from .relational import _bloom_positions, bloom_size_bits
 
     base = manifest_path.rstrip("/")
-    lake = spark.read.parquet(path).select(
-        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"), F.col(col)
-    )
-    names = [n for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
+    lake = spark.read.parquet(path).select(_relpath_col(path).alias("file"), F.col(col))
+    names = _data_files(path)
     if expected_per_file is None:
         total = lake.count()
         expected_per_file = max(1, total // max(1, len(names)))
@@ -610,17 +632,13 @@ def append_bloom_manifest(spark: SparkSession, path: str, manifest_path: str) ->
     base = manifest_path.rstrip("/")
     meta = spark.read.parquet(base + "/meta").collect()[0]
     known = {r.file for r in spark.read.parquet(base + "/files").collect()}
-    new_names = [
-        n for n in sorted(os.listdir(path)) if n.endswith(".parquet") and n not in known
-    ]
+    new_names = [n for n in _data_files(path) if n not in known]
     if not new_names:
         return
     lake = (
-        spark.read.parquet(*[os.path.join(path, n) for n in new_names])
-        .select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
-            F.col(meta.col),
-        )
+        spark.read.option("basePath", path)
+        .parquet(*[os.path.join(path, n) for n in new_names])
+        .select(_relpath_col(path).alias("file"), F.col(meta.col))
     )
     pos = lake.select(
         "file",
@@ -637,3 +655,58 @@ def append_bloom_manifest(spark: SparkSession, path: str, manifest_path: str) ->
     spark.createDataFrame([(n,) for n in new_names], "file STRING").coalesce(1).write.mode(
         "append"
     ).parquet(base + "/files")
+
+
+def manifest_assisted_count(
+    spark: SparkSession, path: str, manifest_path: str, box: dict[str, tuple[float, float]]
+) -> int:
+    """COUNT(*) under a conjunctive box predicate with metadata doing
+    most of the work (the Iceberg/Delta metadata-count pattern):
+
+    * files whose stats prove them FULLY INSIDE the box on every box
+      column contribute their manifest row count without being opened;
+    * files provably DISJOINT on some column contribute zero;
+    * only BOUNDARY files — plus files with missing stats or unknown
+      to the manifest — are read and exactly filtered.
+
+    On a well-clustered lake the read set is the box's surface, not
+    its volume. The classification collects box-column stat rows only
+    (metadata-scale, same budget as pruned_read's path collect)."""
+    mf = spark.read.parquet(manifest_path)
+    rows_by_file = {r.file: r.rows for r in mf.select("file", "rows").distinct().collect()}
+    stats = {}
+    for r in mf.filter(F.col("col").isin(list(box))).collect():
+        stats.setdefault(r.file, {})[r.col] = (r.lo, r.hi)
+    metadata_count = 0
+    boundary = []
+    existing = set(_data_files(path))
+    for f, n_rows in rows_by_file.items():
+        if f not in existing:
+            continue  # vanished file (replay rewrite, compaction)
+        verdict = "inside"
+        for c, (lo, hi) in box.items():
+            st = stats.get(f, {}).get(c)
+            if st is None:
+                verdict = "boundary"  # no usable stats: must read
+                continue
+            if st[1] < float(lo) or st[0] > float(hi):
+                verdict = "skip"  # provable miss beats everything
+                break
+            if not (st[0] >= float(lo) and st[1] <= float(hi)):
+                if verdict != "boundary":
+                    verdict = "boundary"
+        if verdict == "inside":
+            metadata_count += int(n_rows)
+        elif verdict == "boundary":
+            boundary.append(f)
+    known = set(rows_by_file)
+    boundary += sorted(existing - known)
+    if not boundary:
+        return metadata_count
+    df = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, n) for n in sorted(boundary)]
+    )
+    cond = F.lit(True)
+    for c, (lo, hi) in box.items():
+        cond = cond & F.col(c).between(float(lo), float(hi))
+    return metadata_count + df.filter(cond).count()

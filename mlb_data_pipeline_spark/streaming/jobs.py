@@ -535,3 +535,51 @@ def sq8_index_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def lake_append_stream(
+    rows_stream: DataFrame,
+    lake_path: str,
+    stat_cols: list[str],
+    box_manifest_path: str,
+    checkpoint_dir: str,
+    bloom_manifest_path: str | None = None,
+) -> None:
+    """Streaming LAKE ingestion with manifest maintenance (the Y2/Y4
+    day-2 legs driven from a stream): each micro-batch lands as its own
+    ``ingest_batch=<id>`` partition directory, then the box manifest
+    (and optionally the Bloom manifest) appends stats for exactly the
+    new files — O(batch) footer reads, never a re-stat.
+
+    Delivery: foreachBatch is at-least-once on retry. The batch
+    directory is the replay guard — a committed batch's dir (with its
+    ``_SUCCESS`` marker) is skipped wholesale on redelivery, and a
+    half-written dir (no marker) is overwritten in place; manifest
+    appends are file-name keyed, so re-running them after either
+    outcome adds nothing for files already statted. Readers are safe
+    at EVERY point in between because ``pruned_read`` /
+    ``manifest_assisted_count`` treat manifest-unknown files as
+    must-read and manifest-known-but-vanished files as absent.
+    Bootstrap data loaded outside the stream must use batch labels the
+    stream will never emit (e.g. ``ingest_batch=-1``) — stream batch
+    ids start at 0."""
+    import os
+
+    from ..operators.layout import append_bloom_manifest, append_scan_manifest
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_dir = os.path.join(lake_path, f"ingest_batch={batch_id}")
+        if not os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
+            batch_df.write.mode("overwrite").parquet(batch_dir)
+        append_scan_manifest(spark, lake_path, stat_cols, box_manifest_path)
+        if bloom_manifest_path is not None:
+            append_bloom_manifest(spark, lake_path, bloom_manifest_path)
+
+    q = (
+        rows_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

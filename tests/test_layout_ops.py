@@ -456,3 +456,52 @@ def test_bloom_manifest_unknown_file_is_must_read(spark, tmp_path):
     n_words = spark.read.parquet(bloom_manifest + "/words").count()
     append_bloom_manifest(spark, lake, bloom_manifest)
     assert spark.read.parquet(bloom_manifest + "/words").count() == n_words
+
+
+def test_manifest_assisted_count_exact_and_metadata_heavy(spark, tmp_path):
+    """The metadata-count contract: exact answer (equals the direct
+    filtered count) for boxes aligned and unaligned with file
+    boundaries, with interior files never opened (classification is
+    manifest-only; here we can only observe exactness plus the skip
+    set indirectly — interior+disjoint dominate on a clustered
+    layout)."""
+    from mlb_data_pipeline_spark.operators.layout import (
+        manifest_assisted_count,
+        save_scan_manifest,
+        write_zordered,
+    )
+
+    grid = spark.range(200 * 200).select(
+        (F.col("id") % 200).alias("x"), (F.col("id") / 200).cast("long").alias("y")
+    )
+    lake = str(tmp_path / "clake")
+    manifest = str(tmp_path / "cmanifest")
+    write_zordered(grid, lake, [("x", 0, 199), ("y", 0, 199)], bits=8, n_files=16)
+    save_scan_manifest(spark, lake, ["x", "y"], manifest)
+
+    for box in (
+        {"x": (0, 199), "y": (0, 199)},     # whole lake: pure metadata
+        {"x": (0, 49), "y": (0, 49)},
+        {"x": (13, 151), "y": (77, 143)},   # unaligned boundaries
+        {"x": (500, 600)},                  # provably empty
+    ):
+        got = manifest_assisted_count(spark, lake, manifest, box)
+        cond = F.lit(True)
+        for c, (lo, hi) in box.items():
+            cond = cond & F.col(c).between(lo, hi)
+        want = spark.read.parquet(lake).filter(cond).count()
+        assert got == want, (box, got, want)
+
+
+def test_manifest_assisted_count_stale_files_counted(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.layout import (
+        manifest_assisted_count,
+        save_scan_manifest,
+    )
+
+    lake = str(tmp_path / "clake2")
+    manifest = str(tmp_path / "cmanifest2")
+    spark.createDataFrame([(i,) for i in range(50)], "x long").coalesce(1).write.parquet(lake)
+    save_scan_manifest(spark, lake, ["x"], manifest)
+    spark.createDataFrame([(5,), (500,)], "x long").coalesce(1).write.mode("append").parquet(lake)
+    assert manifest_assisted_count(spark, lake, manifest, {"x": (0, 10)}) == 12  # 11 + stale 5

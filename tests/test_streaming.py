@@ -587,3 +587,78 @@ def test_sq8_index_stream_equals_batch_store(spark, tmp_path):
     assert sorted((r.query_id, r.rank, r.neighbor_id) for r in got.collect()) == sorted(
         (r.query_id, r.rank, r.vec_id) for r in want.collect()
     )
+
+
+def test_lake_append_stream_manifests_and_prunes(spark, tmp_path):
+    """Streaming lake ingestion (Y2/Y4 from a stream): micro-batches
+    land as ingest_batch=<id> partition dirs, manifests append
+    O(batch), and a pruned read over the finished lake is exact while
+    skipping files — including across batch directories. Replaying a
+    committed batch through the process function is a no-op."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.layout import (
+        manifest_assisted_count,
+        pruned_read,
+        save_bloom_manifest,
+        save_scan_manifest,
+    )
+    from mlb_data_pipeline_spark.streaming.jobs import lake_append_stream
+
+    lake = str(tmp_path / "lake")
+    box_m = str(tmp_path / "box_m")
+    bloom_m = str(tmp_path / "bloom_m")
+    # bootstrap: an initial batch-0 lake + manifests
+    seed = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("tag")
+    )
+    seed.coalesce(2).write.parquet(lake + "/ingest_batch=-1")
+    save_scan_manifest(spark, lake, ["k"], box_m)
+    save_bloom_manifest(spark, lake, "tag", bloom_m)
+
+    src = str(tmp_path / "src")
+    spark.range(1000, 2000).select(
+        F.col("id").alias("k"), F.lit("9").alias("tag")
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.range(2000, 3000).select(
+        F.col("id").alias("k"), F.lit("8").alias("tag")
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k BIGINT, tag STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    lake_append_stream(stream, lake, ["k"], box_m, str(tmp_path / "ckpt"), bloom_m)
+
+    whole = spark.read.parquet(lake)
+    assert whole.count() == 3000
+    assert "ingest_batch" in whole.columns  # partition provenance survives
+
+    # box pruning across batch dirs: k in [1200, 1300] lives in one
+    # streamed batch only
+    out = pruned_read(spark, lake, box_m, {"k": (1200, 1300)})
+    got = out.filter(F.col("k").between(1200, 1300))
+    assert got.count() == 101
+    assert len(out.inputFiles()) < len(whole.inputFiles())
+
+    # bloom equality pruning: tag '9' exists only in the first streamed batch
+    out9 = pruned_read(
+        spark, lake, box_m, {"k": (0, 10**9)}, bloom_filters=[(bloom_m, "9")]
+    )
+    assert out9.filter(F.col("tag") == "9").count() == 1000
+    assert len(out9.inputFiles()) < len(whole.inputFiles())
+
+    # metadata count stays exact over the partitioned lake
+    assert manifest_assisted_count(spark, lake, box_m, {"k": (0, 2999)}) == 3000
+
+    # replay guard: re-running the committed batch dirs appends nothing
+    n_words = spark.read.parquet(bloom_m + "/words").count()
+    n_stats = spark.read.parquet(box_m).count()
+    from mlb_data_pipeline_spark.operators.layout import (
+        append_bloom_manifest,
+        append_scan_manifest,
+    )
+    append_scan_manifest(spark, lake, ["k"], box_m)
+    append_bloom_manifest(spark, lake, bloom_m)
+    assert spark.read.parquet(box_m).count() == n_stats
+    assert spark.read.parquet(bloom_m + "/words").count() == n_words
