@@ -1391,6 +1391,13 @@ def sq8_bounds(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
     of this aggregate is bit-exact oracle-able."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    # one bounded sample: a wrong dim would otherwise yield NULL bounds
+    # (element_at past the end) and silently null scores downstream
+    first = corpus.select(F.size(F.col(vec_col)).alias("__d")).first()
+    if first is not None and first["__d"] != dim:
+        raise ValueError(
+            f"sq8_bounds: dim={dim} but {vec_col} vectors have {first['__d']} elements"
+        )
     v = F.col(vec_col)
     aggs = []
     for i in range(1, dim + 1):

@@ -531,7 +531,7 @@ ORDER BY query_id, rank
 """
 
 
-@query("r48_sq8_knn", oracle=_R48_SQL, covers="V3,V2,U2")
+@query("r48_sq8_knn", oracle=_R48_SQL, covers="V3,V2,U2", bench=True)
 def r48_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vector import sq8_knn_join
 

@@ -974,3 +974,10 @@ def test_sq8_refresh_reflects_changed_content(spark, emb, tmp_path):
     after = sq8_index_knn(spark, path, q7, k=1).collect()[0]
     assert after.neighbor_id == 50, (before.neighbor_id, after.neighbor_id)
     assert spark.read.parquet(path + "/codes").count() == 100  # still one row per id
+
+
+def test_sq8_bounds_rejects_wrong_dim(spark, emb):
+    from mlb_data_pipeline_spark.operators.vector import sq8_bounds
+
+    with pytest.raises(ValueError, match="dim=32"):
+        sq8_bounds(emb, "embedding", dim=32)
