@@ -680,6 +680,14 @@ def manifest_assisted_count(
     metadata_count = 0
     boundary = []
     existing = set(_data_files(path))
+    for c, (lo, hi) in box.items():
+        try:
+            float(lo), float(hi)
+        except (TypeError, ValueError) as exc:
+            raise ValueError(
+                f"manifest_assisted_count needs numeric box bounds; got {c}={lo!r}..{hi!r} "
+                "(use pruned_read with bloom_filters for string equality)"
+            ) from exc
     for f, n_rows in rows_by_file.items():
         if f not in existing:
             continue  # vanished file (replay rewrite, compaction)

@@ -794,15 +794,28 @@ def interval_overlap_join(
         lo = F.floor(F.col(start) / grid).cast("long")
         hi = F.floor(F.col(end) / grid).cast("long")
         n = hi - lo + 1
-        guard = F.when(
-            n > F.lit(max_cells),
-            F.raise_error(
-                F.lit(
-                    f"interval spans more than max_cells={max_cells} grid cells; "
-                    "raise grid or split the outlier interval"
-                )
-            ).cast("long"),
-        ).otherwise(lo)
+        # two in-plan guards: an oversized span would silently explode
+        # the join, and an INVERTED interval (end < start) would make
+        # F.sequence descend and emit garbage cells — both are data
+        # bugs worth a loud stop, not quiet wrong pairs
+        guard = (
+            F.when(
+                F.col(end) < F.col(start),
+                F.raise_error(
+                    F.lit("interval end < start; fix or filter malformed intervals")
+                ).cast("long"),
+            )
+            .when(
+                n > F.lit(max_cells),
+                F.raise_error(
+                    F.lit(
+                        f"interval spans more than max_cells={max_cells} grid cells; "
+                        "raise grid or split the outlier interval"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(lo)
+        )
         return F.sequence(guard, hi)
 
     lexp = left.withColumn("__cell", F.explode(cells(left_start, left_end)))
@@ -812,3 +825,71 @@ def interval_overlap_join(
     )
     first_cell = F.floor(F.greatest(F.col(left_start), F.col(right_start)) / grid).cast("long")
     return joined.filter(F.col("__cell") == first_cell).drop("__cell")
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group daily gap fill with forward fill (time-series
+    regularization): each group's calendar spans ITS OWN [min_day,
+    max_day] (one grouped agg + an in-plan ``sequence`` explode — no
+    driver-side calendar), observed rows join back on (group, day),
+    and missing days take the last observed value
+    (``last(ignorenulls)`` over an unbounded-preceding frame).
+    Output: group cols, day, <value_col> (filled), ``is_gap``.
+
+    100 TB: the calendar explode is |groups| x days — proportional to
+    the OUTPUT, not the input; the fill is one window per group
+    ordered by day, the same shuffle the join already paid. Days
+    before a group's first observation cannot forward-fill and stay
+    NULL (flagged is_gap) — semantics, not an accident."""
+    g = [F.col(c) for c in group_cols]
+    bounds = df.groupBy(*g).agg(
+        F.min(F.col(day_col).cast("date")).alias("__lo"),
+        F.max(F.col(day_col).cast("date")).alias("__hi"),
+    )
+    calendar = bounds.select(
+        *group_cols,
+        F.explode(F.sequence("__lo", "__hi")).alias(day_col),
+    )
+    observed = df.select(
+        *group_cols, F.col(day_col).cast("date").alias(day_col), F.col(value_col)
+    )
+    joined = calendar.join(observed, [*group_cols, day_col], "left")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *group_cols,
+        day_col,
+        F.last(value_col, ignorenulls=True).over(w).alias(value_col),
+        F.col(value_col).isNull().alias("is_gap"),
+    )
+
+
+def activity_islands(df: DataFrame, key_cols: list[str], day_col: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    key (streak detection — retention features, SLA windows). The
+    classic constant-group trick: over distinct (key, day), day minus
+    row_number() days is constant exactly within a consecutive run, so
+    one window pass + one group-by yields island start/end/length.
+    Two shuffles total (both on the key), no iteration, no UDF."""
+    days = df.select(*key_cols, F.col(day_col).cast("date").alias("__day")).distinct()
+    w = Window.partitionBy(*key_cols).orderBy("__day")
+    grouped = days.withColumn(
+        "__grp", F.date_sub(F.col("__day"), F.row_number().over(w))
+    )
+    return (
+        grouped.groupBy(*key_cols, "__grp")
+        .agg(
+            F.min("__day").alias("island_start"),
+            F.max("__day").alias("island_end"),
+            F.count("*").alias("n_days"),
+        )
+        .drop("__grp")
+    )

@@ -109,3 +109,58 @@ def q34_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("__node")
     )
+
+
+# ---------------------------------------------------------------------------
+# R54 — per-node triangle counts (round 9): clustering structure over
+#        the co-supplier graph (suppliers co-occurring in an order).
+#        Canonical (lo, hi) edges; each triangle counted once as an
+#        ordered wedge a < b < c closed by the (a, c) edge — two hash
+#        equi-joins, no BNLJ (plan pinned in tests/test_graph_ops.py);
+#        the oracle replays the identical joins.
+# ---------------------------------------------------------------------------
+
+_R54_SQL = """
+WITH co AS (
+  SELECT o.o_orderkey, l.l_suppkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 101 = 0
+),
+raw AS (
+  SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+  FROM co x JOIN co y ON x.o_orderkey = y.o_orderkey AND x.l_suppkey < y.l_suppkey
+),
+und AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM raw WHERE src <> dst),
+wedges AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1 JOIN und e2 ON e1.hi = e2.lo
+  WHERE e1.lo < e2.hi
+),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedges w JOIN und e ON e.lo = w.a AND e.hi = w.c
+),
+corners AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM corners
+GROUP BY node
+ORDER BY node
+"""
+
+
+@query("r54_triangle_count", oracle=_R54_SQL, covers="graph:triangles,J1,A2")
+def r54_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select("o_orderkey", "l_suppkey")
+    edges = (
+        j.alias("x")
+        .join(j.alias("y"), "o_orderkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst"))
+    )
+    return triangle_count(edges).orderBy("node")

@@ -1380,3 +1380,84 @@ def r51_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_l", "id_r")
     )
+
+
+# ---------------------------------------------------------------------------
+# R53 — daily gap fill + forward fill (round 9): time-series
+#        regularization — each group's calendar spans its own
+#        [min, max] day via an in-plan sequence explode (calendar size
+#        is proportional to the OUTPUT, never a driver loop), missing
+#        days forward-fill with last(ignorenulls). Pre-first-observation
+#        days stay NULL and flag is_gap — semantics, not accident.
+# ---------------------------------------------------------------------------
+
+_R53_SQL = """
+WITH obs AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+  FROM orders WHERE o_custkey % 199 = 0 GROUP BY 1, 2
+),
+b AS (SELECT pri, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY 1),
+cal AS (
+  SELECT pri, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+),
+j AS (SELECT cal.pri, cal.day, obs.n FROM cal LEFT JOIN obs USING (pri, day))
+SELECT pri, day,
+       last_value(n IGNORE NULLS) OVER (PARTITION BY pri ORDER BY day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled,
+       n IS NULL AS is_gap
+FROM j
+ORDER BY pri, day
+"""
+
+
+@query("r53_gap_fill", oracle=_R53_SQL, covers="O5,O6,A2,P2")
+def r53_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import gap_fill_daily
+
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 199 == 0)
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    filled = gap_fill_daily(obs, ["pri"], "day", "n")
+    return filled.select(
+        "pri", "day", F.col("n").alias("n_filled"), "is_gap"
+    ).orderBy("pri", "day")
+
+
+# ---------------------------------------------------------------------------
+# R55 — gaps-and-islands (round 9): maximal consecutive-day activity
+#        runs per user over the events table — the constant-group
+#        trick (day - row_number() is constant within a run), one
+#        window + one group-by, both on the user shuffle.
+# ---------------------------------------------------------------------------
+
+_R55_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grp AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS g
+  FROM days
+)
+SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end, COUNT(*) AS n_days
+FROM grp
+GROUP BY user_id, g
+ORDER BY user_id, island_start
+"""
+
+
+@query("r55_activity_islands", oracle=_R55_SQL, covers="O4,O5,A2,T11")
+def r55_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import activity_islands
+
+    events = load_table(spark, sf_dir, "events")
+    out = activity_islands(events, ["user_id"], "ts")
+    return out.orderBy("user_id", "island_start")

@@ -64,3 +64,18 @@ def test_pagerank_empty_graph(spark):
     out = pagerank(df, n_iter=2)
     assert out.count() == 0
     assert set(out.columns) == {"node", "rank_micro"}
+
+
+def test_triangle_count_known_graph_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + a pendant edge +
+    # a duplicate/reversed edge that must not double-count
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (2, 1), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -367,3 +367,57 @@ def test_interval_overlap_join_no_cartesian_and_guard(spark):
     bad = interval_overlap_join(wide, right, "s_l", "e_l", "s_r", "e_r", grid=1, max_cells=100)
     with pytest.raises(Exception, match="max_cells|USER_RAISED"):
         bad.collect()
+
+
+def test_interval_overlap_join_rejects_inverted_interval(spark):
+    from mlb_data_pipeline_spark.operators.relational import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 9, 3)], "id_l long, s_l long, e_l long")  # end < start
+    right = spark.createDataFrame([(2, 0, 10)], "id_r long, s_r long, e_r long")
+    bad = interval_overlap_join(left, right, "s_l", "e_l", "s_r", "e_r", grid=2)
+    with pytest.raises(Exception, match="end < start|USER_RAISED"):
+        bad.collect()
+
+
+def test_gap_fill_daily_forward_fills_and_flags(spark):
+    import datetime as dt
+
+    from mlb_data_pipeline_spark.operators.relational import gap_fill_daily
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1), 10),
+        ("a", d(2024, 1, 4), 40),   # 2 missing days between
+        ("b", d(2024, 2, 1), 7),    # singleton group: no gaps
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v long")
+    out = {(r.k, r.day): (r.v, r.is_gap) for r in gap_fill_daily(df, ["k"], "day", "v").collect()}
+    assert out[("a", d(2024, 1, 1))] == (10, False)
+    assert out[("a", d(2024, 1, 2))] == (10, True)   # forward-filled
+    assert out[("a", d(2024, 1, 3))] == (10, True)
+    assert out[("a", d(2024, 1, 4))] == (40, False)
+    assert out[("b", d(2024, 2, 1))] == (7, False)
+    assert len(out) == 5  # group b's calendar never bleeds into a's
+
+
+def test_activity_islands_runs_and_singletons(spark):
+    import datetime as dt
+
+    from mlb_data_pipeline_spark.operators.relational import activity_islands
+
+    d = dt.date
+    rows = [
+        (1, d(2024, 1, 1)), (1, d(2024, 1, 2)), (1, d(2024, 1, 3)),  # run of 3
+        (1, d(2024, 1, 3)),                                          # dup day ignored
+        (1, d(2024, 1, 7)),                                          # singleton
+        (2, d(2024, 1, 2)), (2, d(2024, 1, 3)),                      # run of 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts date")
+    got = {
+        (r.user_id, r.island_start): (r.island_end, r.n_days)
+        for r in activity_islands(df, ["user_id"], "ts").collect()
+    }
+    assert got[(1, d(2024, 1, 1))] == (d(2024, 1, 3), 3)
+    assert got[(1, d(2024, 1, 7))] == (d(2024, 1, 7), 1)
+    assert got[(2, d(2024, 1, 2))] == (d(2024, 1, 3), 2)
+    assert len(got) == 3
