@@ -86,20 +86,14 @@ def q11_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q18 — date-partitioned lake write + pruned read-back (S8)
+# Date-partitioned lake write + pruned read-back (S8). Ex-q18: merged
+# into q25's writer family as the 'partitioned' branch (round 9) — the
+# freed slot holds the SQ8 quantized k-NN (ex-r48). The standalone form
+# stays importable for tests.
 # ---------------------------------------------------------------------------
 
-_Q18_SQL = """
-SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month, COUNT(*) AS n_orders
-FROM orders
-WHERE EXTRACT(year FROM o_orderdate) = 1995
-GROUP BY 1
-ORDER BY 1
-"""
 
-
-@query("q18_partitioned_sink", oracle=_Q18_SQL, covers="S8,P8,T11,A2")
-def q18_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write orders partitioned by year (the engine's form of the
     reference's ``articles/{date}/`` layout), then read ONE partition
     back. The o_year=1995 filter prunes at the directory level — the
@@ -424,17 +418,35 @@ def q78_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q25_SQL = """
-SELECT o.o_orderpriority,
-       COUNT(*) AS n_items,
-       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
-FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-GROUP BY 1
-ORDER BY 1
+WITH bucketed AS (
+  SELECT o.o_orderpriority AS k,
+         COUNT(*) AS n,
+         CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS val
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+),
+partitioned AS (
+  SELECT CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR) AS k, COUNT(*) AS n
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1995
+  GROUP BY 1
+)
+SELECT 'bucketed' AS part, k, n, val FROM bucketed
+UNION ALL
+SELECT 'partitioned', k, n, CAST(NULL AS DOUBLE) FROM partitioned
+ORDER BY part, k
 """
 
 
-@query("q25_bucketed_join", oracle=_Q25_SQL, covers="J1,J2,A2,S8")
+@query("q25_bucketed_join", oracle=_Q25_SQL, covers="J1,J2,A2,S8,P8,T11")
 def q25_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer family, tagged union (round 9: the date-partitioned sink
+    demo merged in as the 'partitioned' branch, freeing q18's slot for
+    the SQ8 quantized k-NN):
+    * 'bucketed' branch — co-located fact-fact join over bucketed
+      tables (zero-exchange SMJ, plan pinned);
+    * 'partitioned' branch — partitionBy(year) write + directory-pruned
+      single-partition read-back."""
     from ..functions.numeric import dsum
     from ..sources.writers import write_bucketed
 
@@ -452,11 +464,23 @@ def q25_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = spark.table(t_orders).hint("merge").join(
         spark.table(t_items), F.col("o_orderkey") == F.col("l_orderkey")
     )
-    return (
+    bucketed = (
         joined.groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("total_price"))
-        .orderBy("o_orderpriority")
+        .select(
+            F.lit("bucketed").alias("part"),
+            F.col("o_orderpriority").alias("k"),
+            F.col("n_items").alias("n"),
+            F.col("total_price").alias("val"),
+        )
     )
+    partitioned = partitioned_sink_roundtrip(spark, sf_dir).select(
+        F.lit("partitioned").alias("part"),
+        F.col("month").cast("string").alias("k"),
+        F.col("n_orders").alias("n"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return bucketed.unionByName(partitioned).orderBy("part", "k")
 
 
 # ---------------------------------------------------------------------------

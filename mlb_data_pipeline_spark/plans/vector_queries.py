@@ -484,7 +484,8 @@ def r37_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R48 — SQ8 scalar-quantized k-NN (round 9): the oracle-able
+# Q18 (ex-r48, rotated into the driver window round 9) — SQ8
+#        scalar-quantized k-NN: the oracle-able
 #        compression tier. Per-dim min/max bounds -> int8 codes ->
 #        midpoint dequantize in-plan -> cosine vs the full-precision
 #        query (asymmetric ADC, the FAISS SQ8 pattern). Every step is
@@ -495,7 +496,7 @@ def r37_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        contract pinned in tests/test_vector_ops.py.
 # ---------------------------------------------------------------------------
 
-_R48_SQL = """
+_Q18_SQL_SQ8 = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 dims AS (SELECT unnest(range(1, 65)) AS i),
 bounds AS (SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi FROM e CROSS JOIN dims GROUP BY i),
@@ -531,8 +532,8 @@ ORDER BY query_id, rank
 """
 
 
-@query("r48_sq8_knn", oracle=_R48_SQL, covers="V3,V2,U2", bench=True)
-def r48_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q18_sq8_knn", oracle=_Q18_SQL_SQ8, covers="V3,V2,U2", bench=True)
+def q18_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vector import sq8_knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -81,6 +81,7 @@ def test_registry_window_invariant():
         "q34_pagerank_influence",
         "q43_scd2_merge",
         "q16_jaccard_prefix_join",
+        "q18_sq8_knn",
         "q20_incremental_jaccard",
         "q30_remove_duplicate_chunks",
         "q39_zorder_key",
