@@ -56,9 +56,13 @@ def _data_files(path: str) -> list[str]:
     family shares, so flat and partitioned lakes behave identically."""
     out = []
     base = os.path.abspath(path)
-    for root, _dirs, names in os.walk(base):
+    for root, dirs, names in os.walk(base):
+        # the Hadoop hidden convention: _- and .-prefixed entries are
+        # metadata (release manifests, _SUCCESS sidecars, checkpoints),
+        # never data — exactly what parquet discovery skips
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for n in names:
-            if n.endswith(".parquet"):
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
                 out.append(os.path.relpath(os.path.join(root, n), base))
     return sorted(out)
 

@@ -752,3 +752,48 @@ def test_pretraining_pipeline_dup_chunk_gate(spark, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 200 in kept and 201 in kept and 202 not in kept
     assert metrics["quality"] == 2
+
+
+def test_pretraining_pipeline_stats_manifest_prunes_release(spark, tmp_path):
+    """Round-9 integration: the chain emits a data-skipping manifest
+    over the release (_SCAN_MANIFEST, skipped by discovery), and a
+    consumer's pruned_read / manifest-count over a numeric column is
+    exact without opening all shard footers."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.dedup import build_signature_store
+    from mlb_data_pipeline_spark.operators.layout import (
+        manifest_assisted_count,
+        pruned_read,
+    )
+    from mlb_data_pipeline_spark.pipelines import pretraining_data_pipeline
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12)), "web") for i in range(5)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    store = str(tmp_path / "store")
+    build_signature_store(corpus, "doc_id", "text", store)
+    bench = spark.createDataFrame([(900, "held out words")], "doc_id BIGINT, text STRING")
+    delta = spark.createDataFrame(
+        [(100 + i, " ".join(f"d{i}x{j}" for j in range(10 + 3 * i)), "web") for i in range(8)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    out = str(tmp_path / "shards")
+    pretraining_data_pipeline(
+        spark, delta, bench, store, out, mix={"web": 1.0}, pack_budget=64,
+        stats_manifest_cols=["n_tok", "doc_id"],
+    )
+    release = spark.read.parquet(out)
+    total = release.count()
+    assert total > 0
+    manifest = out + "/_SCAN_MANIFEST"
+    # pruning never loses rows, whole-range metadata count is exact
+    assert manifest_assisted_count(spark, out, manifest, {"n_tok": (0, 10**9)}) == total
+    want = release.filter(F.col("n_tok").between(20, 25)).count()
+    got = pruned_read(spark, out, manifest, {"n_tok": (20, 25)}).filter(
+        F.col("n_tok").between(20, 25)
+    )
+    assert got.count() == want
+    # the release read itself must not see the manifest's rows
+    assert "lo" not in release.columns
