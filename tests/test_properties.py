@@ -202,3 +202,84 @@ def test_jaccard_prefix_join_lossless_property(spark):
         assert got == want, (docs, t, got ^ want)
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# Round-9 operators: interval overlap, activity islands (vs brute force)
+# ---------------------------------------------------------------------------
+
+intervals_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),   # start
+        st.integers(min_value=0, max_value=12),   # length
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(li=intervals_st, ri=intervals_st, grid=st.sampled_from([1, 2, 5, 13]))
+@SET_TIMES
+def test_interval_overlap_equals_bruteforce(spark, li, ri, grid):
+    from mlb_data_pipeline_spark.operators.relational import interval_overlap_join
+
+    lrows = [(i, s, s + n) for i, (s, n) in enumerate(li)]
+    rrows = [(100 + i, s, s + n) for i, (s, n) in enumerate(ri)]
+    if not lrows or not rrows:
+        return
+    left = spark.createDataFrame(lrows, "id_l long, s_l long, e_l long")
+    right = spark.createDataFrame(rrows, "id_r long, s_r long, e_r long")
+    got = [
+        (r.id_l, r.id_r)
+        for r in interval_overlap_join(left, right, "s_l", "e_l", "s_r", "e_r", grid=grid).collect()
+    ]
+    want = [
+        (a, b)
+        for a, sa, ea in lrows
+        for b, sb, eb in rrows
+        if sa <= eb and sb <= ea
+    ]
+    # exactly-once: multiset equality, not just set
+    assert sorted(got) == sorted(want), grid
+
+
+days_st = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2), st.integers(min_value=0, max_value=25)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(rows=days_st)
+@SET_TIMES
+def test_activity_islands_equal_python_reference(spark, rows):
+    import datetime as dt
+
+    from mlb_data_pipeline_spark.operators.relational import activity_islands
+
+    if not rows:
+        return
+    base = dt.date(2024, 1, 1)
+    data = [(k, base + dt.timedelta(days=d)) for k, d in rows]
+    df = spark.createDataFrame(data, "user_id long, ts date")
+    got = sorted(
+        (r.user_id, r.island_start, r.island_end, r.n_days)
+        for r in activity_islands(df, ["user_id"], "ts").collect()
+    )
+    # python reference: sort distinct days per key, split on gaps
+    from collections import defaultdict
+
+    byk = defaultdict(set)
+    for k, d in data:
+        byk[k].add(d)
+    want = []
+    for k, ds in byk.items():
+        run = []
+        for d in sorted(ds):
+            if run and (d - run[-1]).days != 1:
+                want.append((k, run[0], run[-1], len(run)))
+                run = []
+            run.append(d)
+        if run:
+            want.append((k, run[0], run[-1], len(run)))
+    assert got == sorted(want)
