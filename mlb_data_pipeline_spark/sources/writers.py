@@ -172,6 +172,7 @@ def compact_parquet(
     sort_cols: list[str] | None = None,
     zorder: list[tuple[str, float, float]] | None = None,
     zorder_bits: int = 16,
+    hilbert: list[tuple[str, int, int]] | None = None,
 ) -> int:
     """Rewrite a parquet dataset in place with a bounded file count —
     the maintenance pass an append-only store (signature store, IVF
@@ -200,11 +201,15 @@ def compact_parquet(
     (``operators.relational.zorder_key``), which keeps every
     dimension's footer min/max tight at once (the lakehouse OPTIMIZE
     ZORDER); the key is computed for layout only and dropped before
-    the write. This is how the persisted text-index postings and the
+    the write. For exactly TWO integer-keyed dimensions ``hilbert``
+    clusters on the Hilbert curve instead (operators/layout.py —
+    measured ~6 points more file-skipping than Morton at identical
+    write cost; integer (col, lo, hi) specs under the 2^53 exactness
+    gate). This is how the persisted text-index postings and the
     time-keyed event lake keep probe scans proportional to the queried
     range, not the store."""
-    if zorder and sort_cols:
-        raise ValueError("pass sort_cols OR zorder, not both")
+    if sum(x is not None for x in (sort_cols, zorder, hilbert)) > 1:
+        raise ValueError("pass exactly one of sort_cols / zorder / hilbert")
     df = spark.read.parquet(path)
     drop_after = []
     if zorder:
@@ -213,6 +218,20 @@ def compact_parquet(
         df = df.withColumn("__z", zorder_key(zorder, zorder_bits))
         sort_cols = ["__z"]
         drop_after = ["__z"]
+    elif hilbert:
+        # the better-locality 2-D curve (operators/layout.py): integer
+        # (col, lo, hi) specs, exactness-gated cells, per-level unroll
+        from ..operators.layout import scale_to_bits_int, with_hilbert_key
+
+        if len(hilbert) != 2:
+            raise ValueError("hilbert clusters exactly 2 columns; use zorder for more")
+        (cx, lox, hix), (cy, loy, hiy) = hilbert
+        df = df.withColumn("__cx", scale_to_bits_int(cx, lox, hix, zorder_bits)).withColumn(
+            "__cy", scale_to_bits_int(cy, loy, hiy, zorder_bits)
+        )
+        df = with_hilbert_key(df, "__cx", "__cy", zorder_bits, out_col="__h")
+        sort_cols = ["__h"]
+        drop_after = ["__h", "__cx", "__cy"]
     n = df.count()
     if partition_cols:
         cols = [F.col(c) for c in partition_cols]

@@ -723,3 +723,28 @@ def test_apply_changelog_semantics(spark):
     out = apply_changelog(base, log, ["k"], "seq")
     again = {(r.k, r.v) for r in apply_changelog(out, log, ["k"], "seq").collect()}
     assert again == got
+
+
+def test_compact_parquet_hilbert_clusters_files(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.layout import pruning_report
+    from mlb_data_pipeline_spark.sources.writers import compact_parquet
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    grid = spark.range(200 * 200).select(
+        (F.col("id") % 200).alias("x"), (F.col("id") / 200).cast("long").alias("y")
+    )
+    path = str(tmp_path / "lake")
+    grid.repartition(16).write.parquet(path)
+    n = compact_parquet(
+        spark, path, target_files=16, hilbert=[("x", 0, 199), ("y", 0, 199)], zorder_bits=8
+    )
+    assert n == 200 * 200
+    assert spark.read.parquet(path).count() == n
+    rep = pruning_report(path, {"x": (0, 49), "y": (0, 49)})
+    assert rep["skip_frac"] >= 0.5, rep
+    # layout keys must not leak into the data
+    assert set(spark.read.parquet(path).columns) == {"x", "y"}
+    with _pytest.raises(ValueError, match="exactly one"):
+        compact_parquet(spark, path, sort_cols=["x"], hilbert=[("x", 0, 1), ("y", 0, 1)])
