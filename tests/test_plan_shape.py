@@ -400,3 +400,19 @@ def test_prefix_similarity_joins_have_no_cartesian(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_sq8_scoring_stays_jvm_side(spark, sf_dir):
+    """The SQ8 tier's core claim: quantize, dequantize, and cosine all
+    run in whole-stage codegen — no Python evaluator anywhere in the
+    plan (PQ's ADC pays ArrowEvalPython per batch; SQ8 must not)."""
+    plan = plan_of(spark, sf_dir, "q18_sq8_knn")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_round9_joins_have_no_cartesian(spark, sf_dir):
+    for name in ("r51_interval_overlap", "r54_triangle_count"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
