@@ -722,3 +722,27 @@ def manifest_assisted_count(
     for c, (lo, hi) in box.items():
         cond = cond & F.col(c).between(float(lo), float(hi))
     return metadata_count + df.filter(cond).count()
+
+
+def verify_manifest(spark: SparkSession, path: str, manifest_path: str) -> dict:
+    """Manifest fsck — the consistency report an operator runs before
+    trusting metadata-heavy plans: which data files lack stats
+    (appended but never statted: pruning degrades to must-read), which
+    manifest rows point at vanished files (replay rewrites, compaction:
+    harmless, reclaimable), and the live coverage fraction. Pure
+    metadata (one listing + one manifest scan); repairs are the
+    existing day-2 legs (``append_scan_manifest`` for missing,
+    ``save_scan_manifest`` to rebuild)."""
+    on_disk = set(_data_files(path))
+    mf = spark.read.parquet(manifest_path)
+    known = {r.file for r in mf.select("file").distinct().collect()}
+    missing = sorted(on_disk - known)
+    stale = sorted(known - on_disk)
+    covered = len(on_disk & known)
+    return {
+        "files_on_disk": len(on_disk),
+        "files_covered": covered,
+        "coverage_frac": 0.0 if not on_disk else round(covered / len(on_disk), 4),
+        "unstatted_files": missing,
+        "stale_manifest_files": stale,
+    }

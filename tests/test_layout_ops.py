@@ -505,3 +505,33 @@ def test_manifest_assisted_count_stale_files_counted(spark, tmp_path):
     save_scan_manifest(spark, lake, ["x"], manifest)
     spark.createDataFrame([(5,), (500,)], "x long").coalesce(1).write.mode("append").parquet(lake)
     assert manifest_assisted_count(spark, lake, manifest, {"x": (0, 10)}) == 12  # 11 + stale 5
+
+
+def test_verify_manifest_reports_missing_and_stale(spark, tmp_path):
+    import os as _os
+
+    from mlb_data_pipeline_spark.operators.layout import (
+        append_scan_manifest,
+        save_scan_manifest,
+        verify_manifest,
+    )
+
+    lake = str(tmp_path / "vlake")
+    manifest = str(tmp_path / "vmanifest")
+    spark.createDataFrame([(i,) for i in range(100)], "x long").coalesce(2).write.parquet(lake)
+    save_scan_manifest(spark, lake, ["x"], manifest)
+    rep = verify_manifest(spark, lake, manifest)
+    assert rep["coverage_frac"] == 1.0 and not rep["unstatted_files"] and not rep["stale_manifest_files"]
+
+    # append a file -> unstatted until the day-2 leg runs
+    spark.createDataFrame([(999,)], "x long").coalesce(1).write.mode("append").parquet(lake)
+    rep2 = verify_manifest(spark, lake, manifest)
+    assert len(rep2["unstatted_files"]) == 1 and rep2["coverage_frac"] < 1.0
+    append_scan_manifest(spark, lake, ["x"], manifest)
+    assert verify_manifest(spark, lake, manifest)["coverage_frac"] == 1.0
+
+    # delete a data file -> its manifest rows are stale
+    victim = [f for f in _os.listdir(lake) if f.endswith(".parquet")][0]
+    _os.remove(_os.path.join(lake, victim))
+    rep3 = verify_manifest(spark, lake, manifest)
+    assert victim in rep3["stale_manifest_files"]
