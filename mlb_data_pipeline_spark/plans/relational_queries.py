@@ -1461,3 +1461,50 @@ def r55_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     out = activity_islands(events, ["user_id"], "ts")
     return out.orderBy("user_id", "island_start")
+
+
+# ---------------------------------------------------------------------------
+# R56 — unpivot / melt (round 9): the inverse of q10's pivot — a wide
+#        per-priority year matrix melts back to long form. The oracle
+#        computes the long form DIRECTLY (group by priority, year), so
+#        the pivot -> unpivot round trip is what's under the hash: any
+#        column/value misalignment in melt breaks parity.
+# ---------------------------------------------------------------------------
+
+_R56_SQL = """
+SELECT o_orderpriority,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1995 AND 1998
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("r56_unpivot_longform", oracle=_R56_SQL, covers="A11,P2,A2")
+def r56_unpivot_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+
+    years = [str(y) for y in range(1995, 1999)]
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1995, 1998)
+    )
+    wide = (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("string"))
+        .groupBy("o_orderpriority")
+        .pivot("o_year", years)
+        .agg(dsum("o_totalprice"))
+    )
+    long = wide.unpivot(
+        ["o_orderpriority"], years, "order_year", "total_value"
+    )
+    return (
+        long.filter(F.col("total_value").isNotNull())
+        .select(
+            "o_orderpriority",
+            F.col("order_year").cast("int").alias("order_year"),
+            "total_value",
+        )
+        .orderBy("o_orderpriority", "order_year")
+    )
