@@ -235,8 +235,21 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
     df.collect()  # materialize the AQE final plan
     plan = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
     assert "SortMergeJoin" in plan
-    join_subtree = plan[plan.index("SortMergeJoin"):]
+    # isolate the SMJ's OWN subtree (round 9 made q25 a tagged union, so
+    # text after the join also holds the sibling branch's legitimate
+    # exchanges): take lines from the SMJ until indentation returns to
+    # the join's level — the operator's children only
+    lines = plan.splitlines()
+    start = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln)
+    indent = len(lines[start]) - len(lines[start].lstrip(" +-:*"))
+    subtree = [lines[start]]
+    for ln in lines[start + 1:]:
+        if ln.strip() and len(ln) - len(ln.lstrip(" +-:*")) <= indent:
+            break
+        subtree.append(ln)
+    join_subtree = "\n".join(subtree)
     assert "Exchange" not in join_subtree, join_subtree
+    assert "Scan" in join_subtree  # sanity: the subtree reaches the leaves
 
 
 def test_indexed_tfidf_and_unigram_probe_never_scan_documents(spark, sf_dir):
