@@ -1489,7 +1489,10 @@ def sq8_knn_join(
             f"sq8_knn_join broadcasts the query set: more than max_queries={max_queries} "
             "query rows; route through similarity_join / ivf_knn_join at scale"
         )
-    bounds = sq8_bounds(corpus, vec_col, dim)
+    # the 1-row bounds frame feeds BOTH the encode and the scoring
+    # dequantize; an eager local checkpoint computes the aggregate once
+    # instead of once per appearance (still never driver-collected)
+    bounds = sq8_bounds(corpus, vec_col, dim).localCheckpoint(eager=True)
     ce = sq8_encode(corpus.select(id_col, vec_col), vec_col, bounds)
     q = _prefix(queries.select(id_col, vec_col), "q_")
     joined = (
