@@ -1014,3 +1014,77 @@ def r34_bloom_seen_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gate")
     )
+
+
+# ---------------------------------------------------------------------------
+# R57 — incremental view maintenance WITH RETRACTIONS (round 9): the
+#        rollup store (r02) maintained from a CDC changelog — deletes
+#        retract partials, updates net to value deltas, group/partition
+#        MOVES retract-and-add, inserts may create NEW partitions —
+#        cost O(changes + touched partition partials), never O(facts).
+#        The oracle aggregates the CDC-applied facts directly, so the
+#        maintained store must stay bit-identical to a rebuild.
+# ---------------------------------------------------------------------------
+
+_R57_SQL = """
+WITH f AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS y, o_orderpriority AS pri,
+         o_totalprice AS v, o_custkey % 50 AS m
+  FROM orders
+),
+applied AS (
+  SELECT y, pri, v FROM f WHERE m NOT IN (0, 1, 2)
+  UNION ALL
+  SELECT y, pri, v + 100 FROM f WHERE m = 1
+  UNION ALL
+  SELECT y, 'X-MOVED', v FROM f WHERE m = 2
+  UNION ALL
+  SELECT 2024, 'Z-NEW', 1000.50 FROM f WHERE m = 3
+)
+SELECT y, pri, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(v AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+FROM applied
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("r57_rollup_cdc_maintenance", oracle=_R57_SQL, covers="S12,A2,I8,J3")
+def r57_rollup_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.warehouse import build_rollup_store, rollup_from_store, update_rollup_store_cdc
+
+    path = _scratch(sf_dir, "r57_rollup")
+    f = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_custkey") % 50).alias("m"),
+    )
+    build_rollup_store(f, path, "y", ["pri"], "v")
+    nul_s, nul_i, nul_d = (
+        F.lit(None).cast("string"),
+        F.lit(None).cast("int"),
+        F.lit(None).cast("double"),
+    )
+    deletes = f.filter(F.col("m") == 0).select(
+        F.lit("D").alias("op"), nul_i.alias("y"), nul_s.alias("pri"), nul_d.alias("v"),
+        F.col("y").alias("old_y"), F.col("pri").alias("old_pri"), F.col("v").alias("old_v"),
+    )
+    bumps = f.filter(F.col("m") == 1).select(
+        F.lit("U").alias("op"), "y", "pri", (F.col("v") + F.lit(100.0)).alias("v"),
+        F.col("y").alias("old_y"), F.col("pri").alias("old_pri"), F.col("v").alias("old_v"),
+    )
+    moves = f.filter(F.col("m") == 2).select(
+        F.lit("U").alias("op"), "y", F.lit("X-MOVED").alias("pri"), "v",
+        F.col("y").alias("old_y"), F.col("pri").alias("old_pri"), F.col("v").alias("old_v"),
+    )
+    inserts = f.filter(F.col("m") == 3).select(
+        F.lit("I").alias("op"), F.lit(2024).alias("y"), F.lit("Z-NEW").alias("pri"),
+        F.lit(1000.50).alias("v"),
+        nul_i.alias("old_y"), nul_s.alias("old_pri"), nul_d.alias("old_v"),
+    )
+    changes = deletes.unionByName(bumps).unionByName(moves).unionByName(inserts)
+    update_rollup_store_cdc(spark, path, changes, "y", ["pri"], "v")
+    return rollup_from_store(spark, path, ["y", "pri"]).select(
+        "y", "pri", "n", "total"
+    ).orderBy("y", "pri")

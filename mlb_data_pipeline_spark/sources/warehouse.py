@@ -167,7 +167,9 @@ def build_rollup_store(
         df.groupBy(partition_col, *group_cols)
         .agg(
             F.count("*").alias("n"),
-            F.sum(dec(value_col)).alias("partial_sum"),
+            # pinned store type: maintenance rewrites (CDC retractions)
+            # must write the SAME decimal width or partition footers fork
+            F.sum(dec(value_col)).cast("decimal(30,6)").alias("partial_sum"),
         )
         .repartition(F.col(partition_col))
         .write.mode("overwrite")
@@ -226,3 +228,79 @@ def apply_changelog(
     untouched = base.join(latest.select(*key_cols), key_cols, "left_anti")
     upserts = latest.filter(F.col(op_col) != "D").select(*base.columns)
     return untouched.unionByName(upserts)
+
+
+def update_rollup_store_cdc(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    partition_col: str,
+    group_cols: list[str],
+    value_col: str,
+    op_col: str = "op",
+    old_prefix: str = "old_",
+) -> None:
+    """Incremental view maintenance WITH RETRACTIONS: keep the partial
+    rollup store current from a CDC changelog without re-aggregating
+    any fact partition. Change rows carry the Debezium shape — new
+    image columns plus ``old_``-prefixed before-image columns:
+
+    * ``I``: +1 / +value at the NEW (partition, groups);
+    * ``D``: -1 / -old_value at the OLD key;
+    * ``U``: both — which handles rows that MOVE between groups or
+      partitions, and nets to a pure value delta when they don't.
+
+    Signed partials aggregate like any partial (sum-of-sums in the
+    exact decimal domain), merge into the store rows of TOUCHED
+    partitions only, and land via dynamic partition overwrite — cost
+    is O(changes + touched partition partials), never O(store) or
+    O(facts). Groups whose count nets to zero leave the store.
+    Combined with ``rollup_from_store`` the maintained store stays
+    bit-identical to re-aggregating the CDC-applied facts (the r57
+    oracle). The changelog must be the NET effect per row version
+    (dedup replays with ``apply_changelog``'s seq rule first);
+    re-applying the same changelog would double the deltas."""
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import dec
+
+    new_side = changes.filter(F.col(op_col).isin("I", "U")).select(
+        F.col(partition_col),
+        *[F.col(c) for c in group_cols],
+        F.lit(1).cast("long").alias("__dn"),
+        dec(value_col).alias("__dv"),
+    )
+    old_side = changes.filter(F.col(op_col).isin("U", "D")).select(
+        *[F.col(old_prefix + c).alias(c) for c in (partition_col, *group_cols)],
+        F.lit(-1).cast("long").alias("__dn"),
+        (-dec(old_prefix + value_col)).alias("__dv"),
+    )
+    delta = (
+        new_side.unionByName(old_side)
+        .groupBy(partition_col, *group_cols)
+        .agg(F.sum("__dn").alias("n"), F.sum("__dv").cast("decimal(30,6)").alias("partial_sum"))
+    )
+    # touched partitions: bounded metadata collect (partition values)
+    touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
+    if not touched:
+        return
+    base = path.rstrip("/")
+    cur = spark.read.parquet(base).filter(F.col(partition_col).isin(touched))
+    merged = (
+        cur.select(partition_col, *group_cols, "n", "partial_sum")
+        .unionByName(delta)
+        .groupBy(partition_col, *group_cols)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("partial_sum").cast("decimal(30,6)").alias("partial_sum"),
+        )
+        .filter(F.col("n") != 0)
+        .localCheckpoint(eager=True)  # sever lineage from the dirs being replaced
+    )
+    (
+        merged.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(base)
+    )

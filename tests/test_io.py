@@ -748,3 +748,56 @@ def test_compact_parquet_hilbert_clusters_files(spark, tmp_path):
     assert set(spark.read.parquet(path).columns) == {"x", "y"}
     with _pytest.raises(ValueError, match="exactly one"):
         compact_parquet(spark, path, sort_cols=["x"], hilbert=[("x", 0, 1), ("y", 0, 1)])
+
+
+def test_rollup_cdc_maintenance_equals_rebuild(spark, tmp_path):
+    """IVM-with-retractions contract: after a changelog of deletes,
+    value updates, group moves, and new-partition inserts, the
+    maintained store's every rollup equals a from-scratch rebuild over
+    the applied facts — including a group vanishing (count nets 0) and
+    a partition born from an insert."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.sources.warehouse import (
+        build_rollup_store,
+        rollup_from_store,
+        update_rollup_store_cdc,
+    )
+
+    facts = spark.createDataFrame(
+        [(2023, "a", 10.0), (2023, "a", 20.0), (2023, "b", 5.0), (2022, "a", 7.5)],
+        "y int, pri string, v double",
+    )
+    path = str(tmp_path / "roll")
+    build_rollup_store(facts, path, "y", ["pri"], "v")
+
+    changes = spark.createDataFrame(
+        [
+            # delete the ONLY 2023/b row -> group must vanish
+            ("D", None, None, None, 2023, "b", 5.0),
+            # value bump in place
+            ("U", 2023, "a", 15.0, 2023, "a", 10.0),
+            # move across partitions
+            ("U", 2022, "a", 20.0, 2023, "a", 20.0),
+            # insert creating a NEW partition
+            ("I", 2024, "c", 1.25, None, None, None),
+        ],
+        "op string, y int, pri string, v double, old_y int, old_pri string, old_v double",
+    )
+    update_rollup_store_cdc(spark, path, changes, "y", ["pri"], "v")
+
+    applied = spark.createDataFrame(
+        [(2023, "a", 15.0), (2022, "a", 20.0), (2022, "a", 7.5), (2024, "c", 1.25)],
+        "y int, pri string, v double",
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    build_rollup_store(applied, rebuilt, "y", ["pri"], "v")
+    got = sorted(map(tuple, rollup_from_store(spark, path, ["y", "pri"]).collect()))
+    want = sorted(map(tuple, rollup_from_store(spark, rebuilt, ["y", "pri"]).collect()))
+    assert got == want
+    # the vanished group is really gone from the store rows
+    assert spark.read.parquet(path).filter((F.col("y") == 2023) & (F.col("pri") == "b")).count() == 0
+    # coarser grain still combines partials exactly
+    got_y = sorted(map(tuple, rollup_from_store(spark, path, ["y"]).collect()))
+    want_y = sorted(map(tuple, rollup_from_store(spark, rebuilt, ["y"]).collect()))
+    assert got_y == want_y
