@@ -304,3 +304,16 @@ def update_rollup_store_cdc(
         .partitionBy(partition_col)
         .parquet(base)
     )
+    # a partition whose every group nets to zero produces NO merged
+    # rows, so dynamic overwrite never touches its directory — the
+    # stale partials would silently survive. Drop those dirs explicitly.
+    surviving = {r[0] for r in merged.select(partition_col).distinct().collect()}
+    emptied = [p for p in touched if p not in surviving]
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for p in emptied:
+            dirpath = jvm.org.apache.hadoop.fs.Path(f"{base}/{partition_col}={p}")
+            fs = dirpath.getFileSystem(conf)
+            if fs.exists(dirpath):
+                fs.delete(dirpath, True)

@@ -801,3 +801,31 @@ def test_rollup_cdc_maintenance_equals_rebuild(spark, tmp_path):
     got_y = sorted(map(tuple, rollup_from_store(spark, path, ["y"]).collect()))
     want_y = sorted(map(tuple, rollup_from_store(spark, rebuilt, ["y"]).collect()))
     assert got_y == want_y
+
+
+def test_rollup_cdc_emptied_partition_directory_is_dropped(spark, tmp_path):
+    """A changelog that deletes EVERY row of a partition nets all its
+    groups to zero — merged has no rows for it, dynamic overwrite never
+    touches the dir, so the maintenance must drop it explicitly or
+    stale partials survive."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.sources.warehouse import (
+        build_rollup_store,
+        rollup_from_store,
+        update_rollup_store_cdc,
+    )
+
+    facts = spark.createDataFrame(
+        [(2023, "a", 10.0), (2022, "a", 7.5)], "y int, pri string, v double"
+    )
+    path = str(tmp_path / "roll2")
+    build_rollup_store(facts, path, "y", ["pri"], "v")
+    changes = spark.createDataFrame(
+        [("D", None, None, None, 2023, "a", 10.0)],
+        "op string, y int, pri string, v double, old_y int, old_pri string, old_v double",
+    )
+    update_rollup_store_cdc(spark, path, changes, "y", ["pri"], "v")
+    left = rollup_from_store(spark, path, ["y"]).collect()
+    assert [(r.y, r.n) for r in left] == [(2022, 1)]
+    assert spark.read.parquet(path).filter(F.col("y") == 2023).count() == 0
