@@ -746,3 +746,31 @@ def verify_manifest(spark: SparkSession, path: str, manifest_path: str) -> dict:
         "unstatted_files": missing,
         "stale_manifest_files": stale,
     }
+
+
+def bloom_manifest_stats(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """Saturation gauge for the per-file Bloom manifest (the
+    bloom_store_stats analogue): per file, set-bit count, fill
+    fraction, and the implied false-positive rate fill^k. A file whose
+    bitmap saturated (expected_per_file undersized at build) stops
+    skipping long before it reads wrong — fpp -> 1 means pruning
+    degrades to must-read, never to lost rows — but the gauge says
+    WHEN to rebuild with a bigger m."""
+    base = manifest_path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    words = spark.read.parquet(base + "/words")
+    per_file = words.groupBy("file").agg(
+        F.sum(F.bit_count("word")).alias("n_set_bits")
+    )
+    files = spark.read.parquet(base + "/files")
+    joined = files.join(per_file, "file", "left").select(
+        "file",
+        F.coalesce("n_set_bits", F.lit(0)).alias("n_set_bits"),
+    )
+    fill = F.col("n_set_bits") / F.lit(float(meta.m))
+    return joined.select(
+        "file",
+        "n_set_bits",
+        F.round(fill, 6).alias("fill_frac"),
+        F.round(F.pow(fill, F.lit(int(meta.k))), 8).alias("implied_fpp"),
+    )

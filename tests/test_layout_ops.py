@@ -535,3 +535,26 @@ def test_verify_manifest_reports_missing_and_stale(spark, tmp_path):
     _os.remove(_os.path.join(lake, victim))
     rep3 = verify_manifest(spark, lake, manifest)
     assert victim in rep3["stale_manifest_files"]
+
+
+def test_bloom_manifest_stats_gauge(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.layout import (
+        bloom_manifest_stats,
+        save_bloom_manifest,
+    )
+
+    rows = [(i, f"v{i % 64}") for i in range(2000)]
+    lake = str(tmp_path / "slake2")
+    spark.createDataFrame(rows, "id long, s string").repartition(4, "s").write.parquet(lake)
+    manifest = str(tmp_path / "sbloom2")
+    save_bloom_manifest(spark, lake, "s", manifest, expected_per_file=64)
+    stats = bloom_manifest_stats(spark, manifest).collect()
+    n_files = len(spark.read.parquet(lake).inputFiles())
+    assert len(stats) == n_files
+    assert all(0 < r.fill_frac < 1 for r in stats)
+    assert all(r.implied_fpp < 0.25 for r in stats)  # sized for 64 distinct values
+    # an undersized build saturates visibly
+    tiny = str(tmp_path / "sbloom3")
+    save_bloom_manifest(spark, lake, "s", tiny, expected_per_file=2, n_hashes=2)
+    sat = bloom_manifest_stats(spark, tiny).collect()
+    assert max(r.fill_frac for r in sat) > 0.5
