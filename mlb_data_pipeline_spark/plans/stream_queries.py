@@ -362,3 +362,60 @@ def r22_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_month", "months_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# R58 — native session_window batch aggregation (round 9): Spark's
+#        built-in session assignment cross-validated against the
+#        classic gap-rule SQL (new session when the gap to the
+#        previous event exceeds 30 minutes; session end = last event
+#        + gap, Spark's convention). Pins the ENGINE API itself — if
+#        session_window's semantics ever drift from the documented
+#        rule, the hash breaks.
+# ---------------------------------------------------------------------------
+
+_R58_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM e
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@query("r58_session_window", oracle=_R58_SQL, covers="ST4,A2,T11")
+def r58_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
