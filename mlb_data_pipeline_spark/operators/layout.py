@@ -333,6 +333,23 @@ def save_scan_manifest(spark: SparkSession, path: str, cols: list[str], manifest
     build_scan_manifest(spark, path, cols).coalesce(1).write.mode("overwrite").parquet(manifest_path)
 
 
+def _bloom_skippable(spark: SparkSession, manifest_path: str, value) -> set[str]:
+    """Skip set for one bloom_filters entry: a scalar means equality
+    (col = v); a list/tuple/set means an IN-list — a file is skippable
+    ONLY if its bitmap provably lacks EVERY listed value (intersection
+    of the per-value skip sets), mirroring how a scanner would treat
+    `col IN (...)`."""
+    if isinstance(value, (list, tuple, set, frozenset)):
+        vals = list(value)
+        if not vals:
+            return set()  # empty IN-list proves nothing at the file level
+        out = bloom_skippable_files(spark, manifest_path, vals[0])
+        for v in vals[1:]:
+            out &= bloom_skippable_files(spark, manifest_path, v)
+        return out
+    return bloom_skippable_files(spark, manifest_path, value)
+
+
 def pruned_read(
     spark: SparkSession,
     path: str,
@@ -370,7 +387,7 @@ def pruned_read(
     # string/high-cardinality complement of the min/max box rule (no
     # false negatives; unknown files stay must-read)
     for bloom_path, value in bloom_filters or []:
-        kept_names -= bloom_skippable_files(spark, bloom_path, value)
+        kept_names -= _bloom_skippable(spark, bloom_path, value)
     on_disk = set(_data_files(path))
     # a manifest row may outlive its file (idempotent stream-replay
     # rewrites, compaction): vanished files are simply not read
@@ -381,7 +398,7 @@ def pruned_read(
     # even against a stale manifest, not just a fresh one.
     stale_must_read = on_disk - known
     for bloom_path, value in bloom_filters or []:
-        stale_must_read -= bloom_skippable_files(spark, bloom_path, value)
+        stale_must_read -= _bloom_skippable(spark, bloom_path, value)
     files.extend(os.path.join(path, n) for n in sorted(stale_must_read))
     if not files:
         # provably-empty box: an empty frame with the lake's schema

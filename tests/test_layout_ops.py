@@ -558,3 +558,29 @@ def test_bloom_manifest_stats_gauge(spark, tmp_path):
     save_bloom_manifest(spark, lake, "s", tiny, expected_per_file=2, n_hashes=2)
     sat = bloom_manifest_stats(spark, tiny).collect()
     assert max(r.fill_frac for r in sat) > 0.5
+
+
+def test_bloom_pruning_in_list_semantics(spark, tmp_path):
+    """col IN (v1, v2): a file is skippable only when the bitmap
+    proves BOTH values absent — rows for either value always survive."""
+    from mlb_data_pipeline_spark.operators.layout import (
+        pruned_read,
+        save_bloom_manifest,
+        save_scan_manifest,
+    )
+
+    rows = [(i, f"src{i % 8}") for i in range(4000)]
+    lake = str(tmp_path / "inlake")
+    spark.createDataFrame(rows, "id long, source string").repartition(8, "source").write.parquet(lake)
+    box_m, bloom_m = str(tmp_path / "inbox"), str(tmp_path / "inbloom")
+    save_scan_manifest(spark, lake, ["id"], box_m)
+    save_bloom_manifest(spark, lake, "source", bloom_m)
+
+    out = pruned_read(
+        spark, lake, box_m, {"id": (0, 10**9)},
+        bloom_filters=[(bloom_m, ["src2", "src5"])],
+    )
+    got = out.filter(F.col("source").isin("src2", "src5"))
+    assert got.count() == 1000  # 500 per source: nothing lost
+    n_total = len(spark.read.parquet(lake).inputFiles())
+    assert len(out.inputFiles()) < n_total  # and files provably lacking both skip
