@@ -926,6 +926,7 @@ def similarity_join(
     memory_budget_bytes: int | None = None,
     pq_m: int = 8,
     pq_rerank: int | None = None,
+    sq8_bounds_df: DataFrame | None = None,
 ) -> DataFrame:
     """Size-keyed similarity planner (SURVEY §4.2): the library-level
     physical-strategy choice between the exact broadcast k-NN join, the
@@ -975,11 +976,14 @@ def similarity_join(
             inverted_file_bytes = n_rows * dim * 4
             if inverted_file_bytes > memory_budget_bytes:
                 if n_rows * dim <= memory_budget_bytes:
-                    # SQ8 rung: int8 codes fit — near-exact, no UDF
+                    # SQ8 rung: int8 codes fit — near-exact, per-row
+                    # dequantize + Arrow dot scoring. Persisted store
+                    # bounds (``sq8_bounds_df``) skip the train agg —
+                    # without them the rung pays one min/max pass here.
                     return ivf_sq8_knn_join(
                         idx, queries, k, dim=dim, n_probe=n_probe,
                         rerank=(pq_rerank if pq_rerank is not None else 2 * k),
-                        sim_col=sim_col,
+                        sim_col=sim_col, bounds=sq8_bounds_df,
                     )
                 codebooks = train_pq_codebooks(
                     idx.assignments, idx.vec_col, m_subvectors=pq_m, seed=seed
@@ -1463,46 +1467,68 @@ def sq8_knn_join(
     rerank: bool = False,
     rerank_factor: int = 4,
     max_queries: int | None = 10_000,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Batch k-NN through SQ8 codes, asymmetric-distance style (the
     FAISS SQ8 pattern): the CORPUS side lives as int8 codes (1 byte per
-    dim), each candidate is dequantized to its cell midpoint inside the
-    scoring expression, and cosine runs against the FULL-PRECISION
-    query vector. With 256 levels per dim the midpoint error is
-    <= span/510, so ranking is near-exact (recall pinned in pytest);
-    ``rerank=True`` rescores the top k*rerank_factor candidates with
-    exact cosine over the original vectors — the PQ two-stage contract
-    with NO UDF in either stage (PQ's ADC needs a pandas UDF; SQ8's
-    dequantize is plain codegen arithmetic).
+    dim), each candidate is dequantized to its cell midpoint ONCE PER
+    CORPUS ROW — reconstruction and its norm are materialized BEFORE
+    the broadcast join (``knn_join``'s ``__cn``/``__qn`` shape), and
+    the per-pair work is one Arrow-batched dot + one divide. With 256
+    levels per dim the midpoint error is <= span/510, so ranking is
+    near-exact (recall pinned in pytest); ``rerank=True`` rescores the
+    top k*rerank_factor candidates with exact cosine over the original
+    vectors.
 
     Unlike PQ (KMeans codebooks — seed-bound, rows-only by design),
     every SQ8 step is oracle-able: bounds are order-free min/max,
     codes are floor-quantized doubles, reconstruction is fixed-order
-    IEEE arithmetic — r48 hash-checks the whole path vs DuckDB.
+    IEEE arithmetic, and the scoring dot runs through ``dot_arrow_seq``
+    — the SAME sequential fold order as the JVM ``cosine`` expression
+    and DuckDB's list_dot_product — so the whole path stays hash-exact
+    vs the oracle (q18).
+
+    Scoring the reconstruction inside the pair expression instead (the
+    round-9 plan) re-evaluated the 64-element dequantize transform and
+    its norm fold per (corpus x query) pair: 64x the oracle's wall at
+    sf1, and at 100x corpus it multiplies away SQ8's codegen-cheap
+    selling point. Never do per-pair work that is per-row computable.
 
     100 TB: corpus codes are dim BYTES per row — a billion 64-dim
-    vectors fit in 64 GB of executor cache vs 256 GB float32 — and the
-    scoring expression never leaves the JVM. The query side is
-    broadcast-guarded exactly like knn_join."""
+    vectors fit in 64 GB of executor cache vs 256 GB float32. The
+    query side is broadcast-guarded exactly like knn_join. Pass
+    ``bounds`` (a persisted 1-row store frame) to skip the train
+    aggregate entirely."""
     if max_queries is not None and _over_limit(queries, id_col, max_queries):
         raise ValueError(
             f"sq8_knn_join broadcasts the query set: more than max_queries={max_queries} "
             "query rows; route through similarity_join / ivf_knn_join at scale"
         )
-    # the 1-row bounds frame feeds BOTH the encode and the scoring
-    # dequantize; an eager local checkpoint computes the aggregate once
-    # instead of once per appearance (still never driver-collected)
-    bounds = sq8_bounds(corpus, vec_col, dim).localCheckpoint(eager=True)
-    ce = sq8_encode(corpus.select(id_col, vec_col), vec_col, bounds)
-    q = _prefix(queries.select(id_col, vec_col), "q_")
-    joined = (
-        ce.join(F.broadcast(q))
-        .filter(F.col(f"q_{id_col}") != F.col(id_col))
-        .crossJoin(F.broadcast(bounds))
+    if bounds is None:
+        # the 1-row bounds frame feeds BOTH the encode and the scoring
+        # dequantize; an eager local checkpoint computes the aggregate
+        # once instead of once per appearance (never driver-collected)
+        bounds = sq8_bounds(corpus, vec_col, dim).localCheckpoint(eager=True)
+    from .relational import spread_for_cpu
+
+    # encode/dequantize are CPU-bound per-element lambdas: unlock every
+    # core when the scan's split count is degenerate (no-op at scale)
+    ce = sq8_encode(spread_for_cpu(corpus.select(id_col, vec_col)), vec_col, bounds)
+    # midpoint dequantize + norm fold: once per corpus ROW, pre-join
+    ce = (
+        ce.crossJoin(F.broadcast(bounds))
+        .withColumn("__recon", sq8_reconstruct("sq8"))
+        .drop("sq_lo", "sq_hi")
+        .withColumn("__cn", norm("__recon"))
     )
-    scored = joined.withColumn("sim", cosine(sq8_reconstruct("sq8"), f"q_{vec_col}")).drop(
-        "sq_lo", "sq_hi"
-    )
+    q = _prefix(queries.select(id_col, vec_col), "q_").withColumn("__qn", norm(f"q_{vec_col}"))
+    joined = ce.join(F.broadcast(q)).filter(F.col(f"q_{id_col}") != F.col(id_col))
+    pdot = dot_arrow_seq()
+    # same expression shape (and bit pattern) as cosine(recon, q):
+    # dot(recon, q) / (norm(recon) * norm(q))
+    scored = joined.withColumn(
+        "sim", pdot("__recon", f"q_{vec_col}") / (F.col("__cn") * F.col("__qn"))
+    ).drop("__recon", "__cn", "__qn")
     w = Window.partitionBy(f"q_{id_col}").orderBy(F.col("sim").desc(), F.col(id_col).asc())
     pre_k = k * rerank_factor if rerank else k
     top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= pre_k)
@@ -1544,7 +1570,17 @@ def ivf_sq8_knn_join(
     cents = index.centroids
     n_probe_eff = min(n_probe, len(cents))
     b = bounds if bounds is not None else sq8_bounds(index.assignments, vec_col, dim)
-    codes = sq8_encode(index.assignments, vec_col, b).select(id_col, "__list", "sq8")
+    # dequantize + norm once per CODE row, before the probe join — the
+    # per-pair-dequantize plan was the q18/r9 64x regression (see
+    # sq8_knn_join); the inverted-file variant shares the fix
+    codes = (
+        sq8_encode(index.assignments, vec_col, b)
+        .select(id_col, "__list", "sq8")
+        .crossJoin(F.broadcast(b))
+        .withColumn("__recon", sq8_reconstruct("sq8"))
+        .drop("sq_lo", "sq_hi")
+        .withColumn("__cn", norm("__recon"))
+    )
 
     @F.pandas_udf("array<int>")
     def probe_lists(vs: pd.Series) -> pd.Series:
@@ -1555,16 +1591,14 @@ def ivf_sq8_knn_join(
 
     probed = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .withColumn("__qn", norm("__qv"))
         .withColumn("__list", F.explode(probe_lists(F.col("__qv"))))
     )
-    cand = (
-        probed.join(codes, "__list")
-        .filter(F.col("query_id") != F.col(id_col))
-        .crossJoin(F.broadcast(b))
-    )
-    scored = cand.withColumn(sim_col, cosine(sq8_reconstruct("sq8"), "__qv")).drop(
-        "sq_lo", "sq_hi"
-    )
+    cand = probed.join(codes, "__list").filter(F.col("query_id") != F.col(id_col))
+    pdot = dot_arrow_seq()
+    scored = cand.withColumn(
+        sim_col, pdot("__recon", "__qv") / (F.col("__cn") * F.col("__qn"))
+    ).drop("__recon", "__cn", "__qn")
     w = Window.partitionBy("query_id").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1648,16 +1682,23 @@ def sq8_index_knn(
             "query rows; route through similarity_join / ivf_knn_join at scale"
         )
     bounds = spark.read.parquet(base + "/bounds")
-    codes = spark.read.parquet(base + "/codes")
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    joined = (
-        codes.join(F.broadcast(q))
-        .filter(F.col("query_id") != F.col(id_col))
+    # dequantize + norm once per stored-code row before the broadcast
+    # join (the q18/r9 per-pair-dequantize fix — see sq8_knn_join)
+    codes = (
+        spark.read.parquet(base + "/codes")
         .crossJoin(F.broadcast(bounds))
+        .withColumn("__recon", sq8_reconstruct("sq8"))
+        .drop("sq_lo", "sq_hi")
+        .withColumn("__cn", norm("__recon"))
     )
-    scored = joined.withColumn(sim_col, cosine(sq8_reconstruct("sq8"), "__qv")).drop(
-        "sq_lo", "sq_hi"
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")).withColumn(
+        "__qn", norm("__qv")
     )
+    joined = codes.join(F.broadcast(q)).filter(F.col("query_id") != F.col(id_col))
+    pdot = dot_arrow_seq()
+    scored = joined.withColumn(
+        sim_col, pdot("__recon", "__qv") / (F.col("__cn") * F.col("__qn"))
+    ).drop("__recon", "__cn", "__qn")
     w = Window.partitionBy("query_id").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= max(k, rerank))
