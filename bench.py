@@ -308,19 +308,30 @@ def main() -> None:
             out["sf1"] = sf1_section(spark)
         except Exception as exc:  # noqa: BLE001 — sf1 is a datapoint, not a gate
             print(f"bench: sf1 section failed: {exc}", file=sys.stderr)
-    # surface the recorded dedup-family scaling curve (tools/scaling_curve.py
-    # writes docs/SCALING.json; see docs/PERF.md round-5 section). Embedded
-    # as-recorded rather than re-run: the sf3 tier would blow the per-round
-    # bench budget, and the curve is a per-code-version artifact, not a
-    # per-run measurement.
+    # The driver's round record keeps only the LAST 2000 BYTES of stdout
+    # (BENCH_r09 lost its whole sf0.1 section to the tail window), so the
+    # headline JSON line must fit that budget. Bulk sections — the
+    # recorded scaling curve, then per-query maps if ever needed — move
+    # to a SIDECAR stderr line instead of padding the line of record.
     scaling_path = os.path.join(_ROOT, "docs", "SCALING.json")
     if os.path.exists(scaling_path):
         try:
             with open(scaling_path) as f:
-                out["scaling_curve_recorded"] = json.load(f)["curve"]
+                print(
+                    json.dumps({"scaling_curve_recorded": json.load(f)["curve"]}),
+                    file=sys.stderr,
+                )
         except Exception as exc:  # noqa: BLE001
             print(f"bench: scaling curve embed failed: {exc}", file=sys.stderr)
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # belt-and-braces: if the line ever outgrows the capture window, shed
+    # the most verbose members to stderr until the record parses whole
+    for victim in ("sf1", "queries"):
+        if len(line.encode()) <= 1900:
+            break
+        print(json.dumps({f"overflow_{victim}": out.pop(victim, None)}), file=sys.stderr)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -104,6 +104,150 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+# ---------------------------------------------------------------------------
+# Lake-table catalog with AUTOMATIC manifest-assisted planning (round 10).
+#
+# pruned_read / bloom_skippable_files (operators/layout.py) are opt-in:
+# a user writing plain ``spark.read.parquet`` gets no file skipping from
+# the manifests they built. Registering a lake table here closes that
+# gap — ``lake_scan(spark, name, predicate)`` derives the box / Bloom
+# probes FROM the predicate itself and routes the read through
+# ``pruned_read`` with no caller opt-in, then applies the exact
+# predicate on top (pruning stays a superset guarantee, so an
+# unparseable conjunct only costs skipping, never rows). This is the
+# Python-side analogue of a Catalyst data-skipping rule: the table
+# registration is the "catalog", the predicate→box extraction is the
+# planning hook.
+#
+# Supported conjunct shapes (top-level AND only, the same fragment a
+# row-group pruner handles): ``col BETWEEN a AND b``, ``col >= a``,
+# ``col > a``, ``col <= b``, ``col < b``, ``col = v`` (numeric -> box
+# point; quoted string -> Bloom probe when a Bloom manifest is
+# registered for the column), ``col IN (v1, v2, ...)`` (strings ->
+# Bloom IN-list). Anything else contributes no skip clause.
+# ---------------------------------------------------------------------------
+
+_LAKE_TABLES: dict[tuple[str, str], dict] = {}
+
+_INF = float("inf")
+
+
+def register_lake_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    scan_manifest: str | None = None,
+    bloom_manifests: dict[str, str] | None = None,
+) -> None:
+    """Register a parquet lake directory plus its (optional) persisted
+    manifests under ``name``. Scoped per application like the table
+    cache — a restarted session re-registers."""
+    _LAKE_TABLES[(spark.sparkContext.applicationId, name)] = {
+        "path": path,
+        "scan_manifest": scan_manifest,
+        "bloom_manifests": dict(bloom_manifests or {}),
+    }
+
+
+_NUM = r"-?\d+(?:\.\d+)?"
+_STR = r"'(?:[^']*)'"
+_LIT = f"(?:{_NUM}|{_STR})"
+_COL = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _parse_lit(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'"):
+        return tok[1:-1]
+    return float(tok) if "." in tok else int(tok)
+
+
+def _extract_skip_clauses(predicate: str) -> tuple[dict, dict]:
+    """(box, equals) from the predicate's top-level AND conjuncts.
+    box: {col: (lo, hi)} with +-inf open ends (folded per column);
+    equals: {col: scalar-or-list} for string equality / IN."""
+    import re
+
+    box: dict[str, list[float]] = {}
+    equals: dict[str, object] = {}
+    # disjunctions / negations make per-conjunct extraction UNSOUND (a
+    # BETWEEN inside an OR branch must not prune the other branch's
+    # files): bail to must-read-everything on any OR / NOT
+    if re.search(r"(?i)\b(OR|NOT)\b", predicate):
+        return {}, {}
+
+    def fold(col: str, lo, hi) -> None:
+        cur = box.setdefault(col, [-_INF, _INF])
+        cur[0] = max(cur[0], lo)
+        cur[1] = min(cur[1], hi)
+
+    # BETWEEN first, from the raw text: splitting on AND would sever
+    # "x BETWEEN a AND b" into un-matchable fragments
+    for m in re.finditer(
+        rf"({_COL})\s+(?i:BETWEEN)\s+({_LIT})\s+(?i:AND)\s+({_LIT})", predicate
+    ):
+        lo, hi = _parse_lit(m.group(2)), _parse_lit(m.group(3))
+        if not isinstance(lo, str) and not isinstance(hi, str):
+            fold(m.group(1), lo, hi)
+
+    for conj in re.split(r"(?i)\s+AND\s+", predicate.strip()):
+        c = conj.strip().strip("()").strip()
+        m = re.fullmatch(rf"({_COL})\s*(>=|>|<=|<|=|==)\s*({_LIT})", c)
+        if m:
+            col, op, lit = m.group(1), m.group(2), _parse_lit(m.group(3))
+            if op in ("=", "=="):
+                if isinstance(lit, str):
+                    equals[col] = lit
+                else:
+                    fold(col, lit, lit)
+            elif isinstance(lit, str):
+                continue
+            elif op in (">=", ">"):
+                fold(col, lit, _INF)
+            else:
+                fold(col, -_INF, lit)
+            continue
+        m = re.fullmatch(rf"({_COL})\s+(?i:IN)\s*\(({_LIT}(?:\s*,\s*{_LIT})*)\)", c)
+        if m:
+            vals = [_parse_lit(t) for t in re.findall(_LIT, m.group(2))]
+            if vals and all(isinstance(v, str) for v in vals):
+                equals[m.group(1)] = vals
+            elif vals and not any(isinstance(v, str) for v in vals):
+                fold(m.group(1), min(vals), max(vals))
+        # unmatched conjunct: contributes no skip clause (must-read)
+    return {c: (lo, hi) for c, (lo, hi) in box.items()}, equals
+
+
+def lake_scan(spark: SparkSession, name: str, predicate: str | None = None) -> DataFrame:
+    """Read a registered lake table, automatically skipping files the
+    persisted manifests prove irrelevant to ``predicate`` — then apply
+    the exact predicate. With no registered manifests (or no usable
+    conjunct) this degrades to the plain whole-lake read + filter."""
+    ent = _LAKE_TABLES.get((spark.sparkContext.applicationId, name))
+    if ent is None:
+        raise KeyError(f"unknown lake table {name!r}; register_lake_table first")
+    if not predicate:
+        return spark.read.parquet(ent["path"])
+    box, equals = _extract_skip_clauses(predicate)
+    blooms = [
+        (ent["bloom_manifests"][c], v)
+        for c, v in equals.items()
+        if c in ent["bloom_manifests"]
+    ]
+    if ent["scan_manifest"] is None and not blooms:
+        return spark.read.parquet(ent["path"]).filter(predicate)
+    from .operators.layout import pruned_read
+
+    if ent["scan_manifest"] is None:
+        raise ValueError(
+            f"lake table {name!r} has bloom manifests but no scan manifest; "
+            "register scan_manifest (save_scan_manifest) — pruned_read "
+            "needs the file inventory for its staleness guard"
+        )
+    df = pruned_read(spark, ent["path"], ent["scan_manifest"], box, bloom_filters=blooms)
+    return df.filter(predicate)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():

@@ -223,13 +223,36 @@ def write_zordered(
 _EXACT_STAT_TYPES = {"BOOLEAN", "INT32", "INT64", "FLOAT", "DOUBLE"}
 
 
+def _stat_num(v):
+    """Footer stat -> comparable NUMBER, or None if unusable. Temporal
+    logical types ride INT32/INT64 physical storage, so pyarrow hands
+    back datetime.date / datetime.datetime objects that the manifest's
+    double lo/hi columns (and float box bounds) cannot hold: dates fold
+    as EPOCH DAYS, timestamps as EPOCH SECONDS — box bounds over those
+    columns use the same units."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)).total_seconds()
+    if isinstance(v, _dt.date):
+        return float((v - _dt.date(1970, 1, 1)).days)
+    return None
+
+
 def file_stats(path: str, cols: list[str]) -> list[dict]:
     """Per-file min/max for ``cols`` from the REAL parquet footers (what
     a scan's file-skipping sees) via pyarrow — one row per data file.
 
     Only numeric/temporal physical types (``_EXACT_STAT_TYPES``) are
     folded: string/binary footer stats may be truncated bounds, and a
-    wrong fold there would overstate pruning. A column absent from a
+    wrong fold there would overstate pruning. Temporal logical values
+    normalize to epoch numbers (``_stat_num``). A column absent from a
     file's ``min``/``max`` dict means "no usable stats" — callers must
     treat that file as unprunable on that column."""
     import pyarrow.parquet as pq
@@ -251,10 +274,12 @@ def file_stats(path: str, cols: list[str]) -> list[dict]:
                 s = c.statistics
                 if not s.has_min_max:
                     continue
-                if s.min is not None:
-                    lo[cname] = s.min if cname not in lo else min(lo[cname], s.min)
-                if s.max is not None:
-                    hi[cname] = s.max if cname not in hi else max(hi[cname], s.max)
+                mn = _stat_num(s.min)
+                mx = _stat_num(s.max)
+                if mn is not None:
+                    lo[cname] = mn if cname not in lo else min(lo[cname], mn)
+                if mx is not None:
+                    hi[cname] = mx if cname not in hi else max(hi[cname], mx)
         out.append({"file": name, "min": lo, "max": hi, "rows": md.num_rows})
     return out
 
@@ -597,9 +622,15 @@ def save_bloom_manifest(
         ).alias("word")
     )
     words.write.mode("overwrite").parquet(base + "/words")
-    spark.createDataFrame([(col, m, n_hashes)], "col STRING, m LONG, k INT").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(base + "/meta")
+    # xxhash64 is TYPE-sensitive (an int probe literal hashes differently
+    # from the bigint column it targets), so the built column's Spark
+    # dtype persists with (m, k) and every probe casts its literal to it
+    # — otherwise a numeric-column probe could "prove" a present value
+    # absent (a pruning false negative)
+    dtype = lake.schema[col].dataType.simpleString()
+    spark.createDataFrame(
+        [(col, m, n_hashes, dtype)], "col STRING, m LONG, k INT, dtype STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
     spark.createDataFrame([(n,) for n in names], "file STRING").coalesce(1).write.mode(
         "overwrite"
     ).parquet(base + "/files")
@@ -616,9 +647,18 @@ def bloom_skippable_files(spark: SparkSession, manifest_path: str, value) -> set
 
     base = manifest_path.rstrip("/")
     meta = spark.read.parquet(base + "/meta").collect()[0]
+    # cast the probe to the BUILT column's dtype: xxhash64(int) !=
+    # xxhash64(bigint) for the same value, and a dtype-mismatched probe
+    # would skip files that contain it (pre-dtype manifests carry no
+    # dtype column and probe as the Python-inferred literal — sound for
+    # the string columns they were built over)
+    probe = F.lit(value)
+    dtype = getattr(meta, "dtype", None) if "dtype" in meta.__fields__ else None
+    if dtype:
+        probe = probe.cast(dtype)
     pos = (
         spark.range(1)
-        .select(F.lit(value).alias(meta.col))
+        .select(probe.alias(meta.col))
         .select(F.array(*_bloom_positions([meta.col], int(meta.m), int(meta.k))).alias("p"))
         .head()
         .p
@@ -709,6 +749,21 @@ def manifest_assisted_count(
                 f"manifest_assisted_count needs numeric box bounds; got {c}={lo!r}..{hi!r} "
                 "(use pruned_read with bloom_filters for string equality)"
             ) from exc
+    import math
+
+    def _surely_inside(st_lo: float, st_hi: float, lo_f: float, hi_f: float) -> bool:
+        # Doubles are exact integers below 2^53, so the inclusive test
+        # is sound there. Above, the manifest's float() fold of a long
+        # footer stat rounds to nearest (error <= ulp/2): a stored min
+        # can satisfy >= lo while the true min sits below it, silently
+        # overcounting an unopened file. Require strict interiority by
+        # one ULP before trusting the metadata row count — boundary
+        # reclassification only adds a read, never a wrong answer.
+        exact = 2.0**53
+        lo_ok = st_lo >= lo_f if abs(st_lo) < exact else st_lo - math.ulp(st_lo) >= lo_f
+        hi_ok = st_hi <= hi_f if abs(st_hi) < exact else st_hi + math.ulp(st_hi) <= hi_f
+        return lo_ok and hi_ok
+
     for f, n_rows in rows_by_file.items():
         if f not in existing:
             continue  # vanished file (replay rewrite, compaction)
@@ -721,7 +776,7 @@ def manifest_assisted_count(
             if st[1] < float(lo) or st[0] > float(hi):
                 verdict = "skip"  # provable miss beats everything
                 break
-            if not (st[0] >= float(lo) and st[1] <= float(hi)):
+            if not _surely_inside(st[0], st[1], float(lo), float(hi)):
                 if verdict != "boundary":
                     verdict = "boundary"
         if verdict == "inside":

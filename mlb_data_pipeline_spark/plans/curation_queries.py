@@ -393,8 +393,8 @@ ORDER BY doc_id
 """
 
 
-@query("q23_chunk_windows", oracle=_Q23_SQL, covers="curation:chunk,T3,U5")
-def q23_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r60_chunk_windows", oracle=_Q23_SQL, covers="curation:chunk,T3,U5")
+def r60_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import chunk_text
 
     docs = load_table(spark, sf_dir, "documents")

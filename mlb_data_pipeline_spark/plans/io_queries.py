@@ -1017,7 +1017,8 @@ def r34_bloom_seen_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R57 — incremental view maintenance WITH RETRACTIONS (round 9): the
+# Q08 (ex-r57, rotated into the driver window round 10) — incremental
+#        view maintenance WITH RETRACTIONS: the
 #        rollup store (r02) maintained from a CDC changelog — deletes
 #        retract partials, updates net to value deltas, group/partition
 #        MOVES retract-and-add, inserts may create NEW partitions —
@@ -1049,8 +1050,8 @@ ORDER BY 1, 2
 """
 
 
-@query("r57_rollup_cdc_maintenance", oracle=_R57_SQL, covers="S12,A2,I8,J3")
-def r57_rollup_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q08_rollup_cdc_maintenance", oracle=_R57_SQL, covers="S12,A2,I8,J3")
+def q08_rollup_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.warehouse import build_rollup_store, rollup_from_store, update_rollup_store_cdc
 
     path = _scratch(sf_dir, "r57_rollup")

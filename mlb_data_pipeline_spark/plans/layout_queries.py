@@ -89,7 +89,8 @@ def q39_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R49 — manifest-pruned scan (Y2, round 9): the read-path half of the
+# Q23 (ex-r49, rotated into the driver window round 10) — manifest-
+#        pruned scan (Y2): the read-path half of the
 #        layout story. Orders land as a z-ordered lake, footer stats
 #        persist as a manifest table, and the box query plans its file
 #        list from the manifest ALONE (the Delta/Iceberg data-skipping
@@ -113,11 +114,17 @@ WHERE ck BETWEEN 50 AND 600 AND pc BETWEEN 5000000 AND 20000000
 """
 
 
-@query("r49_manifest_pruned_scan", oracle=_R49_SQL, covers="Y2,S3,S8,A2")
-def r49_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q23_manifest_pruned_scan", oracle=_R49_SQL, covers="Y2,S3,S8,A2")
+def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10: the read now routes through the CATALOG hook
+    (``register_lake_table`` + ``lake_scan``) — the box is derived from
+    the predicate string itself, no caller-constructed box dict, so the
+    r49 contract additionally gates the automatic predicate->skip
+    planning path."""
     import os
 
-    from ..operators.layout import pruned_read, save_scan_manifest, write_zordered, zorder_specs
+    from ..catalog import lake_scan, register_lake_table
+    from ..operators.layout import save_scan_manifest, write_zordered, zorder_specs
 
     base = os.path.join(
         "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r49_lake"
@@ -129,11 +136,13 @@ def r49_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_zordered(o, lake, zorder_specs(o, ["ck", "pc"]), bits=8, n_files=16)
     save_scan_manifest(spark, lake, ["ck", "pc"], manifest)
-    box = {"ck": (50, 600), "pc": (5_000_000, 20_000_000)}
-    df = pruned_read(spark, lake, manifest, box)
-    return df.filter(
-        F.col("ck").between(50, 600) & F.col("pc").between(5_000_000, 20_000_000)
-    ).agg(
+    register_lake_table(spark, "q23_orders_lake", lake, scan_manifest=manifest)
+    df = lake_scan(
+        spark,
+        "q23_orders_lake",
+        "ck BETWEEN 50 AND 600 AND pc BETWEEN 5000000 AND 20000000",
+    )
+    return df.agg(
         F.count("*").alias("n_orders"),
         F.sum("pc").cast("long").alias("total_cents"),
         F.min("ck").alias("min_ck"),
@@ -196,7 +205,8 @@ def r50_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R52 — Bloom-manifest pruned scan (Y4, round 9): equality-predicate
+# Q45 (ex-r52, rotated into the driver window round 10) — Bloom-
+#        manifest pruned scan (Y4): equality-predicate
 #        file skipping for a STRING column, where the box manifest's
 #        min/max rule is useless by design. Lake hash-clusters on
 #        source, per-file Bloom bitmaps persist next to it, and the
@@ -218,8 +228,8 @@ WHERE source = 'src3'
 """
 
 
-@query("r52_bloom_pruned_scan", oracle=_R52_SQL, covers="Y4,S3,A2,P3")
-def r52_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q45_bloom_pruned_scan", oracle=_R52_SQL, covers="Y4,S3,A2,P3")
+def q45_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..operators.layout import pruned_read, save_bloom_manifest, save_scan_manifest

@@ -214,8 +214,8 @@ ORDER BY id_a, id_b
 """
 
 
-@query("q45_ngram_jaccard", oracle=_Q45_SQL, covers="V4,J6,T17")
-def q45_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r63_ngram_jaccard", oracle=_Q45_SQL, covers="V4,J6,T17")
+def r63_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Blocked all-pairs: the join key (source) bounds each block, so the
     # pair count is sum of block^2, not corpus^2 — the classic
     # domain-blocked near-dup pass.

@@ -864,8 +864,8 @@ SELECT change_type, COUNT(*) AS n_rows FROM d GROUP BY 1 ORDER BY 1
 """
 
 
-@query("q08_snapshot_diff", oracle=_Q08_SQL, covers="J3,A2,P3")
-def q08_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r59_snapshot_diff", oracle=_Q08_SQL, covers="J3,A2,P3")
+def r59_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:  # ex-q08; slot freed round 10 for the IVM rotation
     from ..operators.relational import dataset_diff
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1342,8 +1342,8 @@ ORDER BY id_l, id_r
 """
 
 
-@query("r51_interval_overlap", oracle=_R51_SQL, covers="J6,P2,O9")
-def r51_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q38_interval_overlap", oracle=_R51_SQL, covers="J6,P2,O9")
+def q38_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import interval_overlap_join
 
     iv = (

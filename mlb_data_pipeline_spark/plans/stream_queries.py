@@ -365,13 +365,19 @@ def r22_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R58 — native session_window batch aggregation (round 9): Spark's
+# Q26 (ex-r58, rotated into the driver window round 10) — native
+#        session_window batch aggregation: Spark's
 #        built-in session assignment cross-validated against the
 #        classic gap-rule SQL (new session when the gap to the
 #        previous event exceeds 30 minutes; session end = last event
 #        + gap, Spark's convention). Pins the ENGINE API itself — if
 #        session_window's semantics ever drift from the documented
-#        rule, the hash breaks.
+#        rule, the hash breaks. The break rule is strictly > (not >=):
+#        measured on Spark 4.1.2, an event arriving EXACTLY gap-width
+#        after the previous one MERGES into the session (new window
+#        start == current session end still merges) — boundary pinned
+#        in tests/test_streaming.py with an exact-1800s pair on both
+#        engines.
 # ---------------------------------------------------------------------------
 
 _R58_SQL = """
@@ -399,8 +405,8 @@ ORDER BY user_id, session_start
 """
 
 
-@query("r58_session_window", oracle=_R58_SQL, covers="ST4,A2,T11")
-def r58_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q26_session_window", oracle=_R58_SQL, covers="ST4,A2,T11")
+def q26_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import dsum
 
     events = load_table(spark, sf_dir, "events")

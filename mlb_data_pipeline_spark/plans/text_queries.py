@@ -86,8 +86,8 @@ ORDER BY 1
 """
 
 
-@query("q26_ship_delay_by_month", oracle=_Q26_SQL, covers="T11,T13,J1")
-def q26_ship_delay_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r61_ship_delay_by_month", oracle=_Q26_SQL, covers="T11,T13,J1")
+def r61_ship_delay_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     delay = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))

@@ -126,8 +126,8 @@ ORDER BY vec_a, vec_b
 """
 
 
-@query("q38_embedding_neardup", oracle=_Q38_SQL, covers="V4,J6")
-def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r62_embedding_neardup", oracle=_Q38_SQL, covers="V4,J6")
+def r62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact tier: quadratic self-join, valid at correctness scale. The
     # 100 TB path for the same semantics is q39 (LSH banding: candidate
     # generation is a bucket equi-join, exact cosine residual check).

@@ -313,7 +313,14 @@ def update_rollup_store_cdc(
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         for p in emptied:
-            dirpath = jvm.org.apache.hadoop.fs.Path(f"{base}/{partition_col}={p}")
+            # directory names carry Spark's partition-path escaping
+            # (space, ':', '%', ... -> %XX): escape the value the same
+            # way Spark's writer did, or fs.exists() misses the real
+            # directory and the stale partials silently survive
+            esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+                str(p)
+            )
+            dirpath = jvm.org.apache.hadoop.fs.Path(f"{base}/{partition_col}={esc}")
             fs = dirpath.getFileSystem(conf)
             if fs.exists(dirpath):
                 fs.delete(dirpath, True)

@@ -829,3 +829,36 @@ def test_rollup_cdc_emptied_partition_directory_is_dropped(spark, tmp_path):
     left = rollup_from_store(spark, path, ["y"]).collect()
     assert [(r.y, r.n) for r in left] == [(2022, 1)]
     assert spark.read.parquet(path).filter(F.col("y") == 2023).count() == 0
+
+
+def test_rollup_cdc_emptied_partition_with_escaped_path_chars(spark, tmp_path):
+    """ADVICE r9: Spark URL-encodes partition-directory names (space,
+    ':', '%' -> %XX), so the emptied-partition drop must escape the
+    value the same way or fs.exists() misses the real directory and
+    stale partials survive."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.sources.warehouse import (
+        build_rollup_store,
+        rollup_from_store,
+        update_rollup_store_cdc,
+    )
+
+    facts = spark.createDataFrame(
+        [("US: east region", "a", 10.0), ("plain", "a", 7.5)],
+        "reg string, pri string, v double",
+    )
+    path = str(tmp_path / "roll3")
+    build_rollup_store(facts, path, "reg", ["pri"], "v")
+    changes = spark.createDataFrame(
+        [("D", None, None, None, "US: east region", "a", 10.0)],
+        "op string, reg string, pri string, v double, "
+        "old_reg string, old_pri string, old_v double",
+    )
+    update_rollup_store_cdc(spark, path, changes, "reg", ["pri"], "v")
+    left = rollup_from_store(spark, path, ["reg"]).collect()
+    assert [(r.reg, r.n) for r in left] == [("plain", 1)]
+    # the escaped directory is really gone, not just invisible to the read
+    import os
+
+    assert not any("US" in d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d)))

@@ -584,3 +584,122 @@ def test_bloom_pruning_in_list_semantics(spark, tmp_path):
     assert got.count() == 1000  # 500 per source: nothing lost
     n_total = len(spark.read.parquet(lake).inputFiles())
     assert len(out.inputFiles()) < n_total  # and files provably lacking both skip
+
+
+def test_bloom_manifest_numeric_column_probe_type_safe(spark, tmp_path):
+    """ADVICE r9 (medium): xxhash64 is type-sensitive — probing a
+    BIGINT-built bitmap with a Python int literal (IntegerType) used to
+    compute different bit positions and 'prove' present values absent.
+    The meta table now pins the built dtype and probes cast to it: no
+    false negatives on numeric columns."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.layout import (
+        bloom_skippable_files,
+        pruned_read,
+        save_bloom_manifest,
+        save_scan_manifest,
+    )
+
+    lake = str(tmp_path / "nlake")
+    bloom_m = str(tmp_path / "nbloom")
+    box_m = str(tmp_path / "nbox")
+    # two files with disjoint BIGINT key ranges
+    spark.createDataFrame([(i,) for i in range(100)], "k long").coalesce(1).write.parquet(lake)
+    spark.createDataFrame([(i,) for i in range(1000, 1100)], "k long").coalesce(1).write.mode(
+        "append"
+    ).parquet(lake)
+    save_bloom_manifest(spark, lake, "k", bloom_m, expected_per_file=128)
+    save_scan_manifest(spark, lake, ["k"], box_m)
+    # no false negative: the file holding k=1050 is never skippable
+    skip = bloom_skippable_files(spark, bloom_m, 1050)
+    full = pruned_read(spark, lake, box_m, {}, bloom_filters=[(bloom_m, 1050)])
+    assert full.filter(F.col("k") == 1050).count() == 1
+    # and the bitmap still prunes: a value in NO file skips at least one
+    assert len(bloom_skippable_files(spark, bloom_m, 55555)) >= 1
+    # the present value's own file must not be in its skip set
+    kept = {f for f in skip}
+    assert len(kept) <= 1  # at most the other file
+
+
+def test_scan_manifest_temporal_columns(spark, tmp_path):
+    """ADVICE r9: date/timestamp logical columns ride INT32/INT64
+    physical storage, so they pass the footer-stats gate but pyarrow
+    returns datetime objects — the manifest build used to crash on
+    float(). Temporal stats now fold as epoch days / epoch seconds and
+    prune with box bounds in the same units."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.layout import pruned_read, save_scan_manifest
+
+    lake = str(tmp_path / "tlake")
+    manifest = str(tmp_path / "tmanifest")
+    d0 = dt.date(2024, 1, 1)
+    rows1 = [(d0 + dt.timedelta(days=i), dt.datetime(2024, 1, 1, i), i) for i in range(10)]
+    rows2 = [(d0 + dt.timedelta(days=100 + i), dt.datetime(2024, 6, 1, i), i) for i in range(10)]
+    schema = "d date, ts timestamp, n long"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(lake)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(lake)
+    save_scan_manifest(spark, lake, ["d", "ts", "n"], manifest)  # used to raise TypeError
+    mf = spark.read.parquet(manifest)
+    assert mf.filter(F.col("col") == "d").count() == 2  # both files statted
+    # box in EPOCH DAYS covers only the first file's date range
+    lo = (d0 - dt.date(1970, 1, 1)).days
+    out = pruned_read(spark, lake, manifest, {"d": (lo, lo + 9)})
+    assert out.count() == 10  # second file pruned, no rows lost
+    assert len(out.inputFiles()) == 1
+
+
+def test_lake_scan_prunes_with_no_caller_opt_in(spark, tmp_path):
+    """Catalog hook (round 10, VERDICT ask #4): a registered lake table
+    read through lake_scan with a plain predicate STRING scans only the
+    files the manifests keep — the caller never constructs a box or
+    bloom probe — and the result matches the whole-lake filter exactly."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import lake_scan, register_lake_table
+    from mlb_data_pipeline_spark.operators.layout import (
+        save_bloom_manifest,
+        save_scan_manifest,
+        write_zordered,
+    )
+
+    lake = str(tmp_path / "hook_lake")
+    box_m = str(tmp_path / "hook_box")
+    bloom_m = str(tmp_path / "hook_bloom")
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 10_000).alias("v"),
+        (F.col("id") % 5).cast("string").alias("tag"),
+    )
+    write_zordered(df, lake, [("k", 0, 9_999), ("v", 0, 9_999)], bits=8, n_files=16)
+    save_scan_manifest(spark, lake, ["k", "v"], box_m)
+    save_bloom_manifest(spark, lake, "tag", bloom_m)
+    register_lake_table(
+        spark, "hooked", lake, scan_manifest=box_m, bloom_manifests={"tag": bloom_m}
+    )
+    whole = spark.read.parquet(lake)
+
+    pred = "k BETWEEN 100 AND 900 AND v >= 0"
+    got = lake_scan(spark, "hooked", pred)
+    assert got.count() == whole.filter(pred).count()
+    assert len(got.inputFiles()) < len(whole.inputFiles())  # files skipped
+
+    # string equality routes through the bloom manifest automatically
+    pred2 = "tag = '3' AND k <= 500"
+    got2 = lake_scan(spark, "hooked", pred2)
+    assert got2.count() == whole.filter(pred2).count()
+
+    # OR predicates are never unsoundly pruned
+    pred3 = "k BETWEEN 100 AND 200 OR v BETWEEN 9000 AND 9999"
+    got3 = lake_scan(spark, "hooked", pred3)
+    assert got3.count() == whole.filter(pred3).count()
+    assert len(got3.inputFiles()) == len(whole.inputFiles())  # must-read-all
+
+    # unregistered name fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        lake_scan(spark, "nope", "k = 1")

@@ -71,8 +71,11 @@ def test_registry_window_invariant():
     rotated = {
         "q01_incremental_neardup",
         "q03_bm25_topk",
-        "q08_snapshot_diff",
-        "q23_chunk_windows",
+        "q08_rollup_cdc_maintenance",
+        "q23_manifest_pruned_scan",
+        "q26_session_window",
+        "q38_interval_overlap",
+        "q45_bloom_pruned_scan",
         "q25_bucketed_join",
         "q27_url_curation",
         "q06_remove_duplicate_spans",

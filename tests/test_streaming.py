@@ -662,3 +662,56 @@ def test_lake_append_stream_manifests_and_prunes(spark, tmp_path):
     append_bloom_manifest(spark, lake, bloom_m)
     assert spark.read.parquet(box_m).count() == n_stats
     assert spark.read.parquet(bloom_m + "/words").count() == n_words
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Boundary pin for the r58 oracle rule (ADVICE r9 claimed the
+    opposite): measured on Spark 4.1.2, an event arriving EXACTLY
+    gap-width after the previous one MERGES into the session (a new
+    window whose start equals the current session end still merges),
+    so the gap-rule twin must break strictly on > gap, not >= gap.
+    Both engines checked on an exact-1800s pair."""
+    import datetime as dt
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (1, 100, t0, 1.0),
+        (2, 100, t0 + dt.timedelta(minutes=30), 2.0),  # exactly gap-width later
+        (3, 100, t0 + dt.timedelta(minutes=59), 3.0),  # < gap after #2: merges
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    )
+    got = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("session_start")
+        .collect()
+    )
+    # one merged session covering all three events, ending 30m after the last
+    assert [r.n_events for r in got] == [3]
+    assert got[0].session_start == rows[0][2]
+    assert got[0].session_end == rows[2][2] + dt.timedelta(minutes=30)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({eid}, {uid}, TIMESTAMP '{ts}', {v})" for eid, uid, ts, v in rows
+        )
+        + ") t(event_id, user_id, ts, value)"
+    )
+    from mlb_data_pipeline_spark.plans.stream_queries import _R58_SQL
+
+    duck = con.execute(_R58_SQL).fetchall()
+    assert [r[3] for r in duck] == [3]  # n_events per session matches Spark
+    assert duck[0][2] == got[0].session_end  # session_end convention matches
