@@ -766,6 +766,7 @@ def interval_overlap_join(
     right_end: str,
     grid: int,
     max_cells: int = 1024,
+    n_salts: int = 1,
 ) -> DataFrame:
     """All (left, right) pairs whose INTEGER intervals overlap
     (l_start <= r_end AND r_start <= l_end) — the two-sided
@@ -786,9 +787,25 @@ def interval_overlap_join(
     len/grid + 1); ``max_cells`` guards degenerate spans — an interval
     covering more than ``max_cells`` cells raises in-plan rather than
     silently exploding the join (split such outliers or raise
-    ``grid``)."""
+    ``grid``).
+
+    SKEW: grid cells are uniform, so a HOT cell (many intervals
+    stacked on one region — outage windows over a popular hour)
+    re-creates the skewed-key problem: that cell's whole membership
+    lands on one reducer and its candidate product is quadratic in the
+    stack height. Diagnose with ``skew_report`` over the exploded cell
+    column; ``n_salts > 1`` then routes the cell join through
+    ``salted_join`` — left cell rows split deterministically across
+    salts, right cell rows replicate per salt, so the hottest
+    reducer's input (and its per-key candidate product) drops by
+    ~n_salts at the price of an n_salts x right-side replication.
+    Results are EXACTLY the unsalted join's (r51 oracle contract);
+    the pairs-never-quadratic cap (``max_cells``) is orthogonal — it
+    bounds cells per INTERVAL, not intervals per CELL."""
     if grid < 1:
         raise ValueError(f"grid must be >= 1, got {grid}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
 
     def cells(start, end):
         lo = F.floor(F.col(start) / grid).cast("long")
@@ -820,7 +837,11 @@ def interval_overlap_join(
 
     lexp = left.withColumn("__cell", F.explode(cells(left_start, left_end)))
     rexp = right.withColumn("__cell", F.explode(cells(right_start, right_end)))
-    joined = lexp.join(rexp, "__cell").filter(
+    if n_salts > 1:
+        cell_join = salted_join(lexp, rexp, ["__cell"], n_salts=n_salts)
+    else:
+        cell_join = lexp.join(rexp, "__cell")
+    joined = cell_join.filter(
         (F.col(left_start) <= F.col(right_end)) & (F.col(right_start) <= F.col(left_end))
     )
     first_cell = F.floor(F.greatest(F.col(left_start), F.col(right_start)) / grid).cast("long")
