@@ -25,11 +25,12 @@ Two queries are excluded BY DEFAULT, both because the REPLICA breaks
 their cardinality assumptions rather than testing them (pass the
 literal prefix to force either):
 
-* q38 (all-pairs exact near-dup): the guarded quadratic correctness
-  tier; sf1's 20k embeddings sit exactly at its refusal limit — 2e8
-  verified pairs on both engines measures nothing the design claims
-  (the declared scale paths, LSH/IVF/semdedup, have their own queries).
-* q45 (domain-blocked Jaccard): pairs are quadratic WITHIN a source
+* r62 (ex-q38 all-pairs exact near-dup): the guarded quadratic
+  correctness tier; sf1's 20k embeddings sit exactly at its refusal
+  limit — 2e8 verified pairs on both engines measures nothing the
+  design claims (the declared scale paths, LSH/IVF/semdedup, have
+  their own queries).
+* r63 (ex-q45 domain-blocked Jaccard): pairs are quadratic WITHIN a source
   block by design, bounded in real data by block size; key-offset
   replication multiplies every block 10x/30x, so block pairs grow
   100x/900x (62M single-threaded list-intersections in the sf1
@@ -65,13 +66,13 @@ def _ensure(dst: str, copies: int) -> str:
     return dst
 
 
-# q38/q45: replica breaks their cardinality premise (see docstring).
+# r62/r63 (ex-q38/q45): replica breaks their cardinality premise (see docstring).
 # q09 (ex-q87, rotated into the driver window round 7): the registered
 # demo runs q-gram blocking UNCAPPED for lossless
 # semantics; the synthetic small-vocab titles make every doc share
 # grams, so the candidate join is quadratic at sf1 (production sets
 # max_gram_freq — the cap the demo deliberately leaves off).
-DEFAULT_SKIP = ("q38", "q45", "q09")
+DEFAULT_SKIP = ("r62", "r63", "q09")
 
 
 def main() -> int:
