@@ -1395,21 +1395,34 @@ def sq8_bounds(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
     of this aggregate is bit-exact oracle-able."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    # one bounded sample: a wrong dim would otherwise yield NULL bounds
-    # (element_at past the end) and silently null scores downstream
-    first = corpus.select(F.size(F.col(vec_col)).alias("__d")).first()
-    if first is not None and first["__d"] != dim:
-        raise ValueError(
-            f"sq8_bounds: dim={dim} but {vec_col} vectors have {first['__d']} elements"
-        )
+    # dim guard folded INTO the aggregate (round 10): a wrong dim would
+    # yield NULL bounds (element_at past the end) and silently null
+    # scores downstream, but probing with a separate first() job doubled
+    # the train cost in the knn hot path — instead min/max vector sizes
+    # ride the same single pass and an in-plan raise fires on mismatch
     v = F.col(vec_col)
-    aggs = []
+    aggs = [
+        F.min(F.size(v)).alias("__sz_min"),
+        F.max(F.size(v)).alias("__sz_max"),
+    ]
     for i in range(1, dim + 1):
         e = F.element_at(v, i).cast("double")
         aggs.append(F.min(e).alias(f"__lo_{i}"))
         aggs.append(F.max(e).alias(f"__hi_{i}"))
+    dim_ok = (F.col("__sz_min") == dim) & (F.col("__sz_max") == dim)
+    err = F.raise_error(
+        F.concat(
+            F.lit(f"sq8_bounds: dim={dim} but {vec_col} vectors have "),
+            F.col("__sz_min").cast("string"),
+            F.lit(".."),
+            F.col("__sz_max").cast("string"),
+            F.lit(" elements"),
+        )
+    )
     return corpus.agg(*aggs).select(
-        F.array(*[F.col(f"__lo_{i}") for i in range(1, dim + 1)]).alias("sq_lo"),
+        F.when(dim_ok, F.array(*[F.col(f"__lo_{i}") for i in range(1, dim + 1)]))
+        .otherwise(err.cast("array<double>"))
+        .alias("sq_lo"),
         F.array(*[F.col(f"__hi_{i}") for i in range(1, dim + 1)]).alias("sq_hi"),
     )
 

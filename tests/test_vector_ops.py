@@ -977,10 +977,13 @@ def test_sq8_refresh_reflects_changed_content(spark, emb, tmp_path):
 
 
 def test_sq8_bounds_rejects_wrong_dim(spark, emb):
+    """The dim guard rides the bounds aggregate itself (round 10 — no
+    separate probe job), so a wrong dim raises in-plan when the 1-row
+    frame materializes, naming the declared and observed sizes."""
     from mlb_data_pipeline_spark.operators.vector import sq8_bounds
 
-    with pytest.raises(ValueError, match="dim=32"):
-        sq8_bounds(emb, "embedding", dim=32)
+    with pytest.raises(Exception, match="dim=32"):
+        sq8_bounds(emb, "embedding", dim=32).first()
 
 
 def test_sq8_knn_join_supplied_bounds_skip_the_train_agg(spark, emb):
