@@ -170,10 +170,15 @@ def _extract_skip_clauses(predicate: str) -> tuple[dict, dict]:
 
     box: dict[str, list[float]] = {}
     equals: dict[str, object] = {}
+    # keyword detection and the raw-text BETWEEN scan must not see
+    # INSIDE string literals ("note = 'a OR b'", "c = 'x BETWEEN 1
+    # AND 2'"): scrub literal contents first — equality extraction
+    # below still reads the originals from the conjunct loop
+    scrubbed = re.sub(_STR, "''", predicate)
     # disjunctions / negations make per-conjunct extraction UNSOUND (a
     # BETWEEN inside an OR branch must not prune the other branch's
     # files): bail to must-read-everything on any OR / NOT
-    if re.search(r"(?i)\b(OR|NOT)\b", predicate):
+    if re.search(r"(?i)\b(OR|NOT)\b", scrubbed):
         return {}, {}
 
     def fold(col: str, lo, hi) -> None:
@@ -181,17 +186,35 @@ def _extract_skip_clauses(predicate: str) -> tuple[dict, dict]:
         cur[0] = max(cur[0], lo)
         cur[1] = min(cur[1], hi)
 
-    # BETWEEN first, from the raw text: splitting on AND would sever
-    # "x BETWEEN a AND b" into un-matchable fragments
+    # BETWEEN first, from the scrubbed text: splitting on AND would
+    # sever "x BETWEEN a AND b" into un-matchable fragments, and the
+    # bounds of interest are numeric (never inside a string literal)
     for m in re.finditer(
-        rf"({_COL})\s+(?i:BETWEEN)\s+({_LIT})\s+(?i:AND)\s+({_LIT})", predicate
+        rf"({_COL})\s+(?i:BETWEEN)\s+({_LIT})\s+(?i:AND)\s+({_LIT})", scrubbed
     ):
         lo, hi = _parse_lit(m.group(2)), _parse_lit(m.group(3))
         if not isinstance(lo, str) and not isinstance(hi, str):
             fold(m.group(1), lo, hi)
 
+    def _unwrap(c: str) -> str:
+        # strip only BALANCED outer parens — a blind strip("()") would
+        # eat an IN-list's closing paren
+        c = c.strip()
+        while c.startswith("(") and c.endswith(")"):
+            depth = 0
+            ok = True
+            for ch in c[1:-1]:
+                depth += {"(": 1, ")": -1}.get(ch, 0)
+                if depth < 0:
+                    ok = False
+                    break
+            if not ok:
+                break
+            c = c[1:-1].strip()
+        return c
+
     for conj in re.split(r"(?i)\s+AND\s+", predicate.strip()):
-        c = conj.strip().strip("()").strip()
+        c = _unwrap(conj)
         m = re.fullmatch(rf"({_COL})\s*(>=|>|<=|<|=|==)\s*({_LIT})", c)
         if m:
             col, op, lit = m.group(1), m.group(2), _parse_lit(m.group(3))

@@ -788,3 +788,31 @@ def test_write_hilbert_three_columns(spark, tmp_path):
     assert spark.read.parquet(path).count() == 20_000
     rep = pruning_report(path, {"a": (0, 4)})
     assert rep["files_total"] >= 8 and rep["skip_frac"] > 0.3, rep
+
+
+def test_extract_skip_clauses_shapes():
+    """Pure-function pins for the catalog hook's predicate->skip
+    extraction: supported conjunct shapes fold correctly, disjunctions
+    and negations extract NOTHING (must-read), and keywords hiding
+    inside string literals can neither disable nor poison pruning."""
+    from mlb_data_pipeline_spark.catalog import _extract_skip_clauses as ex
+
+    inf = float("inf")
+    assert ex("k BETWEEN 100 AND 900 AND v >= 0") == (
+        {"k": (100, 900), "v": (0, inf)}, {}
+    )
+    assert ex("tag = '3' AND k <= 500") == ({"k": (-inf, 500)}, {"tag": "3"})
+    assert ex("k > 5 AND k > 10 AND k < 99") == ({"k": (10, 99)}, {})
+    assert ex("k = 7") == ({"k": (7, 7)}, {})
+    assert ex("tag IN ('a', 'b')") == ({}, {"tag": ["a", "b"]})
+    assert ex("k IN (1, 5, 9)") == ({"k": (1, 9)}, {})
+    # unsound shapes extract nothing
+    assert ex("k BETWEEN 1 AND 2 OR v = 3") == ({}, {})
+    assert ex("NOT k = 5") == ({}, {})
+    # literals can't poison extraction: a BETWEEN phrase inside a
+    # string must extract NO box on k (the equality itself is lost to
+    # the AND split — degrading to must-read is the safe direction)
+    assert ex("note = 'k BETWEEN 1 AND 2'") == ({}, {})
+    assert ex("note = 'a OR b' AND k >= 4") == ({"k": (4, inf)}, {"note": "a OR b"})
+    # unparseable conjuncts degrade to must-read on that column only
+    assert ex("length(s) > 3 AND k <= 9") == ({"k": (-inf, 9)}, {})
