@@ -745,6 +745,185 @@ def write_hilbert(
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental re-clustering (round 10) — the OPTIMIZE half of the
+# layout story. A z-ordered lake degrades as appends land: new files
+# span wide key ranges, so footer pruning stops skipping them. A full
+# re-sort of a 100 TB lake per append is impossible; the realistic
+# maintenance (Delta OPTIMIZE ZORDER's shape) rewrites ONLY the files
+# whose footer boxes prove them badly clustered, leaving the
+# well-clustered bulk untouched. Selection is metadata-only (footers),
+# the rewrite pays one range shuffle over just the dirty rows, and the
+# swap is move-in-then-delete under a roll-forward commit marker so a
+# crash at any point is recoverable without row loss (a crash between
+# phases is healed by the marker on the next call — never by hand).
+# Manifests need no coordinated update: pruned_read ignores manifest
+# rows whose files vanished and must-reads unknown files, so pruning
+# degrades (never corrupts) until the day-2 append_scan_manifest run.
+# ---------------------------------------------------------------------------
+
+
+def cluster_report(path: str, specs: list[tuple[str, int, int]], max_span_frac: float = 0.5) -> dict:
+    """Metadata-only clustering health: per clustered column, each
+    file's footer span as a fraction of the declared [lo, hi] range. A
+    file is DIRTY when any span fraction exceeds ``max_span_frac`` or
+    stats are missing (unsorted append, stats-less writer). Returns
+    files_total / files_dirty / dirty_files / avg_span_frac."""
+    cols = [c for c, _, _ in specs]
+    rng = {c: max(1, hi - lo) for c, lo, hi in specs}
+    stats = file_stats(path, cols)
+    dirty, fracs = [], []
+    for fs in stats:
+        worst = 0.0
+        bad = False
+        for c in cols:
+            if c not in fs["min"] or c not in fs["max"]:
+                bad = True
+                continue
+            frac = (float(fs["max"][c]) - float(fs["min"][c])) / rng[c]
+            worst = max(worst, frac)
+        fracs.append(worst)
+        if bad or worst > max_span_frac:
+            dirty.append(fs["file"])
+    return {
+        "files_total": len(stats),
+        "files_dirty": len(dirty),
+        "dirty_files": sorted(dirty),
+        "avg_span_frac": round(sum(fracs) / len(fracs), 4) if fracs else 0.0,
+    }
+
+
+def _compact_marker(path: str) -> str:
+    return os.path.join(path, "_compact_pending.json")
+
+
+def _compact_recover(path: str) -> None:
+    """Roll the last optimize_clustered forward if it crashed mid-swap:
+    the marker lists the new file names (staged under __compact_tmp or
+    already moved in) and the old names to delete. No marker + a stale
+    tmp dir means the crash hit during the BUILD — old files are all
+    intact, so the tmp is simply discarded."""
+    import json as _json
+    import shutil
+
+    marker = _compact_marker(path)
+    tmp = os.path.join(path, "__compact_tmp")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            plan = _json.load(fh)
+        for name in plan["new"]:
+            staged = os.path.join(tmp, name)
+            final = os.path.join(path, name)
+            if os.path.exists(staged) and not os.path.exists(final):
+                os.replace(staged, final)
+        for name in plan["old"]:
+            p = os.path.join(path, name)
+            if os.path.exists(p):
+                os.remove(p)
+        os.remove(marker)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
+def optimize_clustered(
+    spark: SparkSession,
+    path: str,
+    specs: list[tuple[str, int, int]],
+    bits: int = 16,
+    *,
+    max_span_frac: float = 0.5,
+    min_rows: int | None = None,
+    n_files: int | None = None,
+) -> dict:
+    """Rewrite ONLY the badly-clustered (or undersized) files of a
+    z-ordered lake back into tight key ranges. FLAT lakes only —
+    partitioned lakes compact per partition directory (partition-column
+    values live in directory names and would be lost at the root).
+
+    Selection: footer box spans > ``max_span_frac`` of the declared
+    range on any clustered column, missing stats, or fewer than
+    ``min_rows`` rows (small-file compaction). The dirty rows re-sort
+    on the z-key and land one file per QUAD-ALIGNED z-prefix cell
+    (``partitionBy`` into the hidden staging dir, files then lifted to
+    the lake root): every output file's bounding box is contained in
+    one aligned cell whose per-dim span is <= max_span_frac/2 by
+    construction, so a rewrite is IDEMPOTENT — the second call finds
+    nothing dirty — rather than hoping sampled range boundaries line
+    up with curve seams. Committed by marker + per-file move, old
+    files deleted last; any crash heals via ``_compact_recover``.
+    ``n_files`` is accepted for API symmetry but the cell grid decides
+    the real file count (occupied cells only)."""
+    import hashlib as _hashlib
+    import json as _json
+    import math as _math
+    import shutil
+
+    base = path.rstrip("/")
+    _compact_recover(base)
+    names = _data_files(base)
+    if any("/" in n for n in names):
+        raise ValueError(
+            "optimize_clustered works on FLAT lakes; compact partitioned lakes "
+            "per partition directory (directory-encoded columns would be lost)"
+        )
+    cols = [c for c, _, _ in specs]
+    stats = file_stats(base, cols)
+    rep = cluster_report(base, specs, max_span_frac)
+    dirty = set(rep["dirty_files"])
+    rows_by_file = {fs["file"]: fs["rows"] for fs in stats}
+    if min_rows is not None:
+        dirty |= {f for f, r in rows_by_file.items() if r < min_rows}
+    if not dirty:
+        return {**rep, "files_rewritten": 0, "files_written": 0, "rows_rewritten": 0}
+    dirty_rows = sum(rows_by_file.get(f, 0) for f in dirty)
+    n_dims = len(specs)
+    # aligned cells: per-dim prefix depth so a cell's span is at most
+    # HALF the dirty threshold — output files can never re-qualify
+    per_dim = max(1, _math.ceil(_math.log2(2.0 / max_span_frac)))
+    per_dim = min(per_dim, bits)
+    prefix_bits = per_dim * n_dims
+    tmp = os.path.join(base, "__compact_tmp")
+    digest = _hashlib.sha256("\n".join(sorted(dirty)).encode()).hexdigest()[:12]
+    df = spark.read.parquet(*[os.path.join(base, n) for n in sorted(dirty)])
+    cells = [scale_to_bits_int(c, lo, hi, bits) for c, lo, hi in specs]
+    keyed = df.withColumn("__zkey", zorder_key(cells, bits)).withColumn(
+        "__zb", F.shiftright(F.col("__zkey"), bits * n_dims - prefix_bits)
+    )
+    (
+        keyed.repartition(F.col("__zb"))
+        .sortWithinPartitions("__zb", "__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .partitionBy("__zb")
+        .parquet(tmp)
+    )
+    staged = []
+    for root, _dirs, fnames in os.walk(tmp):
+        for n in fnames:
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                staged.append(os.path.join(root, n))
+    staged.sort()
+    new_names = [f"compact-{digest}-{i:05d}.parquet" for i in range(len(staged))]
+    for src, dst in zip(staged, new_names):
+        os.replace(src, os.path.join(tmp, dst))
+    with open(_compact_marker(base), "w") as fh:
+        _json.dump({"new": new_names, "old": sorted(dirty)}, fh)
+    for name in new_names:
+        os.replace(os.path.join(tmp, name), os.path.join(base, name))
+    for name in sorted(dirty):
+        p = os.path.join(base, name)
+        if os.path.exists(p):
+            os.remove(p)
+    os.remove(_compact_marker(base))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        **rep,
+        "files_rewritten": len(dirty),
+        "files_written": len(new_names),
+        "rows_rewritten": int(dirty_rows),
+    }
+
+
 def append_scan_manifest(spark: SparkSession, path: str, cols: list[str], manifest_path: str) -> None:
     """Day-2 manifest maintenance: stat ONLY data files the manifest has
     not seen (O(delta) footer reads, never a full re-stat) and append

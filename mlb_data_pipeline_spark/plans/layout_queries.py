@@ -344,3 +344,60 @@ def r64_hilbert3_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# R65 — incremental OPTIMIZE (round 10): unsorted appends degrade a
+#        z-ordered lake; optimize_clustered rewrites only the
+#        footer-selected wide-span files into quad-aligned cells. The
+#        oracle aggregates the SAME logical rows straight off the raw
+#        table, so a compaction that loses, duplicates, or corrupts a
+#        single row breaks the hash — the swap protocol itself is
+#        under the gate. Pruning restoration + crash recovery are
+#        pinned in tests/test_layout_ops.py.
+# ---------------------------------------------------------------------------
+
+_R65_SQL = """
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(pc) AS BIGINT) AS total_cents,
+       MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+       CAST(SUM(CASE WHEN ck BETWEEN 50 AND 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_box
+FROM (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+)
+"""
+
+
+@query("r65_optimize_clustered", oracle=_R65_SQL, covers="Y2,Y1,S8,A2")
+def r65_optimize_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.layout import optimize_clustered, write_zordered, zorder_specs
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r65_lake"
+    )
+    lake = os.path.join(base, "data")
+    if os.path.exists(lake):
+        shutil.rmtree(lake)  # rebuild: appends below must not accumulate
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    specs = zorder_specs(o, ["ck", "pc"])
+    clustered = o.filter(F.col("ck") % 10 != 0)
+    appended = o.filter(F.col("ck") % 10 == 0)
+    write_zordered(clustered, lake, specs, bits=8, n_files=16)
+    appended.coalesce(2).write.mode("append").parquet(lake)  # unsorted, wide-span
+    optimize_clustered(spark, lake, specs, bits=8)
+    df = spark.read.parquet(lake)
+    return df.agg(
+        F.count("*").alias("n_orders"),
+        F.sum("pc").cast("long").alias("total_cents"),
+        F.min("ck").alias("min_ck"),
+        F.max("ck").alias("max_ck"),
+        F.sum(F.col("ck").between(50, 600).cast("long")).alias("n_in_box"),
+    )

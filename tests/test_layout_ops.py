@@ -816,3 +816,100 @@ def test_extract_skip_clauses_shapes():
     assert ex("note = 'a OR b' AND k >= 4") == ({"k": (4, inf)}, {"note": "a OR b"})
     # unparseable conjuncts degrade to must-read on that column only
     assert ex("length(s) > 3 AND k <= 9") == ({"k": (-inf, 9)}, {})
+
+
+def test_optimize_clustered_restores_pruning_without_touching_clean_files(spark, tmp_path):
+    """Incremental OPTIMIZE (round 10): appends degrade a z-ordered
+    lake's file pruning; optimize_clustered rewrites ONLY the
+    wide-span files (footer-selected), restores the skip fraction,
+    keeps every row, and leaves well-clustered files untouched. A
+    second run is a no-op."""
+    from mlb_data_pipeline_spark.operators.layout import (
+        _data_files,
+        cluster_report,
+        optimize_clustered,
+        pruning_report,
+        write_zordered,
+    )
+
+    lake = str(tmp_path / "optlake")
+    grid = spark.range(200 * 200).select(
+        (F.col("id") % 200).alias("x"), (F.col("id") / 200).cast("long").alias("y")
+    )
+    specs = [("x", 0, 199), ("y", 0, 199)]
+    box = {"x": (0, 49), "y": (0, 49)}
+    write_zordered(grid, lake, specs, bits=8, n_files=16)
+    clean_files = set(_data_files(lake))
+    base_skip = pruning_report(lake, box)["skip_frac"]
+    assert base_skip >= 0.5
+
+    # unsorted append spanning the full range: pruning degrades
+    extra = spark.range(8_000).select(
+        (F.col("id") * 37 % 200).alias("x"), (F.col("id") * 73 % 200).alias("y")
+    )
+    extra.coalesce(2).write.mode("append").parquet(lake)
+    degraded = pruning_report(lake, box)["skip_frac"]
+    assert degraded < base_skip
+    rep0 = cluster_report(lake, specs)
+    # both appended files are dirty; boundary z-files may also qualify
+    assert rep0["files_dirty"] >= 2, rep0
+    appended = set(_data_files(lake)) - clean_files
+    assert appended <= set(rep0["dirty_files"])
+
+    out = optimize_clustered(spark, lake, specs, bits=8)
+    assert out["files_rewritten"] == rep0["files_dirty"]
+    # untouched clean files stay byte-identical in place, rewritten
+    # ones are gone, rows intact, pruning back near baseline
+    after_files = set(_data_files(lake))
+    untouched = clean_files - set(rep0["dirty_files"])
+    assert untouched <= after_files
+    assert not (set(rep0["dirty_files"]) & after_files)
+    assert spark.read.parquet(lake).count() == 200 * 200 + 8_000
+    healed = pruning_report(lake, box)["skip_frac"]
+    assert healed > degraded and healed >= 0.5, (base_skip, degraded, healed)
+
+    again = optimize_clustered(spark, lake, specs, bits=8)
+    assert again["files_rewritten"] == 0  # idempotent once clustered
+
+
+def test_optimize_clustered_crash_recovery_rolls_forward(spark, tmp_path):
+    """A crash between move-in and delete-old must heal on the next
+    call via the commit marker: staged new files move in, listed old
+    files delete, no rows lost or duplicated."""
+    import json
+    import os as _os
+    import shutil
+
+    from mlb_data_pipeline_spark.operators.layout import (
+        _data_files,
+        optimize_clustered,
+        write_zordered,
+    )
+
+    lake = str(tmp_path / "crashlake")
+    df = spark.range(1_000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") / 100).cast("long").alias("y")
+    )
+    specs = [("x", 0, 99), ("y", 0, 99)]
+    write_zordered(df, lake, specs, bits=6, n_files=4)
+    names = _data_files(lake)
+    victim = names[0]
+    # simulate the crash window: new content staged + marker written,
+    # old file still present, process died before the swap finished
+    tmp = _os.path.join(lake, "__compact_tmp")
+    _os.makedirs(tmp)
+    staged = "compact-deadbeef0000-00000.parquet"
+    shutil.copy(_os.path.join(lake, victim), _os.path.join(tmp, staged))
+    with open(_os.path.join(lake, "_compact_pending.json"), "w") as fh:
+        json.dump({"new": [staged], "old": [victim]}, fh)
+
+    out = optimize_clustered(spark, lake, specs, bits=6)
+    assert not _os.path.exists(_os.path.join(lake, "_compact_pending.json"))
+    assert not _os.path.exists(tmp)
+    assert staged in _data_files(lake) and victim not in _data_files(lake)
+    assert spark.read.parquet(lake).count() == 1_000  # no loss, no dup
+    # partitioned lakes refuse loudly
+    part = str(tmp_path / "partlake")
+    df.withColumn("p", F.col("x") % 2).write.partitionBy("p").parquet(part)
+    with pytest.raises(ValueError, match="FLAT"):
+        optimize_clustered(spark, part, specs, bits=6)
