@@ -808,6 +808,8 @@ def _compact_recover(path: str) -> None:
 
     marker = _compact_marker(path)
     tmp = os.path.join(path, "__compact_tmp")
+    if os.path.exists(marker + ".tmp"):
+        os.remove(marker + ".tmp")  # torn pre-commit stage: not yet binding
     if os.path.exists(marker):
         with open(marker) as fh:
             plan = _json.load(fh)
@@ -906,8 +908,12 @@ def optimize_clustered(
     new_names = [f"compact-{digest}-{i:05d}.parquet" for i in range(len(staged))]
     for src, dst in zip(staged, new_names):
         os.replace(src, os.path.join(tmp, dst))
-    with open(_compact_marker(base), "w") as fh:
+    # atomic marker write: a torn marker would brick recovery (json
+    # parse error on every subsequent call), so stage + rename
+    marker_tmp = _compact_marker(base) + ".tmp"
+    with open(marker_tmp, "w") as fh:
         _json.dump({"new": new_names, "old": sorted(dirty)}, fh)
+    os.replace(marker_tmp, _compact_marker(base))
     for name in new_names:
         os.replace(os.path.join(tmp, name), os.path.join(base, name))
     for name in sorted(dirty):

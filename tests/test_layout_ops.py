@@ -913,3 +913,38 @@ def test_optimize_clustered_crash_recovery_rolls_forward(spark, tmp_path):
     df.withColumn("p", F.col("x") % 2).write.partitionBy("p").parquet(part)
     with pytest.raises(ValueError, match="FLAT"):
         optimize_clustered(spark, part, specs, bits=6)
+
+
+def test_lake_scan_partitioned_lake_keeps_partition_columns(spark, tmp_path):
+    """The hook on a PARTITIONED lake: pruned files read with basePath
+    so directory-encoded columns survive, manifest pruning still
+    applies on file-level stats, and results match the whole-lake
+    filter exactly."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import lake_scan, register_lake_table
+    from mlb_data_pipeline_spark.operators.layout import save_scan_manifest
+
+    lake = str(tmp_path / "plake")
+    df = spark.range(6_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("p"),
+        (F.col("id") * 11 % 997).alias("v"),
+    )
+    df.repartitionByRange(4, "k").write.partitionBy("p").parquet(lake)
+    box_m = str(tmp_path / "pbox")
+    save_scan_manifest(spark, lake, ["k", "v"], box_m)
+    register_lake_table(spark, "plake", lake, scan_manifest=box_m)
+    whole = spark.read.parquet(lake)
+
+    pred = "k BETWEEN 0 AND 999"
+    got = lake_scan(spark, "plake", pred)
+    assert "p" in got.columns  # partition column survives the pruned read
+    assert got.count() == whole.filter(pred).count()
+    assert len(got.inputFiles()) < len(whole.inputFiles())
+    # mixed predicate including the partition-directory column
+    pred2 = "k BETWEEN 0 AND 1999 AND p = 1"
+    got2 = lake_scan(spark, "plake", pred2)
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, whole.filter(pred2).collect())
+    )
