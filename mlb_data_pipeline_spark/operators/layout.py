@@ -836,9 +836,10 @@ def optimize_clustered(
     max_span_frac: float = 0.5,
     min_rows: int | None = None,
     n_files: int | None = None,
+    curve: str = "zorder",
 ) -> dict:
     """Rewrite ONLY the badly-clustered (or undersized) files of a
-    z-ordered lake back into tight key ranges. FLAT lakes only —
+    clustered lake back into tight key ranges. FLAT lakes only —
     partitioned lakes compact per partition directory (partition-column
     values live in directory names and would be lost at the root).
 
@@ -854,12 +855,20 @@ def optimize_clustered(
     up with curve seams. Committed by marker + per-file move, old
     files deleted last; any crash heals via ``_compact_recover``.
     ``n_files`` is accepted for API symmetry but the cell grid decides
-    the real file count (occupied cells only)."""
+    the real file count (occupied cells only).
+
+    ``curve``: "zorder" (default) or "hilbert" — Hilbert lakes
+    (``write_hilbert``) re-cluster on the same curve their files were
+    laid out with. BOTH curves' top n*k key bits identify the same
+    aligned quadtree cell (k quadrant choices per level), so the
+    aligned-cell tightness/idempotence argument is curve-independent."""
     import hashlib as _hashlib
     import json as _json
     import math as _math
     import shutil
 
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(f"curve must be 'zorder' or 'hilbert', got {curve!r}")
     base = path.rstrip("/")
     _compact_recover(base)
     names = _data_files(base)
@@ -887,8 +896,17 @@ def optimize_clustered(
     tmp = os.path.join(base, "__compact_tmp")
     digest = _hashlib.sha256("\n".join(sorted(dirty)).encode()).hexdigest()[:12]
     df = spark.read.parquet(*[os.path.join(base, n) for n in sorted(dirty)])
-    cells = [scale_to_bits_int(c, lo, hi, bits) for c, lo, hi in specs]
-    keyed = df.withColumn("__zkey", zorder_key(cells, bits)).withColumn(
+    if curve == "hilbert":
+        named = df
+        cell_names = []
+        for c, lo, hi in specs:
+            cell_names.append(f"__cell_{c}")
+            named = named.withColumn(cell_names[-1], scale_to_bits_int(c, lo, hi, bits))
+        keyed = with_hilbert_key_nd(named, cell_names, bits, out_col="__zkey").drop(*cell_names)
+    else:
+        cells = [scale_to_bits_int(c, lo, hi, bits) for c, lo, hi in specs]
+        keyed = df.withColumn("__zkey", zorder_key(cells, bits))
+    keyed = keyed.withColumn(
         "__zb", F.shiftright(F.col("__zkey"), bits * n_dims - prefix_bits)
     )
     (

@@ -948,3 +948,38 @@ def test_lake_scan_partitioned_lake_keeps_partition_columns(spark, tmp_path):
     assert sorted(map(tuple, got2.collect())) == sorted(
         map(tuple, whole.filter(pred2).collect())
     )
+
+
+def test_optimize_clustered_hilbert_curve(spark, tmp_path):
+    """curve='hilbert': a Hilbert-laid lake re-clusters on its own
+    curve — appends degrade pruning, optimize restores it, rows
+    intact, idempotent (aligned Hilbert-prefix cells are quadtree
+    cells just like z-prefix cells)."""
+    from mlb_data_pipeline_spark.operators.layout import (
+        cluster_report,
+        optimize_clustered,
+        pruning_report,
+        write_hilbert,
+    )
+
+    lake = str(tmp_path / "hoptlake")
+    grid = spark.range(150 * 150).select(
+        (F.col("id") % 150).alias("x"), (F.col("id") / 150).cast("long").alias("y")
+    )
+    specs = [("x", 0, 149), ("y", 0, 149)]
+    box = {"x": (0, 39), "y": (0, 39)}
+    write_hilbert(grid, lake, specs, bits=8, n_files=16)
+    base_skip = pruning_report(lake, box)["skip_frac"]
+    assert base_skip >= 0.5
+    spark.range(5_000).select(
+        (F.col("id") * 37 % 150).alias("x"), (F.col("id") * 73 % 150).alias("y")
+    ).coalesce(1).write.mode("append").parquet(lake)
+    assert pruning_report(lake, box)["skip_frac"] < base_skip
+
+    out = optimize_clustered(spark, lake, specs, bits=8, curve="hilbert")
+    assert out["files_rewritten"] >= 1
+    assert spark.read.parquet(lake).count() == 150 * 150 + 5_000
+    assert pruning_report(lake, box)["skip_frac"] >= 0.5
+    assert optimize_clustered(spark, lake, specs, bits=8, curve="hilbert")["files_rewritten"] == 0
+    with pytest.raises(ValueError, match="curve"):
+        optimize_clustered(spark, lake, specs, bits=8, curve="peano")
