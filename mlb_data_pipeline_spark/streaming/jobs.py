@@ -562,7 +562,14 @@ def lake_append_stream(
     must-read and manifest-known-but-vanished files as absent.
     Bootstrap data loaded outside the stream must use batch labels the
     stream will never emit (e.g. ``ingest_batch=-1``) — stream batch
-    ids start at 0."""
+    ids start at 0.
+
+    Clustering maintenance stays OUT of the per-batch path by design
+    (a per-batch re-sort would serialize the stream on a range
+    shuffle): run ``operators.layout.optimize_clustered`` per
+    partition directory on an operator cadence, gated on
+    ``cluster_report``'s dirty fraction — streamed batch files are
+    exactly the wide-span appends its footer selection targets."""
     import os
 
     from ..operators.layout import append_bloom_manifest, append_scan_manifest
