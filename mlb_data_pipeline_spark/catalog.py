@@ -219,9 +219,12 @@ def _extract_skip_clauses(predicate: str) -> tuple[dict, dict]:
         if m:
             col, op, lit = m.group(1), m.group(2), _parse_lit(m.group(3))
             if op in ("=", "=="):
-                if isinstance(lit, str):
-                    equals[col] = lit
-                else:
+                # numeric equality skips BOTH ways: a box point for the
+                # min/max manifest AND a Bloom probe if one is
+                # registered for the column (dtype-pinned, so the int
+                # literal hashes like the built column)
+                equals[col] = lit
+                if not isinstance(lit, str):
                     fold(col, lit, lit)
             elif isinstance(lit, str):
                 continue
@@ -233,10 +236,10 @@ def _extract_skip_clauses(predicate: str) -> tuple[dict, dict]:
         m = re.fullmatch(rf"({_COL})\s+(?i:IN)\s*\(({_LIT}(?:\s*,\s*{_LIT})*)\)", c)
         if m:
             vals = [_parse_lit(t) for t in re.findall(_LIT, m.group(2))]
-            if vals and all(isinstance(v, str) for v in vals):
+            if vals:
                 equals[m.group(1)] = vals
-            elif vals and not any(isinstance(v, str) for v in vals):
-                fold(m.group(1), min(vals), max(vals))
+                if not any(isinstance(v, str) for v in vals):
+                    fold(m.group(1), min(vals), max(vals))
         # unmatched conjunct: contributes no skip clause (must-read)
     return {c: (lo, hi) for c, (lo, hi) in box.items()}, equals
 

@@ -805,9 +805,11 @@ def test_extract_skip_clauses_shapes():
     )
     assert ex("tag = '3' AND k <= 500") == ({"k": (-inf, 500)}, {"tag": "3"})
     assert ex("k > 5 AND k > 10 AND k < 99") == ({"k": (10, 99)}, {})
-    assert ex("k = 7") == ({"k": (7, 7)}, {})
+    # numeric equality / IN skip BOTH ways: box point/range for the
+    # min/max manifest plus a Bloom probe if one is registered
+    assert ex("k = 7") == ({"k": (7, 7)}, {"k": 7})
     assert ex("tag IN ('a', 'b')") == ({}, {"tag": ["a", "b"]})
-    assert ex("k IN (1, 5, 9)") == ({"k": (1, 9)}, {})
+    assert ex("k IN (1, 5, 9)") == ({"k": (1, 9)}, {"k": [1, 5, 9]})
     # unsound shapes extract nothing
     assert ex("k BETWEEN 1 AND 2 OR v = 3") == ({}, {})
     assert ex("NOT k = 5") == ({}, {})
@@ -985,3 +987,39 @@ def test_optimize_clustered_hilbert_curve(spark, tmp_path):
     assert optimize_clustered(spark, lake, specs, bits=8, curve="hilbert")["files_rewritten"] == 0
     with pytest.raises(ValueError, match="curve"):
         optimize_clustered(spark, lake, specs, bits=8, curve="peano")
+
+
+def test_lake_scan_numeric_bloom_equality(spark, tmp_path):
+    """Numeric point lookups through the hook use the dtype-pinned
+    Bloom manifest ON TOP of min/max boxes: with overlapping file
+    ranges (min/max can't skip) the bitmap still prunes, and never
+    drops a file holding the probed value."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import lake_scan, register_lake_table
+    from mlb_data_pipeline_spark.operators.layout import (
+        save_bloom_manifest,
+        save_scan_manifest,
+    )
+
+    lake = str(tmp_path / "nblake")
+    # two files with OVERLAPPING k ranges but disjoint k values
+    spark.createDataFrame([(i,) for i in range(0, 1000, 2)], "k long").coalesce(
+        1
+    ).write.parquet(lake)
+    spark.createDataFrame([(i,) for i in range(1, 1000, 2)], "k long").coalesce(
+        1
+    ).write.mode("append").parquet(lake)
+    box_m = str(tmp_path / "nbbox")
+    bloom_m = str(tmp_path / "nbbloom")
+    save_scan_manifest(spark, lake, ["k"], box_m)
+    save_bloom_manifest(spark, lake, "k", bloom_m, expected_per_file=512)
+    register_lake_table(spark, "nblake", lake, scan_manifest=box_m, bloom_manifests={"k": bloom_m})
+    whole = spark.read.parquet(lake)
+
+    got = lake_scan(spark, "nblake", "k = 500")  # even: lives in file 1 only
+    assert got.count() == 1
+    assert len(got.inputFiles()) == 1  # min/max can't skip; the bitmap did
+    # IN-list across both files: nothing skippable, nothing lost
+    got2 = lake_scan(spark, "nblake", "k IN (500, 501)")
+    assert got2.count() == 2
