@@ -425,3 +425,73 @@ def q26_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# R66 — DYNAMIC-gap session_window (round 10): the gap varies per
+#        event ('view' keeps attention 30 min, anything else 10 min).
+#        Merge semantics are transitive interval-chaining — a long-gap
+#        event can bridge OVER a short-gap successor — so the classic
+#        LAG(prev) rule is WRONG here; the faithful twin breaks when
+#        an event starts strictly after the RUNNING MAX of prior
+#        window ends (equality merges — measured on Spark 4.1.2, same
+#        boundary as the static form), and the session end is the MAX
+#        of (ts + gap) over the merged events. Pins the engine's
+#        dynamic-gap API bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_R66_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'view' THEN 1800000000 ELSE 600000000 END AS gap_us
+  FROM events
+),
+w AS (
+  SELECT *,
+         MAX(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end
+  FROM e
+),
+m AS (
+  SELECT *, CASE WHEN max_end IS NULL OR us > max_end THEN 1 ELSE 0 END AS brk
+  FROM w
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+)
+SELECT user_id,
+       make_timestamp(MIN(us)) AS session_start,
+       make_timestamp(MAX(us + gap_us)) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@query("r66_dynamic_session_window", oracle=_R66_SQL, covers="ST4,A2,T11")
+def r66_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "view", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

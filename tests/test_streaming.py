@@ -715,3 +715,55 @@ def test_session_window_exact_gap_merges(spark):
     duck = con.execute(_R58_SQL).fetchall()
     assert [r[3] for r in duck] == [3]  # n_events per session matches Spark
     assert duck[0][2] == got[0].session_end  # session_end convention matches
+
+
+def test_dynamic_gap_session_bridges_over_short_gap_event(spark):
+    """Dynamic-gap pin (round 10): a long-gap event's window can merge
+    an event that arrived AFTER a short-gap event's window closed —
+    the LAG(prev) rule would split here; the running-max-of-ends rule
+    (the r66 oracle) must not. Exact-boundary merge holds for dynamic
+    gaps too, and session end is MAX(ts+gap) over the merged events."""
+    import datetime as dt
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0, "view", 1.0),                              # end 12:30
+        (2, 1, t0 + dt.timedelta(minutes=12), "click", 1.0),  # end 12:22
+        (3, 1, t0 + dt.timedelta(minutes=25), "click", 1.0),  # bridged by #1
+        (4, 2, t0, "click", 1.0),                             # end 12:10
+        (5, 2, t0 + dt.timedelta(minutes=10), "click", 1.0),  # exact boundary
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    gap = F.when(F.col("event_type") == "view", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    got = (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("session_window.end").alias("e"), "n")
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [(r.user_id, r.n) for r in got] == [(1, 3), (2, 2)]
+    assert got[0].e == rows[2][2] + dt.timedelta(minutes=10)  # max(ts+gap)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({eid}, {uid}, TIMESTAMP '{ts}', '{et}', {v})"
+            for eid, uid, ts, et, v in rows
+        )
+        + ") t(event_id, user_id, ts, event_type, value)"
+    )
+    from mlb_data_pipeline_spark.plans.stream_queries import _R66_SQL
+
+    duck = con.execute(_R66_SQL).fetchall()
+    assert [(r[0], r[3]) for r in duck] == [(1, 3), (2, 2)]
+    assert duck[0][2] == got[0].e
