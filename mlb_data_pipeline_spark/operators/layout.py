@@ -260,9 +260,18 @@ def file_stats(path: str, cols: list[str]) -> list[dict]:
     out = []
     for name in _data_files(path):
         md = pq.ParquetFile(os.path.join(path, name)).metadata
+        n_rg = md.num_row_groups
         lo: dict[str, object] = {}
         hi: dict[str, object] = {}
-        for rg in range(md.num_row_groups):
+        nulls: dict[str, int] = {}
+        # per-column count of row groups that contributed usable stats:
+        # a bound (or null count) folded from SOME row groups only is
+        # NOT the file's — a stats-less row group could hold the true
+        # extreme (or nulls), so partial coverage degrades to "no
+        # usable stats" rather than a falsely tight bound (round 11).
+        mm_cover: dict[str, int] = {}
+        nc_cover: dict[str, int] = {}
+        for rg in range(n_rg):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 c = g.column(ci)
@@ -272,15 +281,30 @@ def file_stats(path: str, cols: list[str]) -> list[dict]:
                 if c.physical_type not in _EXACT_STAT_TYPES:
                     continue
                 s = c.statistics
+                # null counts ride along (round 11): the metadata-count
+                # fast path may only trust a file's row count when its
+                # box columns provably hold NO nulls (a NULL row never
+                # matches a box predicate)
+                if s.has_null_count:
+                    nulls[cname] = nulls.get(cname, 0) + int(s.null_count)
+                    nc_cover[cname] = nc_cover.get(cname, 0) + 1
                 if not s.has_min_max:
                     continue
                 mn = _stat_num(s.min)
                 mx = _stat_num(s.max)
-                if mn is not None:
-                    lo[cname] = mn if cname not in lo else min(lo[cname], mn)
-                if mx is not None:
-                    hi[cname] = mx if cname not in hi else max(hi[cname], mx)
-        out.append({"file": name, "min": lo, "max": hi, "rows": md.num_rows})
+                if mn is None or mx is None:
+                    continue
+                lo[cname] = mn if cname not in lo else min(lo[cname], mn)
+                hi[cname] = mx if cname not in hi else max(hi[cname], mx)
+                mm_cover[cname] = mm_cover.get(cname, 0) + 1
+        for cname in list(lo):
+            if mm_cover.get(cname, 0) != n_rg:
+                lo.pop(cname, None)
+                hi.pop(cname, None)
+        nulls_out: dict[str, object] = {
+            c: (n if nc_cover.get(c, 0) == n_rg else None) for c, n in nulls.items()
+        }
+        out.append({"file": name, "min": lo, "max": hi, "nulls": nulls_out, "rows": md.num_rows})
     return out
 
 
@@ -340,16 +364,31 @@ def zorder_specs(df: DataFrame, cols: list[str]) -> list[tuple[str, int, int]]:
 
 def build_scan_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
     """The footer stats of every data file in ``path`` as a DataFrame:
-    (file, rows, col, lo, hi) — long format so a box check is a plain
-    filter. Columns without usable stats (string/binary, all-null) are
-    simply ABSENT, which pruned_read treats as must-read."""
+    (file, rows, col, lo, hi, nulls) — long format so a box check is a
+    plain filter. Columns without usable stats (string/binary,
+    all-null) are simply ABSENT, which pruned_read treats as must-read.
+    ``nulls`` (round 11) is the column's footer null count, NULL when
+    the footer didn't say — the metadata-count fast path needs a
+    provable zero before trusting an unopened file's row count."""
     stats = file_stats(path, cols)
     rows = []
     for fs in stats:
         for c in cols:
             if c in fs["min"] and c in fs["max"]:
-                rows.append((fs["file"], int(fs["rows"]), c, float(fs["min"][c]), float(fs["max"][c])))
-    return spark.createDataFrame(rows, "file string, rows long, col string, lo double, hi double")
+                nc = fs["nulls"].get(c)
+                rows.append(
+                    (
+                        fs["file"],
+                        int(fs["rows"]),
+                        c,
+                        float(fs["min"][c]),
+                        float(fs["max"][c]),
+                        int(nc) if nc is not None else None,
+                    )
+                )
+    return spark.createDataFrame(
+        rows, "file string, rows long, col string, lo double, hi double, nulls long"
+    )
 
 
 def save_scan_manifest(spark: SparkSession, path: str, cols: list[str], manifest_path: str) -> None:
@@ -375,23 +414,31 @@ def _bloom_skippable(spark: SparkSession, manifest_path: str, value) -> set[str]
     return bloom_skippable_files(spark, manifest_path, value)
 
 
-def pruned_read(
+def pruned_files(
     spark: SparkSession,
     path: str,
-    manifest_path: str,
+    manifest_path: str | None,
     box: dict[str, tuple[float, float]],
     bloom_filters: list[tuple[str, object]] | None = None,
-) -> DataFrame:
-    """Read only the files a conjunctive box predicate can possibly
-    touch, decided from the persisted manifest alone. Skip rule is the
-    conservative one (matches pruning_report): a file is dropped ONLY
-    on a provable min/max miss on some box column; files with missing
-    stats are read. Callers still apply the exact predicate — pruning
-    is a superset guarantee, never a filter.
+) -> list[str]:
+    """RELATIVE names of the data files a conjunctive box predicate can
+    possibly touch, decided from the persisted manifests alone. Skip
+    rule is the conservative one (matches pruning_report): a file is
+    dropped ONLY on a provable min/max miss on some box column (or a
+    provable Bloom miss on an equality); files with missing stats are
+    kept. With ``manifest_path=None`` only the Bloom filters prune (the
+    bloom-manifest-without-scan-manifest registration, round 11) — the
+    on-disk listing is the file inventory.
 
-    The collect is file PATHS of kept files (metadata-scale); the
-    skip decision itself runs as a DataFrame filter so it would
-    distribute over a million-file manifest unchanged."""
+    The collect is file PATHS of kept files (metadata-scale); the skip
+    decision itself runs as a DataFrame filter so it would distribute
+    over a million-file manifest unchanged."""
+    on_disk = set(_data_files(path))
+    if manifest_path is None:
+        kept = set(on_disk)
+        for bloom_path, value in bloom_filters or []:
+            kept -= _bloom_skippable(spark, bloom_path, value)
+        return sorted(kept)
     mf = spark.read.parquet(manifest_path)
     miss = F.lit(False)
     for c, (lo, hi) in box.items():
@@ -413,10 +460,9 @@ def pruned_read(
     # false negatives; unknown files stay must-read)
     for bloom_path, value in bloom_filters or []:
         kept_names -= _bloom_skippable(spark, bloom_path, value)
-    on_disk = set(_data_files(path))
     # a manifest row may outlive its file (idempotent stream-replay
     # rewrites, compaction): vanished files are simply not read
-    files = [os.path.join(path, n) for n in sorted(kept_names & on_disk)]
+    files = sorted(kept_names & on_disk)
     # STALENESS GUARD: a data file the manifest has never seen (appended
     # after the last save_scan_manifest) carries no stats here, so it
     # can never be skipped — pruning must stay a superset guarantee
@@ -424,13 +470,30 @@ def pruned_read(
     stale_must_read = on_disk - known
     for bloom_path, value in bloom_filters or []:
         stale_must_read -= _bloom_skippable(spark, bloom_path, value)
-    files.extend(os.path.join(path, n) for n in sorted(stale_must_read))
+    files.extend(sorted(stale_must_read))
+    return files
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str,
+    box: dict[str, tuple[float, float]],
+    bloom_filters: list[tuple[str, object]] | None = None,
+) -> DataFrame:
+    """Read only the files ``pruned_files`` keeps. Callers still apply
+    the exact predicate — pruning is a superset guarantee, never a
+    filter. Heals any torn optimize_clustered swap first (a crash
+    between marker commit and old-file delete would otherwise leave
+    BOTH copies of rewritten rows visible to this read)."""
+    _compact_recover_tree(path)
+    files = pruned_files(spark, path, manifest_path, box, bloom_filters)
     if not files:
         # provably-empty box: an empty frame with the lake's schema
         return spark.read.parquet(path).limit(0)
     # basePath keeps partition-directory columns (dt=..., ingest_batch=...)
     # in the schema exactly as a whole-lake read would
-    return spark.read.option("basePath", path).parquet(*files)
+    return spark.read.option("basePath", path).parquet(*[os.path.join(path, n) for n in files])
 
 
 # ---------------------------------------------------------------------------
@@ -827,6 +890,26 @@ def _compact_recover(path: str) -> None:
         shutil.rmtree(tmp)
 
 
+def _compact_recover_tree(path: str) -> None:
+    """Read-path guard (round 11, ADVICE): heal a torn
+    optimize_clustered swap ANYWHERE under the lake before planning a
+    read. Without this, a crash between the marker commit and the
+    old-file delete leaves BOTH old and new copies of the rewritten
+    rows on disk until the NEXT optimize call — every read in between
+    would silently return duplicated rows. One extra listing walk per
+    read, metadata-scale (the same budget as ``_data_files``)."""
+    base = os.path.abspath(path)
+    if not os.path.isdir(base):
+        return
+    for root, dirs, names in os.walk(base):
+        # don't descend into staging dirs — _compact_recover owns them
+        dirs[:] = [d for d in dirs if d != "__compact_tmp" and not d.startswith(".")]
+        if "_compact_pending.json" in names or "_compact_pending.json.tmp" in names or (
+            os.path.isdir(os.path.join(root, "__compact_tmp"))
+        ):
+            _compact_recover(root)
+
+
 def optimize_clustered(
     spark: SparkSession,
     path: str,
@@ -966,10 +1049,22 @@ def append_scan_manifest(spark: SparkSession, path: str, cols: list[str], manife
             continue
         for c in cols:
             if c in fs["min"] and c in fs["max"]:
-                rows.append((fs["file"], int(fs["rows"]), c, float(fs["min"][c]), float(fs["max"][c])))
+                nc = fs["nulls"].get(c)
+                rows.append(
+                    (
+                        fs["file"],
+                        int(fs["rows"]),
+                        c,
+                        float(fs["min"][c]),
+                        float(fs["max"][c]),
+                        int(nc) if nc is not None else None,
+                    )
+                )
     if rows:
+        # mergeSchema on read keeps pre-round-11 manifests (no nulls
+        # column) appendable; their rows read as nulls=NULL = unknown
         spark.createDataFrame(
-            rows, "file string, rows long, col string, lo double, hi double"
+            rows, "file string, rows long, col string, lo double, hi double, nulls long"
         ).coalesce(1).write.mode("append").parquet(manifest_path)
 
 
@@ -1120,7 +1215,11 @@ def append_bloom_manifest(spark: SparkSession, path: str, manifest_path: str) ->
 
 
 def manifest_assisted_count(
-    spark: SparkSession, path: str, manifest_path: str, box: dict[str, tuple[float, float]]
+    spark: SparkSession,
+    path: str,
+    manifest_path: str,
+    box: dict[str, tuple[float, float]],
+    where: str | None = None,
 ) -> int:
     """COUNT(*) under a conjunctive box predicate with metadata doing
     most of the work (the Iceberg/Delta metadata-count pattern):
@@ -1133,12 +1232,26 @@ def manifest_assisted_count(
 
     On a well-clustered lake the read set is the box's surface, not
     its volume. The classification collects box-column stat rows only
-    (metadata-scale, same budget as pruned_read's path collect)."""
-    mf = spark.read.parquet(manifest_path)
+    (metadata-scale, same budget as pruned_read's path collect).
+
+    ``where`` (round 11): the exact predicate STRING to apply to
+    boundary files instead of the reconstructed numeric box — required
+    when the box folds temporal columns to epoch units (the raw column
+    can't compare against the folded bounds) and when the caller's
+    predicate is the source of truth (``lake_count``). The box must be
+    semantically EQUAL to ``where`` on interior files, since those are
+    counted unopened."""
+    _compact_recover_tree(path)
+    # mergeSchema: pre-round-11 manifests lack the nulls column; their
+    # rows surface nulls=NULL = unknown, which classifies as boundary
+    # (read + filter) — sound, never overcounting
+    mf = spark.read.option("mergeSchema", "true").parquet(manifest_path)
+    has_nulls_col = "nulls" in mf.columns
     rows_by_file = {r.file: r.rows for r in mf.select("file", "rows").distinct().collect()}
     stats = {}
     for r in mf.filter(F.col("col").isin(list(box))).collect():
-        stats.setdefault(r.file, {})[r.col] = (r.lo, r.hi)
+        nc = r.nulls if has_nulls_col else None
+        stats.setdefault(r.file, {})[r.col] = (r.lo, r.hi, nc)
     metadata_count = 0
     boundary = []
     existing = set(_data_files(path))
@@ -1180,6 +1293,12 @@ def manifest_assisted_count(
             if not _surely_inside(st[0], st[1], float(lo), float(hi)):
                 if verdict != "boundary":
                     verdict = "boundary"
+            # a NULL row never matches a box predicate, but it IS in
+            # the manifest row count: the unopened-file shortcut needs
+            # a provable ZERO null count (unknown -> read and filter)
+            if st[2] is None or int(st[2]) != 0:
+                if verdict != "skip":
+                    verdict = "boundary"
         if verdict == "inside":
             metadata_count += int(n_rows)
         elif verdict == "boundary":
@@ -1191,6 +1310,8 @@ def manifest_assisted_count(
     df = spark.read.option("basePath", path).parquet(
         *[os.path.join(path, n) for n in sorted(boundary)]
     )
+    if where is not None:
+        return metadata_count + df.filter(where).count()
     cond = F.lit(True)
     for c, (lo, hi) in box.items():
         cond = cond & F.col(c).between(float(lo), float(hi))

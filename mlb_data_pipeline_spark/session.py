@@ -48,6 +48,13 @@ def session_config(shuffle_partitions: int | None = None) -> dict[str, str]:
         # Testdata's events.ts is parquet TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type, so read as long and convert in catalog.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Spark's default INT96 timestamps carry NO footer statistics,
+        # so a timestamp column can never prune (row groups, scan
+        # manifests, lake_scan temporal boxes all blind). TIMESTAMP
+        # (MICROS) is the modern parquet type every reader supports and
+        # it gets min/max stats — at 100 TB this is the difference
+        # between skipping and scanning on event-time predicates.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
