@@ -922,9 +922,13 @@ def optimize_clustered(
     curve: str = "zorder",
 ) -> dict:
     """Rewrite ONLY the badly-clustered (or undersized) files of a
-    clustered lake back into tight key ranges. FLAT lakes only —
-    partitioned lakes compact per partition directory (partition-column
-    values live in directory names and would be lost at the root).
+    clustered lake back into tight key ranges. PARTITIONED lakes
+    (``dt=...``, ``ingest_batch=...`` directories — the
+    ``lake_append_stream`` layout) compact per leaf partition
+    directory (round 11): partition-column values live in directory
+    names, so each leaf is optimized as its own flat lake and the
+    reports merge. Rows never move across partitions (they couldn't —
+    the partition value IS the directory).
 
     Selection: footer box spans > ``max_span_frac`` of the declared
     range on any clustered column, missing stats, or fewer than
@@ -956,10 +960,48 @@ def optimize_clustered(
     _compact_recover(base)
     names = _data_files(base)
     if any("/" in n for n in names):
-        raise ValueError(
-            "optimize_clustered works on FLAT lakes; compact partitioned lakes "
-            "per partition directory (directory-encoded columns would be lost)"
+        # partitioned lake: optimize each leaf directory as a flat lake
+        # and merge the reports. Leaves with only root-level siblings
+        # ("" key) are handled by the same grouping.
+        leaves = sorted({os.path.dirname(n) for n in names})
+        merged = {
+            "files_total": 0,
+            "files_dirty": 0,
+            "dirty_files": [],
+            "files_rewritten": 0,
+            "files_written": 0,
+            "rows_rewritten": 0,
+            "_span_sum": 0.0,
+        }
+        for leaf in leaves:
+            sub = os.path.join(base, leaf) if leaf else base
+            if leaf == "":
+                # mixed flat+partitioned layout is writer error, not a
+                # compaction case — skip root stragglers untouched
+                continue
+            rep = optimize_clustered(
+                spark,
+                sub,
+                specs,
+                bits,
+                max_span_frac=max_span_frac,
+                min_rows=min_rows,
+                n_files=n_files,
+                curve=curve,
+            )
+            merged["files_total"] += rep["files_total"]
+            merged["files_dirty"] += rep["files_dirty"]
+            merged["dirty_files"].extend(os.path.join(leaf, f) for f in rep["dirty_files"])
+            merged["files_rewritten"] += rep["files_rewritten"]
+            merged["files_written"] += rep["files_written"]
+            merged["rows_rewritten"] += rep["rows_rewritten"]
+            merged["_span_sum"] += rep["avg_span_frac"] * rep["files_total"]
+        total = merged.pop("_span_sum")
+        merged["avg_span_frac"] = (
+            round(total / merged["files_total"], 4) if merged["files_total"] else 0.0
         )
+        merged["dirty_files"] = sorted(merged["dirty_files"])
+        return merged
     cols = [c for c, _, _ in specs]
     stats = file_stats(base, cols)
     rep = cluster_report(base, specs, max_span_frac)
@@ -979,7 +1021,13 @@ def optimize_clustered(
     tmp = os.path.join(base, "__compact_tmp")
     digest = _hashlib.sha256("\n".join(sorted(dirty)).encode()).hexdigest()[:12]
     df = spark.read.parquet(*[os.path.join(base, n) for n in sorted(dirty)])
-    if curve == "hilbert":
+    if n_dims == 1:
+        # 1-D clustering is a plain range sort — both curves degenerate
+        # to the scaled cell itself (common for single-key streaming
+        # lakes: ingest_batch dirs clustered on one column)
+        c0, lo0, hi0 = specs[0]
+        keyed = df.withColumn("__zkey", scale_to_bits_int(c0, lo0, hi0, bits))
+    elif curve == "hilbert":
         named = df
         cell_names = []
         for c, lo, hi in specs:

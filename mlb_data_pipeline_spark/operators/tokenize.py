@@ -86,16 +86,107 @@ def apply_merge(symbolized: DataFrame, left: str, right: str) -> DataFrame:
     return symbolized.withColumn("syms", glue)
 
 
-def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[tuple[str, str]]:
+def _driver_finish_merges(
+    words: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Finish the BPE merge loop on the COLLECTED word-frequency table
+    (round 11, VERDICT r10 #3): after the one corpus-scale collapse,
+    the merge iterations are a word-table problem — running them as
+    Spark jobs costs a ~0.3 s job floor x n_merges (a 32k-vocab train
+    would be 32k sequential jobs). Classic incremental algorithm: an
+    inverted index pair->words plus a lazy-invalidation heap, so each
+    merge touches only the words containing the winning pair.
+    Semantics are EXACTLY the distributed loop's: greedy left-to-right
+    non-overlapping apply, ties broken (cnt desc, left asc, right asc),
+    stop below pair count 2 — pinned against the same pure-Python
+    reference in tests/test_tokenize_ops.py."""
+    import heapq
+
+    freq = dict(words)
+    syms: dict[str, list[str]] = {w: list(w) for w in freq}
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[str]] = {}
+    for w, s in syms.items():
+        f = freq[w]
+        for p in zip(s, s[1:]):
+            counts[p] = counts.get(p, 0) + f
+            where.setdefault(p, set()).add(w)
+    heap = [(-c, p[0], p[1]) for p, c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, left, right = heapq.heappop(heap)
+        pair = (left, right)
+        cur = counts.get(pair, 0)
+        if cur != -negc:
+            continue  # stale heap entry (count changed since push)
+        if cur < 2:
+            break  # the true max is below the merge threshold
+        merges.append(pair)
+        merged = left + right
+        for w in list(where.get(pair, ())):
+            s = syms[w]
+            f = freq[w]
+            out: list[str] = []
+            i = 0
+            changed = False
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(s[i])
+                    i += 1
+            if not changed:
+                continue  # lazy index entry: pair already gone from w
+            touched: set[tuple[str, str]] = set()
+            for p in zip(s, s[1:]):
+                counts[p] -= f
+                touched.add(p)
+            for p in zip(out, out[1:]):
+                counts[p] = counts.get(p, 0) + f
+                where.setdefault(p, set()).add(w)
+                touched.add(p)
+            # every touched pair gets a refreshed heap entry at its NEW
+            # count: a decremented pair's old entries are all too-high
+            # priority and get discarded on pop, so without this push
+            # the pair could be missed when it later becomes the max
+            for p in touched:
+                if p != pair and counts.get(p, 0) >= 2:
+                    heapq.heappush(heap, (-counts[p], p[0], p[1]))
+            syms[w] = out
+        counts.pop(pair, None)
+        where.pop(pair, None)
+    return merges
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    driver_threshold: int = 1_000_000,
+) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     list in training order. Ties break deterministically by
     (cnt desc, left asc, right asc) so the vocabulary is reproducible
-    across runs and partitionings. Each iteration collects exactly ONE
-    row (the winning pair) — bounded metadata, same contract as the
-    centroid collects in operators/vector.py."""
+    across runs and partitionings.
+
+    The corpus-scale work is ONE distributed collapse to the word-
+    frequency table; the merge loop then finishes driver-side when the
+    distinct-word count fits ``driver_threshold`` (round 11 — a real
+    32k-merge train completes in seconds instead of 32k sequential
+    1-row Spark jobs). Above the threshold the per-merge distributed
+    loop runs (each iteration collects exactly ONE row — bounded
+    metadata, same contract as the centroid collects in
+    operators/vector.py)."""
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
-    sym = _init_symbols(word_freq_table(docs, text_col)).localCheckpoint(eager=False)
+    wf = word_freq_table(docs, text_col)
+    if wf.limit(driver_threshold + 1).count() <= driver_threshold:
+        rows = wf.collect()
+        return _driver_finish_merges([(r.word, int(r.freq)) for r in rows], n_merges)
+    sym = _init_symbols(wf).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         top = (

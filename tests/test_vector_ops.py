@@ -985,6 +985,11 @@ def test_sq8_bounds_rejects_wrong_dim(spark, emb):
     with pytest.raises(Exception, match="dim=32"):
         sq8_bounds(emb, "embedding", dim=32).first()
 
+    # an EMPTY corpus raises with a diagnosable message, not a null
+    # concat inside raise_error (ADVICE r10)
+    with pytest.raises(Exception, match="empty corpus"):
+        sq8_bounds(emb.limit(0), "embedding", dim=64).first()
+
 
 def test_sq8_knn_join_supplied_bounds_skip_the_train_agg(spark, emb):
     """VERDICT r9 ask #5: persisted store bounds passed into
