@@ -42,26 +42,85 @@ WITH o AS (
 )
 """
 
-_Q39_SQL_ZORDER = (
+_BITS3 = 5  # 5 bits/dim x 3 dims = 15-bit key; buckets = hkey >> 9 (64 cells)
+
+_CELL3_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dk
+  FROM orders
+), b AS (
+  SELECT MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+         MIN(pc) AS pc_lo, MAX(pc) AS pc_hi,
+         MIN(dk) AS dk_lo, MAX(dk) AS dk_hi
+  FROM o
+), cells3 AS (
+  SELECT
+    CASE WHEN ck_hi > ck_lo
+         THEN ((LEAST(GREATEST(ck, ck_lo), ck_hi) - ck_lo) * 31) // (ck_hi - ck_lo)
+         ELSE 0 END AS cx,
+    CASE WHEN pc_hi > pc_lo
+         THEN ((LEAST(GREATEST(pc, pc_lo), pc_hi) - pc_lo) * 31) // (pc_hi - pc_lo)
+         ELSE 0 END AS cy,
+    CASE WHEN dk_hi > dk_lo
+         THEN ((LEAST(GREATEST(dk, dk_lo), dk_hi) - dk_lo) * 31) // (dk_hi - dk_lo)
+         ELSE 0 END AS cz
+  FROM o CROSS JOIN b
+)
+"""
+
+_Q39_SQL_ZORDER_BODY = (
     _CELL_SQL
     + f", z AS (SELECT ({zorder_key_sql(['cx', 'cy'], _BITS)}) AS z FROM cells)\n"
     + """
-SELECT z >> 10 AS bucket, COUNT(*) AS n_orders, MIN(z) AS z_min, MAX(z) AS z_max
+SELECT 'zorder' AS part, z >> 10 AS bucket,
+       COUNT(*) AS n_orders, MIN(z) AS k_min, MAX(z) AS k_max
 FROM z
 GROUP BY bucket
-ORDER BY bucket
 """
 )
 
 
-@query("q39_zorder_key", oracle=_Q39_SQL_ZORDER, covers="Y1")
+def _q39_sql() -> str:
+    from ..operators.layout import hilbert_nd_key_sql
+
+    hilbert3_body = (
+        _CELL3_SQL
+        + ",\n"
+        + hilbert_nd_key_sql(["cx", "cy", "cz"], _BITS3, "cells3")
+        + """
+SELECT 'hilbert3' AS part, hkey >> 9 AS bucket,
+       COUNT(*) AS n_orders, MIN(hkey) AS k_min, MAX(hkey) AS k_max
+FROM hnd_final
+GROUP BY bucket
+"""
+    )
+    return (
+        "SELECT * FROM (\n"
+        + _Q39_SQL_ZORDER_BODY
+        + ")\nUNION ALL\nSELECT * FROM (\n"
+        + hilbert3_body
+        + ")\nORDER BY part, bucket"
+    )
+
+
+@query("q39_zorder_key", oracle=_q39_sql(), covers="Y1,Y3")
 def q39_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) key over (customer, price-cents) with
-    data-derived bounds: the layout key `write_zordered` clusters files
-    on, aggregated per 1024-key bucket so the oracle checks the FULL
-    key distribution (rotated into the driver window round 9, ex-r47), not a sample. Bounds come from one 1-row agg
-    cross-joined in (never collected); every step is integer-exact
-    (floor-div + shift/and/or) so both engines agree bit-for-bit."""
+    """Layout-key family, tagged union (round 11: the 3-D Hilbert key
+    r64 rotated INTO the driver window as the 'hilbert3' branch —
+    VERDICT r10 ask #3):
+    * 'zorder' — Morton key over (customer, price-cents) with
+      data-derived bounds (ex-r47, in-window since round 9), per
+      1024-key bucket so the oracle checks the FULL key distribution;
+    * 'hilbert3' — the N-D Skilling transform over (customer,
+      price-cents, order epoch-day) cells (ex-r64), per 512-key bucket,
+      DuckDB mirroring the identical per-(level, axis) integer update.
+    Bounds come from one 1-row agg cross-joined in (never collected);
+    every step is integer-exact (floor-div + shift/and/or) so both
+    engines agree bit-for-bit."""
+    from ..operators.layout import with_hilbert_key_nd
+
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("long").alias("ck"),
         F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
@@ -76,54 +135,102 @@ def q39_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     cx = scale_to_bits_cols(F.col("ck"), F.col("ck_lo"), F.col("ck_hi"), _BITS)
     cy = scale_to_bits_cols(F.col("pc"), F.col("pc_lo"), F.col("pc_hi"), _BITS)
     z = zorder_key([cx, cy], _BITS)
-    return (
+    zorder = (
         j.select(z.alias("z"))
         .groupBy(F.shiftright("z", 10).alias("bucket"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.min("z").alias("z_min"),
-            F.max("z").alias("z_max"),
+            F.min("z").alias("k_min"),
+            F.max("z").alias("k_max"),
         )
-        .orderBy("bucket")
+        .select(F.lit("zorder").alias("part"), "bucket", "n_orders", "k_min", "k_max")
     )
 
+    o3 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("dk"),
+    )
+    bounds3 = o3.agg(
+        F.min("ck").alias("ck_lo"), F.max("ck").alias("ck_hi"),
+        F.min("pc").alias("pc_lo"), F.max("pc").alias("pc_hi"),
+        F.min("dk").alias("dk_lo"), F.max("dk").alias("dk_hi"),
+    )
+    j3 = o3.crossJoin(F.broadcast(bounds3))
+    cells3 = (
+        j3.withColumn("cx", scale_to_bits_cols(F.col("ck"), F.col("ck_lo"), F.col("ck_hi"), _BITS3))
+        .withColumn("cy", scale_to_bits_cols(F.col("pc"), F.col("pc_lo"), F.col("pc_hi"), _BITS3))
+        .withColumn("cz", scale_to_bits_cols(F.col("dk"), F.col("dk_lo"), F.col("dk_hi"), _BITS3))
+    )
+    hilbert3 = (
+        with_hilbert_key_nd(cells3, ["cx", "cy", "cz"], _BITS3, out_col="hkey")
+        .groupBy(F.shiftright("hkey", 9).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("hkey").alias("k_min"),
+            F.max("hkey").alias("k_max"),
+        )
+        .select(F.lit("hilbert3").alias("part"), "bucket", "n_orders", "k_min", "k_max")
+    )
+    return zorder.unionByName(hilbert3).orderBy("part", "bucket")
+
 
 # ---------------------------------------------------------------------------
-# Q23 (ex-r49, rotated into the driver window round 10) — manifest-
-#        pruned scan (Y2): the read-path half of the
-#        layout story. Orders land as a z-ordered lake, footer stats
-#        persist as a manifest table, and the box query plans its file
-#        list from the manifest ALONE (the Delta/Iceberg data-skipping
-#        pattern). The oracle runs the same box on the raw table — if
-#        pruning ever dropped a file it shouldn't, rows go missing and
-#        the hash breaks, so the PRUNING DECISION itself is under the
-#        gate. The measured skip fraction (files, not rows) is pinned
-#        in tests/test_layout_ops.py.
+# Q23 (ex-r49, rotated into the driver window round 10; round 11 adds
+#        the 'or' / 'date' / 'count' branches — VERDICT r10 asks #2,
+#        #5, #6) — the CATALOG-HOOK flagship (Y2): orders land as a
+#        z-ordered lake (plus a date-range-clustered twin), footer
+#        stats persist as manifest tables, and every branch plans its
+#        file list from a plain PREDICATE STRING through
+#        register_lake_table + lake_scan / lake_count — no
+#        caller-constructed box. The oracle runs the same predicates on
+#        the raw table — if the planner ever drops a file it shouldn't,
+#        rows go missing and the hash breaks, so the PRUNING DECISION
+#        itself is under the gate. Measured skip fractions (files, not
+#        rows) are pinned in tests/test_layout_ops.py.
 # ---------------------------------------------------------------------------
 
-_R49_SQL = """
-SELECT COUNT(*) AS n_orders,
-       CAST(SUM(pc) AS BIGINT) AS total_cents,
-       MIN(ck) AS min_ck, MAX(ck) AS max_ck
-FROM (
+_Q23_SQL = """
+WITH o AS (
   SELECT CAST(o_custkey AS BIGINT) AS ck,
-         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+         CAST(o_orderdate AS DATE) AS od
   FROM orders
 )
-WHERE ck BETWEEN 50 AND 600 AND pc BETWEEN 5000000 AND 20000000
+SELECT 'box' AS part, COUNT(*) AS n_orders,
+       CAST(SUM(pc) AS BIGINT) AS total_cents,
+       MIN(ck) AS min_ck, MAX(ck) AS max_ck
+FROM o WHERE ck BETWEEN 50 AND 600 AND pc BETWEEN 5000000 AND 20000000
+UNION ALL
+SELECT 'count', COUNT(*), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM o WHERE ck BETWEEN 50 AND 600 AND pc >= 5000000
+UNION ALL
+SELECT 'date', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
+FROM o WHERE od >= DATE '1997-01-01' AND od < DATE '1997-07-01'
+UNION ALL
+SELECT 'or', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
+FROM o WHERE (ck BETWEEN 50 AND 150) OR (ck BETWEEN 400 AND 600)
+ORDER BY part
 """
 
 
-@query("q23_manifest_pruned_scan", oracle=_R49_SQL, covers="Y2,S3,S8,A2")
+@query("q23_manifest_pruned_scan", oracle=_Q23_SQL, covers="Y2,S3,S8,A2,P3")
 def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round 10: the read now routes through the CATALOG hook
-    (``register_lake_table`` + ``lake_scan``) — the box is derived from
-    the predicate string itself, no caller-constructed box dict, so the
-    r49 contract additionally gates the automatic predicate->skip
-    planning path."""
+    """Catalog-hook family, tagged union:
+    * 'box' — conjunctive numeric box through lake_scan (ex-r49, the
+      round-10 contract);
+    * 'count' — COUNT under an exact closed box through lake_count's
+      metadata fast path (interior files counted unopened, round 11);
+    * 'date' — a date-range predicate (bare ISO + DATE '...') pruning
+      a date-clustered lake via temporal literal folding (round 11);
+    * 'or' — a two-branch disjunction pruned with the UNION of
+      per-branch keep sets (round 11).
+    Every branch derives its skip plan from the predicate STRING."""
     import os
 
-    from ..catalog import lake_scan, register_lake_table
+    from ..catalog import lake_count, lake_scan, register_lake_table
     from ..operators.layout import save_scan_manifest, write_zordered, zorder_specs
 
     base = os.path.join(
@@ -133,21 +240,60 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("long").alias("ck"),
         F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+        F.col("o_orderdate").cast("date").alias("od"),
     )
     write_zordered(o, lake, zorder_specs(o, ["ck", "pc"]), bits=8, n_files=16)
     save_scan_manifest(spark, lake, ["ck", "pc"], manifest)
     register_lake_table(spark, "q23_orders_lake", lake, scan_manifest=manifest)
-    df = lake_scan(
-        spark,
-        "q23_orders_lake",
-        "ck BETWEEN 50 AND 600 AND pc BETWEEN 5000000 AND 20000000",
+
+    # date-clustered twin: range-partitioned on order date so temporal
+    # predicates have files to skip
+    dlake = os.path.join(base, "date_data")
+    dmanifest = os.path.join(base, "date_manifest")
+    (
+        o.repartitionByRange(8, "od")
+        .sortWithinPartitions("od")
+        .write.mode("overwrite")
+        .parquet(dlake)
     )
-    return df.agg(
-        F.count("*").alias("n_orders"),
-        F.sum("pc").cast("long").alias("total_cents"),
-        F.min("ck").alias("min_ck"),
-        F.max("ck").alias("max_ck"),
+    save_scan_manifest(spark, dlake, ["od", "ck"], dmanifest)
+    register_lake_table(spark, "q23_orders_by_date", dlake, scan_manifest=dmanifest)
+
+    schema = "part string, n_orders long, total_cents long, min_ck long, max_ck long"
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("part"),
+            F.count("*").alias("n_orders"),
+            F.sum("pc").cast("long").alias("total_cents"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+        ).select("part", "n_orders", "total_cents", "min_ck", "max_ck")
+
+    box = agg(
+        lake_scan(
+            spark, "q23_orders_lake",
+            "ck BETWEEN 50 AND 600 AND pc BETWEEN 5000000 AND 20000000",
+        ),
+        "box",
     )
+    n = lake_count(spark, "q23_orders_lake", "ck BETWEEN 50 AND 600 AND pc >= 5000000")
+    count = spark.createDataFrame([("count", n, None, None, None)], schema)
+    date = agg(
+        lake_scan(
+            spark, "q23_orders_by_date",
+            "od >= '1997-01-01' AND od < DATE '1997-07-01'",
+        ),
+        "date",
+    )
+    disj = agg(
+        lake_scan(
+            spark, "q23_orders_lake",
+            "(ck BETWEEN 50 AND 150) OR (ck BETWEEN 400 AND 600)",
+        ),
+        "or",
+    )
+    return box.unionByName(count).unionByName(date).unionByName(disj).orderBy("part")
 
 
 # ---------------------------------------------------------------------------
@@ -256,98 +402,9 @@ def q45_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R64 — 3-D Hilbert layout key (round 10): the N-dimensional Skilling
-#        transform (with_hilbert_key_nd) over (customer, price-cents,
-#        order epoch-day) cells, aggregated per key bucket so the
-#        oracle checks the FULL key distribution. The DuckDB mirror
-#        unrolls the IDENTICAL per-(level, axis) integer update as
-#        chained CTEs (hilbert_nd_key_sql) — every op is xor/and/shift
-#        on longs, so both engines agree bit-for-bit. Closes VERDICT
-#        r9's "Hilbert is 2-D only" gap with an oracled query, not
-#        just a unit test.
-# ---------------------------------------------------------------------------
-
-_BITS3 = 5  # 5 bits/dim x 3 dims = 15-bit key; buckets = hkey >> 9 (64 cells)
-
-_CELL3_SQL = """
-WITH o AS (
-  SELECT CAST(o_custkey AS BIGINT) AS ck,
-         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
-         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dk
-  FROM orders
-), b AS (
-  SELECT MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
-         MIN(pc) AS pc_lo, MAX(pc) AS pc_hi,
-         MIN(dk) AS dk_lo, MAX(dk) AS dk_hi
-  FROM o
-), cells3 AS (
-  SELECT
-    CASE WHEN ck_hi > ck_lo
-         THEN ((LEAST(GREATEST(ck, ck_lo), ck_hi) - ck_lo) * 31) // (ck_hi - ck_lo)
-         ELSE 0 END AS cx,
-    CASE WHEN pc_hi > pc_lo
-         THEN ((LEAST(GREATEST(pc, pc_lo), pc_hi) - pc_lo) * 31) // (pc_hi - pc_lo)
-         ELSE 0 END AS cy,
-    CASE WHEN dk_hi > dk_lo
-         THEN ((LEAST(GREATEST(dk, dk_lo), dk_hi) - dk_lo) * 31) // (dk_hi - dk_lo)
-         ELSE 0 END AS cz
-  FROM o CROSS JOIN b
-)
-"""
-
-
-def _r64_sql() -> str:
-    from ..operators.layout import hilbert_nd_key_sql
-
-    return (
-        _CELL3_SQL
-        + ",\n"
-        + hilbert_nd_key_sql(["cx", "cy", "cz"], _BITS3, "cells3")
-        + """
-SELECT hkey >> 9 AS bucket, COUNT(*) AS n_orders, MIN(hkey) AS h_min, MAX(hkey) AS h_max
-FROM hnd_final
-GROUP BY bucket
-ORDER BY bucket
-"""
-    )
-
-
-@query("r64_hilbert3_key", oracle=_r64_sql(), covers="Y3")
-def r64_hilbert3_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.layout import with_hilbert_key_nd
-
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").cast("long").alias("ck"),
-        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
-        .cast("long")
-        .alias("dk"),
-    )
-    bounds = o.agg(
-        F.min("ck").alias("ck_lo"), F.max("ck").alias("ck_hi"),
-        F.min("pc").alias("pc_lo"), F.max("pc").alias("pc_hi"),
-        F.min("dk").alias("dk_lo"), F.max("dk").alias("dk_hi"),
-    )
-    j = o.crossJoin(F.broadcast(bounds))
-    cells = (
-        j.withColumn("cx", scale_to_bits_cols(F.col("ck"), F.col("ck_lo"), F.col("ck_hi"), _BITS3))
-        .withColumn("cy", scale_to_bits_cols(F.col("pc"), F.col("pc_lo"), F.col("pc_hi"), _BITS3))
-        .withColumn("cz", scale_to_bits_cols(F.col("dk"), F.col("dk_lo"), F.col("dk_hi"), _BITS3))
-    )
-    keyed = with_hilbert_key_nd(cells, ["cx", "cy", "cz"], _BITS3, out_col="hkey")
-    return (
-        keyed.groupBy(F.shiftright("hkey", 9).alias("bucket"))
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.min("hkey").alias("h_min"),
-            F.max("hkey").alias("h_max"),
-        )
-        .orderBy("bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# R65 — incremental OPTIMIZE (round 10): unsorted appends degrade a
+# Q46 (ex-r65, rotated into the driver window round 11, VERDICT r10
+#        ask #3; the simhash demo it displaces keeps its oracle as
+#        r67) — incremental OPTIMIZE: unsorted appends degrade a
 #        z-ordered lake; optimize_clustered rewrites only the
 #        footer-selected wide-span files into quad-aligned cells. The
 #        oracle aggregates the SAME logical rows straight off the raw
@@ -357,7 +414,7 @@ def r64_hilbert3_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        pinned in tests/test_layout_ops.py.
 # ---------------------------------------------------------------------------
 
-_R65_SQL = """
+_Q46_SQL = """
 SELECT COUNT(*) AS n_orders,
        CAST(SUM(pc) AS BIGINT) AS total_cents,
        MIN(ck) AS min_ck, MAX(ck) AS max_ck,
@@ -370,15 +427,15 @@ FROM (
 """
 
 
-@query("r65_optimize_clustered", oracle=_R65_SQL, covers="Y2,Y1,S8,A2")
-def r65_optimize_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q46_optimize_clustered", oracle=_Q46_SQL, covers="Y2,Y1,S8,A2")
+def q46_optimize_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
     from ..operators.layout import optimize_clustered, write_zordered, zorder_specs
 
     base = os.path.join(
-        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r65_lake"
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "q46_lake"
     )
     lake = os.path.join(base, "data")
     if os.path.exists(lake):

@@ -241,10 +241,13 @@ def r63_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q46 — SimHash near-dups (16-bit signatures, hamming <= 3, Jaccard verify)
+# R67 (ex-q46, displaced from the driver window round 11 by the
+# rotated-in incremental OPTIMIZE; V4 keeps rich in-window carriers:
+# q44 MinHash, q16 Jaccard, q09 fuzzy, q30/q31/q06/q01) — SimHash
+# near-dups (16-bit signatures, hamming <= 3, Jaccard verify)
 # ---------------------------------------------------------------------------
 
-_Q46_SQL = """
+_R67_SQL = """
 WITH d AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents),
 tv AS (
   SELECT doc_id, source, toks,
@@ -299,8 +302,8 @@ ORDER BY id_a, id_b
 """
 
 
-@query("q46_simhash_neardup", oracle=_Q46_SQL, covers="V4,T17")
-def q46_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r67_simhash_neardup", oracle=_R67_SQL, covers="V4,T17")
+def r67_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = simhash_neardup_pairs(docs, "doc_id", "text", "source", max_hamming=3, threshold=0.3)
     return ordered_small(pairs, "id_a", "id_b")

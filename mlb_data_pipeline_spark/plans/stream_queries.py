@@ -380,7 +380,7 @@ def r22_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        engines.
 # ---------------------------------------------------------------------------
 
-_R58_SQL = """
+_R58_BODY = """
 WITH e AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -394,53 +394,16 @@ s AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM e
 )
-SELECT user_id,
+SELECT 'fixed' AS part, user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
        COUNT(*) AS n_events,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM s
 GROUP BY user_id, sid
-ORDER BY user_id, session_start
 """
 
-
-@query("q26_session_window", oracle=_R58_SQL, covers="ST4,A2,T11")
-def q26_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.numeric import dsum
-
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(
-            F.count("*").alias("n_events"),
-            dsum("value").alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events",
-            "total_value",
-        )
-        .orderBy("user_id", "session_start")
-    )
-
-
-# ---------------------------------------------------------------------------
-# R66 — DYNAMIC-gap session_window (round 10): the gap varies per
-#        event ('view' keeps attention 30 min, anything else 10 min).
-#        Merge semantics are transitive interval-chaining — a long-gap
-#        event can bridge OVER a short-gap successor — so the classic
-#        LAG(prev) rule is WRONG here; the faithful twin breaks when
-#        an event starts strictly after the RUNNING MAX of prior
-#        window ends (equality merges — measured on Spark 4.1.2, same
-#        boundary as the static form), and the session end is the MAX
-#        of (ts + gap) over the merged events. Pins the engine's
-#        dynamic-gap API bit-for-bit.
-# ---------------------------------------------------------------------------
-
-_R66_SQL = """
+_R66_BODY = """
 WITH e AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS us,
          CASE WHEN event_type = 'view' THEN 1800000000 ELSE 600000000 END AS gap_us
@@ -461,37 +424,69 @@ s AS (
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM m
 )
-SELECT user_id,
+SELECT 'dynamic' AS part, user_id,
        make_timestamp(MIN(us)) AS session_start,
        make_timestamp(MAX(us + gap_us)) AS session_end,
        COUNT(*) AS n_events,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM s
 GROUP BY user_id, sid
-ORDER BY user_id, session_start
 """
 
+_Q26_SQL = (
+    "SELECT * FROM (\n"
+    + _R58_BODY
+    + ")\nUNION ALL\nSELECT * FROM (\n"
+    + _R66_BODY
+    + ")\nORDER BY part, user_id, session_start"
+)
 
-@query("r66_dynamic_session_window", oracle=_R66_SQL, covers="ST4,A2,T11")
-def r66_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+@query("q26_session_window", oracle=_Q26_SQL, covers="ST4,A2,T11")
+def q26_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window family, tagged union (round 11: the dynamic-gap
+    form r66 rotated INTO the driver window as the 'dynamic' branch —
+    VERDICT r10 ask #3):
+    * 'fixed' — native session_window with a constant 30-minute gap,
+      cross-validated against the classic LAG gap-rule SQL (ex-r58);
+    * 'dynamic' — per-event gap ('view' keeps attention 30 min,
+      anything else 10 min), where merge semantics are transitive
+      interval-chaining: the faithful twin breaks when an event starts
+      strictly after the RUNNING MAX of prior window ends (ex-r66).
+    Both branches pin the ENGINE API bit-for-bit; the exactly-gap-width
+    boundary (equality MERGES on Spark 4.1.2) is pinned on both engines
+    in tests/test_streaming.py."""
     from ..functions.numeric import dsum
 
     events = load_table(spark, sf_dir, "events")
-    gap = F.when(F.col("event_type") == "view", F.lit("30 minutes")).otherwise(
+
+    def sessions(gap, tag: str) -> DataFrame:
+        return (
+            events.groupBy("user_id", F.session_window("ts", gap))
+            .agg(
+                F.count("*").alias("n_events"),
+                dsum("value").alias("total_value"),
+            )
+            .select(
+                F.lit(tag).alias("part"),
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    dyn_gap = F.when(F.col("event_type") == "view", F.lit("30 minutes")).otherwise(
         F.lit("10 minutes")
     )
+    # the fixed branch passes a PLAIN string so the static-gap API
+    # path stays pinned (a lit column would route through the
+    # dynamic-gap evaluator)
     return (
-        events.groupBy("user_id", F.session_window("ts", gap))
-        .agg(
-            F.count("*").alias("n_events"),
-            dsum("value").alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events",
-            "total_value",
-        )
-        .orderBy("user_id", "session_start")
+        sessions("30 minutes", "fixed")
+        .unionByName(sessions(dyn_gap, "dynamic"))
+        .orderBy("part", "user_id", "session_start")
     )
+
+

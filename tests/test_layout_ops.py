@@ -1512,3 +1512,43 @@ def test_streaming_lake_optimize_between_batches(spark, tmp_path):
     # the rewritten leaf now prunes: batch-1 file (k >= 20000) skippable
     kept = pruned_read(spark, lake, manifest, box).inputFiles()
     assert all("ingest_batch=1" not in f for f in kept)
+
+
+def test_q23_catalog_hook_branches_actually_prune(spark, sf_dir):
+    """Plan-shape companion to the q23 driver oracle (round 11): after
+    the query builds and registers its lakes, every branch's predicate
+    must measurably skip files through the hook — box, OR-union, date
+    range — and the count branch's exact box must classify interior
+    files (metadata count == exact count, interior never opened is
+    pinned separately in test_lake_count_metadata_fast_path...)."""
+    from mlb_data_pipeline_spark.catalog import lake_count, lake_scan
+    from mlb_data_pipeline_spark.plans.layout_queries import q23_manifest_pruned_scan
+
+    rows = {r.part: r for r in q23_manifest_pruned_scan(spark, sf_dir).collect()}
+    assert set(rows) == {"box", "count", "date", "or"}
+    assert rows["count"].n_orders > 0
+
+    whole = spark.read.parquet(
+        "/tmp/spark_graft_io/" + sf_dir.rstrip("/").split("/")[-1] + "/r49_lake/data"
+    )
+    n_all = len(whole.inputFiles())
+    box = lake_scan(
+        spark, "q23_orders_lake",
+        "ck BETWEEN 50 AND 600 AND pc BETWEEN 5000000 AND 20000000",
+    )
+    assert 0 < len(box.inputFiles()) < n_all
+    disj = lake_scan(
+        spark, "q23_orders_lake", "(ck BETWEEN 50 AND 150) OR (ck BETWEEN 400 AND 600)"
+    )
+    assert 0 < len(disj.inputFiles()) < n_all
+
+    dwhole = spark.read.parquet(
+        "/tmp/spark_graft_io/" + sf_dir.rstrip("/").split("/")[-1] + "/r49_lake/date_data"
+    )
+    date = lake_scan(
+        spark, "q23_orders_by_date", "od >= '1997-01-01' AND od < DATE '1997-07-01'"
+    )
+    assert 0 < len(date.inputFiles()) < len(dwhole.inputFiles())
+
+    n = lake_count(spark, "q23_orders_lake", "ck BETWEEN 50 AND 600 AND pc >= 5000000")
+    assert n == whole.filter("ck BETWEEN 50 AND 600 AND pc >= 5000000").count()

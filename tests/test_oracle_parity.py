@@ -61,7 +61,12 @@ def test_registry_window_invariant():
     incremental Jaccard store (ex-r41; rank windows folded into q21),
     q30 chunk-level boilerplate removal (ex-r45; normalized dedup
     folded into q09), q39 z-order layout key (ex-r47; warehouse
-    layering folded into q43)."""
+    layering folded into q43). Round 11 rotated the round-10 flagships
+    in as tagged-union branches (no slot displacement needed): 3-D
+    Hilbert (ex-r64) -> q39 'hilbert3' branch, dynamic-gap session
+    window (ex-r66) -> q26 'dynamic' branch, incremental OPTIMIZE
+    (ex-r65) -> q46 (the simhash demo it displaces keeps its oracle as
+    r67), plus q23 gained 'or'/'date'/'count' catalog-hook branches."""
     names = sorted(REGISTRY)
     windowed = names[:50]
     assert all(REGISTRY[n].oracle is not None for n in windowed), (
@@ -88,6 +93,7 @@ def test_registry_window_invariant():
         "q20_incremental_jaccard",
         "q30_remove_duplicate_chunks",
         "q39_zorder_key",
+        "q46_optimize_clustered",
     }
     assert rotated <= set(windowed), rotated - set(windowed)
     outside_oracled = [n for n in names[50:] if REGISTRY[n].oracle is not None]

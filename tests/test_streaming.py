@@ -710,11 +710,13 @@ def test_session_window_exact_gap_merges(spark):
         )
         + ") t(event_id, user_id, ts, value)"
     )
-    from mlb_data_pipeline_spark.plans.stream_queries import _R58_SQL
+    # the fixed-gap oracle is q26's 'fixed' branch since round 11;
+    # columns shift by one for the part tag
+    from mlb_data_pipeline_spark.plans.stream_queries import _R58_BODY
 
-    duck = con.execute(_R58_SQL).fetchall()
-    assert [r[3] for r in duck] == [3]  # n_events per session matches Spark
-    assert duck[0][2] == got[0].session_end  # session_end convention matches
+    duck = con.execute(_R58_BODY + " ORDER BY user_id, session_start").fetchall()
+    assert [r[4] for r in duck] == [3]  # n_events per session matches Spark
+    assert duck[0][3] == got[0].session_end  # session_end convention matches
 
 
 def test_dynamic_gap_session_bridges_over_short_gap_event(spark):
@@ -762,8 +764,10 @@ def test_dynamic_gap_session_bridges_over_short_gap_event(spark):
         )
         + ") t(event_id, user_id, ts, event_type, value)"
     )
-    from mlb_data_pipeline_spark.plans.stream_queries import _R66_SQL
+    # the dynamic-gap oracle is q26's 'dynamic' branch since round 11
+    # (ex-r66); columns shift by one for the part tag
+    from mlb_data_pipeline_spark.plans.stream_queries import _R66_BODY
 
-    duck = con.execute(_R66_SQL).fetchall()
-    assert [(r[0], r[3]) for r in duck] == [(1, 3), (2, 2)]
-    assert duck[0][2] == got[0].e
+    duck = con.execute(_R66_BODY + " ORDER BY user_id, session_start").fetchall()
+    assert [(r[1], r[4]) for r in duck] == [(1, 3), (2, 2)]
+    assert duck[0][3] == got[0].e
