@@ -429,12 +429,8 @@ def lake_scan(spark: SparkSession, name: str, predicate: str | None = None) -> D
     _compact_recover_tree(path)
     if not predicate:
         return spark.read.parquet(path)
-    has_manifests = ent["scan_manifest"] is not None or ent["bloom_manifests"]
-    branches = (
-        _extract_skip_branches(predicate, _lake_col_types(spark, ent))
-        if has_manifests
-        else None
-    )
+    col_types = _lake_col_types(spark, ent)
+    branches = _extract_skip_branches(predicate, col_types)
     if not branches:
         return spark.read.parquet(path).filter(predicate)
     keep: set[str] = set()
@@ -444,10 +440,17 @@ def lake_scan(spark: SparkSession, name: str, predicate: str | None = None) -> D
             for c, v in equals.items()
             if c in ent["bloom_manifests"]
         ]
-        if ent["scan_manifest"] is None and not blooms:
-            # this branch can't prune anything: every file stays
-            return spark.read.parquet(path).filter(predicate)
-        keep |= set(pruned_files(spark, path, ent["scan_manifest"], box, bloom_filters=blooms))
+        keep |= set(
+            pruned_files(
+                spark,
+                path,
+                ent["scan_manifest"],
+                box,
+                bloom_filters=blooms,
+                equals=equals,
+                col_types=col_types,
+            )
+        )
     if not keep:
         # provably-empty predicate: empty frame with the lake's schema
         return spark.read.parquet(path).limit(0).filter(predicate)
@@ -549,12 +552,51 @@ def lake_count(spark: SparkSession, name: str, predicate: str | None = None) -> 
     if not predicate:
         return spark.read.parquet(ent["path"]).count()
     if ent["scan_manifest"] is not None:
-        box = _extract_exact_box(predicate, _lake_col_types(spark, ent))
+        col_types = _lake_col_types(spark, ent)
+        box = _extract_exact_box(predicate, col_types)
         if box is not None:
             return manifest_assisted_count(
-                spark, ent["path"], ent["scan_manifest"], box, where=predicate
+                spark,
+                ent["path"],
+                ent["scan_manifest"],
+                box,
+                where=predicate,
+                col_types=col_types,
             )
     return lake_scan(spark, name, predicate).count()
+
+
+def lake_min_max(
+    spark: SparkSession, name: str, col: str, predicate: str | None = None
+) -> DataFrame:
+    """Exact (MIN, MAX) of ``col`` over a registered lake table with
+    metadata choosing the read set (round 11): when the predicate folds
+    to an EXACT closed box and a scan manifest is registered, only
+    box-boundary files plus the argmin/argmax candidate files are
+    opened (``manifest_assisted_minmax``); otherwise this degrades to
+    the pruned scan's aggregate. Returns a 1-row DataFrame
+    (min_<col>, max_<col>) either way — same values, native type."""
+    ent = _lake_entry(spark, name)
+    from pyspark.sql import functions as F
+
+    from .operators.layout import _compact_recover_tree, manifest_assisted_minmax
+
+    _compact_recover_tree(ent["path"])
+    col_types = _lake_col_types(spark, ent)
+    if ent["scan_manifest"] is not None:
+        box = {} if not predicate else _extract_exact_box(predicate, col_types)
+        if box is not None:
+            return manifest_assisted_minmax(
+                spark,
+                ent["path"],
+                ent["scan_manifest"],
+                col,
+                box=box,
+                where=predicate,
+                col_types=col_types,
+            )
+    base = lake_scan(spark, name, predicate)
+    return base.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -414,26 +414,106 @@ def _bloom_skippable(spark: SparkSession, manifest_path: str, value) -> set[str]
     return bloom_skippable_files(spark, manifest_path, value)
 
 
+def _partition_values(name: str) -> dict[str, str]:
+    """Directory-encoded partition values from a RELATIVE file path
+    (``dt=2024-01-01/hour=5/part-....parquet`` -> {dt: ..., hour: ...}),
+    hive-unescaped. Hive's NULL sentinel is omitted (must-read)."""
+    from urllib.parse import unquote
+
+    out: dict[str, str] = {}
+    for seg in name.split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            if v != "__HIVE_DEFAULT_PARTITION__":
+                out[k] = unquote(v)
+    return out
+
+
+def _partition_num(raw: str, col: str, col_types: dict | None):
+    """A partition value as a number in the box's units: numeric parse,
+    else the temporal fold on date/timestamp columns (epoch days /
+    seconds — layout._stat_num's convention). None = not comparable."""
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    from ..catalog import _temporal_num
+
+    return _temporal_num(col, raw, col_types)
+
+
+def _partition_skippable(
+    vals: dict[str, str],
+    box: dict[str, tuple[float, float]],
+    equals: dict[str, object],
+    col_types: dict | None,
+) -> bool:
+    """True when a file's directory-encoded partition values PROVE it
+    irrelevant to the (box, equals) clauses — the Iceberg partition-
+    stats rule (round 11): every row of the file shares the partition
+    value, so a single miss skips the whole file. Unparseable or
+    absent values contribute must-read, never skip."""
+    for col, raw in vals.items():
+        if col in box:
+            x = _partition_num(raw, col, col_types)
+            if x is not None:
+                lo, hi = box[col]
+                if x < lo or x > hi:
+                    return True
+        if col in equals:
+            want = equals[col]
+            want_list = want if isinstance(want, list) else [want]
+            miss = True
+            for w in want_list:
+                if isinstance(w, str):
+                    if raw == w:
+                        miss = False
+                        break
+                else:
+                    x = _partition_num(raw, col, col_types)
+                    if x is not None and x == float(w):
+                        miss = False
+                        break
+                    if x is None:
+                        miss = False  # unparseable: must-read
+                        break
+            if miss:
+                return True
+    return False
+
+
 def pruned_files(
     spark: SparkSession,
     path: str,
     manifest_path: str | None,
     box: dict[str, tuple[float, float]],
     bloom_filters: list[tuple[str, object]] | None = None,
+    equals: dict[str, object] | None = None,
+    col_types: dict | None = None,
 ) -> list[str]:
     """RELATIVE names of the data files a conjunctive box predicate can
     possibly touch, decided from the persisted manifests alone. Skip
     rule is the conservative one (matches pruning_report): a file is
     dropped ONLY on a provable min/max miss on some box column (or a
     provable Bloom miss on an equality); files with missing stats are
-    kept. With ``manifest_path=None`` only the Bloom filters prune (the
-    bloom-manifest-without-scan-manifest registration, round 11) — the
-    on-disk listing is the file inventory.
+    kept. With ``manifest_path=None`` the Bloom filters and partition
+    values still prune (round 11) — the on-disk listing is the file
+    inventory. Directory-encoded partition values prune on BOTH the
+    box and the equality clauses (``equals``/``col_types``, round 11):
+    partition columns never have footer stats, so without this the
+    most selective lake predicate — the partition key — skipped
+    nothing.
 
     The collect is file PATHS of kept files (metadata-scale); the skip
     decision itself runs as a DataFrame filter so it would distribute
     over a million-file manifest unchanged."""
     on_disk = set(_data_files(path))
+    if box or equals:
+        on_disk = {
+            n
+            for n in on_disk
+            if not _partition_skippable(_partition_values(n), box, equals or {}, col_types)
+        }
     if manifest_path is None:
         kept = set(on_disk)
         for bloom_path, value in bloom_filters or []:
@@ -1268,6 +1348,7 @@ def manifest_assisted_count(
     manifest_path: str,
     box: dict[str, tuple[float, float]],
     where: str | None = None,
+    col_types: dict | None = None,
 ) -> int:
     """COUNT(*) under a conjunctive box predicate with metadata doing
     most of the work (the Iceberg/Delta metadata-count pattern):
@@ -1330,8 +1411,17 @@ def manifest_assisted_count(
         if f not in existing:
             continue  # vanished file (replay rewrite, compaction)
         verdict = "inside"
+        pvals = _partition_values(f)
         for c, (lo, hi) in box.items():
             st = stats.get(f, {}).get(c)
+            if st is None and c in pvals:
+                # directory-encoded partition value: every row of the
+                # file shares it, non-null by construction — an exact
+                # (v, v, 0) stat row the footer could never provide
+                # (round 11, the Iceberg partition-stats rule)
+                v = _partition_num(pvals[c], c, col_types)
+                if v is not None:
+                    st = (v, v, 0)
             if st is None:
                 verdict = "boundary"  # no usable stats: must read
                 continue
@@ -1364,6 +1454,124 @@ def manifest_assisted_count(
     for c, (lo, hi) in box.items():
         cond = cond & F.col(c).between(float(lo), float(hi))
     return metadata_count + df.filter(cond).count()
+
+
+def manifest_assisted_minmax(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str,
+    col: str,
+    box: dict[str, tuple[float, float]] | None = None,
+    where: str | None = None,
+    col_types: dict | None = None,
+):
+    """Exact (MIN, MAX) of ``col`` under a conjunctive box with
+    metadata choosing the READ SET (round 11 — the companion to
+    ``manifest_assisted_count``): only the files whose footer range
+    could CONTAIN the global extreme are opened.
+
+    Classification mirrors the count: a file provably disjoint from
+    the box contributes nothing; a box-BOUNDARY file must be read (its
+    footer min/max may come from rows outside the box); an INTERIOR
+    file's footer lo/hi bound all its in-box rows exactly. Among
+    interior files, only those whose lo could undercut every other
+    file's lo (resp. hi overcut) are read — the stored stat is a
+    float() fold of the true value (error <= ulp/2), so candidacy
+    widens by 2 ulp before trusting it. The extreme is then computed
+    EXACTLY from the read files (native column values, never the
+    rounded manifest doubles), so the result is bit-identical to a
+    full scan. On a range-clustered lake the read set is O(1) files.
+
+    Returns a 1-row DataFrame (min_<col>, max_<col>) so the values
+    keep the column's native type end to end."""
+    import math
+
+    _compact_recover_tree(path)
+    box = dict(box or {})
+    mf = spark.read.option("mergeSchema", "true").parquet(manifest_path)
+    stats: dict[str, dict[str, tuple]] = {}
+    want_cols = set(box) | {col}
+    for r in mf.filter(F.col("col").isin(list(want_cols))).collect():
+        stats.setdefault(r.file, {})[r.col] = (r.lo, r.hi)
+    existing = set(_data_files(path))
+    known = set(stats)
+    interior, boundary = [], []
+    for f in sorted(existing):
+        if f not in known:
+            boundary.append(f)  # unknown to the manifest: must read
+            continue
+        pvals = _partition_values(f)
+        verdict = "interior"
+        for c, (lo, hi) in box.items():
+            st = stats.get(f, {}).get(c)
+            if st is None and c in pvals:
+                v = _partition_num(pvals[c], c, col_types)
+                if v is not None:
+                    st = (v, v)
+            if st is None:
+                verdict = "boundary"
+                continue
+            if st[1] < float(lo) or st[0] > float(hi):
+                verdict = "skip"
+                break
+            if not (st[0] >= float(lo) and st[1] <= float(hi)):
+                verdict = "boundary"
+        if verdict == "skip":
+            continue
+        if verdict == "boundary" or stats[f].get(col) is None:
+            boundary.append(f)
+        else:
+            interior.append(f)
+    read = set(boundary)
+    if interior:
+        lo_best = min(stats[f][col][0] for f in interior)
+        hi_best = max(stats[f][col][1] for f in interior)
+        slack_lo = 2 * math.ulp(abs(lo_best) or 1.0)
+        slack_hi = 2 * math.ulp(abs(hi_best) or 1.0)
+        for f in interior:
+            if stats[f][col][0] <= lo_best + slack_lo or stats[f][col][1] >= hi_best - slack_hi:
+                read.add(f)
+    if not read:
+        empty = spark.read.parquet(path).limit(0)
+        return empty.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
+    df = spark.read.option("basePath", path).parquet(*[os.path.join(path, n) for n in sorted(read)])
+    if where is not None:
+        df = df.filter(where)
+    else:
+        cond = F.lit(True)
+        for c, (lo, hi) in box.items():
+            cond = cond & F.col(c).between(float(lo), float(hi))
+        df = df.filter(cond)
+    return df.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
+
+
+def compact_scan_manifest(spark: SparkSession, path: str, manifest_path: str) -> dict:
+    """Manifest GC (round 11): day-2 appends and file rewrites leave
+    rows whose data files VANISHED (harmless — readers ignore them —
+    but the manifest grows without bound under OPTIMIZE churn).
+    Rewrite the manifest keeping only rows for files still on disk.
+    Returns {rows_before, rows_after, files_dropped}. Atomic via
+    staging-dir swap, and idempotent."""
+    import shutil
+
+    on_disk = set(_data_files(path))
+    mf = spark.read.option("mergeSchema", "true").parquet(manifest_path)
+    rows_before = mf.count()
+    known = {r.file for r in mf.select("file").distinct().collect()}
+    stale = known - on_disk
+    if not stale:
+        return {"rows_before": rows_before, "rows_after": rows_before, "files_dropped": 0}
+    kept = mf.filter(~F.col("file").isin(list(stale)))
+    staging = manifest_path.rstrip("/") + "__gc_tmp"
+    kept.coalesce(1).write.mode("overwrite").parquet(staging)
+    rows_after = spark.read.parquet(staging).count()
+    shutil.rmtree(manifest_path)
+    os.replace(staging, manifest_path)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_dropped": len(stale),
+    }
 
 
 def verify_manifest(spark: SparkSession, path: str, manifest_path: str) -> dict:

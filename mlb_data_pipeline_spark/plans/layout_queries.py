@@ -458,3 +458,77 @@ def q46_optimize_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ck").alias("max_ck"),
         F.sum(F.col("ck").between(50, 600).cast("long")).alias("n_in_box"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R68 — partition-value pruning + metadata MIN/MAX (round 11): the
+#        catalog hook learns the Iceberg partition-stats rule.
+#        Partition columns (om=<month> directories here) never have
+#        footer stats, so before round 11 the MOST selective lake
+#        predicate — the partition key — skipped nothing through the
+#        hook. Now directory-encoded values prune lake_scan file lists,
+#        classify lake_count files as exactly (v, v, nulls=0), and
+#        manifest_assisted_minmax opens only box-boundary plus
+#        argmin/argmax candidate files. The oracle runs the identical
+#        predicates on the raw table: a wrong skip loses rows and
+#        breaks the hash.
+# ---------------------------------------------------------------------------
+
+_R68_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS om
+  FROM orders
+)
+SELECT 'count' AS part, COUNT(*) AS n, CAST(NULL AS BIGINT) AS lo, CAST(NULL AS BIGINT) AS hi
+FROM o WHERE om BETWEEN 2 AND 4
+UNION ALL
+SELECT 'minmax', CAST(NULL AS BIGINT), MIN(pc), MAX(pc)
+FROM o WHERE ck BETWEEN 50 AND 600
+UNION ALL
+SELECT 'scan', COUNT(*), MIN(ck), MAX(ck)
+FROM o WHERE om = 3 AND ck <= 500
+ORDER BY part
+"""
+
+
+@query("r68_lake_partition_ops", oracle=_R68_SQL, covers="Y2,S8,A2,P3")
+def r68_lake_partition_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..catalog import lake_count, lake_min_max, lake_scan, register_lake_table
+    from ..operators.layout import save_scan_manifest
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r68_lake"
+    )
+    lake, manifest = os.path.join(base, "data"), os.path.join(base, "manifest")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+        F.month("o_orderdate").alias("om"),
+    )
+    o.repartition(2).write.mode("overwrite").partitionBy("om").parquet(lake)
+    save_scan_manifest(spark, lake, ["ck", "pc"], manifest)
+    register_lake_table(spark, "r68_orders_by_month", lake, scan_manifest=manifest)
+
+    schema = "part string, n long, lo long, hi long"
+    scan = (
+        lake_scan(spark, "r68_orders_by_month", "om = 3 AND ck <= 500")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ck").alias("lo"),
+            F.max("ck").alias("hi"),
+        )
+        .select(F.lit("scan").alias("part"), "n", "lo", "hi")
+    )
+    n = lake_count(spark, "r68_orders_by_month", "om BETWEEN 2 AND 4")
+    count = spark.createDataFrame([("count", n, None, None)], schema)
+    minmax = lake_min_max(spark, "r68_orders_by_month", "pc", "ck BETWEEN 50 AND 600").select(
+        F.lit("minmax").alias("part"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("min_pc").alias("lo"),
+        F.col("max_pc").alias("hi"),
+    )
+    return count.unionByName(minmax).unionByName(scan).orderBy("part")

@@ -1552,3 +1552,159 @@ def test_q23_catalog_hook_branches_actually_prune(spark, sf_dir):
 
     n = lake_count(spark, "q23_orders_lake", "ck BETWEEN 50 AND 600 AND pc >= 5000000")
     assert n == whole.filter("ck BETWEEN 50 AND 600 AND pc >= 5000000").count()
+
+
+def test_partition_value_pruning_through_the_hook(spark, tmp_path):
+    """Round 11: directory-encoded partition values prune the catalog
+    hook's file lists (the Iceberg partition-stats rule). Partition
+    columns have no footer stats, so before this the most selective
+    lake predicate — the partition key — skipped nothing."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import (
+        lake_count,
+        lake_min_max,
+        lake_scan,
+        register_lake_table,
+    )
+    from mlb_data_pipeline_spark.operators.layout import save_scan_manifest
+
+    lake = str(tmp_path / "plake")
+    df = spark.range(6_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 6).alias("p"),
+        (F.col("id") * 3 % 1000).alias("v"),
+    )
+    df.repartition(2).write.partitionBy("p").parquet(lake)
+    manifest = str(tmp_path / "pmanifest")
+    save_scan_manifest(spark, lake, ["k", "v"], manifest)
+    register_lake_table(spark, "plake2", lake, scan_manifest=manifest)
+    whole = spark.read.parquet(lake)
+    n_all = len(whole.inputFiles())
+
+    # equality on the partition key reads only that directory
+    got = lake_scan(spark, "plake2", "p = 3")
+    assert got.count() == whole.filter("p = 3").count() > 0
+    assert len(got.inputFiles()) <= n_all // 3
+    assert all("/p=3/" in f for f in got.inputFiles())
+
+    # range over the partition key
+    got2 = lake_scan(spark, "plake2", "p BETWEEN 1 AND 2 AND k >= 0")
+    assert got2.count() == whole.filter("p BETWEEN 1 AND 2 AND k >= 0").count()
+    assert all("/p=1/" in f or "/p=2/" in f for f in got2.inputFiles())
+
+    # IN-list over the partition key
+    got3 = lake_scan(spark, "plake2", "p IN (0, 5)")
+    assert got3.count() == whole.filter("p IN (0, 5)").count()
+    assert all("/p=0/" in f or "/p=5/" in f for f in got3.inputFiles())
+
+    # metadata count over a partition-key box never opens files: corrupt
+    # a p=4 file, count p BETWEEN 0 AND 2 still answers
+    import os as _os
+
+    victim = next(
+        _os.path.join(r, n)
+        for r, _d, ns in _os.walk(lake)
+        for n in ns
+        if "/p=4" in r and n.endswith(".parquet")
+    )
+    expect = whole.filter("p BETWEEN 0 AND 2").count()
+    with open(victim, "wb") as fh:
+        fh.write(b"garbage")
+    assert lake_count(spark, "plake2", "p BETWEEN 0 AND 2") == expect
+
+    # partition-value NULL sentinel stays must-read (no unsound skip)
+    from mlb_data_pipeline_spark.operators.layout import _partition_skippable, _partition_values
+
+    assert _partition_values("p=__HIVE_DEFAULT_PARTITION__/f.parquet") == {}
+    assert not _partition_skippable({}, {"p": (0, 2)}, {}, None)
+
+
+def test_lake_min_max_reads_only_candidate_files(spark, tmp_path):
+    """manifest_assisted_minmax (round 11): MIN/MAX under a box opens
+    only box-boundary files plus the argmin/argmax candidates — proven
+    by corrupting a mid-range interior file after the manifest is
+    built; values stay bit-identical to the full scan."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import lake_min_max, register_lake_table
+    from mlb_data_pipeline_spark.operators.layout import save_scan_manifest
+
+    lake = str(tmp_path / "mmlake")
+    # 8 range-clustered files over k in [0, 8000)
+    df = spark.range(8_000).select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+    df.repartitionByRange(8, "k").sortWithinPartitions("k").write.parquet(lake)
+    manifest = str(tmp_path / "mmmanifest")
+    save_scan_manifest(spark, lake, ["k", "v"], manifest)
+    register_lake_table(spark, "mmlake", lake, scan_manifest=manifest)
+    whole = spark.read.parquet(lake)
+
+    row = lake_min_max(spark, "mmlake", "v", "k BETWEEN 0 AND 7999").head()
+    exact = whole.agg(F.min("v"), F.max("v")).head()
+    assert (row.min_v, row.max_v) == tuple(exact)
+
+    # corrupt a mid-range file: argmin/argmax candidates are the edge
+    # files, so the metadata plan never opens it
+    files = sorted(
+        n for n in _os.listdir(lake) if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    import pyarrow.parquet as pq
+
+    mids = []
+    for n in files:
+        st = pq.ParquetFile(_os.path.join(lake, n)).metadata.row_group(0).column(0).statistics
+        mids.append((st.min, n))
+    mids.sort()
+    victim = mids[len(mids) // 2][1]  # middle k-range file
+    with open(_os.path.join(lake, victim), "wb") as fh:
+        fh.write(b"garbage")
+    row2 = lake_min_max(spark, "mmlake", "k").head()
+    assert (row2.min_k, row2.max_k) == (0, 7_999)
+
+
+def test_compact_scan_manifest_drops_vanished_rows(spark, tmp_path):
+    """Manifest GC (round 11): OPTIMIZE churn leaves rows for vanished
+    files; compact_scan_manifest rewrites the manifest keeping only
+    live rows, idempotently, and pruning answers are unchanged."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.layout import (
+        _data_files,
+        compact_scan_manifest,
+        optimize_clustered,
+        pruned_read,
+        save_scan_manifest,
+        write_zordered,
+    )
+
+    lake = str(tmp_path / "gclake")
+    df = spark.range(10_000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") / 100).cast("long").alias("y")
+    )
+    specs = [("x", 0, 99), ("y", 0, 99)]
+    write_zordered(df, lake, specs, bits=8, n_files=8)
+    manifest = str(tmp_path / "gcmanifest")
+    save_scan_manifest(spark, lake, ["x", "y"], manifest)
+    # degrade + optimize: old files vanish, manifest rows go stale
+    spark.range(2_000).select(
+        (F.col("id") * 37 % 100).alias("x"), (F.col("id") * 73 % 100).alias("y")
+    ).coalesce(1).write.mode("append").parquet(lake)
+    from mlb_data_pipeline_spark.operators.layout import append_scan_manifest
+
+    append_scan_manifest(spark, lake, ["x", "y"], manifest)
+    optimize_clustered(spark, lake, specs, bits=8)
+
+    box = {"x": (0.0, 20.0)}
+    before = pruned_read(spark, lake, manifest, box).filter(F.col("x") <= 20).count()
+    rep = compact_scan_manifest(spark, lake, manifest)
+    assert rep["files_dropped"] > 0
+    assert rep["rows_after"] < rep["rows_before"]
+    after = pruned_read(spark, lake, manifest, box).filter(F.col("x") <= 20).count()
+    assert before == after == spark.read.parquet(lake).filter("x <= 20").count()
+    # idempotent
+    rep2 = compact_scan_manifest(spark, lake, manifest)
+    assert rep2["files_dropped"] == 0
