@@ -990,6 +990,24 @@ def _compact_recover_tree(path: str) -> None:
             _compact_recover(root)
 
 
+def _maintain_manifest_after_optimize(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None,
+    specs: list[tuple[str, int, int]],
+    stat_cols: list[str] | None,
+    rewrote: bool,
+) -> None:
+    """The in-call manifest leg of ``optimize_clustered`` (round 11):
+    GC rows whose files the swap deleted, then stat the new compact
+    files — O(rewritten files), a no-op when nothing was rewritten."""
+    if manifest_path is None or not rewrote:
+        return
+    cols = stat_cols or [c for c, _, _ in specs]
+    compact_scan_manifest(spark, path, manifest_path)
+    append_scan_manifest(spark, path, cols, manifest_path)
+
+
 def optimize_clustered(
     spark: SparkSession,
     path: str,
@@ -1000,6 +1018,8 @@ def optimize_clustered(
     min_rows: int | None = None,
     n_files: int | None = None,
     curve: str = "zorder",
+    manifest_path: str | None = None,
+    stat_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite ONLY the badly-clustered (or undersized) files of a
     clustered lake back into tight key ranges. PARTITIONED lakes
@@ -1028,7 +1048,15 @@ def optimize_clustered(
     (``write_hilbert``) re-cluster on the same curve their files were
     laid out with. BOTH curves' top n*k key bits identify the same
     aligned quadtree cell (k quadrant choices per level), so the
-    aligned-cell tightness/idempotence argument is curve-independent."""
+    aligned-cell tightness/idempotence argument is curve-independent.
+
+    ``manifest_path`` (round 11): when given, the scan manifest is
+    maintained IN the same call after the swap — stale rows for the
+    rewritten files are GC'd (``compact_scan_manifest``) and the new
+    compact files are statted (``append_scan_manifest`` over
+    ``stat_cols`` or the spec columns). Without it, correctness still
+    holds through pruned_read's staleness rules; pruning on rewritten
+    files just degrades to must-read until the next manifest append."""
     import hashlib as _hashlib
     import json as _json
     import math as _math
@@ -1068,6 +1096,7 @@ def optimize_clustered(
                 min_rows=min_rows,
                 n_files=n_files,
                 curve=curve,
+                # manifest maintenance runs ONCE at the lake root below
             )
             merged["files_total"] += rep["files_total"]
             merged["files_dirty"] += rep["files_dirty"]
@@ -1081,6 +1110,9 @@ def optimize_clustered(
             round(total / merged["files_total"], 4) if merged["files_total"] else 0.0
         )
         merged["dirty_files"] = sorted(merged["dirty_files"])
+        _maintain_manifest_after_optimize(
+            spark, base, manifest_path, specs, stat_cols, merged["files_rewritten"] > 0
+        )
         return merged
     cols = [c for c, _, _ in specs]
     stats = file_stats(base, cols)
@@ -1151,6 +1183,7 @@ def optimize_clustered(
             os.remove(p)
     os.remove(_compact_marker(base))
     shutil.rmtree(tmp, ignore_errors=True)
+    _maintain_manifest_after_optimize(spark, base, manifest_path, specs, stat_cols, True)
     return {
         **rep,
         "files_rewritten": len(dirty),

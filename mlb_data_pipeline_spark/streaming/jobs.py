@@ -544,6 +544,9 @@ def lake_append_stream(
     box_manifest_path: str,
     checkpoint_dir: str,
     bloom_manifest_path: str | None = None,
+    optimize_every: int | None = None,
+    optimize_specs: list[tuple[str, int, int]] | None = None,
+    optimize_bits: int = 10,
 ) -> None:
     """Streaming LAKE ingestion with manifest maintenance (the Y2/Y4
     day-2 legs driven from a stream): each micro-batch lands as its own
@@ -564,15 +567,39 @@ def lake_append_stream(
     stream will never emit (e.g. ``ingest_batch=-1``) — stream batch
     ids start at 0.
 
-    Clustering maintenance stays OUT of the per-batch path by design
-    (a per-batch re-sort would serialize the stream on a range
-    shuffle): run ``operators.layout.optimize_clustered`` per
-    partition directory on an operator cadence, gated on
-    ``cluster_report``'s dirty fraction — streamed batch files are
-    exactly the wide-span appends its footer selection targets."""
+    Clustering maintenance stays OUT of the per-batch hot path by
+    design (a per-batch re-sort would serialize the stream on a range
+    shuffle). Round 11 AUTOMATES the documented operator cadence:
+    pass ``optimize_every=N`` and every N committed batches the call
+    runs ``optimize_clustered`` per leaf partition directory —
+    footer-selected wide-span batch files re-sort into tight cells,
+    the scan manifest is GC'd + re-statted in the same call, and the
+    Bloom manifest (if any) appends rows for the compact files.
+    ``optimize_specs`` gives the (col, lo, hi) clustering ranges; when
+    omitted they derive from the manifest's global min/max per
+    ``stat_cols`` (one metadata aggregate, no data scan). Replay-safe:
+    a redelivered batch skips its committed dir, and OPTIMIZE
+    idempotence means a re-run maintenance tick finds nothing dirty."""
     import os
 
-    from ..operators.layout import append_bloom_manifest, append_scan_manifest
+    from ..operators.layout import (
+        append_bloom_manifest,
+        append_scan_manifest,
+        optimize_clustered,
+    )
+
+    def _derived_specs(spark) -> list[tuple[str, int, int]]:
+        from pyspark.sql import functions as F
+
+        mf = spark.read.option("mergeSchema", "true").parquet(box_manifest_path)
+        rows = (
+            mf.filter(F.col("col").isin(stat_cols))
+            .groupBy("col")
+            .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+            .collect()
+        )
+        got = {r.col: (int(r.lo), int(r.hi)) for r in rows}
+        return [(c, got[c][0], got[c][1]) for c in stat_cols if c in got]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -582,6 +609,19 @@ def lake_append_stream(
         append_scan_manifest(spark, lake_path, stat_cols, box_manifest_path)
         if bloom_manifest_path is not None:
             append_bloom_manifest(spark, lake_path, bloom_manifest_path)
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            specs = optimize_specs or _derived_specs(spark)
+            if specs:
+                optimize_clustered(
+                    spark,
+                    lake_path,
+                    specs,
+                    optimize_bits,
+                    manifest_path=box_manifest_path,
+                    stat_cols=stat_cols,
+                )
+                if bloom_manifest_path is not None:
+                    append_bloom_manifest(spark, lake_path, bloom_manifest_path)
 
     q = (
         rows_stream.writeStream.foreachBatch(process)

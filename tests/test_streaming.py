@@ -771,3 +771,54 @@ def test_dynamic_gap_session_bridges_over_short_gap_event(spark):
     duck = con.execute(_R66_BODY + " ORDER BY user_id, session_start").fetchall()
     assert [(r[1], r[4]) for r in duck] == [(1, 3), (2, 2)]
     assert duck[0][3] == got[0].e
+
+
+def test_lake_append_stream_auto_optimize_cadence(spark, tmp_path):
+    """Round 11: the documented maintenance cadence is automated —
+    optimize_every=N runs a per-leaf OPTIMIZE (with in-call manifest
+    GC + re-stat) every N committed batches. Rows stay exact, the
+    manifest covers every live file afterward (no must-read debt), the
+    compacted leaves actually contain compact files, and a pruned read
+    over the finished lake matches the whole-lake filter."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.layout import (
+        _data_files,
+        pruned_read,
+        save_scan_manifest,
+        verify_manifest,
+    )
+    from mlb_data_pipeline_spark.streaming.jobs import lake_append_stream
+
+    lake = str(tmp_path / "optlake")
+    box_m = str(tmp_path / "optbox")
+    seed = spark.range(0, 2_000).select((F.col("id") * 37 % 10_000).alias("k"))
+    seed.coalesce(2).write.parquet(lake + "/ingest_batch=-1")
+    save_scan_manifest(spark, lake, ["k"], box_m)
+
+    src = str(tmp_path / "optsrc")
+    for i in range(4):  # four micro-batches, unsorted full-range keys
+        spark.range(2_000 * (i + 1), 2_000 * (i + 2)).select(
+            (F.col("id") * 73 % 10_000).alias("k")
+        ).coalesce(2).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k BIGINT")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    lake_append_stream(
+        stream, lake, ["k"], box_m, str(tmp_path / "optckpt"), optimize_every=2
+    )
+
+    whole = spark.read.parquet(lake)
+    assert whole.count() == 10_000
+    # maintenance ticked: compact files exist in at least one leaf
+    assert any("compact-" in n for n in _data_files(lake))
+    # the in-call manifest leg left no must-read debt and no stale rows
+    fsck = verify_manifest(spark, lake, box_m)
+    assert fsck["coverage_frac"] == 1.0, fsck
+    assert fsck["stale_manifest_files"] == []
+    # pruned read exact + actually pruning after compaction
+    out = pruned_read(spark, lake, box_m, {"k": (0, 999)})
+    assert out.filter("k <= 999").count() == whole.filter("k <= 999").count()
+    assert len(out.inputFiles()) < len(whole.inputFiles())
