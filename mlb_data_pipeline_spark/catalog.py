@@ -258,15 +258,19 @@ def _unwrap2(orig: str, scrub: str) -> tuple[str, str]:
     return orig, scrub
 
 
-def _extract_conjuncts(orig: str, scrub: str, col_types: dict | None) -> tuple[dict, dict]:
-    """(box, equals) from one conjunctive branch. box: {col: (lo, hi)}
-    with +-inf open ends (folded per column); equals: {col:
-    scalar-or-list} for equality / IN (Bloom probes). Unmatched
-    conjuncts contribute no skip clause (must-read on that aspect)."""
+def _extract_conjuncts(orig: str, scrub: str, col_types: dict | None) -> tuple[dict, dict, dict]:
+    """(box, equals, nots) from one conjunctive branch. box: {col:
+    (lo, hi)} with +-inf open ends (folded per column); equals: {col:
+    scalar-or-list} for equality / IN (Bloom probes); nots: {col:
+    [vals]} for ``<>``/``!=`` — prunable ONLY against directory-encoded
+    partition values, where every row provably shares the value
+    (round 11). Unmatched conjuncts contribute no skip clause
+    (must-read on that aspect)."""
     import re
 
     box: dict[str, list[float]] = {}
     equals: dict[str, object] = {}
+    nots: dict[str, list] = {}
 
     def fold(col: str, lo, hi) -> None:
         cur = box.setdefault(col, [-_INF, _INF])
@@ -301,6 +305,10 @@ def _extract_conjuncts(orig: str, scrub: str, col_types: dict | None) -> tuple[d
 
     for conj_o, conj_s in _split_top(orig, scrub, "AND"):
         c, _cs = _unwrap2(conj_o, conj_s)
+        m = re.fullmatch(rf"({_COL})\s*(!=|<>)\s*({_LIT})", c)
+        if m:
+            nots.setdefault(m.group(1), []).append(_parse_lit(m.group(3)))
+            continue
         m = re.fullmatch(rf"({_COL})\s*(>=|>|<=|<|=|==)\s*({_LIT})", c)
         if m:
             col, op, lit = m.group(1), m.group(2), _parse_lit(m.group(3))
@@ -340,7 +348,7 @@ def _extract_conjuncts(orig: str, scrub: str, col_types: dict | None) -> tuple[d
                 if all(n is not None for n in nums):
                     fold(col, min(nums), max(nums))
         # unmatched conjunct: contributes no skip clause (must-read)
-    return {c: (lo, hi) for c, (lo, hi) in box.items()}, equals
+    return {c: (lo, hi) for c, (lo, hi) in box.items()}, equals, nots
 
 
 def _or_leaves(orig: str, scrub: str) -> list[tuple[str, str]]:
@@ -358,10 +366,10 @@ def _or_leaves(orig: str, scrub: str) -> list[tuple[str, str]]:
 
 def _extract_skip_branches(
     predicate: str, col_types: dict | None = None
-) -> list[tuple[dict, dict]] | None:
-    """Per-OR-branch (box, equals) skip clauses. A file may be skipped
-    only when EVERY branch proves it irrelevant, so the caller prunes
-    with the UNION of per-branch keep sets. Returns None when no
+) -> list[tuple[dict, dict, dict]] | None:
+    """Per-OR-branch (box, equals, nots) skip clauses. A file may be
+    skipped only when EVERY branch proves it irrelevant, so the caller
+    prunes with the UNION of per-branch keep sets. Returns None when no
     pruning is possible: NOT anywhere (per-conjunct extraction is
     unsound under negation), or some branch with no usable clause
     (that branch must read everything, and union-with-everything is
@@ -373,10 +381,10 @@ def _extract_skip_branches(
         return None
     branches = []
     for o, s in _or_leaves(predicate.strip(), scrub.strip()):
-        box, equals = _extract_conjuncts(o, s, col_types)
-        if not box and not equals:
+        box, equals, nots = _extract_conjuncts(o, s, col_types)
+        if not box and not equals and not nots:
             return None
-        branches.append((box, equals))
+        branches.append((box, equals, nots))
     return branches
 
 
@@ -388,7 +396,7 @@ def _extract_skip_clauses(predicate: str, col_types: dict | None = None) -> tupl
     branches = _extract_skip_branches(predicate, col_types)
     if branches is None or len(branches) != 1:
         return {}, {}
-    return branches[0]
+    return branches[0][0], branches[0][1]
 
 
 def _lake_entry(spark: SparkSession, name: str) -> dict:
@@ -434,7 +442,7 @@ def lake_scan(spark: SparkSession, name: str, predicate: str | None = None) -> D
     if not branches:
         return spark.read.parquet(path).filter(predicate)
     keep: set[str] = set()
-    for box, equals in branches:
+    for box, equals, nots in branches:
         blooms = [
             (ent["bloom_manifests"][c], v)
             for c, v in equals.items()
@@ -448,6 +456,7 @@ def lake_scan(spark: SparkSession, name: str, predicate: str | None = None) -> D
                 box,
                 bloom_filters=blooms,
                 equals=equals,
+                not_equals=nots,
                 col_types=col_types,
             )
         )

@@ -447,6 +447,7 @@ def _partition_skippable(
     box: dict[str, tuple[float, float]],
     equals: dict[str, object],
     col_types: dict | None,
+    not_equals: dict[str, list] | None = None,
 ) -> bool:
     """True when a file's directory-encoded partition values PROVE it
     irrelevant to the (box, equals) clauses — the Iceberg partition-
@@ -479,6 +480,16 @@ def _partition_skippable(
                         break
             if miss:
                 return True
+        for w in (not_equals or {}).get(col, ()):
+            # col <> v: skippable exactly when the directory value IS v
+            # (every row shares it)
+            if isinstance(w, str):
+                if raw == w:
+                    return True
+            else:
+                x = _partition_num(raw, col, col_types)
+                if x is not None and x == float(w):
+                    return True
     return False
 
 
@@ -489,6 +500,7 @@ def pruned_files(
     box: dict[str, tuple[float, float]],
     bloom_filters: list[tuple[str, object]] | None = None,
     equals: dict[str, object] | None = None,
+    not_equals: dict[str, list] | None = None,
     col_types: dict | None = None,
 ) -> list[str]:
     """RELATIVE names of the data files a conjunctive box predicate can
@@ -508,11 +520,13 @@ def pruned_files(
     decision itself runs as a DataFrame filter so it would distribute
     over a million-file manifest unchanged."""
     on_disk = set(_data_files(path))
-    if box or equals:
+    if box or equals or not_equals:
         on_disk = {
             n
             for n in on_disk
-            if not _partition_skippable(_partition_values(n), box, equals or {}, col_types)
+            if not _partition_skippable(
+                _partition_values(n), box, equals or {}, col_types, not_equals
+            )
         }
     if manifest_path is None:
         kept = set(on_disk)

@@ -74,6 +74,31 @@ def session_counts_stream(events: DataFrame, gap: str = "30 minutes", watermark:
     )
 
 
+def dynamic_session_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """ST4, dynamic-gap form (round 11): the session gap varies per
+    event — 'view' keeps attention 30 minutes, anything else 10. Spark
+    accepts a gap COLUMN in streaming session_window; merge semantics
+    are transitive interval-chaining on the running max of window ends
+    (the q26 'dynamic' branch pins them bit-exact in batch; this is the
+    same expression under a watermark)."""
+    gap = F.when(F.col("event_type") == "view", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """ST6: keyed dedup with watermark-bounded state — the reference's
     id=URL idempotent upsert (pipeline.py:69) as a stream. State holds

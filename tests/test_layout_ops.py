@@ -857,8 +857,8 @@ def test_extract_skip_branches_and_temporal_shapes():
 
     inf = float("inf")
     assert br("(ck BETWEEN 50 AND 150) OR (ck BETWEEN 400 AND 600)") == [
-        ({"ck": (50, 150)}, {}),
-        ({"ck": (400, 600)}, {}),
+        ({"ck": (50, 150)}, {}, {}),
+        ({"ck": (400, 600)}, {}, {}),
     ]
     # one unprunable branch poisons the whole disjunction (union with
     # must-read-everything is everything)
@@ -866,15 +866,19 @@ def test_extract_skip_branches_and_temporal_shapes():
     assert br("NOT ck = 5") is None
     # nested parens recurse to the leaves
     assert br("((a = 1) OR (b = 2 OR c = 3))") == [
-        ({"a": (1, 1)}, {"a": 1}),
-        ({"b": (2, 2)}, {"b": 2}),
-        ({"c": (3, 3)}, {"c": 3}),
+        ({"a": (1, 1)}, {"a": 1}, {}),
+        ({"b": (2, 2)}, {"b": 2}, {}),
+        ({"c": (3, 3)}, {"c": 3}, {}),
     ]
     # 'AND' inside a literal never splits a branch's conjunct
     assert br("tag = 'x AND k = 9' OR k <= 2") == [
-        ({}, {"tag": "x AND k = 9"}),
-        ({"k": (-inf, 2)}, {}),
+        ({}, {"tag": "x AND k = 9"}, {}),
+        ({"k": (-inf, 2)}, {}, {}),
     ]
+    # != / <> collect into the nots leg (partition-value pruning only);
+    # keyword-scan NOT still bails
+    assert br("p != 3 AND k >= 5") == [({"k": (5, inf)}, {}, {"p": [3]})]
+    assert br("src <> 'a' AND src <> 'b'") == [({}, {}, {"src": ["a", "b"]})]
 
     # temporal literals fold to the SAME epoch units layout._stat_num
     # stores: dates as epoch days, timestamps as epoch seconds
@@ -1597,6 +1601,13 @@ def test_partition_value_pruning_through_the_hook(spark, tmp_path):
     got3 = lake_scan(spark, "plake2", "p IN (0, 5)")
     assert got3.count() == whole.filter("p IN (0, 5)").count()
     assert all("/p=0/" in f or "/p=5/" in f for f in got3.inputFiles())
+
+    # != / <> skip exactly the matching directory (every row shares the
+    # partition value, so the exclusion is provable at the file level)
+    got4 = lake_scan(spark, "plake2", "p != 2 AND p <> 4")
+    assert got4.count() == whole.filter("p != 2 AND p <> 4").count()
+    assert all("/p=2/" not in f and "/p=4/" not in f for f in got4.inputFiles())
+    assert len(got4.inputFiles()) < n_all
 
     # metadata count over a partition-key box never opens files: corrupt
     # a p=4 file, count p BETWEEN 0 AND 2 still answers

@@ -8,6 +8,7 @@ expensive, so examples are capped — the point is edge-shape coverage
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -283,3 +284,87 @@ def test_activity_islands_equal_python_reference(spark, rows):
         if run:
             want.append((k, run[0], run[-1], len(run)))
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Catalog-hook soundness under RANDOM predicates (round 11): whatever
+# the extractor does with a predicate — fold it, partially fold it,
+# bail — lake_scan must return exactly the whole-lake filter's rows.
+# The generator deliberately produces the adversarial shapes the r10
+# defect class lives in: comparison-shaped text inside string
+# literals, AND/OR keywords in literals, nested parens, mixed
+# prunable/unprunable conjuncts, negations.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def _hook_lake(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import register_lake_table
+    from mlb_data_pipeline_spark.operators.layout import (
+        save_scan_manifest,
+        write_zordered,
+    )
+
+    base = tmp_path_factory.mktemp("hooklake")
+    lake = str(base / "data")
+    manifest = str(base / "manifest")
+    df = spark.range(4_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+        (F.col("id") % 4).alias("p"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("tag"),
+    )
+    df.write.partitionBy("p").parquet(lake)
+    save_scan_manifest(spark, lake, ["k", "v"], manifest)
+    register_lake_table(spark, "prop_hook_lake", lake, scan_manifest=manifest)
+    return lake
+
+
+_LITS = st.sampled_from(
+    ["'a AND b'", "'k BETWEEN 1 AND 2'", "'x OR y'", "'t1'", "'v = 7 AND k = 3'", "':-)'"]
+)
+_NUMS = st.integers(min_value=-100, max_value=4100)
+
+
+@st.composite
+def _conjuncts(draw):
+    kind = draw(st.sampled_from(["cmp", "between", "in", "eq_str", "neq", "opaque"]))
+    col = draw(st.sampled_from(["k", "v", "p"]))
+    if kind == "cmp":
+        op = draw(st.sampled_from([">=", ">", "<=", "<", "="]))
+        return f"{col} {op} {draw(_NUMS)}"
+    if kind == "between":
+        a, b = draw(_NUMS), draw(_NUMS)
+        return f"{col} BETWEEN {min(a, b)} AND {max(a, b)}"
+    if kind == "in":
+        vals = draw(st.lists(_NUMS, min_size=1, max_size=3))
+        return f"{col} IN ({', '.join(map(str, vals))})"
+    if kind == "eq_str":
+        return f"tag = {draw(_LITS)}"
+    if kind == "neq":
+        return f"{col} {draw(st.sampled_from(['!=', '<>']))} {draw(_NUMS)}"
+    return draw(st.sampled_from(["length(tag) > 1", "k % 2 = 0", "NOT v = 7"]))
+
+
+@st.composite
+def _predicates(draw, depth=2):
+    if depth == 0:
+        return draw(_conjuncts())
+    n = draw(st.integers(min_value=1, max_value=3))
+    parts = [draw(_predicates(depth=depth - 1)) for _ in range(n)]
+    joiner = draw(st.sampled_from([" AND ", " OR "]))
+    body = joiner.join(parts)
+    return f"({body})" if draw(st.booleans()) else body
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pred=_predicates())
+def test_lake_scan_matches_full_filter_on_random_predicates(spark, _hook_lake, pred):
+    from mlb_data_pipeline_spark.catalog import lake_scan
+
+    whole = spark.read.parquet(_hook_lake)
+    want = sorted(tuple(r) for r in whole.filter(pred).collect())
+    got = sorted(tuple(r) for r in lake_scan(spark, "prop_hook_lake", pred).collect())
+    assert got == want, pred

@@ -822,3 +822,25 @@ def test_lake_append_stream_auto_optimize_cadence(spark, tmp_path):
     out = pruned_read(spark, lake, box_m, {"k": (0, 999)})
     assert out.filter("k <= 999").count() == whole.filter("k <= 999").count()
     assert len(out.inputFiles()) < len(whole.inputFiles())
+
+
+def test_dynamic_session_stream_equals_batch(spark, events_dir, events_batch):
+    """ST4 dynamic-gap streaming form (round 11): the per-event-gap
+    session_window under a watermark produces, over a finished
+    availableNow stream, exactly the batch dynamic-gap result — the
+    q26 'dynamic' branch semantics (running-max-of-ends merging) in
+    the state store."""
+    from mlb_data_pipeline_spark.streaming import (
+        dynamic_session_counts_stream,
+        read_event_stream,
+    )
+
+    res = _run_to_memory(
+        spark,
+        dynamic_session_counts_stream(read_event_stream(spark, events_dir), watermark="365 days"),
+        "complete",
+    )
+    batch = dynamic_session_counts_stream(events_batch, watermark="365 days")
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(res, *cols) == _rows(batch, *cols)
+    assert res.count() > events_batch.select("user_id").distinct().count()  # real sessions
