@@ -1608,7 +1608,10 @@ def compact_scan_manifest(spark: SparkSession, path: str, manifest_path: str) ->
     stale = known - on_disk
     if not stale:
         return {"rows_before": rows_before, "rows_after": rows_before, "files_dropped": 0}
-    kept = mf.filter(~F.col("file").isin(list(stale)))
+    # semi-join against the live listing, not an IN-list literal: a
+    # 100k-file lake would otherwise inline 100k strings into the plan
+    live = spark.createDataFrame([(n,) for n in sorted(on_disk)], "file string")
+    kept = mf.join(F.broadcast(live), "file", "left_semi")
     staging = manifest_path.rstrip("/") + "__gc_tmp"
     kept.coalesce(1).write.mode("overwrite").parquet(staging)
     rows_after = spark.read.parquet(staging).count()
