@@ -467,18 +467,28 @@ def lake_scan(spark: SparkSession, name: str, predicate: str | None = None) -> D
     return spark.read.option("basePath", path).parquet(*files).filter(predicate)
 
 
-def _extract_exact_box(predicate: str, col_types: dict | None = None) -> dict | None:
+def _extract_exact_clauses(
+    predicate: str, col_types: dict | None = None
+) -> tuple[dict, dict, tuple | None] | None:
     """The strict extractor behind ``lake_count``'s metadata fast path:
-    a box is returned ONLY when it is semantically EQUAL to the whole
-    predicate (every conjunct inclusive and fully captured), because
-    interior files are counted WITHOUT being opened — the superset-only
-    widening ``lake_scan`` tolerates (strict ops, dropped conjuncts)
-    would overcount here. Shapes accepted: ``BETWEEN``, ``>=``, ``<=``,
-    numeric/temporal ``=`` — all closed bounds — plus ``>``/``<`` on
-    provably integral columns, where the strict bound tightens exactly
-    by one unit. Timestamp columns are excluded (their epoch-second
-    fold can round sub-second literals); date columns fold exactly
-    (whole epoch days)."""
+    clauses are returned ONLY when they are semantically EQUAL to the
+    whole predicate (every conjunct inclusive and fully captured),
+    because interior files are counted WITHOUT being opened — the
+    superset-only widening ``lake_scan`` tolerates (strict ops, dropped
+    conjuncts) would overcount here.
+
+    Returns (box, str_eq, points) or None:
+    * box {col: (lo, hi)} — ``BETWEEN``, ``>=``, ``<=``,
+      numeric/temporal-date ``=`` (all closed bounds) plus ``>``/``<``
+      on provably integral columns (tightened exactly by one unit);
+    * str_eq {col: 'val'} — string equality on STRING columns, exact
+      against directory-encoded partition values (every row of a file
+      shares them), boundary-read everywhere else;
+    * points — at most ONE ``col IN (v1..vn)`` over distinct integral
+      values, answered as a sum of disjoint point-box counts.
+    Timestamp columns are excluded (their epoch-second fold can round
+    sub-second literals); date columns fold exactly (whole epoch
+    days)."""
     import re
 
     scrub = _scrub(predicate)
@@ -486,6 +496,8 @@ def _extract_exact_box(predicate: str, col_types: dict | None = None) -> dict | 
         return None
     orig, scrub = _unwrap2(predicate.strip(), scrub.strip())
     box: dict[str, list[float]] = {}
+    str_eq: dict[str, str] = {}
+    points: tuple | None = None
 
     def fold(col: str, lo, hi) -> None:
         cur = box.setdefault(col, [-_INF, _INF])
@@ -523,10 +535,32 @@ def _extract_exact_box(predicate: str, col_types: dict | None = None) -> dict | 
         c, _cs = _unwrap2(conj_o, conj_s)
         if not c:
             continue  # residue of a blanked BETWEEN
+        m = re.fullmatch(rf"({_COL})\s+(?i:IN)\s*\(({_LIT}(?:\s*,\s*{_LIT})*)\)", c)
+        if m:
+            col = m.group(1)
+            vals = [_parse_lit(t) for t in re.findall(_LIT, m.group(2))]
+            if (
+                points is not None  # one IN per predicate keeps the sum disjoint
+                or (col_types or {}).get(col) not in _INTEGRAL_TYPES
+                or any(isinstance(v, str) for v in vals)
+                or any(not float(v).is_integer() for v in vals)
+            ):
+                return None
+            points = (col, sorted({int(v) for v in vals}))
+            continue
         m = re.fullmatch(rf"({_COL})\s*(>=|>|<=|<|=|==)\s*({_LIT})", c)
         if not m:
             return None
         col, op, lit = m.group(1), m.group(2), _parse_lit(m.group(3))
+        if (
+            op in ("=", "==")
+            and isinstance(lit, str)
+            and (col_types or {}).get(col) == "string"
+        ):
+            if col in str_eq and str_eq[col] != lit:
+                return None  # contradictory equalities: bail, don't guess
+            str_eq[col] = lit
+            continue
         b = bound(col, lit)
         if b is None:
             return None
@@ -541,7 +575,23 @@ def _extract_exact_box(predicate: str, col_types: dict | None = None) -> dict | 
             fold(col, b, _INF)
         else:
             fold(col, -_INF, b)
-    return {c: (lo, hi) for c, (lo, hi) in box.items()} or None
+    if not box and not str_eq and points is None:
+        return None
+    return {c: (lo, hi) for c, (lo, hi) in box.items()}, str_eq, points
+
+
+def _extract_exact_box(predicate: str, col_types: dict | None = None) -> dict | None:
+    """Box-only strict extraction (the stable pinned surface): the box
+    alone must equal the predicate, so string equalities or IN-lists
+    disqualify here — ``lake_count`` uses the richer
+    ``_extract_exact_clauses`` directly."""
+    clauses = _extract_exact_clauses(predicate, col_types)
+    if clauses is None:
+        return None
+    box, str_eq, points = clauses
+    if str_eq or points is not None or not box:
+        return None
+    return box
 
 
 def lake_count(spark: SparkSession, name: str, predicate: str | None = None) -> int:
@@ -562,15 +612,34 @@ def lake_count(spark: SparkSession, name: str, predicate: str | None = None) -> 
         return spark.read.parquet(ent["path"]).count()
     if ent["scan_manifest"] is not None:
         col_types = _lake_col_types(spark, ent)
-        box = _extract_exact_box(predicate, col_types)
-        if box is not None:
-            return manifest_assisted_count(
-                spark,
-                ent["path"],
-                ent["scan_manifest"],
-                box,
-                where=predicate,
-                col_types=col_types,
+        clauses = _extract_exact_clauses(predicate, col_types)
+        if clauses is not None:
+            box, str_eq, points = clauses
+            if points is None:
+                return manifest_assisted_count(
+                    spark,
+                    ent["path"],
+                    ent["scan_manifest"],
+                    box,
+                    where=predicate,
+                    col_types=col_types,
+                    equals_strs=str_eq,
+                )
+            # IN over distinct integral points: a sum of disjoint
+            # point-box counts, each boundary-filtered with the ORIGINAL
+            # predicate narrowed to its point
+            col, vals = points
+            return sum(
+                manifest_assisted_count(
+                    spark,
+                    ent["path"],
+                    ent["scan_manifest"],
+                    {**box, col: (v, v)},
+                    where=f"({predicate}) AND {col} = {v}",
+                    col_types=col_types,
+                    equals_strs=str_eq,
+                )
+                for v in vals
             )
     return lake_scan(spark, name, predicate).count()
 

@@ -1396,6 +1396,7 @@ def manifest_assisted_count(
     box: dict[str, tuple[float, float]],
     where: str | None = None,
     col_types: dict | None = None,
+    equals_strs: dict[str, str] | None = None,
 ) -> int:
     """COUNT(*) under a conjunctive box predicate with metadata doing
     most of the work (the Iceberg/Delta metadata-count pattern):
@@ -1484,6 +1485,17 @@ def manifest_assisted_count(
             if st[2] is None or int(st[2]) != 0:
                 if verdict != "skip":
                     verdict = "boundary"
+        # string equality classifies EXACTLY against directory-encoded
+        # partition values (every row shares them, never null); files
+        # without the partition key are boundary-read (round 11)
+        for c, v in (equals_strs or {}).items():
+            if verdict == "skip":
+                break
+            pv = pvals.get(c)
+            if pv is None:
+                verdict = "boundary"
+            elif pv != v:
+                verdict = "skip"
         if verdict == "inside":
             metadata_count += int(n_rows)
         elif verdict == "boundary":

@@ -484,6 +484,9 @@ WITH o AS (
 SELECT 'count' AS part, COUNT(*) AS n, CAST(NULL AS BIGINT) AS lo, CAST(NULL AS BIGINT) AS hi
 FROM o WHERE om BETWEEN 2 AND 4
 UNION ALL
+SELECT 'inlist', COUNT(*), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM o WHERE om IN (1, 6, 12)
+UNION ALL
 SELECT 'minmax', CAST(NULL AS BIGINT), MIN(pc), MAX(pc)
 FROM o WHERE ck BETWEEN 50 AND 600
 UNION ALL
@@ -524,7 +527,8 @@ def r68_lake_partition_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("scan").alias("part"), "n", "lo", "hi")
     )
     n = lake_count(spark, "r68_orders_by_month", "om BETWEEN 2 AND 4")
-    count = spark.createDataFrame([("count", n, None, None)], schema)
+    n_in = lake_count(spark, "r68_orders_by_month", "om IN (1, 6, 12)")
+    count = spark.createDataFrame([("count", n, None, None), ("inlist", n_in, None, None)], schema)
     minmax = lake_min_max(spark, "r68_orders_by_month", "pc", "ck BETWEEN 50 AND 600").select(
         F.lit("minmax").alias("part"),
         F.lit(None).cast("long").alias("n"),

@@ -1719,3 +1719,88 @@ def test_compact_scan_manifest_drops_vanished_rows(spark, tmp_path):
     # idempotent
     rep2 = compact_scan_manifest(spark, lake, manifest)
     assert rep2["files_dropped"] == 0
+
+
+def test_exact_clauses_string_equality_and_inlist_pins():
+    """Round 11 pins: the strict lake_count extractor accepts string
+    equality (partition-exact) and ONE integral IN-list; the box-only
+    surface still rejects both."""
+    from mlb_data_pipeline_spark.catalog import (
+        _extract_exact_box as exb,
+    )
+    from mlb_data_pipeline_spark.catalog import (
+        _extract_exact_clauses as exc,
+    )
+
+    ct = {"src": "string", "om": "int", "k": "bigint", "x": "double"}
+    assert exc("src = 'web' AND k >= 5", ct) == ({"k": (5, float("inf"))}, {"src": "web"}, None)
+    assert exc("om IN (1, 6, 12)", ct) == ({}, {}, ("om", [1, 6, 12]))
+    assert exc("om IN (3, 3, 1) AND k <= 9", ct) == ({"k": (-float("inf"), 9)}, {}, ("om", [1, 3]))
+    # two IN-lists, float IN values, string IN values, non-string col
+    # equality on a string literal: all bail
+    assert exc("om IN (1) AND k IN (2)", ct) is None
+    assert exc("x IN (1, 2)", ct) is None
+    assert exc("src IN ('a', 'b')", ct) is None
+    assert exc("k = 'web'", ct) is None
+    assert exc("src = 'a' AND src = 'b'", ct) is None  # contradiction: bail
+    assert exb("src = 'web' AND k >= 5", ct) is None  # box-only rejects
+    assert exb("om IN (1, 2)", ct) is None
+    assert exb("k >= 5", ct) == {"k": (5, float("inf"))}
+
+
+def test_lake_count_string_partition_and_inlist_metadata(spark, tmp_path):
+    """String-partition equality and integral IN-lists route through
+    the metadata count (round 11): corrupting a file in a non-matching
+    partition doesn't break the count because it is never opened."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import lake_count, register_lake_table
+    from mlb_data_pipeline_spark.operators.layout import save_scan_manifest
+
+    lake = str(tmp_path / "strlake")
+    df = spark.range(3_000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    df.repartition(1).write.partitionBy("source").parquet(lake)
+    manifest = str(tmp_path / "strmanifest")
+    save_scan_manifest(spark, lake, ["k"], manifest)
+    register_lake_table(spark, "strlake", lake, scan_manifest=manifest)
+    whole = spark.read.parquet(lake)
+
+    expect = whole.filter("source = 'src1'").count()
+    assert lake_count(spark, "strlake", "source = 'src1'") == expect == 1000
+
+    # corrupt a src2 file: the src1 count never opens it
+    victim = next(
+        _os.path.join(r, n)
+        for r, _d, ns in _os.walk(lake)
+        for n in ns
+        if "source=src2" in r and n.endswith(".parquet")
+    )
+    with open(victim, "wb") as fh:
+        fh.write(b"garbage")
+    assert lake_count(spark, "strlake", "source = 'src1'") == expect
+    # combined string + box stays exact
+    want = whole.filter("source = 'src1' AND k BETWEEN 100 AND 2000").count()
+    assert lake_count(spark, "strlake", "source = 'src1' AND k BETWEEN 100 AND 2000") == want
+
+
+def test_lake_count_integral_inlist_sums_disjoint_points(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import lake_count, register_lake_table
+    from mlb_data_pipeline_spark.operators.layout import save_scan_manifest
+
+    lake = str(tmp_path / "inlake")
+    df = spark.range(6_000).select(F.col("id").alias("k"), (F.col("id") % 12).alias("m"))
+    df.repartition(2).write.partitionBy("m").parquet(lake)
+    manifest = str(tmp_path / "inmanifest")
+    save_scan_manifest(spark, lake, ["k"], manifest)
+    register_lake_table(spark, "inlake", lake, scan_manifest=manifest)
+    whole = spark.read.parquet(lake)
+
+    for pred in ["m IN (1, 6, 11)", "m IN (3, 3)", "m IN (2, 4) AND k <= 3000"]:
+        assert lake_count(spark, "inlake", pred) == whole.filter(pred).count(), pred
