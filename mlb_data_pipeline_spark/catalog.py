@@ -258,19 +258,26 @@ def _unwrap2(orig: str, scrub: str) -> tuple[str, str]:
     return orig, scrub
 
 
-def _extract_conjuncts(orig: str, scrub: str, col_types: dict | None) -> tuple[dict, dict, dict]:
-    """(box, equals, nots) from one conjunctive branch. box: {col:
-    (lo, hi)} with +-inf open ends (folded per column); equals: {col:
-    scalar-or-list} for equality / IN (Bloom probes); nots: {col:
+def _extract_conjuncts(
+    orig: str, scrub: str, col_types: dict | None
+) -> tuple[dict, dict, dict, dict]:
+    """(box, equals, nots, nullness) from one conjunctive branch. box:
+    {col: (lo, hi)} with +-inf open ends (folded per column); equals:
+    {col: scalar-or-list} for equality / IN (Bloom probes); nots: {col:
     [vals]} for ``<>``/``!=`` — prunable ONLY against directory-encoded
     partition values, where every row provably shares the value
-    (round 11). Unmatched conjuncts contribute no skip clause
-    (must-read on that aspect)."""
+    (round 11); nullness: {col: 'null'|'notnull'} for ``IS [NOT]
+    NULL`` — prunable from the manifest's per-file null counts
+    (``IS NULL`` skips null-free files, ``IS NOT NULL`` skips all-null
+    files) and from partition values (directory-encoded => non-null).
+    Unmatched conjuncts contribute no skip clause (must-read on that
+    aspect)."""
     import re
 
     box: dict[str, list[float]] = {}
     equals: dict[str, object] = {}
     nots: dict[str, list] = {}
+    nullness: dict[str, str] = {}
 
     def fold(col: str, lo, hi) -> None:
         cur = box.setdefault(col, [-_INF, _INF])
@@ -305,6 +312,16 @@ def _extract_conjuncts(orig: str, scrub: str, col_types: dict | None) -> tuple[d
 
     for conj_o, conj_s in _split_top(orig, scrub, "AND"):
         c, _cs = _unwrap2(conj_o, conj_s)
+        m = re.fullmatch(rf"({_COL})\s+(?i:IS)(\s+(?i:NOT))?\s+(?i:NULL)", c)
+        if m:
+            col, kind = m.group(1), "notnull" if m.group(2) else "null"
+            if nullness.get(col, kind) != kind:
+                # col IS NULL AND col IS NOT NULL: contradictory — no
+                # sound single verdict, contribute nothing (must-read)
+                nullness.pop(col, None)
+            else:
+                nullness[col] = kind
+            continue
         m = re.fullmatch(rf"({_COL})\s*(!=|<>)\s*({_LIT})", c)
         if m:
             nots.setdefault(m.group(1), []).append(_parse_lit(m.group(3)))
@@ -348,7 +365,7 @@ def _extract_conjuncts(orig: str, scrub: str, col_types: dict | None) -> tuple[d
                 if all(n is not None for n in nums):
                     fold(col, min(nums), max(nums))
         # unmatched conjunct: contributes no skip clause (must-read)
-    return {c: (lo, hi) for c, (lo, hi) in box.items()}, equals, nots
+    return {c: (lo, hi) for c, (lo, hi) in box.items()}, equals, nots, nullness
 
 
 def _or_leaves(orig: str, scrub: str) -> list[tuple[str, str]]:
@@ -366,8 +383,8 @@ def _or_leaves(orig: str, scrub: str) -> list[tuple[str, str]]:
 
 def _extract_skip_branches(
     predicate: str, col_types: dict | None = None
-) -> list[tuple[dict, dict, dict]] | None:
-    """Per-OR-branch (box, equals, nots) skip clauses. A file may be
+) -> list[tuple[dict, dict, dict, dict]] | None:
+    """Per-OR-branch (box, equals, nots, nullness) skip clauses. A file may be
     skipped only when EVERY branch proves it irrelevant, so the caller
     prunes with the UNION of per-branch keep sets. Returns None when no
     pruning is possible: NOT anywhere (per-conjunct extraction is
@@ -377,14 +394,16 @@ def _extract_skip_branches(
     import re
 
     scrub = _scrub(predicate)
-    if re.search(r"(?i)\bNOT\b", scrub):
+    # NOT bails EXCEPT the "IS NOT NULL" phrase, which the conjunct
+    # extractor handles soundly
+    if re.search(r"(?i)\bNOT\b(?!\s+NULL\b)", scrub):
         return None
     branches = []
     for o, s in _or_leaves(predicate.strip(), scrub.strip()):
-        box, equals, nots = _extract_conjuncts(o, s, col_types)
-        if not box and not equals and not nots:
+        box, equals, nots, nullness = _extract_conjuncts(o, s, col_types)
+        if not box and not equals and not nots and not nullness:
             return None
-        branches.append((box, equals, nots))
+        branches.append((box, equals, nots, nullness))
     return branches
 
 
@@ -442,7 +461,7 @@ def lake_scan(spark: SparkSession, name: str, predicate: str | None = None) -> D
     if not branches:
         return spark.read.parquet(path).filter(predicate)
     keep: set[str] = set()
-    for box, equals, nots in branches:
+    for box, equals, nots, nullness in branches:
         blooms = [
             (ent["bloom_manifests"][c], v)
             for c, v in equals.items()
@@ -457,6 +476,7 @@ def lake_scan(spark: SparkSession, name: str, predicate: str | None = None) -> D
                 bloom_filters=blooms,
                 equals=equals,
                 not_equals=nots,
+                nullness=nullness,
                 col_types=col_types,
             )
         )

@@ -374,8 +374,8 @@ def build_scan_manifest(spark: SparkSession, path: str, cols: list[str]) -> Data
     rows = []
     for fs in stats:
         for c in cols:
+            nc = fs["nulls"].get(c)
             if c in fs["min"] and c in fs["max"]:
-                nc = fs["nulls"].get(c)
                 rows.append(
                     (
                         fs["file"],
@@ -386,6 +386,12 @@ def build_scan_manifest(spark: SparkSession, path: str, cols: list[str]) -> Data
                         int(nc) if nc is not None else None,
                     )
                 )
+            elif nc is not None and int(nc) == int(fs["rows"]) and fs["rows"] > 0:
+                # PROVABLY all-null column: no min/max exists, but the
+                # fact itself prunes — a box can never match (lo/hi
+                # NULL rows mean "no non-null values"), and IS NOT NULL
+                # skips the file outright (round 11)
+                rows.append((fs["file"], int(fs["rows"]), c, None, None, int(nc)))
     return spark.createDataFrame(
         rows, "file string, rows long, col string, lo double, hi double, nulls long"
     )
@@ -448,6 +454,7 @@ def _partition_skippable(
     equals: dict[str, object],
     col_types: dict | None,
     not_equals: dict[str, list] | None = None,
+    nullness: dict[str, str] | None = None,
 ) -> bool:
     """True when a file's directory-encoded partition values PROVE it
     irrelevant to the (box, equals) clauses — the Iceberg partition-
@@ -490,6 +497,10 @@ def _partition_skippable(
                 x = _partition_num(raw, col, col_types)
                 if x is not None and x == float(w):
                     return True
+        # a directory-encoded value is NON-NULL for every row, so the
+        # file provably has no rows matching "col IS NULL"
+        if (nullness or {}).get(col) == "null":
+            return True
     return False
 
 
@@ -501,6 +512,7 @@ def pruned_files(
     bloom_filters: list[tuple[str, object]] | None = None,
     equals: dict[str, object] | None = None,
     not_equals: dict[str, list] | None = None,
+    nullness: dict[str, str] | None = None,
     col_types: dict | None = None,
 ) -> list[str]:
     """RELATIVE names of the data files a conjunctive box predicate can
@@ -520,12 +532,12 @@ def pruned_files(
     decision itself runs as a DataFrame filter so it would distribute
     over a million-file manifest unchanged."""
     on_disk = set(_data_files(path))
-    if box or equals or not_equals:
+    if box or equals or not_equals or nullness:
         on_disk = {
             n
             for n in on_disk
             if not _partition_skippable(
-                _partition_values(n), box, equals or {}, col_types, not_equals
+                _partition_values(n), box, equals or {}, col_types, not_equals, nullness
             )
         }
     if manifest_path is None:
@@ -533,7 +545,7 @@ def pruned_files(
         for bloom_path, value in bloom_filters or []:
             kept -= _bloom_skippable(spark, bloom_path, value)
         return sorted(kept)
-    mf = spark.read.parquet(manifest_path)
+    mf = spark.read.option("mergeSchema", "true").parquet(manifest_path)
     miss = F.lit(False)
     for c, (lo, hi) in box.items():
         try:
@@ -543,7 +555,19 @@ def pruned_files(
             # usable stats for it, so it can never prove a miss — the
             # column simply contributes no skip clause (must-read)
             continue
-        miss = miss | ((F.col("col") == c) & ((F.col("hi") < F.lit(lo_f)) | (F.col("lo") > F.lit(hi_f))))
+        miss = miss | (
+            (F.col("col") == c)
+            & (F.col("lo").isNull() | (F.col("hi") < F.lit(lo_f)) | (F.col("lo") > F.lit(hi_f)))
+        )
+    if nullness and "nulls" in mf.columns:
+        # per-file null counts (round 11): "col IS NULL" skips files
+        # PROVABLY null-free (nulls == 0); "col IS NOT NULL" skips
+        # all-null files (nulls == rows). NULL nulls = unknown = keep.
+        for c, kind in nullness.items():
+            if kind == "null":
+                miss = miss | ((F.col("col") == c) & (F.col("nulls") == 0))
+            else:
+                miss = miss | ((F.col("col") == c) & (F.col("nulls") == F.col("rows")))
     skip = mf.filter(miss).select("file").distinct()
     keep = mf.select("file").distinct().join(skip, "file", "left_anti")
     known = {r.file for r in mf.select("file").distinct().collect()}
@@ -1223,8 +1247,8 @@ def append_scan_manifest(spark: SparkSession, path: str, cols: list[str], manife
         if fs["file"] not in set(new_names):
             continue
         for c in cols:
+            nc = fs["nulls"].get(c)
             if c in fs["min"] and c in fs["max"]:
-                nc = fs["nulls"].get(c)
                 rows.append(
                     (
                         fs["file"],
@@ -1235,6 +1259,8 @@ def append_scan_manifest(spark: SparkSession, path: str, cols: list[str], manife
                         int(nc) if nc is not None else None,
                     )
                 )
+            elif nc is not None and int(nc) == int(fs["rows"]) and fs["rows"] > 0:
+                rows.append((fs["file"], int(fs["rows"]), c, None, None, int(nc)))
     if rows:
         # mergeSchema on read keeps pre-round-11 manifests (no nulls
         # column) appendable; their rows read as nulls=NULL = unknown
@@ -1473,6 +1499,9 @@ def manifest_assisted_count(
             if st is None:
                 verdict = "boundary"  # no usable stats: must read
                 continue
+            if st[0] is None or st[1] is None:
+                verdict = "skip"  # all-null column: a box matches nothing
+                break
             if st[1] < float(lo) or st[0] > float(hi):
                 verdict = "skip"  # provable miss beats everything
                 break
@@ -1551,6 +1580,8 @@ def manifest_assisted_minmax(
     stats: dict[str, dict[str, tuple]] = {}
     want_cols = set(box) | {col}
     for r in mf.filter(F.col("col").isin(list(want_cols))).collect():
+        if r.lo is None or r.hi is None:
+            continue  # all-null stat row: no usable bound, file reads as boundary
         stats.setdefault(r.file, {})[r.col] = (r.lo, r.hi)
     existing = set(_data_files(path))
     known = set(stats)

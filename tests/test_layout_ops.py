@@ -857,8 +857,8 @@ def test_extract_skip_branches_and_temporal_shapes():
 
     inf = float("inf")
     assert br("(ck BETWEEN 50 AND 150) OR (ck BETWEEN 400 AND 600)") == [
-        ({"ck": (50, 150)}, {}, {}),
-        ({"ck": (400, 600)}, {}, {}),
+        ({"ck": (50, 150)}, {}, {}, {}),
+        ({"ck": (400, 600)}, {}, {}, {}),
     ]
     # one unprunable branch poisons the whole disjunction (union with
     # must-read-everything is everything)
@@ -866,19 +866,19 @@ def test_extract_skip_branches_and_temporal_shapes():
     assert br("NOT ck = 5") is None
     # nested parens recurse to the leaves
     assert br("((a = 1) OR (b = 2 OR c = 3))") == [
-        ({"a": (1, 1)}, {"a": 1}, {}),
-        ({"b": (2, 2)}, {"b": 2}, {}),
-        ({"c": (3, 3)}, {"c": 3}, {}),
+        ({"a": (1, 1)}, {"a": 1}, {}, {}),
+        ({"b": (2, 2)}, {"b": 2}, {}, {}),
+        ({"c": (3, 3)}, {"c": 3}, {}, {}),
     ]
     # 'AND' inside a literal never splits a branch's conjunct
     assert br("tag = 'x AND k = 9' OR k <= 2") == [
-        ({}, {"tag": "x AND k = 9"}, {}),
-        ({"k": (-inf, 2)}, {}, {}),
+        ({}, {"tag": "x AND k = 9"}, {}, {}),
+        ({"k": (-inf, 2)}, {}, {}, {}),
     ]
     # != / <> collect into the nots leg (partition-value pruning only);
     # keyword-scan NOT still bails
-    assert br("p != 3 AND k >= 5") == [({"k": (5, inf)}, {}, {"p": [3]})]
-    assert br("src <> 'a' AND src <> 'b'") == [({}, {}, {"src": ["a", "b"]})]
+    assert br("p != 3 AND k >= 5") == [({"k": (5, inf)}, {}, {"p": [3]}, {})]
+    assert br("src <> 'a' AND src <> 'b'") == [({}, {}, {"src": ["a", "b"]}, {})]
 
     # temporal literals fold to the SAME epoch units layout._stat_num
     # stores: dates as epoch days, timestamps as epoch seconds
@@ -1804,3 +1804,70 @@ def test_lake_count_integral_inlist_sums_disjoint_points(spark, tmp_path):
 
     for pred in ["m IN (1, 6, 11)", "m IN (3, 3)", "m IN (2, 4) AND k <= 3000"]:
         assert lake_count(spark, "inlake", pred) == whole.filter(pred).count(), pred
+
+
+def test_lake_scan_null_predicates_prune(spark, tmp_path):
+    """IS NULL / IS NOT NULL pruning (round 11): the manifest's
+    per-file null counts skip null-free files for IS NULL and all-null
+    files for IS NOT NULL; directory-encoded partition values are
+    non-null by construction, so partition columns skip IS NULL
+    outright. Rows always equal the whole-lake filter."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import lake_scan, register_lake_table
+    from mlb_data_pipeline_spark.operators.layout import save_scan_manifest
+
+    lake = str(tmp_path / "nullplake")
+    # file A: v fully populated; file B: v all NULL; file C: mixed
+    spark.range(500).select(F.col("id").alias("k"), F.col("id").alias("v")).coalesce(
+        1
+    ).write.parquet(lake)
+    spark.range(500, 900).select(
+        F.col("id").alias("k"), F.lit(None).cast("long").alias("v")
+    ).coalesce(1).write.mode("append").parquet(lake)
+    spark.range(900, 1200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("v"),
+    ).coalesce(1).write.mode("append").parquet(lake)
+    manifest = str(tmp_path / "nullpmanifest")
+    save_scan_manifest(spark, lake, ["k", "v"], manifest)
+    register_lake_table(spark, "nullplake", lake, scan_manifest=manifest)
+    whole = spark.read.parquet(lake)
+    n_all = len(whole.inputFiles())
+    assert n_all == 3
+
+    got = lake_scan(spark, "nullplake", "v IS NULL")
+    assert got.count() == whole.filter("v IS NULL").count() == 550
+    assert len(got.inputFiles()) == 2  # the fully-populated file skipped
+
+    got2 = lake_scan(spark, "nullplake", "v IS NOT NULL AND k >= 0")
+    assert got2.count() == whole.filter("v IS NOT NULL AND k >= 0").count() == 650
+    assert len(got2.inputFiles()) == 2  # the all-null file skipped
+
+    # a box over v also skips the all-null file (no non-null values)
+    got3 = lake_scan(spark, "nullplake", "v BETWEEN 0 AND 2000")
+    assert got3.count() == whole.filter("v BETWEEN 0 AND 2000").count()
+    assert len(got3.inputFiles()) == 2
+
+    # IS NOT NULL never trips the global NOT bail
+    from mlb_data_pipeline_spark.catalog import _extract_skip_branches as br
+
+    assert br("v IS NOT NULL") == [({}, {}, {}, {"v": "notnull"})]
+    assert br("v IS NULL AND k >= 3") == [({"k": (3, float("inf"))}, {}, {}, {"v": "null"})]
+    assert br("NOT v = 5") is None  # other NOTs still bail
+    # contradictory nullness degrades to must-read, never a wrong skip
+    assert br("v IS NULL AND v IS NOT NULL AND k >= 3") == [
+        ({"k": (3, float("inf"))}, {}, {}, {})
+    ]
+
+    # partition columns are non-null by construction
+    plake = str(tmp_path / "nullpart")
+    spark.range(600).select(F.col("id").alias("k"), (F.col("id") % 3).alias("p")).write.partitionBy(
+        "p"
+    ).parquet(plake)
+    pmanifest = str(tmp_path / "nullpartmanifest")
+    save_scan_manifest(spark, plake, ["k"], pmanifest)
+    register_lake_table(spark, "nullpart", plake, scan_manifest=pmanifest)
+    got4 = lake_scan(spark, "nullpart", "p IS NULL")
+    assert got4.count() == 0
+    assert len(got4.inputFiles()) == 0  # every leaf provably non-null

@@ -312,7 +312,8 @@ def _hook_lake(spark, tmp_path_factory):
     manifest = str(base / "manifest")
     df = spark.range(4_000).select(
         F.col("id").alias("k"),
-        (F.col("id") * 7 % 1000).alias("v"),
+        # v is NULL on a stripe so IS [NOT] NULL shapes have real rows
+        F.when(F.col("id") % 7 != 0, F.col("id") * 7 % 1000).alias("v"),
         (F.col("id") % 4).alias("p"),
         F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("tag"),
     )
@@ -330,7 +331,9 @@ _NUMS = st.integers(min_value=-100, max_value=4100)
 
 @st.composite
 def _conjuncts(draw):
-    kind = draw(st.sampled_from(["cmp", "between", "in", "eq_str", "neq", "opaque"]))
+    kind = draw(
+        st.sampled_from(["cmp", "between", "in", "eq_str", "neq", "nullness", "opaque"])
+    )
     col = draw(st.sampled_from(["k", "v", "p"]))
     if kind == "cmp":
         op = draw(st.sampled_from([">=", ">", "<=", "<", "="]))
@@ -345,6 +348,8 @@ def _conjuncts(draw):
         return f"tag = {draw(_LITS)}"
     if kind == "neq":
         return f"{col} {draw(st.sampled_from(['!=', '<>']))} {draw(_NUMS)}"
+    if kind == "nullness":
+        return f"{col} IS {draw(st.sampled_from(['NULL', 'NOT NULL']))}"
     return draw(st.sampled_from(["length(tag) > 1", "k % 2 = 0", "NOT v = 7"]))
 
 
