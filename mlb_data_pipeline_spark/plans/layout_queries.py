@@ -376,9 +376,15 @@ WHERE source = 'src3'
 
 @query("q45_bloom_pruned_scan", oracle=_R52_SQL, covers="Y4,S3,A2,P3")
 def q45_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11: the read routes through the CATALOG hook — the Bloom
+    probe is derived from the predicate STRING (`source = 'src3'`)
+    against the registered bloom manifest, no caller-constructed
+    filter list, so the automatic equality->Bloom planning path sits
+    under the driver hash alongside q23's box path."""
     import os
 
-    from ..operators.layout import pruned_read, save_bloom_manifest, save_scan_manifest
+    from ..catalog import lake_scan, register_lake_table
+    from ..operators.layout import save_bloom_manifest, save_scan_manifest
 
     base = os.path.join(
         "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r52_lake"
@@ -390,10 +396,12 @@ def q45_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.repartition(8, "source").write.mode("overwrite").parquet(lake)
     save_scan_manifest(spark, lake, ["doc_id", "n_chars"], box_m)
     save_bloom_manifest(spark, lake, "source", bloom_m)
-    df = pruned_read(
-        spark, lake, box_m, {"doc_id": (0, 2**62)}, bloom_filters=[(bloom_m, "src3")]
+    register_lake_table(
+        spark, "q45_docs_lake", lake, scan_manifest=box_m,
+        bloom_manifests={"source": bloom_m},
     )
-    return df.filter(F.col("source") == "src3").agg(
+    df = lake_scan(spark, "q45_docs_lake", "source = 'src3' AND doc_id >= 0")
+    return df.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("doc_id").alias("min_id"),
