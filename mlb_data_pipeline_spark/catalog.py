@@ -438,28 +438,57 @@ def _lake_col_types(spark: SparkSession, ent: dict) -> dict:
     return ent["col_types"]
 
 
-def lake_scan(spark: SparkSession, name: str, predicate: str | None = None) -> DataFrame:
+def _lake_read_all(spark: SparkSession, path: str) -> DataFrame:
+    """The whole-lake read: plain parquet for an unversioned directory,
+    the CURRENT snapshot for a transaction-logged one (a dead file a
+    delete/merge commit removed must never reach a reader, even though
+    its bytes stay on disk for time travel until vacuum)."""
+    from .operators.snapshots import has_snapshots, read_snapshot
+
+    if has_snapshots(path):
+        return read_snapshot(spark, path)
+    return spark.read.parquet(path)
+
+
+def lake_scan(
+    spark: SparkSession,
+    name: str,
+    predicate: str | None = None,
+    version: int | None = None,
+) -> DataFrame:
     """Read a registered lake table, automatically skipping files the
     persisted manifests prove irrelevant to ``predicate`` — then apply
     the exact predicate. With no registered manifests (or no usable
     conjunct) this degrades to the plain whole-lake read + filter.
     Top-level OR predicates prune with the UNION of per-branch keep
     sets; a table registered with Bloom manifests but no scan manifest
-    prunes on the Blooms alone (round 11 — previously an error)."""
+    prunes on the Blooms alone (round 11 — previously an error).
+
+    ``version`` (round 11): TIME TRAVEL — read the table AS OF a
+    committed snapshot version instead of the current head. Manifests
+    describe the current files, so historical reads are plain
+    snapshot reads + exact filter (no file skipping): correctness
+    first, and yesterday's table is usually read once, not queried
+    hot."""
     ent = _lake_entry(spark, name)
     path = ent["path"]
     from .operators.layout import _compact_recover_tree, pruned_files
 
+    if version is not None:
+        from .operators.snapshots import read_snapshot
+
+        df = read_snapshot(spark, path, version)
+        return df.filter(predicate) if predicate else df
     # heal a torn OPTIMIZE swap before planning ANY read through the
     # catalog — otherwise rewritten rows appear twice until the next
     # optimize_clustered call (ADVICE round 10)
     _compact_recover_tree(path)
     if not predicate:
-        return spark.read.parquet(path)
+        return _lake_read_all(spark, path)
     col_types = _lake_col_types(spark, ent)
     branches = _extract_skip_branches(predicate, col_types)
     if not branches:
-        return spark.read.parquet(path).filter(predicate)
+        return _lake_read_all(spark, path).filter(predicate)
     keep: set[str] = set()
     for box, equals, nots, nullness in branches:
         blooms = [
@@ -629,7 +658,7 @@ def lake_count(spark: SparkSession, name: str, predicate: str | None = None) -> 
 
     _compact_recover_tree(ent["path"])
     if not predicate:
-        return spark.read.parquet(ent["path"]).count()
+        return _lake_read_all(spark, ent["path"]).count()
     if ent["scan_manifest"] is not None:
         col_types = _lake_col_types(spark, ent)
         clauses = _extract_exact_clauses(predicate, col_types)

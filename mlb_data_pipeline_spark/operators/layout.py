@@ -49,11 +49,12 @@ from pyspark.sql import functions as F
 _EXACT_PRODUCT_LIMIT = 1 << 53
 
 
-def _data_files(path: str) -> list[str]:
-    """Sorted RELATIVE paths of every parquet data file under ``path``,
-    recursing through partition directories (``dt=...``,
-    ``ingest_batch=...``) — the one listing primitive the manifest
-    family shares, so flat and partitioned lakes behave identically."""
+def _all_data_files(path: str) -> list[str]:
+    """Sorted RELATIVE paths of every parquet data file ON DISK under
+    ``path``, recursing through partition directories (``dt=...``,
+    ``ingest_batch=...``) — including files an expired snapshot once
+    referenced. Only the snapshot layer (operators/snapshots.py) should
+    need this raw listing; everything else wants ``_data_files``."""
     out = []
     base = os.path.abspath(path)
     for root, dirs, names in os.walk(base):
@@ -65,6 +66,46 @@ def _data_files(path: str) -> list[str]:
             if n.endswith(".parquet") and not n.startswith(("_", ".")):
                 out.append(os.path.relpath(os.path.join(root, n), base))
     return sorted(out)
+
+
+def _snapshot_live_set(path: str) -> set[str] | None:
+    """The CURRENT snapshot's file set when ``path`` carries a snapshot
+    log (``_snapshots/v*.json``, operators/snapshots.py), else None.
+    Inlined here (tiny json read, no Spark) so the one shared listing
+    primitive can honor the log without a circular import."""
+    import json as _json
+    import re as _re
+
+    d = os.path.join(os.path.abspath(path), "_snapshots")
+    if not os.path.isdir(d):
+        return None
+    best, best_v = None, -1
+    for n in os.listdir(d):
+        m = _re.fullmatch(r"v(\d{12})\.json", n)
+        if m and int(m.group(1)) > best_v:
+            best_v, best = int(m.group(1)), n
+    if best is None:
+        return None
+    with open(os.path.join(d, best)) as fh:
+        return set(_json.load(fh)["files"])
+
+
+def _data_files(path: str) -> list[str]:
+    """Sorted RELATIVE paths of the LIVE parquet data files under
+    ``path`` — the one listing primitive the manifest/pruning/optimize
+    family shares, so flat and partitioned lakes behave identically.
+    On a snapshot lake (round 11, operators/snapshots.py) "live" means
+    the current snapshot's file list: files a delete/merge/optimize
+    commit removed stay on disk for time travel until vacuum, but no
+    reader or maintenance op may see them."""
+    files = _all_data_files(path)
+    live = _snapshot_live_set(path)
+    if live is not None:
+        # intersect, don't trust: a referenced file may have been
+        # vacuumed out from under a stale log copy — absent files are
+        # simply not read (same rule as the manifest's vanished rows)
+        return sorted(set(files) & live)
+    return files
 
 
 def _relpath_col(path: str):
@@ -245,7 +286,7 @@ def _stat_num(v):
     return None
 
 
-def file_stats(path: str, cols: list[str]) -> list[dict]:
+def file_stats(path: str, cols: list[str], names: list[str] | None = None) -> list[dict]:
     """Per-file min/max for ``cols`` from the REAL parquet footers (what
     a scan's file-skipping sees) via pyarrow — one row per data file.
 
@@ -254,11 +295,14 @@ def file_stats(path: str, cols: list[str]) -> list[dict]:
     wrong fold there would overstate pruning. Temporal logical values
     normalize to epoch numbers (``_stat_num``). A column absent from a
     file's ``min``/``max`` dict means "no usable stats" — callers must
-    treat that file as unprunable on that column."""
+    treat that file as unprunable on that column. ``names`` restricts
+    the stat pass to an explicit LIVE subset (snapshot-lake leaf dirs,
+    where the transaction log lives at the lake root and the local
+    listing would include dead files)."""
     import pyarrow.parquet as pq
 
     out = []
-    for name in _data_files(path):
+    for name in (names if names is not None else _data_files(path)):
         md = pq.ParquetFile(os.path.join(path, name)).metadata
         n_rg = md.num_row_groups
         lo: dict[str, object] = {}
@@ -944,7 +988,12 @@ def write_hilbert(
 # ---------------------------------------------------------------------------
 
 
-def cluster_report(path: str, specs: list[tuple[str, int, int]], max_span_frac: float = 0.5) -> dict:
+def cluster_report(
+    path: str,
+    specs: list[tuple[str, int, int]],
+    max_span_frac: float = 0.5,
+    names: list[str] | None = None,
+) -> dict:
     """Metadata-only clustering health: per clustered column, each
     file's footer span as a fraction of the declared [lo, hi] range. A
     file is DIRTY when any span fraction exceeds ``max_span_frac`` or
@@ -952,7 +1001,7 @@ def cluster_report(path: str, specs: list[tuple[str, int, int]], max_span_frac: 
     files_total / files_dirty / dirty_files / avg_span_frac."""
     cols = [c for c, _, _ in specs]
     rng = {c: max(1, hi - lo) for c, lo, hi in specs}
-    stats = file_stats(path, cols)
+    stats = file_stats(path, cols, names)
     dirty, fracs = [], []
     for fs in stats:
         worst = 0.0
@@ -1058,6 +1107,8 @@ def optimize_clustered(
     curve: str = "zorder",
     manifest_path: str | None = None,
     stat_cols: list[str] | None = None,
+    _live_names: list[str] | None = None,
+    _defer: bool = False,
 ) -> dict:
     """Rewrite ONLY the badly-clustered (or undersized) files of a
     clustered lake back into tight key ranges. PARTITIONED lakes
@@ -1103,13 +1154,25 @@ def optimize_clustered(
     if curve not in ("zorder", "hilbert"):
         raise ValueError(f"curve must be 'zorder' or 'hilbert', got {curve!r}")
     base = path.rstrip("/")
-    _compact_recover(base)
-    names = _data_files(base)
+    # snapshot lakes (operators/snapshots.py) swap files through the
+    # transaction log, not the marker protocol: old bytes stay on disk
+    # for time travel, visibility flips at the json commit. _live_names
+    # marks a leaf call under a partitioned snapshot lake whose log
+    # lives at the root (the local listing would include dead files).
+    snap = _live_names is not None or _snapshot_live_set(base) is not None
+    if _live_names is not None:
+        names = sorted(_live_names)
+    else:
+        if not snap:
+            _compact_recover(base)
+        names = _data_files(base)
     if any("/" in n for n in names):
         # partitioned lake: optimize each leaf directory as a flat lake
         # and merge the reports. Leaves with only root-level siblings
         # ("" key) are handled by the same grouping.
-        leaves = sorted({os.path.dirname(n) for n in names})
+        by_leaf: dict[str, list[str]] = {}
+        for n in names:
+            by_leaf.setdefault(os.path.dirname(n), []).append(os.path.basename(n))
         merged = {
             "files_total": 0,
             "files_dirty": 0,
@@ -1119,7 +1182,9 @@ def optimize_clustered(
             "rows_rewritten": 0,
             "_span_sum": 0.0,
         }
-        for leaf in leaves:
+        old_all: list[str] = []
+        new_all: list[str] = []
+        for leaf in sorted(by_leaf):
             sub = os.path.join(base, leaf) if leaf else base
             if leaf == "":
                 # mixed flat+partitioned layout is writer error, not a
@@ -1134,8 +1199,14 @@ def optimize_clustered(
                 min_rows=min_rows,
                 n_files=n_files,
                 curve=curve,
-                # manifest maintenance runs ONCE at the lake root below
+                # manifest maintenance runs ONCE at the lake root below;
+                # under a snapshot lake the leaf defers its swap commit
+                # to the single root-level snapshot below
+                _live_names=by_leaf[leaf] if snap else None,
+                _defer=snap,
             )
+            old_all.extend(os.path.join(leaf, f) for f in rep.pop("old_names", []))
+            new_all.extend(os.path.join(leaf, f) for f in rep.pop("new_names", []))
             merged["files_total"] += rep["files_total"]
             merged["files_dirty"] += rep["files_dirty"]
             merged["dirty_files"].extend(os.path.join(leaf, f) for f in rep["dirty_files"])
@@ -1148,13 +1219,26 @@ def optimize_clustered(
             round(total / merged["files_total"], 4) if merged["files_total"] else 0.0
         )
         merged["dirty_files"] = sorted(merged["dirty_files"])
+        if snap and merged["files_rewritten"] > 0:
+            from .snapshots import commit_snapshot
+
+            files = sorted((set(names) - set(old_all)) | set(new_all))
+            commit_snapshot(
+                base,
+                files,
+                "optimize",
+                summary={
+                    "files_rewritten": merged["files_rewritten"],
+                    "files_written": merged["files_written"],
+                },
+            )
         _maintain_manifest_after_optimize(
             spark, base, manifest_path, specs, stat_cols, merged["files_rewritten"] > 0
         )
         return merged
     cols = [c for c, _, _ in specs]
-    stats = file_stats(base, cols)
-    rep = cluster_report(base, specs, max_span_frac)
+    stats = file_stats(base, cols, names)
+    rep = cluster_report(base, specs, max_span_frac, names)
     dirty = set(rep["dirty_files"])
     rows_by_file = {fs["file"]: fs["rows"] for fs in stats}
     if min_rows is not None:
@@ -1169,7 +1253,17 @@ def optimize_clustered(
     per_dim = min(per_dim, bits)
     prefix_bits = per_dim * n_dims
     tmp = os.path.join(base, "__compact_tmp")
-    digest = _hashlib.sha256("\n".join(sorted(dirty)).encode()).hexdigest()[:12]
+    digest_src = "\n".join(sorted(dirty))
+    if snap:
+        # snapshot lakes keep old bytes for time travel: a rollback +
+        # re-optimize re-selects the SAME dirty set, so the digest-only
+        # name would overwrite compact files a retained snapshot still
+        # references — salt per run (recovery never needs these names;
+        # orphans from a crash are vacuum_lake's job)
+        import uuid as _uuid
+
+        digest_src += "|" + _uuid.uuid4().hex
+    digest = _hashlib.sha256(digest_src.encode()).hexdigest()[:12]
     df = spark.read.parquet(*[os.path.join(base, n) for n in sorted(dirty)])
     if n_dims == 1:
         # 1-D clustering is a plain range sort — both curves degenerate
@@ -1207,6 +1301,35 @@ def optimize_clustered(
     new_names = [f"compact-{digest}-{i:05d}.parquet" for i in range(len(staged))]
     for src, dst in zip(staged, new_names):
         os.replace(src, os.path.join(tmp, dst))
+    if snap:
+        # snapshot lake: visibility flips at the json commit, so no
+        # marker is needed — move the new files in (invisible until the
+        # commit references them), leave the old bytes for time travel
+        # (vacuum_lake reclaims), and commit the swapped list. A crash
+        # before the commit leaves only vacuum-able orphans.
+        for name in new_names:
+            os.replace(os.path.join(tmp, name), os.path.join(base, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        out = {
+            **rep,
+            "files_rewritten": len(dirty),
+            "files_written": len(new_names),
+            "rows_rewritten": int(dirty_rows),
+        }
+        if _defer:
+            # leaf of a partitioned snapshot lake: the root commits ONE
+            # snapshot covering every leaf's swap
+            return {**out, "old_names": sorted(dirty), "new_names": new_names}
+        from .snapshots import commit_snapshot
+
+        commit_snapshot(
+            base,
+            sorted((set(names) - dirty) | set(new_names)),
+            "optimize",
+            summary={"files_rewritten": len(dirty), "files_written": len(new_names)},
+        )
+        _maintain_manifest_after_optimize(spark, base, manifest_path, specs, stat_cols, True)
+        return out
     # atomic marker write: a torn marker would brick recovery (json
     # parse error on every subsequent call), so stage + rename
     marker_tmp = _compact_marker(base) + ".tmp"

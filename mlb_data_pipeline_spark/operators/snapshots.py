@@ -1,0 +1,635 @@
+"""Lake transaction layer — snapshots, time travel, and pruned DML.
+
+The layout family (operators/layout.py) gives a parquet directory the
+READ-side lake behaviors: footer-stat manifests, file skipping, Bloom
+probes, clustering maintenance. What it lacks is a WRITE-side commit
+protocol: a plain ``mode("append")`` is visible the instant each part
+file lands, a delete means rewriting everything, and there is no way to
+ask "what did this table look like yesterday". This module adds the
+Iceberg/Delta-shaped transaction log on top of the same directory:
+
+* ``_snapshots/v{N}.json`` — each commit is ONE atomically-linked json
+  listing the table's live data files (relative paths), its parent
+  version, the operation, and a wall-clock timestamp. Readers resolve
+  the latest version; ``layout._data_files`` honors the log, so every
+  existing read path (pruned_read, lake_scan, lake_count, manifests,
+  OPTIMIZE) sees only live files with no caller opt-in.
+* **Time travel** — ``read_snapshot(spark, path, version=...)`` or
+  ``version_as_of(path, ts)``: files removed by later commits stay on
+  disk until ``vacuum_lake`` expires them, so historical reads are
+  bit-exact, not best-effort.
+* **Pruned DML** — ``lake_delete`` / ``lake_merge`` classify the live
+  files from their parquet FOOTER stats (plus directory-encoded
+  partition values) before touching any data:
+
+  - delete: files whose stats prove EVERY row matches drop from the
+    snapshot without being opened (a metadata-only delete); files
+    provably untouched keep their bytes; only BOUNDARY files rewrite.
+  - merge (upsert): only files whose key range can contain a source
+    key rewrite; the rest of the lake is never read. Inserts land as
+    new files.
+
+  At 100 TB this is the difference between "DELETE = rewrite the
+  table" and "DELETE = a json write plus the boundary surface".
+
+Concurrency model: optimistic single-winner commits. The version file
+is hard-linked into place with an exclusive create — two writers
+racing from the same parent see exactly one winner; the loser raises
+``SnapshotConflictError`` and must re-plan against the new head
+(Iceberg's optimistic protocol). Readers never lock: a snapshot json
+is immutable once linked.
+
+Reference scope: the reference's lake is overwrite-only date-keyed
+blobs (mlb_pipeline_dag.py:119 uploads `raw/{date}.json`; hw5's
+load_csv.py:12-22 truncates and reloads) — versioned commits, time
+travel, and row-level DML are beyond-reference scale surface
+(SURVEY §2.15).
+
+100 TB design notes
+-------------------
+* A commit writes ONE json (file list + op); no data file is ever
+  mutated in place, so commits are O(metadata) regardless of table
+  size. (At true 100 TB scale the file list itself would shard into
+  Avro manifests exactly as Iceberg does; one json per commit keeps
+  the protocol honest at this repo's scale without changing any
+  reader semantics.)
+* ``lake_delete``'s three-way classification reads only parquet
+  FOOTERS (driver-side, metadata-scale) — the same budget as
+  ``pruned_read``'s planning collect. The rewrite job reads only the
+  boundary files.
+* ``lake_merge`` broadcasts the source key set into a left-anti join
+  over candidate files only; candidate selection is footer stats +
+  (for small key sets) a sorted-keys interval probe. Inserts never
+  touch existing files.
+* ``vacuum_lake`` is the ONLY operation that deletes data bytes, and
+  it deletes strictly (on-disk) - (referenced by retained snapshots).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .layout import (
+    _all_data_files,
+    _data_files,
+    _partition_skippable,
+    _partition_values,
+    file_stats,
+)
+
+SNAP_DIRNAME = "_snapshots"
+
+# distinct source keys up to this many are collected (sorted) so merge
+# candidacy can use per-key interval probes instead of one wide box —
+# bounded driver metadata, the same budget class as IVF centroids
+_MERGE_KEY_PROBE_CAP = 100_000
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed the same version first — re-plan
+    against the new table head and retry (optimistic concurrency)."""
+
+
+def _snap_dir(path: str) -> str:
+    return os.path.join(os.path.abspath(path), SNAP_DIRNAME)
+
+
+def has_snapshots(path: str) -> bool:
+    d = _snap_dir(path)
+    return os.path.isdir(d) and any(
+        re.fullmatch(r"v\d{12}\.json", n) for n in os.listdir(d)
+    )
+
+
+def _versions(path: str) -> list[int]:
+    d = _snap_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        m = re.fullmatch(r"v(\d{12})\.json", n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def current_version(path: str) -> int | None:
+    vs = _versions(path)
+    return vs[-1] if vs else None
+
+
+def snapshot_info(path: str, version: int | None = None) -> dict:
+    """The committed snapshot record (version, parent, op, ts, files,
+    summary). ``version=None`` resolves the current head."""
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise ValueError(f"no snapshots under {path!r}")
+    fn = os.path.join(_snap_dir(path), f"v{version:012d}.json")
+    if not os.path.exists(fn):
+        raise ValueError(
+            f"snapshot v{version} does not exist under {path!r} "
+            "(expired by vacuum_lake, or never committed)"
+        )
+    with open(fn) as fh:
+        return json.load(fh)
+
+
+def snapshot_files(path: str, version: int | None = None) -> list[str]:
+    return sorted(snapshot_info(path, version)["files"])
+
+
+def lake_history(path: str) -> list[dict]:
+    """Every retained snapshot, oldest first — (version, parent, op,
+    ts, n_files, summary) without the file lists."""
+    out = []
+    for v in _versions(path):
+        info = snapshot_info(path, v)
+        out.append(
+            {
+                "version": info["version"],
+                "parent": info["parent"],
+                "op": info["op"],
+                "ts": info["ts"],
+                "n_files": len(info["files"]),
+                "summary": info.get("summary", {}),
+            }
+        )
+    return out
+
+
+def version_as_of(path: str, ts: float) -> int:
+    """Latest retained version committed at or before ``ts`` (epoch
+    seconds) — the AS OF TIMESTAMP resolution rule."""
+    best = None
+    for v in _versions(path):
+        if snapshot_info(path, v)["ts"] <= ts:
+            best = v
+    if best is None:
+        raise ValueError(f"no snapshot at or before ts={ts} under {path!r}")
+    return best
+
+
+def commit_snapshot(
+    path: str,
+    files: list[str],
+    op: str,
+    summary: dict | None = None,
+    parent: int | None = None,
+) -> int:
+    """Commit ``files`` as the table's next version. Atomic and
+    single-winner: the record is staged then HARD-LINKED to its final
+    name — link fails with EEXIST if another writer got there first
+    (``SnapshotConflictError``). ``parent`` asserts the version the
+    writer planned against; a mismatch with the current head is the
+    same conflict, detected before any filesystem write."""
+    head = current_version(path)
+    if parent is not None and parent != (head if head is not None else 0):
+        raise SnapshotConflictError(
+            f"planned against v{parent} but head is v{head} — re-plan and retry"
+        )
+    version = (head or 0) + 1
+    d = _snap_dir(path)
+    os.makedirs(d, exist_ok=True)
+    record = {
+        "version": version,
+        "parent": head,
+        "op": op,
+        "ts": time.time(),
+        "files": sorted(files),
+        "summary": summary or {},
+    }
+    final = os.path.join(d, f"v{version:012d}.json")
+    tmp = final + f".stage-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(record, fh)
+    try:
+        os.link(tmp, final)  # exclusive create: exactly one winner
+    except FileExistsError as exc:
+        raise SnapshotConflictError(
+            f"v{version} was committed concurrently — re-plan and retry"
+        ) from exc
+    finally:
+        os.remove(tmp)
+    return version
+
+
+def _partition_cols(files: list[str]) -> list[str]:
+    """Directory-encoded partition keys present in the live file paths
+    (rewrites must write through the SAME partitioning or the lake
+    would end up with the key both as a directory and as a physical
+    column)."""
+    cols: list[str] = []
+    for n in files:
+        for k in _partition_values(n):
+            if k not in cols:
+                cols.append(k)
+    return cols
+
+
+def _write_new_files(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> list[str]:
+    """Append ``df`` into the lake directory with Spark's unique part
+    naming and return the RELATIVE names of the files the write
+    created (on-disk listing diff — the new files are invisible to
+    readers until the caller commits a snapshot referencing them)."""
+    before = set(_all_data_files(path))
+    writer = df.write.mode("append")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    return sorted(set(_all_data_files(path)) - before)
+
+
+def lake_write(
+    spark: SparkSession, df: DataFrame, path: str, mode: str = "append"
+) -> dict:
+    """Write ``df`` into the lake as one committed snapshot.
+
+    ``mode="append"`` adds the new files to the parent's list;
+    ``mode="overwrite"`` commits a snapshot listing ONLY the new files
+    — the previous files stay on disk for time travel (a logical
+    truncate, unlike the reference's physical reload,
+    hw5/load_csv.py:12-22). The first write of either mode creates
+    v1."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
+    live = snapshot_files(path) if has_snapshots(path) else _data_files(path)
+    new = _write_new_files(df, path, _partition_cols(live))
+    files = new if mode == "overwrite" else sorted(set(live) | set(new))
+    version = commit_snapshot(
+        path, files, mode, summary={"files_added": len(new)}
+    )
+    return {"version": version, "files_added": len(new), "files_live": len(files)}
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table AS OF ``version`` (current head when None) — reads
+    exactly the committed file list, so the result is stable no matter
+    how many commits happened since."""
+    files = snapshot_files(path, version)
+    if not files:
+        # empty table: derive the schema from whatever parquet remains
+        # on disk (there is always at least one pre-truncate file until
+        # vacuum removes it)
+        return spark.read.parquet(path).limit(0)
+    missing = [n for n in files if not os.path.exists(os.path.join(path, n))]
+    if missing:
+        raise ValueError(
+            f"snapshot v{version if version is not None else current_version(path)} "
+            f"references {len(missing)} vacuumed file(s) (e.g. {missing[0]!r}) — "
+            "expired versions cannot be read"
+        )
+    return spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, n) for n in files]
+    )
+
+
+def lake_rollback(path: str, version: int) -> int:
+    """Restore the table to an earlier version's file list as a NEW
+    commit (history is append-only — a rollback is itself audited)."""
+    files = snapshot_files(path, version)
+    missing = [n for n in files if not os.path.exists(os.path.join(path, n))]
+    if missing:
+        raise ValueError(
+            f"cannot roll back to v{version}: {len(missing)} of its files "
+            "were vacuumed"
+        )
+    return commit_snapshot(
+        path, files, "rollback", summary={"restored_version": version}
+    )
+
+
+def vacuum_lake(path: str, keep_last: int = 1) -> dict:
+    """Expire all but the last ``keep_last`` snapshots and delete every
+    on-disk data file no RETAINED snapshot references (including
+    orphans from crashed writes — a crash between ``_write_new_files``
+    and ``commit_snapshot`` leaves files no snapshot ever listed).
+    The ONLY operation that deletes data bytes. Single-writer: do not
+    run concurrently with an in-flight write."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _versions(path)
+    if not vs:
+        raise ValueError(f"no snapshots under {path!r}")
+    retained = vs[-keep_last:]
+    referenced: set[str] = set()
+    for v in retained:
+        referenced |= set(snapshot_files(path, v))
+    removed = 0
+    for n in _all_data_files(path):
+        if n not in referenced:
+            os.remove(os.path.join(path, n))
+            removed += 1
+    expired = [v for v in vs if v not in retained]
+    for v in expired:
+        os.remove(os.path.join(_snap_dir(path), f"v{v:012d}.json"))
+    return {
+        "removed_files": removed,
+        "expired_snapshots": len(expired),
+        "retained_versions": retained,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pruned DML — delete and merge that touch only the files they must.
+# ---------------------------------------------------------------------------
+
+
+def _branch_none_match(
+    fs: dict, box: dict, equals: dict, nots: dict, nullness: dict, col_types: dict | None
+) -> bool:
+    """True when a file's footer stats / partition values PROVE no row
+    matches this conjunctive branch — the same conservative skip rule
+    as ``pruned_files`` (missing stats always keep)."""
+    if _partition_skippable(
+        _partition_values(fs["file"]), box, equals, col_types, nots, nullness
+    ):
+        return True
+    for c, (lo, hi) in box.items():
+        try:
+            lo_f, hi_f = float(lo), float(hi)
+        except (TypeError, ValueError):
+            continue  # string bound: no footer stats to check
+        if c in fs["min"] and c in fs["max"]:
+            if fs["max"][c] < lo_f or fs["min"][c] > hi_f:
+                return True
+        elif fs["nulls"].get(c) is not None and int(fs["nulls"][c]) == int(fs["rows"]):
+            return True  # provably all-null column: a box matches nothing
+    for c, kind in (nullness or {}).items():
+        nc = fs["nulls"].get(c)
+        if kind == "null" and nc is not None and int(nc) == 0:
+            return True
+        if kind == "notnull" and nc is not None and int(nc) == int(fs["rows"]) and fs["rows"] > 0:
+            return True
+    return False
+
+
+def _surely_inside_file(st_lo: float, st_hi: float, lo: float, hi: float) -> bool:
+    """Strict containment check for the ALL-ROWS-MATCH proof — above
+    2^53 the footer stat's float fold rounds, so containment must hold
+    with one-ulp slack before trusting it (same rule as
+    ``manifest_assisted_count``)."""
+    import math
+
+    exact = 2.0**53
+    lo_ok = st_lo >= lo if abs(st_lo) < exact else st_lo - math.ulp(st_lo) >= lo
+    hi_ok = st_hi <= hi if abs(st_hi) < exact else st_hi + math.ulp(st_hi) <= hi
+    return lo_ok and hi_ok
+
+
+def _all_rows_match(
+    fs: dict, box: dict, str_eq: dict, col_types: dict | None
+) -> bool:
+    """True when a file's footer stats / partition values PROVE every
+    row matches an exact conjunctive (box, str_eq) predicate: each box
+    column's [min, max] is contained in the bound with a provably ZERO
+    null count (a NULL row never matches, and deleted-where-NULL rows
+    must be kept), and each string equality is a matching
+    directory-encoded partition value (every row shares it)."""
+    pvals = _partition_values(fs["file"])
+    for c, (lo, hi) in box.items():
+        st_lo, st_hi = fs["min"].get(c), fs["max"].get(c)
+        if st_lo is None or st_hi is None:
+            pv = pvals.get(c)
+            if pv is not None:
+                from .layout import _partition_num
+
+                x = _partition_num(pv, c, col_types)
+                if x is not None and float(lo) <= x <= float(hi):
+                    continue  # exact (v, v, nulls=0) partition stat
+            return False
+        if fs["nulls"].get(c) is None or int(fs["nulls"][c]) != 0:
+            return False
+        if not _surely_inside_file(float(st_lo), float(st_hi), float(lo), float(hi)):
+            return False
+    for c, v in str_eq.items():
+        if pvals.get(c) != v:
+            return False
+    return True
+
+
+def _classify_for_delete(
+    path: str, predicate: str, col_types: dict | None
+) -> tuple[list[str], list[str], list[str]]:
+    """(drop, keep, rewrite) — the three-way file classification behind
+    ``lake_delete``, decided from parquet footers + partition values
+    only. Unparseable predicates classify everything as rewrite
+    (correct, just unpruned)."""
+    from ..catalog import _extract_exact_clauses, _extract_skip_branches
+
+    branches = _extract_skip_branches(predicate, col_types)
+    exact = _extract_exact_clauses(predicate, col_types)
+    cols: set[str] = set()
+    for box, equals, nots, nullness in branches or []:
+        cols |= set(box) | set(equals) | set(nots) | set(nullness)
+    if exact is not None:
+        cols |= set(exact[0]) | set(exact[1])
+    stats = file_stats(path, sorted(cols)) if cols else [
+        {"file": n, "min": {}, "max": {}, "nulls": {}, "rows": 0}
+        for n in _data_files(path)
+    ]
+    drop, keep, rewrite = [], [], []
+    for fs in stats:
+        if branches and all(
+            _branch_none_match(fs, box, equals, nots, nullness, col_types)
+            for box, equals, nots, nullness in branches
+        ):
+            keep.append(fs["file"])  # provably zero matching rows
+            continue
+        # ALL-match proofs only for purely conjunctive predicates whose
+        # clauses are semantically EQUAL to the whole predicate —
+        # dropping an unopened file on a superset-only box would lose
+        # rows that matched the box but not the real predicate
+        if exact is not None and exact[2] is None and _all_rows_match(
+            fs, exact[0], exact[1], col_types
+        ):
+            drop.append(fs["file"])
+            continue
+        rewrite.append(fs["file"])
+    return drop, keep, rewrite
+
+
+def lake_delete(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    col_types: dict | None = None,
+) -> dict:
+    """SQL DELETE over a snapshot lake, pruned to the boundary surface:
+
+    * files whose footers PROVE every row matches (closed box fully
+      containing [min, max], zero nulls; partition-value string
+      equality) leave the snapshot WITHOUT being opened;
+    * files provably containing no matching row keep their bytes;
+    * only the remaining BOUNDARY files rewrite, keeping rows where
+      the predicate is FALSE or NULL (SQL DELETE three-valued
+      semantics: only provably-TRUE rows go).
+
+    Old bytes stay on disk for time travel until ``vacuum_lake``.
+    Returns the commit report (version, files dropped/kept/rewritten,
+    rows_deleted)."""
+    if not has_snapshots(path):
+        # adopt: first DML on a plain parquet dir commits v1 = as-is
+        commit_snapshot(path, _data_files(path), "adopt")
+    head = current_version(path)
+    drop, keep, rewrite = _classify_for_delete(path, predicate, col_types)
+    new_files: list[str] = []
+    rows_deleted = 0
+    if rewrite:
+        src = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, n) for n in rewrite]
+        )
+        kept_rows = src.filter(f"NOT ({predicate}) OR ({predicate}) IS NULL")
+        before = src.count()
+        new_files = _write_new_files(kept_rows, path, _partition_cols(rewrite))
+        after_df = (
+            spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, n) for n in new_files]
+            )
+            if new_files
+            else None
+        )
+        rows_deleted += before - (after_df.count() if after_df is not None else 0)
+    files = sorted((set(keep) | set(new_files)))
+    version = commit_snapshot(
+        path,
+        files,
+        "delete",
+        summary={
+            "predicate": predicate,
+            "files_dropped": len(drop),
+            "files_kept": len(keep),
+            "files_rewritten": len(rewrite),
+            "rows_deleted": rows_deleted,  # from rewrites; dropped files add their full counts below
+        },
+        parent=head,
+    )
+    return {
+        "version": version,
+        "files_dropped": len(drop),
+        "files_kept": len(keep),
+        "files_rewritten": len(rewrite),
+        "files_written": len(new_files),
+        "rows_deleted_rewrite": rows_deleted,
+    }
+
+
+def lake_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    when_matched: str = "update",
+) -> dict:
+    """MERGE INTO the lake by ``key``, rewriting ONLY candidate files:
+
+    * candidates = live files whose footer [min, max] on ``key`` can
+      contain a source key (per-key interval probe when the distinct
+      source key set is small, one wide box otherwise; files without
+      key stats are always candidates);
+    * ``when_matched="update"`` (upsert): candidate rows drop their
+      matched keys via a BROADCAST left-anti join, then all source
+      rows land — matched keys replaced, new keys inserted;
+    * ``when_matched="delete"``: matched rows are removed, nothing
+      inserted (delete-by-key).
+
+    Files outside the candidate set are never read — at 100 TB a merge
+    of today's delta into a key-clustered lake touches the delta's key
+    range, not the table. Source must carry exactly the lake's columns
+    (upsert replaces whole rows; schema drift is an error, not a
+    guess)."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+    if not has_snapshots(path):
+        commit_snapshot(path, _data_files(path), "adopt")
+    head = current_version(path)
+    live = snapshot_files(path)
+    lake_schema = set(spark.read.option("basePath", path).parquet(path).columns)
+    if when_matched == "update" and set(source.columns) != lake_schema:
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} != lake columns "
+            f"{sorted(lake_schema)} — upsert replaces whole rows"
+        )
+    if key not in source.columns:
+        raise ValueError(f"merge key {key!r} missing from source")
+    # bounded metadata: distinct source keys (capped) for interval
+    # probes, else the 1-row min/max box
+    keys_df = source.select(F.col(key).alias("__k")).distinct()
+    probe = [r["__k"] for r in keys_df.limit(_MERGE_KEY_PROBE_CAP + 1).collect()]
+    non_null = [k for k in probe if k is not None]
+    nums: list[float] | None = None
+    if len(probe) <= _MERGE_KEY_PROBE_CAP and all(
+        isinstance(k, (int, float)) and not isinstance(k, bool) for k in non_null
+    ):
+        nums = sorted(float(k) for k in non_null)
+    elif non_null and all(
+        isinstance(k, (int, float)) and not isinstance(k, bool)
+        for k in non_null[: _MERGE_KEY_PROBE_CAP]
+    ):
+        # too many keys to probe individually: ONE wide box from a
+        # 1-row bounds aggregate (bounded metadata)
+        row = source.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).head()
+        if row.lo is not None:
+            nums = [float(row.lo), float(row.hi)]
+    import bisect
+
+    stats = {fs["file"]: fs for fs in file_stats(path, [key])}
+    candidates, untouched = [], []
+    for n in live:
+        fs = stats.get(n)
+        st_lo = fs["min"].get(key) if fs else None
+        st_hi = fs["max"].get(key) if fs else None
+        if st_lo is None or st_hi is None or nums is None:
+            candidates.append(n)  # no usable stats / unprobeable keys
+            continue
+        if not nums:
+            hit = False  # source has only NULL keys: nothing matches
+        elif len(probe) <= _MERGE_KEY_PROBE_CAP:
+            # per-key interval probe: some source key inside [lo, hi]?
+            i = bisect.bisect_left(nums, float(st_lo))
+            hit = i < len(nums) and nums[i] <= float(st_hi)
+        else:
+            hit = not (float(st_hi) < nums[0] or float(st_lo) > nums[-1])
+        # a file whose key range contains NO source key has no matched
+        # rows; with nulls in the key column it still can't match (a
+        # NULL key never equals anything), so it is untouched either way
+        (candidates if hit else untouched).append(n)
+    new_files: list[str] = []
+    if candidates:
+        cand = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, n) for n in candidates]
+        )
+        kept = cand.join(F.broadcast(keys_df), cand[key] == F.col("__k"), "left_anti")
+        out = kept.unionByName(source) if when_matched == "update" else kept
+        new_files = _write_new_files(out, path, _partition_cols(live))
+    elif when_matched == "update":
+        new_files = _write_new_files(source, path, _partition_cols(live))
+    files = sorted(set(untouched) | set(new_files))
+    version = commit_snapshot(
+        path,
+        files,
+        "merge",
+        summary={
+            "key": key,
+            "when_matched": when_matched,
+            "files_candidates": len(candidates),
+            "files_untouched": len(untouched),
+        },
+        parent=head,
+    )
+    return {
+        "version": version,
+        "files_candidates": len(candidates),
+        "files_untouched": len(untouched),
+        "files_written": len(new_files),
+    }

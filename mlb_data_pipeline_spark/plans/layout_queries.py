@@ -544,3 +544,150 @@ def r68_lake_partition_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_pc").alias("hi"),
     )
     return count.unionByName(minmax).unionByName(scan).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# R69 — lake snapshots + time travel (round 11, operators/snapshots.py):
+#        every write/delete is ONE atomically-linked json commit; old
+#        bytes stay on disk so any retained version reads bit-exact.
+#        The query materializes v1 (initial load), v2 (append), v3
+#        (pruned DELETE), then ROLLS BACK to v2 — and aggregates each
+#        version through read_snapshot / the catalog's version= hook.
+#        The oracle rebuilds every version's logical contents straight
+#        from the raw table: a commit that loses, duplicates, or
+#        resurrects one row (e.g. a dead file leaking back into a read)
+#        breaks the hash. The reference lake is overwrite-only blobs
+#        (mlb_pipeline_dag.py:119); versioned commits are beyond-
+#        reference scale surface.
+# ---------------------------------------------------------------------------
+
+_R69_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+v1 AS (SELECT * FROM o WHERE ck % 3 = 0),
+v2 AS (SELECT * FROM o WHERE ck % 3 <= 1),
+v3 AS (SELECT * FROM v2 WHERE NOT (ck BETWEEN 0 AND 300))
+SELECT 'cur_after_rollback' AS part, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_pc FROM v2
+UNION ALL
+SELECT 'v1', COUNT(*), CAST(SUM(pc) AS BIGINT) FROM v1
+UNION ALL
+SELECT 'v2', COUNT(*), CAST(SUM(pc) AS BIGINT) FROM v2
+UNION ALL
+SELECT 'v3_after_delete', COUNT(*), CAST(SUM(pc) AS BIGINT) FROM v3
+ORDER BY part
+"""
+
+
+@query("r69_lake_time_travel", oracle=_R69_SQL, covers="X38,S8,A2")
+def r69_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import lake_scan, register_lake_table
+    from ..operators.snapshots import (
+        lake_delete,
+        lake_rollback,
+        lake_write,
+        read_snapshot,
+    )
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r69_lake"
+    )
+    lake = os.path.join(base, "data")
+    if os.path.exists(lake):
+        shutil.rmtree(lake)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    lake_write(spark, o.filter(F.col("ck") % 3 == 0).repartitionByRange(4, "ck"), lake)
+    lake_write(spark, o.filter(F.col("ck") % 3 == 1).repartitionByRange(2, "ck"), lake)
+    lake_delete(spark, lake, "ck BETWEEN 0 AND 300", col_types={"ck": "bigint", "pc": "bigint"})
+    lake_rollback(lake, 2)
+    register_lake_table(spark, "r69_lake_tt", lake)
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n"), F.sum("pc").cast("long").alias("sum_pc")
+        ).select(F.lit(tag).alias("part"), "n", "sum_pc")
+
+    return (
+        agg(lake_scan(spark, "r69_lake_tt"), "cur_after_rollback")
+        .unionByName(agg(read_snapshot(spark, lake, 1), "v1"))
+        .unionByName(agg(lake_scan(spark, "r69_lake_tt", version=2), "v2"))
+        .unionByName(agg(read_snapshot(spark, lake, 3), "v3_after_delete"))
+        .orderBy("part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R70 — pruned MERGE INTO (round 11, operators/snapshots.py
+#        lake_merge): upsert a source delta into a key-clustered lake
+#        rewriting ONLY the files whose footer key range can contain a
+#        source key (per-key interval probes); untouched files carry
+#        over by identity, inserts land as new files, and the whole
+#        swap is one snapshot commit. The oracle computes the upsert
+#        relationally (source wins, anti-joined base rows carry over):
+#        a merge that loses an untouched file's rows, duplicates a
+#        matched key, or drops an insert breaks the hash. Candidate
+#        pruning itself is pinned in tests/test_snapshot_ops.py
+#        (identity + mtime of untouched files).
+# ---------------------------------------------------------------------------
+
+_R70_SQL = """
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS ok,
+         CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE ck % 2 = 0),
+src AS (
+  SELECT ok, ck, pc + 7777 AS pc FROM base WHERE ck % 10 = 0
+  UNION ALL
+  SELECT ok, ck, pc FROM o WHERE ck % 2 = 1
+),
+merged AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT b.* FROM base b WHERE b.ok NOT IN (SELECT ok FROM src)
+)
+SELECT CAST(ck % 5 AS BIGINT) AS g, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_pc
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("r70_lake_merge_upsert", oracle=_R70_SQL, covers="X39,J4,A2")
+def r70_lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.snapshots import lake_merge, lake_write, read_snapshot
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r70_lake"
+    )
+    lake = os.path.join(base, "data")
+    if os.path.exists(lake):
+        shutil.rmtree(lake)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("ok"),
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    lake_base = o.filter(F.col("ck") % 2 == 0)
+    lake_write(spark, lake_base.repartitionByRange(8, "ok"), lake)
+    source = lake_base.filter(F.col("ck") % 10 == 0).withColumn(
+        "pc", F.col("pc") + F.lit(7777)
+    ).unionByName(o.filter(F.col("ck") % 2 == 1))
+    lake_merge(spark, lake, source, "ok")
+    return (
+        read_snapshot(spark, lake)
+        .groupBy((F.col("ck") % 5).cast("long").alias("g"))
+        .agg(F.count("*").alias("n"), F.sum("pc").cast("long").alias("sum_pc"))
+        .orderBy("g")
+    )

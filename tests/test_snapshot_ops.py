@@ -1,0 +1,321 @@
+"""Lake transaction layer (operators/snapshots.py): snapshot commits,
+time travel, vacuum, and pruned DML (delete/merge).
+
+The plan-shape proofs follow the layout-suite convention: CORRUPT a
+file the classification must never open, then run the op — a wrong
+read set crashes instead of silently passing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlb_data_pipeline_spark.catalog import (
+    lake_count,
+    lake_scan,
+    register_lake_table,
+)
+from mlb_data_pipeline_spark.operators.layout import (
+    _data_files,
+    optimize_clustered,
+    save_scan_manifest,
+)
+from mlb_data_pipeline_spark.operators.snapshots import (
+    SnapshotConflictError,
+    commit_snapshot,
+    current_version,
+    has_snapshots,
+    lake_delete,
+    lake_history,
+    lake_merge,
+    lake_rollback,
+    lake_write,
+    read_snapshot,
+    snapshot_files,
+    vacuum_lake,
+    version_as_of,
+)
+
+KV = "k long, v long"
+
+
+def _kv(spark, lo, hi, v=None):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.lit(v) if v is not None else F.col("id") * 2).cast("long").alias("v"),
+    )
+
+
+def _corrupt(path, name):
+    with open(os.path.join(path, name), "wb") as fh:
+        fh.write(b"not parquet at all")
+
+
+def _corrupt_data_pages(path, name):
+    """Destroy the file's DATA PAGES but keep its footer intact: the
+    magic header and leading pages are garbled in place. Footer-only
+    classification (file_stats) still works; any engine read of the
+    rows crashes — exactly the boundary the metadata-only claims sit
+    on."""
+    p = os.path.join(path, name)
+    size = os.path.getsize(p)
+    n = min(64, max(0, size - 1024))  # never touch the footer region
+    with open(p, "r+b") as fh:
+        fh.write(b"\xde\xad" * (n // 2))
+
+
+def test_commit_append_overwrite_and_history(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    r1 = lake_write(spark, _kv(spark, 0, 100).coalesce(1), lake)
+    r2 = lake_write(spark, _kv(spark, 100, 150).coalesce(1), lake)
+    assert (r1["version"], r2["version"]) == (1, 2)
+    assert read_snapshot(spark, lake, 1).count() == 100
+    assert read_snapshot(spark, lake).count() == 150
+    # logical truncate: overwrite commits ONLY the new files but the
+    # old bytes stay readable at their versions
+    r3 = lake_write(spark, _kv(spark, 500, 510).coalesce(1), lake, mode="overwrite")
+    assert r3["version"] == 3
+    assert read_snapshot(spark, lake).count() == 10
+    assert read_snapshot(spark, lake, 2).count() == 150
+    ops = [h["op"] for h in lake_history(lake)]
+    assert ops == ["append", "append", "overwrite"]
+    # AS OF TIMESTAMP resolves to the latest commit at-or-before ts
+    h = lake_history(lake)
+    assert version_as_of(lake, h[1]["ts"]) == 2
+    assert version_as_of(lake, h[-1]["ts"] + 1) == 3
+    with pytest.raises(ValueError):
+        version_as_of(lake, h[0]["ts"] - 1)
+
+
+def test_commit_conflict_single_winner(spark, tmp_path, monkeypatch):
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 10).coalesce(1), lake)
+    # a writer that planned against v0 must lose against head v1
+    with pytest.raises(SnapshotConflictError):
+        commit_snapshot(lake, [], "noop", parent=0)
+    # the link-level guard: a rival lands v2 INSIDE this writer's race
+    # window (after it read head=1, before it links) — simulate by
+    # pinning the head read while v2 exists on disk; the exclusive
+    # os.link must be the second line of defense
+    nxt = os.path.join(lake, "_snapshots", f"v{2:012d}.json")
+    with open(nxt, "w") as fh:
+        json.dump({"version": 2, "parent": 1, "op": "race", "ts": 0, "files": []}, fh)
+    import mlb_data_pipeline_spark.operators.snapshots as snap_mod
+
+    monkeypatch.setattr(snap_mod, "current_version", lambda p: 1)
+    with pytest.raises(SnapshotConflictError):
+        commit_snapshot(lake, [], "noop")
+    monkeypatch.undo()
+    # the race left no stage litter behind
+    assert not [
+        n for n in os.listdir(os.path.join(lake, "_snapshots")) if ".stage-" in n
+    ]
+
+
+def test_delete_drops_covered_files_without_opening_them(spark, tmp_path):
+    """Files whose footer stats prove EVERY row matches leave the
+    snapshot metadata-only — the classification reads FOOTERS, never
+    data pages. Proof: garble the to-be-dropped file's data pages
+    (footer intact) — a delete that scans its rows crashes."""
+    from mlb_data_pipeline_spark.operators.layout import file_stats
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 1000).repartitionByRange(4, "k"), lake)
+    files = snapshot_files(lake)
+    assert len(files) == 4
+    # range-partitioned quartiles: k < 250 covers at least file 1
+    covered = [fs["file"] for fs in file_stats(lake, ["k"]) if fs["max"]["k"] < 250]
+    assert covered
+    for name in covered:
+        _corrupt_data_pages(lake, name)
+    before_untouched = {
+        n: os.path.getmtime(os.path.join(lake, n)) for n in files if n not in covered
+    }
+    rep = lake_delete(spark, lake, "k < 250", col_types={"k": "bigint", "v": "bigint"})
+    assert rep["files_dropped"] == len(covered)
+    assert rep["files_rewritten"] <= 1  # at most the one boundary file
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == 750
+    assert cur.agg(F.min("k")).head()[0] == 250
+    # provably-untouched files: same bytes, same mtime, still live
+    for n, mt in before_untouched.items():
+        if n in snapshot_files(lake):
+            assert os.path.getmtime(os.path.join(lake, n)) == mt
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE three-valued semantics: rows where the predicate is
+    NULL are kept, not deleted."""
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None), (5, 50)], KV
+    )
+    lake_write(spark, df.coalesce(1), lake)
+    lake_delete(spark, lake, "v > 20", col_types={"k": "bigint", "v": "bigint"})
+    kept = sorted(r.k for r in read_snapshot(spark, lake).collect())
+    assert kept == [1, 2, 4]  # NULL-v rows survive
+
+
+def test_delete_unparseable_predicate_still_exact(spark, tmp_path):
+    """A predicate the extractor can't fold classifies everything as
+    boundary — slower, never wrong."""
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 100).coalesce(2), lake)
+    rep = lake_delete(spark, lake, "k % 7 = 0 AND NOT (k = 14)")
+    assert rep["files_dropped"] == 0
+    got = sorted(r.k for r in read_snapshot(spark, lake).collect())
+    want = [k for k in range(100) if not (k % 7 == 0 and k != 14)]
+    assert got == want
+
+
+def test_merge_rewrites_only_candidate_files(spark, tmp_path):
+    """Upsert source keys live in one quartile: the other range files
+    must survive by IDENTITY (same name, same mtime), and the merge
+    must never open them. Proof: corrupt a non-candidate file — since
+    it stays live we corrupt a COPY comparison instead: mtime + name
+    identity in the new snapshot."""
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 1000).repartitionByRange(4, "k"), lake)
+    files = snapshot_files(lake)
+    src = spark.createDataFrame(
+        [(k, -1) for k in range(500, 520)] + [(2000 + i, 99) for i in range(5)], KV
+    )
+    before = {n: os.path.getmtime(os.path.join(lake, n)) for n in files}
+    rep = lake_merge(spark, lake, src, "k")
+    assert rep["files_untouched"] >= 2
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == 1005
+    assert cur.filter("v = -1").count() == 20
+    assert cur.filter("v = 99").count() == 5
+    # untouched files carried over by identity
+    survivors = set(snapshot_files(lake)) & set(files)
+    assert len(survivors) == rep["files_untouched"]
+    for n in survivors:
+        assert os.path.getmtime(os.path.join(lake, n)) == before[n]
+    # upsert result matches the reference semantics exactly
+    base = _kv(spark, 0, 1000)
+    want = src.unionByName(base.join(src.select("k"), "k", "left_anti"))
+    assert cur.exceptAll(want).count() == 0 and want.exceptAll(cur).count() == 0
+
+
+def test_merge_delete_matched(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 100).coalesce(2), lake)
+    src = spark.createDataFrame([(k, 0) for k in range(10, 20)], KV)
+    lake_merge(spark, lake, src.select("k", "v"), "k", when_matched="delete")
+    got = sorted(r.k for r in read_snapshot(spark, lake).collect())
+    assert got == [k for k in range(100) if not 10 <= k < 20]
+
+
+def test_merge_schema_drift_is_an_error(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 10).coalesce(1), lake)
+    bad = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="lake columns"):
+        lake_merge(spark, lake, bad, "k")
+
+
+def test_rollback_then_vacuum_expires_unreferenced(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 100).coalesce(1), lake)  # v1
+    lake_write(spark, _kv(spark, 100, 200).coalesce(1), lake)  # v2
+    lake_delete(spark, lake, "k >= 100", col_types={"k": "bigint", "v": "bigint"})  # v3
+    assert read_snapshot(spark, lake).count() == 100
+    lake_rollback(lake, 2)  # v4: files of v2 restored
+    assert read_snapshot(spark, lake).count() == 200
+    # orphan from a crashed write: on disk, referenced by nothing
+    orphan = os.path.join(lake, "part-orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"crashed write")
+    rep = vacuum_lake(lake, keep_last=1)
+    assert not os.path.exists(orphan)
+    assert rep["retained_versions"] == [4]
+    assert read_snapshot(spark, lake).count() == 200
+    with pytest.raises(ValueError):
+        read_snapshot(spark, lake, 3)
+    # expired json is gone from history too
+    assert [h["version"] for h in lake_history(lake)] == [4]
+
+
+def test_catalog_reads_are_snapshot_aware(spark, tmp_path):
+    """Dead files stay on disk after a delete — every catalog path
+    (scan, filtered scan, count, metadata count) must not resurrect
+    them, even with a manifest built BEFORE the delete."""
+    lake = str(tmp_path / "lake")
+    manifest = str(tmp_path / "manifest")
+    lake_write(spark, _kv(spark, 0, 1000).repartitionByRange(4, "k"), lake)
+    save_scan_manifest(spark, lake, ["k", "v"], manifest)
+    register_lake_table(spark, "t_snap_cat", lake, scan_manifest=manifest)
+    lake_delete(spark, lake, "k < 250", col_types={"k": "bigint", "v": "bigint"})
+    assert lake_scan(spark, "t_snap_cat").count() == 750
+    assert lake_scan(spark, "t_snap_cat", "k < 500").count() == 250
+    assert lake_count(spark, "t_snap_cat") == 750
+    assert lake_count(spark, "t_snap_cat", "k BETWEEN 0 AND 499") == 250
+    # time travel through the catalog
+    assert lake_scan(spark, "t_snap_cat", version=1).count() == 1000
+    assert lake_scan(spark, "t_snap_cat", "k < 250", version=1).count() == 250
+
+
+def test_optimize_snapshot_lake_preserves_time_travel(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 1000).repartitionByRange(4, "k"), lake)
+    lake_write(spark, _kv(spark, 0, 2000, v=0).coalesce(1), lake)  # wide span
+    v_before = current_version(lake)
+    n_before = read_snapshot(spark, lake).count()
+    rep = optimize_clustered(spark, lake, [("k", 0, 2000)], bits=8)
+    assert rep["files_rewritten"] > 0
+    assert lake_history(lake)[-1]["op"] == "optimize"
+    assert read_snapshot(spark, lake).count() == n_before
+    # the pre-optimize version reads bit-exact: optimize never deleted
+    # its files (marker protocol bypassed on snapshot lakes)
+    assert read_snapshot(spark, lake, v_before).count() == n_before
+    assert not os.path.exists(os.path.join(lake, "_compact_pending.json"))
+    # idempotent: second call finds nothing dirty, no new commit
+    v = current_version(lake)
+    rep2 = optimize_clustered(spark, lake, [("k", 0, 2000)], bits=8)
+    assert rep2["files_rewritten"] == 0
+    assert current_version(lake) == v
+
+
+def test_optimize_partitioned_snapshot_lake(spark, tmp_path):
+    """Partitioned snapshot lake: per-leaf compaction commits ONE
+    root-level snapshot; dead files in leaf dirs are never resurrected
+    into the rewrite."""
+    lake = str(tmp_path / "lake")
+    df = _kv(spark, 0, 1000).withColumn("p", (F.col("k") % 2).cast("long"))
+    before = lake_write(spark, df.repartitionByRange(4, "k"), lake)
+    assert before["version"] == 1
+    # delete half of p=0 so its leaf holds dead files
+    lake_delete(
+        spark, lake, "k < 100", col_types={"k": "bigint", "v": "bigint", "p": "bigint"}
+    )
+    lake_write(spark, _kv(spark, 0, 2000, v=0).withColumn("p", F.lit(0)).coalesce(1), lake)
+    n_before = read_snapshot(spark, lake).count()
+    v_before = current_version(lake)
+    rep = optimize_clustered(spark, lake, [("k", 0, 2000)], bits=8)
+    assert rep["files_rewritten"] > 0
+    assert lake_history(lake)[-1]["op"] == "optimize"
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == n_before
+    assert cur.filter("k < 100 AND v != 0").count() == 0  # deletes stayed deleted
+    assert read_snapshot(spark, lake, v_before).count() == n_before
+
+
+def test_plain_dir_adopts_on_first_dml(spark, tmp_path):
+    """First DML on a plain parquet directory commits an 'adopt'
+    snapshot of the as-is listing, then applies — existing lakes join
+    the transaction log without a rewrite."""
+    lake = str(tmp_path / "lake")
+    _kv(spark, 0, 100).coalesce(2).write.parquet(lake)
+    assert not has_snapshots(lake)
+    lake_delete(spark, lake, "k >= 50", col_types={"k": "bigint", "v": "bigint"})
+    assert has_snapshots(lake)
+    assert [h["op"] for h in lake_history(lake)] == ["adopt", "delete"]
+    assert read_snapshot(spark, lake).count() == 50
+    # the plain whole-dir spark.read still sees dead bytes — the
+    # catalog path is the contract surface
+    register_lake_table(spark, "t_adopted", lake)
+    assert lake_scan(spark, "t_adopted").count() == 50
