@@ -516,6 +516,73 @@ def lake_scan(
     return spark.read.option("basePath", path).parquet(*files).filter(predicate)
 
 
+def lake_join_scan(
+    spark: SparkSession,
+    name: str,
+    dim: DataFrame,
+    fact_col: str,
+    dim_col: str | None = None,
+    max_keys: int = 100_000,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Inner equi-join a registered lake FACT table to a small ``dim``
+    DataFrame with FILE-LEVEL dynamic pruning (round 11): the dim's
+    distinct join keys are collected (bounded by ``max_keys``) and
+    turned into a provable keep set before any fact data is read —
+    partition-value equality, per-key interval probes against the scan
+    manifest's footer ranges, and Bloom-manifest IN-list probes, the
+    same three rules ``lake_scan`` uses for literal predicates, now
+    driven by a JOIN's build side.
+
+    Spark's own dynamic partition pruning handles hive-partitioned
+    keys; this extends the idea to unpartitioned-but-CLUSTERED lakes,
+    where a selective dim (a few customers, one brand) touches a few
+    files of a range-laid-out fact table instead of all of them. On a
+    key-clustered 100 TB fact table the read set becomes the dim's key
+    range, not the table.
+
+    Degradation: a dim wider than ``max_keys`` distinct keys falls
+    back to the whole-lake read + join (the keep set would approach
+    everything anyway). The join itself broadcasts the dim by default
+    (``broadcast_dim=False`` for a large dim after fallback)."""
+    from pyspark.sql import functions as F
+
+    from .operators.layout import _compact_recover_tree, join_pruned_files
+
+    ent = _lake_entry(spark, name)
+    path = ent["path"]
+    _compact_recover_tree(path)
+    dcol = dim_col or fact_col
+    if dcol not in dim.columns:
+        raise ValueError(f"dim has no column {dcol!r}")
+    keys_df = dim.select(F.col(dcol).alias("__jk")).distinct()
+    probe = [r["__jk"] for r in keys_df.limit(max_keys + 1).collect()]
+    right = F.broadcast(dim) if broadcast_dim else dim
+    cond_name = fact_col if dim_col is None else None
+    if len(probe) > max_keys:
+        base = _lake_read_all(spark, path)
+    else:
+        col_types = _lake_col_types(spark, ent)
+        files = join_pruned_files(
+            spark,
+            path,
+            ent["scan_manifest"],
+            fact_col,
+            probe,
+            bloom_manifest_path=ent["bloom_manifests"].get(fact_col),
+            col_types=col_types,
+        )
+        if not files:
+            base = _lake_read_all(spark, path).limit(0)
+        else:
+            base = spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, n) for n in sorted(files)]
+            )
+    if cond_name is not None:
+        return base.join(right, on=cond_name, how="inner")
+    return base.join(right, on=base[fact_col] == right[dcol], how="inner")
+
+
 def _extract_exact_clauses(
     predicate: str, col_types: dict | None = None
 ) -> tuple[dict, dict, tuple | None] | None:

@@ -1840,3 +1840,87 @@ def bloom_manifest_stats(spark: SparkSession, manifest_path: str) -> DataFrame:
         F.round(fill, 6).alias("fill_frac"),
         F.round(F.pow(fill, F.lit(int(meta.k))), 8).alias("implied_fpp"),
     )
+
+def join_pruned_files(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None,
+    col: str,
+    keys: list,
+    bloom_manifest_path: str | None = None,
+    col_types: dict | None = None,
+) -> list[str]:
+    """RELATIVE names of the live data files that could contain ANY of
+    ``keys`` in ``col`` — the file-level form of dynamic partition
+    pruning (round 11). Spark's own DPP prunes partition DIRECTORIES
+    from a join's build side; this prunes FILES, three ways, all
+    provable:
+
+    * directory-encoded partition value for ``col`` not among the
+      keys → skip (every row shares it);
+    * manifest footer range [lo, hi] containing NO key → skip — a
+      PER-KEY interval probe (sorted keys + bisect), strictly tighter
+      than the one wide [min(keys), max(keys)] box when the key set
+      is sparse against a clustered layout;
+    * Bloom manifest proving every key absent → skip (string /
+      high-cardinality complement).
+
+    Files without usable stats, unknown to the manifests, or with any
+    key possibly present are kept — the same superset guarantee as
+    ``pruned_files``. NULL keys are dropped (a NULL never equi-joins)."""
+    import bisect
+
+    on_disk = _data_files(path)
+    keys = [k for k in keys if k is not None]
+    nums = sorted(
+        float(k) for k in keys if isinstance(k, (int, float)) and not isinstance(k, bool)
+    )
+    others = [k for k in keys if not isinstance(k, (int, float)) or isinstance(k, bool)]
+    kept: list[str] = []
+    ranges: dict[str, tuple[float, float]] = {}
+    allnull: set[str] = set()
+    if manifest_path is not None:
+        mf = spark.read.option("mergeSchema", "true").parquet(manifest_path)
+        for r in mf.filter(F.col("col") == col).collect():
+            if r.lo is not None and r.hi is not None:
+                ranges[r.file] = (float(r.lo), float(r.hi))
+            else:
+                # explicit all-null stat row (manifest round 11): the
+                # column is provably NULL in every row, and NULL never
+                # equi-joins — skippable outright
+                allnull.add(r.file)
+    for n in on_disk:
+        pv = _partition_values(n).get(col)
+        if pv is not None:
+            # exact string match, else the numeric fold
+            if pv in others:
+                kept.append(n)
+                continue
+            x = _partition_num(pv, col, col_types)
+            if x is not None and nums:
+                i = bisect.bisect_left(nums, x)
+                if i < len(nums) and nums[i] == x:
+                    kept.append(n)
+                    continue
+            # a shared directory value matching no key: provably no row
+            # can equi-join
+            continue
+        if n in allnull:
+            continue
+        rng = ranges.get(n)
+        if rng is None:
+            kept.append(n)  # unknown / unstatted: must read
+            continue
+        lo, hi = rng
+        hit = False
+        if nums:
+            i = bisect.bisect_left(nums, lo)
+            hit = i < len(nums) and nums[i] <= hi
+        if others:
+            hit = True  # string keys can't be excluded by a numeric range
+        if hit:
+            kept.append(n)
+    if bloom_manifest_path is not None and keys:
+        skip = _bloom_skippable(spark, bloom_manifest_path, list(keys))
+        kept = [n for n in kept if n not in skip]
+    return sorted(kept)

@@ -691,3 +691,66 @@ def r70_lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("pc").cast("long").alias("sum_pc"))
         .orderBy("g")
     )
+
+
+# ---------------------------------------------------------------------------
+# R71 — join-driven file pruning (round 11, catalog.lake_join_scan):
+#        the file-level form of dynamic partition pruning. A selective
+#        dim's distinct keys become per-key interval probes against the
+#        fact lake's scan manifest (plus partition-value and Bloom
+#        rules) BEFORE any fact data is read — on a key-clustered
+#        100 TB fact table the read set is the dim's key range, not
+#        the table. The oracle replays the identical join relationally:
+#        a keep set that drops a matching file loses rows and breaks
+#        the hash; the never-opened guarantee is pinned separately by
+#        the garbled-data-pages tests (tests/test_snapshot_ops.py).
+# ---------------------------------------------------------------------------
+
+_R71_SQL = """
+WITH li AS (
+  SELECT CAST(l_partkey AS BIGINT) AS pk,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem
+),
+d AS (
+  SELECT CAST(p_partkey AS BIGINT) AS dk, p_brand
+  FROM part WHERE p_size = 1
+)
+SELECT p_brand, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_pc
+FROM li JOIN d ON li.pk = d.dk
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+@query("r71_lake_join_pruned", oracle=_R71_SQL, covers="X40,J2,A2")
+def r71_lake_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import lake_join_scan, register_lake_table
+    from ..operators.layout import save_scan_manifest
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r71_lake"
+    )
+    lake, manifest = os.path.join(base, "data"), os.path.join(base, "manifest")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("pk"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    li.repartitionByRange(8, "pk").write.parquet(lake)
+    save_scan_manifest(spark, lake, ["pk"], manifest)
+    register_lake_table(spark, "r71_lineitem_by_part", lake, scan_manifest=manifest)
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select(F.col("p_partkey").cast("long").alias("dk"), "p_brand")
+    )
+    return (
+        lake_join_scan(spark, "r71_lineitem_by_part", dim, "pk", "dk")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.sum("pc").cast("long").alias("sum_pc"))
+        .orderBy("p_brand")
+    )

@@ -319,3 +319,111 @@ def test_plain_dir_adopts_on_first_dml(spark, tmp_path):
     # catalog path is the contract surface
     register_lake_table(spark, "t_adopted", lake)
     assert lake_scan(spark, "t_adopted").count() == 50
+
+
+# ---------------------------------------------------------------------------
+# lake_join_scan — join-driven FILE pruning (the DPP extension).
+# ---------------------------------------------------------------------------
+
+
+def test_lake_join_scan_never_opens_keyless_files(spark, tmp_path):
+    """Files whose footer key range contains no dim key are excluded
+    from the read set BEFORE the join plans. Proof: garble their data
+    pages — a join that scans them crashes."""
+    from mlb_data_pipeline_spark.catalog import lake_join_scan
+    from mlb_data_pipeline_spark.operators.layout import file_stats
+
+    lake = str(tmp_path / "lake")
+    manifest = str(tmp_path / "manifest")
+    _kv(spark, 0, 1000).repartitionByRange(4, "k").write.parquet(lake)
+    save_scan_manifest(spark, lake, ["k"], manifest)
+    register_lake_table(spark, "t_join_fact", lake, scan_manifest=manifest)
+    dim = spark.createDataFrame([(10, "a"), (20, "b"), (980, "c")], "dk long, tag string")
+    # quartile files: keys 10/20 hit file 1, 980 hits file 4 — garble 2+3
+    for fs in file_stats(lake, ["k"]):
+        if fs["min"]["k"] > 20 and fs["max"]["k"] < 980:
+            _corrupt_data_pages(lake, fs["file"])
+    got = (
+        lake_join_scan(spark, "t_join_fact", dim, "k", "dk")
+        .select("k", "v", "tag")
+        .collect()
+    )
+    assert sorted((r.k, r.v, r.tag) for r in got) == [
+        (10, 20, "a"),
+        (20, 40, "b"),
+        (980, 1960, "c"),
+    ]
+
+
+def test_lake_join_scan_per_key_probe_beats_wide_box(spark, tmp_path):
+    """Sparse keys at both extremes: the single [min, max] box keeps
+    every file; the per-key interval probe keeps only the two end
+    files. Middle files are garbled to prove they are never read."""
+    from mlb_data_pipeline_spark.catalog import lake_join_scan
+    from mlb_data_pipeline_spark.operators.layout import file_stats, join_pruned_files
+
+    lake = str(tmp_path / "lake")
+    manifest = str(tmp_path / "manifest")
+    _kv(spark, 0, 1000).repartitionByRange(8, "k").write.parquet(lake)
+    save_scan_manifest(spark, lake, ["k"], manifest)
+    register_lake_table(spark, "t_join_sparse", lake, scan_manifest=manifest)
+    keys = [1, 999]
+    kept = join_pruned_files(spark, lake, manifest, "k", keys)
+    assert len(kept) == 2  # the wide box [1, 999] would keep all 8
+    stats = file_stats(lake, ["k"])
+    for fs in stats:
+        if fs["file"] not in kept:
+            _corrupt_data_pages(lake, fs["file"])
+    dim = spark.createDataFrame([(k,) for k in keys], "dk long")
+    got = lake_join_scan(spark, "t_join_sparse", dim, "k", "dk").select("k").collect()
+    assert sorted(r.k for r in got) == keys
+
+
+def test_lake_join_scan_partition_and_bloom_rules(spark, tmp_path):
+    """Directory-encoded partition values and Bloom manifests prune
+    too — string keys, no footer stats involved."""
+    from mlb_data_pipeline_spark.catalog import lake_join_scan
+    from mlb_data_pipeline_spark.operators.layout import save_bloom_manifest
+
+    lake = str(tmp_path / "lake")
+    bloom = str(tmp_path / "bloom")
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}", f"u{i}") for i in range(200)], "k long, part string, u string"
+    )
+    df.repartition(1).write.partitionBy("part").parquet(lake)
+    # partition rule: dim keys name two of five partitions
+    register_lake_table(spark, "t_join_part", lake)
+    dim = spark.createDataFrame([("s1",), ("s3",)], "dk string")
+    from mlb_data_pipeline_spark.operators.layout import join_pruned_files
+
+    kept = join_pruned_files(spark, lake, None, "part", ["s1", "s3"])
+    assert len(kept) == 2
+    got = lake_join_scan(spark, "t_join_part", dim, "part", "dk")
+    assert got.count() == 80
+    # bloom rule: u is high-cardinality inside files; a u-key hits one
+    # partition's file only
+    save_bloom_manifest(spark, lake, "u", bloom, expected_per_file=64)
+    register_lake_table(spark, "t_join_bloom", lake, bloom_manifests={"u": bloom})
+    kept = join_pruned_files(spark, lake, None, "u", ["u7"], bloom_manifest_path=bloom)
+    assert len(kept) == 1
+    dim_u = spark.createDataFrame([("u7", 1)], "dk string, w long")
+    got = lake_join_scan(spark, "t_join_bloom", dim_u, "u", "dk").collect()
+    assert len(got) == 1 and got[0].k == 7
+
+
+def test_lake_join_scan_snapshot_aware_and_fallback(spark, tmp_path):
+    """Dead files never resurrect through the join path, and a dim
+    wider than max_keys degrades to the plain join with identical
+    results."""
+    from mlb_data_pipeline_spark.catalog import lake_join_scan
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 500).repartitionByRange(4, "k"), lake)
+    lake_delete(spark, lake, "k < 100", col_types={"k": "bigint", "v": "bigint"})
+    register_lake_table(spark, "t_join_snap", lake)
+    dim = spark.createDataFrame([(50,), (150,)], "dk long")
+    got = lake_join_scan(spark, "t_join_snap", dim, "k", "dk").select("k").collect()
+    assert [r.k for r in got] == [150]  # k=50 was deleted
+    wide = spark.range(0, 400).select(F.col("id").alias("dk"))
+    got = lake_join_scan(spark, "t_join_snap", wide, "k", "dk", max_keys=10)
+    assert got.count() == 300  # 100..399 alive
