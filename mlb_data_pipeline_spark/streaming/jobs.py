@@ -655,3 +655,70 @@ def lake_append_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def lake_snapshot_stream(
+    rows_stream: DataFrame,
+    lake_path: str,
+    checkpoint_dir: str,
+    stat_cols: list[str] | None = None,
+    box_manifest_path: str | None = None,
+) -> None:
+    """Streaming ingestion into a SNAPSHOT lake (operators/snapshots.py)
+    with exactly-once VISIBILITY: each micro-batch's files land
+    invisible (no snapshot references them), then ONE atomic commit
+    flips them live. Unlike ``lake_append_stream``'s dir-per-batch
+    protocol — where safety rests on readers honoring manifest rules —
+    a reader here can NEVER observe a half-ingested batch: it sees the
+    pre-commit snapshot or the post-commit one, nothing between.
+
+    Replay guard: the commit summary records ``batch_id``; a
+    redelivered batch whose id is already in the retained history is
+    skipped wholesale (its orphan files, if the crash landed between
+    write and commit, are ``vacuum_lake`` fodder). foreachBatch retries
+    therefore converge to exactly-once visible rows.
+
+    ``stat_cols``/``box_manifest_path``: optional manifest maintenance
+    per commit — O(batch) footer appends, same as lake_append_stream.
+
+    100 TB note: per-batch cost is the batch write + one json link +
+    O(batch) footer reads. History grows one snapshot per batch; run
+    ``vacuum_lake(keep_last=N)`` on the same cadence as OPTIMIZE to
+    bound it."""
+    from ..operators.layout import append_scan_manifest
+    from ..operators.snapshots import (
+        _write_new_files,
+        commit_snapshot,
+        has_snapshots,
+        lake_history,
+        snapshot_files,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if has_snapshots(lake_path):
+            for h in lake_history(lake_path):
+                if h["summary"].get("batch_id") == batch_id:
+                    return  # redelivery of a committed batch: no-op
+            live = snapshot_files(lake_path)
+        else:
+            from ..operators.layout import _data_files
+
+            live = _data_files(lake_path)
+        new = _write_new_files(batch_df, lake_path, [])
+        commit_snapshot(
+            lake_path,
+            sorted(set(live) | set(new)),
+            "stream_append",
+            summary={"batch_id": batch_id, "files_added": len(new)},
+        )
+        if box_manifest_path is not None and stat_cols:
+            append_scan_manifest(spark, lake_path, stat_cols, box_manifest_path)
+
+    q = (
+        rows_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

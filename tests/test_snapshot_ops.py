@@ -427,3 +427,55 @@ def test_lake_join_scan_snapshot_aware_and_fallback(spark, tmp_path):
     wide = spark.range(0, 400).select(F.col("id").alias("dk"))
     got = lake_join_scan(spark, "t_join_snap", wide, "k", "dk", max_keys=10)
     assert got.count() == 300  # 100..399 alive
+
+
+# ---------------------------------------------------------------------------
+# lake_snapshot_stream — exactly-once VISIBLE streaming ingestion.
+# ---------------------------------------------------------------------------
+
+
+def test_lake_snapshot_stream_exactly_once_visible(spark, tmp_path):
+    """Each micro-batch is one atomic commit; a redelivered batch_id is
+    a wholesale no-op; a crash between write and commit leaves only
+    invisible orphans that vacuum reclaims."""
+    from mlb_data_pipeline_spark.operators.snapshots import (
+        _write_new_files,
+        lake_history,
+        read_snapshot,
+        vacuum_lake,
+    )
+    from mlb_data_pipeline_spark.streaming.jobs import lake_snapshot_stream
+
+    lake = str(tmp_path / "lake")
+    src = str(tmp_path / "src")
+    lake_write(spark, _kv(spark, 0, 100).coalesce(1), lake)  # bootstrap v1
+    for lo in (100, 200):
+        _kv(spark, lo, lo + 100).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(KV).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    lake_snapshot_stream(stream, lake, str(tmp_path / "ckpt"))
+    hist = lake_history(lake)
+    assert [h["op"] for h in hist] == ["append", "stream_append", "stream_append"]
+    assert {h["summary"].get("batch_id") for h in hist[1:]} == {0, 1}
+    assert read_snapshot(spark, lake).count() == 300
+    # redelivery: re-running a committed batch through a fresh stream
+    # with the SAME checkpoint is the trigger-level no-op; the
+    # process-level guard is the summary batch_id — simulate a raw
+    # foreachBatch retry by re-invoking with an already-committed id
+    import mlb_data_pipeline_spark.streaming.jobs as J
+
+    n_versions = len(lake_history(lake))
+    stream2 = (
+        spark.readStream.schema(KV).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    # fresh checkpoint = full redelivery of both batches
+    lake_snapshot_stream(stream2, lake, str(tmp_path / "ckpt2"))
+    assert len(lake_history(lake)) == n_versions  # both skipped
+    assert read_snapshot(spark, lake).count() == 300
+    # crash between write and commit: orphan files, invisible, vacuumed
+    orphans = _write_new_files(_kv(spark, 900, 950).coalesce(1), lake, [])
+    assert orphans and read_snapshot(spark, lake).count() == 300
+    rep = vacuum_lake(lake, keep_last=1)
+    assert rep["removed_files"] >= len(orphans)
+    assert read_snapshot(spark, lake).count() == 300
