@@ -147,14 +147,17 @@ def register_lake_table(
     path: str,
     scan_manifest: str | None = None,
     bloom_manifests: dict[str, str] | None = None,
+    ndv_manifest: str | None = None,
 ) -> None:
     """Register a parquet lake directory plus its (optional) persisted
     manifests under ``name``. Scoped per application like the table
-    cache — a restarted session re-registers."""
+    cache — a restarted session re-registers. ``ndv_manifest`` (round
+    11) carries per-file HLL sketches for ``lake_approx_distinct``."""
     _LAKE_TABLES[(spark.sparkContext.applicationId, name)] = {
         "path": path,
         "scan_manifest": scan_manifest,
         "bloom_manifests": dict(bloom_manifests or {}),
+        "ndv_manifest": ndv_manifest,
     }
 
 
@@ -791,6 +794,56 @@ def lake_min_max(
             )
     base = lake_scan(spark, name, predicate)
     return base.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
+
+
+def lake_approx_distinct(
+    spark: SparkSession, name: str, col: str, predicate: str | None = None
+) -> int:
+    """APPROX_COUNT_DISTINCT(col) over a registered lake table with the
+    NDV sketch manifest doing the interior work (round 11): when the
+    predicate folds to an EXACT closed box, interior files contribute
+    their persisted per-file HLL sketches UNOPENED, only boundary
+    files sketch their qualifying rows live, and one union merges the
+    lot — error identical to sketching the qualifying rows directly
+    (HLL union adds none). Without a registered NDV manifest (or with
+    an unfoldable predicate) this degrades to a live
+    ``approx_count_distinct`` over the pruned scan — same error class,
+    no metadata shortcut."""
+    ent = _lake_entry(spark, name)
+    from pyspark.sql import functions as F
+
+    from .operators.layout import _compact_recover_tree, manifest_assisted_ndv
+
+    _compact_recover_tree(ent["path"])
+    col_types = _lake_col_types(spark, ent)
+    ndv_m = ent.get("ndv_manifest")
+    if ndv_m is not None:
+        if not predicate:
+            return manifest_assisted_ndv(
+                spark, ent["path"], ndv_m, ent["scan_manifest"], col
+            )
+        clauses = _extract_exact_clauses(predicate, col_types)
+        if clauses is not None and clauses[2] is None:
+            box, str_eq, _points = clauses
+            return manifest_assisted_ndv(
+                spark,
+                ent["path"],
+                ndv_m,
+                ent["scan_manifest"],
+                col,
+                box=box,
+                where=predicate,
+                col_types=col_types,
+                equals_strs=str_eq,
+            )
+    base = lake_scan(spark, name, predicate)
+    # mirror the manifest path's string fold so both routes agree
+    row = base.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(col).cast("string"), F.lit(12))
+        ).alias("ndv")
+    ).head()
+    return int(row.ndv) if row is not None and row.ndv is not None else 0
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

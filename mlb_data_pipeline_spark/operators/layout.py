@@ -1538,36 +1538,24 @@ def append_bloom_manifest(spark: SparkSession, path: str, manifest_path: str) ->
     ).parquet(base + "/files")
 
 
-def manifest_assisted_count(
+def _classify_box_files(
     spark: SparkSession,
     path: str,
     manifest_path: str,
     box: dict[str, tuple[float, float]],
-    where: str | None = None,
     col_types: dict | None = None,
     equals_strs: dict[str, str] | None = None,
-) -> int:
-    """COUNT(*) under a conjunctive box predicate with metadata doing
-    most of the work (the Iceberg/Delta metadata-count pattern):
+) -> tuple[list[str], list[str], dict[str, int]]:
+    """(inside, boundary, rows_by_file) for a conjunctive box over a
+    manifested lake — the shared classification behind the metadata
+    aggregates (count, min/max candidates, NDV). INSIDE files are
+    provably all-matching with zero nulls on every box column (safe to
+    consume unopened); BOUNDARY files must be read + exactly filtered;
+    everything else is provably disjoint. Strict interiority widens by
+    one ULP above 2^53 (the manifest's float fold rounds) — a wrong
+    reclassification only adds a read, never a wrong answer."""
+    import math
 
-    * files whose stats prove them FULLY INSIDE the box on every box
-      column contribute their manifest row count without being opened;
-    * files provably DISJOINT on some column contribute zero;
-    * only BOUNDARY files — plus files with missing stats or unknown
-      to the manifest — are read and exactly filtered.
-
-    On a well-clustered lake the read set is the box's surface, not
-    its volume. The classification collects box-column stat rows only
-    (metadata-scale, same budget as pruned_read's path collect).
-
-    ``where`` (round 11): the exact predicate STRING to apply to
-    boundary files instead of the reconstructed numeric box — required
-    when the box folds temporal columns to epoch units (the raw column
-    can't compare against the folded bounds) and when the caller's
-    predicate is the source of truth (``lake_count``). The box must be
-    semantically EQUAL to ``where`` on interior files, since those are
-    counted unopened."""
-    _compact_recover_tree(path)
     # mergeSchema: pre-round-11 manifests lack the nulls column; their
     # rows surface nulls=NULL = unknown, which classifies as boundary
     # (read + filter) — sound, never overcounting
@@ -1578,33 +1566,25 @@ def manifest_assisted_count(
     for r in mf.filter(F.col("col").isin(list(box))).collect():
         nc = r.nulls if has_nulls_col else None
         stats.setdefault(r.file, {})[r.col] = (r.lo, r.hi, nc)
-    metadata_count = 0
-    boundary = []
+    inside: list[str] = []
+    boundary: list[str] = []
     existing = set(_data_files(path))
     for c, (lo, hi) in box.items():
         try:
             float(lo), float(hi)
         except (TypeError, ValueError) as exc:
             raise ValueError(
-                f"manifest_assisted_count needs numeric box bounds; got {c}={lo!r}..{hi!r} "
+                f"metadata aggregates need numeric box bounds; got {c}={lo!r}..{hi!r} "
                 "(use pruned_read with bloom_filters for string equality)"
             ) from exc
-    import math
 
     def _surely_inside(st_lo: float, st_hi: float, lo_f: float, hi_f: float) -> bool:
-        # Doubles are exact integers below 2^53, so the inclusive test
-        # is sound there. Above, the manifest's float() fold of a long
-        # footer stat rounds to nearest (error <= ulp/2): a stored min
-        # can satisfy >= lo while the true min sits below it, silently
-        # overcounting an unopened file. Require strict interiority by
-        # one ULP before trusting the metadata row count — boundary
-        # reclassification only adds a read, never a wrong answer.
         exact = 2.0**53
         lo_ok = st_lo >= lo_f if abs(st_lo) < exact else st_lo - math.ulp(st_lo) >= lo_f
         hi_ok = st_hi <= hi_f if abs(st_hi) < exact else st_hi + math.ulp(st_hi) <= hi_f
         return lo_ok and hi_ok
 
-    for f, n_rows in rows_by_file.items():
+    for f in rows_by_file:
         if f not in existing:
             continue  # vanished file (replay rewrite, compaction)
         verdict = "inside"
@@ -1649,11 +1629,47 @@ def manifest_assisted_count(
             elif pv != v:
                 verdict = "skip"
         if verdict == "inside":
-            metadata_count += int(n_rows)
+            inside.append(f)
         elif verdict == "boundary":
             boundary.append(f)
-    known = set(rows_by_file)
-    boundary += sorted(existing - known)
+    boundary = sorted(set(boundary) | (existing - set(rows_by_file)))
+    return sorted(inside), boundary, rows_by_file
+
+
+def manifest_assisted_count(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str,
+    box: dict[str, tuple[float, float]],
+    where: str | None = None,
+    col_types: dict | None = None,
+    equals_strs: dict[str, str] | None = None,
+) -> int:
+    """COUNT(*) under a conjunctive box predicate with metadata doing
+    most of the work (the Iceberg/Delta metadata-count pattern):
+
+    * files whose stats prove them FULLY INSIDE the box on every box
+      column contribute their manifest row count without being opened;
+    * files provably DISJOINT on some column contribute zero;
+    * only BOUNDARY files — plus files with missing stats or unknown
+      to the manifest — are read and exactly filtered.
+
+    On a well-clustered lake the read set is the box's surface, not
+    its volume. The classification collects box-column stat rows only
+    (metadata-scale, same budget as pruned_read's path collect).
+
+    ``where`` (round 11): the exact predicate STRING to apply to
+    boundary files instead of the reconstructed numeric box — required
+    when the box folds temporal columns to epoch units (the raw column
+    can't compare against the folded bounds) and when the caller's
+    predicate is the source of truth (``lake_count``). The box must be
+    semantically EQUAL to ``where`` on interior files, since those are
+    counted unopened."""
+    _compact_recover_tree(path)
+    inside, boundary, rows_by_file = _classify_box_files(
+        spark, path, manifest_path, box, col_types, equals_strs
+    )
+    metadata_count = sum(int(rows_by_file[f]) for f in inside)
     if not boundary:
         return metadata_count
     df = spark.read.option("basePath", path).parquet(
@@ -1924,3 +1940,140 @@ def join_pruned_files(
         skip = _bloom_skippable(spark, bloom_manifest_path, list(keys))
         kept = [n for n in kept if n not in skip]
     return sorted(kept)
+
+
+# ---------------------------------------------------------------------------
+# NDV sketch manifest (round 11) — per-file Datasketches HLL sketches,
+# the Iceberg-puffin/theta pattern: distinct-count statistics that
+# MERGE across any file subset. The scan manifest answers COUNT/MIN/
+# MAX from metadata; this adds APPROX_COUNT_DISTINCT: interior files
+# (all rows provably match) contribute their persisted sketch
+# unopened, boundary files sketch their qualifying rows live, and one
+# hll_union_agg folds the lot. Unioning adds no error over sketching
+# the union (HLL property), so the estimate matches a direct
+# whole-data sketch's error bounds (~1.6% rse at lg_k=12).
+# ---------------------------------------------------------------------------
+
+_NDV_LG_K = 12
+
+
+def save_ndv_manifest(
+    spark: SparkSession, path: str, cols: list[str], manifest_path: str, lg_k: int = _NDV_LG_K
+) -> None:
+    """One distributed pass over the live lake: per (file, col) HLL
+    sketch rows (file, col, sketch, lg_k). Values sketch as their
+    STRING form so every column type folds consistently and live
+    boundary sketches can mirror it exactly."""
+    df = spark.read.parquet(path).withColumn("__file", _relpath_col(path))
+    aggs = [
+        F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lg_k)).alias(c) for c in cols
+    ]
+    per_file = df.groupBy("__file").agg(*aggs)
+    stack = ", ".join(f"'{c}', `{c}`" for c in cols)
+    long = per_file.select(
+        F.col("__file").alias("file"),
+        F.expr(f"stack({len(cols)}, {stack}) as (col, sketch)"),
+        F.lit(lg_k).alias("lg_k"),
+    )
+    long.coalesce(1).write.mode("overwrite").parquet(manifest_path)
+
+
+def append_ndv_manifest(
+    spark: SparkSession, path: str, cols: list[str], manifest_path: str
+) -> None:
+    """Day-2 leg: sketch ONLY live data files the manifest has not
+    seen (O(delta) data read over the new files) and append their
+    rows — same contract as ``append_scan_manifest``."""
+    mf = spark.read.parquet(manifest_path)
+    lg_k = int(mf.select(F.max("lg_k")).head()[0] or _NDV_LG_K)
+    known = {r.file for r in mf.select("file").distinct().collect()}
+    new = [n for n in _data_files(path) if n not in known]
+    if not new:
+        return
+    df = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, n) for n in new]
+    ).withColumn("__file", _relpath_col(path))
+    aggs = [
+        F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lg_k)).alias(c) for c in cols
+    ]
+    per_file = df.groupBy("__file").agg(*aggs)
+    stack = ", ".join(f"'{c}', `{c}`" for c in cols)
+    long = per_file.select(
+        F.col("__file").alias("file"),
+        F.expr(f"stack({len(cols)}, {stack}) as (col, sketch)"),
+        F.lit(lg_k).alias("lg_k"),
+    )
+    long.coalesce(1).write.mode("append").parquet(manifest_path)
+
+
+def manifest_assisted_ndv(
+    spark: SparkSession,
+    path: str,
+    ndv_manifest_path: str,
+    scan_manifest_path: str | None,
+    col: str,
+    box: dict[str, tuple[float, float]] | None = None,
+    where: str | None = None,
+    col_types: dict | None = None,
+    equals_strs: dict[str, str] | None = None,
+) -> int:
+    """APPROX_COUNT_DISTINCT(col) under an exact conjunctive box with
+    metadata doing the interior work: interior files union their
+    PERSISTED sketches unopened; boundary files (plus interior files
+    the NDV manifest hasn't sketched) sketch their exactly-filtered
+    rows live; one ``hll_union_agg`` merges everything. With no box,
+    every live file is interior. Estimate error matches a direct
+    sketch of the qualifying rows (union adds none)."""
+    _compact_recover_tree(path)
+    if box and scan_manifest_path is not None:
+        inside, boundary, _rows = _classify_box_files(
+            spark, path, scan_manifest_path, box, col_types, equals_strs
+        )
+    elif box:
+        inside, boundary = [], _data_files(path)
+    else:
+        inside, boundary = _data_files(path), []
+    mf = spark.read.parquet(ndv_manifest_path)
+    lg_k = int(mf.select(F.max("lg_k")).head()[0] or _NDV_LG_K)
+    sketched = {
+        r.file for r in mf.filter(F.col("col") == col).select("file").distinct().collect()
+    }
+    live_needed = [n for n in inside if n not in sketched]
+    inside = [n for n in inside if n in sketched]
+    boundary = sorted(set(boundary) | set(live_needed))
+    parts = []
+    if inside:
+        parts.append(
+            mf.filter(F.col("col") == col)
+            .filter(F.col("file").isin(inside))
+            .select("sketch")
+        )
+    if boundary:
+        df = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, n) for n in boundary]
+        )
+        if where is not None:
+            df = df.filter(where)
+        elif box:
+            cond = F.lit(True)
+            for c, (lo, hi) in box.items():
+                cond = cond & F.col(c).between(float(lo), float(hi))
+            df = df.filter(cond)
+        parts.append(
+            df.agg(
+                F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k)).alias("sketch")
+            )
+        )
+    if not parts:
+        return 0
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    # an all-filtered boundary read yields a NULL sketch; union must
+    # not choke on it (0 qualifying rows contribute 0 distincts)
+    row = (
+        union.filter(F.col("sketch").isNotNull())
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(True))).alias("ndv"))
+        .head()
+    )
+    return int(row.ndv) if row is not None and row.ndv is not None else 0

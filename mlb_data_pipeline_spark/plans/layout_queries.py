@@ -754,3 +754,114 @@ def r71_lake_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("pc").cast("long").alias("sum_pc"))
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# R72 — snapshot CDC / incremental read (round 11,
+#        snapshots.read_changes): "what changed between v_from and
+#        v_to" computed from the FILE-SET DIFF alone — files both
+#        versions share cancel unopened (pinned by a garbled-common-
+#        file test), rewrite survivors net to zero, so a DELETE's
+#        changes are exactly its deleted rows and an append's are pure
+#        inserts. The oracle rebuilds both change sets relationally
+#        from the raw table: an unopened-file shortcut that nets wrong
+#        (losing a delete, minting a phantom insert) breaks the hash.
+# ---------------------------------------------------------------------------
+
+_R72_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+ins AS (SELECT * FROM o WHERE ck % 3 = 1),
+del AS (SELECT * FROM o WHERE ck % 3 <= 1 AND ck BETWEEN 0 AND 300)
+SELECT 'del_2_3' AS part, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_pc FROM del
+UNION ALL
+SELECT 'ins_1_2', COUNT(*), CAST(SUM(pc) AS BIGINT) FROM ins
+ORDER BY part
+"""
+
+
+@query("r72_lake_changes", oracle=_R72_SQL, covers="X41,A2")
+def r72_lake_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.snapshots import lake_delete, lake_write, read_changes
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r72_lake"
+    )
+    lake = os.path.join(base, "data")
+    if os.path.exists(lake):
+        shutil.rmtree(lake)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    lake_write(spark, o.filter(F.col("ck") % 3 == 0).repartitionByRange(4, "ck"), lake)
+    lake_write(spark, o.filter(F.col("ck") % 3 == 1).repartitionByRange(2, "ck"), lake)
+    lake_delete(spark, lake, "ck BETWEEN 0 AND 300", col_types={"ck": "bigint", "pc": "bigint"})
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.sum("__n").cast("long").alias("n"),
+            F.sum(F.col("pc") * F.col("__n")).cast("long").alias("sum_pc"),
+        ).select(F.lit(tag).alias("part"), "n", "sum_pc")
+
+    ins = read_changes(spark, lake, 1, 2).filter(F.col("__change") == "insert")
+    dels = read_changes(spark, lake, 2, 3).filter(F.col("__change") == "delete")
+    return agg(dels, "del_2_3").unionByName(agg(ins, "ins_1_2")).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# R73 — NDV sketch manifest (round 11, layout.save_ndv_manifest +
+#        catalog.lake_approx_distinct): per-file Datasketches HLL
+#        sketches as a manifest — the Iceberg-puffin/theta pattern.
+#        APPROX_COUNT_DISTINCT under an exact box unions interior
+#        files' PERSISTED sketches unopened and live-sketches only the
+#        boundary. Registered rows-only BY DESIGN (approximate,
+#        engine-specific binary sketches); the accuracy contract
+#        (within HLL error of exact, interior files provably unopened
+#        via garbled data pages) is pinned in
+#        tests/test_snapshot_ops.py.
+# ---------------------------------------------------------------------------
+
+
+@query("r73_lake_approx_distinct", oracle=None, covers="X42,A4")
+def r73_lake_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import lake_approx_distinct, register_lake_table
+    from ..operators.layout import save_ndv_manifest, save_scan_manifest
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r73_lake"
+    )
+    lake = os.path.join(base, "data")
+    scan_m, ndv_m = os.path.join(base, "scan_m"), os.path.join(base, "ndv_m")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("ok"),
+        F.col("o_custkey").cast("long").alias("ck"),
+    )
+    o.repartitionByRange(8, "ok").write.parquet(lake)
+    save_scan_manifest(spark, lake, ["ok"], scan_m)
+    save_ndv_manifest(spark, lake, ["ck"], ndv_m)
+    register_lake_table(
+        spark, "r73_orders_ndv", lake, scan_manifest=scan_m, ndv_manifest=ndv_m
+    )
+    hi = o.agg(F.max("ok")).head()[0]
+    rows = [
+        ("ndv_all", lake_approx_distinct(spark, "r73_orders_ndv", "ck")),
+        (
+            "ndv_half",
+            lake_approx_distinct(
+                spark, "r73_orders_ndv", "ck", f"ok BETWEEN 0 AND {hi // 2}"
+            ),
+        ),
+    ]
+    return spark.createDataFrame(rows, "part string, ndv long").orderBy("part")

@@ -479,3 +479,109 @@ def test_lake_snapshot_stream_exactly_once_visible(spark, tmp_path):
     rep = vacuum_lake(lake, keep_last=1)
     assert rep["removed_files"] >= len(orphans)
     assert read_snapshot(spark, lake).count() == 300
+
+
+def test_read_changes_file_diff_cdc(spark, tmp_path):
+    """Incremental read between versions from the FILE-SET diff:
+    shared files cancel without being opened (garbled to prove it);
+    rewrites net out their survivors; appends are pure inserts."""
+    from mlb_data_pipeline_spark.operators.snapshots import read_changes
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 1000).repartitionByRange(4, "k"), lake)  # v1
+    lake_write(spark, _kv(spark, 1000, 1100).coalesce(1), lake)  # v2
+    lake_delete(spark, lake, "k < 300", col_types={"k": "bigint", "v": "bigint"})  # v3
+    # v1 -> v2: pure insert of the appended 100 rows
+    ch = read_changes(spark, lake, 1, 2)
+    assert ch.filter("__change = 'delete'").count() == 0
+    assert ch.agg(F.sum("__n")).head()[0] == 100
+    # v2 -> v3: exactly the deleted rows, as deletes; shared files are
+    # never opened — garble one file common to both versions
+    common = sorted(set(snapshot_files(lake, 2)) & set(snapshot_files(lake, 3)))
+    assert common
+    _corrupt_data_pages(lake, common[-1])
+    ch = read_changes(spark, lake, 2, 3)
+    assert ch.filter("__change = 'insert'").count() == 0
+    assert ch.agg(F.sum("__n")).head()[0] == 300
+    assert ch.agg(F.max("k")).head()[0] == 299
+    # v1 -> v3 composes: net = +100 appended, -300 deleted
+    ch = read_changes(spark, lake, 1, 3)
+    ins = ch.filter("__change = 'insert'").agg(F.sum("__n")).head()[0]
+    dels = ch.filter("__change = 'delete'").agg(F.sum("__n")).head()[0]
+    assert (ins, dels) == (100, 300)
+    # identical versions: empty frame, stable schema
+    same = read_changes(spark, lake, 3, 3)
+    assert same.count() == 0 and "__change" in same.columns
+
+
+# ---------------------------------------------------------------------------
+# NDV sketch manifest — mergeable per-file distinct-count stats.
+# ---------------------------------------------------------------------------
+
+
+def test_lake_approx_distinct_interior_files_unopened(spark, tmp_path):
+    """Interior files contribute their persisted sketches without
+    being opened (garbled data pages), boundary files sketch live, and
+    the estimate stays within HLL error of the exact answer — on both
+    the whole table and an exact-box predicate."""
+    from mlb_data_pipeline_spark.catalog import lake_approx_distinct
+    from mlb_data_pipeline_spark.operators.layout import (
+        file_stats,
+        save_ndv_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    scan_m = str(tmp_path / "scan_m")
+    ndv_m = str(tmp_path / "ndv_m")
+    # v = k // 3 gives ~1667 distincts over 5000 rows, range-clustered
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") / 3).cast("long").alias("v")
+    )
+    df.repartitionByRange(8, "k").write.parquet(lake)
+    save_scan_manifest(spark, lake, ["k"], scan_m)
+    save_ndv_manifest(spark, lake, ["v"], ndv_m)
+    register_lake_table(
+        spark, "t_ndv", lake, scan_manifest=scan_m, ndv_manifest=ndv_m
+    )
+    # garble every strictly-interior file for the box [0, 2499]:
+    # metadata answers, a live scan of them would crash
+    stats = file_stats(lake, ["k"])
+    interior = [
+        fs["file"] for fs in stats if fs["min"]["k"] >= 0 and fs["max"]["k"] <= 2499
+    ]
+    assert len(interior) >= 2
+    for name in interior[:-1]:  # keep one readable as the boundary edge
+        _corrupt_data_pages(lake, name)
+    exact = 2500 // 3 + 1  # distinct v among k in [0, 2499]
+    got = lake_approx_distinct(spark, "t_ndv", "v", "k BETWEEN 0 AND 2499")
+    assert abs(got - exact) / exact < 0.06  # ~3.5x rse at lg_k=12
+    # whole-table NDV: every live file is interior — none opened
+    got_all = lake_approx_distinct(spark, "t_ndv", "v")
+    assert abs(got_all - 1667) / 1667 < 0.06
+
+
+def test_ndv_manifest_append_is_o_delta(spark, tmp_path):
+    """append_ndv_manifest sketches only manifest-unknown files; the
+    merged estimate tracks the grown table."""
+    from mlb_data_pipeline_spark.catalog import lake_approx_distinct
+    from mlb_data_pipeline_spark.operators.layout import (
+        append_ndv_manifest,
+        save_ndv_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    ndv_m = str(tmp_path / "ndv_m")
+    _kv(spark, 0, 2000).coalesce(2).write.parquet(lake)
+    save_ndv_manifest(spark, lake, ["k"], ndv_m)
+    n0 = spark.read.parquet(ndv_m).count()
+    _kv(spark, 2000, 3000).coalesce(1).write.mode("append").parquet(lake)
+    append_ndv_manifest(spark, lake, ["k"], ndv_m)
+    mf = spark.read.parquet(ndv_m)
+    assert mf.count() == n0 + 1  # exactly the one new file sketched
+    register_lake_table(spark, "t_ndv_app", lake, ndv_manifest=ndv_m)
+    got = lake_approx_distinct(spark, "t_ndv_app", "k")
+    assert abs(got - 3000) / 3000 < 0.06
+    # degradation without a manifest: live sketch over the pruned scan
+    register_lake_table(spark, "t_ndv_plain", lake)
+    got2 = lake_approx_distinct(spark, "t_ndv_plain", "k", "k % 2 = 0")
+    assert abs(got2 - 1500) / 1500 < 0.06
