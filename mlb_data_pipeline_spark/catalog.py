@@ -728,6 +728,14 @@ def lake_count(spark: SparkSession, name: str, predicate: str | None = None) -> 
 
     _compact_recover_tree(ent["path"])
     if not predicate:
+        from .operators.snapshots import has_snapshots, snapshot_row_count
+
+        if has_snapshots(ent["path"]):
+            # the commit carries per-file row counts: COUNT(*) is a
+            # metadata sum, zero data reads (round 11)
+            n = snapshot_row_count(ent["path"])
+            if n is not None:
+                return n
         return _lake_read_all(spark, ent["path"]).count()
     if ent["scan_manifest"] is not None:
         col_types = _lake_col_types(spark, ent)

@@ -188,13 +188,30 @@ def commit_snapshot(
     name — link fails with EEXIST if another writer got there first
     (``SnapshotConflictError``). ``parent`` asserts the version the
     writer planned against; a mismatch with the current head is the
-    same conflict, detected before any filesystem write."""
+    same conflict, detected before any filesystem write.
+
+    Every commit also carries ``file_rows`` — per-file row counts,
+    inherited from the parent for carried-over files and read from the
+    parquet FOOTER for files new to this commit (O(delta) metadata
+    reads). ``COUNT(*)`` on a snapshot lake is therefore a pure
+    metadata sum at any version, Iceberg-style."""
     head = current_version(path)
     if parent is not None and parent != (head if head is not None else 0):
         raise SnapshotConflictError(
             f"planned against v{parent} but head is v{head} — re-plan and retry"
         )
     version = (head or 0) + 1
+    prev_rows: dict[str, int] = {}
+    if head is not None:
+        prev_rows = snapshot_info(path, head).get("file_rows", {})
+    file_rows: dict[str, int] = {}
+    for n in files:
+        if n in prev_rows:
+            file_rows[n] = prev_rows[n]
+        else:
+            import pyarrow.parquet as pq
+
+            file_rows[n] = int(pq.ParquetFile(os.path.join(path, n)).metadata.num_rows)
     d = _snap_dir(path)
     os.makedirs(d, exist_ok=True)
     record = {
@@ -203,6 +220,7 @@ def commit_snapshot(
         "op": op,
         "ts": time.time(),
         "files": sorted(files),
+        "file_rows": file_rows,
         "summary": summary or {},
     }
     final = os.path.join(d, f"v{version:012d}.json")
@@ -701,3 +719,52 @@ def read_changes(
             F.abs(F.col("__net")).cast("long").alias("__n"),
         )
     )
+
+
+def snapshot_row_count(path: str, version: int | None = None) -> int | None:
+    """COUNT(*) at a version from the commit's own ``file_rows`` map —
+    zero data reads. None when the commit predates the row-count leg
+    or a referenced file is missing from the map (degrade to a read,
+    never guess)."""
+    info = snapshot_info(path, version)
+    rows = info.get("file_rows")
+    if rows is None:
+        return None
+    try:
+        return sum(int(rows[n]) for n in info["files"])
+    except KeyError:
+        return None
+
+
+def lake_stats(path: str) -> dict:
+    """The table's day-2 health card, from METADATA only: live
+    rows/files/bytes at the current head, retained version span, and
+    reclaimable debt (on-disk files + bytes no retained snapshot
+    references — what ``vacuum_lake`` would delete)."""
+    info = snapshot_info(path)
+    live = set(info["files"])
+    referenced: set[str] = set()
+    for v in _versions(path):
+        referenced |= set(snapshot_info(path, v)["files"])
+    on_disk = set(_all_data_files(path))
+    dead = on_disk - live
+
+    def _bytes(names) -> int:
+        return sum(
+            os.path.getsize(os.path.join(path, n))
+            for n in names
+            if os.path.exists(os.path.join(path, n))
+        )
+
+    vs = _versions(path)
+    return {
+        "version": info["version"],
+        "versions_retained": len(vs),
+        "oldest_version": vs[0] if vs else None,
+        "rows": snapshot_row_count(path),
+        "files_live": len(live),
+        "bytes_live": _bytes(live),
+        "files_dead": len(dead),
+        "bytes_dead": _bytes(dead),
+        "files_unreferenced": len(on_disk - referenced),
+    }

@@ -585,3 +585,39 @@ def test_ndv_manifest_append_is_o_delta(spark, tmp_path):
     register_lake_table(spark, "t_ndv_plain", lake)
     got2 = lake_approx_distinct(spark, "t_ndv_plain", "k", "k % 2 = 0")
     assert abs(got2 - 1500) / 1500 < 0.06
+
+
+def test_snapshot_count_and_stats_are_pure_metadata(spark, tmp_path):
+    """Commits carry per-file row counts: COUNT(*) at any version is a
+    metadata sum. Proof: garble EVERY live file's data pages — the
+    count and the stats card still answer; a read would crash."""
+    from mlb_data_pipeline_spark.operators.snapshots import (
+        lake_stats,
+        snapshot_row_count,
+    )
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 1000).repartitionByRange(4, "k"), lake)
+    lake_write(spark, _kv(spark, 1000, 1300).coalesce(1), lake)
+    lake_delete(spark, lake, "k >= 1100", col_types={"k": "bigint", "v": "bigint"})
+    for n in snapshot_files(lake):
+        _corrupt_data_pages(lake, n)
+    assert snapshot_row_count(lake, 1) == 1000
+    assert snapshot_row_count(lake, 2) == 1300
+    assert snapshot_row_count(lake) == 1100
+    register_lake_table(spark, "t_meta_count", lake)
+    assert lake_count(spark, "t_meta_count") == 1100
+    st = lake_stats(lake)
+    assert st["rows"] == 1100 and st["version"] == 3
+    assert st["files_dead"] >= 1 and st["bytes_dead"] > 0
+    assert st["versions_retained"] == 3
+    # a commit missing a file's count degrades to None, never a guess
+    import json as _json
+
+    snap = os.path.join(lake, "_snapshots", f"v{3:012d}.json")
+    with open(snap) as fh:
+        rec = _json.load(fh)
+    rec["file_rows"].pop(sorted(rec["files"])[0])
+    with open(snap, "w") as fh:
+        _json.dump(rec, fh)
+    assert snapshot_row_count(lake) is None
