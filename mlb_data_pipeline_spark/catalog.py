@@ -457,7 +457,7 @@ def lake_scan(
     spark: SparkSession,
     name: str,
     predicate: str | None = None,
-    version: int | None = None,
+    version: int | str | None = None,
 ) -> DataFrame:
     """Read a registered lake table, automatically skipping files the
     persisted manifests prove irrelevant to ``predicate`` — then apply

@@ -124,9 +124,13 @@ def current_version(path: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def snapshot_info(path: str, version: int | None = None) -> dict:
+def snapshot_info(path: str, version: int | str | None = None) -> dict:
     """The committed snapshot record (version, parent, op, ts, files,
-    summary). ``version=None`` resolves the current head."""
+    summary). ``version=None`` resolves the current head; a string
+    resolves as a TAG name (``lake_tag``) — every reader downstream
+    (snapshot_files, read_snapshot, lake_scan) inherits both forms."""
+    if isinstance(version, str):
+        version = resolve_version(path, version)
     if version is None:
         version = current_version(path)
         if version is None:
@@ -141,7 +145,7 @@ def snapshot_info(path: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
-def snapshot_files(path: str, version: int | None = None) -> list[str]:
+def snapshot_files(path: str, version: int | str | None = None) -> list[str]:
     return sorted(snapshot_info(path, version)["files"])
 
 
@@ -289,7 +293,7 @@ def lake_write(
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | str | None = None
 ) -> DataFrame:
     """The table AS OF ``version`` (current head when None) — reads
     exactly the committed file list, so the result is stable no matter
@@ -339,7 +343,10 @@ def vacuum_lake(path: str, keep_last: int = 1) -> dict:
     vs = _versions(path)
     if not vs:
         raise ValueError(f"no snapshots under {path!r}")
-    retained = vs[-keep_last:]
+    # tags are retention promises: a tagged version survives any
+    # keep_last until lake_untag releases it
+    tagged = set(lake_tags(path).values())
+    retained = sorted(set(vs[-keep_last:]) | (tagged & set(vs)))
     referenced: set[str] = set()
     for v in retained:
         referenced |= set(snapshot_files(path, v))
@@ -768,3 +775,112 @@ def lake_stats(path: str) -> dict:
         "bytes_dead": _bytes(dead),
         "files_unreferenced": len(on_disk - referenced),
     }
+
+
+def lake_update(
+    spark: SparkSession,
+    path: str,
+    assignments: dict[str, str],
+    predicate: str,
+    col_types: dict | None = None,
+) -> dict:
+    """SQL ``UPDATE ... SET col = expr WHERE predicate`` over a
+    snapshot lake, pruned to the files that can contain a matching
+    row: provably-untouched files (the delete classifier's none-match
+    proof) keep their bytes; all-match and boundary files rewrite with
+    the assignment applied under a CASE — rows where the predicate is
+    FALSE or NULL keep their original values (SQL UPDATE semantics).
+    Updated columns cast back to their original type so the lake
+    schema can never drift through an expression's type widening.
+    Updating a partition column moves rows between directories
+    naturally (the rewrite writes through partitionBy)."""
+    if not has_snapshots(path):
+        commit_snapshot(path, _data_files(path), "adopt")
+    head = current_version(path)
+    allmatch, keep, boundary = _classify_for_delete(path, predicate, col_types)
+    to_rewrite = sorted(set(allmatch) | set(boundary))
+    new_files: list[str] = []
+    if to_rewrite:
+        src = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, n) for n in to_rewrite]
+        )
+        dtypes = dict(src.dtypes)
+        unknown = [c for c in assignments if c not in dtypes]
+        if unknown:
+            raise ValueError(f"SET targets not in lake schema: {unknown}")
+        cond = F.expr(predicate)
+        out = src.withColumns(
+            {
+                c: F.when(cond, F.expr(e)).otherwise(F.col(c)).cast(dtypes[c])
+                for c, e in assignments.items()
+            }
+        )
+        new_files = _write_new_files(out, path, _partition_cols(to_rewrite))
+    version = commit_snapshot(
+        path,
+        sorted(set(keep) | set(new_files)),
+        "update",
+        summary={
+            "predicate": predicate,
+            "set": dict(assignments),
+            "files_untouched": len(keep),
+            "files_rewritten": len(to_rewrite),
+        },
+        parent=head,
+    )
+    return {
+        "version": version,
+        "files_untouched": len(keep),
+        "files_rewritten": len(to_rewrite),
+        "files_written": len(new_files),
+    }
+
+
+def lake_tag(path: str, name: str, version: int | None = None) -> int:
+    """Pin a NAME to a version (Iceberg tag): ``read_snapshot`` and
+    ``lake_scan(version=...)`` accept the name, and ``vacuum_lake``
+    RETAINS tagged versions' files regardless of ``keep_last`` — a tag
+    is a promise the snapshot stays readable until ``lake_untag``."""
+    if not re.fullmatch(r"[A-Za-z][A-Za-z0-9_.-]*", name):
+        raise ValueError(f"invalid tag name {name!r}")
+    v = version if version is not None else current_version(path)
+    if v is None:
+        raise ValueError(f"no snapshots under {path!r}")
+    snapshot_info(path, v)  # must exist
+    fn = os.path.join(_snap_dir(path), f"tag-{name}.json")
+    tmp = fn + f".stage-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "version": v, "ts": time.time()}, fh)
+    os.replace(tmp, fn)  # tags may be repointed: replace, not link
+    return v
+
+
+def lake_tags(path: str) -> dict[str, int]:
+    d = _snap_dir(path)
+    out: dict[str, int] = {}
+    if not os.path.isdir(d):
+        return out
+    for n in os.listdir(d):
+        m = re.fullmatch(r"tag-(.+)\.json", n)
+        if m:
+            with open(os.path.join(d, n)) as fh:
+                out[m.group(1)] = int(json.load(fh)["version"])
+    return out
+
+
+def lake_untag(path: str, name: str) -> None:
+    fn = os.path.join(_snap_dir(path), f"tag-{name}.json")
+    if not os.path.exists(fn):
+        raise ValueError(f"no tag {name!r} under {path!r}")
+    os.remove(fn)
+
+
+def resolve_version(path: str, version: int | str | None) -> int | None:
+    """int passes through; a str resolves as a tag name; None stays
+    None (current head)."""
+    if version is None or isinstance(version, int):
+        return version
+    tags = lake_tags(path)
+    if version not in tags:
+        raise ValueError(f"unknown tag {version!r}; tags: {sorted(tags)}")
+    return tags[version]

@@ -865,3 +865,63 @@ def r73_lake_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return spark.createDataFrame(rows, "part string, ndv long").orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# R74 — pruned UPDATE (round 11, snapshots.lake_update): SQL
+#        UPDATE ... SET ... WHERE over the snapshot lake, rewriting
+#        only files that can contain a matching row (the delete
+#        classifier's none-match proof keeps the rest by identity);
+#        the assignment applies under a CASE so FALSE/NULL-predicate
+#        rows keep their original values, and updated columns cast
+#        back to their original type. The oracle replays the identical
+#        CASE relationally: an update that leaks into an untouched
+#        file's rows, misses a matching row, or drifts a type breaks
+#        the hash. The untouched-files-never-opened proof is pinned in
+#        tests/test_snapshot_ops.py (garbled data pages).
+# ---------------------------------------------------------------------------
+
+_R74_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+u AS (
+  SELECT ck,
+         CASE WHEN ck BETWEEN 100 AND 400 THEN pc + 100000 ELSE pc END AS pc
+  FROM o
+)
+SELECT CAST(ck % 5 AS BIGINT) AS g, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_pc
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("r74_lake_update", oracle=_R74_SQL, covers="X39,P7,A2")
+def r74_lake_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.snapshots import lake_update, lake_write, read_snapshot
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r74_lake"
+    )
+    lake = os.path.join(base, "data")
+    if os.path.exists(lake):
+        shutil.rmtree(lake)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    lake_write(spark, o.repartitionByRange(8, "ck"), lake)
+    lake_update(
+        spark, lake, {"pc": "pc + 100000"}, "ck BETWEEN 100 AND 400",
+        col_types={"ck": "bigint", "pc": "bigint"},
+    )
+    return (
+        read_snapshot(spark, lake)
+        .groupBy((F.col("ck") % 5).cast("long").alias("g"))
+        .agg(F.count("*").alias("n"), F.sum("pc").cast("long").alias("sum_pc"))
+        .orderBy("g")
+    )

@@ -621,3 +621,71 @@ def test_snapshot_count_and_stats_are_pure_metadata(spark, tmp_path):
     with open(snap, "w") as fh:
         _json.dump(rec, fh)
     assert snapshot_row_count(lake) is None
+
+
+def test_lake_update_rewrites_only_matching_files(spark, tmp_path):
+    """UPDATE ... SET ... WHERE: provably-untouched files keep their
+    bytes (garbled to prove it); NULL-predicate rows keep their
+    original values; types never drift through expression widening."""
+    from mlb_data_pipeline_spark.operators.snapshots import lake_update
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 1000).repartitionByRange(4, "k"), lake)
+    # files entirely outside k < 250 must never be opened
+    from mlb_data_pipeline_spark.operators.layout import file_stats
+
+    outside = [fs["file"] for fs in file_stats(lake, ["k"]) if fs["min"]["k"] >= 250]
+    assert outside
+    for n in outside[1:]:  # keep one readable: it stays live
+        _corrupt_data_pages(lake, n)
+    rep = lake_update(
+        spark, lake, {"v": "v + 1000000"}, "k < 250",
+        col_types={"k": "bigint", "v": "bigint"},
+    )
+    assert rep["files_untouched"] == len(outside)
+    cur = read_snapshot(spark, lake)
+    assert set(snapshot_files(lake)) >= set(outside)  # untouched carried over
+    got = cur.filter("k IN (0, 100, 249, 250)").filter("k < 250").collect()
+    assert all(r.v == r.k * 2 + 1000000 for r in got)
+    assert dict(cur.dtypes)["v"] == "bigint"
+    # NULL predicate rows unchanged
+    lake2 = str(tmp_path / "lake2")
+    lake_write(
+        spark,
+        spark.createDataFrame([(1, 10), (None, 20), (3, 30)], KV).coalesce(1),
+        lake2,
+    )
+    lake_update(spark, lake2, {"v": "v * 10"}, "k >= 2")
+    vals = sorted(
+        ((r.k if r.k is not None else -1), r.v)
+        for r in read_snapshot(spark, lake2).collect()
+    )
+    assert vals == [(-1, 20), (1, 10), (3, 300)]  # NULL-k row untouched
+
+
+def test_tags_resolve_and_survive_vacuum(spark, tmp_path):
+    """A tag pins a version: readers resolve the name, and vacuum
+    retains the tagged version's files past keep_last until untag."""
+    from mlb_data_pipeline_spark.operators.snapshots import (
+        lake_tag,
+        lake_tags,
+        lake_untag,
+        vacuum_lake,
+    )
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 100).coalesce(1), lake)  # v1
+    lake_tag(lake, "baseline")
+    lake_write(spark, _kv(spark, 100, 400).coalesce(1), lake)  # v2
+    lake_delete(spark, lake, "k < 50", col_types={"k": "bigint", "v": "bigint"})  # v3
+    assert lake_tags(lake) == {"baseline": 1}
+    assert read_snapshot(spark, lake, "baseline").count() == 100
+    register_lake_table(spark, "t_tagged", lake)
+    assert lake_scan(spark, "t_tagged", version="baseline").count() == 100
+    rep = vacuum_lake(lake, keep_last=1)
+    assert 1 in rep["retained_versions"]  # tag held it
+    assert read_snapshot(spark, lake, "baseline").count() == 100
+    lake_untag(lake, "baseline")
+    vacuum_lake(lake, keep_last=1)
+    with pytest.raises(ValueError):
+        read_snapshot(spark, lake, "baseline")
