@@ -210,6 +210,14 @@ UNION ALL
 SELECT 'date', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
 FROM o WHERE od >= DATE '1997-01-01' AND od < DATE '1997-07-01'
 UNION ALL
+SELECT 'dml', COUNT(*),
+       CAST(SUM(CASE WHEN ck BETWEEN 90 AND 120 THEN pc + 55555 ELSE pc END) AS BIGINT),
+       MIN(ck), MAX(ck)
+FROM o WHERE NOT (ck BETWEEN 0 AND 60)
+UNION ALL
+SELECT 'dml_v1', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
+FROM o
+UNION ALL
 SELECT 'or', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
 FROM o WHERE (ck BETWEEN 50 AND 150) OR (ck BETWEEN 400 AND 600)
 ORDER BY part
@@ -226,7 +234,12 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     * 'date' — a date-range predicate (bare ISO + DATE '...') pruning
       a date-clustered lake via temporal literal folding (round 11);
     * 'or' — a two-branch disjunction pruned with the UNION of
-      per-branch keep sets (round 11).
+      per-branch keep sets (round 11);
+    * 'dml' / 'dml_v1' — the TRANSACTION layer under the driver hash
+      (round 11): a snapshot lake takes a pruned DELETE then a pruned
+      UPDATE; 'dml' reads the head through lake_scan, 'dml_v1' TIME
+      TRAVELS back to v1 — a resurrected dead file, a lost update, or
+      a broken historical read each breaks the hash.
     Every branch derives its skip plan from the predicate STRING."""
     import os
 
@@ -293,7 +306,31 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "or",
     )
-    return box.unionByName(count).unionByName(date).unionByName(disj).orderBy("part")
+
+    # snapshot-DML twin (round 11): delete + update + time travel
+    import shutil
+
+    from ..operators.snapshots import lake_delete, lake_update, lake_write
+
+    slake = os.path.join(base, "snap_data")
+    if os.path.exists(slake):
+        shutil.rmtree(slake)
+    ct = {"ck": "bigint", "pc": "bigint"}
+    lake_write(spark, o.select("ck", "pc").repartitionByRange(4, "ck"), slake)
+    lake_delete(spark, slake, "ck BETWEEN 0 AND 60", col_types=ct)
+    lake_update(spark, slake, {"pc": "pc + 55555"}, "ck BETWEEN 90 AND 120", col_types=ct)
+    register_lake_table(spark, "q23_orders_snap", slake)
+    dml = agg(lake_scan(spark, "q23_orders_snap"), "dml")
+    dml_v1 = agg(lake_scan(spark, "q23_orders_snap", version=1), "dml_v1")
+
+    return (
+        box.unionByName(count)
+        .unionByName(date)
+        .unionByName(disj)
+        .unionByName(dml)
+        .unionByName(dml_v1)
+        .orderBy("part")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1529,8 +1529,12 @@ def test_q23_catalog_hook_branches_actually_prune(spark, sf_dir):
     from mlb_data_pipeline_spark.plans.layout_queries import q23_manifest_pruned_scan
 
     rows = {r.part: r for r in q23_manifest_pruned_scan(spark, sf_dir).collect()}
-    assert set(rows) == {"box", "count", "date", "or"}
+    assert set(rows) == {"box", "count", "date", "or", "dml", "dml_v1"}
     assert rows["count"].n_orders > 0
+    # the DML branches: the delete really removed rows (head < v1) and
+    # time travel really restored them (v1 == the raw projection)
+    assert rows["dml"].n_orders < rows["dml_v1"].n_orders
+    assert rows["dml"].min_ck > 60
 
     whole = spark.read.parquet(
         "/tmp/spark_graft_io/" + sf_dir.rstrip("/").split("/")[-1] + "/r49_lake/data"
