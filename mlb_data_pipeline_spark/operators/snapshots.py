@@ -271,7 +271,11 @@ def _write_new_files(
 
 
 def lake_write(
-    spark: SparkSession, df: DataFrame, path: str, mode: str = "append"
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Write ``df`` into the lake as one committed snapshot.
 
@@ -280,11 +284,24 @@ def lake_write(
     — the previous files stay on disk for time travel (a logical
     truncate, unlike the reference's physical reload,
     hw5/load_csv.py:12-22). The first write of either mode creates
-    v1."""
+    v1.
+
+    ``partition_by`` sets the hive partition layout on the FIRST write
+    (or an overwrite); later appends/DML inherit the layout from the
+    live file paths and must not contradict it (a flat write into a
+    partitioned lake would put the key both in directories and in a
+    physical column — rejected)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     live = snapshot_files(path) if has_snapshots(path) else _data_files(path)
-    new = _write_new_files(df, path, _partition_cols(live))
+    existing = _partition_cols(live)
+    pcols = list(partition_by) if partition_by is not None else existing
+    if existing and mode == "append" and pcols != existing:
+        raise ValueError(
+            f"lake is partitioned by {existing}; append must use the same "
+            f"layout, got {pcols}"
+        )
+    new = _write_new_files(df, path, pcols)
     files = new if mode == "overwrite" else sorted(set(live) | set(new))
     version = commit_snapshot(
         path, files, mode, summary={"files_added": len(new)}
@@ -489,6 +506,7 @@ def lake_delete(
     path: str,
     predicate: str,
     col_types: dict | None = None,
+    scan_manifest: str | None = None,
 ) -> dict:
     """SQL DELETE over a snapshot lake, pruned to the boundary surface:
 
@@ -539,6 +557,7 @@ def lake_delete(
         },
         parent=head,
     )
+    _maintain_manifest(spark, path, scan_manifest)
     return {
         "version": version,
         "files_dropped": len(drop),
@@ -555,6 +574,7 @@ def lake_merge(
     source: DataFrame,
     key: str,
     when_matched: str = "update",
+    scan_manifest: str | None = None,
 ) -> dict:
     """MERGE INTO the lake by ``key``, rewriting ONLY candidate files:
 
@@ -652,6 +672,7 @@ def lake_merge(
         },
         parent=head,
     )
+    _maintain_manifest(spark, path, scan_manifest)
     return {
         "version": version,
         "files_candidates": len(candidates),
@@ -777,12 +798,31 @@ def lake_stats(path: str) -> dict:
     }
 
 
+def _maintain_manifest(spark: SparkSession, path: str, scan_manifest: str | None) -> None:
+    """In-call scan-manifest maintenance for the DML ops (mirrors
+    optimize_clustered's round-11 leg): GC rows whose files left the
+    live set, then stat the files the op wrote — O(changed files).
+    Columns come from the manifest itself (its distinct ``col`` set),
+    so callers pass only the path."""
+    if scan_manifest is None:
+        return
+    from .layout import append_scan_manifest, compact_scan_manifest
+
+    mf = spark.read.option("mergeSchema", "true").parquet(scan_manifest)
+    cols = [r.col for r in mf.select("col").distinct().collect()]
+    compact_scan_manifest(spark, path, scan_manifest)
+    if cols:
+        append_scan_manifest(spark, path, cols, scan_manifest)
+
+
+
 def lake_update(
     spark: SparkSession,
     path: str,
     assignments: dict[str, str],
     predicate: str,
     col_types: dict | None = None,
+    scan_manifest: str | None = None,
 ) -> dict:
     """SQL ``UPDATE ... SET col = expr WHERE predicate`` over a
     snapshot lake, pruned to the files that can contain a matching
@@ -828,6 +868,7 @@ def lake_update(
         },
         parent=head,
     )
+    _maintain_manifest(spark, path, scan_manifest)
     return {
         "version": version,
         "files_untouched": len(keep),

@@ -286,8 +286,10 @@ def test_optimize_partitioned_snapshot_lake(spark, tmp_path):
     into the rewrite."""
     lake = str(tmp_path / "lake")
     df = _kv(spark, 0, 1000).withColumn("p", (F.col("k") % 2).cast("long"))
-    before = lake_write(spark, df.repartitionByRange(4, "k"), lake)
+    before = lake_write(spark, df.repartitionByRange(4, "k"), lake, partition_by=["p"])
     assert before["version"] == 1
+    # the layout really is hive-partitioned: p=<v> leaf directories
+    assert any(n.startswith("p=") for n in snapshot_files(lake))
     # delete half of p=0 so its leaf holds dead files
     lake_delete(
         spark, lake, "k < 100", col_types={"k": "bigint", "v": "bigint", "p": "bigint"}
@@ -302,6 +304,9 @@ def test_optimize_partitioned_snapshot_lake(spark, tmp_path):
     assert cur.count() == n_before
     assert cur.filter("k < 100 AND v != 0").count() == 0  # deletes stayed deleted
     assert read_snapshot(spark, lake, v_before).count() == n_before
+    # a flat append into the partitioned layout is a writer error
+    with pytest.raises(ValueError, match="partitioned by"):
+        lake_write(spark, _kv(spark, 0, 10).coalesce(1), lake, partition_by=[])
 
 
 def test_plain_dir_adopts_on_first_dml(spark, tmp_path):
@@ -689,3 +694,36 @@ def test_tags_resolve_and_survive_vacuum(spark, tmp_path):
     vacuum_lake(lake, keep_last=1)
     with pytest.raises(ValueError):
         read_snapshot(spark, lake, "baseline")
+
+
+def test_dml_maintains_registered_manifest(spark, tmp_path):
+    """DML with scan_manifest= GC's rows for departed files and stats
+    the files it wrote in the same call — the metadata count stays
+    exact (and metadata-only for interiors) right after a delete and
+    an update, with no separate day-2 run."""
+    from mlb_data_pipeline_spark.operators.snapshots import lake_update
+
+    lake = str(tmp_path / "lake")
+    manifest = str(tmp_path / "manifest")
+    lake_write(spark, _kv(spark, 0, 1000).repartitionByRange(4, "k"), lake)
+    save_scan_manifest(spark, lake, ["k", "v"], manifest)
+    register_lake_table(spark, "t_dml_m", lake, scan_manifest=manifest)
+    lake_delete(
+        spark, lake, "k < 250",
+        col_types={"k": "bigint", "v": "bigint"}, scan_manifest=manifest,
+    )
+    mf = spark.read.option("mergeSchema", "true").parquet(manifest)
+    live = set(snapshot_files(lake))
+    assert {r.file for r in mf.select("file").distinct().collect()} == live
+    assert lake_count(spark, "t_dml_m", "k BETWEEN 300 AND 700") == 401
+    lake_update(
+        spark, lake, {"v": "v + 7"}, "k >= 900",
+        col_types={"k": "bigint", "v": "bigint"}, scan_manifest=manifest,
+    )
+    mf = spark.read.option("mergeSchema", "true").parquet(manifest)
+    assert {r.file for r in mf.select("file").distinct().collect()} == set(
+        snapshot_files(lake)
+    )
+    assert lake_count(spark, "t_dml_m", "k BETWEEN 300 AND 700") == 401
+    got = lake_scan(spark, "t_dml_m", "k >= 995").orderBy("k").collect()
+    assert [r.v for r in got] == [k * 2 + 7 for k in range(995, 1000)]
