@@ -663,6 +663,10 @@ def lake_snapshot_stream(
     checkpoint_dir: str,
     stat_cols: list[str] | None = None,
     box_manifest_path: str | None = None,
+    optimize_every: int | None = None,
+    optimize_specs: list[tuple[str, int, int]] | None = None,
+    optimize_bits: int = 10,
+    vacuum_keep_last: int | None = None,
 ) -> None:
     """Streaming ingestion into a SNAPSHOT lake (operators/snapshots.py)
     with exactly-once VISIBILITY: each micro-batch's files land
@@ -681,10 +685,17 @@ def lake_snapshot_stream(
     ``stat_cols``/``box_manifest_path``: optional manifest maintenance
     per commit — O(batch) footer appends, same as lake_append_stream.
 
+    Maintenance cadence (round 11, mirrors lake_append_stream's):
+    every ``optimize_every`` committed batches an in-stream
+    ``optimize_clustered`` re-sorts the accumulated wide-span batch
+    files (snapshot-aware: one commit, old bytes stay for time
+    travel), and — when ``vacuum_keep_last`` is set — ``vacuum_lake``
+    expires history down to the last N versions in the same tick, so
+    the log and the dead bytes stay bounded on an infinite stream.
+
     100 TB note: per-batch cost is the batch write + one json link +
-    O(batch) footer reads. History grows one snapshot per batch; run
-    ``vacuum_lake(keep_last=N)`` on the same cadence as OPTIMIZE to
-    bound it."""
+    O(batch) footer reads. History grows one snapshot per batch; the
+    vacuum cadence bounds it."""
     from ..operators.layout import append_scan_manifest
     from ..operators.snapshots import (
         _write_new_files,
@@ -694,12 +705,26 @@ def lake_snapshot_stream(
         snapshot_files,
     )
 
+    if vacuum_keep_last is not None and vacuum_keep_last < 2:
+        # the maintenance tick commits optimize AFTER the batch's
+        # stream_append; keep_last=1 would expire the append record and
+        # a redelivered batch could re-ingest — two retained versions
+        # always keep the newest batch_id visible to the replay guard
+        raise ValueError("vacuum_keep_last must be >= 2 for the snapshot stream")
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if has_snapshots(lake_path):
-            for h in lake_history(lake_path):
-                if h["summary"].get("batch_id") == batch_id:
-                    return  # redelivery of a committed batch: no-op
+            # monotonic replay guard: stream batch ids only grow, so a
+            # batch at or below the highest committed id is a
+            # redelivery — robust to vacuum expiring OLD records
+            seen = [
+                h["summary"]["batch_id"]
+                for h in lake_history(lake_path)
+                if "batch_id" in h["summary"]
+            ]
+            if seen and batch_id <= max(seen):
+                return  # redelivery of a committed batch: no-op
             live = snapshot_files(lake_path)
         else:
             from ..operators.layout import _data_files
@@ -714,6 +739,20 @@ def lake_snapshot_stream(
         )
         if box_manifest_path is not None and stat_cols:
             append_scan_manifest(spark, lake_path, stat_cols, box_manifest_path)
+        if optimize_every and optimize_specs and (batch_id + 1) % optimize_every == 0:
+            from ..operators.layout import optimize_clustered
+            from ..operators.snapshots import vacuum_lake
+
+            optimize_clustered(
+                spark,
+                lake_path,
+                optimize_specs,
+                optimize_bits,
+                manifest_path=box_manifest_path,
+                stat_cols=stat_cols,
+            )
+            if vacuum_keep_last is not None:
+                vacuum_lake(lake_path, keep_last=vacuum_keep_last)
 
     q = (
         rows_stream.writeStream.foreachBatch(process)

@@ -727,3 +727,58 @@ def test_dml_maintains_registered_manifest(spark, tmp_path):
     assert lake_count(spark, "t_dml_m", "k BETWEEN 300 AND 700") == 401
     got = lake_scan(spark, "t_dml_m", "k >= 995").orderBy("k").collect()
     assert [r.v for r in got] == [k * 2 + 7 for k in range(995, 1000)]
+
+
+def test_snapshot_stream_maintenance_cadence(spark, tmp_path):
+    """optimize_every + vacuum_keep_last inside the snapshot stream:
+    wide-span batch files re-cluster mid-stream with ONE snapshot
+    commit, history stays bounded, rows stay exact, and the replay
+    guard survives vacuum (monotonic batch-id rule)."""
+    from mlb_data_pipeline_spark.operators.snapshots import (
+        lake_history,
+        read_snapshot,
+    )
+    from mlb_data_pipeline_spark.streaming.jobs import lake_snapshot_stream
+
+    lake = str(tmp_path / "lake")
+    manifest = str(tmp_path / "manifest")
+    src = str(tmp_path / "src")
+    from mlb_data_pipeline_spark.operators.layout import save_scan_manifest
+
+    lake_write(spark, _kv(spark, 0, 2000).repartitionByRange(4, "k"), lake)
+    save_scan_manifest(spark, lake, ["k"], manifest)
+    # four unsorted full-range batches (each file wide-span = dirty)
+    for i in range(4):
+        (
+            spark.range(2000)
+            .select(((F.col("id") * 97 + i) % 2000).alias("k"), F.lit(i).alias("v"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema(KV).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    lake_snapshot_stream(
+        stream,
+        lake,
+        str(tmp_path / "ckpt"),
+        stat_cols=["k"],
+        box_manifest_path=manifest,
+        optimize_every=2,
+        optimize_specs=[("k", 0, 2000)],
+        vacuum_keep_last=3,
+    )
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == 2000 + 4 * 2000
+    hist = lake_history(lake)
+    assert len(hist) <= 3  # vacuum bounded the log
+    assert any(h["op"] == "optimize" for h in hist)
+    # replay with a fresh checkpoint: monotonic guard skips everything
+    stream2 = (
+        spark.readStream.schema(KV).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    lake_snapshot_stream(stream2, lake, str(tmp_path / "ckpt2"), vacuum_keep_last=2)
+    assert read_snapshot(spark, lake).count() == 2000 + 4 * 2000
+    with pytest.raises(ValueError, match=">= 2"):
+        lake_snapshot_stream(stream2, lake, str(tmp_path / "ckpt3"), vacuum_keep_last=1)
