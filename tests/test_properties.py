@@ -373,3 +373,57 @@ def test_lake_scan_matches_full_filter_on_random_predicates(spark, _hook_lake, p
     want = sorted(tuple(r) for r in whole.filter(pred).collect())
     got = sorted(tuple(r) for r in lake_scan(spark, "prop_hook_lake", pred).collect())
     assert got == want, pred
+
+
+# ---------------------------------------------------------------------------
+# DML soundness under RANDOM predicates (round 11): whatever the
+# delete classifier proves — drop a file unopened, keep it untouched,
+# rewrite a boundary — lake_delete must equal the row-level SQL DELETE
+# (keep where predicate is FALSE or NULL) and lake_update the
+# row-level CASE, on a partitioned, null-bearing snapshot lake. Same
+# adversarial predicate generator as the lake_scan property.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pred=_predicates(), op=st.sampled_from(["delete", "update"]))
+def test_lake_dml_matches_row_level_semantics(spark, pred, op):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.operators.snapshots import (
+        lake_delete,
+        lake_update,
+        lake_write,
+        read_snapshot,
+    )
+
+    df = spark.range(800).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 != 0, F.col("id") * 7 % 1000).alias("v"),
+        (F.col("id") % 4).alias("p"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("tag"),
+    )
+    ct = {"k": "bigint", "v": "bigint", "p": "bigint", "tag": "string"}
+    base = tempfile.mkdtemp(prefix="dmlprop_")
+    lake = base + "/data"
+    try:
+        lake_write(spark, df.repartitionByRange(4, "k"), lake, partition_by=["p"])
+        if op == "delete":
+            lake_delete(spark, lake, pred, col_types=ct)
+            want = df.filter(f"NOT ({pred}) OR ({pred}) IS NULL")
+        else:
+            lake_update(spark, lake, {"v": "v + 100000"}, pred, col_types=ct)
+            want = df.withColumn(
+                "v",
+                F.when(F.expr(pred), F.col("v") + 100000).otherwise(F.col("v")),
+            )
+        cols = ["k", "v", "p", "tag"]
+        got = sorted(
+            tuple(r) for r in read_snapshot(spark, lake).select(*cols).collect()
+        )
+        assert got == sorted(tuple(r) for r in want.select(*cols).collect()), (op, pred)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
