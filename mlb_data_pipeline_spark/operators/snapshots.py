@@ -276,6 +276,7 @@ def lake_write(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """Write ``df`` into the lake as one committed snapshot.
 
@@ -294,6 +295,21 @@ def lake_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     live = snapshot_files(path) if has_snapshots(path) else _data_files(path)
+    if live and mode == "append":
+        cur_cols = set(read_snapshot(spark, path).columns) if has_snapshots(path) else set(
+            spark.read.option("mergeSchema", "true").parquet(path).columns
+        )
+        new_cols = set(df.columns)
+        if new_cols != cur_cols and not allow_schema_evolution:
+            raise ValueError(
+                f"schema drift: write has {sorted(new_cols - cur_cols) or '-'} extra / "
+                f"{sorted(cur_cols - new_cols) or '-'} missing vs the lake; pass "
+                "allow_schema_evolution=True to evolve (old rows read NULL for new columns)"
+            )
+        if not new_cols >= cur_cols and allow_schema_evolution:
+            raise ValueError(
+                f"schema evolution may only ADD columns; write is missing {sorted(cur_cols - new_cols)}"
+            )
     existing = _partition_cols(live)
     pcols = list(partition_by) if partition_by is not None else existing
     if existing and mode == "append" and pcols != existing:
@@ -328,8 +344,16 @@ def read_snapshot(
             f"references {len(missing)} vacuumed file(s) (e.g. {missing[0]!r}) — "
             "expired versions cannot be read"
         )
-    return spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, n) for n in files]
+    # mergeSchema: an evolved lake (lake_write allow_schema_evolution)
+    # holds files with different column sets; without the merge Spark
+    # adopts ONE footer's schema and silently drops the others'
+    # columns. Old files surface NULL for later-added columns — and a
+    # time-travel read of a pre-evolution version naturally shows the
+    # old schema (only its own files merge).
+    return (
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(path, n) for n in files])
     )
 
 

@@ -306,7 +306,12 @@ def test_optimize_partitioned_snapshot_lake(spark, tmp_path):
     assert read_snapshot(spark, lake, v_before).count() == n_before
     # a flat append into the partitioned layout is a writer error
     with pytest.raises(ValueError, match="partitioned by"):
-        lake_write(spark, _kv(spark, 0, 10).coalesce(1), lake, partition_by=[])
+        lake_write(
+            spark,
+            _kv(spark, 0, 10).withColumn("p", F.lit(0).cast("long")).coalesce(1),
+            lake,
+            partition_by=[],
+        )
 
 
 def test_plain_dir_adopts_on_first_dml(spark, tmp_path):
@@ -782,3 +787,32 @@ def test_snapshot_stream_maintenance_cadence(spark, tmp_path):
     assert read_snapshot(spark, lake).count() == 2000 + 4 * 2000
     with pytest.raises(ValueError, match=">= 2"):
         lake_snapshot_stream(stream2, lake, str(tmp_path / "ckpt3"), vacuum_keep_last=1)
+
+
+def test_schema_evolution_gated_and_merge_read(spark, tmp_path):
+    """Appending a drifted schema is an error unless
+    allow_schema_evolution=True; evolved reads merge schemas (old rows
+    NULL for new columns) and a pre-evolution time travel shows the
+    old schema exactly."""
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 100).coalesce(1), lake)
+    wider = _kv(spark, 100, 150).withColumn("w", F.col("k") * 10)
+    with pytest.raises(ValueError, match="schema drift"):
+        lake_write(spark, wider.coalesce(1), lake)
+    # evolution may only ADD columns
+    with pytest.raises(ValueError, match="only ADD"):
+        lake_write(
+            spark, wider.select("k", "w").coalesce(1), lake,
+            allow_schema_evolution=True,
+        )
+    lake_write(spark, wider.coalesce(1), lake, allow_schema_evolution=True)
+    cur = read_snapshot(spark, lake)
+    assert set(cur.columns) == {"k", "v", "w"}
+    assert cur.count() == 150
+    assert cur.filter("w IS NULL").count() == 100  # old rows surface NULL
+    assert cur.filter("w IS NOT NULL").count() == 50
+    old = read_snapshot(spark, lake, 1)
+    assert set(old.columns) == {"k", "v"}  # pre-evolution schema intact
+    # DML across the evolved lake stays exact
+    lake_delete(spark, lake, "k >= 120", col_types={"k": "bigint"})
+    assert read_snapshot(spark, lake).count() == 120
