@@ -484,12 +484,56 @@ def _all_rows_match(
     return True
 
 
+def _lake_file_stats(
+    spark: SparkSession | None,
+    path: str,
+    cols: list[str],
+    scan_manifest: str | None,
+) -> list[dict]:
+    """Per-live-file stats in ``file_stats``'s dict shape, sourced from
+    the SCAN MANIFEST when one is given (no footer opens for
+    manifest-known files); unknown files stat from their own footer
+    (O(delta))."""
+    live = _data_files(path)
+    if scan_manifest is None or spark is None or not cols:
+        return file_stats(path, cols, live)
+    mf = spark.read.option("mergeSchema", "true").parquet(scan_manifest)
+    by_file: dict[str, dict] = {}
+    rows_by_file: dict[str, int] = {}
+    for r in mf.filter(F.col("col").isin(list(cols))).collect():
+        rows_by_file[r.file] = int(r.rows)
+        d = by_file.setdefault(r.file, {"min": {}, "max": {}, "nulls": {}})
+        if r.lo is not None and r.hi is not None:
+            d["min"][r.col] = float(r.lo)
+            d["max"][r.col] = float(r.hi)
+        nc = getattr(r, "nulls", None) if "nulls" in mf.columns else None
+        d["nulls"][r.col] = int(nc) if nc is not None else None
+    known = set(rows_by_file)
+    out = [
+        {"file": n, "rows": rows_by_file[n], **by_file[n]}
+        for n in live
+        if n in known
+    ]
+    unknown = [n for n in live if n not in known]
+    if unknown:
+        out.extend(file_stats(path, cols, unknown))
+    return sorted(out, key=lambda fs: fs["file"])
+
+
 def _classify_for_delete(
-    path: str, predicate: str, col_types: dict | None
+    path: str,
+    predicate: str,
+    col_types: dict | None,
+    spark: SparkSession | None = None,
+    scan_manifest: str | None = None,
 ) -> tuple[list[str], list[str], list[str]]:
     """(drop, keep, rewrite) — the three-way file classification behind
-    ``lake_delete``, decided from parquet footers + partition values
-    only. Unparseable predicates classify everything as rewrite
+    ``lake_delete``/``lake_update``, decided from stats + partition
+    values only. With a registered scan manifest (round 11) the stats
+    come from ITS rows — zero footer opens for manifest-known files,
+    the difference between O(manifest scan) and O(open 100k footers)
+    at scale; files the manifest hasn't seen fall back to their own
+    footer. Unparseable predicates classify everything as rewrite
     (correct, just unpruned)."""
     from ..catalog import _extract_exact_clauses, _extract_skip_branches
 
@@ -500,7 +544,7 @@ def _classify_for_delete(
         cols |= set(box) | set(equals) | set(nots) | set(nullness)
     if exact is not None:
         cols |= set(exact[0]) | set(exact[1])
-    stats = file_stats(path, sorted(cols)) if cols else [
+    stats = _lake_file_stats(spark, path, sorted(cols), scan_manifest) if cols else [
         {"file": n, "min": {}, "max": {}, "nulls": {}, "rows": 0}
         for n in _data_files(path)
     ]
@@ -549,7 +593,9 @@ def lake_delete(
         # adopt: first DML on a plain parquet dir commits v1 = as-is
         commit_snapshot(path, _data_files(path), "adopt")
     head = current_version(path)
-    drop, keep, rewrite = _classify_for_delete(path, predicate, col_types)
+    drop, keep, rewrite = _classify_for_delete(
+        path, predicate, col_types, spark, scan_manifest
+    )
     new_files: list[str] = []
     rows_deleted = 0
     if rewrite:
@@ -652,7 +698,7 @@ def lake_merge(
             nums = [float(row.lo), float(row.hi)]
     import bisect
 
-    stats = {fs["file"]: fs for fs in file_stats(path, [key])}
+    stats = {fs["file"]: fs for fs in _lake_file_stats(spark, path, [key], scan_manifest)}
     candidates, untouched = [], []
     for n in live:
         fs = stats.get(n)
@@ -861,7 +907,9 @@ def lake_update(
     if not has_snapshots(path):
         commit_snapshot(path, _data_files(path), "adopt")
     head = current_version(path)
-    allmatch, keep, boundary = _classify_for_delete(path, predicate, col_types)
+    allmatch, keep, boundary = _classify_for_delete(
+        path, predicate, col_types, spark, scan_manifest
+    )
     to_rewrite = sorted(set(allmatch) | set(boundary))
     new_files: list[str] = []
     if to_rewrite:

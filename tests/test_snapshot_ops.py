@@ -816,3 +816,41 @@ def test_schema_evolution_gated_and_merge_read(spark, tmp_path):
     # DML across the evolved lake stays exact
     lake_delete(spark, lake, "k >= 120", col_types={"k": "bigint"})
     assert read_snapshot(spark, lake).count() == 120
+
+
+def test_dml_classification_from_manifest_zero_footer_opens(spark, tmp_path):
+    """With a scan manifest, DML planning never opens even the FOOTER
+    of a manifest-known file: corrupt an all-match file WHOLESALE
+    (footer included) — footer-driven classification would crash on
+    it; the manifest-driven path drops it metadata-only."""
+    lake = str(tmp_path / "lake")
+    manifest = str(tmp_path / "manifest")
+    lake_write(spark, _kv(spark, 0, 1000).repartitionByRange(4, "k"), lake)
+    save_scan_manifest(spark, lake, ["k", "v"], manifest)
+    from mlb_data_pipeline_spark.operators.layout import file_stats
+
+    covered = [fs["file"] for fs in file_stats(lake, ["k"]) if fs["max"]["k"] < 250]
+    assert covered
+    for n in covered:
+        _corrupt(lake, n)  # WHOLE file, footer included
+    rep = lake_delete(
+        spark, lake, "k < 250",
+        col_types={"k": "bigint", "v": "bigint"}, scan_manifest=manifest,
+    )
+    assert rep["files_dropped"] == len(covered)
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == 750 and cur.agg(F.min("k")).head()[0] == 250
+    # merge candidacy from the manifest too: non-candidate files can
+    # be fully corrupt and the merge still plans around them
+    lake2 = str(tmp_path / "lake2")
+    manifest2 = str(tmp_path / "manifest2")
+    lake_write(spark, _kv(spark, 0, 1000).repartitionByRange(4, "k"), lake2)
+    save_scan_manifest(spark, lake2, ["k"], manifest2)
+    non_cand = [fs["file"] for fs in file_stats(lake2, ["k"]) if fs["min"]["k"] > 520]
+    assert non_cand
+    for n in non_cand:
+        _corrupt_data_pages(lake2, n)  # data pages only: they stay live
+    src = spark.createDataFrame([(k, -5) for k in range(500, 510)], KV)
+    rep = lake_merge(spark, lake2, src, "k", scan_manifest=manifest2)
+    assert rep["files_untouched"] >= len(non_cand)
+    assert read_snapshot(spark, lake2).filter("v = -5").count() == 10
