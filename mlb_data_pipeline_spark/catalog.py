@@ -804,6 +804,61 @@ def lake_min_max(
     return base.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
 
 
+def lake_delete_where(spark: SparkSession, name: str, predicate: str) -> dict:
+    """SQL DELETE on a REGISTERED lake table — the catalog wires the
+    table path, the schema's column types (temporal literal folding),
+    and the registered scan manifest (footer-free classification +
+    in-call manifest maintenance) with no caller opt-in."""
+    ent = _lake_entry(spark, name)
+    from .operators.snapshots import lake_delete
+
+    return lake_delete(
+        spark,
+        ent["path"],
+        predicate,
+        col_types=_lake_col_types(spark, ent),
+        scan_manifest=ent["scan_manifest"],
+    )
+
+
+def lake_update_where(
+    spark: SparkSession, name: str, assignments: dict[str, str], predicate: str
+) -> dict:
+    """SQL UPDATE on a registered lake table (see lake_delete_where)."""
+    ent = _lake_entry(spark, name)
+    from .operators.snapshots import lake_update
+
+    return lake_update(
+        spark,
+        ent["path"],
+        assignments,
+        predicate,
+        col_types=_lake_col_types(spark, ent),
+        scan_manifest=ent["scan_manifest"],
+    )
+
+
+def lake_merge_into(
+    spark: SparkSession,
+    name: str,
+    source: DataFrame,
+    key: str,
+    when_matched: str = "update",
+) -> dict:
+    """MERGE INTO a registered lake table (see lake_delete_where)."""
+    ent = _lake_entry(spark, name)
+    from .operators.snapshots import lake_merge
+
+    return lake_merge(
+        spark,
+        ent["path"],
+        source,
+        key,
+        when_matched=when_matched,
+        scan_manifest=ent["scan_manifest"],
+    )
+
+
 def lake_approx_distinct(
     spark: SparkSession, name: str, col: str, predicate: str | None = None
 ) -> int:

@@ -307,19 +307,24 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "or",
     )
 
-    # snapshot-DML twin (round 11): delete + update + time travel
+    # snapshot-DML twin (round 11): delete + update + time travel,
+    # all THROUGH the catalog (lake_*_where wire path, col_types, and
+    # the registered scan manifest automatically)
     import shutil
 
-    from ..operators.snapshots import lake_delete, lake_update, lake_write
+    from ..catalog import lake_delete_where, lake_update_where
+    from ..operators.layout import save_scan_manifest as _ssm
+    from ..operators.snapshots import lake_write
 
     slake = os.path.join(base, "snap_data")
+    smanifest = os.path.join(base, "snap_manifest")
     if os.path.exists(slake):
         shutil.rmtree(slake)
-    ct = {"ck": "bigint", "pc": "bigint"}
     lake_write(spark, o.select("ck", "pc").repartitionByRange(4, "ck"), slake)
-    lake_delete(spark, slake, "ck BETWEEN 0 AND 60", col_types=ct)
-    lake_update(spark, slake, {"pc": "pc + 55555"}, "ck BETWEEN 90 AND 120", col_types=ct)
-    register_lake_table(spark, "q23_orders_snap", slake)
+    _ssm(spark, slake, ["ck", "pc"], smanifest)
+    register_lake_table(spark, "q23_orders_snap", slake, scan_manifest=smanifest)
+    lake_delete_where(spark, "q23_orders_snap", "ck BETWEEN 0 AND 60")
+    lake_update_where(spark, "q23_orders_snap", {"pc": "pc + 55555"}, "ck BETWEEN 90 AND 120")
     dml = agg(lake_scan(spark, "q23_orders_snap"), "dml")
     dml_v1 = agg(lake_scan(spark, "q23_orders_snap", version=1), "dml_v1")
 
