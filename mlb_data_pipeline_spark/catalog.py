@@ -519,6 +519,115 @@ def lake_scan(
     return spark.read.option("basePath", path).parquet(*files).filter(predicate)
 
 
+def lake_explain(spark: SparkSession, name: str, predicate: str | None = None) -> dict:
+    """EXPLAIN for the catalog hook's file-skipping decision: which
+    live files a ``lake_scan(name, predicate)`` would read, which it
+    would skip, and WHY — per skipped file the set of rules that fired
+    (``partition`` directory value, ``stats`` manifest min/max or
+    all-null row, ``nulls`` null-count rule, ``bloom`` bitmap miss).
+    A file is skipped only when EVERY OR-branch proves it irrelevant;
+    the reasons union across branches. Metadata-only (no data read).
+
+    The kept set here must equal what ``lake_scan`` actually reads —
+    pinned by test so the explainer can never drift from the planner."""
+    from .operators.layout import (
+        _bloom_skippable,
+        _compact_recover_tree,
+        _data_files,
+        _partition_skippable,
+        _partition_values,
+    )
+
+    ent = _lake_entry(spark, name)
+    path = ent["path"]
+    _compact_recover_tree(path)
+    live = _data_files(path)
+    out = {
+        "table": name,
+        "predicate": predicate,
+        "files_total": len(live),
+        "files_kept": len(live),
+        "files_skipped": 0,
+        "skip_frac": 0.0,
+        "branches": 0,
+        "skipped": {},
+    }
+    if not predicate:
+        return out
+    col_types = _lake_col_types(spark, ent)
+    branches = _extract_skip_branches(predicate, col_types)
+    if not branches:
+        out["reason"] = "no usable conjunct — full scan + exact filter"
+        return out
+    out["branches"] = len(branches)
+    # manifest stats, loaded once: file -> col -> (lo, hi, nulls)
+    stats: dict[str, dict] = {}
+    rows_by_file: dict[str, int] = {}
+    if ent["scan_manifest"] is not None:
+        mf = spark.read.option("mergeSchema", "true").parquet(ent["scan_manifest"])
+        has_nulls = "nulls" in mf.columns
+        for r in mf.collect():
+            rows_by_file[r.file] = int(r.rows)
+            stats.setdefault(r.file, {})[r.col] = (
+                r.lo,
+                r.hi,
+                (int(r.nulls) if r.nulls is not None else None) if has_nulls else None,
+            )
+    # bloom skip sets, computed once per (branch, col, value)
+    bloom_cache: dict[tuple, set] = {}
+    reasons: dict[str, set] = {}
+    skipped_all: set[str] | None = None
+    for box, equals, nots, nullness in branches:
+        branch_skipped: set[str] = set()
+        for n in live:
+            why = set()
+            if _partition_skippable(
+                _partition_values(n), box, equals, col_types, nots, nullness
+            ):
+                why.add("partition")
+            st = stats.get(n, {})
+            for c, (lo, hi) in box.items():
+                s = st.get(c)
+                if s is None:
+                    continue
+                try:
+                    lo_f, hi_f = float(lo), float(hi)
+                except (TypeError, ValueError):
+                    continue
+                if s[0] is None or s[1] is None:
+                    why.add("stats")  # all-null column: box matches nothing
+                elif s[1] < lo_f or s[0] > hi_f:
+                    why.add("stats")
+            for c, kind in (nullness or {}).items():
+                s = st.get(c)
+                if s is None or s[2] is None:
+                    continue
+                nrows = rows_by_file.get(n)
+                if kind == "null" and s[2] == 0:
+                    why.add("nulls")
+                elif kind == "notnull" and nrows is not None and s[2] == nrows:
+                    why.add("nulls")
+            for c, v in equals.items():
+                if c in ent["bloom_manifests"]:
+                    key = (c, repr(v))
+                    if key not in bloom_cache:
+                        bloom_cache[key] = _bloom_skippable(
+                            spark, ent["bloom_manifests"][c], v
+                        )
+                    if n in bloom_cache[key]:
+                        why.add("bloom")
+            if why:
+                branch_skipped.add(n)
+                reasons.setdefault(n, set()).update(why)
+        skipped_all = branch_skipped if skipped_all is None else (skipped_all & branch_skipped)
+    skipped = skipped_all or set()
+    out["files_kept"] = len(live) - len(skipped)
+    out["files_skipped"] = len(skipped)
+    out["skip_frac"] = round(len(skipped) / len(live), 4) if live else 0.0
+    out["skipped"] = {n: sorted(reasons[n]) for n in sorted(skipped)}
+    return out
+
+
 def lake_join_scan(
     spark: SparkSession,
     name: str,

@@ -854,3 +854,55 @@ def test_dml_classification_from_manifest_zero_footer_opens(spark, tmp_path):
     rep = lake_merge(spark, lake2, src, "k", scan_manifest=manifest2)
     assert rep["files_untouched"] >= len(non_cand)
     assert read_snapshot(spark, lake2).filter("v = -5").count() == 10
+
+
+def test_lake_explain_matches_lake_scan_read_set(spark, tmp_path):
+    """The explainer's kept set must equal what lake_scan actually
+    reads, and each skipped file carries the rule(s) that fired."""
+    from mlb_data_pipeline_spark.catalog import lake_explain
+    from mlb_data_pipeline_spark.operators.layout import save_bloom_manifest
+
+    lake = str(tmp_path / "lake")
+    manifest = str(tmp_path / "manifest")
+    bloom = str(tmp_path / "bloom")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 != 0, F.col("id")).alias("v"),
+        (F.col("id") % 4).cast("long").alias("p"),
+        F.concat(F.lit("u"), (F.col("id") % 50).cast("string")).alias("tag"),
+    )
+    df.repartitionByRange(4, "k").write.partitionBy("p").parquet(lake)
+    save_scan_manifest(spark, lake, ["k", "v"], manifest)
+    save_bloom_manifest(spark, lake, "tag", bloom, expected_per_file=64)
+    register_lake_table(
+        spark, "t_explain", lake, scan_manifest=manifest,
+        bloom_manifests={"tag": bloom},
+    )
+    preds = [
+        "k BETWEEN 100 AND 300",
+        "p = 2 AND k >= 500",
+        "(k < 100) OR (k > 1800)",
+        "v IS NULL AND k <= 400",
+        "tag = 'nope AND k = 7' AND k >= 0",
+        "length(tag) > 1",  # unparseable: full scan
+    ]
+    for pred in preds:
+        rep = lake_explain(spark, "t_explain", pred)
+        got_files = {
+            f.split(lake.lstrip("/"))[-1].lstrip("/")
+            for f in lake_scan(spark, "t_explain", pred).inputFiles()
+        }
+        assert rep["files_kept"] == len(got_files), (pred, rep)
+        for why in rep["skipped"].values():
+            assert set(why) <= {"partition", "stats", "nulls", "bloom"}
+    # rule attribution: a pure partition predicate blames 'partition',
+    # a clustered-range predicate blames 'stats'
+    rep = lake_explain(spark, "t_explain", "p = 2")
+    assert rep["files_skipped"] > 0
+    assert all(w == ["partition"] for w in rep["skipped"].values())
+    rep = lake_explain(spark, "t_explain", "k BETWEEN 0 AND 50")
+    assert rep["files_skipped"] > 0
+    assert all("stats" in w for w in rep["skipped"].values())
+    rep = lake_explain(spark, "t_explain", "tag = 'u7'")
+    assert rep["files_skipped"] > 0
+    assert all("bloom" in w for w in rep["skipped"].values())
