@@ -18,19 +18,31 @@ Iceberg/Delta-shaped transaction log on top of the same directory:
   ``version_as_of(path, ts)``: files removed by later commits stay on
   disk until ``vacuum_lake`` expires them, so historical reads are
   bit-exact, not best-effort.
-* **Pruned DML** — ``lake_delete`` / ``lake_merge`` classify the live
-  files from their parquet FOOTER stats (plus directory-encoded
-  partition values) before touching any data:
+* **Pruned DML** — ``lake_delete`` / ``lake_update`` / ``lake_merge``
+  classify the live files from stats (the registered SCAN MANIFEST
+  when given — zero footer opens for manifest-known files — else the
+  parquet footers) plus directory-encoded partition values before
+  touching any data:
 
   - delete: files whose stats prove EVERY row matches drop from the
     snapshot without being opened (a metadata-only delete); files
-    provably untouched keep their bytes; only BOUNDARY files rewrite.
-  - merge (upsert): only files whose key range can contain a source
-    key rewrite; the rest of the lake is never read. Inserts land as
-    new files.
+    provably untouched keep their bytes; only BOUNDARY files rewrite
+    (keeping rows where the predicate is FALSE or NULL).
+  - update: SET expressions apply under a CASE rewriting only
+    can-match files; updated columns cast back to their original type.
+  - merge (upsert / delete-matched): only files whose key range can
+    contain a source key rewrite; the rest of the lake is never read.
+    Inserts land as new files.
 
   At 100 TB this is the difference between "DELETE = rewrite the
   table" and "DELETE = a json write plus the boundary surface".
+* **Day-2 surface** — version TAGS (vacuum-protected read refs),
+  ``read_changes`` (net row diff between versions from the FILE-SET
+  diff alone — shared files cancel unopened), ``snapshot_row_count``
+  (COUNT(*) from the commit's own per-file row counts, zero reads),
+  ``lake_stats`` (live/dead/unreferenced debt from metadata), gated
+  ADD-only schema evolution with merge-schema reads, and exactly-once
+  VISIBLE streaming ingestion (streaming/jobs.lake_snapshot_stream).
 
 Concurrency model: optimistic single-winner commits. The version file
 is hard-linked into place with an exclusive create — two writers
