@@ -967,3 +967,62 @@ def r74_lake_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("pc").cast("long").alias("sum_pc"))
         .orderBy("g")
     )
+
+
+# ---------------------------------------------------------------------------
+# R75 — snapshots x IVM (round 11, warehouse.refresh_rollup_from_lake):
+#        the materialized rollup maintains itself from the LAKE'S OWN
+#        COMMIT LOG — no changelog infrastructure. The store remembers
+#        the lake version it reflects; a refresh folds
+#        read_changes(last, head) (file-set-diff CDC, shared files
+#        cancel unopened) into signed partials merged into touched
+#        partitions only. The query builds the store at v1, applies an
+#        append then a pruned DELETE, refreshes ONCE, and reads the
+#        store; the oracle aggregates the final logical table straight
+#        from the raw rows — a refresh that misses churn, double-
+#        applies it, or resurrects deleted rows breaks the hash.
+# ---------------------------------------------------------------------------
+
+_R75_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS om
+  FROM orders
+),
+cur AS (SELECT * FROM o WHERE NOT (ck % 7 = 3))
+SELECT om, COUNT(*) AS n, CAST(SUM(pc) AS DOUBLE) AS total
+FROM cur GROUP BY om ORDER BY om
+"""
+
+
+@query("r75_lake_ivm_refresh", oracle=_R75_SQL, covers="X35,X38,X41,A2")
+def r75_lake_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.snapshots import lake_delete, lake_write
+    from ..sources.warehouse import refresh_rollup_from_lake, rollup_from_store
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r75_lake"
+    )
+    lake, store = os.path.join(base, "data"), os.path.join(base, "store")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+        F.month("o_orderdate").cast("long").alias("om"),
+        (F.col("o_custkey") % 7).cast("long").alias("g"),
+    )
+    lake_write(spark, o.filter(F.col("ck") % 2 == 0).repartitionByRange(4, "ck"), lake)
+    refresh_rollup_from_lake(spark, lake, store, "om", ["g"], "pc")  # built at v1
+    lake_write(spark, o.filter(F.col("ck") % 2 == 1).repartitionByRange(2, "ck"), lake)
+    lake_delete(spark, lake, "g = 3", col_types={"g": "bigint"})
+    refresh_rollup_from_lake(spark, lake, store, "om", ["g"], "pc")  # one refresh, both commits
+    return (
+        rollup_from_store(spark, store, ["om"], scale=2)
+        .select("om", "n", F.col("total"))
+        .orderBy("om")
+    )

@@ -280,6 +280,22 @@ def update_rollup_store_cdc(
         .groupBy(partition_col, *group_cols)
         .agg(F.sum("__dn").alias("n"), F.sum("__dv").cast("decimal(30,6)").alias("partial_sum"))
     )
+    _merge_signed_delta(spark, path, delta, partition_col, group_cols)
+
+
+def _merge_signed_delta(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    partition_col: str,
+    group_cols: list[str],
+) -> None:
+    """The IVM merge tail shared by the CDC-changelog and the
+    snapshot-CDC maintainers: signed partials merge into TOUCHED
+    partitions only (dynamic overwrite), zero-count groups leave the
+    store, emptied partition dirs drop explicitly (escaped paths)."""
+    from pyspark.sql import functions as F
+
     # touched partitions: bounded metadata collect (partition values)
     touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
     if not touched:
@@ -324,3 +340,68 @@ def update_rollup_store_cdc(
             fs = dirpath.getFileSystem(conf)
             if fs.exists(dirpath):
                 fs.delete(dirpath, True)
+
+
+def refresh_rollup_from_lake(
+    spark: SparkSession,
+    lake_path: str,
+    store_path: str,
+    partition_col: str,
+    group_cols: list[str],
+    value_col: str,
+) -> dict:
+    """Materialized-view maintenance driven by the LAKE'S OWN COMMIT
+    LOG (round 11 — snapshots x IVM): the rollup store remembers the
+    lake version it reflects (``_ivm_state.json``); a refresh reads
+    ``snapshots.read_changes(last, head)`` — the net row diff computed
+    from the file-set diff, shared files cancel UNOPENED — folds it to
+    signed partials (+n/+value per insert multiplicity, -n/-value per
+    delete), and merges into touched partitions only. No changelog
+    infrastructure: any append / DELETE / UPDATE / MERGE / rollback
+    that committed since the last refresh flows through, and the
+    refresh cost is the CHURN between the two versions, never the
+    facts or the store.
+
+    First call (no state) builds the store from the current snapshot.
+    Returns {"built"|"refreshed"|"noop", from_version, to_version}."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import dec
+    from ..operators.snapshots import current_version, read_changes, read_snapshot
+
+    head = current_version(lake_path)
+    if head is None:
+        raise ValueError(f"{lake_path!r} is not a snapshot lake (no commits)")
+    state_file = _os.path.join(store_path.rstrip("/"), "_ivm_state.json")
+    if not _os.path.exists(state_file):
+        build_rollup_store(
+            read_snapshot(spark, lake_path), store_path, partition_col, group_cols, value_col
+        )
+        with open(state_file + ".tmp", "w") as fh:
+            _json.dump({"lake_version": head}, fh)
+        _os.replace(state_file + ".tmp", state_file)
+        return {"status": "built", "from_version": None, "to_version": head}
+    with open(state_file) as fh:
+        last = int(_json.load(fh)["lake_version"])
+    if last == head:
+        return {"status": "noop", "from_version": last, "to_version": head}
+    ch = read_changes(spark, lake_path, last, head)
+    sign = F.when(F.col("__change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        ch.groupBy(partition_col, *group_cols)
+        .agg(
+            F.sum(sign * F.col("__n")).cast("long").alias("n"),
+            F.sum(sign.cast("decimal(30,6)") * dec(value_col) * F.col("__n"))
+            .cast("decimal(30,6)")
+            .alias("partial_sum"),
+        )
+        .filter((F.col("n") != 0) | (F.col("partial_sum") != 0))
+    )
+    _merge_signed_delta(spark, store_path, delta, partition_col, group_cols)
+    with open(state_file + ".tmp", "w") as fh:
+        _json.dump({"lake_version": head}, fh)
+    _os.replace(state_file + ".tmp", state_file)
+    return {"status": "refreshed", "from_version": last, "to_version": head}

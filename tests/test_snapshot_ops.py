@@ -906,3 +906,58 @@ def test_lake_explain_matches_lake_scan_read_set(spark, tmp_path):
     rep = lake_explain(spark, "t_explain", "tag = 'u7'")
     assert rep["files_skipped"] > 0
     assert all("bloom" in w for w in rep["skipped"].values())
+
+
+def test_refresh_rollup_from_lake_tracks_dml(spark, tmp_path):
+    """Snapshots x IVM: the rollup store refreshes from the lake's own
+    commit log — appends, pruned DELETEs, and UPDATEs all flow through
+    read_changes as signed partials; after every refresh the store
+    equals a from-scratch aggregate of the current snapshot, and a
+    second refresh is a no-op."""
+    from mlb_data_pipeline_spark.operators.snapshots import lake_update
+    from mlb_data_pipeline_spark.sources.warehouse import (
+        refresh_rollup_from_lake,
+        rollup_from_store,
+    )
+
+    lake = str(tmp_path / "lake")
+    store = str(tmp_path / "store")
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 10).alias("p"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 3).cast("long").alias("x"),
+        F.col("id").alias("k"),
+    )
+    lake_write(spark, df.repartitionByRange(4, "k"), lake)
+    rep = refresh_rollup_from_lake(spark, lake, store, "p", ["g"], "x")
+    assert rep["status"] == "built"
+
+    def want():
+        return sorted(
+            tuple(r)
+            for r in read_snapshot(spark, lake)
+            .groupBy("p", "g")
+            .agg(F.count("*").alias("n"), F.sum("x").cast("double").alias("total"))
+            .collect()
+        )
+
+    def got():
+        return sorted(
+            tuple(r)
+            for r in rollup_from_store(spark, store, ["p", "g"], scale=2).collect()
+        )
+
+    assert got() == want()
+    # append + delete + update, then ONE refresh picks up all three
+    lake_write(spark, df.withColumn("k", F.col("k") + 1000).coalesce(1), lake)
+    lake_delete(spark, lake, "k BETWEEN 100 AND 399", col_types={"k": "bigint"})
+    lake_update(spark, lake, {"x": "x + 5"}, "k >= 1800", col_types={"k": "bigint"})
+    rep = refresh_rollup_from_lake(spark, lake, store, "p", ["g"], "x")
+    assert rep["status"] == "refreshed"
+    assert got() == want()
+    assert refresh_rollup_from_lake(spark, lake, store, "p", ["g"], "x")["status"] == "noop"
+    # rollback flows through too (negative churn)
+    lake_rollback(lake, 2)
+    rep = refresh_rollup_from_lake(spark, lake, store, "p", ["g"], "x")
+    assert rep["status"] == "refreshed"
+    assert got() == want()
