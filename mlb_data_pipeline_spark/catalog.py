@@ -822,7 +822,12 @@ def _extract_exact_box(predicate: str, col_types: dict | None = None) -> dict | 
     return box
 
 
-def lake_count(spark: SparkSession, name: str, predicate: str | None = None) -> int:
+def lake_count(
+    spark: SparkSession,
+    name: str,
+    predicate: str | None = None,
+    version: int | str | None = None,
+) -> int:
     """COUNT(*) over a registered lake table with metadata doing most
     of the work (round 11 — the Iceberg metadata-count shape behind the
     catalog hook). When the predicate folds to an EXACT closed box
@@ -835,6 +840,18 @@ def lake_count(spark: SparkSession, name: str, predicate: str | None = None) -> 
     ent = _lake_entry(spark, name)
     from .operators.layout import _compact_recover_tree, manifest_assisted_count
 
+    if version is not None:
+        # time travel: the commit's own per-file row counts answer a
+        # bare COUNT(*) with zero reads; a predicate filters the
+        # snapshot read (manifests describe the current head only)
+        from .operators.snapshots import read_snapshot, snapshot_row_count
+
+        if not predicate:
+            n = snapshot_row_count(ent["path"], version)
+            if n is not None:
+                return n
+        df = read_snapshot(spark, ent["path"], version)
+        return (df.filter(predicate) if predicate else df).count()
     _compact_recover_tree(ent["path"])
     if not predicate:
         from .operators.snapshots import has_snapshots, snapshot_row_count

@@ -831,7 +831,7 @@ def read_changes(
     )
 
 
-def snapshot_row_count(path: str, version: int | None = None) -> int | None:
+def snapshot_row_count(path: str, version: int | str | None = None) -> int | None:
     """COUNT(*) at a version from the commit's own ``file_rows`` map —
     zero data reads. None when the commit predates the row-count leg
     or a referenced file is missing from the map (degrade to a read,

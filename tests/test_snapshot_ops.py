@@ -961,3 +961,20 @@ def test_refresh_rollup_from_lake_tracks_dml(spark, tmp_path):
     rep = refresh_rollup_from_lake(spark, lake, store, "p", ["g"], "x")
     assert rep["status"] == "refreshed"
     assert got() == want()
+
+
+def test_lake_count_time_travel(spark, tmp_path):
+    from mlb_data_pipeline_spark.operators.snapshots import lake_tag
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 500).coalesce(2), lake)
+    lake_tag(lake, "first")
+    lake_delete(spark, lake, "k >= 400", col_types={"k": "bigint", "v": "bigint"})
+    register_lake_table(spark, "t_cnt_tt", lake)
+    # bare counts answer from commit metadata at any version — garble
+    # every byte on the CURRENT version's files to prove it
+    for n in snapshot_files(lake):
+        _corrupt(lake, n)
+    assert lake_count(spark, "t_cnt_tt") == 400
+    assert lake_count(spark, "t_cnt_tt", version=1) == 500
+    assert lake_count(spark, "t_cnt_tt", version="first") == 500
