@@ -408,11 +408,16 @@ def r50_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _R52_SQL = """
-SELECT COUNT(*) AS n_docs,
+SELECT 'join' AS part, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
 FROM documents
+WHERE source IN ('src1', 'src4')
+UNION ALL
+SELECT 'point', COUNT(*), CAST(SUM(n_chars) AS BIGINT), MIN(doc_id), MAX(doc_id)
+FROM documents
 WHERE source = 'src3'
+ORDER BY part
 """
 
 
@@ -442,13 +447,26 @@ def q45_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "q45_docs_lake", lake, scan_manifest=box_m,
         bloom_manifests={"source": bloom_m},
     )
-    df = lake_scan(spark, "q45_docs_lake", "source = 'src3' AND doc_id >= 0")
-    return df.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-        F.min("doc_id").alias("min_id"),
-        F.max("doc_id").alias("max_id"),
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).select(F.lit(tag).alias("part"), "n_docs", "total_chars", "min_id", "max_id")
+
+    point = agg(
+        lake_scan(spark, "q45_docs_lake", "source = 'src3' AND doc_id >= 0"), "point"
     )
+    # 'join' (round 11): join-driven FILE pruning under the driver
+    # hash — the dim's distinct keys probe the registered Bloom
+    # manifest (file-level DPP for a string key; r71 gates the numeric
+    # interval-probe form)
+    from ..catalog import lake_join_scan
+
+    dim = spark.createDataFrame([("src1",), ("src4",)], "dk string")
+    join = agg(lake_join_scan(spark, "q45_docs_lake", dim, "source", "dk"), "join")
+    return join.unionByName(point).orderBy("part")
 
 
 # ---------------------------------------------------------------------------

@@ -438,3 +438,29 @@ def test_round9_joins_have_no_cartesian(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_lake_join_scan_broadcasts_the_dim(spark, tmp_path):
+    """lake_join_scan's physical plan: the dim side broadcasts
+    (BroadcastHashJoin), never a SortMergeJoin or cartesian — the fact
+    side is the pruned file scan."""
+    from pyspark.sql import functions as F
+
+    from mlb_data_pipeline_spark.catalog import lake_join_scan, register_lake_table
+    from mlb_data_pipeline_spark.operators.layout import save_scan_manifest
+
+    lake = str(tmp_path / "jslake")
+    manifest = str(tmp_path / "jsmanifest")
+    spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(4, "k").write.parquet(lake)
+    save_scan_manifest(spark, lake, ["k"], manifest)
+    register_lake_table(spark, "t_js_plan", lake, scan_manifest=manifest)
+    dim = spark.createDataFrame([(5,), (1500,)], "dk long")
+    df = lake_join_scan(spark, "t_js_plan", dim, "k", "dk")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # and the fact side reads only the two pruned files
+    assert len(df.inputFiles()) == 2
