@@ -625,6 +625,10 @@ def lake_delete(
             else None
         )
         rows_deleted += before - (after_df.count() if after_df is not None else 0)
+    # dropped files' row counts come from the parent commit's metadata
+    # (never their bytes — they were classified unopened)
+    prev_rows = snapshot_info(path, head).get("file_rows", {})
+    rows_dropped = sum(int(prev_rows[n]) for n in drop if n in prev_rows)
     files = sorted((set(keep) | set(new_files)))
     version = commit_snapshot(
         path,
@@ -635,7 +639,7 @@ def lake_delete(
             "files_dropped": len(drop),
             "files_kept": len(keep),
             "files_rewritten": len(rewrite),
-            "rows_deleted": rows_deleted,  # from rewrites; dropped files add their full counts below
+            "rows_deleted": rows_deleted + rows_dropped,
         },
         parent=head,
     )
@@ -646,7 +650,7 @@ def lake_delete(
         "files_kept": len(keep),
         "files_rewritten": len(rewrite),
         "files_written": len(new_files),
-        "rows_deleted_rewrite": rows_deleted,
+        "rows_deleted": rows_deleted + rows_dropped,
     }
 
 
@@ -681,7 +685,10 @@ def lake_merge(
         commit_snapshot(path, _data_files(path), "adopt")
     head = current_version(path)
     live = snapshot_files(path)
-    lake_schema = set(spark.read.option("basePath", path).parquet(path).columns)
+    # the CURRENT snapshot's merged schema — a whole-dir read could
+    # adopt a dead pre-evolution footer's column set and false-flag
+    # schema drift after an evolution commit
+    lake_schema = set(read_snapshot(spark, path).columns)
     if when_matched == "update" and set(source.columns) != lake_schema:
         raise ValueError(
             f"merge source columns {sorted(source.columns)} != lake columns "
