@@ -19,7 +19,6 @@ from mlb_data_pipeline_spark.catalog import (
     register_lake_table,
 )
 from mlb_data_pipeline_spark.operators.layout import (
-    _data_files,
     optimize_clustered,
     save_scan_manifest,
 )
