@@ -898,7 +898,11 @@ def lake_count(
 
 
 def lake_min_max(
-    spark: SparkSession, name: str, col: str, predicate: str | None = None
+    spark: SparkSession,
+    name: str,
+    col: str,
+    predicate: str | None = None,
+    version: int | str | None = None,
 ) -> DataFrame:
     """Exact (MIN, MAX) of ``col`` over a registered lake table with
     metadata choosing the read set (round 11): when the predicate folds
@@ -912,6 +916,15 @@ def lake_min_max(
 
     from .operators.layout import _compact_recover_tree, manifest_assisted_minmax
 
+    if version is not None:
+        # time travel: manifests describe the head only — aggregate the
+        # snapshot read (exact, just unpruned)
+        from .operators.snapshots import read_snapshot
+
+        df = read_snapshot(spark, ent["path"], version)
+        if predicate:
+            df = df.filter(predicate)
+        return df.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
     _compact_recover_tree(ent["path"])
     col_types = _lake_col_types(spark, ent)
     if ent["scan_manifest"] is not None:

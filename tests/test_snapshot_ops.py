@@ -977,3 +977,18 @@ def test_lake_count_time_travel(spark, tmp_path):
     assert lake_count(spark, "t_cnt_tt") == 400
     assert lake_count(spark, "t_cnt_tt", version=1) == 500
     assert lake_count(spark, "t_cnt_tt", version="first") == 500
+
+
+def test_lake_min_max_time_travel(spark, tmp_path):
+    from mlb_data_pipeline_spark.catalog import lake_min_max
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 500).coalesce(2), lake)
+    lake_delete(spark, lake, "k >= 400", col_types={"k": "bigint", "v": "bigint"})
+    register_lake_table(spark, "t_mm_tt", lake)
+    cur = lake_min_max(spark, "t_mm_tt", "k").head()
+    old = lake_min_max(spark, "t_mm_tt", "k", version=1).head()
+    assert (cur.min_k, cur.max_k) == (0, 399)
+    assert (old.min_k, old.max_k) == (0, 499)
+    boxed = lake_min_max(spark, "t_mm_tt", "v", "k BETWEEN 10 AND 20", version=1).head()
+    assert (boxed.min_v, boxed.max_v) == (20, 40)
