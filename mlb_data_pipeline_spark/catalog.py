@@ -429,15 +429,36 @@ def _lake_entry(spark: SparkSession, name: str) -> dict:
 
 
 def _lake_col_types(spark: SparkSession, ent: dict) -> dict:
-    """col -> Spark simpleString dtype for the lake, from ONE footer
-    read, cached on the registration entry — the type context temporal
-    literal folding needs (a bare '1997-01-01' means epoch days on a
-    date column, nothing on a string column)."""
-    if "col_types" not in ent:
-        ent["col_types"] = {
-            f.name: f.dataType.simpleString()
-            for f in spark.read.parquet(ent["path"]).schema.fields
-        }
+    """col -> Spark simpleString dtype for the lake — the type context
+    temporal literal folding needs (a bare '1997-01-01' means epoch
+    days on a date column, nothing on a string column). Cached on the
+    registration entry KEYED TO THE HEAD VERSION (round 12): a
+    schema-evolution commit (``lake_write allow_schema_evolution``)
+    invalidates the cache, so a long-lived session folds predicates on
+    the added column without re-registration. Unversioned lakes cache
+    once (their schema has no commit to change under).
+
+    Source of truth, in order: the head COMMIT RECORD's persisted
+    schema (round 12 — zero file reads), else the lake read's resolved
+    schema (one footer for a plain dir; merge-schema snapshot read for
+    a pre-round-12 log without the schema leg)."""
+    from .operators.snapshots import current_version, snapshot_info
+
+    ver = current_version(ent["path"])
+    if "col_types" not in ent or ent.get("col_types_ver") != ver:
+        schema = None
+        if ver is not None:
+            sj = snapshot_info(ent["path"], ver).get("schema")
+            if sj:
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(_json.loads(sj))
+        if schema is None:
+            schema = _lake_read_all(spark, ent["path"]).schema
+        ent["col_types"] = {f.name: f.dataType.simpleString() for f in schema.fields}
+        ent["col_types_ver"] = ver
     return ent["col_types"]
 
 
@@ -468,29 +489,44 @@ def lake_scan(
     prunes on the Blooms alone (round 11 — previously an error).
 
     ``version`` (round 11): TIME TRAVEL — read the table AS OF a
-    committed snapshot version instead of the current head. Manifests
-    describe the current files, so historical reads are plain
-    snapshot reads + exact filter (no file skipping): correctness
-    first, and yesterday's table is usually read once, not queried
-    hot."""
+    committed snapshot version instead of the current head. Round 12:
+    historical reads prune through the SAME manifests as head reads —
+    a manifest row (footer min/max, nulls, Bloom bitmap, partition
+    value) is an immutable fact about a FILE, true at every version
+    that references it, so the historical file list simply intersects
+    the keep set; files the head-maintained manifest no longer knows
+    stay must-read (superset guarantee, never rows lost)."""
     ent = _lake_entry(spark, name)
     path = ent["path"]
     from .operators.layout import _compact_recover_tree, pruned_files
 
+    inventory: list[str] | None = None
     if version is not None:
-        from .operators.snapshots import read_snapshot
+        from .operators.snapshots import read_snapshot, snapshot_files
 
-        df = read_snapshot(spark, path, version)
-        return df.filter(predicate) if predicate else df
-    # heal a torn OPTIMIZE swap before planning ANY read through the
-    # catalog — otherwise rewritten rows appear twice until the next
-    # optimize_clustered call (ADVICE round 10)
-    _compact_recover_tree(path)
-    if not predicate:
-        return _lake_read_all(spark, path)
+        if not predicate:
+            return read_snapshot(spark, path, version)
+        inventory = snapshot_files(path, version)
+        missing = [n for n in inventory if not os.path.exists(os.path.join(path, n))]
+        if missing:
+            raise ValueError(
+                f"snapshot references {len(missing)} vacuumed file(s) "
+                f"(e.g. {missing[0]!r}) — expired versions cannot be read"
+            )
+    else:
+        # heal a torn OPTIMIZE swap before planning ANY read through
+        # the catalog — otherwise rewritten rows appear twice until the
+        # next optimize_clustered call (ADVICE round 10)
+        _compact_recover_tree(path)
+        if not predicate:
+            return _lake_read_all(spark, path)
     col_types = _lake_col_types(spark, ent)
     branches = _extract_skip_branches(predicate, col_types)
     if not branches:
+        if inventory is not None:
+            from .operators.snapshots import read_snapshot
+
+            return read_snapshot(spark, path, version).filter(predicate)
         return _lake_read_all(spark, path).filter(predicate)
     keep: set[str] = set()
     for box, equals, nots, nullness in branches:
@@ -510,16 +546,31 @@ def lake_scan(
                 not_equals=nots,
                 nullness=nullness,
                 col_types=col_types,
+                files=inventory,
             )
         )
     if not keep:
-        # provably-empty predicate: empty frame with the lake's schema
+        # provably-empty predicate: empty frame with the table's schema
+        if inventory is not None:
+            from .operators.snapshots import read_snapshot
+
+            return read_snapshot(spark, path, version).limit(0).filter(predicate)
         return spark.read.parquet(path).limit(0).filter(predicate)
     files = [os.path.join(path, n) for n in sorted(keep)]
-    return spark.read.option("basePath", path).parquet(*files).filter(predicate)
+    # mergeSchema mirrors read_snapshot: a version list may straddle a
+    # schema-evolution boundary
+    reader = spark.read.option("basePath", path)
+    if inventory is not None:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files).filter(predicate)
 
 
-def lake_explain(spark: SparkSession, name: str, predicate: str | None = None) -> dict:
+def lake_explain(
+    spark: SparkSession,
+    name: str,
+    predicate: str | None = None,
+    version: int | str | None = None,
+) -> dict:
     """EXPLAIN for the catalog hook's file-skipping decision: which
     live files a ``lake_scan(name, predicate)`` would read, which it
     would skip, and WHY — per skipped file the set of rules that fired
@@ -527,9 +578,19 @@ def lake_explain(spark: SparkSession, name: str, predicate: str | None = None) -
     all-null row, ``nulls`` null-count rule, ``bloom`` bitmap miss).
     A file is skipped only when EVERY OR-branch proves it irrelevant;
     the reasons union across branches. Metadata-only (no data read).
+    ``version`` (round 12): explain the TIME-TRAVEL scan's decision —
+    the version's file list is the inventory, same rules.
 
     The kept set here must equal what ``lake_scan`` actually reads —
-    pinned by test so the explainer can never drift from the planner."""
+    pinned by test so the explainer can never drift from the planner.
+
+    Round 12: the manifest rules run as DataFrame filters — the SAME
+    ``miss`` predicate shape ``pruned_files`` plans with — and only
+    per-rule skipped-file name lists are collected (bounded by the
+    skip decision itself), so EXPLAIN stays metadata-scale on a
+    million-file manifest instead of collecting every stat row."""
+    from pyspark.sql import functions as F
+
     from .operators.layout import (
         _bloom_skippable,
         _compact_recover_tree,
@@ -540,8 +601,13 @@ def lake_explain(spark: SparkSession, name: str, predicate: str | None = None) -
 
     ent = _lake_entry(spark, name)
     path = ent["path"]
-    _compact_recover_tree(path)
-    live = _data_files(path)
+    if version is not None:
+        from .operators.snapshots import snapshot_files
+
+        live = snapshot_files(path, version)
+    else:
+        _compact_recover_tree(path)
+        live = _data_files(path)
     out = {
         "table": name,
         "predicate": predicate,
@@ -560,65 +626,75 @@ def lake_explain(spark: SparkSession, name: str, predicate: str | None = None) -
         out["reason"] = "no usable conjunct — full scan + exact filter"
         return out
     out["branches"] = len(branches)
-    # manifest stats, loaded once: file -> col -> (lo, hi, nulls)
-    stats: dict[str, dict] = {}
-    rows_by_file: dict[str, int] = {}
-    if ent["scan_manifest"] is not None:
-        mf = spark.read.option("mergeSchema", "true").parquet(ent["scan_manifest"])
-        has_nulls = "nulls" in mf.columns
-        for r in mf.collect():
-            rows_by_file[r.file] = int(r.rows)
-            stats.setdefault(r.file, {})[r.col] = (
-                r.lo,
-                r.hi,
-                (int(r.nulls) if r.nulls is not None else None) if has_nulls else None,
-            )
-    # bloom skip sets, computed once per (branch, col, value)
+    live_set = set(live)
+    mf = (
+        spark.read.option("mergeSchema", "true").parquet(ent["scan_manifest"])
+        if ent["scan_manifest"] is not None
+        else None
+    )
+    has_nulls = mf is not None and "nulls" in mf.columns
+
+    def _rule_files(miss) -> set[str]:
+        # the skip decision distributes; only skipped NAMES collect
+        return {r.file for r in mf.filter(miss).select("file").distinct().collect()}
+
+    # bloom skip sets, computed once per (col, value) across branches
     bloom_cache: dict[tuple, set] = {}
     reasons: dict[str, set] = {}
     skipped_all: set[str] | None = None
     for box, equals, nots, nullness in branches:
-        branch_skipped: set[str] = set()
-        for n in live:
-            why = set()
+        by_rule: dict[str, set[str]] = {}
+        by_rule["partition"] = {
+            n
+            for n in live
             if _partition_skippable(
                 _partition_values(n), box, equals, col_types, nots, nullness
-            ):
-                why.add("partition")
-            st = stats.get(n, {})
+            )
+        }
+        if mf is not None:
+            stats_miss = F.lit(False)
             for c, (lo, hi) in box.items():
-                s = st.get(c)
-                if s is None:
-                    continue
                 try:
                     lo_f, hi_f = float(lo), float(hi)
                 except (TypeError, ValueError):
-                    continue
-                if s[0] is None or s[1] is None:
-                    why.add("stats")  # all-null column: box matches nothing
-                elif s[1] < lo_f or s[0] > hi_f:
-                    why.add("stats")
-            for c, kind in (nullness or {}).items():
-                s = st.get(c)
-                if s is None or s[2] is None:
-                    continue
-                nrows = rows_by_file.get(n)
-                if kind == "null" and s[2] == 0:
-                    why.add("nulls")
-                elif kind == "notnull" and nrows is not None and s[2] == nrows:
-                    why.add("nulls")
-            for c, v in equals.items():
-                if c in ent["bloom_manifests"]:
-                    key = (c, repr(v))
-                    if key not in bloom_cache:
-                        bloom_cache[key] = _bloom_skippable(
-                            spark, ent["bloom_manifests"][c], v
+                    continue  # string bound: manifest proves nothing
+                stats_miss = stats_miss | (
+                    (F.col("col") == c)
+                    & (
+                        F.col("lo").isNull()
+                        | (F.col("hi") < F.lit(lo_f))
+                        | (F.col("lo") > F.lit(hi_f))
+                    )
+                )
+            by_rule["stats"] = _rule_files(stats_miss) & live_set
+            if nullness and has_nulls:
+                nulls_miss = F.lit(False)
+                for c, kind in nullness.items():
+                    if kind == "null":
+                        nulls_miss = nulls_miss | (
+                            (F.col("col") == c) & (F.col("nulls") == 0)
                         )
-                    if n in bloom_cache[key]:
-                        why.add("bloom")
-            if why:
-                branch_skipped.add(n)
-                reasons.setdefault(n, set()).update(why)
+                    else:
+                        nulls_miss = nulls_miss | (
+                            (F.col("col") == c) & (F.col("nulls") == F.col("rows"))
+                        )
+                by_rule["nulls"] = _rule_files(nulls_miss) & live_set
+        bloom_skip: set[str] = set()
+        for c, v in equals.items():
+            if c in ent["bloom_manifests"]:
+                key = (c, repr(v))
+                if key not in bloom_cache:
+                    bloom_cache[key] = _bloom_skippable(
+                        spark, ent["bloom_manifests"][c], v
+                    )
+                bloom_skip |= bloom_cache[key] & live_set
+        if bloom_skip:
+            by_rule["bloom"] = bloom_skip
+        branch_skipped: set[str] = set()
+        for rule, names in by_rule.items():
+            branch_skipped |= names
+            for n in names:
+                reasons.setdefault(n, set()).add(rule)
         skipped_all = branch_skipped if skipped_all is None else (skipped_all & branch_skipped)
     skipped = skipped_all or set()
     out["files_kept"] = len(live) - len(skipped)
@@ -842,14 +918,35 @@ def lake_count(
 
     if version is not None:
         # time travel: the commit's own per-file row counts answer a
-        # bare COUNT(*) with zero reads; a predicate filters the
-        # snapshot read (manifests describe the current head only)
-        from .operators.snapshots import read_snapshot, snapshot_row_count
+        # bare COUNT(*) with zero reads; a foldable predicate routes
+        # through the SAME manifest-assisted path as head counts
+        # (round 12) with the version's file list as the inventory —
+        # manifest stats are immutable per-file facts
+        from .operators.snapshots import (
+            read_snapshot,
+            snapshot_files,
+            snapshot_row_count,
+        )
 
         if not predicate:
             n = snapshot_row_count(ent["path"], version)
             if n is not None:
                 return n
+        elif ent["scan_manifest"] is not None:
+            col_types = _lake_col_types(spark, ent)
+            clauses = _extract_exact_clauses(predicate, col_types)
+            if clauses is not None and clauses[2] is None:
+                box, str_eq, _points = clauses
+                return manifest_assisted_count(
+                    spark,
+                    ent["path"],
+                    ent["scan_manifest"],
+                    box,
+                    where=predicate,
+                    col_types=col_types,
+                    equals_strs=str_eq,
+                    files=snapshot_files(ent["path"], version),
+                )
         df = read_snapshot(spark, ent["path"], version)
         return (df.filter(predicate) if predicate else df).count()
     _compact_recover_tree(ent["path"])
@@ -917,10 +1014,25 @@ def lake_min_max(
     from .operators.layout import _compact_recover_tree, manifest_assisted_minmax
 
     if version is not None:
-        # time travel: manifests describe the head only — aggregate the
-        # snapshot read (exact, just unpruned)
-        from .operators.snapshots import read_snapshot
+        # time travel (round 12): the metadata path works at any
+        # version — the version's file list is the inventory, manifest
+        # stats are immutable per-file facts; unknown files read
+        from .operators.snapshots import read_snapshot, snapshot_files
 
+        if ent["scan_manifest"] is not None:
+            col_types = _lake_col_types(spark, ent)
+            box = {} if not predicate else _extract_exact_box(predicate, col_types)
+            if box is not None:
+                return manifest_assisted_minmax(
+                    spark,
+                    ent["path"],
+                    ent["scan_manifest"],
+                    col,
+                    box=box,
+                    where=predicate,
+                    col_types=col_types,
+                    files=snapshot_files(ent["path"], version),
+                )
         df = read_snapshot(spark, ent["path"], version)
         if predicate:
             df = df.filter(predicate)

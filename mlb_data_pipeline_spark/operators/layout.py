@@ -558,6 +558,7 @@ def pruned_files(
     not_equals: dict[str, list] | None = None,
     nullness: dict[str, str] | None = None,
     col_types: dict | None = None,
+    files: list[str] | None = None,
 ) -> list[str]:
     """RELATIVE names of the data files a conjunctive box predicate can
     possibly touch, decided from the persisted manifests alone. Skip
@@ -572,10 +573,17 @@ def pruned_files(
     most selective lake predicate — the partition key — skipped
     nothing.
 
+    ``files`` (round 12): an explicit file inventory replacing the
+    live listing — the manifest-pruned TIME TRAVEL hook. Per-file
+    stats, Bloom bitmaps, and partition values are facts about a FILE,
+    true at every version that references it, so a historical
+    version's list prunes by the same rules; files the (head-
+    maintained) manifest no longer knows simply stay must-read.
+
     The collect is file PATHS of kept files (metadata-scale); the skip
     decision itself runs as a DataFrame filter so it would distribute
     over a million-file manifest unchanged."""
-    on_disk = set(_data_files(path))
+    on_disk = set(_data_files(path) if files is None else files)
     if box or equals or not_equals or nullness:
         on_disk = {
             n
@@ -1160,11 +1168,20 @@ def optimize_clustered(
     # marks a leaf call under a partitioned snapshot lake whose log
     # lives at the root (the local listing would include dead files).
     snap = _live_names is not None or _snapshot_live_set(base) is not None
+    planned_head = None
     if _live_names is not None:
         names = sorted(_live_names)
     else:
         if not snap:
             _compact_recover(base)
+        if snap:
+            # capture the head THIS plan reads its live set from: the
+            # swap commit asserts it (round 12) — a concurrent commit
+            # between plan and commit rebases or raises instead of
+            # silently resurrecting its files
+            from .snapshots import current_version
+
+            planned_head = current_version(base)
         names = _data_files(base)
     if any("/" in n for n in names):
         # partitioned lake: optimize each leaf directory as a flat lake
@@ -1220,13 +1237,14 @@ def optimize_clustered(
         )
         merged["dirty_files"] = sorted(merged["dirty_files"])
         if snap and merged["files_rewritten"] > 0:
-            from .snapshots import commit_snapshot
+            from .snapshots import _commit_filechange
 
-            files = sorted((set(names) - set(old_all)) | set(new_all))
-            commit_snapshot(
+            _commit_filechange(
                 base,
-                files,
-                "optimize",
+                planned_head,
+                removed=set(old_all),
+                added=set(new_all),
+                op="optimize",
                 summary={
                     "files_rewritten": merged["files_rewritten"],
                     "files_written": merged["files_written"],
@@ -1320,12 +1338,14 @@ def optimize_clustered(
             # leaf of a partitioned snapshot lake: the root commits ONE
             # snapshot covering every leaf's swap
             return {**out, "old_names": sorted(dirty), "new_names": new_names}
-        from .snapshots import commit_snapshot
+        from .snapshots import _commit_filechange
 
-        commit_snapshot(
+        _commit_filechange(
             base,
-            sorted((set(names) - dirty) | set(new_names)),
-            "optimize",
+            planned_head,
+            removed=set(dirty),
+            added=set(new_names),
+            op="optimize",
             summary={"files_rewritten": len(dirty), "files_written": len(new_names)},
         )
         _maintain_manifest_after_optimize(spark, base, manifest_path, specs, stat_cols, True)
@@ -1545,6 +1565,7 @@ def _classify_box_files(
     box: dict[str, tuple[float, float]],
     col_types: dict | None = None,
     equals_strs: dict[str, str] | None = None,
+    files: list[str] | None = None,
 ) -> tuple[list[str], list[str], dict[str, int]]:
     """(inside, boundary, rows_by_file) for a conjunctive box over a
     manifested lake — the shared classification behind the metadata
@@ -1553,7 +1574,9 @@ def _classify_box_files(
     consume unopened); BOUNDARY files must be read + exactly filtered;
     everything else is provably disjoint. Strict interiority widens by
     one ULP above 2^53 (the manifest's float fold rounds) — a wrong
-    reclassification only adds a read, never a wrong answer."""
+    reclassification only adds a read, never a wrong answer.
+    ``files``: explicit inventory override (time travel, round 12) —
+    per-file stats are version-independent facts."""
     import math
 
     # mergeSchema: pre-round-11 manifests lack the nulls column; their
@@ -1568,7 +1591,7 @@ def _classify_box_files(
         stats.setdefault(r.file, {})[r.col] = (r.lo, r.hi, nc)
     inside: list[str] = []
     boundary: list[str] = []
-    existing = set(_data_files(path))
+    existing = set(_data_files(path) if files is None else files)
     for c, (lo, hi) in box.items():
         try:
             float(lo), float(hi)
@@ -1644,6 +1667,7 @@ def manifest_assisted_count(
     where: str | None = None,
     col_types: dict | None = None,
     equals_strs: dict[str, str] | None = None,
+    files: list[str] | None = None,
 ) -> int:
     """COUNT(*) under a conjunctive box predicate with metadata doing
     most of the work (the Iceberg/Delta metadata-count pattern):
@@ -1664,10 +1688,14 @@ def manifest_assisted_count(
     can't compare against the folded bounds) and when the caller's
     predicate is the source of truth (``lake_count``). The box must be
     semantically EQUAL to ``where`` on interior files, since those are
-    counted unopened."""
+    counted unopened.
+
+    ``files`` (round 12): explicit inventory override — historical
+    versions count through the same metadata path, since a manifest
+    row (stats + row count) is an immutable per-file fact."""
     _compact_recover_tree(path)
     inside, boundary, rows_by_file = _classify_box_files(
-        spark, path, manifest_path, box, col_types, equals_strs
+        spark, path, manifest_path, box, col_types, equals_strs, files=files
     )
     metadata_count = sum(int(rows_by_file[f]) for f in inside)
     if not boundary:
@@ -1691,6 +1719,7 @@ def manifest_assisted_minmax(
     box: dict[str, tuple[float, float]] | None = None,
     where: str | None = None,
     col_types: dict | None = None,
+    files: list[str] | None = None,
 ):
     """Exact (MIN, MAX) of ``col`` under a conjunctive box with
     metadata choosing the READ SET (round 11 — the companion to
@@ -1722,7 +1751,7 @@ def manifest_assisted_minmax(
         if r.lo is None or r.hi is None:
             continue  # all-null stat row: no usable bound, file reads as boundary
         stats.setdefault(r.file, {})[r.col] = (r.lo, r.hi)
-    existing = set(_data_files(path))
+    existing = set(_data_files(path) if files is None else files)
     known = set(stats)
     interior, boundary = [], []
     for f in sorted(existing):

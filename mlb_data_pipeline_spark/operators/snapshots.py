@@ -44,12 +44,26 @@ Iceberg/Delta-shaped transaction log on top of the same directory:
   ADD-only schema evolution with merge-schema reads, and exactly-once
   VISIBLE streaming ingestion (streaming/jobs.lake_snapshot_stream).
 
-Concurrency model: optimistic single-winner commits. The version file
-is hard-linked into place with an exclusive create — two writers
-racing from the same parent see exactly one winner; the loser raises
-``SnapshotConflictError`` and must re-plan against the new head
-(Iceberg's optimistic protocol). Readers never lock: a snapshot json
-is immutable once linked.
+Concurrency model: optimistic, serializable at the file level
+(round 12 — every commit path now asserts the head it planned
+against). A commit carries ``parent=`` the version its plan read;
+``commit_snapshot`` raises ``SnapshotConflictError`` when the head
+moved, BEFORE the exclusive hard-link (which still guarantees one
+winner per version number as the last line of defense). Losers
+resolve by commit shape:
+
+* append-shaped commits (``lake_write`` append, the streaming sink)
+  re-read the new head's live set and re-union — a blind append never
+  logically conflicts (``_commit_append``);
+* DML/OPTIMIZE commits rebase through ``_commit_filechange``: if
+  every file the plan removed is still live in the new head and none
+  of its new files collide, the commit replays as (new head − removed)
+  ∪ added — equivalent to the serial order "this op first, the
+  concurrent commit after". If a concurrent commit touched any file
+  this plan read (rewrote or dropped it), that is a REAL conflict and
+  the error propagates: re-plan against the new head.
+
+Readers never lock: a snapshot json is immutable once linked.
 
 Reference scope: the reference's lake is overwrite-only date-keyed
 blobs (mlb_pipeline_dag.py:119 uploads `raw/{date}.json`; hw5's
@@ -69,12 +83,17 @@ travel, and row-level DML are beyond-reference scale surface
   FOOTERS (driver-side, metadata-scale) — the same budget as
   ``pruned_read``'s planning collect. The rewrite job reads only the
   boundary files.
-* ``lake_merge`` broadcasts the source key set into a left-anti join
-  over candidate files only; candidate selection is footer stats +
-  (for small key sets) a sorted-keys interval probe. Inserts never
-  touch existing files.
+* ``lake_merge`` anti-joins the source key set over candidate files
+  only — broadcast when the probe proved the key set small
+  (<= _MERGE_KEY_PROBE_CAP distinct), plain shuffle above it (a
+  corpus-scale source must never ship its keys to every executor);
+  candidate selection is footer stats + (for small key sets) a
+  sorted-keys interval probe. Inserts never touch existing files.
 * ``vacuum_lake`` is the ONLY operation that deletes data bytes, and
-  it deletes strictly (on-disk) - (referenced by retained snapshots).
+  it deletes strictly (on-disk) - (referenced by retained snapshots);
+  never-committed ORPHANS get a mtime grace window (default 24 h) so
+  vacuum can run beside in-flight writers without eating their staged
+  files (round 12).
 """
 
 from __future__ import annotations
@@ -198,28 +217,38 @@ def commit_snapshot(
     op: str,
     summary: dict | None = None,
     parent: int | None = None,
+    schema_json: str | None = None,
 ) -> int:
     """Commit ``files`` as the table's next version. Atomic and
     single-winner: the record is staged then HARD-LINKED to its final
     name — link fails with EEXIST if another writer got there first
     (``SnapshotConflictError``). ``parent`` asserts the version the
     writer planned against; a mismatch with the current head is the
-    same conflict, detected before any filesystem write.
+    same conflict, detected before any filesystem write. Every public
+    commit path passes ``parent`` (round 12) — a stale plan can never
+    silently build over a concurrent commit.
 
     Every commit also carries ``file_rows`` — per-file row counts,
     inherited from the parent for carried-over files and read from the
     parquet FOOTER for files new to this commit (O(delta) metadata
     reads). ``COUNT(*)`` on a snapshot lake is therefore a pure
-    metadata sum at any version, Iceberg-style."""
+    metadata sum at any version, Iceberg-style.
+
+    ``schema_json`` (round 12): the table schema as a Spark
+    ``StructType.json()`` string; inherited from the parent when None,
+    so an empty table (delete-all, truncating overwrite) stays
+    readable with its true schema even after vacuum removed every
+    dead data file."""
     head = current_version(path)
     if parent is not None and parent != (head if head is not None else 0):
         raise SnapshotConflictError(
             f"planned against v{parent} but head is v{head} — re-plan and retry"
         )
     version = (head or 0) + 1
-    prev_rows: dict[str, int] = {}
+    prev: dict = {}
     if head is not None:
-        prev_rows = snapshot_info(path, head).get("file_rows", {})
+        prev = snapshot_info(path, head)
+    prev_rows: dict[str, int] = prev.get("file_rows", {})
     file_rows: dict[str, int] = {}
     for n in files:
         if n in prev_rows:
@@ -239,6 +268,9 @@ def commit_snapshot(
         "file_rows": file_rows,
         "summary": summary or {},
     }
+    schema_json = schema_json if schema_json is not None else prev.get("schema")
+    if schema_json is not None:
+        record["schema"] = schema_json
     final = os.path.join(d, f"v{version:012d}.json")
     tmp = final + f".stage-{os.getpid()}"
     with open(tmp, "w") as fh:
@@ -252,6 +284,107 @@ def commit_snapshot(
     finally:
         os.remove(tmp)
     return version
+
+
+def _head_and_live(path: str) -> tuple[int, list[str]]:
+    """(head version, its live file list) read consistently: the file
+    list comes from the SAME version the head read resolved, so a
+    commit landing between the two calls cannot tear the pair. Head 0
+    = no snapshots yet (live = whatever plain parquet is on disk,
+    the adoption inventory)."""
+    head = current_version(path)
+    if head is None:
+        return 0, _data_files(path)
+    return head, snapshot_files(path, head)
+
+
+# bounded optimistic retries for the conflict-resolving commit paths —
+# each retry re-reads the head, so livelock needs a writer committing
+# faster than a json read five times in a row
+_COMMIT_RETRIES = 5
+
+
+def _commit_append(
+    path: str,
+    new_files: list[str],
+    op: str,
+    summary: dict | None = None,
+    schema_json: str | None = None,
+) -> int:
+    """Commit an APPEND: files = head's live set ∪ ``new_files``. A
+    blind append never logically conflicts with a concurrent commit
+    (it reads no existing file), so a ``SnapshotConflictError`` here
+    just means the head moved — re-read it and re-union (Delta treats
+    appends the same way). Bounded retries; the final conflict
+    propagates."""
+    for attempt in range(_COMMIT_RETRIES + 1):
+        head, live = _head_and_live(path)
+        try:
+            return commit_snapshot(
+                path,
+                sorted(set(live) | set(new_files)),
+                op,
+                summary=summary,
+                parent=head,
+                schema_json=schema_json,
+            )
+        except SnapshotConflictError:
+            if attempt == _COMMIT_RETRIES:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _commit_filechange(
+    path: str,
+    planned_head: int,
+    removed: set[str],
+    added: set[str],
+    op: str,
+    summary: dict | None = None,
+    schema_json: str | None = None,
+) -> int:
+    """Commit a DML/OPTIMIZE-shaped change planned against
+    ``planned_head``: drop ``removed`` from the live set, add
+    ``added``. On a head-moved conflict, REBASE file-level (the Delta
+    conflict-resolution shape): if every removed file is still live in
+    the new head (no concurrent writer rewrote or dropped a file this
+    plan READ) and no added file collides, replay the change on the
+    new head's live set — equivalent to the serial order "this op
+    first, the concurrent commit after". A removed file missing from
+    the new head is a REAL write-write conflict (both ops touched the
+    same rows): raise, the caller must re-plan."""
+    expect = planned_head
+    for attempt in range(_COMMIT_RETRIES + 1):
+        head, live = _head_and_live(path)
+        if head != expect:
+            live_set = set(live)
+            gone = removed - live_set
+            if gone:
+                raise SnapshotConflictError(
+                    f"planned against v{expect} but head is v{head}, and a "
+                    f"concurrent commit touched {len(gone)} file(s) this plan "
+                    f"read (e.g. {sorted(gone)[0]!r}) — re-plan and retry"
+                )
+            collide = added & live_set
+            if collide:
+                raise SnapshotConflictError(
+                    f"new file name(s) already live at v{head} "
+                    f"(e.g. {sorted(collide)[0]!r}) — re-plan and retry"
+                )
+            expect = head
+        try:
+            return commit_snapshot(
+                path,
+                sorted((set(live) - removed) | added),
+                op,
+                summary=summary,
+                parent=expect,
+                schema_json=schema_json,
+            )
+        except SnapshotConflictError:
+            if attempt == _COMMIT_RETRIES:
+                raise
+    raise AssertionError("unreachable")
 
 
 def _partition_cols(files: list[str]) -> list[str]:
@@ -306,9 +439,9 @@ def lake_write(
     physical column — rejected)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
-    live = snapshot_files(path) if has_snapshots(path) else _data_files(path)
+    head, live = _head_and_live(path)
     if live and mode == "append":
-        cur_cols = set(read_snapshot(spark, path).columns) if has_snapshots(path) else set(
+        cur_cols = set(read_snapshot(spark, path).columns) if head else set(
             spark.read.option("mergeSchema", "true").parquet(path).columns
         )
         new_cols = set(df.columns)
@@ -330,10 +463,36 @@ def lake_write(
             f"layout, got {pcols}"
         )
     new = _write_new_files(df, path, pcols)
-    files = new if mode == "overwrite" else sorted(set(live) | set(new))
-    version = commit_snapshot(
-        path, files, mode, summary={"files_added": len(new)}
+    # the table schema this commit establishes: an overwrite or an
+    # evolving append IS df's schema; a plain append inherits (None)
+    schema_json = (
+        df.schema.json()
+        if mode == "overwrite" or allow_schema_evolution or not live
+        else None
     )
+    if mode == "overwrite":
+        # a truncating overwrite's file list is head-independent: a
+        # conflict only means the version number moved — retake it
+        version = None
+        for attempt in range(_COMMIT_RETRIES + 1):
+            h, _ = _head_and_live(path)
+            try:
+                version = commit_snapshot(
+                    path, new, "overwrite",
+                    summary={"files_added": len(new)},
+                    parent=h, schema_json=schema_json,
+                )
+                break
+            except SnapshotConflictError:
+                if attempt == _COMMIT_RETRIES:
+                    raise
+        files = new
+    else:
+        version = _commit_append(
+            path, new, "append",
+            summary={"files_added": len(new)}, schema_json=schema_json,
+        )
+        files = snapshot_files(path, version)
     return {"version": version, "files_added": len(new), "files_live": len(files)}
 
 
@@ -343,11 +502,19 @@ def read_snapshot(
     """The table AS OF ``version`` (current head when None) — reads
     exactly the committed file list, so the result is stable no matter
     how many commits happened since."""
-    files = snapshot_files(path, version)
+    info = snapshot_info(path, version)
+    files = sorted(info["files"])
     if not files:
-        # empty table: derive the schema from whatever parquet remains
-        # on disk (there is always at least one pre-truncate file until
-        # vacuum removes it)
+        # empty table: the commit record carries the authoritative
+        # schema (round 12) — on-disk leftovers may be vacuumed away
+        # entirely, or a dead pre-evolution file could supply a stale
+        # column set
+        if info.get("schema"):
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(info["schema"])))
+        # pre-round-12 commit without a schema leg: best-effort from
+        # whatever parquet remains on disk
         return spark.read.parquet(path).limit(0)
     missing = [n for n in files if not os.path.exists(os.path.join(path, n))]
     if missing:
@@ -371,8 +538,14 @@ def read_snapshot(
 
 def lake_rollback(path: str, version: int) -> int:
     """Restore the table to an earlier version's file list as a NEW
-    commit (history is append-only — a rollback is itself audited)."""
-    files = snapshot_files(path, version)
+    commit (history is append-only — a rollback is itself audited).
+    Asserts the head it planned against (round 12): a concurrent
+    commit landing mid-rollback raises ``SnapshotConflictError`` —
+    rolling back over unseen changes is exactly the decision the
+    caller must re-make, never something to resolve silently."""
+    head = current_version(path)
+    info = snapshot_info(path, version)
+    files = sorted(info["files"])
     missing = [n for n in files if not os.path.exists(os.path.join(path, n))]
     if missing:
         raise ValueError(
@@ -380,17 +553,33 @@ def lake_rollback(path: str, version: int) -> int:
             "were vacuumed"
         )
     return commit_snapshot(
-        path, files, "rollback", summary={"restored_version": version}
+        path,
+        files,
+        "rollback",
+        summary={"restored_version": version},
+        parent=head,
+        schema_json=info.get("schema"),
     )
 
 
-def vacuum_lake(path: str, keep_last: int = 1) -> dict:
-    """Expire all but the last ``keep_last`` snapshots and delete every
-    on-disk data file no RETAINED snapshot references (including
-    orphans from crashed writes — a crash between ``_write_new_files``
-    and ``commit_snapshot`` leaves files no snapshot ever listed).
-    The ONLY operation that deletes data bytes. Single-writer: do not
-    run concurrently with an in-flight write."""
+def vacuum_lake(path: str, keep_last: int = 1, orphan_grace_s: float = 86400.0) -> dict:
+    """Expire all but the last ``keep_last`` snapshots and delete the
+    on-disk data files no RETAINED snapshot references. The ONLY
+    operation that deletes data bytes.
+
+    Two classes of deletable file (round 12 — they are NOT the same):
+
+    * DEAD files — referenced only by expired snapshots. They were
+      committed once, so no in-flight writer can be about to commit
+      them; deleted immediately.
+    * ORPHANS — files NO snapshot ever listed. Usually crash debris
+      (a writer died between ``_write_new_files`` and its commit), but
+      indistinguishable from files a LIVE writer staged seconds ago
+      and is about to commit. Deleted only when older than
+      ``orphan_grace_s`` (default 24 h — Delta's retention-check
+      shape), so vacuum is safe to run beside in-flight writes;
+      ``orphan_grace_s=0`` restores the aggressive reclaim for
+      single-writer maintenance windows."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = _versions(path)
@@ -401,13 +590,28 @@ def vacuum_lake(path: str, keep_last: int = 1) -> dict:
     tagged = set(lake_tags(path).values())
     retained = sorted(set(vs[-keep_last:]) | (tagged & set(vs)))
     referenced: set[str] = set()
-    for v in retained:
-        referenced |= set(snapshot_files(path, v))
+    ever_referenced: set[str] = set()
+    for v in vs:
+        fset = set(snapshot_files(path, v))
+        ever_referenced |= fset
+        if v in retained:
+            referenced |= fset
     removed = 0
+    kept_orphans = 0
+    cutoff = time.time() - orphan_grace_s
     for n in _all_data_files(path):
-        if n not in referenced:
-            os.remove(os.path.join(path, n))
-            removed += 1
+        if n in referenced:
+            continue
+        if n not in ever_referenced and orphan_grace_s > 0:
+            try:
+                fresh = os.path.getmtime(os.path.join(path, n)) > cutoff
+            except OSError:
+                fresh = False  # vanished mid-scan: nothing to protect
+            if fresh:
+                kept_orphans += 1
+                continue
+        os.remove(os.path.join(path, n))
+        removed += 1
     expired = [v for v in vs if v not in retained]
     for v in expired:
         os.remove(os.path.join(_snap_dir(path), f"v{v:012d}.json"))
@@ -415,6 +619,7 @@ def vacuum_lake(path: str, keep_last: int = 1) -> dict:
         "removed_files": removed,
         "expired_snapshots": len(expired),
         "retained_versions": retained,
+        "orphans_in_grace": kept_orphans,
     }
 
 
@@ -603,7 +808,7 @@ def lake_delete(
     rows_deleted)."""
     if not has_snapshots(path):
         # adopt: first DML on a plain parquet dir commits v1 = as-is
-        commit_snapshot(path, _data_files(path), "adopt")
+        commit_snapshot(path, _data_files(path), "adopt", parent=0)
     head = current_version(path)
     drop, keep, rewrite = _classify_for_delete(
         path, predicate, col_types, spark, scan_manifest
@@ -629,11 +834,12 @@ def lake_delete(
     # (never their bytes — they were classified unopened)
     prev_rows = snapshot_info(path, head).get("file_rows", {})
     rows_dropped = sum(int(prev_rows[n]) for n in drop if n in prev_rows)
-    files = sorted((set(keep) | set(new_files)))
-    version = commit_snapshot(
+    version = _commit_filechange(
         path,
-        files,
-        "delete",
+        head,
+        removed=set(drop) | set(rewrite),
+        added=set(new_files),
+        op="delete",
         summary={
             "predicate": predicate,
             "files_dropped": len(drop),
@@ -641,7 +847,6 @@ def lake_delete(
             "files_rewritten": len(rewrite),
             "rows_deleted": rows_deleted + rows_dropped,
         },
-        parent=head,
     )
     _maintain_manifest(spark, path, scan_manifest)
     return {
@@ -682,9 +887,8 @@ def lake_merge(
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
     if not has_snapshots(path):
-        commit_snapshot(path, _data_files(path), "adopt")
-    head = current_version(path)
-    live = snapshot_files(path)
+        commit_snapshot(path, _data_files(path), "adopt", parent=0)
+    head, live = _head_and_live(path)
     # the CURRENT snapshot's merged schema — a whole-dir read could
     # adopt a dead pre-evolution footer's column set and false-flag
     # schema drift after an evolution commit
@@ -743,23 +947,29 @@ def lake_merge(
         cand = spark.read.option("basePath", path).parquet(
             *[os.path.join(path, n) for n in candidates]
         )
-        kept = cand.join(F.broadcast(keys_df), cand[key] == F.col("__k"), "left_anti")
+        # broadcast the distinct key set only when the probe proved it
+        # small (<= _MERGE_KEY_PROBE_CAP); a corpus-scale source's key
+        # set ships as a plain shuffle anti-join instead — same rows,
+        # no driver/executor OOM (round 12, the guarded-broadcast rule
+        # the vector layer already follows)
+        anti_keys = F.broadcast(keys_df) if len(probe) <= _MERGE_KEY_PROBE_CAP else keys_df
+        kept = cand.join(anti_keys, cand[key] == F.col("__k"), "left_anti")
         out = kept.unionByName(source) if when_matched == "update" else kept
         new_files = _write_new_files(out, path, _partition_cols(live))
     elif when_matched == "update":
         new_files = _write_new_files(source, path, _partition_cols(live))
-    files = sorted(set(untouched) | set(new_files))
-    version = commit_snapshot(
+    version = _commit_filechange(
         path,
-        files,
-        "merge",
+        head,
+        removed=set(candidates),
+        added=set(new_files),
+        op="merge",
         summary={
             "key": key,
             "when_matched": when_matched,
             "files_candidates": len(candidates),
             "files_untouched": len(untouched),
         },
-        parent=head,
     )
     _maintain_manifest(spark, path, scan_manifest)
     return {
@@ -794,33 +1004,54 @@ def read_changes(
     schema_src = added or removed or sorted(files_to | files_from)
     if not schema_src:
         raise ValueError("both snapshots are empty — no schema source")
-    cols = (
-        spark.read.option("basePath", path)
-        .parquet(os.path.join(path, schema_src[0]))
-        .columns
-    )
 
-    def load(names: list[str], sign: int) -> DataFrame:
-        df = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, n) for n in names]
+    def read(names: list[str]) -> DataFrame:
+        # mergeSchema: across a schema-evolution boundary (lake_write
+        # allow_schema_evolution) the two file sets carry different
+        # column sets — without the merge one footer's schema wins and
+        # the added column silently drops (round 12, ADVICE fix)
+        return (
+            spark.read.option("basePath", path)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(path, n) for n in names])
         )
-        return df.select(*cols).groupBy(*cols).agg(
+
+    added_df = read(added) if added else None
+    removed_df = read(removed) if removed else None
+    # union of columns across both sides, NULL-filled where absent: a
+    # pre-evolution removed file diffs as NULL on the added column, so
+    # rows that differ only there net correctly instead of cancelling
+    cols: list[str] = []
+    dtypes: dict[str, str] = {}
+    for df in (added_df, removed_df):
+        if df is None:
+            continue
+        for c, t in df.dtypes:
+            if c not in dtypes:
+                cols.append(c)
+                dtypes[c] = t
+
+    def load(df: DataFrame, sign: int) -> DataFrame:
+        have = set(df.columns)
+        proj = [
+            F.col(c) if c in have else F.lit(None).cast(dtypes[c]).alias(c)
+            for c in cols
+        ]
+        return df.select(*proj).groupBy(*cols).agg(
             (F.count(F.lit(1)) * sign).alias("__d")
         )
 
-    if added and removed:
-        net = load(added, 1).unionByName(load(removed, -1))
-    elif added:
-        net = load(added, 1)
-    elif removed:
-        net = load(removed, -1)
+    if added_df is not None and removed_df is not None:
+        net = load(added_df, 1).unionByName(load(removed_df, -1))
+    elif added_df is not None:
+        net = load(added_df, 1)
+    elif removed_df is not None:
+        net = load(removed_df, -1)
     else:
         # identical file sets: nothing changed
-        empty = spark.read.option("basePath", path).parquet(
-            os.path.join(path, schema_src[0])
-        ).limit(0)
+        empty = read([schema_src[0]]).limit(0)
         return empty.select(
-            *cols,
+            *empty.columns,
             F.lit("insert").alias("__change"),
             F.lit(0).cast("long").alias("__n"),
         ).limit(0)
@@ -924,7 +1155,7 @@ def lake_update(
     Updating a partition column moves rows between directories
     naturally (the rewrite writes through partitionBy)."""
     if not has_snapshots(path):
-        commit_snapshot(path, _data_files(path), "adopt")
+        commit_snapshot(path, _data_files(path), "adopt", parent=0)
     head = current_version(path)
     allmatch, keep, boundary = _classify_for_delete(
         path, predicate, col_types, spark, scan_manifest
@@ -947,17 +1178,18 @@ def lake_update(
             }
         )
         new_files = _write_new_files(out, path, _partition_cols(to_rewrite))
-    version = commit_snapshot(
+    version = _commit_filechange(
         path,
-        sorted(set(keep) | set(new_files)),
-        "update",
+        head,
+        removed=set(to_rewrite),
+        added=set(new_files),
+        op="update",
         summary={
             "predicate": predicate,
             "set": dict(assignments),
             "files_untouched": len(keep),
             "files_rewritten": len(to_rewrite),
         },
-        parent=head,
     )
     _maintain_manifest(spark, path, scan_manifest)
     return {

@@ -542,6 +542,23 @@ layering AS (
   FROM orders
   WHERE o_orderstatus = 'F'
   GROUP BY 1
+),
+lm_o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS ok,
+         CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+lm_base AS (SELECT * FROM lm_o WHERE ck % 2 = 0),
+lm_src AS (
+  SELECT ok, ck, pc + 7777 AS pc FROM lm_base WHERE ck % 10 = 0
+  UNION ALL
+  SELECT ok, ck, pc FROM lm_o WHERE ck % 2 = 1
+),
+lm_merged AS (
+  SELECT * FROM lm_src
+  UNION ALL
+  SELECT b.* FROM lm_base b WHERE b.ok NOT IN (SELECT ok FROM lm_src)
 )
 SELECT 'scd2' AS part, c_custkey AS key, c_mktsegment AS seg,
        CAST(c_nationkey AS BIGINT) AS nat, valid_from AS vf, valid_to AS vt,
@@ -551,6 +568,10 @@ UNION ALL
 SELECT 'layering', order_year, CAST(NULL AS VARCHAR), n_orders,
        CAST(NULL AS DATE), CAST(NULL AS DATE), total_value
 FROM layering
+UNION ALL
+SELECT 'lake_merge', CAST(ck % 5 AS BIGINT), CAST(NULL AS VARCHAR), COUNT(*),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
+FROM lm_merged GROUP BY 2
 ORDER BY part, key, vf
 """
 
@@ -561,7 +582,15 @@ def q43_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics layering demo merged in as the 'layering' branch,
     freeing q39's slot for the z-order layout key):
     * 'scd2' branch — SCD Type-2 merge of one change batch;
-    * 'layering' branch — the 3-layer warehouse path, mart checked."""
+    * 'layering' branch — the 3-layer warehouse path, mart checked;
+    * 'lake_merge' branch (round 12, ex-r70 rotated into the driver
+      window) — pruned MERGE INTO a key-clustered snapshot lake:
+      candidate files picked by per-key interval probes, untouched
+      files carry over by identity, matched keys replaced via the
+      (guarded-broadcast) anti-join, inserts land as new files, one
+      atomic parent-asserting commit. The oracle replays the upsert
+      relationally — a lost untouched file, duplicated key, or
+      dropped insert breaks the hash."""
     import datetime
 
     from ..sources.warehouse import scd2_apply
@@ -614,7 +643,49 @@ def q43_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("date").alias("vt"),
         F.col("total_value").alias("val"),
     )
-    return scd2.unionByName(layering).orderBy("part", "key", "vf")
+
+    # 'lake_merge' (round 12, ex-r70): pruned MERGE INTO a snapshot
+    # lake — see operators/snapshots.lake_merge
+    import os
+    import shutil
+
+    from ..operators.snapshots import lake_merge, lake_write, read_snapshot
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "q43_lake"
+    )
+    lake = os.path.join(base, "data")
+    if os.path.exists(lake):
+        shutil.rmtree(lake)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("ok"),
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    lake_base = o.filter(F.col("ck") % 2 == 0)
+    lake_write(spark, lake_base.repartitionByRange(8, "ok"), lake)
+    source = lake_base.filter(F.col("ck") % 10 == 0).withColumn(
+        "pc", F.col("pc") + F.lit(7777)
+    ).unionByName(o.filter(F.col("ck") % 2 == 1))
+    lake_merge(spark, lake, source, "ok")
+    lake_m = (
+        read_snapshot(spark, lake)
+        .groupBy((F.col("ck") % 5).cast("long").alias("key"))
+        .agg(
+            F.count("*").cast("long").alias("nat"),
+            F.sum("pc").cast("double").alias("val"),
+        )
+        .select(
+            F.lit("lake_merge").alias("part"),
+            "key",
+            F.lit(None).cast("string").alias("seg"),
+            "nat",
+            F.lit(None).cast("date").alias("vf"),
+            F.lit(None).cast("date").alias("vt"),
+            "val",
+        )
+    )
+    return scd2.unionByName(layering).unionByName(lake_m).orderBy("part", "key", "vf")
 
 
 # ---------------------------------------------------------------------------

@@ -198,11 +198,28 @@ WITH o AS (
          CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
          CAST(o_orderdate AS DATE) AS od
   FROM orders
+),
+u_old AS (
+  SELECT ck, pc FROM o WHERE NOT (ck BETWEEN 0 AND 60) AND ck BETWEEN 90 AND 120
+),
+u_new AS (SELECT ck, pc + 55555 AS pc FROM u_old),
+cdcnet AS (
+  SELECT ck, pc, SUM(s) AS net FROM (
+    SELECT ck, pc, 1 AS s FROM u_new
+    UNION ALL
+    SELECT ck, pc, -1 AS s FROM u_old
+  ) GROUP BY ck, pc HAVING SUM(s) > 0
 )
 SELECT 'box' AS part, COUNT(*) AS n_orders,
        CAST(SUM(pc) AS BIGINT) AS total_cents,
        MIN(ck) AS min_ck, MAX(ck) AS max_ck
 FROM o WHERE ck BETWEEN 50 AND 600 AND pc BETWEEN 5000000 AND 20000000
+UNION ALL
+SELECT 'cdc_del', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
+FROM o WHERE ck BETWEEN 0 AND 60
+UNION ALL
+SELECT 'cdc_ins', CAST(SUM(net) AS BIGINT), CAST(SUM(pc * net) AS BIGINT), MIN(ck), MAX(ck)
+FROM cdcnet
 UNION ALL
 SELECT 'count', COUNT(*), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM o WHERE ck BETWEEN 50 AND 600 AND pc >= 5000000
@@ -218,8 +235,14 @@ UNION ALL
 SELECT 'dml_v1', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
 FROM o
 UNION ALL
+SELECT 'numjoin', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
+FROM o WHERE ck % 97 = 0
+UNION ALL
 SELECT 'or', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
 FROM o WHERE (ck BETWEEN 50 AND 150) OR (ck BETWEEN 400 AND 600)
+UNION ALL
+SELECT 'tt_box', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
+FROM o WHERE ck BETWEEN 100 AND 400
 ORDER BY part
 """
 
@@ -239,7 +262,23 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       (round 11): a snapshot lake takes a pruned DELETE then a pruned
       UPDATE; 'dml' reads the head through lake_scan, 'dml_v1' TIME
       TRAVELS back to v1 — a resurrected dead file, a lost update, or
-      a broken historical read each breaks the hash.
+      a broken historical read each breaks the hash;
+    * 'tt_box' — MANIFEST-PRUNED time travel (round 12, ex-r69's
+      read shape + the new pruning): v1 read under a box predicate
+      through lake_scan(version=1) — per-file manifest stats are
+      version-independent facts, so the historical file list
+      intersects the same keep set head reads use (skip_frac > 0
+      pinned in tests/test_time_travel_pruning.py);
+    * 'cdc_del' / 'cdc_ins' — snapshot CDC under the driver hash
+      (round 12, ex-r72 rotated in): read_changes between the DML
+      versions — the DELETE's changes are exactly its deleted rows,
+      the UPDATE's inserts are the net multiset diff (the oracle
+      computes the same signed-count net, so a phantom insert or a
+      lost delete breaks the hash);
+    * 'numjoin' — join-driven FILE pruning, numeric interval-probe
+      form (round 12, ex-r71 rotated in; q45 keeps the string/Bloom
+      form): a distinct-key dim probes the z-ordered lake's manifest
+      through lake_join_scan before any fact read.
     Every branch derives its skip plan from the predicate STRING."""
     import os
 
@@ -328,12 +367,62 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dml = agg(lake_scan(spark, "q23_orders_snap"), "dml")
     dml_v1 = agg(lake_scan(spark, "q23_orders_snap", version=1), "dml_v1")
 
+    # manifest-pruned TIME TRAVEL (round 12): v1 under a box — files
+    # the DML left alone prune from their (still-true) manifest rows;
+    # files the manifest GC'd stay must-read
+    tt_box = agg(
+        lake_scan(spark, "q23_orders_snap", "ck BETWEEN 100 AND 400", version=1),
+        "tt_box",
+    )
+
+    # snapshot CDC (round 12, ex-r72): the DELETE's net changes are its
+    # deleted rows (v1->v2); the UPDATE's inserts are the new row
+    # versions net of multiset overlap (v2->v3) — both n and value
+    # weighted by the net multiplicity __n
+    from ..operators.snapshots import read_changes
+
+    def cdc_agg(df: DataFrame, tag: str, count_style: bool = False) -> DataFrame:
+        # count_style mirrors the oracle's COUNT(*) (0 on empty, never
+        # NULL); the net-sum form mirrors SUM(net) (NULL on empty)
+        n = F.sum("__n").cast("long")
+        return df.agg(
+            F.lit(tag).alias("part"),
+            (F.coalesce(n, F.lit(0)) if count_style else n).alias("n_orders"),
+            F.sum(F.col("pc") * F.col("__n")).cast("long").alias("total_cents"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+        ).select("part", "n_orders", "total_cents", "min_ck", "max_ck")
+
+    cdc_del = cdc_agg(
+        read_changes(spark, slake, 1, 2).filter(F.col("__change") == "delete"),
+        "cdc_del",
+        count_style=True,
+    )
+    cdc_ins = cdc_agg(
+        read_changes(spark, slake, 2, 3).filter(F.col("__change") == "insert"),
+        "cdc_ins",
+    )
+
+    # join-driven file pruning, numeric interval-probe form (round 12,
+    # ex-r71): a distinct-key dim plans the z-ordered lake's read set
+    # through lake_join_scan — manifest probes before any fact read
+    from ..catalog import lake_join_scan
+
+    dim = o.select(F.col("ck").alias("dk")).distinct().filter(F.col("dk") % 97 == 0)
+    numjoin = agg(
+        lake_join_scan(spark, "q23_orders_lake", dim, "ck", "dk"), "numjoin"
+    )
+
     return (
         box.unionByName(count)
         .unionByName(date)
         .unionByName(disj)
         .unionByName(dml)
         .unionByName(dml_v1)
+        .unionByName(tt_box)
+        .unionByName(cdc_del)
+        .unionByName(cdc_ins)
+        .unionByName(numjoin)
         .orderBy("part")
     )
 

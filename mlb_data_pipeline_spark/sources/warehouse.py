@@ -388,7 +388,23 @@ def refresh_rollup_from_lake(
         last = int(_json.load(fh)["lake_version"])
     if last == head:
         return {"status": "noop", "from_version": last, "to_version": head}
-    ch = read_changes(spark, lake_path, last, head)
+    try:
+        ch = read_changes(spark, lake_path, last, head)
+    except ValueError:
+        # the remembered base version was expired by vacuum_lake: the
+        # incremental path is gone, but the store must not be bricked
+        # (round 12, ADVICE fix) — rebuild wholesale from the current
+        # snapshot, exactly the first-call path
+        import shutil as _shutil
+
+        _shutil.rmtree(store_path, ignore_errors=True)
+        build_rollup_store(
+            read_snapshot(spark, lake_path), store_path, partition_col, group_cols, value_col
+        )
+        with open(state_file + ".tmp", "w") as fh:
+            _json.dump({"lake_version": head}, fh)
+        _os.replace(state_file + ".tmp", state_file)
+        return {"status": "rebuilt", "from_version": last, "to_version": head}
     sign = F.when(F.col("__change") == "insert", F.lit(1)).otherwise(F.lit(-1))
     delta = (
         ch.groupBy(partition_col, *group_cols)

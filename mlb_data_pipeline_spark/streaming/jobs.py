@@ -698,11 +698,11 @@ def lake_snapshot_stream(
     vacuum cadence bounds it."""
     from ..operators.layout import append_scan_manifest
     from ..operators.snapshots import (
+        _commit_append,
         _write_new_files,
         commit_snapshot,
         has_snapshots,
         lake_history,
-        snapshot_files,
     )
 
     if vacuum_keep_last is not None and vacuum_keep_last < 2:
@@ -714,26 +714,41 @@ def lake_snapshot_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if has_snapshots(lake_path):
-            # monotonic replay guard: stream batch ids only grow, so a
-            # batch at or below the highest committed id is a
-            # redelivery — robust to vacuum expiring OLD records
-            seen = [
-                h["summary"]["batch_id"]
-                for h in lake_history(lake_path)
-                if "batch_id" in h["summary"]
-            ]
-            if seen and batch_id <= max(seen):
-                return  # redelivery of a committed batch: no-op
-            live = snapshot_files(lake_path)
-        else:
+        if not has_snapshots(lake_path):
+            # establish v1 BEFORE writing any batch file (round 12,
+            # ADVICE fix): pre-existing plain parquet adopts; an empty
+            # dir commits an empty init. Either way the first batch's
+            # files are written AFTER a snapshot exists, so a crash
+            # between write and commit leaves orphans the retry never
+            # adopts (the old code re-listed the dir and committed the
+            # first attempt's files PLUS the rewrite — duplicate rows).
             from ..operators.layout import _data_files
+            from ..operators.snapshots import SnapshotConflictError
 
-            live = _data_files(lake_path)
+            pre = _data_files(lake_path)
+            try:
+                commit_snapshot(
+                    lake_path, pre, "adopt" if pre else "stream_init", parent=0
+                )
+            except SnapshotConflictError:
+                pass  # another writer initialized first — fine
+        # monotonic replay guard: stream batch ids only grow, so a
+        # batch at or below the highest committed id is a
+        # redelivery — robust to vacuum expiring OLD records
+        seen = [
+            h["summary"]["batch_id"]
+            for h in lake_history(lake_path)
+            if "batch_id" in h["summary"]
+        ]
+        if seen and batch_id <= max(seen):
+            return  # redelivery of a committed batch: no-op
         new = _write_new_files(batch_df, lake_path, [])
-        commit_snapshot(
+        # append-shaped commit with head assertion + re-union retry
+        # (round 12): a concurrent committer (in-stream OPTIMIZE,
+        # another writer) can no longer be silently built over
+        _commit_append(
             lake_path,
-            sorted(set(live) | set(new)),
+            new,
             "stream_append",
             summary={"batch_id": batch_id, "files_added": len(new)},
         )

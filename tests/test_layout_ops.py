@@ -1529,12 +1529,21 @@ def test_q23_catalog_hook_branches_actually_prune(spark, sf_dir):
     from mlb_data_pipeline_spark.plans.layout_queries import q23_manifest_pruned_scan
 
     rows = {r.part: r for r in q23_manifest_pruned_scan(spark, sf_dir).collect()}
-    assert set(rows) == {"box", "count", "date", "or", "dml", "dml_v1"}
+    assert set(rows) == {
+        "box", "count", "date", "or", "dml", "dml_v1",
+        "tt_box", "cdc_del", "cdc_ins", "numjoin",
+    }
     assert rows["count"].n_orders > 0
     # the DML branches: the delete really removed rows (head < v1) and
     # time travel really restored them (v1 == the raw projection)
     assert rows["dml"].n_orders < rows["dml_v1"].n_orders
     assert rows["dml"].min_ck > 60
+    # round 12: CDC branches — the delete's changes are its rows, the
+    # update's inserts carry the +55555 shift within [90, 120]
+    assert rows["cdc_del"].max_ck <= 60
+    assert 90 <= rows["cdc_ins"].min_ck and rows["cdc_ins"].max_ck <= 120
+    # time travel under a box reads v1 rows (superset of head's)
+    assert rows["tt_box"].n_orders >= rows["cdc_ins"].n_orders
 
     whole = spark.read.parquet(
         "/tmp/spark_graft_io/" + sf_dir.rstrip("/").split("/")[-1] + "/r49_lake/data"

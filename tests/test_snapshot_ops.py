@@ -229,7 +229,11 @@ def test_rollback_then_vacuum_expires_unreferenced(spark, tmp_path):
     orphan = os.path.join(lake, "part-orphan.parquet")
     with open(orphan, "wb") as fh:
         fh.write(b"crashed write")
+    # a FRESH never-committed file sits in the orphan grace window by
+    # default (round 12) — it could be a live writer's staged file
     rep = vacuum_lake(lake, keep_last=1)
+    assert os.path.exists(orphan) and rep["orphans_in_grace"] == 1
+    rep = vacuum_lake(lake, keep_last=1, orphan_grace_s=0)
     assert not os.path.exists(orphan)
     assert rep["retained_versions"] == [4]
     assert read_snapshot(spark, lake).count() == 200
@@ -485,7 +489,7 @@ def test_lake_snapshot_stream_exactly_once_visible(spark, tmp_path):
     # crash between write and commit: orphan files, invisible, vacuumed
     orphans = _write_new_files(_kv(spark, 900, 950).coalesce(1), lake, [])
     assert orphans and read_snapshot(spark, lake).count() == 300
-    rep = vacuum_lake(lake, keep_last=1)
+    rep = vacuum_lake(lake, keep_last=1, orphan_grace_s=0)
     assert rep["removed_files"] >= len(orphans)
     assert read_snapshot(spark, lake).count() == 300
 
