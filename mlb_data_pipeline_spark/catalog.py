@@ -556,13 +556,17 @@ def lake_scan(
 
             return read_snapshot(spark, path, version).limit(0).filter(predicate)
         return spark.read.parquet(path).limit(0).filter(predicate)
+    from .operators.snapshots import _read_files, has_snapshots, snapshot_info
+
+    if has_snapshots(path):
+        # authoritative-schema read (round 12): pruned subsets resolve
+        # adds/drops/renames/widens exactly as read_snapshot does —
+        # head reads under the head record, time travel under its own
+        return _read_files(
+            spark, path, sorted(keep), snapshot_info(path, version)
+        ).filter(predicate)
     files = [os.path.join(path, n) for n in sorted(keep)]
-    # mergeSchema mirrors read_snapshot: a version list may straddle a
-    # schema-evolution boundary
-    reader = spark.read.option("basePath", path)
-    if inventory is not None:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files).filter(predicate)
+    return spark.read.option("basePath", path).parquet(*files).filter(predicate)
 
 
 def lake_explain(

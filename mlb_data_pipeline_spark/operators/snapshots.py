@@ -218,6 +218,7 @@ def commit_snapshot(
     summary: dict | None = None,
     parent: int | None = None,
     schema_json: str | None = None,
+    renames: dict[str, list[str]] | None = None,
 ) -> int:
     """Commit ``files`` as the table's next version. Atomic and
     single-winner: the record is staged then HARD-LINKED to its final
@@ -271,6 +272,12 @@ def commit_snapshot(
     schema_json = schema_json if schema_json is not None else prev.get("schema")
     if schema_json is not None:
         record["schema"] = schema_json
+    # rename lineage (round 12 full schema evolution): {current column
+    # -> [prior names, newest first]} — inherited like the schema so
+    # every later commit keeps resolving pre-rename files
+    renames = renames if renames is not None else prev.get("renames")
+    if renames:
+        record["renames"] = renames
     final = os.path.join(d, f"v{version:012d}.json")
     tmp = final + f".stage-{os.getpid()}"
     with open(tmp, "w") as fh:
@@ -523,17 +530,62 @@ def read_snapshot(
             f"references {len(missing)} vacuumed file(s) (e.g. {missing[0]!r}) — "
             "expired versions cannot be read"
         )
-    # mergeSchema: an evolved lake (lake_write allow_schema_evolution)
-    # holds files with different column sets; without the merge Spark
-    # adopts ONE footer's schema and silently drops the others'
-    # columns. Old files surface NULL for later-added columns — and a
-    # time-travel read of a pre-evolution version naturally shows the
-    # old schema (only its own files merge).
-    return (
-        spark.read.option("basePath", path)
-        .option("mergeSchema", "true")
-        .parquet(*[os.path.join(path, n) for n in files])
+    return _read_files(spark, path, files, info)
+
+
+def _read_files(
+    spark: SparkSession, path: str, names: list[str], info: dict | None = None
+) -> DataFrame:
+    """Read RELATIVE file ``names`` under the authority of a commit
+    record's schema (round 12 — the reader half of full schema
+    evolution):
+
+    * the read schema is EXPLICIT (recorded fields + each rename's
+      prior names typed at the target), so planning reads ZERO footers
+      — no mergeSchema job — and parquet's type promotion surfaces
+      pre-widen INT32/FLOAT files at the recorded wider type;
+    * files missing a column (pre-ADD) read NULL for it; columns a
+      file carries beyond the schema (post-DROP leftovers) never
+      surface;
+    * renamed columns resolve by COALESCE over the name lineage —
+      sound because a file carries exactly one generation of the name.
+
+    With no usable record (plain dirs, pre-round-12 logs, adopt
+    commits) this falls back to the mergeSchema read — the round-11
+    behavior, unchanged."""
+    paths = [os.path.join(path, n) for n in names]
+    sj = (info or {}).get("schema")
+    if not sj:
+        return (
+            spark.read.option("basePath", path)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    fields = StructType.fromJson(json.loads(sj))
+    renames: dict[str, list[str]] = (info or {}).get("renames") or {}
+    read_fields = list(fields.fields)
+    have = {f.name for f in read_fields}
+    for tgt, olds in renames.items():
+        if tgt not in fields.names:
+            continue  # lineage of a since-dropped column: nothing to read
+        t = fields[tgt].dataType
+        for o in olds:
+            if o not in have:
+                read_fields.append(StructField(o, t, True))
+                have.add(o)
+    df = (
+        spark.read.schema(StructType(read_fields))
+        .option("basePath", path)
+        .parquet(*paths)
     )
+    proj = []
+    for f in fields.fields:
+        cands = [f.name] + [o for o in renames.get(f.name, [])]
+        expr = F.col(cands[0]) if len(cands) == 1 else F.coalesce(*[F.col(c) for c in cands])
+        proj.append(expr.cast(f.dataType).alias(f.name))
+    return df.select(*proj)
 
 
 def lake_rollback(path: str, version: int) -> int:
@@ -559,6 +611,168 @@ def lake_rollback(path: str, version: int) -> int:
         summary={"restored_version": version},
         parent=head,
         schema_json=info.get("schema"),
+        # restore the target's rename lineage too ({} blocks inheriting
+        # the abandoned head's)
+        renames=info.get("renames") or {},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full schema evolution (round 12) — ALTER TABLE as METADATA-ONLY
+# commits. The commit record's schema is authoritative for every read
+# (_read_files), so dropping, renaming, or widening a column touches
+# ZERO data bytes: old files keep their physical layout and the reader
+# resolves them — dropped columns never surface, renamed columns
+# coalesce over their name lineage, narrowed files promote to the
+# recorded wider type (parquet type promotion, proven by test). Time
+# travel to a pre-evolution version reads THAT version's schema.
+# ---------------------------------------------------------------------------
+
+# provable-lossless integer/float promotions (Iceberg's widen set)
+_WIDEN_OK = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def _schema_commit(path: str, op: str, mutate, summary: dict) -> int:
+    """Shared tail of the ALTER ops: read the head's recorded schema +
+    rename lineage, apply ``mutate(schema, renames) -> (schema,
+    renames)``, commit the SAME file list with the new metadata
+    (parent-asserted — a concurrent commit raises, the caller
+    re-decides)."""
+    from pyspark.sql.types import StructType
+
+    head = current_version(path)
+    if head is None:
+        raise ValueError(f"{path!r} is not a snapshot lake (no commits)")
+    info = snapshot_info(path, head)
+    sj = info.get("schema")
+    if not sj:
+        raise ValueError(
+            "the head commit carries no recorded schema (pre-round-12 log or "
+            "adopt commit) — run lake_record_schema(spark, path) once first"
+        )
+    schema = StructType.fromJson(json.loads(sj))
+    renames = {k: list(v) for k, v in (info.get("renames") or {}).items()}
+    schema, renames = mutate(schema, renames)
+    return commit_snapshot(
+        path,
+        info["files"],
+        op,
+        summary=summary,
+        parent=head,
+        schema_json=schema.json(),
+        renames=renames,
+    )
+
+
+def lake_record_schema(spark: SparkSession, path: str) -> int:
+    """Bootstrap the authoritative-schema leg on a log whose head
+    predates it (adopt commits, pre-round-12 logs): commit the current
+    file list unchanged with the resolved (merge-read) schema."""
+    head = current_version(path)
+    if head is None:
+        raise ValueError(f"{path!r} is not a snapshot lake (no commits)")
+    info = snapshot_info(path, head)
+    if info.get("schema"):
+        return head  # already recorded — no-op, no empty commit
+    schema = _read_files(spark, path, sorted(info["files"]), None).schema
+    return commit_snapshot(
+        path, info["files"], "record_schema", parent=head, schema_json=schema.json()
+    )
+
+
+def lake_drop_column(path: str, col: str) -> int:
+    """ALTER TABLE DROP COLUMN as a metadata commit: the column leaves
+    the recorded schema; its bytes stay in the old files (time travel
+    still reads them) but no head read surfaces it. Appends after the
+    drop carry the narrowed schema."""
+    from pyspark.sql.types import StructType
+
+    def mutate(schema, renames):
+        if col not in schema.names:
+            raise ValueError(f"no column {col!r}; schema has {schema.names}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the table's only column")
+        renames.pop(col, None)
+        return StructType([f for f in schema.fields if f.name != col]), renames
+
+    return _schema_commit(path, "drop_column", mutate, {"column": col})
+
+
+def lake_rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN as a metadata commit: the recorded
+    schema adopts the new name and the commit's rename lineage maps it
+    to every prior name, so files written under ANY generation of the
+    name resolve by coalesce — no column-ID plumbing, sound because
+    each file carries exactly one generation."""
+    from pyspark.sql.types import StructField, StructType
+
+    def mutate(schema, renames):
+        if old not in schema.names:
+            raise ValueError(f"no column {old!r}; schema has {schema.names}")
+        if new in schema.names:
+            raise ValueError(f"column {new!r} already exists")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"invalid column name {new!r}")
+        out = StructType(
+            [
+                StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in schema.fields
+            ]
+        )
+        renames[new] = [old] + renames.pop(old, [])
+        return out, renames
+
+    return _schema_commit(path, "rename_column", mutate, {"from": old, "to": new})
+
+
+def lake_widen_column(path: str, col: str, new_type: str) -> int:
+    """ALTER TABLE ... TYPE as a metadata commit, restricted to
+    provably lossless promotions (int ladder, float->double): the
+    recorded type widens; existing narrow files promote at read time
+    (parquet type promotion), new writes land wide. Narrowing and
+    lossy casts are rejected — evolution must never change a stored
+    value."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    types = {
+        "smallint": ShortType(),
+        "int": IntegerType(),
+        "bigint": LongType(),
+        "double": DoubleType(),
+    }
+
+    def mutate(schema, renames):
+        if col not in schema.names:
+            raise ValueError(f"no column {col!r}; schema has {schema.names}")
+        cur = schema[col].dataType.simpleString()
+        if new_type not in _WIDEN_OK.get(cur, set()):
+            raise ValueError(
+                f"cannot widen {col!r} from {cur} to {new_type!r}; "
+                f"allowed: {sorted(_WIDEN_OK.get(cur, set())) or 'none'}"
+            )
+        tgt = types[new_type]
+        out = StructType(
+            [
+                StructField(col, tgt, f.nullable) if f.name == col else f
+                for f in schema.fields
+            ]
+        )
+        return out, renames
+
+    return _schema_commit(
+        path, "widen_column", mutate, {"column": col, "to": new_type}
     )
 
 
@@ -816,9 +1030,11 @@ def lake_delete(
     new_files: list[str] = []
     rows_deleted = 0
     if rewrite:
-        src = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, n) for n in rewrite]
-        )
+        # authoritative-schema read (round 12): a rewrite set spanning
+        # an evolution boundary resolves adds/drops/renames/widens the
+        # same way read_snapshot does, so the rewritten files land in
+        # the CURRENT schema
+        src = _read_files(spark, path, sorted(rewrite), snapshot_info(path, head))
         kept_rows = src.filter(f"NOT ({predicate}) OR ({predicate}) IS NULL")
         before = src.count()
         new_files = _write_new_files(kept_rows, path, _partition_cols(rewrite))
@@ -944,9 +1160,7 @@ def lake_merge(
         (candidates if hit else untouched).append(n)
     new_files: list[str] = []
     if candidates:
-        cand = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, n) for n in candidates]
-        )
+        cand = _read_files(spark, path, sorted(candidates), snapshot_info(path, head))
         # broadcast the distinct key set only when the probe proved it
         # small (<= _MERGE_KEY_PROBE_CAP); a corpus-scale source's key
         # set ships as a plain shuffle anti-join instead — same rows,
@@ -1005,16 +1219,16 @@ def read_changes(
     if not schema_src:
         raise ValueError("both snapshots are empty — no schema source")
 
+    # both sides read under the NEWER version's recorded schema when it
+    # has one: a rename's lineage folds old files' columns into the new
+    # names, so CDC across a rename boundary compares like-for-like; a
+    # drop's column disappears from both sides (it can no longer cause
+    # a phantom change). Pre-round-12 records fall back to a
+    # mergeSchema read + column union below.
+    info_to = snapshot_info(path, v_to)
+
     def read(names: list[str]) -> DataFrame:
-        # mergeSchema: across a schema-evolution boundary (lake_write
-        # allow_schema_evolution) the two file sets carry different
-        # column sets — without the merge one footer's schema wins and
-        # the added column silently drops (round 12, ADVICE fix)
-        return (
-            spark.read.option("basePath", path)
-            .option("mergeSchema", "true")
-            .parquet(*[os.path.join(path, n) for n in names])
-        )
+        return _read_files(spark, path, names, info_to)
 
     added_df = read(added) if added else None
     removed_df = read(removed) if removed else None
@@ -1163,9 +1377,7 @@ def lake_update(
     to_rewrite = sorted(set(allmatch) | set(boundary))
     new_files: list[str] = []
     if to_rewrite:
-        src = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, n) for n in to_rewrite]
-        )
+        src = _read_files(spark, path, to_rewrite, snapshot_info(path, head))
         dtypes = dict(src.dtypes)
         unknown = [c for c in assignments if c not in dtypes]
         if unknown:

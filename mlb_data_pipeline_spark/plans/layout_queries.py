@@ -1133,3 +1133,95 @@ def r75_lake_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("om", "n", F.col("total"))
         .orderBy("om")
     )
+
+
+# ---------------------------------------------------------------------------
+# R76 — full schema evolution (round 12, operators/snapshots.py
+#        lake_drop_column / lake_rename_column / lake_widen_column):
+#        ALTER TABLE as metadata-only commits over the authoritative
+#        commit-record schema. The lake takes a RENAME (pc -> cents),
+#        a WIDEN (ck int -> bigint), a DROP (note), then an append in
+#        the new generation; the head read must resolve BOTH file
+#        generations (old names/narrow types through the name-lineage
+#        coalesce + parquet type promotion), and the v1 time travel
+#        must show the original schema. The oracle replays the same
+#        evolution relationally (rename = alias, widen = cast, drop =
+#        projection) — a generation read under the wrong name/type or
+#        a resurrected dropped column breaks the hash.
+# ---------------------------------------------------------------------------
+
+_R76_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS INT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+         o_orderstatus AS note
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE ck % 3 <> 0),
+extra AS (SELECT CAST(ck AS BIGINT) AS ck, pc AS cents FROM o WHERE ck % 3 = 0),
+head AS (
+  SELECT CAST(ck AS BIGINT) AS ck, pc AS cents FROM base
+  UNION ALL
+  SELECT * FROM extra
+)
+SELECT 'head' AS part, CAST(ck % 5 AS BIGINT) AS g, COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total, CAST(SUM(ck) AS BIGINT) AS sum_k
+FROM head GROUP BY 2
+UNION ALL
+SELECT 'v1', CAST(ck % 5 AS BIGINT), COUNT(*),
+       CAST(SUM(pc) AS BIGINT), CAST(SUM(ck) AS BIGINT)
+FROM base GROUP BY 2
+ORDER BY part, g
+"""
+
+
+@query("r76_lake_schema_evolution", oracle=_R76_SQL, covers="X43,X38,A2")
+def r76_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.snapshots import (
+        lake_drop_column,
+        lake_rename_column,
+        lake_widen_column,
+        lake_write,
+        read_snapshot,
+    )
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r76_lake"
+    )
+    lake = os.path.join(base, "data")
+    if os.path.exists(lake):
+        shutil.rmtree(lake)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("int").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+        F.col("o_orderstatus").alias("note"),
+    )
+    lake_write(spark, o.filter(F.col("ck") % 3 != 0).repartitionByRange(4, "ck"), lake)  # v1
+    lake_rename_column(lake, "pc", "cents")  # v2 (metadata only)
+    lake_widen_column(lake, "ck", "bigint")  # v3 (metadata only)
+    lake_drop_column(lake, "note")  # v4 (metadata only)
+    lake_write(  # v5: new-generation append under the evolved schema
+        spark,
+        o.filter(F.col("ck") % 3 == 0).select(
+            F.col("ck").cast("bigint").alias("ck"), F.col("pc").alias("cents")
+        ).repartitionByRange(2, "ck"),
+        lake,
+    )
+
+    def agg(df: DataFrame, tag: str, val_col: str) -> DataFrame:
+        return (
+            df.groupBy((F.col("ck") % 5).cast("long").alias("g"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(val_col).cast("long").alias("total"),
+                F.sum("ck").cast("long").alias("sum_k"),
+            )
+            .select(F.lit(tag).alias("part"), "g", "n", "total", "sum_k")
+        )
+
+    head = agg(read_snapshot(spark, lake), "head", "cents")
+    v1 = agg(read_snapshot(spark, lake, 1), "v1", "pc")
+    return head.unionByName(v1).orderBy("part", "g")

@@ -1,0 +1,188 @@
+"""Round 12 — FULL schema evolution as metadata-only commits.
+
+Round 11 gated evolution to ADD-only. The round-12 commit record
+carries the authoritative table schema, which makes the rest of ALTER
+TABLE pure metadata: ``lake_drop_column`` (bytes stay, reads never
+surface it), ``lake_rename_column`` (a name-lineage map resolves every
+file generation by coalesce — no column IDs needed, each file carries
+exactly one generation), ``lake_widen_column`` (lossless promotions
+only; narrow files promote at read via parquet type promotion, proven
+in-suite). Zero data files rewritten by any of them — pinned by mtime.
+Time travel to a pre-evolution version reads THAT version's schema."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlb_data_pipeline_spark.operators.snapshots import (
+    lake_delete,
+    lake_drop_column,
+    lake_merge,
+    lake_record_schema,
+    lake_rename_column,
+    lake_rollback,
+    lake_widen_column,
+    lake_write,
+    read_changes,
+    read_snapshot,
+    snapshot_files,
+    snapshot_info,
+)
+
+
+def _mtimes(lake):
+    return {
+        n: os.path.getmtime(os.path.join(lake, n)) for n in snapshot_files(lake)
+    }
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2).cast("long").alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _df(spark, 0, 100).coalesce(2), lake)  # v1
+    before = _mtimes(lake)
+    v = lake_drop_column(lake, "s")
+    assert v == 2 and _mtimes(lake) == before  # zero bytes touched
+    cur = read_snapshot(spark, lake)
+    assert cur.columns == ["k", "v"] and cur.count() == 100
+    # time travel still shows the column
+    assert read_snapshot(spark, lake, 1).columns == ["k", "v", "s"]
+    # appends must match the narrowed schema
+    lake_write(spark, _df(spark, 100, 150).select("k", "v").coalesce(1), lake)
+    assert read_snapshot(spark, lake).count() == 150
+    with pytest.raises(ValueError, match="schema drift"):
+        lake_write(spark, _df(spark, 150, 160).coalesce(1), lake)
+
+
+def test_rename_column_resolves_all_generations(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _df(spark, 0, 50).coalesce(1), lake)  # v1: column v
+    lake_rename_column(lake, "v", "w")  # v2 (metadata only)
+    # new files land under the NEW name
+    lake_write(
+        spark,
+        spark.range(50, 80).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).cast("long").alias("w"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+        ).coalesce(1),
+        lake,
+    )  # v3
+    cur = read_snapshot(spark, lake)
+    assert cur.columns == ["k", "w", "s"]
+    # every generation resolves: 80 rows, w = 2k for all of them
+    assert cur.count() == 80
+    assert cur.filter(F.col("w") != F.col("k").cast("long") * 2).count() == 0
+    # chained rename: w -> u keeps the full lineage
+    lake_rename_column(lake, "w", "u")
+    cur = read_snapshot(spark, lake)
+    assert cur.columns == ["k", "u", "s"]
+    assert cur.agg(F.sum("u")).head()[0] == sum(2 * i for i in range(80))
+    # time travel reads each version's own names
+    assert read_snapshot(spark, lake, 1).columns == ["k", "v", "s"]
+    assert read_snapshot(spark, lake, 3).columns == ["k", "w", "s"]
+    # DML across the rename boundary reads/writes the current schema
+    lake_delete(spark, lake, "u >= 100", col_types={"u": "bigint"})
+    assert read_snapshot(spark, lake).filter("u >= 100").count() == 0
+
+
+def test_widen_column_promotes_old_files(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _df(spark, 0, 50).coalesce(1), lake)  # k is INT
+    assert dict(read_snapshot(spark, lake).dtypes)["k"] == "int"
+    before = _mtimes(lake)
+    lake_widen_column(lake, "k", "bigint")
+    assert _mtimes(lake) == before
+    cur = read_snapshot(spark, lake)
+    assert dict(cur.dtypes)["k"] == "bigint"
+    assert cur.agg(F.sum("k")).head()[0] == sum(range(50))
+    # appends may land wide; both generations aggregate exactly
+    lake_write(
+        spark,
+        spark.range(50, 100).select(
+            F.col("id").cast("bigint").alias("k"),
+            (F.col("id") * 2).cast("long").alias("v"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+        ).coalesce(1),
+        lake,
+    )
+    assert read_snapshot(spark, lake).agg(F.sum("k")).head()[0] == sum(range(100))
+    # lossy directions are rejected outright
+    with pytest.raises(ValueError, match="cannot widen"):
+        lake_widen_column(lake, "v", "int")
+    with pytest.raises(ValueError, match="cannot widen"):
+        lake_widen_column(lake, "s", "bigint")
+
+
+def test_drop_then_rollback_restores_schema(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _df(spark, 0, 30).coalesce(1), lake)  # v1
+    lake_drop_column(lake, "s")  # v2
+    lake_rename_column(lake, "v", "w")  # v3
+    assert read_snapshot(spark, lake).columns == ["k", "w"]
+    lake_rollback(lake, 1)  # v4 = v1's files AND schema
+    cur = read_snapshot(spark, lake)
+    assert cur.columns == ["k", "v", "s"] and cur.count() == 30
+
+
+def test_cdc_across_rename_boundary(spark, tmp_path):
+    """read_changes spanning a rename compares like-for-like under the
+    newer schema: a metadata-only rename alone nets ZERO changes, and
+    data changes across it surface under the new name."""
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _df(spark, 0, 40).coalesce(1), lake)  # v1
+    lake_rename_column(lake, "v", "w")  # v2
+    assert read_changes(spark, lake, 1, 2).count() == 0
+    lake_write(
+        spark,
+        spark.range(40, 60).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).cast("long").alias("w"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+        ).coalesce(1),
+        lake,
+    )  # v3
+    ch = read_changes(spark, lake, 1, 3)
+    assert "w" in ch.columns and "v" not in ch.columns
+    assert ch.count() == 20
+    assert {r["__change"] for r in ch.collect()} == {"insert"}
+
+
+def test_merge_after_evolution(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _df(spark, 0, 60).coalesce(2), lake)
+    lake_rename_column(lake, "v", "w")
+    src = spark.range(30, 70).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit(-5).cast("long").alias("w"),
+        F.lit("m").alias("s"),
+    )
+    lake_merge(spark, lake, src, "k")
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == 70
+    assert cur.filter("w = -5").count() == 40
+    assert cur.filter("k < 30").filter(F.col("w") != F.col("k") * 2).count() == 0
+
+
+def test_record_schema_bootstraps_adopted_lake(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _df(spark, 0, 20).coalesce(1).write.parquet(lake)  # plain dir
+    # first DML adopts (no schema in the adopt commit)
+    lake_delete(spark, lake, "k < 5", col_types={"k": "int"})
+    with pytest.raises(ValueError, match="record_schema"):
+        lake_drop_column(lake, "s")
+    v = lake_record_schema(spark, lake)
+    assert snapshot_info(lake, v).get("schema")
+    assert lake_record_schema(spark, lake) == v  # idempotent no-op
+    lake_drop_column(lake, "s")
+    assert read_snapshot(spark, lake).columns == ["k", "v"]

@@ -239,11 +239,15 @@ def test_read_changes_across_schema_evolution(spark, tmp_path):
     assert set(ch.columns) == {"k", "extra", "__change", "__n"}
     rows = {(r["k"], r["extra"], r["__change"]) for r in ch.collect()}
     assert rows == {(k, k * 10, "insert") for k in range(10, 20)}
-    # the reverse direction reads the PRE-evolution files too
+    # the reverse direction compares under the TARGET version's schema
+    # (v1 — pre-evolution, no 'extra'): the post-evolution file's rows
+    # surface as deletes on the columns v1 knows
     back = read_changes(spark, lake, 2, 1)
+    assert set(back.columns) == {"k", "__change", "__n"}
     assert back.count() == 10
-    assert {r["__change"] for r in back.collect()} == {"delete"}
-    assert {r["extra"] for r in back.collect()} == {k * 10 for k in range(10, 20)}
+    assert {(r["k"], r["__change"]) for r in back.collect()} == {
+        (k, "delete") for k in range(10, 20)
+    }
 
 
 def test_col_types_cache_invalidated_on_evolution(spark, tmp_path):
