@@ -810,6 +810,14 @@ def vacuum_lake(path: str, keep_last: int = 1, orphan_grace_s: float = 86400.0) 
         ever_referenced |= fset
         if v in retained:
             referenced |= fset
+    # live branches are retention promises like tags: every file any
+    # branch version references stays until the branch is dropped or
+    # published (round 12)
+    for name in lake_branches(path):
+        for bv in _branch_versions(path, name):
+            bset = set(_branch_info(path, name, bv)["files"])
+            referenced |= bset
+            ever_referenced |= bset
     removed = 0
     kept_orphans = 0
     cutoff = time.time() - orphan_grace_s
@@ -1308,6 +1316,10 @@ def lake_stats(path: str) -> dict:
     referenced: set[str] = set()
     for v in _versions(path):
         referenced |= set(snapshot_info(path, v)["files"])
+    # branch-staged files are referenced debt, not vacuum debt
+    for name in lake_branches(path):
+        for bv in _branch_versions(path, name):
+            referenced |= set(_branch_info(path, name, bv)["files"])
     on_disk = set(_all_data_files(path))
     dead = on_disk - live
 
@@ -1449,6 +1461,243 @@ def lake_untag(path: str, name: str) -> None:
     if not os.path.exists(fn):
         raise ValueError(f"no tag {name!r} under {path!r}")
     os.remove(fn)
+
+
+# ---------------------------------------------------------------------------
+# Branch refs — WRITE-AUDIT-PUBLISH (round 12). A branch is a named
+# side chain of snapshot records under ``_snapshots/branches/<name>/``,
+# forked from a main version: staged data lands on the branch as
+# ordinary invisible-then-committed files, audit queries read the
+# branch head without main ever seeing a staged row, and PUBLISH
+# fast-forwards main to the branch head in ONE parent-asserted commit
+# — the Iceberg/Nessie WAP pattern, which is exactly how a training-
+# data lake takes a new crawl drop: stage on a branch, run the quality
+# gates, publish atomically or drop the branch. Branch commits share
+# the main chain's record shape (files, file_rows, schema, renames),
+# so ``_read_files`` reads branch heads with the same authority rules.
+# ``vacuum_lake`` treats every branch-referenced file as retained.
+# ---------------------------------------------------------------------------
+
+
+def _branch_dir(path: str, name: str) -> str:
+    if not re.fullmatch(r"[A-Za-z][A-Za-z0-9_.-]*", name):
+        raise ValueError(f"invalid branch name {name!r}")
+    return os.path.join(_snap_dir(path), "branches", name)
+
+
+def lake_branches(path: str) -> dict[str, dict]:
+    """name -> {head (branch-local version), fork_version, n_files}."""
+    d = os.path.join(_snap_dir(path), "branches")
+    out: dict[str, dict] = {}
+    if not os.path.isdir(d):
+        return out
+    for name in sorted(os.listdir(d)):
+        vs = _branch_versions(path, name)
+        if not vs:
+            continue
+        info = _branch_info(path, name, vs[-1])
+        out[name] = {
+            "head": vs[-1],
+            "fork_version": info.get("fork_version"),
+            "n_files": len(info["files"]),
+        }
+    return out
+
+
+def _branch_versions(path: str, name: str) -> list[int]:
+    d = _branch_dir(path, name)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        m = re.fullmatch(r"v(\d{12})\.json", n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _branch_info(path: str, name: str, bv: int | None = None) -> dict:
+    vs = _branch_versions(path, name)
+    if not vs:
+        raise ValueError(f"no branch {name!r} under {path!r}")
+    bv = vs[-1] if bv is None else bv
+    fn = os.path.join(_branch_dir(path, name), f"v{bv:012d}.json")
+    if not os.path.exists(fn):
+        raise ValueError(f"branch {name!r} has no version {bv}")
+    with open(fn) as fh:
+        return json.load(fh)
+
+
+def _branch_commit(path: str, name: str, record: dict) -> int:
+    """Exclusive-link a branch record — same single-winner rule as the
+    main chain, scoped to the branch's own version numbers."""
+    d = _branch_dir(path, name)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"v{record['version']:012d}.json")
+    tmp = final + f".stage-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(record, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        raise SnapshotConflictError(
+            f"branch {name!r} v{record['version']} was committed concurrently"
+        ) from exc
+    finally:
+        os.remove(tmp)
+    return record["version"]
+
+
+def lake_branch_create(path: str, name: str, from_version: int | str | None = None) -> int:
+    """Fork a branch at a main version (head when None): one metadata
+    record copying the fork's file list / schema / lineage. Staged
+    work lands on the branch; main never sees it until publish."""
+    if _branch_versions(path, name):
+        raise ValueError(f"branch {name!r} already exists")
+    info = snapshot_info(path, from_version)
+    record = {
+        "version": 1,
+        "parent": None,
+        "op": "branch_fork",
+        "ts": time.time(),
+        "files": info["files"],
+        "file_rows": info.get("file_rows", {}),
+        "summary": {"branch": name},
+        "fork_version": info["version"],
+    }
+    if info.get("schema"):
+        record["schema"] = info["schema"]
+    if info.get("renames"):
+        record["renames"] = info["renames"]
+    _branch_commit(path, name, record)
+    return info["version"]
+
+
+def lake_branch_append(spark: SparkSession, path: str, name: str, df: DataFrame) -> int:
+    """Append ``df`` to the branch: files land invisible in the SAME
+    lake directory (readers of main or other branches never reference
+    them), then one branch commit flips them live on this branch only.
+    Schema must match the branch head's (staging is not the place for
+    silent drift)."""
+    head_info = _branch_info(path, name)
+    # read one committed branch file set's schema authority
+    cur_cols = None
+    if head_info.get("schema"):
+        from pyspark.sql.types import StructType
+
+        cur_cols = set(StructType.fromJson(json.loads(head_info["schema"])).names)
+    elif head_info["files"]:
+        cur_cols = set(
+            _read_files(spark, path, sorted(head_info["files"]), head_info).columns
+        )
+    if cur_cols is not None and set(df.columns) != cur_cols:
+        raise ValueError(
+            f"branch {name!r} schema drift: write has {sorted(set(df.columns) - cur_cols) or '-'} "
+            f"extra / {sorted(cur_cols - set(df.columns)) or '-'} missing"
+        )
+    new = _write_new_files(df, path, _partition_cols(head_info["files"]))
+    import pyarrow.parquet as pq
+
+    file_rows = dict(head_info.get("file_rows", {}))
+    for n in new:
+        file_rows[n] = int(pq.ParquetFile(os.path.join(path, n)).metadata.num_rows)
+    for attempt in range(_COMMIT_RETRIES + 1):
+        head_info = _branch_info(path, name)
+        record = {
+            **{k: head_info[k] for k in ("fork_version",) if k in head_info},
+            "version": head_info["version"] + 1,
+            "parent": head_info["version"],
+            "op": "branch_append",
+            "ts": time.time(),
+            "files": sorted(set(head_info["files"]) | set(new)),
+            "file_rows": {**file_rows, **head_info.get("file_rows", {})},
+            "summary": {"branch": name, "files_added": len(new)},
+        }
+        for k in ("schema", "renames"):
+            if head_info.get(k):
+                record[k] = head_info[k]
+        try:
+            return _branch_commit(path, name, record)
+        except SnapshotConflictError:
+            if attempt == _COMMIT_RETRIES:
+                raise
+    raise AssertionError("unreachable")
+
+
+def read_branch(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """The branch head — staged rows included, main's post-fork
+    commits NOT (the audit read of write-audit-publish)."""
+    info = _branch_info(path, name)
+    files = sorted(info["files"])
+    if not files:
+        if info.get("schema"):
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(info["schema"])))
+        return spark.read.parquet(path).limit(0)
+    missing = [n for n in files if not os.path.exists(os.path.join(path, n))]
+    if missing:
+        raise ValueError(
+            f"branch {name!r} references {len(missing)} missing file(s) "
+            f"(e.g. {missing[0]!r})"
+        )
+    return _read_files(spark, path, files, info)
+
+
+def lake_publish_branch(
+    path: str, name: str, drop: bool = True, allow_rebase: bool = True
+) -> int:
+    """PUBLISH: fast-forward main to the branch head in one commit.
+
+    When main has not moved since the fork this is the exact audited
+    state, atomically. When main DID move, the branch's net change
+    (adds for an append-only branch) REBASES through the file-change
+    protocol — sound (main's own deletes stay deleted, nothing is
+    resurrected) but the published table is (main's changes + staged),
+    a state the audit never saw. ``allow_rebase=False`` demands the
+    Iceberg fast-forward contract instead: raise whenever main moved,
+    so what publishes is bit-for-bit what was audited. A branch whose
+    own removed files were rewritten on main always raises. ``drop``
+    removes the branch after publishing."""
+    info = _branch_info(path, name)
+    fork = info.get("fork_version")
+    if not allow_rebase:
+        head = current_version(path)
+        if head != fork:
+            raise SnapshotConflictError(
+                f"main moved v{fork} -> v{head} since the fork of {name!r}; "
+                "the audited state is stale — re-fork and re-audit "
+                "(or publish with allow_rebase=True)"
+            )
+    fork_files = set(snapshot_info(path, fork)["files"]) if fork else set()
+    branch_files = set(info["files"])
+    removed = fork_files - branch_files
+    added = branch_files - fork_files
+    # schema inherits from the MAIN head (not the branch): if main
+    # evolved since the fork, the published files read under main's
+    # newer schema (absent columns NULL) instead of silently reverting
+    version = _commit_filechange(
+        path,
+        fork,
+        removed=removed,
+        added=added,
+        op="publish",
+        summary={"branch": name, "files_added": len(added)},
+    )
+    if drop:
+        lake_branch_drop(path, name)
+    return version
+
+
+def lake_branch_drop(path: str, name: str) -> None:
+    """Abandon a branch: its records go away; its never-published
+    files become orphans vacuum reclaims after the grace window."""
+    import shutil
+
+    d = _branch_dir(path, name)
+    if not os.path.isdir(d):
+        raise ValueError(f"no branch {name!r} under {path!r}")
+    shutil.rmtree(d)
 
 
 def resolve_version(path: str, version: int | str | None) -> int | None:

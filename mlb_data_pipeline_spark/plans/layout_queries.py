@@ -1225,3 +1225,82 @@ def r76_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = agg(read_snapshot(spark, lake), "head", "cents")
     v1 = agg(read_snapshot(spark, lake, 1), "v1", "pc")
     return head.unionByName(v1).orderBy("part", "g")
+
+
+# ---------------------------------------------------------------------------
+# R77 — branch refs / WRITE-AUDIT-PUBLISH (round 12,
+#        operators/snapshots.py lake_branch_*): a new data drop stages
+#        on a branch (files invisible to main), the audit reads the
+#        branch head, and PUBLISH fast-forwards main in one
+#        parent-asserted commit. The query captures all three reads —
+#        the audit (base + staged), main DURING staging (base only:
+#        one staged row leaking here means branch isolation is
+#        broken), and main after publish (the audited state verbatim).
+#        The oracle rebuilds each state relationally.
+# ---------------------------------------------------------------------------
+
+_R77_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE ck % 2 = 0),
+staged AS (SELECT ck, pc + 1111 AS pc FROM o WHERE ck % 2 = 1),
+combined AS (SELECT * FROM base UNION ALL SELECT * FROM staged)
+SELECT 'audit' AS part, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_pc,
+       MIN(ck) AS min_ck, MAX(ck) AS max_ck
+FROM combined
+UNION ALL
+SELECT 'main_during', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck) FROM base
+UNION ALL
+SELECT 'published', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck) FROM combined
+ORDER BY part
+"""
+
+
+@query("r77_lake_branch_wap", oracle=_R77_SQL, covers="X44,X38,A2")
+def r77_lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.snapshots import (
+        lake_branch_append,
+        lake_branch_create,
+        lake_publish_branch,
+        lake_write,
+        read_branch,
+        read_snapshot,
+    )
+
+    base_dir = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r77_lake"
+    )
+    lake = os.path.join(base_dir, "data")
+    if os.path.exists(lake):
+        shutil.rmtree(lake)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    lake_write(spark, o.filter(F.col("ck") % 2 == 0).repartitionByRange(4, "ck"), lake)
+    lake_branch_create(lake, "drop1")
+    lake_branch_append(
+        spark, lake, "drop1",
+        o.filter(F.col("ck") % 2 == 1).withColumn("pc", F.col("pc") + F.lit(1111)),
+    )
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("part"),
+            F.count("*").alias("n"),
+            F.sum("pc").cast("long").alias("sum_pc"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+        ).select("part", "n", "sum_pc", "min_ck", "max_ck")
+
+    audit = agg(read_branch(spark, lake, "drop1"), "audit")
+    main_during = agg(read_snapshot(spark, lake), "main_during")
+    lake_publish_branch(lake, "drop1")
+    published = agg(read_snapshot(spark, lake), "published")
+    return audit.unionByName(main_during).unionByName(published).orderBy("part")
