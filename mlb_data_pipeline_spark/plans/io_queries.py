@@ -559,7 +559,27 @@ lm_merged AS (
   SELECT * FROM lm_src
   UNION ALL
   SELECT b.* FROM lm_base b WHERE b.ok NOT IN (SELECT ok FROM lm_src)
-)
+),
+ev_o AS (
+  SELECT CAST(o_custkey AS INT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+ev_base AS (SELECT * FROM ev_o WHERE ck % 3 <> 0),
+ev_extra AS (SELECT CAST(ck AS BIGINT) AS ck, pc AS cents FROM ev_o WHERE ck % 3 = 0),
+ev_head AS (
+  SELECT CAST(ck AS BIGINT) AS ck, pc AS cents FROM ev_base
+  UNION ALL
+  SELECT * FROM ev_extra
+),
+wap_o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+wap_base AS (SELECT * FROM wap_o WHERE ck % 2 = 0),
+wap_staged AS (SELECT ck, pc + 1111 AS pc FROM wap_o WHERE ck % 2 = 1),
+wap_combined AS (SELECT * FROM wap_base UNION ALL SELECT * FROM wap_staged)
 SELECT 'scd2' AS part, c_custkey AS key, c_mktsegment AS seg,
        CAST(c_nationkey AS BIGINT) AS nat, valid_from AS vf, valid_to AS vt,
        CAST(NULL AS DOUBLE) AS val
@@ -572,6 +592,28 @@ UNION ALL
 SELECT 'lake_merge', CAST(ck % 5 AS BIGINT), CAST(NULL AS VARCHAR), COUNT(*),
        CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
 FROM lm_merged GROUP BY 2
+UNION ALL
+SELECT 'evolve_head', CAST(ck % 5 AS BIGINT),
+       CAST(CAST(SUM(ck) AS BIGINT) AS VARCHAR), COUNT(*),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(cents) AS DOUBLE)
+FROM ev_head GROUP BY 2
+UNION ALL
+SELECT 'evolve_v1', CAST(ck % 5 AS BIGINT),
+       CAST(CAST(SUM(ck) AS BIGINT) AS VARCHAR), COUNT(*),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
+FROM ev_base GROUP BY 2
+UNION ALL
+SELECT 'wap_audit', MIN(ck), CAST(MAX(ck) AS VARCHAR), COUNT(*),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
+FROM wap_combined
+UNION ALL
+SELECT 'wap_main_during', MIN(ck), CAST(MAX(ck) AS VARCHAR), COUNT(*),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
+FROM wap_base
+UNION ALL
+SELECT 'wap_published', MIN(ck), CAST(MAX(ck) AS VARCHAR), COUNT(*),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
+FROM wap_combined
 ORDER BY part, key, vf
 """
 
@@ -590,7 +632,17 @@ def q43_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       (guarded-broadcast) anti-join, inserts land as new files, one
       atomic parent-asserting commit. The oracle replays the upsert
       relationally — a lost untouched file, duplicated key, or
-      dropped insert breaks the hash."""
+      dropped insert breaks the hash;
+    * 'evolve_head' / 'evolve_v1' (round 12) — FULL SCHEMA EVOLUTION
+      under the driver hash: the r76 flow (rename + widen + drop as
+      metadata-only commits, then a new-generation append) re-shaped
+      into this union — the head read must resolve both file
+      generations and the v1 time travel the original schema;
+    * 'wap_audit' / 'wap_main_during' / 'wap_published' (round 12) —
+      WRITE-AUDIT-PUBLISH under the driver hash: the r77 tri-state
+      (branch audit sees base+staged, main during staging sees base
+      only, main after publish sees the audited state) — one staged
+      row leaking to main breaks the hash."""
     import datetime
 
     from ..sources.warehouse import scd2_apply
@@ -685,7 +737,38 @@ def q43_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val",
         )
     )
-    return scd2.unionByName(layering).unionByName(lake_m).orderBy("part", "key", "vf")
+    # 'evolve_*' / 'wap_*' (round 12): the full-schema-evolution and
+    # write-audit-publish flagships under the driver hash — the
+    # branches CALL the r76/r77 registry queries (one source of truth,
+    # no drift) and re-shape their tagged outputs into q43's schema;
+    # sum_k / max_ck ride the string slot so no oracle column is lost
+    from .layout_queries import r76_lake_schema_evolution, r77_lake_branch_wap
+
+    evolve = r76_lake_schema_evolution(spark, sf_dir).select(
+        F.concat(F.lit("evolve_"), F.col("part")).alias("part"),
+        F.col("g").alias("key"),
+        F.col("sum_k").cast("string").alias("seg"),
+        F.col("n").cast("long").alias("nat"),
+        F.lit(None).cast("date").alias("vf"),
+        F.lit(None).cast("date").alias("vt"),
+        F.col("total").cast("double").alias("val"),
+    )
+    wap = r77_lake_branch_wap(spark, sf_dir).select(
+        F.concat(F.lit("wap_"), F.col("part")).alias("part"),
+        F.col("min_ck").alias("key"),
+        F.col("max_ck").cast("string").alias("seg"),
+        F.col("n").cast("long").alias("nat"),
+        F.lit(None).cast("date").alias("vf"),
+        F.lit(None).cast("date").alias("vt"),
+        F.col("sum_pc").cast("double").alias("val"),
+    )
+    return (
+        scd2.unionByName(layering)
+        .unionByName(lake_m)
+        .unionByName(evolve)
+        .unionByName(wap)
+        .orderBy("part", "key", "vf")
+    )
 
 
 # ---------------------------------------------------------------------------
