@@ -462,6 +462,20 @@ def _lake_col_types(spark: SparkSession, ent: dict) -> dict:
     return ent["col_types"]
 
 
+def _lake_has_dvs(path: str, version: int | str | None = None) -> bool:
+    """True when the snapshot record at ``version`` (head when None)
+    carries deletion vectors. The manifest/metadata fast paths
+    (interior row counts, per-file min/max, persisted NDV sketches)
+    describe PHYSICAL file contents, so a live mask invalidates their
+    unopened-file shortcuts — those paths degrade to the pruned scan
+    (which applies the mask) rather than overcount (round 12)."""
+    from .operators.snapshots import has_snapshots, snapshot_info
+
+    if not has_snapshots(path):
+        return False
+    return bool(snapshot_info(path, version).get("dvs"))
+
+
 def _lake_read_all(spark: SparkSession, path: str) -> DataFrame:
     """The whole-lake read: plain parquet for an unversioned directory,
     the CURRENT snapshot for a transaction-logged one (a dead file a
@@ -936,7 +950,9 @@ def lake_count(
             n = snapshot_row_count(ent["path"], version)
             if n is not None:
                 return n
-        elif ent["scan_manifest"] is not None:
+        elif ent["scan_manifest"] is not None and not _lake_has_dvs(
+            ent["path"], version
+        ):
             col_types = _lake_col_types(spark, ent)
             clauses = _extract_exact_clauses(predicate, col_types)
             if clauses is not None and clauses[2] is None:
@@ -964,7 +980,7 @@ def lake_count(
             if n is not None:
                 return n
         return _lake_read_all(spark, ent["path"]).count()
-    if ent["scan_manifest"] is not None:
+    if ent["scan_manifest"] is not None and not _lake_has_dvs(ent["path"]):
         col_types = _lake_col_types(spark, ent)
         clauses = _extract_exact_clauses(predicate, col_types)
         if clauses is not None:
@@ -1023,7 +1039,9 @@ def lake_min_max(
         # stats are immutable per-file facts; unknown files read
         from .operators.snapshots import read_snapshot, snapshot_files
 
-        if ent["scan_manifest"] is not None:
+        if ent["scan_manifest"] is not None and not _lake_has_dvs(
+            ent["path"], version
+        ):
             col_types = _lake_col_types(spark, ent)
             box = {} if not predicate else _extract_exact_box(predicate, col_types)
             if box is not None:
@@ -1043,7 +1061,7 @@ def lake_min_max(
         return df.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
     _compact_recover_tree(ent["path"])
     col_types = _lake_col_types(spark, ent)
-    if ent["scan_manifest"] is not None:
+    if ent["scan_manifest"] is not None and not _lake_has_dvs(ent["path"]):
         box = {} if not predicate else _extract_exact_box(predicate, col_types)
         if box is not None:
             return manifest_assisted_minmax(
@@ -1135,7 +1153,7 @@ def lake_approx_distinct(
     _compact_recover_tree(ent["path"])
     col_types = _lake_col_types(spark, ent)
     ndv_m = ent.get("ndv_manifest")
-    if ndv_m is not None:
+    if ndv_m is not None and not _lake_has_dvs(ent["path"]):
         if not predicate:
             return manifest_assisted_ndv(
                 spark, ent["path"], ndv_m, ent["scan_manifest"], col

@@ -1184,6 +1184,19 @@ def optimize_clustered(
             planned_head = current_version(base)
         names = _data_files(base)
     if any("/" in n for n in names):
+        if snap and planned_head is not None:
+            from .snapshots import snapshot_info as _sinfo
+
+            if _sinfo(base, planned_head).get("dvs"):
+                # leaves compact against the root's log; deletion-
+                # vector masks can't be resolved per-leaf yet — rewrite
+                # the masks away first (lake_update/merge or a non-DV
+                # delete materializes them)
+                raise ValueError(
+                    "optimize_clustered on a PARTITIONED lake with live "
+                    "deletion vectors is not supported — materialize the "
+                    "masks first (any rewrite of the DV'd files does)"
+                )
         # partitioned lake: optimize each leaf directory as a flat lake
         # and merge the reports. Leaves with only root-level siblings
         # ("" key) are handled by the same grouping.
@@ -1282,7 +1295,16 @@ def optimize_clustered(
 
         digest_src += "|" + _uuid.uuid4().hex
     digest = _hashlib.sha256(digest_src.encode()).hexdigest()[:12]
-    df = spark.read.parquet(*[os.path.join(base, n) for n in sorted(dirty)])
+    if snap and planned_head is not None:
+        # read through the commit record's authority (round 12):
+        # deletion-vector masks apply, so compaction MATERIALIZES the
+        # deletes into the rewritten files; schema evolution resolves
+        # the same way every reader does
+        from .snapshots import _read_files, snapshot_info
+
+        df = _read_files(spark, base, sorted(dirty), snapshot_info(base, planned_head))
+    else:
+        df = spark.read.parquet(*[os.path.join(base, n) for n in sorted(dirty)])
     if n_dims == 1:
         # 1-D clustering is a plain range sort — both curves degenerate
         # to the scaled cell itself (common for single-key streaming

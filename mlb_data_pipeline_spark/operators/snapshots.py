@@ -219,6 +219,8 @@ def commit_snapshot(
     parent: int | None = None,
     schema_json: str | None = None,
     renames: dict[str, list[str]] | None = None,
+    dvs: list[str] | None = None,
+    dv_rows: dict[str, int] | None = None,
 ) -> int:
     """Commit ``files`` as the table's next version. Atomic and
     single-winner: the record is staged then HARD-LINKED to its final
@@ -278,6 +280,17 @@ def commit_snapshot(
     renames = renames if renames is not None else prev.get("renames")
     if renames:
         record["renames"] = renames
+    # deletion vectors (round 12): "dvs" = relative names of position
+    # sidecars under _snapshots/dv/, "dv_rows" = {file: deleted rows}
+    # — inherited so every later commit keeps masking DV'd positions;
+    # entries for files that left the live set are harmless (their
+    # anti-join matches nothing; row counting sums live files only)
+    dvs = dvs if dvs is not None else prev.get("dvs")
+    if dvs:
+        record["dvs"] = dvs
+    dv_rows = dv_rows if dv_rows is not None else prev.get("dv_rows")
+    if dv_rows:
+        record["dv_rows"] = dv_rows
     final = os.path.join(d, f"v{version:012d}.json")
     tmp = final + f".stage-{os.getpid()}"
     with open(tmp, "w") as fh:
@@ -349,6 +362,8 @@ def _commit_filechange(
     op: str,
     summary: dict | None = None,
     schema_json: str | None = None,
+    dvs: list[str] | None = None,
+    dv_rows: dict[str, int] | None = None,
 ) -> int:
     """Commit a DML/OPTIMIZE-shaped change planned against
     ``planned_head``: drop ``removed`` from the live set, add
@@ -387,6 +402,8 @@ def _commit_filechange(
                 summary=summary,
                 parent=expect,
                 schema_json=schema_json,
+                dvs=dvs,
+                dv_rows=dv_rows,
             )
         except SnapshotConflictError:
             if attempt == _COMMIT_RETRIES:
@@ -533,8 +550,29 @@ def read_snapshot(
     return _read_files(spark, path, files, info)
 
 
+def _dv_df(spark: SparkSession, path: str, info: dict | None) -> DataFrame | None:
+    """The union of a commit's deletion-vector sidecars: (file
+    basename, pos) rows masking deleted positions. None when the
+    commit carries no DVs."""
+    names = (info or {}).get("dvs") or []
+    if not names:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(_snap_dir(path), "dv", n) for n in names]
+    ).select("file", "pos")
+
+
+# total DV'd positions up to this many broadcast into the read-side
+# anti-join; bigger masks shuffle (the guarded-broadcast rule)
+_DV_BROADCAST_CAP = 2_000_000
+
+
 def _read_files(
-    spark: SparkSession, path: str, names: list[str], info: dict | None = None
+    spark: SparkSession,
+    path: str,
+    names: list[str],
+    info: dict | None = None,
+    _keep_position_cols: bool = False,
 ) -> DataFrame:
     """Read RELATIVE file ``names`` under the authority of a commit
     record's schema (round 12 — the reader half of full schema
@@ -550,13 +588,40 @@ def _read_files(
     * renamed columns resolve by COALESCE over the name lineage —
       sound because a file carries exactly one generation of the name.
 
+    Deletion vectors (round 12): when the record carries ``dvs``, the
+    read masks DV'd positions with a (file basename, row_index)
+    anti-join — broadcast when the recorded deleted-row total is under
+    ``_DV_BROADCAST_CAP``, plain shuffle above. ``_keep_position_cols``
+    keeps ``__file``/``__pos`` in the output (the DV writers' hook).
+
     With no usable record (plain dirs, pre-round-12 logs, adopt
     commits) this falls back to the mergeSchema read — the round-11
-    behavior, unchanged."""
+    behavior, unchanged (DV masking still applies if present)."""
     paths = [os.path.join(path, n) for n in names]
+    dv = _dv_df(spark, path, info)
+    want_pos = _keep_position_cols or dv is not None
+
+    def mask(df: DataFrame) -> DataFrame:
+        # position columns from the parquet reader's own metadata —
+        # stable per file, no shuffle, no row numbering job
+        if not want_pos:
+            return df
+        out = df.withColumn(
+            "__file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        if dv is not None:
+            total = sum((info or {}).get("dv_rows", {}).values())
+            right = F.broadcast(dv) if total <= _DV_BROADCAST_CAP else dv
+            out = out.join(
+                right,
+                (out["__file"] == right["file"]) & (out["__pos"] == right["pos"]),
+                "left_anti",
+            )
+        return out if _keep_position_cols else out.drop("__file", "__pos")
+
     sj = (info or {}).get("schema")
     if not sj:
-        return (
+        return mask(
             spark.read.option("basePath", path)
             .option("mergeSchema", "true")
             .parquet(*paths)
@@ -575,7 +640,7 @@ def _read_files(
             if o not in have:
                 read_fields.append(StructField(o, t, True))
                 have.add(o)
-    df = (
+    df = mask(
         spark.read.schema(StructType(read_fields))
         .option("basePath", path)
         .parquet(*paths)
@@ -585,6 +650,8 @@ def _read_files(
         cands = [f.name] + [o for o in renames.get(f.name, [])]
         expr = F.col(cands[0]) if len(cands) == 1 else F.coalesce(*[F.col(c) for c in cands])
         proj.append(expr.cast(f.dataType).alias(f.name))
+    if _keep_position_cols:
+        proj += [F.col("__file"), F.col("__pos")]
     return df.select(*proj)
 
 
@@ -611,9 +678,12 @@ def lake_rollback(path: str, version: int) -> int:
         summary={"restored_version": version},
         parent=head,
         schema_json=info.get("schema"),
-        # restore the target's rename lineage too ({} blocks inheriting
-        # the abandoned head's)
+        # restore the target's rename lineage and deletion vectors too
+        # (empty values BLOCK inheriting the abandoned head's — a
+        # rollback past a DV delete must unmask those rows)
         renames=info.get("renames") or {},
+        dvs=info.get("dvs") or [],
+        dv_rows=info.get("dv_rows") or {},
     )
 
 
@@ -837,11 +907,29 @@ def vacuum_lake(path: str, keep_last: int = 1, orphan_grace_s: float = 86400.0) 
     expired = [v for v in vs if v not in retained]
     for v in expired:
         os.remove(os.path.join(_snap_dir(path), f"v{v:012d}.json"))
+    # deletion-vector sidecars: keep those any retained snapshot or
+    # branch references, reclaim the rest (round 12)
+    dv_dir = os.path.join(_snap_dir(path), "dv")
+    dv_removed = 0
+    if os.path.isdir(dv_dir):
+        dv_referenced: set[str] = set()
+        for v in retained:
+            dv_referenced |= set(snapshot_info(path, v).get("dvs") or [])
+        for name in lake_branches(path):
+            for bv in _branch_versions(path, name):
+                dv_referenced |= set(_branch_info(path, name, bv).get("dvs") or [])
+        import shutil as _shutil
+
+        for n in os.listdir(dv_dir):
+            if n not in dv_referenced:
+                _shutil.rmtree(os.path.join(dv_dir, n), ignore_errors=True)
+                dv_removed += 1
     return {
         "removed_files": removed,
         "expired_snapshots": len(expired),
         "retained_versions": retained,
         "orphans_in_grace": kept_orphans,
+        "removed_dvs": dv_removed,
     }
 
 
@@ -1014,6 +1102,7 @@ def lake_delete(
     predicate: str,
     col_types: dict | None = None,
     scan_manifest: str | None = None,
+    use_dv: bool = False,
 ) -> dict:
     """SQL DELETE over a snapshot lake, pruned to the boundary surface:
 
@@ -1025,6 +1114,17 @@ def lake_delete(
       the predicate is FALSE or NULL (SQL DELETE three-valued
       semantics: only provably-TRUE rows go).
 
+    ``use_dv=True`` (round 12 — DELETION VECTORS): boundary files are
+    NOT rewritten. The matching rows' (file, row_index) positions land
+    as one parquet sidecar under ``_snapshots/dv/`` and the commit
+    masks them — every reader (read_snapshot, lake_scan, CDC, DML
+    sources) anti-joins the mask. DELETE cost becomes O(deleted
+    positions) regardless of how wide the boundary rows' files are —
+    the Delta deletion-vector / Iceberg positional-delete shape. The
+    masks are materialized away by the next rewrite of those files
+    (UPDATE/MERGE/OPTIMIZE read through the mask). All-match files
+    still drop wholesale (cheaper than any vector).
+
     Old bytes stay on disk for time travel until ``vacuum_lake``.
     Returns the commit report (version, files dropped/kept/rewritten,
     rows_deleted)."""
@@ -1032,17 +1132,79 @@ def lake_delete(
         # adopt: first DML on a plain parquet dir commits v1 = as-is
         commit_snapshot(path, _data_files(path), "adopt", parent=0)
     head = current_version(path)
+    head_info = snapshot_info(path, head)
     drop, keep, rewrite = _classify_for_delete(
         path, predicate, col_types, spark, scan_manifest
     )
+    prev_rows = head_info.get("file_rows", {})
+    prev_dv_rows = head_info.get("dv_rows", {})
+    # dropped files count their LIVE rows (physical minus already-DV'd)
+    rows_dropped = sum(
+        int(prev_rows[n]) - int(prev_dv_rows.get(n, 0)) for n in drop if n in prev_rows
+    )
+    if use_dv:
+        dv_per_file: dict[str, int] = {}
+        new_dvs = list(head_info.get("dvs") or [])
+        if rewrite:
+            src = _read_files(
+                spark, path, sorted(rewrite), head_info, _keep_position_cols=True
+            )
+            hits = src.filter(f"({predicate})").select(
+                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+            )
+            import uuid as _uuid
+
+            name = f"dv-{_uuid.uuid4().hex[:12]}"
+            dv_dir = os.path.join(_snap_dir(path), "dv")
+            os.makedirs(dv_dir, exist_ok=True)
+            hits.coalesce(1).write.parquet(os.path.join(dv_dir, name))
+            per = spark.read.parquet(os.path.join(dv_dir, name)).groupBy("file").count()
+            dv_per_file = {r["file"]: int(r["count"]) for r in per.collect()}
+            if dv_per_file:
+                new_dvs.append(name)
+            else:
+                import shutil as _shutil
+
+                _shutil.rmtree(os.path.join(dv_dir, name), ignore_errors=True)
+        dv_count = sum(dv_per_file.values())
+        merged_dv_rows = dict(prev_dv_rows)
+        for f, n in dv_per_file.items():
+            merged_dv_rows[f] = merged_dv_rows.get(f, 0) + n
+        version = _commit_filechange(
+            path,
+            head,
+            removed=set(drop),
+            added=set(),
+            op="delete",
+            summary={
+                "predicate": predicate,
+                "files_dropped": len(drop),
+                "files_kept": len(keep) + len(rewrite) - len(dv_per_file),
+                "files_dv": len(dv_per_file),
+                "rows_deleted": rows_dropped + dv_count,
+            },
+            dvs=new_dvs,
+            dv_rows=merged_dv_rows,
+        )
+        _maintain_manifest(spark, path, scan_manifest)
+        return {
+            "version": version,
+            "files_dropped": len(drop),
+            "files_kept": len(keep),
+            "files_rewritten": 0,
+            "files_dv": len(dv_per_file),
+            "files_written": 0,
+            "rows_deleted": rows_dropped + dv_count,
+        }
     new_files: list[str] = []
     rows_deleted = 0
     if rewrite:
         # authoritative-schema read (round 12): a rewrite set spanning
         # an evolution boundary resolves adds/drops/renames/widens the
-        # same way read_snapshot does, so the rewritten files land in
-        # the CURRENT schema
-        src = _read_files(spark, path, sorted(rewrite), snapshot_info(path, head))
+        # same way read_snapshot does (existing DV masks included), so
+        # the rewritten files land in the CURRENT schema with deletes
+        # materialized
+        src = _read_files(spark, path, sorted(rewrite), head_info)
         kept_rows = src.filter(f"NOT ({predicate}) OR ({predicate}) IS NULL")
         before = src.count()
         new_files = _write_new_files(kept_rows, path, _partition_cols(rewrite))
@@ -1054,10 +1216,8 @@ def lake_delete(
             else None
         )
         rows_deleted += before - (after_df.count() if after_df is not None else 0)
-    # dropped files' row counts come from the parent commit's metadata
-    # (never their bytes — they were classified unopened)
-    prev_rows = snapshot_info(path, head).get("file_rows", {})
-    rows_dropped = sum(int(prev_rows[n]) for n in drop if n in prev_rows)
+    # rows_dropped was computed above from the parent commit's metadata
+    # (never the files' bytes — they were classified unopened)
     version = _commit_filechange(
         path,
         head,
@@ -1232,22 +1392,78 @@ def read_changes(
     # names, so CDC across a rename boundary compares like-for-like; a
     # drop's column disappears from both sides (it can no longer cause
     # a phantom change). Pre-round-12 records fall back to a
-    # mergeSchema read + column union below.
+    # mergeSchema read + column union below. Each side masks ITS OWN
+    # version's deletion vectors — added files under v_to's, removed
+    # files under v_from's (their live rows at that version).
     info_to = snapshot_info(path, v_to)
+    info_from = snapshot_info(path, v_from)
+    info_from_read = {
+        **info_to,
+        "dvs": info_from.get("dvs"),
+        "dv_rows": info_from.get("dv_rows"),
+    }
 
-    def read(names: list[str]) -> DataFrame:
-        return _read_files(spark, path, names, info_to)
+    added_df = _read_files(spark, path, added, info_to) if added else None
+    removed_df = _read_files(spark, path, removed, info_from_read) if removed else None
 
-    added_df = read(added) if added else None
-    removed_df = read(removed) if removed else None
-    # union of columns across both sides, NULL-filled where absent: a
+    # DV delta on SHARED files (round 12): a deletion-vector commit
+    # changes no file list, so the diff lives in the masks — positions
+    # in v_to's vectors but not v_from's are deletes, positions only
+    # in v_from's (a rollback) are inserts. Only files named by the
+    # delta are read: CDC cost stays the churn.
+    shared = files_from & files_to
+    dv_delta_del = dv_delta_ins = None
+    if shared:
+        dv_f = _dv_df(spark, path, info_from)
+        dv_t = _dv_df(spark, path, info_to)
+        if dv_f is not None or dv_t is not None:
+            empty = spark.createDataFrame([], "file string, pos long")
+            dv_f = dv_f if dv_f is not None else empty
+            dv_t = dv_t if dv_t is not None else empty
+            base_by_name = {os.path.basename(n): n for n in shared}
+            new_pos = dv_t.join(dv_f, ["file", "pos"], "left_anti").filter(
+                F.col("file").isin(list(base_by_name))
+            )
+            back_pos = dv_f.join(dv_t, ["file", "pos"], "left_anti").filter(
+                F.col("file").isin(list(base_by_name))
+            )
+
+            def dv_rows_for(pos_df: DataFrame) -> DataFrame | None:
+                names = [r["file"] for r in pos_df.select("file").distinct().collect()]
+                if not names:
+                    return None
+                rows = _read_files(
+                    spark,
+                    path,
+                    sorted(base_by_name[n] for n in names),
+                    {**info_to, "dvs": None, "dv_rows": None},
+                    _keep_position_cols=True,
+                )
+                hit = rows.join(
+                    pos_df,
+                    (rows["__file"] == pos_df["file"]) & (rows["__pos"] == pos_df["pos"]),
+                    "left_semi",
+                )
+                return hit.drop("__file", "__pos")
+
+            dv_delta_del = dv_rows_for(new_pos)
+            dv_delta_ins = dv_rows_for(back_pos)
+    # union of columns across every leg, NULL-filled where absent: a
     # pre-evolution removed file diffs as NULL on the added column, so
     # rows that differ only there net correctly instead of cancelling
+    legs = [
+        (df, sign)
+        for df, sign in (
+            (added_df, 1),
+            (removed_df, -1),
+            (dv_delta_del, -1),
+            (dv_delta_ins, 1),
+        )
+        if df is not None
+    ]
     cols: list[str] = []
     dtypes: dict[str, str] = {}
-    for df in (added_df, removed_df):
-        if df is None:
-            continue
+    for df, _sign in legs:
         for c, t in df.dtypes:
             if c not in dtypes:
                 cols.append(c)
@@ -1263,15 +1479,13 @@ def read_changes(
             (F.count(F.lit(1)) * sign).alias("__d")
         )
 
-    if added_df is not None and removed_df is not None:
-        net = load(added_df, 1).unionByName(load(removed_df, -1))
-    elif added_df is not None:
-        net = load(added_df, 1)
-    elif removed_df is not None:
-        net = load(removed_df, -1)
+    if legs:
+        net = load(*legs[0])
+        for df, sign in legs[1:]:
+            net = net.unionByName(load(df, sign))
     else:
-        # identical file sets: nothing changed
-        empty = read([schema_src[0]]).limit(0)
+        # identical file sets, identical masks: nothing changed
+        empty = _read_files(spark, path, [schema_src[0]], info_to).limit(0)
         return empty.select(
             *empty.columns,
             F.lit("insert").alias("__change"),
@@ -1300,8 +1514,9 @@ def snapshot_row_count(path: str, version: int | str | None = None) -> int | Non
     rows = info.get("file_rows")
     if rows is None:
         return None
+    dvr = info.get("dv_rows") or {}
     try:
-        return sum(int(rows[n]) for n in info["files"])
+        return sum(int(rows[n]) - int(dvr.get(n, 0)) for n in info["files"])
     except KeyError:
         return None
 

@@ -1304,3 +1304,89 @@ def r77_lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake_publish_branch(lake, "drop1")
     published = agg(read_snapshot(spark, lake), "published")
     return audit.unionByName(main_during).unionByName(published).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# R78 — deletion vectors (round 12, snapshots.lake_delete use_dv=True):
+#        DELETE as a position-mask sidecar — zero data files rewritten
+#        (mtime-pinned in tests/test_deletion_vectors.py), every
+#        reader anti-joins the mask. Two stacked DV deletes, then the
+#        three reads that can each expose a bad mask: the head (both
+#        masks applied), v1 time travel (no mask), and CDC v1->v2 (the
+#        mask's own rows as deletes). The oracle replays the deletes
+#        relationally — a masked row leaking back, an over-masked row,
+#        or a wrong CDC net breaks the hash.
+# ---------------------------------------------------------------------------
+
+_R78_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+d1 AS (SELECT * FROM o WHERE NOT (pc % 1000 < 300)),
+d2 AS (SELECT * FROM d1 WHERE NOT (ck BETWEEN 100 AND 200))
+SELECT 'cdc_del' AS part, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_pc,
+       MIN(ck) AS min_ck, MAX(ck) AS max_ck
+FROM o WHERE pc % 1000 < 300
+UNION ALL
+SELECT 'head', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck) FROM d2
+UNION ALL
+SELECT 'v1', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck) FROM o
+ORDER BY part
+"""
+
+
+@query("r78_lake_deletion_vectors", oracle=_R78_SQL, covers="X45,X38,X41,P7,A2")
+def r78_lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.snapshots import (
+        lake_delete,
+        lake_write,
+        read_changes,
+        read_snapshot,
+    )
+
+    base = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r78_lake"
+    )
+    lake = os.path.join(base, "data")
+    if os.path.exists(lake):
+        shutil.rmtree(lake)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    lake_write(spark, o.repartitionByRange(4, "ck"), lake)  # v1
+    lake_delete(spark, lake, "pc % 1000 < 300", col_types={"pc": "bigint"}, use_dv=True)  # v2
+    lake_delete(
+        spark, lake, "ck BETWEEN 100 AND 200", col_types={"ck": "bigint"}, use_dv=True
+    )  # v3
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("part"),
+            F.count("*").alias("n"),
+            F.sum("pc").cast("long").alias("sum_pc"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+        ).select("part", "n", "sum_pc", "min_ck", "max_ck")
+
+    def cdc_agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("part"),
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n"),
+            F.sum(F.col("pc") * F.col("__n")).cast("long").alias("sum_pc"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+        ).select("part", "n", "sum_pc", "min_ck", "max_ck")
+
+    head = agg(read_snapshot(spark, lake), "head")
+    v1 = agg(read_snapshot(spark, lake, 1), "v1")
+    cdc = cdc_agg(
+        read_changes(spark, lake, 1, 2).filter(F.col("__change") == "delete"),
+        "cdc_del",
+    )
+    return cdc.unionByName(head).unionByName(v1).orderBy("part")
