@@ -1780,10 +1780,9 @@ def lake_branch_create(path: str, name: str, from_version: int | str | None = No
         "summary": {"branch": name},
         "fork_version": info["version"],
     }
-    if info.get("schema"):
-        record["schema"] = info["schema"]
-    if info.get("renames"):
-        record["renames"] = info["renames"]
+    for k in ("schema", "renames", "dvs", "dv_rows"):
+        if info.get(k):
+            record[k] = info[k]
     _branch_commit(path, name, record)
     return info["version"]
 
@@ -1828,7 +1827,7 @@ def lake_branch_append(spark: SparkSession, path: str, name: str, df: DataFrame)
             "file_rows": {**file_rows, **head_info.get("file_rows", {})},
             "summary": {"branch": name, "files_added": len(new)},
         }
-        for k in ("schema", "renames"):
+        for k in ("schema", "renames", "dvs", "dv_rows"):
             if head_info.get(k):
                 record[k] = head_info[k]
         try:

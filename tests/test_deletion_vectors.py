@@ -189,3 +189,34 @@ def test_dv_with_schema_evolution(spark, tmp_path):
     assert cur.columns == ["k", "w"]
     assert cur.count() == 150
     assert cur.filter("k < 50").count() == 0
+
+
+def test_dv_masks_carry_onto_branches(spark, tmp_path):
+    """A branch forked from a masked version stays masked: the fork
+    record copies the mask refs, appends inherit them, and publish
+    keeps main's own masks."""
+    from mlb_data_pipeline_spark.operators.snapshots import (
+        lake_branch_append,
+        lake_branch_create,
+        lake_publish_branch,
+        read_branch,
+    )
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 300).repartitionByRange(2, "k"), lake)  # v1
+    lake_delete(spark, lake, "k % 3 = 0", col_types={"k": "bigint"}, use_dv=True)  # v2
+    lake_branch_create(lake, "b")
+    assert read_branch(spark, lake, "b").count() == 200  # mask carried
+    lake_branch_append(
+        spark, lake, "b",
+        spark.range(1000, 1050).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+    )
+    b = read_branch(spark, lake, "b")
+    assert b.count() == 250
+    assert b.filter("k % 3 = 0 AND k < 300").count() == 0
+    lake_publish_branch(lake, "b")
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == 250
+    assert cur.filter("k % 3 = 0 AND k < 300").count() == 0
