@@ -493,6 +493,7 @@ def lake_scan(
     name: str,
     predicate: str | None = None,
     version: int | str | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Read a registered lake table, automatically skipping files the
     persisted manifests prove irrelevant to ``predicate`` — then apply
@@ -514,6 +515,14 @@ def lake_scan(
     path = ent["path"]
     from .operators.layout import _compact_recover_tree, pruned_files
 
+    if as_of_ts is not None:
+        # SELECT ... AS OF TIMESTAMP: resolve to the latest version
+        # committed at or before the instant, then the version path
+        if version is not None:
+            raise ValueError("pass version= or as_of_ts=, not both")
+        from .operators.snapshots import version_as_of
+
+        version = version_as_of(path, as_of_ts)
     inventory: list[str] | None = None
     if version is not None:
         from .operators.snapshots import read_snapshot, snapshot_files

@@ -139,3 +139,23 @@ def test_time_travel_minmax_reads_candidates_only(spark, tt_lake):
     assert (row2["min_v"], row2["max_v"]) == (2000, 3198)
     row3 = lake_min_max(spark, name, "v", "k >= 1000").head()
     assert (row3["min_v"], row3["max_v"]) == (2000, 2398)
+
+
+def test_as_of_timestamp_resolution(spark, tt_lake):
+    """SELECT ... AS OF TIMESTAMP through the catalog: an instant
+    between v1 and v2 reads v1 (pruned, same rules); after v2, v2."""
+    import time
+
+    from mlb_data_pipeline_spark.operators.snapshots import snapshot_info
+
+    lake, name = tt_lake
+    t1 = snapshot_info(lake, 1)["ts"]
+    t2 = snapshot_info(lake, 2)["ts"]
+    mid = (t1 + t2) / 2
+    assert lake_scan(spark, name, as_of_ts=mid).count() == 1600
+    assert lake_scan(spark, name, "k BETWEEN 0 AND 199", as_of_ts=mid).count() == 200
+    assert lake_scan(spark, name, as_of_ts=time.time()).count() == 1200
+    with pytest.raises(ValueError, match="not both"):
+        lake_scan(spark, name, version=1, as_of_ts=mid)
+    with pytest.raises(ValueError, match="at or before"):
+        lake_scan(spark, name, as_of_ts=t1 - 10)
