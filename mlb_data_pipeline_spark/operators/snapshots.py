@@ -38,11 +38,26 @@ Iceberg/Delta-shaped transaction log on top of the same directory:
   table" and "DELETE = a json write plus the boundary surface".
 * **Day-2 surface** — version TAGS (vacuum-protected read refs),
   ``read_changes`` (net row diff between versions from the FILE-SET
-  diff alone — shared files cancel unopened), ``snapshot_row_count``
-  (COUNT(*) from the commit's own per-file row counts, zero reads),
-  ``lake_stats`` (live/dead/unreferenced debt from metadata), gated
-  ADD-only schema evolution with merge-schema reads, and exactly-once
+  diff alone — shared files cancel unopened; deletion-vector deltas
+  surface as deletes/inserts reading only the delta-named files),
+  ``snapshot_row_count`` (COUNT(*) from the commit's own per-file row
+  counts minus mask counts, zero reads), ``lake_stats``
+  (live/dead/unreferenced debt from metadata), and exactly-once
   VISIBLE streaming ingestion (streaming/jobs.lake_snapshot_stream).
+* **Full schema evolution (round 12)** — the commit record's schema
+  is authoritative for every read (``_read_files``: explicit read
+  schema, zero footer-merge jobs), so ALTER TABLE is metadata-only:
+  ``lake_drop_column``, ``lake_rename_column`` (coalesce-resolved
+  name lineage), ``lake_widen_column`` (lossless promotions, parquet
+  type promotion reads the narrow files).
+* **Deletion vectors (round 12)** — ``lake_delete(use_dv=True)``
+  masks matching positions via one parquet sidecar instead of
+  rewriting boundary files; every reader anti-joins the mask; the
+  next rewrite of a masked file materializes its deletes.
+* **Branch refs / write-audit-publish (round 12)** —
+  ``lake_branch_create/append``, ``read_branch``,
+  ``lake_publish_branch`` (strict fast-forward or append rebase):
+  stage a data drop invisible to main, audit it, publish atomically.
 
 Concurrency model: optimistic, serializable at the file level
 (round 12 — every commit path now asserts the head it planned
