@@ -123,3 +123,23 @@ def test_branch_schema_drift_rejected(spark, tmp_path):
         lake_branch_create(lake, "b")
     with pytest.raises(ValueError, match="no branch"):
         read_branch(spark, lake, "nope")
+
+
+def test_publish_after_vacuum_expired_fork_record(spark, tmp_path):
+    """ADVICE r12 #2: vacuum retains branch FILES but may expire the
+    fork version's main-chain record. Publish must still work — the
+    fork state comes from the branch's own v1 'branch_fork' record,
+    so a routine vacuum can never strand a live, audited branch."""
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 50, "base").coalesce(1), lake)  # v1
+    lake_branch_create(lake, "b")
+    lake_branch_append(spark, lake, "b", _kv(spark, 100, 140, "staged").coalesce(1))
+    lake_write(spark, _kv(spark, 50, 60, "main").coalesce(1), lake)  # v2
+    rep = vacuum_lake(lake, keep_last=1, orphan_grace_s=0)
+    assert 1 not in rep["retained_versions"]  # the fork record is GONE
+    v = lake_publish_branch(lake, "b")  # must not raise
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == 100  # base 50 + main 10 + staged 40
+    assert cur.filter("src = 'staged'").count() == 40
+    assert cur.filter("src = 'main'").count() == 10
+    assert v == 3

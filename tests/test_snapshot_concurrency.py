@@ -372,3 +372,91 @@ def test_ivm_refresh_rebuilds_after_vacuum_expiry(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — CONCURRENT deletion-vector commits (ADVICE r12 #1). A DV
+# delete changes no file list, so the old rebase always "passed" and a
+# stale absolute dv list silently overwrote the winner's sidecar
+# reference, resurrecting its deleted rows. DV commits now ship a
+# DELTA merged into the head they actually land on; masks on the same
+# file (position overlap risk) or on a since-rewritten file raise.
+# ---------------------------------------------------------------------------
+
+
+def _stage_dv(spark, lake, basename, positions):
+    """Stage a sidecar exactly as lake_delete(use_dv=True) lays it out:
+    a parquet dir of (file basename, pos) under _snapshots/dv/."""
+    import uuid
+
+    name = f"dv-test-{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [(basename, int(p)) for p in positions], "file string, pos long"
+    ).coalesce(1).write.parquet(os.path.join(lake, "_snapshots", "dv", name))
+    return name
+
+
+def test_concurrent_dv_deletes_merge_not_overwrite(spark, tmp_path):
+    """The ADVICE probe: DV delete A wins v2 masking file0; DV delete
+    B, planned against v1 and masking a DIFFERENT file, rebases — the
+    merged head must carry BOTH sidecars (A's deleted rows must not
+    resurrect) and the metadata row count must subtract both masks."""
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 400).repartitionByRange(4, "k"), lake)  # v1
+    ct = {"k": "bigint", "v": "bigint"}
+    files_v1 = snapshot_files(lake, 1)
+    # B plans against v1: stage a 3-position mask on the LAST file
+    victim_b = files_v1[-1]
+    side_b = _stage_dv(spark, lake, os.path.basename(victim_b), [0, 1, 2])
+    # A's DV delete commits v2 first (masks the k<100 file)
+    rep_a = S.lake_delete(spark, lake, "k BETWEEN 5 AND 7", col_types=ct, use_dv=True)
+    assert rep_a["files_dv"] == 1 and rep_a["rows_deleted"] == 3
+    # B's stale-planned DV commit rebases and MERGES
+    v = S._commit_filechange(
+        lake, 1, removed=set(), added=set(), op="delete",
+        dv_add=[side_b], dv_rows_add={os.path.basename(victim_b): 3},
+        masked_files={victim_b}, planned_dv_rows={},
+    )
+    assert v == 3
+    info = S.snapshot_info(lake, 3)
+    assert side_b in info["dvs"] and len(info["dvs"]) == 2  # A's survived
+    assert S.snapshot_row_count(lake, 3) == 400 - 3 - 3
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == 394
+    assert cur.filter("k BETWEEN 5 AND 7").count() == 0  # A's delete held
+
+
+def test_concurrent_dv_same_file_conflicts(spark, tmp_path):
+    """Two DV deletes masking the SAME file may overlap positions —
+    the loser must raise, never merge blindly."""
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 400).repartitionByRange(4, "k"), lake)  # v1
+    ct = {"k": "bigint", "v": "bigint"}
+    victim = snapshot_files(lake, 1)[0]  # the k<100 file
+    side_b = _stage_dv(spark, lake, os.path.basename(victim), [10, 11])
+    S.lake_delete(spark, lake, "k BETWEEN 5 AND 7", col_types=ct, use_dv=True)  # v2
+    with pytest.raises(SnapshotConflictError, match="deletion vector"):
+        S._commit_filechange(
+            lake, 1, removed=set(), added=set(), op="delete",
+            dv_add=[side_b], dv_rows_add={os.path.basename(victim): 2},
+            masked_files={victim}, planned_dv_rows={},
+        )
+
+
+def test_dv_on_concurrently_dropped_file_conflicts(spark, tmp_path):
+    """A concurrent commit dropped/rewrote the file this DV masks —
+    applying the mask anyway would silently LOSE the delete."""
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 400).repartitionByRange(4, "k"), lake)  # v1
+    ct = {"k": "bigint", "v": "bigint"}
+    victim = snapshot_files(lake, 1)[0]
+    side_b = _stage_dv(spark, lake, os.path.basename(victim), [10, 11])
+    # concurrent NON-DV delete drops the whole file
+    S.lake_delete(spark, lake, "k BETWEEN 0 AND 99", col_types=ct)  # v2
+    assert victim not in snapshot_files(lake)
+    with pytest.raises(SnapshotConflictError, match="rewrote or dropped"):
+        S._commit_filechange(
+            lake, 1, removed=set(), added=set(), op="delete",
+            dv_add=[side_b], dv_rows_add={os.path.basename(victim): 2},
+            masked_files={victim}, planned_dv_rows={},
+        )
