@@ -494,6 +494,7 @@ def lake_scan(
     predicate: str | None = None,
     version: int | str | None = None,
     as_of_ts: float | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Read a registered lake table, automatically skipping files the
     persisted manifests prove irrelevant to ``predicate`` — then apply
@@ -510,11 +511,56 @@ def lake_scan(
     value) is an immutable fact about a FILE, true at every version
     that references it, so the historical file list simply intersects
     the keep set; files the head-maintained manifest no longer knows
-    stay must-read (superset guarantee, never rows lost)."""
+    stay must-read (superset guarantee, never rows lost).
+
+    ``branch`` (round 13): read a WAP BRANCH's head through the same
+    manifest-intersection pruning — the audit query of
+    write-audit-publish is exactly the read that wants file skipping
+    on a big lake. Fork-shared files prune from their manifest rows;
+    branch-staged files the manifest hasn't seen stay must-read."""
     ent = _lake_entry(spark, name)
     path = ent["path"]
     from .operators.layout import _compact_recover_tree, pruned_files
 
+    read_info: dict | None = None
+    if branch is not None:
+        if version is not None or as_of_ts is not None:
+            raise ValueError("pass branch= or version=/as_of_ts=, not both")
+        from .operators.snapshots import _branch_info, read_branch
+
+        read_info = _branch_info(path, branch)
+        if not predicate:
+            return read_branch(spark, path, branch)
+        inventory = sorted(read_info["files"])
+        missing = [n for n in inventory if not os.path.exists(os.path.join(path, n))]
+        if missing:
+            raise ValueError(
+                f"branch {branch!r} references {len(missing)} missing file(s) "
+                f"(e.g. {missing[0]!r})"
+            )
+        col_types = _lake_col_types(spark, ent)
+        branches_ = _extract_skip_branches(predicate, col_types)
+        if not branches_:
+            return read_branch(spark, path, branch).filter(predicate)
+        from .operators.snapshots import _read_files
+
+        keep: set[str] = set()
+        for box, equals, nots, nullness in branches_:
+            blooms = [
+                (ent["bloom_manifests"][c], v)
+                for c, v in equals.items()
+                if c in ent["bloom_manifests"]
+            ]
+            keep |= set(
+                pruned_files(
+                    spark, path, ent["scan_manifest"], box,
+                    bloom_filters=blooms, equals=equals, not_equals=nots,
+                    nullness=nullness, col_types=col_types, files=inventory,
+                )
+            )
+        if not keep:
+            return read_branch(spark, path, branch).limit(0).filter(predicate)
+        return _read_files(spark, path, sorted(keep), read_info).filter(predicate)
     if as_of_ts is not None:
         # SELECT ... AS OF TIMESTAMP: resolve to the latest version
         # committed at or before the instant, then the version path
@@ -597,6 +643,7 @@ def lake_explain(
     name: str,
     predicate: str | None = None,
     version: int | str | None = None,
+    branch: str | None = None,
 ) -> dict:
     """EXPLAIN for the catalog hook's file-skipping decision: which
     live files a ``lake_scan(name, predicate)`` would read, which it
@@ -628,7 +675,15 @@ def lake_explain(
 
     ent = _lake_entry(spark, name)
     path = ent["path"]
-    if version is not None:
+    if branch is not None:
+        # explain the BRANCH scan's decision (round 13): the branch
+        # head's file list is the inventory, same rules
+        if version is not None:
+            raise ValueError("pass branch= or version=, not both")
+        from .operators.snapshots import _branch_info
+
+        live = sorted(_branch_info(path, branch)["files"])
+    elif version is not None:
         from .operators.snapshots import snapshot_files
 
         live = snapshot_files(path, version)
@@ -939,9 +994,31 @@ def lake_count(
     contribute manifest row counts unopened, only boundary/unknown
     files are read (filtered with the exact predicate string).
     Otherwise this degrades to ``lake_scan(...).count()`` — same
-    answer, no metadata shortcut."""
+    answer, no metadata shortcut.
+
+    Round 13 (mask-aware): live deletion vectors no longer force the
+    whole count to a scan — interior files contribute
+    ``file_rows − dv_rows[file]`` unopened and boundary files read
+    through the mask-applying snapshot reader (see
+    ``manifest_assisted_count``)."""
     ent = _lake_entry(spark, name)
     from .operators.layout import _compact_recover_tree, manifest_assisted_count
+
+    def _dv_kwargs(ver) -> dict:
+        """Mask plumbing for manifest_assisted_count at ``ver`` (head
+        when None): the version's dv_rows map + a boundary reader that
+        applies its masks. Empty when the version carries no DVs."""
+        if not _lake_has_dvs(ent["path"], ver):
+            return {}
+        from .operators.snapshots import _read_files, snapshot_info
+
+        info = snapshot_info(ent["path"], ver)
+        return {
+            "dv_rows": info.get("dv_rows") or {},
+            "boundary_reader": lambda names: _read_files(
+                spark, ent["path"], names, info
+            ),
+        }
 
     if version is not None:
         # time travel: the commit's own per-file row counts answer a
@@ -959,9 +1036,7 @@ def lake_count(
             n = snapshot_row_count(ent["path"], version)
             if n is not None:
                 return n
-        elif ent["scan_manifest"] is not None and not _lake_has_dvs(
-            ent["path"], version
-        ):
+        elif ent["scan_manifest"] is not None:
             col_types = _lake_col_types(spark, ent)
             clauses = _extract_exact_clauses(predicate, col_types)
             if clauses is not None and clauses[2] is None:
@@ -975,6 +1050,7 @@ def lake_count(
                     col_types=col_types,
                     equals_strs=str_eq,
                     files=snapshot_files(ent["path"], version),
+                    **_dv_kwargs(version),
                 )
         df = read_snapshot(spark, ent["path"], version)
         return (df.filter(predicate) if predicate else df).count()
@@ -989,10 +1065,11 @@ def lake_count(
             if n is not None:
                 return n
         return _lake_read_all(spark, ent["path"]).count()
-    if ent["scan_manifest"] is not None and not _lake_has_dvs(ent["path"]):
+    if ent["scan_manifest"] is not None:
         col_types = _lake_col_types(spark, ent)
         clauses = _extract_exact_clauses(predicate, col_types)
         if clauses is not None:
+            dvkw = _dv_kwargs(None)
             box, str_eq, points = clauses
             if points is None:
                 return manifest_assisted_count(
@@ -1003,6 +1080,7 @@ def lake_count(
                     where=predicate,
                     col_types=col_types,
                     equals_strs=str_eq,
+                    **dvkw,
                 )
             # IN over distinct integral points: a sum of disjoint
             # point-box counts, each boundary-filtered with the ORIGINAL
@@ -1017,6 +1095,7 @@ def lake_count(
                     where=f"({predicate}) AND {col} = {v}",
                     col_types=col_types,
                     equals_strs=str_eq,
+                    **dvkw,
                 )
                 for v in vals
             )
@@ -1086,11 +1165,19 @@ def lake_min_max(
     return base.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
 
 
-def lake_delete_where(spark: SparkSession, name: str, predicate: str) -> dict:
+def lake_delete_where(
+    spark: SparkSession,
+    name: str,
+    predicate: str,
+    use_dv: bool = False,
+    branch: str | None = None,
+) -> dict:
     """SQL DELETE on a REGISTERED lake table — the catalog wires the
     table path, the schema's column types (temporal literal folding),
     and the registered scan manifest (footer-free classification +
-    in-call manifest maintenance) with no caller opt-in."""
+    in-call manifest maintenance) with no caller opt-in. ``use_dv``
+    masks instead of rewriting (deletion vectors); ``branch`` targets
+    a WAP branch's head (round 13)."""
     ent = _lake_entry(spark, name)
     from .operators.snapshots import lake_delete
 
@@ -1100,11 +1187,17 @@ def lake_delete_where(spark: SparkSession, name: str, predicate: str) -> dict:
         predicate,
         col_types=_lake_col_types(spark, ent),
         scan_manifest=ent["scan_manifest"],
+        use_dv=use_dv,
+        branch=branch,
     )
 
 
 def lake_update_where(
-    spark: SparkSession, name: str, assignments: dict[str, str], predicate: str
+    spark: SparkSession,
+    name: str,
+    assignments: dict[str, str],
+    predicate: str,
+    branch: str | None = None,
 ) -> dict:
     """SQL UPDATE on a registered lake table (see lake_delete_where)."""
     ent = _lake_entry(spark, name)
@@ -1117,6 +1210,7 @@ def lake_update_where(
         predicate,
         col_types=_lake_col_types(spark, ent),
         scan_manifest=ent["scan_manifest"],
+        branch=branch,
     )
 
 

@@ -1690,6 +1690,8 @@ def manifest_assisted_count(
     col_types: dict | None = None,
     equals_strs: dict[str, str] | None = None,
     files: list[str] | None = None,
+    dv_rows: dict[str, int] | None = None,
+    boundary_reader=None,
 ) -> int:
     """COUNT(*) under a conjunctive box predicate with metadata doing
     most of the work (the Iceberg/Delta metadata-count pattern):
@@ -1714,17 +1716,33 @@ def manifest_assisted_count(
 
     ``files`` (round 12): explicit inventory override — historical
     versions count through the same metadata path, since a manifest
-    row (stats + row count) is an immutable per-file fact."""
+    row (stats + row count) is an immutable per-file fact.
+
+    ``dv_rows`` / ``boundary_reader`` (round 13 — mask-aware counts):
+    with live deletion vectors, an INTERIOR file's live matching rows
+    are its physical rows minus its masked positions (every physical
+    row matches the box, masked ones are simply gone), so interior
+    files contribute ``rows − dv_rows[basename]`` still unopened;
+    boundary files read through ``boundary_reader`` (the caller's
+    mask-applying snapshot reader) instead of the raw parquet paths.
+    The fast path no longer degrades wholesale under DVs."""
     _compact_recover_tree(path)
     inside, boundary, rows_by_file = _classify_box_files(
         spark, path, manifest_path, box, col_types, equals_strs, files=files
     )
-    metadata_count = sum(int(rows_by_file[f]) for f in inside)
+    dvr = dv_rows or {}
+    metadata_count = sum(
+        int(rows_by_file[f]) - int(dvr.get(f, dvr.get(os.path.basename(f), 0)))
+        for f in inside
+    )
     if not boundary:
         return metadata_count
-    df = spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, n) for n in sorted(boundary)]
-    )
+    if boundary_reader is not None:
+        df = boundary_reader(sorted(boundary))
+    else:
+        df = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, n) for n in sorted(boundary)]
+        )
     if where is not None:
         return metadata_count + df.filter(where).count()
     cond = F.lit(True)

@@ -1234,12 +1234,14 @@ def _lake_file_stats(
     path: str,
     cols: list[str],
     scan_manifest: str | None,
+    files: list[str] | None = None,
 ) -> list[dict]:
     """Per-live-file stats in ``file_stats``'s dict shape, sourced from
     the SCAN MANIFEST when one is given (no footer opens for
     manifest-known files); unknown files stat from their own footer
-    (O(delta))."""
-    live = _data_files(path)
+    (O(delta)). ``files`` overrides the inventory (round 13 — branch
+    DML classifies over the BRANCH head's live set)."""
+    live = files if files is not None else _data_files(path)
     if scan_manifest is None or spark is None or not cols:
         return file_stats(path, cols, live)
     mf = spark.read.option("mergeSchema", "true").parquet(scan_manifest)
@@ -1271,6 +1273,7 @@ def _classify_for_delete(
     col_types: dict | None,
     spark: SparkSession | None = None,
     scan_manifest: str | None = None,
+    files: list[str] | None = None,
 ) -> tuple[list[str], list[str], list[str]]:
     """(drop, keep, rewrite) — the three-way file classification behind
     ``lake_delete``/``lake_update``, decided from stats + partition
@@ -1289,9 +1292,11 @@ def _classify_for_delete(
         cols |= set(box) | set(equals) | set(nots) | set(nullness)
     if exact is not None:
         cols |= set(exact[0]) | set(exact[1])
-    stats = _lake_file_stats(spark, path, sorted(cols), scan_manifest) if cols else [
-        {"file": n, "min": {}, "max": {}, "nulls": {}, "rows": 0}
-        for n in _data_files(path)
+    inv = files if files is not None else _data_files(path)
+    stats = _lake_file_stats(
+        spark, path, sorted(cols), scan_manifest, files=inv
+    ) if cols else [
+        {"file": n, "min": {}, "max": {}, "nulls": {}, "rows": 0} for n in inv
     ]
     drop, keep, rewrite = [], [], []
     for fs in stats:
@@ -1321,6 +1326,7 @@ def lake_delete(
     col_types: dict | None = None,
     scan_manifest: str | None = None,
     use_dv: bool = False,
+    branch: str | None = None,
 ) -> dict:
     """SQL DELETE over a snapshot lake, pruned to the boundary surface:
 
@@ -1345,15 +1351,38 @@ def lake_delete(
 
     Old bytes stay on disk for time travel until ``vacuum_lake``.
     Returns the commit report (version, files dropped/kept/rewritten,
-    rows_deleted)."""
-    if not has_snapshots(path):
-        # adopt: first DML on a plain parquet dir commits v1 = as-is
-        commit_snapshot(path, _data_files(path), "adopt", parent=0)
-    head = current_version(path)
-    head_info = snapshot_info(path, head)
+    rows_deleted).
+
+    ``branch`` (round 13 — DML ON BRANCHES): run the same pruned
+    delete against a WAP branch's head instead of main, committing on
+    the branch chain — a staged crawl drop can be cleaned in staging
+    and audited BEFORE publish, instead of published-then-fixed. Main
+    never sees the intermediate states; publish carries the branch's
+    file changes (and DV deltas) through the usual protocol."""
+    if branch is None:
+        if not has_snapshots(path):
+            # adopt: first DML on a plain parquet dir commits v1 = as-is
+            commit_snapshot(path, _data_files(path), "adopt", parent=0)
+        head = current_version(path)
+        head_info = snapshot_info(path, head)
+    else:
+        head_info = _branch_info(path, branch)
+        head = head_info["version"]
+    live = sorted(head_info["files"])
     drop, keep, rewrite = _classify_for_delete(
-        path, predicate, col_types, spark, scan_manifest
+        path, predicate, col_types, spark, scan_manifest, files=live
     )
+
+    def _commit(removed, added, op, summary, **dvkw):
+        if branch is None:
+            return _commit_filechange(
+                path, head, removed=removed, added=added, op=op,
+                summary=summary, spark=spark, **dvkw
+            )
+        return _branch_commit_filechange(
+            path, branch, head, removed=removed, added=added, op=op,
+            summary=summary, spark=spark, **dvkw
+        )
     prev_rows = head_info.get("file_rows", {})
     prev_dv_rows = head_info.get("dv_rows", {})
     # dropped files count their LIVE rows (physical minus already-DV'd)
@@ -1393,13 +1422,11 @@ def lake_delete(
             n for n in rewrite if os.path.basename(n) in dv_per_file
         }
         n_kept = len(keep) + len(rewrite) - len(dv_per_file)
-        version = _commit_filechange(
-            path,
-            head,
-            removed=set(drop),
-            added=set(),
-            op="delete",
-            summary={
+        version = _commit(
+            set(drop),
+            set(),
+            "delete",
+            {
                 "predicate": predicate,
                 "files_dropped": len(drop),
                 "files_kept": n_kept,
@@ -1410,9 +1437,9 @@ def lake_delete(
             dv_rows_add=dv_per_file,
             masked_files=masked,
             planned_dv_rows=prev_dv_rows,
-            spark=spark,
         )
-        _maintain_manifest(spark, path, scan_manifest)
+        if branch is None:
+            _maintain_manifest(spark, path, scan_manifest)
         return {
             "version": version,
             "files_dropped": len(drop),
@@ -1444,13 +1471,11 @@ def lake_delete(
         rows_deleted += before - (after_df.count() if after_df is not None else 0)
     # rows_dropped was computed above from the parent commit's metadata
     # (never the files' bytes — they were classified unopened)
-    version = _commit_filechange(
-        path,
-        head,
-        removed=set(drop) | set(rewrite),
-        added=set(new_files),
-        op="delete",
-        summary={
+    version = _commit(
+        set(drop) | set(rewrite),
+        set(new_files),
+        "delete",
+        {
             "predicate": predicate,
             "files_dropped": len(drop),
             "files_kept": len(keep),
@@ -1458,7 +1483,8 @@ def lake_delete(
             "rows_deleted": rows_deleted + rows_dropped,
         },
     )
-    _maintain_manifest(spark, path, scan_manifest)
+    if branch is None:
+        _maintain_manifest(spark, path, scan_manifest)
     return {
         "version": version,
         "files_dropped": len(drop),
@@ -1476,6 +1502,7 @@ def lake_merge(
     key: str,
     when_matched: str = "update",
     scan_manifest: str | None = None,
+    branch: str | None = None,
 ) -> dict:
     """MERGE INTO the lake by ``key``, rewriting ONLY candidate files:
 
@@ -1496,13 +1523,24 @@ def lake_merge(
     guess)."""
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
-    if not has_snapshots(path):
-        commit_snapshot(path, _data_files(path), "adopt", parent=0)
-    head, live = _head_and_live(path)
+    if branch is None:
+        if not has_snapshots(path):
+            commit_snapshot(path, _data_files(path), "adopt", parent=0)
+        head, live = _head_and_live(path)
+        head_info = snapshot_info(path, head)
+    else:
+        head_info = _branch_info(path, branch)
+        head, live = head_info["version"], sorted(head_info["files"])
     # the CURRENT snapshot's merged schema — a whole-dir read could
     # adopt a dead pre-evolution footer's column set and false-flag
     # schema drift after an evolution commit
-    lake_schema = set(read_snapshot(spark, path).columns)
+    lake_schema = set(
+        _read_files(spark, path, live, head_info).columns
+        if live
+        else read_snapshot(spark, path).columns
+        if branch is None
+        else read_branch(spark, path, branch).columns
+    )
     if when_matched == "update" and set(source.columns) != lake_schema:
         raise ValueError(
             f"merge source columns {sorted(source.columns)} != lake columns "
@@ -1531,7 +1569,10 @@ def lake_merge(
             nums = [float(row.lo), float(row.hi)]
     import bisect
 
-    stats = {fs["file"]: fs for fs in _lake_file_stats(spark, path, [key], scan_manifest)}
+    stats = {
+        fs["file"]: fs
+        for fs in _lake_file_stats(spark, path, [key], scan_manifest, files=live)
+    }
     candidates, untouched = [], []
     for n in live:
         fs = stats.get(n)
@@ -1554,7 +1595,7 @@ def lake_merge(
         (candidates if hit else untouched).append(n)
     new_files: list[str] = []
     if candidates:
-        cand = _read_files(spark, path, sorted(candidates), snapshot_info(path, head))
+        cand = _read_files(spark, path, sorted(candidates), head_info)
         # broadcast the distinct key set only when the probe proved it
         # small (<= _MERGE_KEY_PROBE_CAP); a corpus-scale source's key
         # set ships as a plain shuffle anti-join instead — same rows,
@@ -1566,20 +1607,23 @@ def lake_merge(
         new_files = _write_new_files(out, path, _partition_cols(live))
     elif when_matched == "update":
         new_files = _write_new_files(source, path, _partition_cols(live))
-    version = _commit_filechange(
-        path,
-        head,
-        removed=set(candidates),
-        added=set(new_files),
-        op="merge",
-        summary={
-            "key": key,
-            "when_matched": when_matched,
-            "files_candidates": len(candidates),
-            "files_untouched": len(untouched),
-        },
-    )
-    _maintain_manifest(spark, path, scan_manifest)
+    summary = {
+        "key": key,
+        "when_matched": when_matched,
+        "files_candidates": len(candidates),
+        "files_untouched": len(untouched),
+    }
+    if branch is None:
+        version = _commit_filechange(
+            path, head, removed=set(candidates), added=set(new_files),
+            op="merge", summary=summary, spark=spark,
+        )
+        _maintain_manifest(spark, path, scan_manifest)
+    else:
+        version = _branch_commit_filechange(
+            path, branch, head, removed=set(candidates),
+            added=set(new_files), op="merge", summary=summary, spark=spark,
+        )
     return {
         "version": version,
         "files_candidates": len(candidates),
@@ -1815,6 +1859,7 @@ def lake_update(
     predicate: str,
     col_types: dict | None = None,
     scan_manifest: str | None = None,
+    branch: str | None = None,
 ) -> dict:
     """SQL ``UPDATE ... SET col = expr WHERE predicate`` over a
     snapshot lake, pruned to the files that can contain a matching
@@ -1825,17 +1870,26 @@ def lake_update(
     Updated columns cast back to their original type so the lake
     schema can never drift through an expression's type widening.
     Updating a partition column moves rows between directories
-    naturally (the rewrite writes through partitionBy)."""
-    if not has_snapshots(path):
-        commit_snapshot(path, _data_files(path), "adopt", parent=0)
-    head = current_version(path)
+    naturally (the rewrite writes through partitionBy).
+
+    ``branch`` (round 13): apply the update on a WAP branch's head —
+    same pruning, committed on the branch chain (see lake_delete)."""
+    if branch is None:
+        if not has_snapshots(path):
+            commit_snapshot(path, _data_files(path), "adopt", parent=0)
+        head = current_version(path)
+        head_info = snapshot_info(path, head)
+    else:
+        head_info = _branch_info(path, branch)
+        head = head_info["version"]
     allmatch, keep, boundary = _classify_for_delete(
-        path, predicate, col_types, spark, scan_manifest
+        path, predicate, col_types, spark, scan_manifest,
+        files=sorted(head_info["files"]),
     )
     to_rewrite = sorted(set(allmatch) | set(boundary))
     new_files: list[str] = []
     if to_rewrite:
-        src = _read_files(spark, path, to_rewrite, snapshot_info(path, head))
+        src = _read_files(spark, path, to_rewrite, head_info)
         dtypes = dict(src.dtypes)
         unknown = [c for c in assignments if c not in dtypes]
         if unknown:
@@ -1848,20 +1902,23 @@ def lake_update(
             }
         )
         new_files = _write_new_files(out, path, _partition_cols(to_rewrite))
-    version = _commit_filechange(
-        path,
-        head,
-        removed=set(to_rewrite),
-        added=set(new_files),
-        op="update",
-        summary={
-            "predicate": predicate,
-            "set": dict(assignments),
-            "files_untouched": len(keep),
-            "files_rewritten": len(to_rewrite),
-        },
-    )
-    _maintain_manifest(spark, path, scan_manifest)
+    summary = {
+        "predicate": predicate,
+        "set": dict(assignments),
+        "files_untouched": len(keep),
+        "files_rewritten": len(to_rewrite),
+    }
+    if branch is None:
+        version = _commit_filechange(
+            path, head, removed=set(to_rewrite), added=set(new_files),
+            op="update", summary=summary, spark=spark,
+        )
+        _maintain_manifest(spark, path, scan_manifest)
+    else:
+        version = _branch_commit_filechange(
+            path, branch, head, removed=set(to_rewrite),
+            added=set(new_files), op="update", summary=summary, spark=spark,
+        )
     return {
         "version": version,
         "files_untouched": len(keep),
@@ -1992,6 +2049,108 @@ def _branch_commit(path: str, name: str, record: dict) -> int:
     finally:
         os.remove(tmp)
     return record["version"]
+
+
+def _branch_commit_filechange(
+    path: str,
+    name: str,
+    planned_bv: int,
+    removed: set[str],
+    added: set[str],
+    op: str,
+    summary: dict | None = None,
+    dv_add: list[str] | None = None,
+    dv_rows_add: dict[str, int] | None = None,
+    masked_files: set[str] | None = None,
+    planned_dv_rows: dict[str, int] | None = None,
+    spark: SparkSession | None = None,
+) -> int:
+    """``_commit_filechange`` scoped to a BRANCH chain (round 13 —
+    DML on branches): drop ``removed`` from the branch head's live
+    set, add ``added``, with the same optimistic rebase rules — a
+    concurrent branch commit that touched a file this plan read is a
+    real conflict; a disjoint one replays. DV deltas merge into the
+    branch head actually committed on, identically to the main-chain
+    protocol. Branch records keep carrying fork_version / schema /
+    lineage / tombstones so publish and audit reads stay authoritative."""
+    new_rows = _file_row_counts(path, sorted(added), spark)
+    has_dv = dv_add is not None or bool(dv_rows_add)
+    expect = planned_bv
+    for attempt in range(_COMMIT_RETRIES + 1):
+        head_info = _branch_info(path, name)
+        bv = head_info["version"]
+        live = head_info["files"]
+        live_set = set(live)
+        if bv != expect:
+            gone = removed - live_set
+            if gone:
+                raise SnapshotConflictError(
+                    f"planned against branch {name!r} v{expect} but head is "
+                    f"v{bv}, and a concurrent commit touched {len(gone)} "
+                    f"file(s) this plan read (e.g. {sorted(gone)[0]!r})"
+                )
+            collide = added & live_set
+            if collide:
+                raise SnapshotConflictError(
+                    f"new file name(s) already live on branch {name!r} "
+                    f"(e.g. {sorted(collide)[0]!r})"
+                )
+            if has_dv:
+                head_dvr = head_info.get("dv_rows") or {}
+                plan_dvr = planned_dv_rows or {}
+                for rel in sorted(masked_files or ()):
+                    if rel in added:
+                        continue
+                    if rel not in live_set:
+                        raise SnapshotConflictError(
+                            f"a concurrent branch commit rewrote or dropped "
+                            f"masked file {rel!r} — re-plan and retry"
+                        )
+                    b = os.path.basename(rel)
+                    if int(head_dvr.get(b, 0)) != int(plan_dvr.get(b, 0)):
+                        raise SnapshotConflictError(
+                            f"a concurrent deletion vector masks {rel!r} too "
+                            "— positions may overlap; re-plan and retry"
+                        )
+            expect = bv
+        files = sorted((live_set - removed) | added)
+        prev_rows = head_info.get("file_rows", {})
+        stale = [n for n in files if n not in prev_rows and n not in new_rows]
+        if stale:
+            new_rows.update(_file_row_counts(path, stale, spark))
+        record = {
+            **{k: head_info[k] for k in ("fork_version",) if k in head_info},
+            "version": bv + 1,
+            "parent": bv,
+            "op": op,
+            "ts": time.time(),
+            "files": files,
+            "file_rows": {n: prev_rows.get(n, new_rows.get(n)) for n in files},
+            "summary": summary or {},
+        }
+        for k in ("schema", "renames", "dropped_names"):
+            if head_info.get(k):
+                record[k] = head_info[k]
+        if has_dv:
+            head_dvs = list(head_info.get("dvs") or [])
+            dvs = head_dvs + [s for s in (dv_add or []) if s not in head_dvs]
+            dv_rows = dict(head_info.get("dv_rows") or {})
+            for b, n in (dv_rows_add or {}).items():
+                dv_rows[b] = int(dv_rows.get(b, 0)) + int(n)
+            if dvs:
+                record["dvs"] = dvs
+            if dv_rows:
+                record["dv_rows"] = dv_rows
+        else:
+            for k in ("dvs", "dv_rows"):
+                if head_info.get(k):
+                    record[k] = head_info[k]
+        try:
+            return _branch_commit(path, name, record)
+        except SnapshotConflictError:
+            if attempt == _COMMIT_RETRIES:
+                raise
+    raise AssertionError("unreachable")
 
 
 def lake_branch_create(path: str, name: str, from_version: int | str | None = None) -> int:

@@ -209,6 +209,10 @@ cdcnet AS (
     UNION ALL
     SELECT ck, pc, -1 AS s FROM u_old
   ) GROUP BY ck, pc HAVING SUM(s) > 0
+),
+u AS (
+  SELECT ck, CASE WHEN ck BETWEEN 90 AND 120 THEN pc + 55555 ELSE pc END AS pc
+  FROM o WHERE NOT (ck BETWEEN 0 AND 60)
 )
 SELECT 'box' AS part, COUNT(*) AS n_orders,
        CAST(SUM(pc) AS BIGINT) AS total_cents,
@@ -235,6 +239,12 @@ UNION ALL
 SELECT 'dml_v1', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
 FROM o
 UNION ALL
+SELECT 'dv', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
+FROM u WHERE NOT (pc % 10 = 3 AND ck BETWEEN 200 AND 400)
+UNION ALL
+SELECT 'dv_tt', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
+FROM u
+UNION ALL
 SELECT 'numjoin', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
 FROM o WHERE ck % 97 = 0
 UNION ALL
@@ -247,7 +257,7 @@ ORDER BY part
 """
 
 
-@query("q23_manifest_pruned_scan", oracle=_Q23_SQL, covers="Y2,S3,S8,A2,P3")
+@query("q23_manifest_pruned_scan", oracle=_Q23_SQL, covers="Y2,S3,S8,A2,P3,X45")
 def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-hook family, tagged union:
     * 'box' — conjunctive numeric box through lake_scan (ex-r49, the
@@ -278,7 +288,11 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     * 'numjoin' — join-driven FILE pruning, numeric interval-probe
       form (round 12, ex-r71 rotated in; q45 keeps the string/Bloom
       form): a distinct-key dim probes the z-ordered lake's manifest
-      through lake_join_scan before any fact read.
+      through lake_join_scan before any fact read;
+    * 'dv' / 'dv_tt' — DELETION VECTORS under the driver hash
+      (round 13, ex-r78 rotated in): a pruned DV delete masks only
+      can-match files (zero rewrite), 'dv' reads the masked head,
+      'dv_tt' time travels to the unmasked v3.
     Every branch derives its skip plan from the predicate STRING."""
     import os
 
@@ -413,6 +427,19 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake_join_scan(spark, "q23_orders_lake", dim, "ck", "dk"), "numjoin"
     )
 
+    # deletion vectors under the driver hash (round 13, ex-r78 rotated
+    # in — VERDICT r12 ask #2): a PRUNED DV delete masks only can-match
+    # files (ck-range none-match files keep unopened, zero rewrite),
+    # 'dv' reads the masked head through the catalog, 'dv_tt' time
+    # travels to the pre-mask v3 — a resurrected masked row, an
+    # over-masked row, or a mask leaking into history breaks the hash
+    lake_delete_where(
+        spark, "q23_orders_snap", "pc % 10 = 3 AND ck BETWEEN 200 AND 400",
+        use_dv=True,
+    )
+    dv = agg(lake_scan(spark, "q23_orders_snap"), "dv")
+    dv_tt = agg(lake_scan(spark, "q23_orders_snap", version=3), "dv_tt")
+
     return (
         box.unionByName(count)
         .unionByName(date)
@@ -423,6 +450,8 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cdc_del)
         .unionByName(cdc_ins)
         .unionByName(numjoin)
+        .unionByName(dv)
+        .unionByName(dv_tt)
         .orderBy("part")
     )
 
@@ -1390,3 +1419,118 @@ def r78_lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cdc_del",
     )
     return cdc.unionByName(head).unionByName(v1).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# R79 — DML ON BRANCHES (round 13, snapshots.lake_delete/update/merge
+#        branch=...): a staged crawl drop is CLEANED IN STAGING — a
+#        rewrite-form delete, a deletion-vector delete, and an update
+#        all commit on the branch chain — then the audited result
+#        publishes atomically. Four reads under the oracle: the audit
+#        (through lake_scan(branch=), the catalog's branch read), a
+#        manifest-PRUNED branch band scan, main DURING the branch DML
+#        (one leaked intermediate row breaks the hash — isolation is
+#        oracled, not just asserted), and main after publish (the
+#        branch's file changes AND its DV mask delta carried through).
+#        The oracle replays the whole flow relationally.
+# ---------------------------------------------------------------------------
+
+_R79_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE ck % 2 = 0),
+staged AS (SELECT ck, pc + 1111 AS pc FROM o WHERE ck % 2 = 1),
+combined AS (SELECT * FROM base UNION ALL SELECT * FROM staged),
+afterdel AS (SELECT * FROM combined WHERE NOT (ck BETWEEN 301 AND 399)),
+afterdv AS (SELECT * FROM afterdel WHERE NOT (pc % 100 < 7)),
+afterupd AS (
+  SELECT ck, CASE WHEN ck BETWEEN 10 AND 20 THEN pc + 5 ELSE pc END AS pc
+  FROM afterdv
+)
+SELECT 'audit' AS part, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_pc,
+       MIN(ck) AS min_ck, MAX(ck) AS max_ck
+FROM afterupd
+UNION ALL
+SELECT 'audit_band', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
+FROM afterupd WHERE ck BETWEEN 400 AND 800
+UNION ALL
+SELECT 'main_during', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck) FROM base
+UNION ALL
+SELECT 'published', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck) FROM afterupd
+ORDER BY part
+"""
+
+
+@query("r79_lake_branch_dml", oracle=_R79_SQL, covers="X46,X44,X39,X45,Y2,A2")
+def r79_lake_branch_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import (
+        lake_delete_where,
+        lake_scan,
+        lake_update_where,
+        register_lake_table,
+    )
+    from ..operators.layout import save_scan_manifest
+    from ..operators.snapshots import (
+        lake_branch_append,
+        lake_branch_create,
+        lake_publish_branch,
+        lake_write,
+        read_snapshot,
+    )
+
+    base_dir = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r79_lake"
+    )
+    lake = os.path.join(base_dir, "data")
+    manifest = os.path.join(base_dir, "manifest")
+    if os.path.exists(base_dir):
+        shutil.rmtree(base_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    lake_write(spark, o.filter(F.col("ck") % 2 == 0).repartitionByRange(4, "ck"), lake)
+    save_scan_manifest(spark, lake, ["ck", "pc"], manifest)
+    register_lake_table(spark, "r79_lake", lake, scan_manifest=manifest)
+    lake_branch_create(lake, "wap")
+    lake_branch_append(
+        spark, lake, "wap",
+        o.filter(F.col("ck") % 2 == 1).withColumn("pc", F.col("pc") + F.lit(1111)),
+    )
+    # clean the drop IN STAGING: rewrite-delete a bad band, DV-delete a
+    # value pattern (zero rewrite), patch a band — all on the branch
+    lake_delete_where(spark, "r79_lake", "ck BETWEEN 301 AND 399", branch="wap")
+    lake_delete_where(spark, "r79_lake", "pc % 100 < 7", use_dv=True, branch="wap")
+    lake_update_where(
+        spark, "r79_lake", {"pc": "pc + 5"}, "ck BETWEEN 10 AND 20", branch="wap"
+    )
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("part"),
+            F.count("*").alias("n"),
+            F.sum("pc").cast("long").alias("sum_pc"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+        ).select("part", "n", "sum_pc", "min_ck", "max_ck")
+
+    audit = agg(lake_scan(spark, "r79_lake", branch="wap"), "audit")
+    audit_band = agg(
+        lake_scan(spark, "r79_lake", "ck BETWEEN 400 AND 800", branch="wap"),
+        "audit_band",
+    )
+    main_during = agg(read_snapshot(spark, lake), "main_during")
+    lake_publish_branch(lake, "wap")
+    published = agg(read_snapshot(spark, lake), "published")
+    return (
+        audit.unionByName(audit_band)
+        .unionByName(main_during)
+        .unionByName(published)
+        .orderBy("part")
+    )

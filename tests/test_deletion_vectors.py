@@ -220,3 +220,50 @@ def test_dv_masks_carry_onto_branches(spark, tmp_path):
     cur = read_snapshot(spark, lake)
     assert cur.count() == 250
     assert cur.filter("k % 3 = 0 AND k < 300").count() == 0
+
+
+def test_dv_mask_aware_metadata_count_fast_path(spark, tmp_path):
+    """Round 13 (VERDICT r12 ask #5): predicated lake_count no longer
+    degrades wholesale under live DVs — interior files contribute
+    file_rows − dv_rows UNOPENED (their data pages are garbled to
+    prove it), none-match files are skipped (garbled too), and only
+    the boundary file is read, through the mask-applying reader."""
+    import pyarrow.parquet as pq
+
+    from mlb_data_pipeline_spark.catalog import lake_count, register_lake_table
+    from mlb_data_pipeline_spark.operators.layout import save_scan_manifest
+
+    lake = str(tmp_path / "lake")
+    mf = str(tmp_path / "mf")
+    lake_write(spark, _kv(spark, 0, 1000).repartitionByRange(4, "k"), lake)
+    save_scan_manifest(spark, lake, ["k", "v"], mf)
+    register_lake_table(spark, "t_dv_fast", lake, scan_manifest=mf)
+    lake_delete(spark, lake, "k % 10 = 3", col_types={"k": "bigint"}, use_dv=True)
+
+    # per-file k-ranges from footers (classification's own source)
+    stats = []
+    for n in snapshot_info(lake)["files"]:
+        md = pq.ParquetFile(os.path.join(lake, n)).metadata
+        i = md.schema.names.index("k")
+        los = [md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups)]
+        his = [md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups)]
+        stats.append((min(los), max(his), n))
+    stats.sort()
+    assert len(stats) == 4
+    # box [0, hi] with hi strictly inside file 3's range: files 1-2
+    # interior, file 3 boundary, file 4 none-match
+    hi = (stats[2][0] + stats[2][1]) // 2
+    assert stats[2][0] < hi < stats[2][1] and stats[3][0] > hi
+
+    def garble(name):
+        with open(os.path.join(lake, name), "r+b") as fh:
+            fh.write(b"\xde\xad" * 32)
+
+    garble(stats[0][2])  # interior — counted from metadata, never read
+    garble(stats[1][2])  # interior
+    garble(stats[3][2])  # none-match — skipped
+    masked = sum(1 for k in range(0, hi + 1) if k % 10 == 3)
+    expect = (hi + 1) - masked
+    assert lake_count(spark, "t_dv_fast", f"k BETWEEN 0 AND {hi}") == expect
+    # bare COUNT(*) stays the metadata sum (mask-subtracting)
+    assert lake_count(spark, "t_dv_fast") == 900
