@@ -188,7 +188,102 @@ def snapshot_info(path: str, version: int | str | None = None) -> dict:
             "(expired by vacuum_lake, or never committed)"
         )
     with open(fn) as fh:
-        return json.load(fh)
+        return _resolve_record(path, json.load(fh))
+
+
+# ---------------------------------------------------------------------------
+# Sharded snapshot manifests (round 13, X47 — the Iceberg manifest-file
+# shape). Below ``_MANIFEST_SHARD_THRESHOLD`` live files a commit
+# embeds its file list + per-file row counts in the json (the simple,
+# debuggable representation every earlier round used). Above it, the
+# json stays O(1): the file list lives in IMMUTABLE parquet manifests
+# under ``_snapshots/manifests/`` — columns (file, rows) — and the
+# record carries ``manifest_refs`` (the manifests whose union covers
+# the live set), ``removed_files`` (names subtracted from that union),
+# and ``n_files``. Manifests are REUSED across commits: an append
+# writes ONE delta manifest for its new files and inherits the
+# parent's refs untouched, so on a million-file table the metadata
+# WRITE cost of a commit is the commit's own churn, not the table.
+# When dead weight accumulates (many refs or a removed list rivalling
+# the live set) the commit compacts to one fresh manifest — the
+# Iceberg manifest-rewrite maintenance step, folded in. Readers are
+# unchanged: ``snapshot_info`` resolves a sharded record to the same
+# (files, file_rows) dict shape, cached per immutable (path, version).
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SHARD_THRESHOLD = 2048
+_MANIFEST_MAX_REFS = 32
+
+_SNAP_RESOLVE_CACHE: dict[tuple, dict] = {}
+_MANIFEST_ROWS_CACHE: dict[tuple[str, str], dict[str, int]] = {}
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(_snap_dir(path), "manifests")
+
+
+def _manifest_rows(path: str, ref: str) -> dict[str, int]:
+    """file -> rows for ONE manifest parquet; cached (manifests are
+    immutable once a commit references them)."""
+    key = (os.path.abspath(path), ref)
+    hit = _MANIFEST_ROWS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(_manifest_dir(path), ref))
+    out = {
+        f: int(r)
+        for f, r in zip(t.column("file").to_pylist(), t.column("rows").to_pylist())
+    }
+    if len(_MANIFEST_ROWS_CACHE) > 64:
+        _MANIFEST_ROWS_CACHE.clear()
+    _MANIFEST_ROWS_CACHE[key] = out
+    return out
+
+
+def _write_manifest(path: str, rows: dict[str, int]) -> str:
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = _manifest_dir(path)
+    os.makedirs(d, exist_ok=True)
+    ref = f"m-{uuid.uuid4().hex[:16]}.parquet"
+    names = sorted(rows)
+    t = pa.table(
+        {"file": names, "rows": [int(rows[n]) for n in names]},
+        schema=pa.schema([("file", pa.string()), ("rows", pa.int64())]),
+    )
+    pq.write_table(t, os.path.join(d, ref))
+    return ref
+
+
+def _resolve_record(path: str, record: dict) -> dict:
+    """A PLAIN record passes through; a SHARDED one (manifest_refs)
+    materializes files/file_rows from its manifests minus the removed
+    list. Resolution is cached per (path, version) — a linked record
+    never changes."""
+    if "manifest_refs" not in record:
+        return record
+    # ts in the key: a lake torn down and rebuilt at the same path
+    # restarts version numbers, and the cache must never serve the old
+    # incarnation's resolution
+    key = (os.path.abspath(path), int(record["version"]), record.get("ts"))
+    hit = _SNAP_RESOLVE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rows: dict[str, int] = {}
+    for ref in record["manifest_refs"]:
+        rows.update(_manifest_rows(path, ref))
+    removed = set(record.get("removed_files") or [])
+    files = sorted(set(rows) - removed)
+    out = {**record, "files": files, "file_rows": {n: rows[n] for n in files}}
+    if len(_SNAP_RESOLVE_CACHE) > 64:
+        _SNAP_RESOLVE_CACHE.clear()
+    _SNAP_RESOLVE_CACHE[key] = out
+    return out
 
 
 def snapshot_files(path: str, version: int | str | None = None) -> list[str]:
@@ -322,10 +417,34 @@ def commit_snapshot(
         "parent": head,
         "op": op,
         "ts": time.time(),
-        "files": sorted(files),
-        "file_rows": file_rows,
         "summary": summary or {},
     }
+    if len(files) <= _MANIFEST_SHARD_THRESHOLD:
+        record["files"] = sorted(files)
+        record["file_rows"] = file_rows
+    else:
+        # SHARDED representation (round 13, X47): reuse the parent's
+        # immutable manifests, write ONE delta manifest for files they
+        # don't cover, subtract the rest via removed_files — the
+        # commit's metadata write is O(its own churn). Compact to a
+        # single fresh manifest when refs or dead weight pile up.
+        refs = list(prev.get("manifest_refs") or [])
+        covered: dict[str, int] = {}
+        for ref in refs:
+            covered.update(_manifest_rows(path, ref))
+        fresh_rows = {n: file_rows[n] for n in files if n not in covered}
+        if fresh_rows:
+            refs.append(_write_manifest(path, fresh_rows))
+            covered.update(fresh_rows)
+        removed = sorted(set(covered) - set(files))
+        if len(refs) > _MANIFEST_MAX_REFS or len(removed) > max(
+            _MANIFEST_SHARD_THRESHOLD // 4, len(files) // 2
+        ):
+            refs = [_write_manifest(path, file_rows)]
+            removed = []
+        record["manifest_refs"] = refs
+        record["removed_files"] = removed
+        record["n_files"] = len(files)
     schema_json = schema_json if schema_json is not None else prev.get("schema")
     if schema_json is not None:
         record["schema"] = schema_json
@@ -1142,12 +1261,34 @@ def vacuum_lake(path: str, keep_last: int = 1, orphan_grace_s: float = 86400.0) 
             if n not in dv_referenced:
                 _shutil.rmtree(os.path.join(dv_dir, n), ignore_errors=True)
                 dv_removed += 1
+    # sharded snapshot manifests (round 13): keep those any retained
+    # version references; unreferenced ones (expired versions' deltas,
+    # compacted-away shards, lost-commit orphans) reclaim after the
+    # same grace window that protects in-flight writers' staged files
+    man_dir = _manifest_dir(path)
+    man_removed = 0
+    if os.path.isdir(man_dir):
+        man_referenced: set[str] = set()
+        for v in retained:
+            man_referenced |= set(snapshot_info(path, v).get("manifest_refs") or [])
+        for n in os.listdir(man_dir):
+            if n in man_referenced:
+                continue
+            try:
+                fresh = os.path.getmtime(os.path.join(man_dir, n)) > cutoff
+            except OSError:
+                fresh = False
+            if fresh and orphan_grace_s > 0:
+                continue
+            os.remove(os.path.join(man_dir, n))
+            man_removed += 1
     return {
         "removed_files": removed,
         "expired_snapshots": len(expired),
         "retained_versions": retained,
         "orphans_in_grace": kept_orphans,
         "removed_dvs": dv_removed,
+        "removed_manifests": man_removed,
     }
 
 

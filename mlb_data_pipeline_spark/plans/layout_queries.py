@@ -1534,3 +1534,107 @@ def r79_lake_branch_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(published)
         .orderBy("part")
     )
+
+
+# ---------------------------------------------------------------------------
+# R80 — SHARDED SNAPSHOT MANIFESTS (round 13, X47 — the Iceberg
+#        manifest-file shape, operators/snapshots.py _write_manifest /
+#        _resolve_record): above the shard threshold a commit's json
+#        stays O(1) and the file list lives in immutable, REUSED
+#        parquet manifests + a removed list (append = one delta
+#        manifest; whole-file delete = zero manifest writes). The
+#        query forces the sharded representation (threshold lowered
+#        for the run) and drives every consumer through it — head
+#        read, time travel, CDC — while the oracle replays the same
+#        states relationally: a file lost or resurrected by the
+#        manifest union/removed resolution breaks the hash.
+# ---------------------------------------------------------------------------
+
+_R80_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE ck % 4 != 0),
+extra AS (SELECT ck, pc + 77 AS pc FROM o WHERE ck % 4 = 0),
+v2 AS (SELECT * FROM base UNION ALL SELECT * FROM extra),
+v3 AS (SELECT * FROM v2 WHERE NOT (ck BETWEEN 200 AND 500))
+SELECT 'cdc_del' AS part, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_pc,
+       MIN(ck) AS min_ck, MAX(ck) AS max_ck
+FROM v2 WHERE ck BETWEEN 200 AND 500
+UNION ALL
+SELECT 'head', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck) FROM v3
+UNION ALL
+SELECT 'tt_v2', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck) FROM v2
+ORDER BY part
+"""
+
+
+@query("r80_lake_sharded_manifests", oracle=_R80_SQL, covers="X47,X38,X39,X41,A2")
+def r80_lake_sharded_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators import snapshots as S
+    from ..operators.snapshots import (
+        lake_delete,
+        lake_write,
+        read_changes,
+        read_snapshot,
+    )
+
+    base_dir = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r80_lake"
+    )
+    lake = os.path.join(base_dir, "data")
+    if os.path.exists(base_dir):
+        shutil.rmtree(base_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    saved = S._MANIFEST_SHARD_THRESHOLD
+    S._MANIFEST_SHARD_THRESHOLD = 8  # force the sharded representation
+    try:
+        lake_write(
+            spark, o.filter(F.col("ck") % 4 != 0).repartitionByRange(12, "ck"), lake
+        )  # v1: 12 files -> 1 manifest
+        lake_write(
+            spark,
+            o.filter(F.col("ck") % 4 == 0)
+            .withColumn("pc", F.col("pc") + F.lit(77))
+            .repartitionByRange(2, "ck"),
+            lake,
+        )  # v2: +1 DELTA manifest, base manifest reused
+        lake_delete(
+            spark, lake, "ck BETWEEN 200 AND 500", col_types={"ck": "bigint"}
+        )  # v3: removed list (+ boundary rewrites)
+    finally:
+        S._MANIFEST_SHARD_THRESHOLD = saved
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("part"),
+            F.count("*").alias("n"),
+            F.sum("pc").cast("long").alias("sum_pc"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+        ).select("part", "n", "sum_pc", "min_ck", "max_ck")
+
+    def cdc_agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("part"),
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n"),
+            F.sum(F.col("pc") * F.col("__n")).cast("long").alias("sum_pc"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+        ).select("part", "n", "sum_pc", "min_ck", "max_ck")
+
+    head = agg(read_snapshot(spark, lake), "head")
+    tt = agg(read_snapshot(spark, lake, 2), "tt_v2")
+    cdc = cdc_agg(
+        read_changes(spark, lake, 2, 3).filter(F.col("__change") == "delete"),
+        "cdc_del",
+    )
+    return cdc.unionByName(head).unionByName(tt).orderBy("part")
