@@ -1220,6 +1220,7 @@ def lake_merge_into(
     source: DataFrame,
     key: str,
     when_matched: str = "update",
+    branch: str | None = None,
 ) -> dict:
     """MERGE INTO a registered lake table (see lake_delete_where)."""
     ent = _lake_entry(spark, name)
@@ -1232,6 +1233,7 @@ def lake_merge_into(
         key,
         when_matched=when_matched,
         scan_manifest=ent["scan_manifest"],
+        branch=branch,
     )
 
 

@@ -58,6 +58,26 @@ Iceberg/Delta-shaped transaction log on top of the same directory:
   ``lake_branch_create/append``, ``read_branch``,
   ``lake_publish_branch`` (strict fast-forward or append rebase):
   stage a data drop invisible to main, audit it, publish atomically.
+* **Round 13** — (a) NAME-REUSE GUARDS: dropped columns (and their
+  rename-lineage aliases) tombstone in ``dropped_names``; the
+  evolution paths reject reusing any tombstoned/lineage name (old
+  files still hold those bytes — reuse would resurface them); a
+  truncating overwrite resets tombstones/lineage/masks. (b) DV
+  commits ship their mask as a DELTA merged into the head actually
+  landed on — concurrent DV deletes merge, same-file masks raise.
+  (c) DML ON BRANCHES: ``lake_delete/update/merge(branch=)`` run the
+  pruned classification over the branch head and commit on the
+  branch chain; ``read_changes(branch=)`` is the WAP audit primitive
+  (net "what would publishing change" vs the fork);
+  ``read_branch(version=)`` time travels within staging; the
+  streaming snapshot sink takes ``branch=`` (stage a continuous
+  feed, publish on cadence); publish carries branch DV deltas.
+  (d) SHARDED SNAPSHOT MANIFESTS: above ``_MANIFEST_SHARD_THRESHOLD``
+  files the commit json stays O(1) — the file list lives in
+  immutable, REUSED parquet manifests + a removed list (append = one
+  delta manifest; whole-file delete = none), compacted when dead
+  weight piles up; ``snapshot_info`` resolves either representation,
+  so every reader is representation-blind.
 
 Concurrency model: optimistic, serializable at the file level
 (round 12 — every commit path now asserts the head it planned
@@ -1774,7 +1794,11 @@ def lake_merge(
 
 
 def read_changes(
-    spark: SparkSession, path: str, v_from: int, v_to: int | None = None
+    spark: SparkSession,
+    path: str,
+    v_from: int | None = None,
+    v_to: int | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """The NET row changes between two snapshot versions — Iceberg's
     incremental-read shape, computed from the FILE-SET DIFF alone:
@@ -1789,9 +1813,34 @@ def read_changes(
     nets to zero and is absent. DELETE rewrites therefore surface
     exactly the deleted rows; MERGE surfaces old-version rows as
     deletes and new versions as inserts; appends surface pure
-    inserts."""
-    files_from = set(snapshot_files(path, v_from))
-    files_to = set(snapshot_files(path, v_to))
+    inserts.
+
+    ``branch`` (round 13 — the WAP audit primitive): diff BRANCH
+    versions instead of main's — ``v_from``/``v_to`` become
+    branch-local versions, defaulting to (v1 = the fork state, head),
+    so ``read_changes(spark, path, branch="wap")`` is exactly "what
+    would publishing this branch change" — staged appends as inserts,
+    in-branch deletes (rewrite or DV form) as deletes — computable
+    without touching main and at churn cost."""
+    if branch is not None:
+        bvs = _branch_versions(path, branch)
+        if not bvs:
+            raise ValueError(f"no branch {branch!r} under {path!r}")
+        info_from = _branch_info(path, branch, v_from if v_from is not None else bvs[0])
+        info_to = _branch_info(path, branch, v_to if v_to is not None else bvs[-1])
+        return _read_changes_infos(spark, path, info_from, info_to)
+    if v_from is None:
+        raise ValueError("v_from is required for main-chain read_changes")
+    return _read_changes_infos(
+        spark, path, snapshot_info(path, v_from), snapshot_info(path, v_to)
+    )
+
+
+def _read_changes_infos(
+    spark: SparkSession, path: str, info_from: dict, info_to: dict
+) -> DataFrame:
+    files_from = set(info_from["files"])
+    files_to = set(info_to["files"])
     added = sorted(files_to - files_from)
     removed = sorted(files_from - files_to)
     schema_src = added or removed or sorted(files_to | files_from)
@@ -1806,8 +1855,6 @@ def read_changes(
     # mergeSchema read + column union below. Each side masks ITS OWN
     # version's deletion vectors — added files under v_to's, removed
     # files under v_from's (their live rows at that version).
-    info_to = snapshot_info(path, v_to)
-    info_from = snapshot_info(path, v_from)
     info_from_read = {
         **info_to,
         "dvs": info_from.get("dvs"),
@@ -2341,19 +2388,35 @@ def lake_branch_append(spark: SparkSession, path: str, name: str, df: DataFrame)
             f"extra / {sorted(cur_cols - set(df.columns)) or '-'} missing"
         )
     new = _write_new_files(df, path, _partition_cols(head_info["files"]))
-    file_rows = dict(head_info.get("file_rows", {}))
-    file_rows.update(_file_row_counts(path, new, spark))
+    return _branch_commit_append(path, name, new, spark=spark)
+
+
+def _branch_commit_append(
+    path: str,
+    name: str,
+    new: list[str],
+    summary: dict | None = None,
+    op: str = "branch_append",
+    spark: SparkSession | None = None,
+) -> int:
+    """Commit already-staged files as a branch APPEND: files = branch
+    head's live set ∪ ``new``, with the blind-append re-union retry
+    the main chain uses (a branch append reads no existing file, so a
+    moved branch head is never a logical conflict). Shared by
+    ``lake_branch_append`` and the branch leg of the streaming
+    snapshot sink (round 13)."""
+    file_rows_new = _file_row_counts(path, new, spark)
     for attempt in range(_COMMIT_RETRIES + 1):
         head_info = _branch_info(path, name)
         record = {
             **{k: head_info[k] for k in ("fork_version",) if k in head_info},
             "version": head_info["version"] + 1,
             "parent": head_info["version"],
-            "op": "branch_append",
+            "op": op,
             "ts": time.time(),
             "files": sorted(set(head_info["files"]) | set(new)),
-            "file_rows": {**file_rows, **head_info.get("file_rows", {})},
-            "summary": {"branch": name, "files_added": len(new)},
+            "file_rows": {**file_rows_new, **head_info.get("file_rows", {})},
+            "summary": {"branch": name, "files_added": len(new), **(summary or {})},
         }
         for k in ("schema", "renames", "dvs", "dv_rows", "dropped_names"):
             if head_info.get(k):
@@ -2366,10 +2429,14 @@ def lake_branch_append(spark: SparkSession, path: str, name: str, df: DataFrame)
     raise AssertionError("unreachable")
 
 
-def read_branch(spark: SparkSession, path: str, name: str) -> DataFrame:
+def read_branch(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> DataFrame:
     """The branch head — staged rows included, main's post-fork
-    commits NOT (the audit read of write-audit-publish)."""
-    info = _branch_info(path, name)
+    commits NOT (the audit read of write-audit-publish). ``version``
+    (round 13): a branch-local version for time travel WITHIN the
+    staging history (v1 = the fork state)."""
+    info = _branch_info(path, name, version)
     files = sorted(info["files"])
     if not files:
         if info.get("schema"):

@@ -1638,3 +1638,93 @@ def r80_lake_sharded_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cdc_del",
     )
     return cdc.unionByName(head).unionByName(tt).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# R81 — BRANCH CDC: the WAP audit primitive (round 13,
+#        snapshots.read_changes(branch=...)): "what would publishing
+#        this branch change" as a NET row diff of the branch head vs
+#        its fork state — staged appends surface as inserts, in-branch
+#        deletes (rewrite AND deletion-vector form) as deletes,
+#        rewrite survivors cancel unopened — computed entirely from
+#        the branch chain, main untouched. The oracle rebuilds the
+#        fork and head states relationally and takes the same
+#        signed-count net, weighting by __n.
+# ---------------------------------------------------------------------------
+
+_R81_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE ck % 2 = 0),
+staged AS (SELECT ck, pc + 1111 AS pc FROM o WHERE ck % 2 = 1),
+head AS (
+  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM staged)
+  WHERE NOT (ck BETWEEN 280 AND 520) AND NOT (pc % 50 = 9)
+),
+net AS (
+  SELECT ck, pc, SUM(s) AS n FROM (
+    SELECT ck, pc, 1 AS s FROM head
+    UNION ALL
+    SELECT ck, pc, -1 AS s FROM base
+  ) GROUP BY ck, pc HAVING SUM(s) != 0
+)
+SELECT 'del' AS part, CAST(SUM(-n) AS BIGINT) AS n_rows,
+       CAST(SUM(pc * -n) AS BIGINT) AS sum_pc, MIN(ck) AS min_ck, MAX(ck) AS max_ck
+FROM net WHERE n < 0
+UNION ALL
+SELECT 'ins', CAST(SUM(n) AS BIGINT), CAST(SUM(pc * n) AS BIGINT), MIN(ck), MAX(ck)
+FROM net WHERE n > 0
+ORDER BY part
+"""
+
+
+@query("r81_lake_branch_cdc", oracle=_R81_SQL, covers="X46,X44,X41,X45,A2")
+def r81_lake_branch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.snapshots import (
+        lake_branch_append,
+        lake_branch_create,
+        lake_delete,
+        lake_write,
+        read_changes,
+    )
+
+    base_dir = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r81_lake"
+    )
+    lake = os.path.join(base_dir, "data")
+    if os.path.exists(base_dir):
+        shutil.rmtree(base_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    ct = {"ck": "bigint", "pc": "bigint"}
+    lake_write(spark, o.filter(F.col("ck") % 2 == 0).repartitionByRange(4, "ck"), lake)
+    lake_branch_create(lake, "wap")
+    lake_branch_append(
+        spark, lake, "wap",
+        o.filter(F.col("ck") % 2 == 1).withColumn("pc", F.col("pc") + F.lit(1111)),
+    )
+    lake_delete(spark, lake, "ck BETWEEN 280 AND 520", col_types=ct, branch="wap")
+    lake_delete(spark, lake, "pc % 50 = 9", col_types=ct, use_dv=True, branch="wap")
+
+    ch = read_changes(spark, lake, branch="wap")
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("part"),
+            F.sum("__n").cast("long").alias("n_rows"),
+            F.sum(F.col("pc") * F.col("__n")).cast("long").alias("sum_pc"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+        ).select("part", "n_rows", "sum_pc", "min_ck", "max_ck")
+
+    dels = agg(ch.filter(F.col("__change") == "delete"), "del")
+    ins = agg(ch.filter(F.col("__change") == "insert"), "ins")
+    return dels.unionByName(ins).orderBy("part")

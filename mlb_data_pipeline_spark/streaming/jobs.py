@@ -667,6 +667,7 @@ def lake_snapshot_stream(
     optimize_specs: list[tuple[str, int, int]] | None = None,
     optimize_bits: int = 10,
     vacuum_keep_last: int | None = None,
+    branch: str | None = None,
 ) -> None:
     """Streaming ingestion into a SNAPSHOT lake (operators/snapshots.py)
     with exactly-once VISIBILITY: each micro-batch's files land
@@ -695,9 +696,21 @@ def lake_snapshot_stream(
 
     100 TB note: per-batch cost is the batch write + one json link +
     O(batch) footer reads. History grows one snapshot per batch; the
-    vacuum cadence bounds it."""
+    vacuum cadence bounds it.
+
+    ``branch`` (round 13 — STREAMING WRITE-AUDIT-PUBLISH): micro-
+    batches commit on an existing WAP branch instead of main — a
+    continuous feed stages invisibly, gets audited (read_branch /
+    read_changes(branch=) / branch DML cleanup), and publishes
+    atomically on the operator's cadence. Same exactly-once replay
+    guard, keyed to the branch's own history; in-stream OPTIMIZE /
+    vacuum maintenance is main-scoped and therefore rejected with
+    branch= (run them after publish)."""
     from ..operators.layout import append_scan_manifest
     from ..operators.snapshots import (
+        _branch_commit_append,
+        _branch_info,
+        _branch_versions,
         _commit_append,
         _write_new_files,
         commit_snapshot,
@@ -705,6 +718,11 @@ def lake_snapshot_stream(
         lake_history,
     )
 
+    if branch is not None and (optimize_every or vacuum_keep_last is not None):
+        raise ValueError(
+            "in-stream OPTIMIZE/vacuum are main-scoped; with branch= run "
+            "maintenance after lake_publish_branch"
+        )
     if vacuum_keep_last is not None and vacuum_keep_last < 2:
         # the maintenance tick commits optimize AFTER the batch's
         # stream_append; keep_last=1 would expire the append record and
@@ -714,6 +732,25 @@ def lake_snapshot_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if branch is not None:
+            # branch leg: the branch (and therefore the lake) must
+            # already exist — v1 is the fork record, so the
+            # establish-before-write invariant holds by construction
+            # and a crash between write and commit leaves only
+            # grace-windowed orphans, same as main
+            seen_b = [
+                _branch_info(lake_path, branch, bv)["summary"].get("batch_id")
+                for bv in _branch_versions(lake_path, branch)
+            ]
+            seen_b = [b for b in seen_b if b is not None]
+            if seen_b and batch_id <= max(seen_b):
+                return  # redelivery of a committed batch: no-op
+            new = _write_new_files(batch_df, lake_path, [])
+            _branch_commit_append(
+                lake_path, branch, new,
+                summary={"batch_id": batch_id}, op="stream_append", spark=spark,
+            )
+            return
         if not has_snapshots(lake_path):
             # establish v1 BEFORE writing any batch file (round 12,
             # ADVICE fix): pre-existing plain parquet adopts; an empty

@@ -301,3 +301,75 @@ def test_branch_scan_prunes_and_explains(spark, tmp_path):
     assert got2.filter("src = 'staged'").count() == 50
     # no-predicate branch scan == read_branch
     assert lake_scan(spark, "t_branch_scan", branch="wap").count() == 1100
+
+
+def test_branch_read_changes_and_time_travel(spark, tmp_path):
+    """Round 13: read_changes(branch=) is the WAP audit primitive —
+    'what would publishing change' as a net row diff against the fork
+    state, computed without touching main; read_branch(version=) time
+    travels within the staging history."""
+    from mlb_data_pipeline_spark.operators.snapshots import read_changes
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 100, "base").repartitionByRange(2, "k"), lake)
+    lake_branch_create(lake, "wap")
+    lake_branch_append(spark, lake, "wap", _kv(spark, 100, 160, "staged").coalesce(1))
+    lake_delete(
+        spark, lake, "k BETWEEN 40 AND 119",
+        col_types={"k": "bigint", "v": "bigint"}, branch="wap",
+    )
+    ch = read_changes(spark, lake, branch="wap")
+    ins = ch.filter("__change = 'insert'")
+    dels = ch.filter("__change = 'delete'")
+    # inserts: staged rows surviving the in-branch delete (120..159)
+    assert ins.count() == 40
+    assert ins.agg(F.min("k"), F.max("k")).head() == (120, 159)
+    # deletes: fork rows the branch killed (40..99)
+    assert dels.count() == 60
+    assert dels.agg(F.min("k"), F.max("k")).head() == (40, 99)
+    # branch time travel: v1 is the fork state, v2 the raw staged drop
+    assert read_branch(spark, lake, "wap", version=1).count() == 100
+    assert read_branch(spark, lake, "wap", version=2).count() == 160
+    # main untouched by any of it
+    assert read_snapshot(spark, lake).count() == 100
+
+
+def test_streaming_ingest_into_branch(spark, tmp_path):
+    """Round 13 — STREAMING WAP: micro-batches commit on the branch
+    (exactly-once visible there, replay-guarded by branch history),
+    main never sees a staged row until publish."""
+    from mlb_data_pipeline_spark.operators.snapshots import lake_branches
+    from mlb_data_pipeline_spark.streaming.jobs import lake_snapshot_stream
+
+    KV = "k long, v long, src string"
+    lake = str(tmp_path / "lake")
+    src = str(tmp_path / "src")
+    lake_write(spark, _kv(spark, 0, 100, "base").coalesce(1), lake)  # v1
+    lake_branch_create(lake, "feed")
+    for lo in (100, 200):
+        _kv(spark, lo, lo + 100, "staged").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(KV).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    lake_snapshot_stream(stream, lake, str(tmp_path / "ckpt"), branch="feed")
+    # both batches live on the branch, none on main
+    assert read_branch(spark, lake, "feed").count() == 300
+    assert read_snapshot(spark, lake).count() == 100
+    assert lake_branches(lake)["feed"]["head"] == 3  # fork + 2 batches
+    # raw redelivery (fresh checkpoint): the branch-history replay
+    # guard skips both batches wholesale
+    stream2 = (
+        spark.readStream.schema(KV).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    lake_snapshot_stream(stream2, lake, str(tmp_path / "ckpt2"), branch="feed")
+    assert read_branch(spark, lake, "feed").count() == 300
+    assert lake_branches(lake)["feed"]["head"] == 3
+    # maintenance is main-scoped: rejected on a branch
+    with pytest.raises(ValueError, match="main-scoped"):
+        lake_snapshot_stream(
+            stream2, lake, str(tmp_path / "ckpt3"), branch="feed",
+            vacuum_keep_last=2,
+        )
+    # audit then publish: the staged feed lands atomically
+    lake_publish_branch(lake, "feed")
+    assert read_snapshot(spark, lake).count() == 300
