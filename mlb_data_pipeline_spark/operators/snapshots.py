@@ -283,27 +283,30 @@ def _write_manifest(path: str, rows: dict[str, int]) -> str:
 def _resolve_record(path: str, record: dict) -> dict:
     """A PLAIN record passes through; a SHARDED one (manifest_refs)
     materializes files/file_rows from its manifests minus the removed
-    list. Resolution is cached per (path, version) — a linked record
-    never changes."""
+    list. Cached by the resolution INPUTS (path, refs, removed) —
+    always sound (two records with equal inputs resolve identically,
+    whatever chain or lake incarnation they belong to), and a branch
+    fork that copies main's refs verbatim is a cache HIT."""
     if "manifest_refs" not in record:
         return record
-    # ts in the key: a lake torn down and rebuilt at the same path
-    # restarts version numbers, and the cache must never serve the old
-    # incarnation's resolution
-    key = (os.path.abspath(path), int(record["version"]), record.get("ts"))
+    key = (
+        os.path.abspath(path),
+        tuple(record["manifest_refs"]),
+        tuple(record.get("removed_files") or ()),
+    )
     hit = _SNAP_RESOLVE_CACHE.get(key)
     if hit is not None:
-        return hit
+        return {**record, "files": hit[0], "file_rows": hit[1]}
     rows: dict[str, int] = {}
     for ref in record["manifest_refs"]:
         rows.update(_manifest_rows(path, ref))
     removed = set(record.get("removed_files") or [])
     files = sorted(set(rows) - removed)
-    out = {**record, "files": files, "file_rows": {n: rows[n] for n in files}}
+    file_rows = {n: rows[n] for n in files}
     if len(_SNAP_RESOLVE_CACHE) > 64:
         _SNAP_RESOLVE_CACHE.clear()
-    _SNAP_RESOLVE_CACHE[key] = out
-    return out
+    _SNAP_RESOLVE_CACHE[key] = (files, file_rows)
+    return {**record, "files": files, "file_rows": file_rows}
 
 
 def snapshot_files(path: str, version: int | str | None = None) -> list[str]:
@@ -383,6 +386,31 @@ def _file_row_counts_job(
     return dict(sc.parallelize(pairs, n_slices).mapPartitions(_counts).collect())
 
 
+def _files_repr(path: str, prev: dict, files: list[str], file_rows: dict[str, int]) -> dict:
+    """The files/file_rows legs of a snapshot or branch record: plain
+    below the shard threshold; above it, the parent's immutable
+    manifests are reused, one delta manifest covers files they don't,
+    the rest subtracts via removed_files, and the set compacts to a
+    single fresh manifest when refs or dead weight pile up (X47)."""
+    if len(files) <= _MANIFEST_SHARD_THRESHOLD:
+        return {"files": sorted(files), "file_rows": dict(file_rows)}
+    refs = list(prev.get("manifest_refs") or [])
+    covered: dict[str, int] = {}
+    for ref in refs:
+        covered.update(_manifest_rows(path, ref))
+    fresh = {n: file_rows[n] for n in files if n not in covered}
+    if fresh:
+        refs.append(_write_manifest(path, fresh))
+        covered.update(fresh)
+    removed = sorted(set(covered) - set(files))
+    if len(refs) > _MANIFEST_MAX_REFS or len(removed) > max(
+        _MANIFEST_SHARD_THRESHOLD // 4, len(files) // 2
+    ):
+        refs = [_write_manifest(path, {n: file_rows[n] for n in files})]
+        removed = []
+    return {"manifest_refs": refs, "removed_files": removed, "n_files": len(files)}
+
+
 def commit_snapshot(
     path: str,
     files: list[str],
@@ -439,32 +467,7 @@ def commit_snapshot(
         "ts": time.time(),
         "summary": summary or {},
     }
-    if len(files) <= _MANIFEST_SHARD_THRESHOLD:
-        record["files"] = sorted(files)
-        record["file_rows"] = file_rows
-    else:
-        # SHARDED representation (round 13, X47): reuse the parent's
-        # immutable manifests, write ONE delta manifest for files they
-        # don't cover, subtract the rest via removed_files — the
-        # commit's metadata write is O(its own churn). Compact to a
-        # single fresh manifest when refs or dead weight pile up.
-        refs = list(prev.get("manifest_refs") or [])
-        covered: dict[str, int] = {}
-        for ref in refs:
-            covered.update(_manifest_rows(path, ref))
-        fresh_rows = {n: file_rows[n] for n in files if n not in covered}
-        if fresh_rows:
-            refs.append(_write_manifest(path, fresh_rows))
-            covered.update(fresh_rows)
-        removed = sorted(set(covered) - set(files))
-        if len(refs) > _MANIFEST_MAX_REFS or len(removed) > max(
-            _MANIFEST_SHARD_THRESHOLD // 4, len(files) // 2
-        ):
-            refs = [_write_manifest(path, file_rows)]
-            removed = []
-        record["manifest_refs"] = refs
-        record["removed_files"] = removed
-        record["n_files"] = len(files)
+    record.update(_files_repr(path, prev, files, file_rows))
     schema_json = schema_json if schema_json is not None else prev.get("schema")
     if schema_json is not None:
         record["schema"] = schema_json
@@ -1291,6 +1294,11 @@ def vacuum_lake(path: str, keep_last: int = 1, orphan_grace_s: float = 86400.0) 
         man_referenced: set[str] = set()
         for v in retained:
             man_referenced |= set(snapshot_info(path, v).get("manifest_refs") or [])
+        for name in lake_branches(path):
+            for bv in _branch_versions(path, name):
+                man_referenced |= set(
+                    _branch_info(path, name, bv).get("manifest_refs") or []
+                )
         for n in os.listdir(man_dir):
             if n in man_referenced:
                 continue
@@ -2216,7 +2224,9 @@ def _branch_info(path: str, name: str, bv: int | None = None) -> dict:
     if not os.path.exists(fn):
         raise ValueError(f"branch {name!r} has no version {bv}")
     with open(fn) as fh:
-        return json.load(fh)
+        # branch records shard exactly like main's (X47): forking a
+        # million-file table copies manifest REFS, not a file list
+        return _resolve_record(path, json.load(fh))
 
 
 def _branch_commit(path: str, name: str, record: dict) -> int:
@@ -2312,8 +2322,12 @@ def _branch_commit_filechange(
             "parent": bv,
             "op": op,
             "ts": time.time(),
-            "files": files,
-            "file_rows": {n: prev_rows.get(n, new_rows.get(n)) for n in files},
+            **_files_repr(
+                path,
+                head_info,
+                files,
+                {n: prev_rows.get(n, new_rows.get(n)) for n in files},
+            ),
             "summary": summary or {},
         }
         for k in ("schema", "renames", "dropped_names"):
@@ -2353,11 +2367,14 @@ def lake_branch_create(path: str, name: str, from_version: int | str | None = No
         "parent": None,
         "op": "branch_fork",
         "ts": time.time(),
-        "files": info["files"],
-        "file_rows": info.get("file_rows", {}),
         "summary": {"branch": name},
         "fork_version": info["version"],
     }
+    # a sharded main fork copies manifest REFS verbatim (zero manifest
+    # writes, zero file-list bytes); a plain main embeds the list
+    record.update(
+        _files_repr(path, info, info["files"], info.get("file_rows", {}))
+    )
     for k in ("schema", "renames", "dvs", "dv_rows", "dropped_names"):
         if info.get(k):
             record[k] = info[k]
@@ -2408,14 +2425,15 @@ def _branch_commit_append(
     file_rows_new = _file_row_counts(path, new, spark)
     for attempt in range(_COMMIT_RETRIES + 1):
         head_info = _branch_info(path, name)
+        files = sorted(set(head_info["files"]) | set(new))
+        rows = {**file_rows_new, **head_info.get("file_rows", {})}
         record = {
             **{k: head_info[k] for k in ("fork_version",) if k in head_info},
             "version": head_info["version"] + 1,
             "parent": head_info["version"],
             "op": op,
             "ts": time.time(),
-            "files": sorted(set(head_info["files"]) | set(new)),
-            "file_rows": {**file_rows_new, **head_info.get("file_rows", {})},
+            **_files_repr(path, head_info, files, rows),
             "summary": {"branch": name, "files_added": len(new), **(summary or {})},
         }
         for k in ("schema", "renames", "dvs", "dv_rows", "dropped_names"):

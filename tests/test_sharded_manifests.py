@@ -127,3 +127,40 @@ def test_sharded_rollback_and_mixed_representations(spark, tmp_path, sharded):
     lake_rollback(lake, 2)  # v4
     assert read_snapshot(spark, lake).count() == 1000
     assert snapshot_row_count(lake) == 1000
+
+
+def test_branch_records_shard_too(spark, tmp_path, sharded):
+    """Forking / staging on a SHARDED lake copies manifest REFS, not a
+    file list — the branch chain uses the same representation, its
+    DML/CDC/publish work through the resolution, and vacuum retains
+    branch-referenced manifests."""
+    from mlb_data_pipeline_spark.operators.snapshots import (
+        lake_branch_append,
+        lake_branch_create,
+        lake_publish_branch,
+        read_branch,
+        read_changes,
+    )
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 1200).repartitionByRange(12, "k"), lake)  # v1 sharded
+    lake_branch_create(lake, "wap")
+    bdir = os.path.join(lake, "_snapshots", "branches", "wap")
+    b1 = json.load(open(os.path.join(bdir, "v000000000001.json")))
+    assert "files" not in b1  # the fork copied REFS, not 1200-file json
+    assert b1["manifest_refs"] == _raw(lake, 1)["manifest_refs"]
+    lake_branch_append(spark, lake, "wap", _kv(spark, 5000, 5100).repartition(2))
+    b2 = json.load(open(os.path.join(bdir, "v000000000002.json")))
+    assert "files" not in b2 and len(b2["manifest_refs"]) == 2  # one delta
+    # in-branch DML on the sharded chain
+    lake_delete(spark, lake, "k BETWEEN 0 AND 99", col_types={"k": "bigint"}, branch="wap")
+    assert read_branch(spark, lake, "wap").count() == 1200
+    ch = read_changes(spark, lake, branch="wap")
+    assert ch.filter("__change = 'insert'").count() == 100
+    assert ch.filter("__change = 'delete'").count() == 100
+    # vacuum retains branch-referenced manifests
+    rep = vacuum_lake(lake, keep_last=1, orphan_grace_s=0)
+    assert read_branch(spark, lake, "wap").count() == 1200
+    lake_publish_branch(lake, "wap")
+    assert read_snapshot(spark, lake).count() == 1200
+    assert snapshot_row_count(lake) == 1200
