@@ -240,7 +240,7 @@ SELECT 'dml_v1', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
 FROM o
 UNION ALL
 SELECT 'dv', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
-FROM u WHERE NOT (pc % 10 = 3 AND ck BETWEEN 200 AND 400)
+FROM u WHERE NOT (pc % 10 = 3 AND ck BETWEEN 90 AND 140)
 UNION ALL
 SELECT 'dv_tt', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
 FROM u
@@ -434,7 +434,7 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # travels to the pre-mask v3 — a resurrected masked row, an
     # over-masked row, or a mask leaking into history breaks the hash
     lake_delete_where(
-        spark, "q23_orders_snap", "pc % 10 = 3 AND ck BETWEEN 200 AND 400",
+        spark, "q23_orders_snap", "pc % 10 = 3 AND ck BETWEEN 90 AND 140",
         use_dv=True,
     )
     dv = agg(lake_scan(spark, "q23_orders_snap"), "dv")

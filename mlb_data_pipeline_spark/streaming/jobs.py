@@ -788,6 +788,7 @@ def lake_snapshot_stream(
             new,
             "stream_append",
             summary={"batch_id": batch_id, "files_added": len(new)},
+            spark=spark,
         )
         if box_manifest_path is not None and stat_cols:
             append_scan_manifest(spark, lake_path, stat_cols, box_manifest_path)

@@ -1531,7 +1531,7 @@ def test_q23_catalog_hook_branches_actually_prune(spark, sf_dir):
     rows = {r.part: r for r in q23_manifest_pruned_scan(spark, sf_dir).collect()}
     assert set(rows) == {
         "box", "count", "date", "or", "dml", "dml_v1",
-        "tt_box", "cdc_del", "cdc_ins", "numjoin",
+        "tt_box", "cdc_del", "cdc_ins", "numjoin", "dv", "dv_tt",
     }
     assert rows["count"].n_orders > 0
     # the DML branches: the delete really removed rows (head < v1) and
@@ -1544,6 +1544,10 @@ def test_q23_catalog_hook_branches_actually_prune(spark, sf_dir):
     assert 90 <= rows["cdc_ins"].min_ck and rows["cdc_ins"].max_ck <= 120
     # time travel under a box reads v1 rows (superset of head's)
     assert rows["tt_box"].n_orders >= rows["cdc_ins"].n_orders
+    # round 13: the DV delete masked rows (head < pre-mask v3) and
+    # time travel to v3 reads the unmasked state (== 'dml')
+    assert rows["dv"].n_orders < rows["dv_tt"].n_orders
+    assert rows["dv_tt"].n_orders == rows["dml"].n_orders
 
     whole = spark.read.parquet(
         "/tmp/spark_graft_io/" + sf_dir.rstrip("/").split("/")[-1] + "/r49_lake/data"
