@@ -2547,6 +2547,58 @@ def lake_publish_branch(
     return version
 
 
+def lake_branch_compact(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    min_rows: int = 100_000,
+    n_files: int | None = None,
+) -> dict:
+    """Small-file compaction ON A BRANCH (round 13): coalesce the
+    branch head's files below ``min_rows`` rows into ``n_files``
+    (default: the count that brings them all to ~min_rows) — the
+    maintenance a streaming-WAP branch needs, since every micro-batch
+    lands as its own file and publish would otherwise ship the
+    fragmentation straight to main.
+
+    Selection is METADATA-ONLY (the branch record's own file_rows);
+    the rewrite reads through ``_read_files`` with the branch record,
+    so deletion-vector masks MATERIALIZE and schema lineage resolves —
+    exactly like main-chain DML rewrites. Commits through the branch
+    file-change protocol (a concurrent branch commit that touched a
+    selected file raises). Fork-shared files are compacted like any
+    other: the rewrite drops them from the branch's live set, and
+    publish removes them from main through the usual removed/added
+    diff."""
+    head_info = _branch_info(path, name)
+    bv = head_info["version"]
+    rows = head_info.get("file_rows", {})
+    small = sorted(
+        n for n in head_info["files"] if int(rows.get(n, min_rows)) < min_rows
+    )
+    if len(small) < 2:
+        return {"files_compacted": 0, "files_written": 0, "version": bv}
+    total = sum(int(rows.get(n, 0)) for n in small)
+    k = n_files if n_files is not None else max(1, total // max(min_rows, 1))
+    src = _read_files(spark, path, small, head_info)
+    new = _write_new_files(src.coalesce(k), path, _partition_cols(small))
+    version = _branch_commit_filechange(
+        path,
+        name,
+        bv,
+        removed=set(small),
+        added=set(new),
+        op="branch_compact",
+        summary={"files_compacted": len(small), "files_written": len(new)},
+        spark=spark,
+    )
+    return {
+        "files_compacted": len(small),
+        "files_written": len(new),
+        "version": version,
+    }
+
+
 def lake_branch_drop(path: str, name: str) -> None:
     """Abandon a branch: its records go away; its never-published
     files become orphans vacuum reclaims after the grace window."""

@@ -373,3 +373,42 @@ def test_streaming_ingest_into_branch(spark, tmp_path):
     # audit then publish: the staged feed lands atomically
     lake_publish_branch(lake, "feed")
     assert read_snapshot(spark, lake).count() == 300
+
+
+def test_branch_compact_small_files(spark, tmp_path):
+    """Round 13: small-file compaction ON the branch — streaming
+    batches coalesce in staging (metadata-selected, masks
+    materialized), so publish ships compact files, not fragmentation."""
+    from mlb_data_pipeline_spark.operators.snapshots import (
+        _branch_info,
+        lake_branch_compact,
+    )
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 10000, "base").coalesce(1), lake)  # 1 big file
+    lake_branch_create(lake, "feed")
+    for lo in range(10000, 10500, 100):  # 5 tiny staged "batches"
+        lake_branch_append(spark, lake, "feed", _kv(spark, lo, lo + 100, "staged").coalesce(1))
+    # an in-branch DV delete whose mask must MATERIALIZE on compaction
+    lake_delete(
+        spark, lake, "k BETWEEN 10000 AND 10049",
+        col_types={"k": "bigint", "v": "bigint"}, use_dv=True, branch="feed",
+    )
+    n_before = len(_branch_info(lake, "feed")["files"])
+    rep = lake_branch_compact(spark, lake, "feed", min_rows=1000, n_files=1)
+    assert rep["files_compacted"] == 5 and rep["files_written"] == 1
+    info = _branch_info(lake, "feed")
+    assert len(info["files"]) == n_before - 4  # 5 -> 1
+    br = read_branch(spark, lake, "feed")
+    assert br.count() == 10450  # masks materialized, not double-applied
+    assert br.filter("k BETWEEN 10000 AND 10049").count() == 0
+    # the big base file was not selected (metadata-only selection)
+    assert any("compact" not in n for n in info["files"])
+    # main untouched; publish ships the compact state
+    assert read_snapshot(spark, lake).count() == 10000
+    lake_publish_branch(lake, "feed")
+    assert read_snapshot(spark, lake).count() == 10450
+    # idempotent: nothing small left on a fresh branch
+    lake_branch_create(lake, "b2")
+    rep2 = lake_branch_compact(spark, lake, "b2", min_rows=1000)
+    assert rep2["files_compacted"] == 0
