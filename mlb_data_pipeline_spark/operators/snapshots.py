@@ -2472,7 +2472,12 @@ def read_branch(
 
 
 def lake_publish_branch(
-    path: str, name: str, drop: bool = True, allow_rebase: bool = True
+    path: str,
+    name: str,
+    drop: bool = True,
+    allow_rebase: bool = True,
+    expect_zero: list[str] | None = None,
+    spark: SparkSession | None = None,
 ) -> int:
     """PUBLISH: fast-forward main to the branch head in one commit.
 
@@ -2485,7 +2490,29 @@ def lake_publish_branch(
     Iceberg fast-forward contract instead: raise whenever main moved,
     so what publishes is bit-for-bit what was audited. A branch whose
     own removed files were rewritten on main always raises. ``drop``
-    removes the branch after publishing."""
+    removes the branch after publishing.
+
+    ``expect_zero`` (round 13 — first-class AUDIT gates, the Delta
+    expectations shape): SQL predicates that must match ZERO branch
+    rows for the publish to proceed; any hit aborts with the violating
+    counts, branch intact — the quality gate between 'staged' and
+    'live' becomes part of the publish call instead of caller
+    discipline. Requires ``spark``."""
+    if expect_zero:
+        if spark is None:
+            raise ValueError("expect_zero requires spark=")
+        br = read_branch(spark, path, name)
+        bad = {
+            pred: n
+            for pred in expect_zero
+            if (n := br.filter(pred).count()) > 0
+        }
+        if bad:
+            raise ValueError(
+                f"audit gate failed for branch {name!r}: "
+                + "; ".join(f"{n} row(s) match {p!r}" for p, n in sorted(bad.items()))
+                + " — branch left intact, nothing published"
+            )
     info = _branch_info(path, name)
     fork = info.get("fork_version")
     if not allow_rebase:

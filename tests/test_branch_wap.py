@@ -412,3 +412,33 @@ def test_branch_compact_small_files(spark, tmp_path):
     lake_branch_create(lake, "b2")
     rep2 = lake_branch_compact(spark, lake, "b2", min_rows=1000)
     assert rep2["files_compacted"] == 0
+
+
+def test_publish_audit_gates(spark, tmp_path):
+    """Round 13: expect_zero predicates gate the publish — a violation
+    aborts with counts and the branch stays intact; cleaning the
+    violation in staging (branch DML) then publishing succeeds."""
+    from mlb_data_pipeline_spark.operators.snapshots import lake_delete
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 100, "base").coalesce(1), lake)
+    lake_branch_create(lake, "wap")
+    staged = spark.range(100, 150).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 5, F.lit(-1)).otherwise(F.col("id") * 2)
+        .cast("long").alias("v"),
+        F.lit("staged").alias("src"),
+    )
+    lake_branch_append(spark, lake, "wap", staged)
+    with pytest.raises(ValueError, match="audit gate failed.*5 row"):
+        lake_publish_branch(
+            lake, "wap", expect_zero=["v < 0", "k IS NULL"], spark=spark
+        )
+    # nothing published, branch intact
+    assert read_snapshot(spark, lake).count() == 100
+    assert read_branch(spark, lake, "wap").count() == 150
+    # clean in staging, then the gate passes
+    lake_delete(spark, lake, "v < 0", col_types={"v": "bigint"}, branch="wap")
+    lake_publish_branch(lake, "wap", expect_zero=["v < 0", "k IS NULL"], spark=spark)
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == 145 and cur.filter("v < 0").count() == 0

@@ -164,3 +164,40 @@ def test_branch_records_shard_too(spark, tmp_path, sharded):
     lake_publish_branch(lake, "wap")
     assert read_snapshot(spark, lake).count() == 1200
     assert snapshot_row_count(lake) == 1200
+
+
+def test_sharded_with_evolution_and_dvs(spark, tmp_path, sharded):
+    """Kitchen sink: the sharded representation composes with schema
+    evolution (rename/widen/drop + lineage) and deletion vectors —
+    orthogonal record keys, one resolution, one reader."""
+    from mlb_data_pipeline_spark.operators.snapshots import (
+        lake_drop_column,
+        lake_rename_column,
+        lake_widen_column,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 1200).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("note"),
+    )
+    lake_write(spark, df.repartitionByRange(12, "k"), lake)  # v1 sharded
+    lake_rename_column(lake, "v", "val")  # v2 metadata-only
+    lake_widen_column(lake, "k", "bigint")  # v3
+    lake_drop_column(lake, "note")  # v4
+    assert "manifest_refs" in _raw(lake, 4) and "files" not in _raw(lake, 4)
+    lake_delete(spark, lake, "k % 7 = 3", col_types={"k": "bigint"}, use_dv=True)  # v5
+    cur = read_snapshot(spark, lake)
+    assert cur.columns == ["k", "val"]
+    assert dict(cur.dtypes)["k"] == "bigint"
+    masked = sum(1 for k in range(1200) if k % 7 == 3)
+    assert cur.count() == 1200 - masked
+    assert snapshot_row_count(lake) == 1200 - masked  # metadata agrees
+    # time travel: pre-evolution schema AND no mask
+    v1 = read_snapshot(spark, lake, 1)
+    assert v1.columns == ["k", "v", "note"] and v1.count() == 1200
+    # name-reuse guard holds on the sharded chain too
+    bad = spark.createDataFrame([(1, 2, "x")], "k bigint, val long, note string")
+    with pytest.raises(ValueError, match="renamed away or dropped"):
+        lake_write(spark, bad, lake, allow_schema_evolution=True)
