@@ -1206,7 +1206,12 @@ def lake_widen_column(path: str, col: str, new_type: str) -> int:
     )
 
 
-def vacuum_lake(path: str, keep_last: int = 1, orphan_grace_s: float = 86400.0) -> dict:
+def vacuum_lake(
+    path: str,
+    keep_last: int = 1,
+    orphan_grace_s: float = 86400.0,
+    retain_s: float | None = None,
+) -> dict:
     """Expire all but the last ``keep_last`` snapshots and delete the
     on-disk data files no RETAINED snapshot references. The ONLY
     operation that deletes data bytes.
@@ -1233,6 +1238,16 @@ def vacuum_lake(path: str, keep_last: int = 1, orphan_grace_s: float = 86400.0) 
     # keep_last until lake_untag releases it
     tagged = set(lake_tags(path).values())
     retained = sorted(set(vs[-keep_last:]) | (tagged & set(vs)))
+    if retain_s is not None:
+        # time-based retention (round 13, Iceberg expire_snapshots'
+        # older_than shape): every version committed within the window
+        # stays readable — the "time travel back N days" contract —
+        # composing with keep_last and tags (union, never narrower)
+        cutoff_ts = time.time() - retain_s
+        retained = sorted(
+            set(retained)
+            | {v for v in vs if snapshot_info(path, v)["ts"] >= cutoff_ts}
+        )
     referenced: set[str] = set()
     ever_referenced: set[str] = set()
     for v in vs:

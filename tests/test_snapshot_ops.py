@@ -1028,3 +1028,29 @@ def test_commit_row_counts_distribute_above_threshold(spark, tmp_path, monkeypat
     S.lake_write(spark, df.limit(5).coalesce(1), lake)
     assert calls["job"] == 1
     assert S.snapshot_row_count(lake) == 125
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """Round 13: retain_s keeps every version committed inside the
+    window readable (the 'time travel back N days' contract),
+    composing with keep_last as a union."""
+    import json as _json
+
+    from mlb_data_pipeline_spark.operators.snapshots import vacuum_lake
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, _kv(spark, 0, 50).coalesce(1), lake)  # v1
+    lake_write(spark, _kv(spark, 50, 100).coalesce(1), lake)  # v2
+    lake_write(spark, _kv(spark, 100, 150).coalesce(1), lake)  # v3
+    # age v1 artificially: rewrite its record with an old ts
+    fn = os.path.join(lake, "_snapshots", "v000000000001.json")
+    rec = _json.load(open(fn))
+    rec["ts"] -= 7 * 86400
+    _json.dump(rec, open(fn, "w"))
+    rep = vacuum_lake(lake, keep_last=1, orphan_grace_s=0, retain_s=2 * 86400)
+    # v2 and v3 are inside the 2-day window; only v1 expired
+    assert rep["retained_versions"] == [2, 3]
+    assert read_snapshot(spark, lake, 2).count() == 100
+    assert read_snapshot(spark, lake).count() == 150
+    with pytest.raises(ValueError, match="does not exist"):
+        read_snapshot(spark, lake, 1)
