@@ -267,3 +267,30 @@ def test_dv_mask_aware_metadata_count_fast_path(spark, tmp_path):
     assert lake_count(spark, "t_dv_fast", f"k BETWEEN 0 AND {hi}") == expect
     # bare COUNT(*) stays the metadata sum (mask-subtracting)
     assert lake_count(spark, "t_dv_fast") == 900
+
+
+def test_dv_on_hive_partitioned_lake(spark, tmp_path):
+    """Round 13: dv_rows is keyed by file BASENAME while a partitioned
+    lake's live list carries directory-relative names — the metadata
+    row count must subtract through the basename fallback, and reads
+    must mask correctly across partition dirs."""
+    from mlb_data_pipeline_spark.operators.snapshots import snapshot_row_count
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 4).cast("long").alias("p"),
+    )
+    lake_write(spark, df, lake, partition_by=["p"])
+    rep = lake_delete(
+        spark, lake, "k BETWEEN 100 AND 149", col_types={"k": "bigint"}, use_dv=True
+    )
+    assert rep["rows_deleted"] == 50 and rep["files_rewritten"] == 0
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == 350
+    assert cur.filter("k BETWEEN 100 AND 149").count() == 0
+    # metadata COUNT(*) subtracts the mask despite partition-dir names
+    assert snapshot_row_count(lake) == 350
+    # time travel: unmasked
+    assert read_snapshot(spark, lake, 1).count() == 400
