@@ -985,6 +985,7 @@ def lake_count(
     name: str,
     predicate: str | None = None,
     version: int | str | None = None,
+    branch: str | None = None,
 ) -> int:
     """COUNT(*) over a registered lake table with metadata doing most
     of the work (round 11 — the Iceberg metadata-count shape behind the
@@ -1019,6 +1020,51 @@ def lake_count(
                 spark, ent["path"], names, info
             ),
         }
+
+    if branch is not None:
+        # COUNT on a WAP branch (round 13): bare counts are the branch
+        # record's own metadata sum (mask-subtracting); a foldable
+        # predicate routes through the same manifest-assisted path
+        # with the branch inventory — staged/rewritten files unknown
+        # to the manifest are boundary, read through the branch's
+        # mask-applying reader
+        if version is not None:
+            raise ValueError("pass branch= or version=, not both")
+        from .operators.snapshots import _branch_info, _read_files, read_branch
+
+        binfo = _branch_info(ent["path"], branch)
+        if not predicate:
+            rows = binfo.get("file_rows")
+            dvr = binfo.get("dv_rows") or {}
+            if rows is not None:
+                try:
+                    return sum(
+                        int(rows[n]) - int(dvr.get(n, dvr.get(os.path.basename(n), 0)))
+                        for n in binfo["files"]
+                    )
+                except KeyError:
+                    pass
+            return read_branch(spark, ent["path"], branch).count()
+        if ent["scan_manifest"] is not None:
+            col_types = _lake_col_types(spark, ent)
+            clauses = _extract_exact_clauses(predicate, col_types)
+            if clauses is not None and clauses[2] is None:
+                box, str_eq, _points = clauses
+                return manifest_assisted_count(
+                    spark,
+                    ent["path"],
+                    ent["scan_manifest"],
+                    box,
+                    where=predicate,
+                    col_types=col_types,
+                    equals_strs=str_eq,
+                    files=sorted(binfo["files"]),
+                    dv_rows=binfo.get("dv_rows") or {},
+                    boundary_reader=lambda names: _read_files(
+                        spark, ent["path"], names, binfo
+                    ),
+                )
+        return lake_scan(spark, name, predicate, branch=branch).count()
 
     if version is not None:
         # time travel: the commit's own per-file row counts answer a

@@ -577,6 +577,9 @@ def _commit_filechange(
     masked_files: set[str] | None = None,
     planned_dv_rows: dict[str, int] | None = None,
     spark: SparkSession | None = None,
+    renames: dict[str, list[str]] | None = None,
+    dropped_names: list[str] | None = None,
+    require_schema: str | None = None,
 ) -> int:
     """Commit a DML/OPTIMIZE-shaped change planned against
     ``planned_head``: drop ``removed`` from the live set, add
@@ -606,6 +609,16 @@ def _commit_filechange(
     for attempt in range(_COMMIT_RETRIES + 1):
         head, live = _head_and_live(path)
         head_info = snapshot_info(path, head) if head else {}
+        if require_schema is not None and head_info.get("schema") != require_schema:
+            # the caller is COMMITTING schema metadata computed against
+            # a specific base schema (an evolved branch publishing):
+            # a concurrent main-side ALTER is a real conflict — merging
+            # two schema evolutions is the caller's decision, never a
+            # silent rebase (round 13)
+            raise SnapshotConflictError(
+                f"main's schema changed since the plan's base (head v{head}) "
+                "— concurrent schema evolution; re-plan and retry"
+            )
         if head != expect:
             live_set = set(live)
             gone = removed - live_set
@@ -661,6 +674,8 @@ def _commit_filechange(
                 dvs=dvs,
                 dv_rows=dv_rows,
                 spark=spark,
+                renames=renames,
+                dropped_names=dropped_names,
             )
         except SnapshotConflictError:
             if attempt == _COMMIT_RETRIES:
@@ -1029,18 +1044,27 @@ _WIDEN_OK = {
 }
 
 
-def _schema_commit(path: str, op: str, mutate, summary: dict) -> int:
+def _schema_commit(
+    path: str, op: str, mutate, summary: dict, branch: str | None = None
+) -> int:
     """Shared tail of the ALTER ops: read the head's recorded schema +
     rename lineage + dropped-name tombstones, apply ``mutate(schema,
     renames, dropped) -> (schema, renames, dropped)``, commit the SAME
     file list with the new metadata (parent-asserted — a concurrent
-    commit raises, the caller re-decides)."""
+    commit raises, the caller re-decides). ``branch`` (round 13 — DDL
+    ON BRANCHES): the ALTER lands on the branch chain; main never sees
+    it until publish, which carries the evolved schema forward when
+    main's own schema never moved (and raises when both evolved)."""
     from pyspark.sql.types import StructType
 
-    head = current_version(path)
-    if head is None:
-        raise ValueError(f"{path!r} is not a snapshot lake (no commits)")
-    info = snapshot_info(path, head)
+    if branch is not None:
+        info = _branch_info(path, branch)
+        head = info["version"]
+    else:
+        head = current_version(path)
+        if head is None:
+            raise ValueError(f"{path!r} is not a snapshot lake (no commits)")
+        info = snapshot_info(path, head)
     sj = info.get("schema")
     if not sj:
         raise ValueError(
@@ -1051,6 +1075,25 @@ def _schema_commit(path: str, op: str, mutate, summary: dict) -> int:
     renames = {k: list(v) for k, v in (info.get("renames") or {}).items()}
     dropped = list(info.get("dropped_names") or [])
     schema, renames, dropped = mutate(schema, renames, dropped)
+    if branch is not None:
+        record = {
+            **{k: info[k] for k in ("fork_version",) if k in info},
+            "version": head + 1,
+            "parent": head,
+            "op": op,
+            "ts": time.time(),
+            **_files_repr(path, info, info["files"], info.get("file_rows", {})),
+            "summary": {"branch": branch, **summary},
+            "schema": schema.json(),
+        }
+        if renames:
+            record["renames"] = renames
+        if dropped:
+            record["dropped_names"] = sorted(set(dropped))
+        for k in ("dvs", "dv_rows"):
+            if info.get(k):
+                record[k] = info[k]
+        return _branch_commit(path, branch, record)
     return commit_snapshot(
         path,
         info["files"],
@@ -1095,7 +1138,7 @@ def lake_record_schema(spark: SparkSession, path: str) -> int:
     )
 
 
-def lake_drop_column(path: str, col: str) -> int:
+def lake_drop_column(path: str, col: str, branch: str | None = None) -> int:
     """ALTER TABLE DROP COLUMN as a metadata commit: the column leaves
     the recorded schema; its bytes stay in the old files (time travel
     still reads them) but no head read surfaces it. Appends after the
@@ -1118,10 +1161,10 @@ def lake_drop_column(path: str, col: str) -> int:
         dropped = sorted(set(dropped) | {col} | set(renames.pop(col, [])))
         return StructType([f for f in schema.fields if f.name != col]), renames, dropped
 
-    return _schema_commit(path, "drop_column", mutate, {"column": col})
+    return _schema_commit(path, "drop_column", mutate, {"column": col}, branch=branch)
 
 
-def lake_rename_column(path: str, old: str, new: str) -> int:
+def lake_rename_column(path: str, old: str, new: str, branch: str | None = None) -> int:
     """ALTER TABLE RENAME COLUMN as a metadata commit: the recorded
     schema adopts the new name and the commit's rename lineage maps it
     to every prior name, so files written under ANY generation of the
@@ -1157,10 +1200,10 @@ def lake_rename_column(path: str, old: str, new: str) -> int:
         renames[new] = [old] + renames.pop(old, [])
         return out, renames, dropped
 
-    return _schema_commit(path, "rename_column", mutate, {"from": old, "to": new})
+    return _schema_commit(path, "rename_column", mutate, {"from": old, "to": new}, branch=branch)
 
 
-def lake_widen_column(path: str, col: str, new_type: str) -> int:
+def lake_widen_column(path: str, col: str, new_type: str, branch: str | None = None) -> int:
     """ALTER TABLE ... TYPE as a metadata commit, restricted to
     provably lossless promotions (int ladder, float->double): the
     recorded type widens; existing narrow files promote at read time
@@ -1202,7 +1245,7 @@ def lake_widen_column(path: str, col: str, new_type: str) -> int:
         return out, renames, dropped
 
     return _schema_commit(
-        path, "widen_column", mutate, {"column": col, "to": new_type}
+        path, "widen_column", mutate, {"column": col, "to": new_type}, branch=branch
     )
 
 
@@ -2569,9 +2612,18 @@ def lake_publish_branch(
         if os.path.basename(n) in dv_rows_add
     }
     has_dv_delta = bool(dv_add or dv_rows_add)
-    # schema inherits from the MAIN head (not the branch): if main
-    # evolved since the fork, the published files read under main's
-    # newer schema (absent columns NULL) instead of silently reverting
+    # schema (round 13 — DDL on branches): when the BRANCH evolved its
+    # schema in staging (vs its fork state), publish carries the
+    # evolved schema + lineage + tombstones to main, guarded by
+    # require_schema= — if main's own schema moved since the fork too,
+    # that is a REAL schema-evolution conflict and the publish raises
+    # (merging two evolutions is the operator's call, never a silent
+    # rebase). When the branch never evolved, schema inherits from the
+    # MAIN head as before: if main evolved since the fork, the
+    # published files read under main's newer schema (absent columns
+    # NULL) instead of silently reverting.
+    fork_schema = fork_info.get("schema")
+    evolved = info.get("schema") is not None and info.get("schema") != fork_schema
     version = _commit_filechange(
         path,
         fork,
@@ -2583,6 +2635,10 @@ def lake_publish_branch(
         dv_rows_add=dv_rows_add if has_dv_delta else None,
         masked_files=masked if has_dv_delta else None,
         planned_dv_rows=fork_dvr if has_dv_delta else None,
+        schema_json=info.get("schema") if evolved else None,
+        renames=(info.get("renames") or {}) if evolved else None,
+        dropped_names=(info.get("dropped_names") or []) if evolved else None,
+        require_schema=fork_schema if evolved else None,
     )
     if drop:
         lake_branch_drop(path, name)

@@ -442,3 +442,86 @@ def test_publish_audit_gates(spark, tmp_path):
     lake_publish_branch(lake, "wap", expect_zero=["v < 0", "k IS NULL"], spark=spark)
     cur = read_snapshot(spark, lake)
     assert cur.count() == 145 and cur.filter("v < 0").count() == 0
+
+
+def test_lake_count_on_branch(spark, tmp_path):
+    """Round 13: lake_count(branch=) — bare counts from the branch
+    record's metadata (mask-subtracting), predicated counts through
+    the manifest-assisted path with the branch inventory."""
+    from mlb_data_pipeline_spark.catalog import lake_count, register_lake_table
+    from mlb_data_pipeline_spark.operators.layout import save_scan_manifest
+
+    lake = str(tmp_path / "lake")
+    mf = str(tmp_path / "mf")
+    lake_write(spark, _kv(spark, 0, 1000, "base").repartitionByRange(4, "k"), lake)
+    save_scan_manifest(spark, lake, ["k", "v"], mf)
+    register_lake_table(spark, "t_branch_count", lake, scan_manifest=mf)
+    lake_branch_create(lake, "wap")
+    lake_branch_append(spark, lake, "wap", _kv(spark, 2000, 2100, "staged").coalesce(1))
+    lake_delete(
+        spark, lake, "k BETWEEN 10 AND 19",
+        col_types={"k": "bigint"}, use_dv=True, branch="wap",
+    )
+    # bare: metadata sum, mask-subtracted; main unaffected
+    assert lake_count(spark, "t_branch_count", branch="wap") == 1090
+    assert lake_count(spark, "t_branch_count") == 1000
+    # predicated: fork files classify from the manifest, the staged
+    # file is boundary, masks apply
+    assert lake_count(spark, "t_branch_count", "k BETWEEN 0 AND 2049", branch="wap") == 1040
+    assert lake_count(spark, "t_branch_count", "k BETWEEN 500 AND 800", branch="wap") == 301
+
+
+def test_branch_schema_evolution_and_publish_carry(spark, tmp_path):
+    """Round 13 — DDL ON BRANCHES: rename/widen/drop land on the
+    branch chain (main blind), audit reads resolve old files through
+    the branch's lineage, and publish carries the evolved schema to
+    main when main's own schema never moved — while BOTH-evolved
+    publishes raise instead of silently picking a winner."""
+    from mlb_data_pipeline_spark.operators.snapshots import (
+        lake_drop_column,
+        lake_rename_column,
+        lake_widen_column,
+    )
+
+    def kvn(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.concat(F.lit("n"), F.col("id")).alias("note"),
+        )
+
+    lake = str(tmp_path / "lake")
+    lake_write(spark, kvn(0, 100).coalesce(2), lake)  # v1
+    lake_branch_create(lake, "ddl")
+    lake_rename_column(lake, "v", "val", branch="ddl")
+    lake_widen_column(lake, "k", "bigint", branch="ddl")
+    lake_drop_column(lake, "note", branch="ddl")
+    # audit: branch resolves old files under the evolved schema
+    br = read_branch(spark, lake, "ddl")
+    assert br.columns == ["k", "val"] and dict(br.dtypes)["k"] == "bigint"
+    assert br.count() == 100
+    # main is blind to all of it
+    main = read_snapshot(spark, lake)
+    assert main.columns == ["k", "v", "note"]
+    # name-reuse guard holds ON the branch
+    with pytest.raises(ValueError, match="renamed away or dropped"):
+        lake_rename_column(lake, "val", "note", branch="ddl")
+    # main took a concurrent APPEND (no schema change): publish carries
+    # the branch's evolution over the rebase
+    lake_write(spark, kvn(100, 120).coalesce(1), lake)  # v2 main append
+    lake_publish_branch(lake, "ddl")
+    cur = read_snapshot(spark, lake)
+    assert cur.columns == ["k", "val"]
+    assert cur.count() == 120  # main's append rode along, renamed col resolves
+    assert cur.filter("val IS NULL").count() == 0
+    assert snapshot_info(lake).get("dropped_names") == ["note"]
+
+    # BOTH evolved -> publish raises, nothing published
+    lake2 = str(tmp_path / "lake2")
+    lake_write(spark, kvn(0, 50).coalesce(1), lake2)
+    lake_branch_create(lake2, "ddl2")
+    lake_rename_column(lake2, "v", "val", branch="ddl2")
+    lake_drop_column(lake2, "note")  # MAIN-side evolution
+    with pytest.raises(SnapshotConflictError, match="schema"):
+        lake_publish_branch(lake2, "ddl2")
+    assert read_snapshot(spark, lake2).columns == ["k", "v"]
