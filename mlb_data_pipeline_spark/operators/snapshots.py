@@ -332,6 +332,34 @@ def lake_history(path: str) -> list[dict]:
     return out
 
 
+def last_stream_batch_id(path: str, branch: str | None = None) -> int | None:
+    """The latest ``summary.batch_id`` on the main chain (or a BRANCH
+    chain) from a NEWEST-FIRST scan of the raw record jsons — the
+    streaming replay guard's read (round 14, ADVICE r13 #5). Batch ids
+    are monotonic, so the newest record carrying one holds the max;
+    the scan stops there — O(1) json reads per micro-batch for a live
+    stream instead of O(history), and it never resolves sharded
+    manifests (only the summary is needed). None when no retained
+    record carries a batch id."""
+    d = _branch_dir(path, branch) if branch is not None else _snap_dir(path)
+    if not os.path.isdir(d):
+        return None
+    names = sorted(
+        (n for n in os.listdir(d) if re.fullmatch(r"v\d{12}\.json", n)),
+        reverse=True,
+    )
+    for n in names:
+        try:
+            with open(os.path.join(d, n)) as fh:
+                record = json.load(fh)
+        except (OSError, ValueError):
+            continue  # expired mid-scan by a concurrent vacuum
+        b = (record.get("summary") or {}).get("batch_id")
+        if b is not None:
+            return int(b)
+    return None
+
+
 def version_as_of(path: str, ts: float) -> int:
     """Latest retained version committed at or before ``ts`` (epoch
     seconds) — the AS OF TIMESTAMP resolution rule."""
@@ -422,6 +450,7 @@ def commit_snapshot(
     dvs: list[str] | None = None,
     dv_rows: dict[str, int] | None = None,
     dropped_names: list[str] | None = None,
+    dv_files: dict[str, list[str]] | None = None,
     spark: SparkSession | None = None,
 ) -> int:
     """Commit ``files`` as the table's next version. Atomic and
@@ -488,6 +517,16 @@ def commit_snapshot(
     dv_rows = dv_rows if dv_rows is not None else prev.get("dv_rows")
     if dv_rows:
         record["dv_rows"] = dv_rows
+    # "dv_files" (round 14): {sidecar name -> [masked file basenames]},
+    # written by the DV commit that created the sidecar. Pure pruning
+    # metadata: a rewrite that removes every file a sidecar masks can
+    # drop the sidecar reference (instead of carrying it forever), so
+    # vacuum reclaims the sidecar once the old versions expire.
+    # Inherited like dvs; sidecars without an entry (pre-round-14
+    # records) are simply retained conservatively.
+    dv_files = dv_files if dv_files is not None else prev.get("dv_files")
+    if dv_files:
+        record["dv_files"] = dv_files
     # dropped-name tombstones (round 13): column names retired by
     # lake_drop_column (plus their rename-lineage aliases). Old files
     # still carry the bytes under these names, so REUSING one would
@@ -576,6 +615,7 @@ def _commit_filechange(
     dv_rows_add: dict[str, int] | None = None,
     masked_files: set[str] | None = None,
     planned_dv_rows: dict[str, int] | None = None,
+    dv_files_add: dict[str, list[str]] | None = None,
     spark: SparkSession | None = None,
     renames: dict[str, list[str]] | None = None,
     dropped_names: list[str] | None = None,
@@ -604,8 +644,26 @@ def _commit_filechange(
     file must still be live (a concurrent rewrite of a masked file
     would silently drop this plan's deletes) with an UNCHANGED dv_rows
     entry (a concurrent mask on the same file could overlap positions
-    and corrupt the metadata counts) — anything else raises."""
+    and corrupt the metadata counts) — anything else raises.
+
+    The SYMMETRIC guard (round 14 — ADVICE r13 #1): a REWRITE rebasing
+    over a concurrent DV commit that masked a file this plan is
+    removing is equally non-serializable — the plan read the file
+    UNMASKED, so replaying the rewrite would resurrect the
+    concurrently DV-deleted rows. Every rebase therefore also checks
+    that the landed-on head's dv_rows entry for each ``removed`` file
+    equals the planned head's (``planned_dv_rows``, read lazily from
+    the planned head's record when the caller didn't pass it).
+
+    Mask-metadata PRUNING (round 14 — ADVICE r13 #4): when this commit
+    removes files, dv_rows entries for basenames no longer live are
+    dropped, and sidecars whose recorded masked basenames
+    (``dv_files``) are all dead are dropped too — a rewrite that
+    materializes masks stops referencing them, so vacuum can reclaim
+    the sidecars once older versions expire, instead of the metadata
+    bloating monotonically."""
     expect = planned_head
+    plan_dvr_lazy = planned_dv_rows
     for attempt in range(_COMMIT_RETRIES + 1):
         head, live = _head_and_live(path)
         head_info = snapshot_info(path, head) if head else {}
@@ -634,6 +692,39 @@ def _commit_filechange(
                     f"new file name(s) already live at v{head} "
                     f"(e.g. {sorted(collide)[0]!r}) — re-plan and retry"
                 )
+            if removed:
+                # symmetric DV guard (round 14): this plan READ the
+                # removed files under the planned head's masks; if the
+                # landed-on head masks any of them differently, the
+                # rewrite would resurrect concurrently DV-deleted rows
+                head_dvr = head_info.get("dv_rows") or {}
+                if plan_dvr_lazy is None:
+                    try:
+                        plan_dvr_lazy = (
+                            snapshot_info(path, planned_head).get("dv_rows") or {}
+                            if planned_head
+                            else {}
+                        )
+                    except ValueError as exc:
+                        # the planned head's record expired mid-flight:
+                        # the masks this plan read can't be verified —
+                        # refuse, never silently rebase
+                        raise SnapshotConflictError(
+                            f"planned against v{expect} but head is v{head}, "
+                            "and the planned head's record is no longer "
+                            "readable — cannot verify its deletion-vector "
+                            "state; re-plan and retry"
+                        ) from exc
+                for rel in sorted(removed):
+                    b = os.path.basename(rel)
+                    if int(head_dvr.get(b, 0)) != int(plan_dvr_lazy.get(b, 0)):
+                        raise SnapshotConflictError(
+                            f"planned against v{expect} but head is v{head}, "
+                            f"and a concurrent deletion vector masks {rel!r}, "
+                            "which this plan read unmasked and is rewriting — "
+                            "the rewrite would resurrect the concurrently "
+                            "deleted rows; re-plan and retry"
+                        )
             if dv_add is not None or dv_rows_add:
                 head_dvr = head_info.get("dv_rows") or {}
                 plan_dvr = planned_dv_rows or {}
@@ -655,7 +746,8 @@ def _commit_filechange(
                             "positions may overlap; re-plan and retry"
                         )
             expect = head
-        dvs = dv_rows = None
+        files = sorted((set(live) - removed) | added)
+        dvs = dv_rows = dv_files = None
         if dv_add is not None or dv_rows_add:
             # merge the DV delta into the head ACTUALLY committed on
             head_dvs = list(head_info.get("dvs") or [])
@@ -663,16 +755,39 @@ def _commit_filechange(
             dv_rows = dict(head_info.get("dv_rows") or {})
             for b, n in (dv_rows_add or {}).items():
                 dv_rows[b] = int(dv_rows.get(b, 0)) + int(n)
+            dv_files = {**(head_info.get("dv_files") or {}), **(dv_files_add or {})}
+        elif removed and (head_info.get("dvs") or head_info.get("dv_rows")):
+            dvs = list(head_info.get("dvs") or [])
+            dv_rows = dict(head_info.get("dv_rows") or {})
+            dv_files = dict(head_info.get("dv_files") or {})
+        if removed and dv_rows is not None:
+            # prune mask metadata for rewritten-away files (round 14):
+            # the rewrite read through those masks, so nothing live
+            # references them — dead entries are harmless to reads but
+            # bloat every later commit and pin sidecars in vacuum
+            live_base = {os.path.basename(n) for n in files}
+            dv_rows = {b: n for b, n in dv_rows.items() if b in live_base}
+            if not dv_rows:
+                dvs, dv_files = [], {}
+            else:
+                dvs = [
+                    s
+                    for s in (dvs or [])
+                    if s not in (dv_files or {})
+                    or any(b in live_base for b in dv_files[s])
+                ]
+                dv_files = {s: bs for s, bs in (dv_files or {}).items() if s in dvs}
         try:
             return commit_snapshot(
                 path,
-                sorted((set(live) - removed) | added),
+                files,
                 op,
                 summary=summary,
                 parent=expect,
                 schema_json=schema_json,
                 dvs=dvs,
                 dv_rows=dv_rows,
+                dv_files=dv_files,
                 spark=spark,
                 renames=renames,
                 dropped_names=dropped_names,
@@ -1664,6 +1779,7 @@ def lake_delete(
             dv_rows_add=dv_per_file,
             masked_files=masked,
             planned_dv_rows=prev_dv_rows,
+            dv_files_add={s: sorted(dv_per_file) for s in new_sidecars},
         )
         if branch is None:
             _maintain_manifest(spark, path, scan_manifest)
@@ -2319,6 +2435,7 @@ def _branch_commit_filechange(
     dv_rows_add: dict[str, int] | None = None,
     masked_files: set[str] | None = None,
     planned_dv_rows: dict[str, int] | None = None,
+    dv_files_add: dict[str, list[str]] | None = None,
     spark: SparkSession | None = None,
 ) -> int:
     """``_commit_filechange`` scoped to a BRANCH chain (round 13 —
@@ -2328,10 +2445,16 @@ def _branch_commit_filechange(
     real conflict; a disjoint one replays. DV deltas merge into the
     branch head actually committed on, identically to the main-chain
     protocol. Branch records keep carrying fork_version / schema /
-    lineage / tombstones so publish and audit reads stay authoritative."""
+    lineage / tombstones so publish and audit reads stay authoritative.
+    Round 14: the main chain's symmetric removed-files DV guard and
+    mask-metadata pruning apply identically (see _commit_filechange) —
+    a branch rewrite rebasing over a concurrent branch DV commit that
+    masked one of its removed files would otherwise resurrect the
+    masked rows in staging and publish the corruption to main."""
     new_rows = _file_row_counts(path, sorted(added), spark)
     has_dv = dv_add is not None or bool(dv_rows_add)
     expect = planned_bv
+    plan_dvr_lazy = planned_dv_rows
     for attempt in range(_COMMIT_RETRIES + 1):
         head_info = _branch_info(path, name)
         bv = head_info["version"]
@@ -2351,6 +2474,25 @@ def _branch_commit_filechange(
                     f"new file name(s) already live on branch {name!r} "
                     f"(e.g. {sorted(collide)[0]!r})"
                 )
+            if removed:
+                # symmetric DV guard (round 14, mirrors the main
+                # chain): a concurrent branch DV commit masking a file
+                # this rewrite read unmasked would resurrect the
+                # masked rows in staging
+                head_dvr = head_info.get("dv_rows") or {}
+                if plan_dvr_lazy is None:
+                    plan_dvr_lazy = (
+                        _branch_info(path, name, planned_bv).get("dv_rows") or {}
+                    )
+                for rel in sorted(removed):
+                    b = os.path.basename(rel)
+                    if int(head_dvr.get(b, 0)) != int(plan_dvr_lazy.get(b, 0)):
+                        raise SnapshotConflictError(
+                            f"a concurrent deletion vector on branch {name!r} "
+                            f"masks {rel!r}, which this plan read unmasked and "
+                            "is rewriting — the rewrite would resurrect the "
+                            "concurrently deleted rows; re-plan and retry"
+                        )
             if has_dv:
                 head_dvr = head_info.get("dv_rows") or {}
                 plan_dvr = planned_dv_rows or {}
@@ -2397,14 +2539,33 @@ def _branch_commit_filechange(
             dv_rows = dict(head_info.get("dv_rows") or {})
             for b, n in (dv_rows_add or {}).items():
                 dv_rows[b] = int(dv_rows.get(b, 0)) + int(n)
-            if dvs:
-                record["dvs"] = dvs
-            if dv_rows:
-                record["dv_rows"] = dv_rows
+            dv_files = {**(head_info.get("dv_files") or {}), **(dv_files_add or {})}
         else:
-            for k in ("dvs", "dv_rows"):
-                if head_info.get(k):
-                    record[k] = head_info[k]
+            dvs = list(head_info.get("dvs") or [])
+            dv_rows = dict(head_info.get("dv_rows") or {})
+            dv_files = dict(head_info.get("dv_files") or {})
+        if removed and dv_rows:
+            # prune mask metadata for rewritten-away files (round 14,
+            # mirrors _commit_filechange) — without this a branch
+            # compaction's phantom deltas would publish into main's
+            # dv_rows and pin dead sidecars in vacuum forever
+            live_base = {os.path.basename(n) for n in files}
+            dv_rows = {b: n for b, n in dv_rows.items() if b in live_base}
+            if not dv_rows:
+                dvs, dv_files = [], {}
+            else:
+                dvs = [
+                    s
+                    for s in dvs
+                    if s not in dv_files or any(b in live_base for b in dv_files[s])
+                ]
+                dv_files = {s: bs for s, bs in dv_files.items() if s in dvs}
+        if dvs:
+            record["dvs"] = dvs
+        if dv_rows:
+            record["dv_rows"] = dv_rows
+        if dv_files:
+            record["dv_files"] = dv_files
         try:
             return _branch_commit(path, name, record)
         except SnapshotConflictError:
@@ -2433,7 +2594,7 @@ def lake_branch_create(path: str, name: str, from_version: int | str | None = No
     record.update(
         _files_repr(path, info, info["files"], info.get("file_rows", {}))
     )
-    for k in ("schema", "renames", "dvs", "dv_rows", "dropped_names"):
+    for k in ("schema", "renames", "dvs", "dv_rows", "dv_files", "dropped_names"):
         if info.get(k):
             record[k] = info[k]
     _branch_commit(path, name, record)
@@ -2494,7 +2655,7 @@ def _branch_commit_append(
             **_files_repr(path, head_info, files, rows),
             "summary": {"branch": name, "files_added": len(new), **(summary or {})},
         }
-        for k in ("schema", "renames", "dvs", "dv_rows", "dropped_names"):
+        for k in ("schema", "renames", "dvs", "dv_rows", "dv_files", "dropped_names"):
             if head_info.get(k):
                 record[k] = head_info[k]
         try:
@@ -2536,6 +2697,7 @@ def lake_publish_branch(
     allow_rebase: bool = True,
     expect_zero: list[str] | None = None,
     spark: SparkSession | None = None,
+    summary: dict | None = None,
 ) -> int:
     """PUBLISH: fast-forward main to the branch head in one commit.
 
@@ -2555,11 +2717,30 @@ def lake_publish_branch(
     rows for the publish to proceed; any hit aborts with the violating
     counts, branch intact — the quality gate between 'staged' and
     'live' becomes part of the publish call instead of caller
-    discipline. Requires ``spark``."""
+    discipline. Requires ``spark``.
+
+    HEAD-PINNED (round 14 — VERDICT r13 #1): the branch head version
+    is resolved exactly ONCE; the audit gate runs against THAT
+    version's rows, the publish diff is computed from THAT record, and
+    the final ``drop`` is conditional on the branch head still being
+    that version — a concurrent branch commit landing anywhere inside
+    the call can neither publish un-audited rows past the gate nor be
+    silently rmtree'd (the publish lands, the branch survives with the
+    late commit, and ``SnapshotConflictError`` reports both). This is
+    the branch-chain equivalent of the ``parent=`` assertion every
+    main-chain commit carries.
+
+    ``summary``: extra keys merged into the publish commit's summary
+    (the streaming cadence records its ``batch_id`` here so the replay
+    guard survives the branch being dropped and re-forked)."""
+    # pin the branch head FIRST: everything below — gate, diff, DV
+    # delta, schema carry, drop — derives from this one record
+    info = _branch_info(path, name)
+    head_bv = info["version"]
     if expect_zero:
         if spark is None:
             raise ValueError("expect_zero requires spark=")
-        br = read_branch(spark, path, name)
+        br = read_branch(spark, path, name, version=head_bv)
         bad = {
             pred: n
             for pred in expect_zero
@@ -2571,7 +2752,6 @@ def lake_publish_branch(
                 + "; ".join(f"{n} row(s) match {p!r}" for p, n in sorted(bad.items()))
                 + " — branch left intact, nothing published"
             )
-    info = _branch_info(path, name)
     fork = info.get("fork_version")
     if not allow_rebase:
         head = current_version(path)
@@ -2624,24 +2804,31 @@ def lake_publish_branch(
     # NULL) instead of silently reverting.
     fork_schema = fork_info.get("schema")
     evolved = info.get("schema") is not None and info.get("schema") != fork_schema
+    br_dv_files = info.get("dv_files") or {}
     version = _commit_filechange(
         path,
         fork,
         removed=removed,
         added=added,
         op="publish",
-        summary={"branch": name, "files_added": len(added)},
+        summary={"branch": name, "files_added": len(added), **(summary or {})},
         dv_add=dv_add if has_dv_delta else None,
         dv_rows_add=dv_rows_add if has_dv_delta else None,
         masked_files=masked if has_dv_delta else None,
-        planned_dv_rows=fork_dvr if has_dv_delta else None,
+        planned_dv_rows=fork_dvr,
+        dv_files_add={s: br_dv_files[s] for s in dv_add if s in br_dv_files}
+        if has_dv_delta
+        else None,
         schema_json=info.get("schema") if evolved else None,
         renames=(info.get("renames") or {}) if evolved else None,
         dropped_names=(info.get("dropped_names") or []) if evolved else None,
         require_schema=fork_schema if evolved else None,
     )
     if drop:
-        lake_branch_drop(path, name)
+        # conditional drop (round 14): destroy the branch only if its
+        # head is still the version this publish audited and shipped —
+        # a branch commit that landed mid-publish survives, loudly
+        lake_branch_drop(path, name, expect_version=head_bv, published=version)
     return version
 
 
@@ -2697,14 +2884,41 @@ def lake_branch_compact(
     }
 
 
-def lake_branch_drop(path: str, name: str) -> None:
+def lake_branch_drop(
+    path: str,
+    name: str,
+    expect_version: int | None = None,
+    published: int | None = None,
+) -> None:
     """Abandon a branch: its records go away; its never-published
-    files become orphans vacuum reclaims after the grace window."""
+    files become orphans vacuum reclaims after the grace window.
+
+    ``expect_version`` (round 14 — the branch-chain ``parent=``):
+    refuse to drop when the branch head moved past the version the
+    caller audited/published — a commit that landed mid-publish is
+    COMMITTED data, and rmtree'ing it would silently destroy it (and
+    orphan its files, and blind the streaming replay guard keyed to
+    the branch history). The branch survives; the error names the
+    published main version (``published``) so the caller knows the
+    publish itself landed."""
     import shutil
 
     d = _branch_dir(path, name)
     if not os.path.isdir(d):
         raise ValueError(f"no branch {name!r} under {path!r}")
+    if expect_version is not None:
+        vs = _branch_versions(path, name)
+        if vs and vs[-1] > expect_version:
+            raise SnapshotConflictError(
+                f"branch {name!r} received commit(s) after the audited head "
+                f"v{expect_version} (branch head is now v{vs[-1]})"
+                + (
+                    f" — the publish itself landed as main v{published}"
+                    if published is not None
+                    else ""
+                )
+                + "; branch kept — re-audit and re-publish (or drop explicitly)"
+            )
     shutil.rmtree(d)
 
 

