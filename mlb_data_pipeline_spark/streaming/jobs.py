@@ -722,8 +722,9 @@ def lake_snapshot_stream(
     max over the branch chain and main's publish records — still
     skips a redelivered batch after the branch was dropped and
     re-forked; a crash between the publish commit and the drop is
-    detected on the next cycle (everything staged is already live on
-    main) and resolves to drop-and-refork without re-publishing."""
+    detected at the next batch's ENTRY (everything staged is already
+    live on main) and resolves to drop-and-refork before any new
+    append — never a double publish, never a name collision."""
     from ..operators.layout import append_scan_manifest
     from ..operators.snapshots import (
         _branch_commit_append,
@@ -769,6 +770,19 @@ def lake_snapshot_stream(
             # re-create).
             if publish_every is not None and not _branch_versions(lake_path, branch):
                 lake_branch_create(lake_path, branch)
+            elif publish_every is not None:
+                # crash recovery BEFORE touching the branch: if every
+                # staged file is already live on main, a previous
+                # cycle's publish landed but the drop didn't — re-fork
+                # now, never publish twice (and never let the stale
+                # staged names collide with main's live set later)
+                info = _branch_info(lake_path, branch)
+                bvs = _branch_versions(lake_path, branch)
+                fork_files = set(_branch_info(lake_path, branch, bvs[0])["files"])
+                stale = set(info["files"]) - fork_files
+                if stale and stale <= set(snapshot_files(lake_path)):
+                    lake_branch_drop(lake_path, branch)
+                    lake_branch_create(lake_path, branch)
             # replay guard: newest-first raw-summary scan (O(1) jsons
             # per batch, round 14), over the branch chain AND — with a
             # publish cadence — main's publish records, which carry
@@ -789,13 +803,7 @@ def lake_snapshot_stream(
                 bvs = _branch_versions(lake_path, branch)
                 fork_info = _branch_info(lake_path, branch, bvs[0])
                 added = set(info["files"]) - set(fork_info["files"])
-                if added and added <= set(snapshot_files(lake_path)):
-                    # a previous cycle crashed between the publish
-                    # commit and the drop: everything staged is
-                    # already live on main — never publish twice
-                    lake_branch_drop(lake_path, branch)
-                    lake_branch_create(lake_path, branch)
-                elif added:
+                if added:
                     # single writer by construction inside foreachBatch
                     # — the head-pinned publish's conditional drop
                     # never trips; an expect_zero hit raises and FAILS
