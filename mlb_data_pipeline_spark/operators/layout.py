@@ -1760,6 +1760,8 @@ def manifest_assisted_minmax(
     where: str | None = None,
     col_types: dict | None = None,
     files: list[str] | None = None,
+    dv_rows: dict[str, int] | None = None,
+    masked_reader=None,
 ):
     """Exact (MIN, MAX) of ``col`` under a conjunctive box with
     metadata choosing the READ SET (round 11 — the companion to
@@ -1778,12 +1780,31 @@ def manifest_assisted_minmax(
     rounded manifest doubles), so the result is bit-identical to a
     full scan. On a range-clustered lake the read set is O(1) files.
 
+    ``dv_rows`` / ``masked_reader`` (round 14 — mask-aware min/max):
+    with live deletion vectors, a MASKED file's footer extreme may sit
+    on a masked row, so its stats can neither stand in for its live
+    rows nor narrow the candidate band — masked files always read,
+    through the caller's mask-applying snapshot reader, while UNMASKED
+    files keep the full metadata treatment (disjoint files skip,
+    non-candidate interiors stay unopened). Candidacy bounds come from
+    unmasked interior stats only: an unmasked file skipped by them has
+    a live extreme strictly inside some READ unmasked file's, and the
+    masked files' true extremes participate exactly because they are
+    read. A file with a zero/absent dv_rows entry has no masked rows —
+    its stats stay exact (the fast path no longer degrades wholesale
+    under DVs).
+
     Returns a 1-row DataFrame (min_<col>, max_<col>) so the values
     keep the column's native type end to end."""
     import math
 
     _compact_recover_tree(path)
     box = dict(box or {})
+    dvr = dv_rows or {}
+
+    def _is_masked(f: str) -> bool:
+        return int(dvr.get(f, dvr.get(os.path.basename(f), 0))) > 0
+
     mf = spark.read.option("mergeSchema", "true").parquet(manifest_path)
     stats: dict[str, dict[str, tuple]] = {}
     want_cols = set(box) | {col}
@@ -1793,10 +1814,12 @@ def manifest_assisted_minmax(
         stats.setdefault(r.file, {})[r.col] = (r.lo, r.hi)
     existing = set(_data_files(path) if files is None else files)
     known = set(stats)
-    interior, boundary = [], []
+    interior, boundary, masked_names = [], [], []
     for f in sorted(existing):
         if f not in known:
-            boundary.append(f)  # unknown to the manifest: must read
+            # unknown to the manifest: must read (through the mask
+            # reader when masked)
+            (masked_names if _is_masked(f) else boundary).append(f)
             continue
         pvals = _partition_values(f)
         verdict = "interior"
@@ -1815,8 +1838,10 @@ def manifest_assisted_minmax(
             if not (st[0] >= float(lo) and st[1] <= float(hi)):
                 verdict = "boundary"
         if verdict == "skip":
-            continue
-        if verdict == "boundary" or stats[f].get(col) is None:
+            continue  # masks only REMOVE rows: a disjoint file stays disjoint
+        if _is_masked(f):
+            masked_names.append(f)
+        elif verdict == "boundary" or stats[f].get(col) is None:
             boundary.append(f)
         else:
             interior.append(f)
@@ -1829,18 +1854,42 @@ def manifest_assisted_minmax(
         for f in interior:
             if stats[f][col][0] <= lo_best + slack_lo or stats[f][col][1] >= hi_best - slack_hi:
                 read.add(f)
-    if not read:
+    if masked_names and masked_reader is None:
+        raise ValueError("dv_rows passed without a masked_reader")
+    if not read and not masked_names:
         empty = spark.read.parquet(path).limit(0)
         return empty.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
-    df = spark.read.option("basePath", path).parquet(*[os.path.join(path, n) for n in sorted(read)])
-    if where is not None:
-        df = df.filter(where)
-    else:
+
+    def _filtered(df: DataFrame) -> DataFrame:
+        if where is not None:
+            return df.filter(where)
         cond = F.lit(True)
         for c, (lo, hi) in box.items():
             cond = cond & F.col(c).between(float(lo), float(hi))
-        df = df.filter(cond)
-    return df.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
+        return df.filter(cond)
+
+    legs = []
+    if read:
+        legs.append(
+            _filtered(
+                spark.read.option("basePath", path).parquet(
+                    *[os.path.join(path, n) for n in sorted(read)]
+                )
+            )
+        )
+    if masked_names:
+        legs.append(_filtered(masked_reader(sorted(masked_names))))
+    aggs = [
+        df.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
+        for df in legs
+    ]
+    if len(aggs) == 1:
+        return aggs[0]
+    both = aggs[0].unionByName(aggs[1])
+    return both.agg(
+        F.min(f"min_{col}").alias(f"min_{col}"),
+        F.max(f"max_{col}").alias(f"max_{col}"),
+    )
 
 
 def compact_scan_manifest(spark: SparkSession, path: str, manifest_path: str) -> dict:
@@ -2085,6 +2134,8 @@ def manifest_assisted_ndv(
     where: str | None = None,
     col_types: dict | None = None,
     equals_strs: dict[str, str] | None = None,
+    dv_rows: dict[str, int] | None = None,
+    masked_reader=None,
 ) -> int:
     """APPROX_COUNT_DISTINCT(col) under an exact conjunctive box with
     metadata doing the interior work: interior files union their
@@ -2092,7 +2143,16 @@ def manifest_assisted_ndv(
     the NDV manifest hasn't sketched) sketch their exactly-filtered
     rows live; one ``hll_union_agg`` merges everything. With no box,
     every live file is interior. Estimate error matches a direct
-    sketch of the qualifying rows (union adds none)."""
+    sketch of the qualifying rows (union adds none).
+
+    ``dv_rows`` / ``masked_reader`` (round 14 — mask-aware NDV): a
+    MASKED file's persisted sketch includes its masked rows, so it
+    cannot merge — masked files sketch their LIVE qualifying rows
+    through the caller's mask-applying reader instead; unmasked files
+    keep their persisted sketches unopened. Sound because HLL union
+    only ever ADDS values: excluding the masked file's stale sketch
+    and re-sketching its live rows removes exactly the masked-only
+    values."""
     _compact_recover_tree(path)
     if box and scan_manifest_path is not None:
         inside, boundary, _rows = _classify_box_files(
@@ -2102,6 +2162,16 @@ def manifest_assisted_ndv(
         inside, boundary = [], _data_files(path)
     else:
         inside, boundary = _data_files(path), []
+    dvr = dv_rows or {}
+
+    def _is_masked(f: str) -> bool:
+        return int(dvr.get(f, dvr.get(os.path.basename(f), 0))) > 0
+
+    masked_names = sorted(f for f in (*inside, *boundary) if _is_masked(f))
+    if masked_names and masked_reader is None:
+        raise ValueError("dv_rows passed without a masked_reader")
+    inside = [f for f in inside if not _is_masked(f)]
+    boundary = [f for f in boundary if not _is_masked(f)]
     mf = spark.read.parquet(ndv_manifest_path)
     lg_k = int(mf.select(F.max("lg_k")).head()[0] or _NDV_LG_K)
     sketched = {
@@ -2130,6 +2200,20 @@ def manifest_assisted_ndv(
             df = df.filter(cond)
         parts.append(
             df.agg(
+                F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k)).alias("sketch")
+            )
+        )
+    if masked_names:
+        mdf = masked_reader(masked_names)
+        if where is not None:
+            mdf = mdf.filter(where)
+        elif box:
+            cond = F.lit(True)
+            for c, (lo, hi) in box.items():
+                cond = cond & F.col(c).between(float(lo), float(hi))
+            mdf = mdf.filter(cond)
+        parts.append(
+            mdf.agg(
                 F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k)).alias("sketch")
             )
         )
