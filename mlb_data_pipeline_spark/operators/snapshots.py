@@ -157,6 +157,9 @@ SNAP_DIRNAME = "_snapshots"
 _MERGE_KEY_PROBE_CAP = 100_000
 
 
+from .logstore import get_log_store as _store  # metadata I/O seam (round 14)
+
+
 class SnapshotConflictError(RuntimeError):
     """Another writer committed the same version first — re-plan
     against the new table head and retry (optimistic concurrency)."""
@@ -167,18 +170,14 @@ def _snap_dir(path: str) -> str:
 
 
 def has_snapshots(path: str) -> bool:
-    d = _snap_dir(path)
-    return os.path.isdir(d) and any(
-        re.fullmatch(r"v\d{12}\.json", n) for n in os.listdir(d)
+    return any(
+        re.fullmatch(r"v\d{12}\.json", n) for n in _store().list(_snap_dir(path))
     )
 
 
 def _versions(path: str) -> list[int]:
-    d = _snap_dir(path)
-    if not os.path.isdir(d):
-        return []
     out = []
-    for n in os.listdir(d):
+    for n in _store().list(_snap_dir(path)):
         m = re.fullmatch(r"v(\d{12})\.json", n)
         if m:
             out.append(int(m.group(1)))
@@ -202,13 +201,12 @@ def snapshot_info(path: str, version: int | str | None = None) -> dict:
         if version is None:
             raise ValueError(f"no snapshots under {path!r}")
     fn = os.path.join(_snap_dir(path), f"v{version:012d}.json")
-    if not os.path.exists(fn):
+    if not _store().exists(fn):
         raise ValueError(
             f"snapshot v{version} does not exist under {path!r} "
             "(expired by vacuum_lake, or never committed)"
         )
-    with open(fn) as fh:
-        return _resolve_record(path, json.load(fh))
+    return _resolve_record(path, json.loads(_store().read(fn)))
 
 
 # ---------------------------------------------------------------------------
@@ -342,16 +340,13 @@ def last_stream_batch_id(path: str, branch: str | None = None) -> int | None:
     manifests (only the summary is needed). None when no retained
     record carries a batch id."""
     d = _branch_dir(path, branch) if branch is not None else _snap_dir(path)
-    if not os.path.isdir(d):
-        return None
     names = sorted(
-        (n for n in os.listdir(d) if re.fullmatch(r"v\d{12}\.json", n)),
+        (n for n in _store().list(d) if re.fullmatch(r"v\d{12}\.json", n)),
         reverse=True,
     )
     for n in names:
         try:
-            with open(os.path.join(d, n)) as fh:
-                record = json.load(fh)
+            record = json.loads(_store().read(os.path.join(d, n)))
         except (OSError, ValueError):
             continue  # expired mid-scan by a concurrent vacuum
         b = (record.get("summary") or {}).get("batch_id")
@@ -393,7 +388,7 @@ def _file_row_counts(
     import pyarrow.parquet as pq
 
     return {
-        n: int(pq.ParquetFile(os.path.join(path, n)).metadata.num_rows)
+        n: int(pq.ParquetFile(_store().data_path(path, n)).metadata.num_rows)
         for n in names
     }
 
@@ -402,7 +397,9 @@ def _file_row_counts_job(
     path: str, names: list[str], spark: SparkSession
 ) -> dict[str, int]:
     sc = spark.sparkContext
-    pairs = [(n, os.path.join(path, n)) for n in names]
+    # executor-openable locations come from the store (POSIX: a join;
+    # an object-store impl returns URIs pyarrow opens directly)
+    pairs = [(n, _store().data_path(path, n)) for n in names]
     n_slices = max(1, min(len(pairs) // 16 + 1, sc.defaultParallelism))
 
     def _counts(it):
@@ -539,17 +536,15 @@ def commit_snapshot(
     if dropped_names:
         record["dropped_names"] = sorted(set(dropped_names))
     final = os.path.join(d, f"v{version:012d}.json")
-    tmp = final + f".stage-{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(record, fh)
     try:
-        os.link(tmp, final)  # exclusive create: exactly one winner
+        # exclusive create through the log-store seam: exactly one
+        # winner per version on any backend (POSIX hard-link here,
+        # conditional put on object storage — operators/logstore.py)
+        _store().put_exclusive(final, json.dumps(record).encode())
     except FileExistsError as exc:
         raise SnapshotConflictError(
             f"v{version} was committed concurrently — re-plan and retry"
         ) from exc
-    finally:
-        os.remove(tmp)
     return version
 
 
@@ -1439,7 +1434,7 @@ def vacuum_lake(
         removed += 1
     expired = [v for v in vs if v not in retained]
     for v in expired:
-        os.remove(os.path.join(_snap_dir(path), f"v{v:012d}.json"))
+        _store().delete(os.path.join(_snap_dir(path), f"v{v:012d}.json"))
     # deletion-vector sidecars: keep those any retained snapshot or
     # branch references, reclaim the rest (round 12)
     dv_dir = os.path.join(_snap_dir(path), "dv")
@@ -2362,9 +2357,7 @@ def lake_branches(path: str) -> dict[str, dict]:
     """name -> {head (branch-local version), fork_version, n_files}."""
     d = os.path.join(_snap_dir(path), "branches")
     out: dict[str, dict] = {}
-    if not os.path.isdir(d):
-        return out
-    for name in sorted(os.listdir(d)):
+    for name in sorted(_store().list(d)):
         vs = _branch_versions(path, name)
         if not vs:
             continue
@@ -2378,11 +2371,8 @@ def lake_branches(path: str) -> dict[str, dict]:
 
 
 def _branch_versions(path: str, name: str) -> list[int]:
-    d = _branch_dir(path, name)
-    if not os.path.isdir(d):
-        return []
     out = []
-    for n in os.listdir(d):
+    for n in _store().list(_branch_dir(path, name)):
         m = re.fullmatch(r"v(\d{12})\.json", n)
         if m:
             out.append(int(m.group(1)))
@@ -2395,31 +2385,23 @@ def _branch_info(path: str, name: str, bv: int | None = None) -> dict:
         raise ValueError(f"no branch {name!r} under {path!r}")
     bv = vs[-1] if bv is None else bv
     fn = os.path.join(_branch_dir(path, name), f"v{bv:012d}.json")
-    if not os.path.exists(fn):
+    if not _store().exists(fn):
         raise ValueError(f"branch {name!r} has no version {bv}")
-    with open(fn) as fh:
-        # branch records shard exactly like main's (X47): forking a
-        # million-file table copies manifest REFS, not a file list
-        return _resolve_record(path, json.load(fh))
+    # branch records shard exactly like main's (X47): forking a
+    # million-file table copies manifest REFS, not a file list
+    return _resolve_record(path, json.loads(_store().read(fn)))
 
 
 def _branch_commit(path: str, name: str, record: dict) -> int:
     """Exclusive-link a branch record — same single-winner rule as the
     main chain, scoped to the branch's own version numbers."""
-    d = _branch_dir(path, name)
-    os.makedirs(d, exist_ok=True)
-    final = os.path.join(d, f"v{record['version']:012d}.json")
-    tmp = final + f".stage-{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(record, fh)
+    final = os.path.join(_branch_dir(path, name), f"v{record['version']:012d}.json")
     try:
-        os.link(tmp, final)
+        _store().put_exclusive(final, json.dumps(record).encode())
     except FileExistsError as exc:
         raise SnapshotConflictError(
             f"branch {name!r} v{record['version']} was committed concurrently"
         ) from exc
-    finally:
-        os.remove(tmp)
     return record["version"]
 
 
@@ -2901,10 +2883,8 @@ def lake_branch_drop(
     the branch history). The branch survives; the error names the
     published main version (``published``) so the caller knows the
     publish itself landed."""
-    import shutil
-
     d = _branch_dir(path, name)
-    if not os.path.isdir(d):
+    if not _store().list(d):
         raise ValueError(f"no branch {name!r} under {path!r}")
     if expect_version is not None:
         vs = _branch_versions(path, name)
@@ -2919,7 +2899,7 @@ def lake_branch_drop(
                 )
                 + "; branch kept — re-audit and re-publish (or drop explicitly)"
             )
-    shutil.rmtree(d)
+    _store().delete_tree(d)
 
 
 def resolve_version(path: str, version: int | str | None) -> int | None:
