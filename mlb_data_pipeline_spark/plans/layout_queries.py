@@ -213,7 +213,11 @@ cdcnet AS (
 u AS (
   SELECT ck, CASE WHEN ck BETWEEN 90 AND 120 THEN pc + 55555 ELSE pc END AS pc
   FROM o WHERE NOT (ck BETWEEN 0 AND 60)
-)
+),
+sh_base AS (SELECT ck, pc FROM o WHERE ck % 4 != 0),
+sh_extra AS (SELECT ck, pc + 77 AS pc FROM o WHERE ck % 4 = 0),
+sh_v2 AS (SELECT * FROM sh_base UNION ALL SELECT * FROM sh_extra),
+sh_v3 AS (SELECT * FROM sh_v2 WHERE NOT (ck BETWEEN 40 AND 90))
 SELECT 'box' AS part, COUNT(*) AS n_orders,
        CAST(SUM(pc) AS BIGINT) AS total_cents,
        MIN(ck) AS min_ck, MAX(ck) AS max_ck
@@ -251,13 +255,22 @@ UNION ALL
 SELECT 'or', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
 FROM o WHERE (ck BETWEEN 50 AND 150) OR (ck BETWEEN 400 AND 600)
 UNION ALL
+SELECT 'sharded_cdc_del', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
+FROM sh_v2 WHERE ck BETWEEN 40 AND 90
+UNION ALL
+SELECT 'sharded_head', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
+FROM sh_v3
+UNION ALL
+SELECT 'sharded_tt_v2', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
+FROM sh_v2
+UNION ALL
 SELECT 'tt_box', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck)
 FROM o WHERE ck BETWEEN 100 AND 400
 ORDER BY part
 """
 
 
-@query("q23_manifest_pruned_scan", oracle=_Q23_SQL, covers="Y2,S3,S8,A2,P3,X45")
+@query("q23_manifest_pruned_scan", oracle=_Q23_SQL, covers="Y2,S3,S8,A2,P3,X45,X47")
 def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-hook family, tagged union:
     * 'box' — conjunctive numeric box through lake_scan (ex-r49, the
@@ -292,7 +305,14 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     * 'dv' / 'dv_tt' — DELETION VECTORS under the driver hash
       (round 13, ex-r78 rotated in): a pruned DV delete masks only
       can-match files (zero rewrite), 'dv' reads the masked head,
-      'dv_tt' time travels to the unmasked v3.
+      'dv_tt' time travels to the unmasked v3;
+    * 'sharded_*' — SHARDED SNAPSHOT MANIFESTS under the driver hash
+      (round 14, X47 rotated in — VERDICT r13 ask #2): the r80 flow
+      (threshold-forced sharded records: append = one delta manifest,
+      delete = a removed list) re-shaped into this union — head read,
+      time travel, and CDC all resolve through the manifest union; a
+      file lost or resurrected by the sharded resolution breaks the
+      hash.
     Every branch derives its skip plan from the predicate STRING."""
     import os
 
@@ -440,6 +460,17 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = agg(lake_scan(spark, "q23_orders_snap"), "dv")
     dv_tt = agg(lake_scan(spark, "q23_orders_snap", version=3), "dv_tt")
 
+    # sharded snapshot manifests under the driver hash (round 14,
+    # ex-r80 rotated in): one source of truth — the branches CALL the
+    # r80 registry query and re-shape its tagged output
+    sharded = r80_lake_sharded_manifests(spark, sf_dir).select(
+        F.concat(F.lit("sharded_"), F.col("part")).alias("part"),
+        F.col("n").alias("n_orders"),
+        F.col("sum_pc").alias("total_cents"),
+        F.col("min_ck"),
+        F.col("max_ck"),
+    )
+
     return (
         box.unionByName(count)
         .unionByName(date)
@@ -452,6 +483,7 @@ def q23_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(numjoin)
         .unionByName(dv)
         .unionByName(dv_tt)
+        .unionByName(sharded)
         .orderBy("part")
     )
 
@@ -1559,10 +1591,10 @@ WITH o AS (
 base AS (SELECT * FROM o WHERE ck % 4 != 0),
 extra AS (SELECT ck, pc + 77 AS pc FROM o WHERE ck % 4 = 0),
 v2 AS (SELECT * FROM base UNION ALL SELECT * FROM extra),
-v3 AS (SELECT * FROM v2 WHERE NOT (ck BETWEEN 200 AND 500))
+v3 AS (SELECT * FROM v2 WHERE NOT (ck BETWEEN 40 AND 90))
 SELECT 'cdc_del' AS part, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_pc,
        MIN(ck) AS min_ck, MAX(ck) AS max_ck
-FROM v2 WHERE ck BETWEEN 200 AND 500
+FROM v2 WHERE ck BETWEEN 40 AND 90
 UNION ALL
 SELECT 'head', COUNT(*), CAST(SUM(pc) AS BIGINT), MIN(ck), MAX(ck) FROM v3
 UNION ALL
@@ -1608,7 +1640,7 @@ def r80_lake_sharded_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
             lake,
         )  # v2: +1 DELTA manifest, base manifest reused
         lake_delete(
-            spark, lake, "ck BETWEEN 200 AND 500", col_types={"ck": "bigint"}
+            spark, lake, "ck BETWEEN 40 AND 90", col_types={"ck": "bigint"}
         )  # v3: removed list (+ boundary rewrites)
     finally:
         S._MANIFEST_SHARD_THRESHOLD = saved

@@ -525,3 +525,44 @@ def test_branch_schema_evolution_and_publish_carry(spark, tmp_path):
     with pytest.raises(SnapshotConflictError, match="schema"):
         lake_publish_branch(lake2, "ddl2")
     assert read_snapshot(spark, lake2).columns == ["k", "v"]
+
+
+def test_explain_delete_matches_classifier(spark, tmp_path):
+    """Round 14 — lake_explain_delete: the audit call must report
+    EXACTLY the keep/drop/rewrite decision the delete then makes, on
+    main and on a branch (staged files included), without reading or
+    committing anything."""
+    from mlb_data_pipeline_spark.catalog import (
+        lake_delete_where,
+        lake_explain_delete,
+        register_lake_table,
+    )
+    from mlb_data_pipeline_spark.operators.layout import save_scan_manifest
+    from mlb_data_pipeline_spark.operators.snapshots import current_version
+
+    lake = str(tmp_path / "lake")
+    mf = str(tmp_path / "mf")
+    lake_write(spark, _kv(spark, 0, 1000, "base").repartitionByRange(4, "k"), lake)
+    save_scan_manifest(spark, lake, ["k", "v"], mf)
+    register_lake_table(spark, "t_explain_del", lake, scan_manifest=mf)
+    pred = "k BETWEEN 0 AND 280"  # file 0 all-match, file 1 boundary
+    plan = lake_explain_delete(spark, "t_explain_del", pred)
+    assert plan["files_total"] == 4
+    assert plan["files_drop"] >= 1 and plan["files_rewrite"] >= 1
+    v_before = current_version(lake)
+    rep = lake_delete_where(spark, "t_explain_del", pred)
+    assert current_version(lake) == v_before + 1  # explain committed nothing
+    assert rep["files_dropped"] == plan["files_drop"]
+    assert rep["files_kept"] == plan["files_keep"]
+    assert rep["files_rewritten"] == plan["files_rewrite"]
+    # branch leg: the staged file is classified too
+    lake_branch_create(lake, "wap")
+    lake_branch_append(spark, lake, "wap", _kv(spark, 5000, 5100, "staged").coalesce(1))
+    bplan = lake_explain_delete(spark, "t_explain_del", "k >= 5000", branch="wap")
+    assert bplan["files_total"] == len(plan["keep"]) + len(plan["rewrite"]) + 1
+    brep = lake_delete_where(spark, "t_explain_del", "k >= 5000", branch="wap")
+    assert brep["files_dropped"] == bplan["files_drop"] == 1
+    assert brep["files_kept"] == bplan["files_keep"]
+    assert brep["files_rewritten"] == bplan["files_rewrite"]
+    # main untouched by the branch cleanup
+    assert read_snapshot(spark, lake).filter("k >= 5000").count() == 0

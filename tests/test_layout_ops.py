@@ -1532,8 +1532,16 @@ def test_q23_catalog_hook_branches_actually_prune(spark, sf_dir):
     assert set(rows) == {
         "box", "count", "date", "or", "dml", "dml_v1",
         "tt_box", "cdc_del", "cdc_ins", "numjoin", "dv", "dv_tt",
+        "sharded_cdc_del", "sharded_head", "sharded_tt_v2",
     }
     assert rows["count"].n_orders > 0
+    # round 14: the sharded-manifest branches resolve head/time-travel
+    # through the manifest union — the delete really shrank the head
+    assert rows["sharded_head"].n_orders < rows["sharded_tt_v2"].n_orders
+    assert (
+        rows["sharded_tt_v2"].n_orders
+        == rows["sharded_head"].n_orders + rows["sharded_cdc_del"].n_orders
+    )
     # the DML branches: the delete really removed rows (head < v1) and
     # time travel really restored them (v1 == the raw projection)
     assert rows["dml"].n_orders < rows["dml_v1"].n_orders
