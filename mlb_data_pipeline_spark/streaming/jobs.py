@@ -670,6 +670,7 @@ def lake_snapshot_stream(
     branch: str | None = None,
     publish_every: int | None = None,
     publish_expect_zero: list[str] | None = None,
+    compact_min_rows: int | None = None,
 ) -> None:
     """Streaming ingestion into a SNAPSHOT lake (operators/snapshots.py)
     with exactly-once VISIBILITY: each micro-batch's files land
@@ -724,7 +725,13 @@ def lake_snapshot_stream(
     re-forked; a crash between the publish commit and the drop is
     detected at the next batch's ENTRY (everything staged is already
     live on main) and resolves to drop-and-refork before any new
-    append — never a double publish, never a name collision."""
+    append — never a double publish, never a name collision.
+
+    ``compact_min_rows``: before each cadence publish, branch files
+    below this row count coalesce via ``lake_branch_compact`` — every
+    micro-batch lands as its own file, and without in-staging
+    compaction the publish would ship that fragmentation straight to
+    main (at 100 TB, a small-files problem on the PUBLISHED table)."""
     from ..operators.layout import append_scan_manifest
     from ..operators.snapshots import (
         _branch_commit_append,
@@ -804,6 +811,15 @@ def lake_snapshot_stream(
                 fork_info = _branch_info(lake_path, branch, bvs[0])
                 added = set(info["files"]) - set(fork_info["files"])
                 if added:
+                    if compact_min_rows is not None:
+                        # coalesce the cycle's micro-batch files in
+                        # STAGING so main receives compact files, not
+                        # one file per trigger
+                        from ..operators.snapshots import lake_branch_compact
+
+                        lake_branch_compact(
+                            spark, lake_path, branch, min_rows=compact_min_rows
+                        )
                     # single writer by construction inside foreachBatch
                     # — the head-pinned publish's conditional drop
                     # never trips; an expect_zero hit raises and FAILS

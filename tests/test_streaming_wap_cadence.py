@@ -158,3 +158,29 @@ def test_publish_every_requires_branch(spark, tmp_path):
             _stream(spark, src), str(tmp_path / "lake"), str(tmp_path / "ckpt"),
             publish_every=2,
         )
+
+
+def test_publish_cadence_compacts_staging_before_publish(spark, tmp_path):
+    """compact_min_rows: the cadence coalesces the cycle's per-trigger
+    files in staging, so main receives compact files — not one file
+    per micro-batch."""
+    lake, src = str(tmp_path / "lake"), str(tmp_path / "src")
+    lake_write(spark, _kv(spark, 0, 50, "base").coalesce(1), lake)
+    lake_branch_create(lake, "feed")
+    for lo in (100, 200, 300, 400):
+        _kv(spark, lo, lo + 25, "staged").coalesce(1).write.mode("append").parquet(src)
+    lake_snapshot_stream(
+        _stream(spark, src), lake, str(tmp_path / "ckpt"),
+        branch="feed", publish_every=4, compact_min_rows=10_000,
+    )
+    cur = read_snapshot(spark, lake)
+    assert cur.count() == 150
+    assert cur.filter("src = 'staged'").count() == 100
+    # all five small files (base + 4 triggers) coalesced into one
+    assert len(snapshot_info(lake)["files"]) == 1
+    # replay-safe: redelivery after the compacting publish is a no-op
+    lake_snapshot_stream(
+        _stream(spark, src), lake, str(tmp_path / "ckpt2"),
+        branch="feed", publish_every=4, compact_min_rows=10_000,
+    )
+    assert read_snapshot(spark, lake).count() == 150
