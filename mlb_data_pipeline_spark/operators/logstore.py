@@ -71,6 +71,23 @@ class PosixLogStore:
         finally:
             os.remove(tmp)
 
+    def replace(self, path: str, data: bytes) -> None:
+        """Atomic create-or-overwrite — for REPOINTABLE metadata (tags),
+        never for commit records (those need put_exclusive). Object
+        stores: an unconditional put (last writer wins is the tag
+        contract)."""
+        import threading
+        import uuid
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = (
+            f"{path}.stage-{os.getpid()}-{threading.get_ident()}"
+            f"-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+
     def read(self, path: str) -> bytes:
         with open(path, "rb") as fh:
             return fh.read()

@@ -1446,11 +1446,12 @@ def vacuum_lake(
         for name in lake_branches(path):
             for bv in _branch_versions(path, name):
                 dv_referenced |= set(_branch_info(path, name, bv).get("dvs") or [])
-        import shutil as _shutil
-
-        for n in os.listdir(dv_dir):
+        for n in _store().list(dv_dir):
             if n not in dv_referenced:
-                _shutil.rmtree(os.path.join(dv_dir, n), ignore_errors=True)
+                try:
+                    _store().delete_tree(os.path.join(dv_dir, n))
+                except OSError:
+                    pass  # already reclaimed by a concurrent vacuum
                 dv_removed += 1
     # sharded snapshot manifests (round 13): keep those any retained
     # version references; unreferenced ones (expired versions' deltas,
@@ -1467,7 +1468,7 @@ def vacuum_lake(
                 man_referenced |= set(
                     _branch_info(path, name, bv).get("manifest_refs") or []
                 )
-        for n in os.listdir(man_dir):
+        for n in _store().list(man_dir):
             if n in man_referenced:
                 continue
             try:
@@ -1476,7 +1477,7 @@ def vacuum_lake(
                 fresh = False
             if fresh and orphan_grace_s > 0:
                 continue
-            os.remove(os.path.join(man_dir, n))
+            _store().delete(os.path.join(man_dir, n))
             man_removed += 1
     return {
         "removed_files": removed,
@@ -2304,31 +2305,26 @@ def lake_tag(path: str, name: str, version: int | None = None) -> int:
         raise ValueError(f"no snapshots under {path!r}")
     snapshot_info(path, v)  # must exist
     fn = os.path.join(_snap_dir(path), f"tag-{name}.json")
-    tmp = fn + f".stage-{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump({"name": name, "version": v, "ts": time.time()}, fh)
-    os.replace(tmp, fn)  # tags may be repointed: replace, not link
+    # tags may be repointed: replace, not put_exclusive
+    _store().replace(fn, json.dumps({"name": name, "version": v, "ts": time.time()}).encode())
     return v
 
 
 def lake_tags(path: str) -> dict[str, int]:
     d = _snap_dir(path)
     out: dict[str, int] = {}
-    if not os.path.isdir(d):
-        return out
-    for n in os.listdir(d):
+    for n in _store().list(d):
         m = re.fullmatch(r"tag-(.+)\.json", n)
         if m:
-            with open(os.path.join(d, n)) as fh:
-                out[m.group(1)] = int(json.load(fh)["version"])
+            out[m.group(1)] = int(json.loads(_store().read(os.path.join(d, n)))["version"])
     return out
 
 
 def lake_untag(path: str, name: str) -> None:
     fn = os.path.join(_snap_dir(path), f"tag-{name}.json")
-    if not os.path.exists(fn):
+    if not _store().exists(fn):
         raise ValueError(f"no tag {name!r} under {path!r}")
-    os.remove(fn)
+    _store().delete(fn)
 
 
 # ---------------------------------------------------------------------------
