@@ -563,7 +563,16 @@ def lake_scan(
         branches_ = _extract_skip_branches(predicate, col_types)
         if not branches_:
             return read_branch(spark, path, branch).filter(predicate)
-        from .operators.snapshots import _read_files
+        from .operators.snapshots import _phys_keyed, _read_files
+
+        # column mapping (round 14): manifests/footers key stats by the
+        # PHYSICAL column name — translate the pruning structures so a
+        # remapped column never consults a dead same-named column's
+        # stats (files without the physical column stay must-read)
+        bphys = read_info.get("phys") or {}
+        if bphys:
+            branches_ = _phys_keyed(branches_, bphys)
+            col_types = _phys_keyed(col_types, bphys)
 
         keep: set[str] = set()
         for box, equals, nots, nullness in branches_:
@@ -618,6 +627,15 @@ def lake_scan(
 
             return read_snapshot(spark, path, version).filter(predicate)
         return _lake_read_all(spark, path).filter(predicate)
+    from .operators.snapshots import _phys_keyed, has_snapshots as _has_snaps, snapshot_info as _snap_info
+
+    # column mapping (round 14): prune by PHYSICAL stat keys (see the
+    # branch path above) — the version's own record, so time travel
+    # prunes under the mapping in force at that version
+    mphys = _snap_info(path, version).get("phys") or {} if _has_snaps(path) else {}
+    if mphys:
+        branches = _phys_keyed(branches, mphys)
+        col_types = _phys_keyed(col_types, mphys)
     keep: set[str] = set()
     for box, equals, nots, nullness in branches:
         blooms = [
@@ -1001,6 +1019,21 @@ def _extract_exact_box(predicate: str, col_types: dict | None = None) -> dict | 
     return box
 
 
+def _lake_phys(path: str, version=None, binfo: dict | None = None) -> dict:
+    """The column-mapping ``phys`` dict (logical -> physical parquet
+    name) in force at a version / branch head (round 14). Stats in
+    manifests and footers key by the PHYSICAL name; every metadata
+    fast path must consult them through this map or it would read a
+    dead same-named column's stats. Empty = identity (no mapping)."""
+    if binfo is not None:
+        return binfo.get("phys") or {}
+    from .operators.snapshots import has_snapshots, snapshot_info
+
+    if not has_snapshots(path):
+        return {}
+    return snapshot_info(path, version).get("phys") or {}
+
+
 def lake_count(
     spark: SparkSession,
     name: str,
@@ -1030,11 +1063,15 @@ def lake_count(
         """Mask plumbing for manifest_assisted_count at ``ver`` (head
         when None): the version's dv_rows map + a boundary reader that
         applies its masks. Empty when the version carries no DVs."""
-        if not _lake_has_dvs(ent["path"], ver):
+        has_map = bool(_lake_phys(ent["path"], ver))
+        if not _lake_has_dvs(ent["path"], ver) and not has_map:
             return {}
         from .operators.snapshots import _read_files, snapshot_info
 
         info = snapshot_info(ent["path"], ver)
+        # a column-mapped lake's boundary files must read through the
+        # authoritative reader (raw parquet has PHYSICAL names; the
+        # WHERE is logical) even when no DV masks are live
         return {
             "dv_rows": info.get("dv_rows") or {},
             "boundary_reader": lambda names: _read_files(
@@ -1070,14 +1107,17 @@ def lake_count(
             col_types = _lake_col_types(spark, ent)
             clauses = _extract_exact_clauses(predicate, col_types)
             if clauses is not None and clauses[2] is None:
-                box, str_eq, _points = clauses
+                from .operators.snapshots import _phys_keyed
+
+                ph = _lake_phys(ent["path"], binfo=binfo)
+                box, str_eq, _points = _phys_keyed(clauses, ph)
                 return manifest_assisted_count(
                     spark,
                     ent["path"],
                     ent["scan_manifest"],
                     box,
                     where=predicate,
-                    col_types=col_types,
+                    col_types=_phys_keyed(col_types, ph),
                     equals_strs=str_eq,
                     files=sorted(binfo["files"]),
                     dv_rows=binfo.get("dv_rows") or {},
@@ -1107,14 +1147,17 @@ def lake_count(
             col_types = _lake_col_types(spark, ent)
             clauses = _extract_exact_clauses(predicate, col_types)
             if clauses is not None and clauses[2] is None:
-                box, str_eq, _points = clauses
+                from .operators.snapshots import _phys_keyed
+
+                ph = _lake_phys(ent["path"], version)
+                box, str_eq, _points = _phys_keyed(clauses, ph)
                 return manifest_assisted_count(
                     spark,
                     ent["path"],
                     ent["scan_manifest"],
                     box,
                     where=predicate,
-                    col_types=col_types,
+                    col_types=_phys_keyed(col_types, ph),
                     equals_strs=str_eq,
                     files=snapshot_files(ent["path"], version),
                     **_dv_kwargs(version),
@@ -1136,8 +1179,11 @@ def lake_count(
         col_types = _lake_col_types(spark, ent)
         clauses = _extract_exact_clauses(predicate, col_types)
         if clauses is not None:
+            from .operators.snapshots import _phys_keyed
+
+            ph = _lake_phys(ent["path"])
             dvkw = _dv_kwargs(None)
-            box, str_eq, points = clauses
+            box, str_eq, points = _phys_keyed(clauses[:2], ph) + (clauses[2],)
             if points is None:
                 return manifest_assisted_count(
                     spark,
@@ -1145,7 +1191,7 @@ def lake_count(
                     ent["scan_manifest"],
                     box,
                     where=predicate,
-                    col_types=col_types,
+                    col_types=_phys_keyed(col_types, ph),
                     equals_strs=str_eq,
                     **dvkw,
                 )
@@ -1153,14 +1199,15 @@ def lake_count(
             # point-box counts, each boundary-filtered with the ORIGINAL
             # predicate narrowed to its point
             col, vals = points
+            # stats key physically; the boundary WHERE stays logical
             return sum(
                 manifest_assisted_count(
                     spark,
                     ent["path"],
                     ent["scan_manifest"],
-                    {**box, col: (v, v)},
+                    {**box, ph.get(col, col): (v, v)},
                     where=f"({predicate}) AND {col} = {v}",
-                    col_types=col_types,
+                    col_types=_phys_keyed(col_types, ph),
                     equals_strs=str_eq,
                     **dvkw,
                 )
@@ -1194,7 +1241,7 @@ def lake_min_max(
         # stats are immutable per-file facts; unknown files read
         from .operators.snapshots import read_snapshot, snapshot_files
 
-        if ent["scan_manifest"] is not None:
+        if ent["scan_manifest"] is not None and not _lake_phys(ent["path"], version):
             col_types = _lake_col_types(spark, ent)
             box = {} if not predicate else _extract_exact_box(predicate, col_types)
             if box is not None:
@@ -1215,7 +1262,11 @@ def lake_min_max(
         return df.agg(F.min(col).alias(f"min_{col}"), F.max(col).alias(f"max_{col}"))
     _compact_recover_tree(ent["path"])
     col_types = _lake_col_types(spark, ent)
-    if ent["scan_manifest"] is not None:
+    # column mapping (round 14): a mapped lake's raw candidate reads
+    # and manifest stat keys don't line up with logical names —
+    # degrade to the authoritative pruned read (correct, conservative;
+    # mapped tables are the rare post-reuse case)
+    if ent["scan_manifest"] is not None and not _lake_phys(ent["path"]):
         box = {} if not predicate else _extract_exact_box(predicate, col_types)
         if box is not None:
             return manifest_assisted_minmax(
@@ -1283,10 +1334,16 @@ def lake_explain_delete(
         snapshot_files,
     )
 
+    phys = None
     if branch is not None:
-        files = sorted(_branch_info(ent["path"], branch)["files"])
+        binfo = _branch_info(ent["path"], branch)
+        files = sorted(binfo["files"])
+        phys = binfo.get("phys")
     elif has_snapshots(ent["path"]):
+        from .operators.snapshots import snapshot_info
+
         files = snapshot_files(ent["path"])
+        phys = snapshot_info(ent["path"]).get("phys")
     else:
         from .operators.layout import _data_files
 
@@ -1298,6 +1355,7 @@ def lake_explain_delete(
         spark,
         ent["scan_manifest"],
         files=files,
+        phys=phys,
     )
     return {
         "table": name,
@@ -1379,7 +1437,10 @@ def lake_approx_distinct(
     _compact_recover_tree(ent["path"])
     col_types = _lake_col_types(spark, ent)
     ndv_m = ent.get("ndv_manifest")
-    if ndv_m is not None:
+    # column mapping (round 14): persisted sketches key by the name at
+    # save time — under a remap they may describe a dead column;
+    # degrade to the live sketch over the authoritative pruned read
+    if ndv_m is not None and not _lake_phys(ent["path"]):
         dvkw = _mask_stat_kwargs(spark, ent["path"])
         if not predicate:
             return manifest_assisted_ndv(

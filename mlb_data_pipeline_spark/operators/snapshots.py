@@ -449,6 +449,7 @@ def commit_snapshot(
     dropped_names: list[str] | None = None,
     dv_files: dict[str, list[str]] | None = None,
     spark: SparkSession | None = None,
+    phys: dict[str, str] | None = None,
 ) -> int:
     """Commit ``files`` as the table's next version. Atomic and
     single-winner: the record is staged then HARD-LINKED to its final
@@ -535,6 +536,16 @@ def commit_snapshot(
     )
     if dropped_names:
         record["dropped_names"] = sorted(set(dropped_names))
+    # column mapping (round 14 — the Delta column-mapping / Iceberg
+    # column-ID shape): "phys" = {logical column -> PHYSICAL parquet
+    # column name}, sparse (absent = identity). Lets a dropped or
+    # renamed-away name be legitimately REUSED: the new column stores
+    # under a fresh physical name, so old files' dead bytes can never
+    # resurface through it. Inherited like the schema; a truncating
+    # overwrite resets it (every live file is the commit's own).
+    phys = phys if phys is not None else prev.get("phys")
+    if phys:
+        record["phys"] = phys
     final = os.path.join(d, f"v{version:012d}.json")
     try:
         # exclusive create through the log-store seam: exactly one
@@ -573,6 +584,7 @@ def _commit_append(
     summary: dict | None = None,
     schema_json: str | None = None,
     spark: SparkSession | None = None,
+    phys: dict[str, str] | None = None,
 ) -> int:
     """Commit an APPEND: files = head's live set ∪ ``new_files``. A
     blind append never logically conflicts with a concurrent commit
@@ -591,6 +603,7 @@ def _commit_append(
                 parent=head,
                 schema_json=schema_json,
                 spark=spark,
+                phys=phys,
             )
         except SnapshotConflictError:
             if attempt == _COMMIT_RETRIES:
@@ -615,6 +628,7 @@ def _commit_filechange(
     renames: dict[str, list[str]] | None = None,
     dropped_names: list[str] | None = None,
     require_schema: str | None = None,
+    phys: dict[str, str] | None = None,
 ) -> int:
     """Commit a DML/OPTIMIZE-shaped change planned against
     ``planned_head``: drop ``removed`` from the live set, add
@@ -786,6 +800,7 @@ def _commit_filechange(
                 spark=spark,
                 renames=renames,
                 dropped_names=dropped_names,
+                phys=phys,
             )
         except SnapshotConflictError:
             if attempt == _COMMIT_RETRIES:
@@ -807,12 +822,27 @@ def _partition_cols(files: list[str]) -> list[str]:
 
 
 def _write_new_files(
-    df: DataFrame, path: str, partition_cols: list[str]
+    df: DataFrame, path: str, partition_cols: list[str], info: dict | None = None
 ) -> list[str]:
     """Append ``df`` into the lake directory with Spark's unique part
     naming and return the RELATIVE names of the files the write
     created (on-disk listing diff — the new files are invisible to
-    readers until the caller commits a snapshot referencing them)."""
+    readers until the caller commits a snapshot referencing them).
+
+    ``info`` (round 14 — column mapping): the commit record the write
+    lands under. When it carries a ``phys`` map, ``df``'s LOGICAL
+    column names are renamed to their PHYSICAL parquet names before
+    writing, so every data file a mapped table ever gains — appends,
+    DML rewrites, OPTIMIZE, branch staging, streaming batches —
+    stores mapped columns under their allocated physical name and the
+    one shared reader resolves them back."""
+    phys: dict[str, str] = (info or {}).get("phys") or {}
+    if phys:
+        # ONE select-alias pass — sequential renames would collide
+        # when a column's physical name equals another column's
+        # logical name (e.g. phys {y: x, x: x__g2} with both present)
+        df = df.select([F.col(c).alias(phys.get(c, c)) for c in df.columns])
+        partition_cols = [phys.get(c, c) for c in partition_cols]
     before = set(_all_data_files(path))
     writer = df.write.mode("append")
     if partition_cols:
@@ -848,6 +878,7 @@ def lake_write(
     head, live = _head_and_live(path)
     head_info = snapshot_info(path, head) if head else {}
     evolved_schema_json: str | None = None
+    evolved_phys: dict[str, str] | None = None
     if live and mode == "append":
         recorded = None
         if head_info.get("schema"):
@@ -873,17 +904,25 @@ def lake_write(
                 raise ValueError(
                     f"schema evolution may only ADD columns; write is missing {sorted(cur_cols - new_cols)}"
                 )
-            # name-reuse guard (round 13): a new column named like a
-            # rename-lineage alias or a dropped-name tombstone would
-            # resurface old files' stale bytes under it
+            # name REUSE (round 13 rejected it; round 14 makes it SAFE
+            # via column mapping): a new column named like a dropped
+            # tombstone, a rename-lineage alias, or a live physical
+            # name would absorb old files' dead bytes if stored under
+            # its own name — so it stores under a freshly ALLOCATED
+            # physical name instead. Old files have no bytes there
+            # (they read NULL), the dead bytes stay unreferenced, and
+            # the new column is a genuinely new identity — its type is
+            # free (the gate below only checks recorded columns).
             reused = sorted((new_cols - cur_cols) & _reuse_blocked_names(head_info))
             if reused:
-                raise ValueError(
-                    f"column name(s) {reused} were previously renamed away or "
-                    "dropped; old files still carry bytes under them, so reuse "
-                    "would resurface stale data — rewrite the table (overwrite) "
-                    "first, or pick a different name"
+                burned = (
+                    _reuse_blocked_names(head_info) | cur_cols | new_cols
                 )
+                pmap = dict(head_info.get("phys") or {})
+                for name in reused:
+                    pmap[name] = _alloc_phys(name, burned)
+                    burned.add(pmap[name])
+                evolved_phys = pmap
             if recorded is not None:
                 # type gate (round 13, ADVICE r12 #3): an evolving
                 # append must never NARROW a recorded column. Equal
@@ -922,7 +961,15 @@ def lake_write(
             f"lake is partitioned by {existing}; append must use the same "
             f"layout, got {pcols}"
         )
-    new = _write_new_files(df, path, pcols)
+    # an overwrite writes df as-is (mapping resets with the state);
+    # appends write through the head's phys map — plus this write's
+    # own allocations when the evolution reused a burned name
+    write_info = (
+        {} if mode == "overwrite"
+        else {"phys": evolved_phys} if evolved_phys is not None
+        else head_info
+    )
+    new = _write_new_files(df, path, pcols, info=write_info)
     # the table schema this commit establishes: an overwrite IS df's
     # schema; an evolving append is the recorded schema + added columns
     # (recorded types win — see the type gate); a plain append inherits
@@ -949,7 +996,7 @@ def lake_write(
                     summary={"files_added": len(new)},
                     parent=h, schema_json=schema_json,
                     renames={}, dvs=[], dv_rows={}, dropped_names=[],
-                    spark=spark,
+                    phys={}, spark=spark,
                 )
                 break
             except SnapshotConflictError:
@@ -960,7 +1007,7 @@ def lake_write(
         version = _commit_append(
             path, new, "append",
             summary={"files_added": len(new)}, schema_json=schema_json,
-            spark=spark,
+            spark=spark, phys=evolved_phys,
         )
         files = snapshot_files(path, version)
     return {"version": version, "files_added": len(new), "files_live": len(files)}
@@ -1076,8 +1123,19 @@ def _read_files(
 
     fields = StructType.fromJson(json.loads(sj))
     renames: dict[str, list[str]] = (info or {}).get("renames") or {}
-    read_fields = list(fields.fields)
-    have = {f.name for f in read_fields}
+    # column mapping (round 14): a field whose name appears in the
+    # record's "phys" map stores under that PHYSICAL parquet name —
+    # the read schema and the resolve both go through the map, so a
+    # reused logical name (fresh physical) never touches old files'
+    # dead bytes, and a pure-metadata rename (physical stays the
+    # original) reads every generation from one physical column.
+    phys: dict[str, str] = (info or {}).get("phys") or {}
+    read_fields = []
+    have: set[str] = set()
+    for f in fields.fields:
+        p = phys.get(f.name, f.name)
+        read_fields.append(StructField(p, f.dataType, True))
+        have.add(p)
     for tgt, olds in renames.items():
         if tgt not in fields.names:
             continue  # lineage of a since-dropped column: nothing to read
@@ -1093,7 +1151,8 @@ def _read_files(
     )
     proj = []
     for f in fields.fields:
-        cands = [f.name] + [o for o in renames.get(f.name, [])]
+        cands = [phys.get(f.name, f.name)]
+        cands += [o for o in renames.get(f.name, []) if o not in cands]
         expr = F.col(cands[0]) if len(cands) == 1 else F.coalesce(*[F.col(c) for c in cands])
         proj.append(expr.cast(f.dataType).alias(f.name))
     if _keep_position_cols:
@@ -1131,6 +1190,7 @@ def lake_rollback(path: str, version: int) -> int:
         dvs=info.get("dvs") or [],
         dv_rows=info.get("dv_rows") or {},
         dropped_names=info.get("dropped_names") or [],
+        phys=info.get("phys") or {},
     )
 
 
@@ -1184,7 +1244,8 @@ def _schema_commit(
     schema = StructType.fromJson(json.loads(sj))
     renames = {k: list(v) for k, v in (info.get("renames") or {}).items()}
     dropped = list(info.get("dropped_names") or [])
-    schema, renames, dropped = mutate(schema, renames, dropped)
+    phys = dict(info.get("phys") or {})
+    schema, renames, dropped, phys = mutate(schema, renames, dropped, phys)
     if branch is not None:
         record = {
             **{k: info[k] for k in ("fork_version",) if k in info},
@@ -1200,6 +1261,8 @@ def _schema_commit(
             record["renames"] = renames
         if dropped:
             record["dropped_names"] = sorted(set(dropped))
+        if phys:
+            record["phys"] = phys
         for k in ("dvs", "dv_rows"):
             if info.get(k):
                 record[k] = info[k]
@@ -1213,6 +1276,7 @@ def _schema_commit(
         schema_json=schema.json(),
         renames=renames,
         dropped_names=dropped,
+        phys=phys,
     )
 
 
@@ -1229,7 +1293,24 @@ def _reuse_blocked_names(info: dict) -> set[str]:
     blocked: set[str] = set(info.get("dropped_names") or [])
     for olds in (info.get("renames") or {}).values():
         blocked.update(olds)
+    # column mapping (round 14): every physical name in use is burned
+    # too — a new column whose DEFAULT physical name (itself) is
+    # burned gets a fresh allocation instead
+    blocked.update((info.get("phys") or {}).values())
     return blocked
+
+
+def _alloc_phys(name: str, burned: set[str]) -> str:
+    """A fresh PHYSICAL parquet column name for a reused logical
+    ``name`` (round 14 — column mapping): ``<name>__g2``, ``__g3``, …
+    — the first generation suffix not in ``burned`` (every dropped
+    name, lineage alias, live physical name, and incoming column).
+    Deterministic, so concurrent allocators that later conflict on the
+    commit still agree on what they tried."""
+    k = 2
+    while f"{name}__g{k}" in burned:
+        k += 1
+    return f"{name}__g{k}"
 
 
 def lake_record_schema(spark: SparkSession, path: str) -> int:
@@ -1254,61 +1335,68 @@ def lake_drop_column(path: str, col: str, branch: str | None = None) -> int:
     still reads them) but no head read surfaces it. Appends after the
     drop carry the narrowed schema.
 
-    The dropped name — and every rename-lineage alias it carried —
-    lands in the commit's ``dropped_names`` tombstones (round 13):
-    re-adding a column under any of those names is REJECTED by the
-    evolution paths, because old files still hold the dropped bytes
-    and a same-named new column would resurface them. To truly erase
-    the bytes (PII removal), follow the drop with a full rewrite
-    (OPTIMIZE / truncating overwrite) then ``vacuum_lake``."""
+    The dropped column's PHYSICAL name — and every rename-lineage
+    alias it carried — lands in the commit's ``dropped_names``
+    tombstones (round 13). Round 14 (column mapping): re-adding a
+    column under a tombstoned name is LEGAL and safe — the evolution
+    paths allocate a fresh physical name for it, so the dead bytes
+    never resurface; the tombstones now serve as the burned-name set
+    behind that allocation rather than a rejection list. To truly
+    erase the bytes (PII removal), follow the drop with a full
+    rewrite (OPTIMIZE / truncating overwrite) then ``vacuum_lake``."""
     from pyspark.sql.types import StructType
 
-    def mutate(schema, renames, dropped):
+    def mutate(schema, renames, dropped, phys):
         if col not in schema.names:
             raise ValueError(f"no column {col!r}; schema has {schema.names}")
         if len(schema.fields) == 1:
             raise ValueError("cannot drop the table's only column")
-        dropped = sorted(set(dropped) | {col} | set(renames.pop(col, [])))
-        return StructType([f for f in schema.fields if f.name != col]), renames, dropped
+        # old files carry the bytes under the column's PHYSICAL name —
+        # that is what must never be reused as a default physical
+        dropped = sorted(
+            set(dropped) | {phys.pop(col, col)} | set(renames.pop(col, []))
+        )
+        return (
+            StructType([f for f in schema.fields if f.name != col]),
+            renames,
+            dropped,
+            phys,
+        )
 
     return _schema_commit(path, "drop_column", mutate, {"column": col}, branch=branch)
 
 
 def lake_rename_column(path: str, old: str, new: str, branch: str | None = None) -> int:
-    """ALTER TABLE RENAME COLUMN as a metadata commit: the recorded
-    schema adopts the new name and the commit's rename lineage maps it
-    to every prior name, so files written under ANY generation of the
-    name resolve by coalesce — no column-ID plumbing, sound because
-    each file carries exactly one generation."""
+    """ALTER TABLE RENAME COLUMN as a metadata commit. Round 14
+    (column mapping): a rename is a pure LOGICAL remap — the column's
+    physical parquet name stays whatever it always was (``phys[new] =
+    phys.get(old, old)``), so files written before AND after the
+    rename store the same physical column and the reader resolves
+    them identically; no per-generation coalesce is needed for new
+    renames (pre-round-14 lineage entries still resolve through the
+    legacy coalesce, transferred to the new name here). Renaming onto
+    a tombstoned or lineage-burned name is safe — the target name is
+    only a label; nothing is ever read under it physically."""
     from pyspark.sql.types import StructField, StructType
 
-    def mutate(schema, renames, dropped):
+    def mutate(schema, renames, dropped, phys):
         if old not in schema.names:
             raise ValueError(f"no column {old!r}; schema has {schema.names}")
         if new in schema.names:
             raise ValueError(f"column {new!r} already exists")
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
             raise ValueError(f"invalid column name {new!r}")
-        # name-reuse guard (round 13): old files still carry bytes
-        # under lineage aliases and tombstoned names — renaming TO one
-        # would resurface them through the resolve coalesce
-        blocked = set(dropped)
-        for olds in renames.values():
-            blocked.update(olds)
-        if new in blocked:
-            raise ValueError(
-                f"column name {new!r} was previously renamed away or dropped; "
-                "old files still carry bytes under it, so reuse would "
-                "resurface stale data — rewrite the table (overwrite) first"
-            )
         out = StructType(
             [
                 StructField(new, f.dataType, f.nullable) if f.name == old else f
                 for f in schema.fields
             ]
         )
-        renames[new] = [old] + renames.pop(old, [])
-        return out, renames, dropped
+        phys[new] = phys.pop(old, old)
+        olds = renames.pop(old, [])
+        if olds:
+            renames[new] = olds  # legacy lineage follows the label
+        return out, renames, dropped, phys
 
     return _schema_commit(path, "rename_column", mutate, {"from": old, "to": new}, branch=branch)
 
@@ -1336,7 +1424,7 @@ def lake_widen_column(path: str, col: str, new_type: str, branch: str | None = N
         "double": DoubleType(),
     }
 
-    def mutate(schema, renames, dropped):
+    def mutate(schema, renames, dropped, phys):
         if col not in schema.names:
             raise ValueError(f"no column {col!r}; schema has {schema.names}")
         cur = schema[col].dataType.simpleString()
@@ -1352,7 +1440,7 @@ def lake_widen_column(path: str, col: str, new_type: str, branch: str | None = N
                 for f in schema.fields
             ]
         )
-        return out, renames, dropped
+        return out, renames, dropped, phys
 
     return _schema_commit(
         path, "widen_column", mutate, {"column": col, "to": new_type}, branch=branch
@@ -1605,6 +1693,24 @@ def _lake_file_stats(
     return sorted(out, key=lambda fs: fs["file"])
 
 
+def _phys_keyed(struct, phys: dict[str, str]):
+    """Re-key a column-keyed extraction structure (dict, or nested
+    tuple/list of dicts) from LOGICAL to PHYSICAL names (round 14 —
+    column mapping). Footer and manifest stats are keyed by the
+    PHYSICAL parquet column name; consulting them under a remapped
+    logical name would read a dead column's stats (e.g. the dropped
+    ``x`` a live re-added ``x`` replaced) and mis-classify files.
+    Identity when ``phys`` is empty."""
+    if not phys:
+        return struct
+    if isinstance(struct, dict):
+        return {phys.get(k, k): v for k, v in struct.items()}
+    if isinstance(struct, (list, tuple)):
+        t = type(struct)
+        return t(_phys_keyed(x, phys) for x in struct)
+    return struct
+
+
 def _classify_for_delete(
     path: str,
     predicate: str,
@@ -1612,6 +1718,7 @@ def _classify_for_delete(
     spark: SparkSession | None = None,
     scan_manifest: str | None = None,
     files: list[str] | None = None,
+    phys: dict[str, str] | None = None,
 ) -> tuple[list[str], list[str], list[str]]:
     """(drop, keep, rewrite) — the three-way file classification behind
     ``lake_delete``/``lake_update``, decided from stats + partition
@@ -1625,6 +1732,15 @@ def _classify_for_delete(
 
     branches = _extract_skip_branches(predicate, col_types)
     exact = _extract_exact_clauses(predicate, col_types)
+    # column mapping (round 14): classification consults stats by the
+    # PHYSICAL parquet name — a remapped logical column's stats exist
+    # only in files written since its allocation, so older files (and
+    # dead same-named bytes) degrade to the conservative rewrite class
+    # instead of mis-proving a drop/keep from the wrong column
+    if phys:
+        branches = _phys_keyed(branches, phys)
+        exact = _phys_keyed(exact, phys)
+        col_types = _phys_keyed(col_types or {}, phys) or None
     cols: set[str] = set()
     for box, equals, nots, nullness in branches or []:
         cols |= set(box) | set(equals) | set(nots) | set(nullness)
@@ -1708,7 +1824,8 @@ def lake_delete(
         head = head_info["version"]
     live = sorted(head_info["files"])
     drop, keep, rewrite = _classify_for_delete(
-        path, predicate, col_types, spark, scan_manifest, files=live
+        path, predicate, col_types, spark, scan_manifest, files=live,
+        phys=head_info.get("phys"),
     )
 
     def _commit(removed, added, op, summary, **dvkw):
@@ -1799,7 +1916,7 @@ def lake_delete(
         src = _read_files(spark, path, sorted(rewrite), head_info)
         kept_rows = src.filter(f"NOT ({predicate}) OR ({predicate}) IS NULL")
         before = src.count()
-        new_files = _write_new_files(kept_rows, path, _partition_cols(rewrite))
+        new_files = _write_new_files(kept_rows, path, _partition_cols(rewrite), info=head_info)
         after_df = (
             spark.read.option("basePath", path).parquet(
                 *[os.path.join(path, n) for n in new_files]
@@ -1943,9 +2060,9 @@ def lake_merge(
         anti_keys = F.broadcast(keys_df) if len(probe) <= _MERGE_KEY_PROBE_CAP else keys_df
         kept = cand.join(anti_keys, cand[key] == F.col("__k"), "left_anti")
         out = kept.unionByName(source) if when_matched == "update" else kept
-        new_files = _write_new_files(out, path, _partition_cols(live))
+        new_files = _write_new_files(out, path, _partition_cols(live), info=head_info)
     elif when_matched == "update":
-        new_files = _write_new_files(source, path, _partition_cols(live))
+        new_files = _write_new_files(source, path, _partition_cols(live), info=head_info)
     summary = {
         "key": key,
         "when_matched": when_matched,
@@ -2251,6 +2368,7 @@ def lake_update(
     allmatch, keep, boundary = _classify_for_delete(
         path, predicate, col_types, spark, scan_manifest,
         files=sorted(head_info["files"]),
+        phys=head_info.get("phys"),
     )
     to_rewrite = sorted(set(allmatch) | set(boundary))
     new_files: list[str] = []
@@ -2267,7 +2385,7 @@ def lake_update(
                 for c, e in assignments.items()
             }
         )
-        new_files = _write_new_files(out, path, _partition_cols(to_rewrite))
+        new_files = _write_new_files(out, path, _partition_cols(to_rewrite), info=head_info)
     summary = {
         "predicate": predicate,
         "set": dict(assignments),
@@ -2508,7 +2626,7 @@ def _branch_commit_filechange(
             ),
             "summary": summary or {},
         }
-        for k in ("schema", "renames", "dropped_names"):
+        for k in ("schema", "renames", "dropped_names", "phys"):
             if head_info.get(k):
                 record[k] = head_info[k]
         if has_dv:
@@ -2572,7 +2690,7 @@ def lake_branch_create(path: str, name: str, from_version: int | str | None = No
     record.update(
         _files_repr(path, info, info["files"], info.get("file_rows", {}))
     )
-    for k in ("schema", "renames", "dvs", "dv_rows", "dv_files", "dropped_names"):
+    for k in ("schema", "renames", "dvs", "dv_rows", "dv_files", "dropped_names", "phys"):
         if info.get(k):
             record[k] = info[k]
     _branch_commit(path, name, record)
@@ -2601,7 +2719,7 @@ def lake_branch_append(spark: SparkSession, path: str, name: str, df: DataFrame)
             f"branch {name!r} schema drift: write has {sorted(set(df.columns) - cur_cols) or '-'} "
             f"extra / {sorted(cur_cols - set(df.columns)) or '-'} missing"
         )
-    new = _write_new_files(df, path, _partition_cols(head_info["files"]))
+    new = _write_new_files(df, path, _partition_cols(head_info["files"]), info=head_info)
     return _branch_commit_append(path, name, new, spark=spark)
 
 
@@ -2633,7 +2751,7 @@ def _branch_commit_append(
             **_files_repr(path, head_info, files, rows),
             "summary": {"branch": name, "files_added": len(new), **(summary or {})},
         }
-        for k in ("schema", "renames", "dvs", "dv_rows", "dv_files", "dropped_names"):
+        for k in ("schema", "renames", "dvs", "dv_rows", "dv_files", "dropped_names", "phys"):
             if head_info.get(k):
                 record[k] = head_info[k]
         try:
@@ -2800,6 +2918,7 @@ def lake_publish_branch(
         schema_json=info.get("schema") if evolved else None,
         renames=(info.get("renames") or {}) if evolved else None,
         dropped_names=(info.get("dropped_names") or []) if evolved else None,
+        phys=(info.get("phys") or {}) if evolved else None,
         require_schema=fork_schema if evolved else None,
     )
     if drop:
@@ -2844,7 +2963,7 @@ def lake_branch_compact(
     total = sum(int(rows.get(n, 0)) for n in small)
     k = n_files if n_files is not None else max(1, total // max(min_rows, 1))
     src = _read_files(spark, path, small, head_info)
-    new = _write_new_files(src.coalesce(k), path, _partition_cols(small))
+    new = _write_new_files(src.coalesce(k), path, _partition_cols(small), info=head_info)
     version = _branch_commit_filechange(
         path,
         name,

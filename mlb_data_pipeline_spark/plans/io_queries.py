@@ -588,6 +588,21 @@ bd_afterdv AS (SELECT * FROM bd_afterdel WHERE NOT (pc % 100 < 7)),
 bd_afterupd AS (
   SELECT ck, CASE WHEN ck BETWEEN 10 AND 20 THEN pc + 5 ELSE pc END AS pc
   FROM bd_afterdv
+),
+cm_o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+cm_v1 AS (SELECT ck, pc, pc % 100 AS tag FROM cm_o WHERE ck % 3 != 0),
+cm_v3 AS (
+  SELECT ck, pc, CAST(NULL AS BIGINT) AS tag FROM cm_v1
+  UNION ALL
+  SELECT ck, pc, ck * 7 AS tag FROM cm_o WHERE ck % 3 = 0
+),
+cm_head AS (
+  SELECT ck, pc AS price, tag FROM cm_v3
+  WHERE tag IS NULL OR tag NOT BETWEEN 140 AND 350
 )
 SELECT 'scd2' AS part, c_custkey AS key, c_mktsegment AS seg,
        CAST(c_nationkey AS BIGINT) AS nat, valid_from AS vf, valid_to AS vt,
@@ -639,6 +654,27 @@ UNION ALL
 SELECT 'wap_published', MIN(ck), CAST(MAX(ck) AS VARCHAR), COUNT(*),
        CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(SUM(pc) AS DOUBLE)
 FROM wap_combined
+UNION ALL
+SELECT 'cmap_head', MIN(ck),
+       CAST(MAX(ck) AS VARCHAR) || ':' || CAST(COUNT(tag) AS VARCHAR)
+         || ':' || CAST(COALESCE(CAST(SUM(tag) AS BIGINT), -1) AS VARCHAR),
+       COUNT(*), CAST(NULL AS DATE), CAST(NULL AS DATE),
+       CAST(SUM(price) AS DOUBLE)
+FROM cm_head
+UNION ALL
+SELECT 'cmap_tt_v1', MIN(ck),
+       CAST(MAX(ck) AS VARCHAR) || ':' || CAST(COUNT(tag) AS VARCHAR)
+         || ':' || CAST(COALESCE(CAST(SUM(tag) AS BIGINT), -1) AS VARCHAR),
+       COUNT(*), CAST(NULL AS DATE), CAST(NULL AS DATE),
+       CAST(SUM(pc) AS DOUBLE)
+FROM cm_v1
+UNION ALL
+SELECT 'cmap_tt_v3', MIN(ck),
+       CAST(MAX(ck) AS VARCHAR) || ':' || CAST(COUNT(tag) AS VARCHAR)
+         || ':' || CAST(COALESCE(CAST(SUM(tag) AS BIGINT), -1) AS VARCHAR),
+       COUNT(*), CAST(NULL AS DATE), CAST(NULL AS DATE),
+       CAST(SUM(pc) AS DOUBLE)
+FROM cm_v3
 ORDER BY part, key, vf
 """
 
@@ -807,12 +843,35 @@ def q43_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("date").alias("vt"),
         F.col("sum_pc").cast("double").alias("val"),
     )
+    # 'cmap_*' (round 14): COLUMN MAPPING under the driver hash — the
+    # r82 flagship (drop -> name REUSE under a fresh physical name ->
+    # pure-metadata rename -> pruned DML through the mapping),
+    # re-shaped with the reuse-isolation counters (n_tag / sum_tag)
+    # folded into the hashed string column: a single dead-generation
+    # value leaking into the live column breaks the hash
+    from .layout_queries import r82_lake_column_mapping
+
+    cmap = r82_lake_column_mapping(spark, sf_dir).select(
+        F.concat(F.lit("cmap_"), F.col("part")).alias("part"),
+        F.col("min_ck").alias("key"),
+        F.concat_ws(
+            ":",
+            F.col("max_ck").cast("string"),
+            F.col("n_tag").cast("string"),
+            F.coalesce(F.col("sum_tag"), F.lit(-1)).cast("string"),
+        ).alias("seg"),
+        F.col("n").cast("long").alias("nat"),
+        F.lit(None).cast("date").alias("vf"),
+        F.lit(None).cast("date").alias("vt"),
+        F.col("sum_price").cast("double").alias("val"),
+    )
     return (
         scd2.unionByName(layering)
         .unionByName(lake_m)
         .unionByName(evolve)
         .unionByName(wap)
         .unionByName(branchdml)
+        .unionByName(cmap)
         .orderBy("part", "key", "vf")
     )
 

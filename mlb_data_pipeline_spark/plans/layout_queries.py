@@ -1760,3 +1760,124 @@ def r81_lake_branch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     dels = agg(ch.filter(F.col("__change") == "delete"), "del")
     ins = agg(ch.filter(F.col("__change") == "insert"), "ins")
     return dels.unionByName(ins).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# R82 — COLUMN MAPPING (round 14, the Delta column-mapping / Iceberg
+#        column-ID shape): drop a column, REUSE its name for a new
+#        identity (legal — the re-add stores under a freshly allocated
+#        PHYSICAL parquet name, so the dropped generation's bytes can
+#        never resurface), rename another column as a pure metadata
+#        relabel, then run pruned DML through the mapping. The oracle
+#        rebuilds every state relationally: the head's tag column is
+#        the NEW generation only (pre-reuse rows NULL — a leak of the
+#        dropped values breaks n_tag/sum_tag), time travel shows each
+#        version under its own schema, and the delete touches only
+#        new-generation rows (NULL tag never matches). Reference
+#        scope: beyond-reference (the reference rebuilds its warehouse
+#        wholesale per run, hw5/load_csv.py:12-22).
+# ---------------------------------------------------------------------------
+
+_R82_SQL = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+),
+v1 AS (SELECT ck, pc, pc % 100 AS tag FROM o WHERE ck % 3 != 0),
+-- v2 drops tag; v3 re-adds 'tag' as a NEW identity (ck * 7) for the
+-- complementary slice — old rows read NULL under it
+v3_old AS (SELECT ck, pc, CAST(NULL AS BIGINT) AS tag FROM v1),
+v3_new AS (SELECT ck, pc, ck * 7 AS tag FROM o WHERE ck % 3 = 0),
+v3 AS (SELECT * FROM v3_old UNION ALL SELECT * FROM v3_new),
+-- v4 renames pc -> price (pure metadata); v5 deletes tag in
+-- [140, 350] — three-valued: NULL-tag rows always survive
+head AS (
+  SELECT ck, pc AS price, tag FROM v3
+  WHERE tag IS NULL OR tag NOT BETWEEN 140 AND 350
+)
+SELECT 'head' AS part, COUNT(*) AS n,
+       CAST(SUM(price) AS BIGINT) AS sum_price,
+       COUNT(tag) AS n_tag, CAST(SUM(tag) AS BIGINT) AS sum_tag,
+       MIN(ck) AS min_ck, MAX(ck) AS max_ck
+FROM head
+UNION ALL
+SELECT 'tt_v1', COUNT(*), CAST(SUM(pc) AS BIGINT),
+       COUNT(tag), CAST(SUM(tag) AS BIGINT), MIN(ck), MAX(ck)
+FROM v1
+UNION ALL
+SELECT 'tt_v3', COUNT(*), CAST(SUM(pc) AS BIGINT),
+       COUNT(tag), CAST(SUM(tag) AS BIGINT), MIN(ck), MAX(ck)
+FROM v3
+ORDER BY part
+"""
+
+
+@query("r82_lake_column_mapping", oracle=_R82_SQL, covers="X43,X38,X39,A2")
+def r82_lake_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.snapshots import (
+        lake_delete,
+        lake_drop_column,
+        lake_rename_column,
+        lake_write,
+        read_snapshot,
+    )
+
+    base_dir = os.path.join(
+        "/tmp/spark_graft_io", os.path.basename(sf_dir.rstrip("/")), "r82_lake"
+    )
+    lake = os.path.join(base_dir, "data")
+    if os.path.exists(base_dir):
+        shutil.rmtree(base_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("pc"),
+    )
+    lake_write(
+        spark,
+        o.filter(F.col("ck") % 3 != 0)
+        .withColumn("tag", (F.col("pc") % 100).cast("long"))
+        .repartitionByRange(6, "ck"),
+        lake,
+    )  # v1: (ck, pc, tag) — generation 1
+    lake_drop_column(lake, "tag")  # v2: 'tag' burned
+    lake_write(
+        spark,
+        o.filter(F.col("ck") % 3 == 0)
+        .withColumn("tag", (F.col("ck") * 7).cast("long")),
+        lake,
+        allow_schema_evolution=True,
+    )  # v3: 'tag' REUSED — fresh physical name, old rows NULL
+    lake_rename_column(lake, "pc", "price")  # v4: pure metadata relabel
+    lake_delete(
+        spark, lake, "tag BETWEEN 140 AND 350", col_types={"tag": "bigint"}
+    )  # v5: pruned DML through the mapping (NULL tag survives)
+
+    def agg(df: DataFrame, tag: str, price_col: str, with_tag: bool) -> DataFrame:
+        tag_cols = (
+            [
+                F.count("tag").alias("n_tag"),
+                F.sum("tag").cast("long").alias("sum_tag"),
+            ]
+            if with_tag
+            else [
+                F.lit(0).cast("long").alias("n_tag"),
+                F.lit(None).cast("long").alias("sum_tag"),
+            ]
+        )
+        return df.agg(
+            F.lit(tag).alias("part"),
+            F.count("*").alias("n"),
+            F.sum(price_col).cast("long").alias("sum_price"),
+            *tag_cols,
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+        ).select("part", "n", "sum_price", "n_tag", "sum_tag", "min_ck", "max_ck")
+
+    head = agg(read_snapshot(spark, lake), "head", "price", True)
+    tt1 = agg(read_snapshot(spark, lake, 1), "tt_v1", "pc", True)
+    tt3 = agg(read_snapshot(spark, lake, 3), "tt_v3", "pc", True)
+    return head.unionByName(tt1).unionByName(tt3).orderBy("part")

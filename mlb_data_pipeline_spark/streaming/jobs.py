@@ -746,6 +746,7 @@ def lake_snapshot_stream(
         lake_publish_branch,
         last_stream_batch_id,
         snapshot_files,
+        snapshot_info,
     )
 
     if branch is not None and (optimize_every or vacuum_keep_last is not None):
@@ -800,7 +801,11 @@ def lake_snapshot_stream(
             seen = [b for b in seen if b is not None]
             if seen and batch_id <= max(seen):
                 return  # redelivery of a committed batch: no-op
-            new = _write_new_files(batch_df, lake_path, [])
+            # column mapping (round 14): a mapped table's batches must
+            # store mapped columns under their physical names too
+            new = _write_new_files(
+                batch_df, lake_path, [], info=_branch_info(lake_path, branch)
+            )
             _branch_commit_append(
                 lake_path, branch, new,
                 summary={"batch_id": batch_id}, op="stream_append", spark=spark,
@@ -859,7 +864,9 @@ def lake_snapshot_stream(
         last = last_stream_batch_id(lake_path)
         if last is not None and batch_id <= last:
             return  # redelivery of a committed batch: no-op
-        new = _write_new_files(batch_df, lake_path, [])
+        new = _write_new_files(
+            batch_df, lake_path, [], info=snapshot_info(lake_path)
+        )
         # append-shaped commit with head assertion + re-union retry
         # (round 12): a concurrent committer (in-stream OPTIMIZE,
         # another writer) can no longer be silently built over

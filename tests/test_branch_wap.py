@@ -503,9 +503,15 @@ def test_branch_schema_evolution_and_publish_carry(spark, tmp_path):
     # main is blind to all of it
     main = read_snapshot(spark, lake)
     assert main.columns == ["k", "v", "note"]
-    # name-reuse guard holds ON the branch
-    with pytest.raises(ValueError, match="renamed away or dropped"):
-        lake_rename_column(lake, "val", "note", branch="ddl")
+    # round 14 (column mapping): renaming ONTO the tombstoned 'note'
+    # is a pure relabel — the dropped note strings never surface
+    # through it (the values are the v-generation ints)
+    lake_rename_column(lake, "val", "note", branch="ddl")
+    br2 = read_branch(spark, lake, "ddl")
+    assert br2.columns == ["k", "note"]
+    assert dict(br2.dtypes)["note"] == "bigint"
+    assert br2.agg(F.sum("note")).head()[0] == sum(2 * i for i in range(100))
+    lake_rename_column(lake, "note", "val", branch="ddl")  # relabel back
     # main took a concurrent APPEND (no schema change): publish carries
     # the branch's evolution over the rebase
     lake_write(spark, kvn(100, 120).coalesce(1), lake)  # v2 main append

@@ -197,7 +197,11 @@ def test_sharded_with_evolution_and_dvs(spark, tmp_path, sharded):
     # time travel: pre-evolution schema AND no mask
     v1 = read_snapshot(spark, lake, 1)
     assert v1.columns == ["k", "v", "note"] and v1.count() == 1200
-    # name-reuse guard holds on the sharded chain too
-    bad = spark.createDataFrame([(1, 2, "x")], "k bigint, val long, note string")
-    with pytest.raises(ValueError, match="renamed away or dropped"):
-        lake_write(spark, bad, lake, allow_schema_evolution=True)
+    # round 14 (column mapping): name reuse on the sharded chain is
+    # legal and isolated — the re-added 'note' stores under a fresh
+    # physical name; the dropped strings stay buried
+    ok = spark.createDataFrame([(5000, 2, "x")], "k bigint, val long, note string")
+    lake_write(spark, ok, lake, allow_schema_evolution=True)
+    assert snapshot_info(lake)["phys"] == {"note": "note__g2", "val": "v"}
+    cur2 = read_snapshot(spark, lake)
+    assert cur2.filter("note IS NOT NULL").count() == 1
