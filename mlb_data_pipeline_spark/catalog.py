@@ -746,6 +746,19 @@ def lake_explain(
     if not branches:
         out["reason"] = "no usable conjunct — full scan + exact filter"
         return out
+    # column mapping (round 14): the explainer consults the same
+    # physically-keyed stats as the planner — translate identically so
+    # the kept-set pin can never drift on a mapped lake
+    from .operators.snapshots import _branch_info as _binfo, _phys_keyed
+
+    eph = _lake_phys(
+        path,
+        version,
+        binfo=_binfo(path, branch) if branch is not None else None,
+    )
+    if eph:
+        branches = _phys_keyed(branches, eph)
+        col_types = _phys_keyed(col_types, eph)
     out["branches"] = len(branches)
     live_set = set(live)
     mf = (

@@ -254,3 +254,51 @@ def test_mapped_partitioned_lake_appends_and_dml(spark, tmp_path):
     assert rep["rows_deleted"] == 1
     got = {(r["k"], r["p"]) for r in read_snapshot(spark, lake).collect()}
     assert got == {(1, "a"), (3, "a")}
+
+
+def test_explain_matches_scan_on_a_mapped_lake(spark, tmp_path):
+    """The explainer consults the same physically-keyed stats as the
+    planner: on a lake whose manifest predates the drop (dead 'x'
+    stats cover 0..99), the explain for a live-x predicate must report
+    the exact kept set the scan reads — neither may prune from the
+    dead ranges."""
+    from mlb_data_pipeline_spark.catalog import lake_explain
+
+    lake, mf = str(tmp_path / "lake"), str(tmp_path / "mf")
+    lake_write(
+        spark,
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), F.col("id").cast("int").alias("x")
+        ).repartitionByRange(4, "k"),
+        lake,
+    )
+    save_scan_manifest(spark, lake, ["x"], mf)
+    register_lake_table(spark, "t_cmap_ex", lake, scan_manifest=mf)
+    lake_drop_column(lake, "x")
+    lake_write(
+        spark,
+        spark.createDataFrame([(200, 2000), (201, 2001)], "k bigint, x int"),
+        lake,
+        allow_schema_evolution=True,
+    )
+    pred = "x >= 2000 AND x <= 2001"
+    exp = lake_explain(spark, "t_cmap_ex", pred)
+    got = lake_scan(spark, "t_cmap_ex", pred)
+    assert got.count() == 2
+    # kept files >= the files actually holding matches; and the
+    # explain's kept count equals total minus its skipped count
+    assert exp["files_kept"] + exp["files_skipped"] == exp["files_total"]
+    # the dead-stats trap: a wrong (logical-keyed) explain would skip
+    # the new files as disjoint from the dead 0..99 range — the new
+    # files must be KEPT
+    skipped = {n for names in exp["skipped"].values() for n in names} if isinstance(
+        exp["skipped"], dict
+    ) else set()
+    import os as _os
+
+    new_files = [
+        n
+        for n in snapshot_files(lake)
+        if "x__g2" in spark.read.parquet(_os.path.join(lake, n)).columns
+    ]
+    assert new_files and not (set(new_files) & skipped)
