@@ -2025,15 +2025,19 @@ def lake_merge(
             nums = [float(row.lo), float(row.hi)]
     import bisect
 
+    # column mapping (round 14): footer/manifest stats key by the
+    # PHYSICAL name — probe under it so a renamed key keeps its
+    # pruning (files without the physical stat stay candidates)
+    pkey = (head_info.get("phys") or {}).get(key, key)
     stats = {
         fs["file"]: fs
-        for fs in _lake_file_stats(spark, path, [key], scan_manifest, files=live)
+        for fs in _lake_file_stats(spark, path, [pkey], scan_manifest, files=live)
     }
     candidates, untouched = [], []
     for n in live:
         fs = stats.get(n)
-        st_lo = fs["min"].get(key) if fs else None
-        st_hi = fs["max"].get(key) if fs else None
+        st_lo = fs["min"].get(pkey) if fs else None
+        st_hi = fs["max"].get(pkey) if fs else None
         if st_lo is None or st_hi is None or nums is None:
             candidates.append(n)  # no usable stats / unprobeable keys
             continue
