@@ -302,3 +302,35 @@ def test_explain_matches_scan_on_a_mapped_lake(spark, tmp_path):
         if "x__g2" in spark.read.parquet(_os.path.join(lake, n)).columns
     ]
     assert new_files and not (set(new_files) & skipped)
+
+
+def test_streaming_batches_store_through_the_mapping(spark, tmp_path):
+    """A mapped lake keeps its physical layout under streaming
+    ingestion: after a rename, micro-batches arriving with the LOGICAL
+    column store under the original physical name and read back
+    exactly."""
+    from mlb_data_pipeline_spark.streaming.jobs import lake_snapshot_stream
+
+    lake = str(tmp_path / "lake")
+    lake_write(
+        spark,
+        spark.createDataFrame([(0, 0)], "k bigint, a bigint"),
+        lake,
+    )
+    lake_rename_column(lake, "a", "b")  # phys b -> a
+    src = str(tmp_path / "src")
+    spark.range(1, 4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("b")
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k BIGINT, b BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    lake_snapshot_stream(stream, lake, str(tmp_path / "ckpt"))
+    got = {(r["k"], r["b"]) for r in read_snapshot(spark, lake).collect()}
+    assert got == {(0, 0), (1, 10), (2, 20), (3, 30)}
+    # every live file physically carries 'a', never 'b'
+    for n in snapshot_files(lake):
+        cols = spark.read.parquet(os.path.join(lake, n)).columns
+        assert "a" in cols and "b" not in cols
