@@ -585,15 +585,38 @@ def _commit_append(
     schema_json: str | None = None,
     spark: SparkSession | None = None,
     phys: dict[str, str] | None = None,
+    require_meta: dict | None = None,
 ) -> int:
     """Commit an APPEND: files = head's live set ∪ ``new_files``. A
     blind append never logically conflicts with a concurrent commit
     (it reads no existing file), so a ``SnapshotConflictError`` here
     just means the head moved — re-read it and re-union (Delta treats
     appends the same way). Bounded retries; the final conflict
-    propagates."""
+    propagates.
+
+    ``require_meta`` (round 14): an EVOLVING append computed its
+    ``schema_json``/``phys`` against a specific head's evolution state
+    — a blind retry over a concurrent ALTER would commit that stale
+    metadata and silently revert the ALTER. The caller passes the
+    evolution keys it planned against; if the head's no longer match,
+    this raises instead of retrying (a real schema-evolution conflict
+    — the caller re-plans, same contract as the DDL paths' parent
+    assertion)."""
     for attempt in range(_COMMIT_RETRIES + 1):
         head, live = _head_and_live(path)
+        if require_meta is not None and head:
+            cur = snapshot_info(path, head)
+            stale = {
+                k
+                for k, v in require_meta.items()
+                if (cur.get(k) or None) != (v or None)
+            }
+            if stale:
+                raise SnapshotConflictError(
+                    f"schema evolution planned against stale metadata "
+                    f"({sorted(stale)} changed concurrently at v{head}) — "
+                    "re-plan the evolving append and retry"
+                )
         try:
             return commit_snapshot(
                 path,
@@ -1008,6 +1031,15 @@ def lake_write(
             path, new, "append",
             summary={"files_added": len(new)}, schema_json=schema_json,
             spark=spark, phys=evolved_phys,
+            # an evolving append's schema/mapping were computed against
+            # THIS head's evolution state — a concurrent ALTER must
+            # conflict, not be silently overwritten by the stale plan
+            require_meta={
+                k: head_info.get(k)
+                for k in ("schema", "renames", "dropped_names", "phys")
+            }
+            if (schema_json is not None or evolved_phys is not None) and live
+            else None,
         )
         files = snapshot_files(path, version)
     return {"version": version, "files_added": len(new), "files_live": len(files)}

@@ -334,3 +334,42 @@ def test_streaming_batches_store_through_the_mapping(spark, tmp_path):
     for n in snapshot_files(lake):
         cols = spark.read.parquet(os.path.join(lake, n)).columns
         assert "a" in cols and "b" not in cols
+
+
+def test_evolving_append_conflicts_with_concurrent_alter(spark, tmp_path, monkeypatch):
+    """A concurrent ALTER landing between an evolving append's plan
+    and its commit must raise, never be silently reverted by the
+    append's stale schema/mapping (the blind re-union retry is for
+    FILE conflicts only)."""
+    import pytest
+
+    from mlb_data_pipeline_spark.operators import snapshots as S
+
+    lake = str(tmp_path / "lake")
+    lake_write(
+        spark,
+        spark.createDataFrame([(1, 10)], "k int, a int"),
+        lake,
+    )
+    real_write = S._write_new_files
+    fired = {"done": False}
+
+    def write_then_alter(df, path, pcols, info=None):
+        out = real_write(df, path, pcols, info=info)
+        if not fired["done"]:
+            fired["done"] = True
+            lake_rename_column(lake, "a", "z")  # lands mid-append
+        return out
+
+    monkeypatch.setattr(S, "_write_new_files", write_then_alter)
+    with pytest.raises(S.SnapshotConflictError, match="stale metadata"):
+        lake_write(
+            spark,
+            spark.createDataFrame([(2, 20, "n")], "k int, a int, extra string"),
+            lake,
+            allow_schema_evolution=True,
+        )
+    # the rename won; the failed append's rows never became visible
+    cur = read_snapshot(spark, lake)
+    assert cur.columns == ["k", "z"]
+    assert {(r["k"], r["z"]) for r in cur.collect()} == {(1, 10)}
