@@ -432,6 +432,16 @@ def cosine_pairs_lsh(
         from .dedup import cap_hot_keys
 
         banded = cap_hot_keys(banded, ["__bk"], max_band_freq)
+    # lazy localCheckpoint: the banded key set feeds BOTH sides of the
+    # candidate self-join — without it the signature UDF (scan + matmul
+    # + explode + the cap's window) executes once per side (the plan
+    # carried 12 ArrowEvalPython nodes for ONE logical signature pass).
+    # The checkpoint materializes (id, int32 key) rows only — the
+    # narrowest frame in the pipeline, rows x bands x (1 + per_band *
+    # probe_bits) — so at cluster scale this is the moral equivalent of
+    # persisting the banding pass, which every published LSH pipeline
+    # does before the bucket join.
+    banded = banded.localCheckpoint(eager=False)
     cand = (
         banded.select(F.col(id_col).alias("id_a"), "__bk")
         .join(banded.select(F.col(id_col).alias("id_b"), "__bk"), "__bk")
