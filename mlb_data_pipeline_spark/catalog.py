@@ -302,11 +302,25 @@ def _extract_conjuncts(
         return (col_types or {}).get(col) in _INTEGRAL_TYPES
 
     # BETWEEN first, located on the scrubbed text (the AND split below
-    # would sever it); literal tokens recovered from the original by
-    # span so date strings survive the scrub
+    # would sever it at BETWEEN's own AND); literal tokens recovered
+    # from the original by span so date strings survive the scrub.
+    # DEPTH-0 MATCHES ONLY: this branch is conjunctive at its top level
+    # (any depth-0 OR was split off by _or_leaves), but a BETWEEN inside
+    # parentheses can sit under a nested OR — e.g.
+    # ``k >= 0 AND (k IS NOT NULL OR k BETWEEN 0 AND 0)`` — where
+    # folding it as a conjunct is unsound (it silently intersected the
+    # box with [0, 0]). Parenthesized whole-conjunct BETWEENs are
+    # handled soundly by the fullmatch arm in the loop below instead.
+    depth_at = []
+    d = 0
+    for ch in scrub:
+        depth_at.append(d)
+        d += {"(": 1, ")": -1}.get(ch, 0)
     for m in re.finditer(
         rf"({_COL})\s+(?i:BETWEEN)\s+({_LIT})\s+(?i:AND)\s+({_LIT})", scrub
     ):
+        if depth_at[m.start()] != 0:
+            continue
         col = m.group(1)
         lo = bound(col, _parse_lit(orig[m.start(2) : m.end(2)]))
         hi = bound(col, _parse_lit(orig[m.start(3) : m.end(3)]))
@@ -314,7 +328,19 @@ def _extract_conjuncts(
             fold(col, lo, hi)
 
     for conj_o, conj_s in _split_top(orig, scrub, "AND"):
-        c, _cs = _unwrap2(conj_o, conj_s)
+        c, cs = _unwrap2(conj_o, conj_s)
+        # a parenthesized BETWEEN conjunct — ``(k BETWEEN 1 AND 2)`` —
+        # survives the AND split whole (its AND is inside parens) but
+        # the depth-gated pre-pass above skipped it; fullmatch makes it
+        # provably THE conjunct, so folding is sound here
+        m = re.fullmatch(rf"({_COL})\s+(?i:BETWEEN)\s+({_LIT})\s+(?i:AND)\s+({_LIT})", cs)
+        if m:
+            col = m.group(1)
+            lo = bound(col, _parse_lit(c[m.start(2) : m.end(2)]))
+            hi = bound(col, _parse_lit(c[m.start(3) : m.end(3)]))
+            if lo is not None and hi is not None:
+                fold(col, lo, hi)
+            continue
         m = re.fullmatch(rf"({_COL})\s+(?i:IS)(\s+(?i:NOT))?\s+(?i:NULL)", c)
         if m:
             col, kind = m.group(1), "notnull" if m.group(2) else "null"

@@ -918,6 +918,36 @@ def test_extract_skip_branches_and_temporal_shapes():
     assert exact("ts >= '1997-01-01'", {"ts": "timestamp"}) is None
 
 
+def test_extract_conjuncts_between_under_nested_or_is_not_folded():
+    """Round-14 regression (found by the random-predicate property
+    test): the BETWEEN pre-pass scanned the WHOLE conjunctive branch,
+    so a BETWEEN nested inside a parenthesized OR —
+    ``k >= 0 AND (k IS NOT NULL OR k BETWEEN 0 AND 0)`` — was folded
+    into the box as if it were a top-level conjunct, silently
+    intersecting with [0, 0] and pruning files that match the OR's
+    other disjunct. The pre-pass is now depth-0-gated; parenthesized
+    whole-conjunct BETWEENs fold via a fullmatch arm instead."""
+    from mlb_data_pipeline_spark.catalog import _extract_skip_branches as br
+
+    inf = float("inf")
+    # the nested OR conjunct contributes nothing (must-read): only the
+    # k >= 0 bound may prune
+    assert br("k >= 0 AND (k IS NOT NULL OR k BETWEEN 0 AND 0)") == [
+        ({"k": (0, inf)}, {}, {}, {})
+    ]
+    assert br("v = 7 AND (k BETWEEN 1 AND 2 OR k BETWEEN 5 AND 6)") == [
+        ({"v": (7, 7)}, {"v": 7}, {}, {})
+    ]
+    # a PARENTHESIZED whole-conjunct BETWEEN still folds (fullmatch arm)
+    assert br("(k BETWEEN 1 AND 2) AND v = 3") == [
+        ({"k": (1, 2), "v": (3, 3)}, {"v": 3}, {}, {})
+    ]
+    # and the plain top-level form keeps folding via the pre-pass
+    assert br("k BETWEEN 1 AND 2 AND v = 3") == [
+        ({"k": (1, 2), "v": (3, 3)}, {"v": 3}, {}, {})
+    ]
+
+
 def test_optimize_clustered_restores_pruning_without_touching_clean_files(spark, tmp_path):
     """Incremental OPTIMIZE (round 10): appends degrade a z-ordered
     lake's file pruning; optimize_clustered rewrites ONLY the
