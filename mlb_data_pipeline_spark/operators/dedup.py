@@ -157,6 +157,14 @@ def minhash_candidate_pairs(
     sig = minhash_signature_rows(df, id_col, gset_col, n_hashes)
     if max_band_freq is not None:
         sig = cap_hot_keys(sig, ["band", "mh"], max_band_freq)
+    # lazy localCheckpoint: the signature rows feed BOTH sides of the
+    # candidate self-join — without it the banding pass (minhash
+    # transforms + explode + the cap's window) executes once per side
+    # (the q44 plan carried two Window+Generate subtrees for ONE logical
+    # pass). (id, band, mh) is the narrowest frame in the pipeline, so
+    # this is the same materialize-the-banding-pass move as
+    # vector.cosine_pairs_lsh.
+    sig = sig.localCheckpoint(eager=False)
     return _pairs_from_sig_rows(sig, id_col)
 
 
@@ -328,10 +336,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Seed labels with round 1 already applied: against identity labels
+    # the first neighbor-min join degenerates to min(dst) per src, so one
+    # aggregation replaces that round's two joins and its convergence
+    # count. Symmetrized edges list every node as src, so this also
+    # enumerates the node set (which the identity init needed a distinct
+    # for anyway).
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(F.col("src").alias("id"), F.least("src", "__mn").alias("component"))
         .localCheckpoint(eager=False)
     )
     n_changed = 0
@@ -501,7 +515,12 @@ def incremental_neardup_pairs(
     spark = new_docs.sparkSession
     sig_path, sh_path = _store_paths(path)
     sh_delta = _shingled(new_docs, id_col, text_col, shingle_n)
-    sig_delta = minhash_signature_rows(sh_delta, id_col, "shingles", n_hashes)
+    # lazy localCheckpoint: the raw delta signature rows feed the hot
+    # count (cap branch) and every candidate subtree below — banding the
+    # delta must run once, not once per appearance
+    sig_delta = minhash_signature_rows(sh_delta, id_col, "shingles", n_hashes).localCheckpoint(
+        eager=False
+    )
     store_sig = spark.read.parquet(sig_path).select(id_col, "band", "mh")
     if max_band_freq is not None:
         hot = (
@@ -512,7 +531,11 @@ def incremental_neardup_pairs(
             .filter(F.col("__kf") > max_band_freq)
             .select("band", "mh")
         )
-        sig_delta = sig_delta.join(hot, ["band", "mh"], "left_anti")
+        # the anti-joined frame again feeds the cross join plus both
+        # sides of the delta-internal self-join: materialize the narrow
+        # (id, band, mh) result once instead of re-running the anti-join
+        # per subtree
+        sig_delta = sig_delta.join(hot, ["band", "mh"], "left_anti").localCheckpoint(eager=False)
         store_sig = store_sig.join(hot, ["band", "mh"], "left_anti")
     cross = (
         sig_delta.select(F.col(id_col).alias("__new"), "band", "mh")
@@ -566,6 +589,10 @@ def exact_span_overlap_pairs(
     )
     if max_span_freq is not None:
         sp = cap_hot_keys(sp, ["__h"], max_span_freq)
+    # lazy localCheckpoint: (id, hash) feeds both sides of the pair
+    # self-join — materialize the span-hashing pass (md5 per shingle +
+    # explode + cap window) once, not once per side
+    sp = sp.localCheckpoint(eager=False)
     a = sp.select(F.col(id_col).alias("id_a"), "__h")
     b = sp.select(F.col(id_col).alias("id_b"), "__h")
     return (
@@ -797,6 +824,10 @@ def winnow_fingerprint_pairs(
     )
     if max_fp_freq is not None:
         sp = cap_hot_keys(sp, ["__h"], max_fp_freq)
+    # lazy localCheckpoint: winnowing (k-gram hashing + window-min
+    # selection) is the expensive pass and (id, hash) feeds both sides
+    # of the self-join — materialize it once, not once per side
+    sp = sp.localCheckpoint(eager=False)
     a = sp.select(F.col(id_col).alias("id_a"), "__h")
     b = sp.select(F.col(id_col).alias("id_b"), "__h")
     return (
@@ -881,6 +912,9 @@ def fuzzy_pairs(
     g = base.select("__id", "__s", F.explode(block_keys).alias("__g"))
     if max_gram_freq is not None:
         g = cap_hot_keys(g, ["__g"], max_gram_freq)
+    # lazy localCheckpoint: the q-gram blocking rows feed both sides of
+    # the candidate self-join — hash + explode (+ cap window) once
+    g = g.localCheckpoint(eager=False)
     a = g.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__g")
     b = g.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__g")
     cand = (

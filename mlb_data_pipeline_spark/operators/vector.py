@@ -23,6 +23,7 @@ Scale tiers:
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 
 import numpy as np
@@ -74,6 +75,58 @@ def dot_arrow_seq():
         return pd.Series(acc)
 
     return pdot
+
+
+def _gather_dot(base: DataFrame, id_col: str, vec_col: str):
+    """Pair scoring over a BROADCAST id->vector matrix: a pandas UDF
+    ``(id_a, id_b) -> dot`` that gathers both rows from one executor-held
+    float32 matrix instead of shipping both vectors per candidate pair
+    through the Arrow boundary.
+
+    Same arithmetic as ``dot_arrow`` to the bit: the matrix dtype is
+    matched to what Arrow delivers for the column's element type
+    (float32 for ``array<float>``, float64 for ``array<double>``), so
+    the per-pair ``einsum`` sees the identical operands in the identical
+    order — only the TRANSPORT changes (2 longs per pair instead of
+    2 x dim floats, a ~dim*4x cut in Python-boundary bytes; the guide's
+    §8 rule: move decisions on lightweight proxies, not payloads).
+
+    Collects the (id, vector) frame to the driver ONCE per call — the
+    caller must size-guard (see ``cosine_pairs_lsh``'s ``n_rows`` gate):
+    this is the standard broadcast-side collect of a broadcast join,
+    never legal on an unbounded corpus."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    pdf = base.select(id_col, vec_col).toPandas()
+    idx = pd.Index(pdf[id_col].to_numpy())
+    mat = np.stack(pdf[vec_col].to_numpy())
+    # match the dtype Arrow would deliver to the join-path UDF exactly:
+    # float32 rows for array<float>, float64 for array<double> — the
+    # einsum then sees bit-identical operands either way
+    elem = base.schema[vec_col].dataType.elementType
+    if isinstance(elem, FloatType):
+        mat = mat.astype("float32", copy=False)
+    elif isinstance(elem, DoubleType):
+        mat = mat.astype("float64", copy=False)
+    bc = base.sparkSession.sparkContext.broadcast((idx, mat))
+
+    @F.pandas_udf("double")
+    def gdot(a_ids: pd.Series, b_ids: pd.Series) -> pd.Series:
+        gidx, gmat = bc.value
+        if len(a_ids) == 0:
+            return pd.Series(np.zeros(0))
+        va = gmat[gidx.get_indexer(a_ids.to_numpy())]
+        vb = gmat[gidx.get_indexer(b_ids.to_numpy())]
+        return pd.Series(np.einsum("ij,ij->i", va, vb))
+
+    return gdot
+
+
+# gather-scoring budget: float32 matrix bytes broadcast to each Python
+# worker. Default 64 MB; a cluster deploy sizes it to executor RAM via
+# SPARK_GRAFT_LSH_GATHER_BYTES (docs/DEPLOY.md §0) — past the budget the
+# candidate join ships vectors per pair (the unbounded-corpus plan).
+_LSH_GATHER_BYTES = int(os.environ.get("SPARK_GRAFT_LSH_GATHER_BYTES", str(64 << 20)))
 
 
 def _over_limit(df: DataFrame, id_col: str, cap: int) -> bool:
@@ -376,6 +429,7 @@ def cosine_pairs_lsh(
         raise ValueError("pass both n_planes and bands, or neither (auto via lsh_params)")
     if n_planes is None:
         n = n_rows if n_rows is not None else df.count()
+        n_rows = n  # the resolved size also feeds the scoring-tier gate below
         n_planes, bands, auto_probe = lsh_params(n, threshold)
         if probe_bits is None:
             probe_bits = auto_probe
@@ -449,6 +503,27 @@ def cosine_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Residual scoring. The candidate set is the large side here (a 4-bit
+    # recall-study point yields ~n^2/4 candidates), so shipping BOTH full
+    # vectors per pair through the Arrow boundary dominates the wall.
+    # When the corpus provably fits the gather budget (caller passed
+    # n_rows), score via a broadcast id->matrix gather instead: the pair
+    # stream carries 2 longs + the two precomputed norm doubles, a
+    # ~dim*4x cut in boundary and join bytes with bit-identical float32
+    # einsum arithmetic. Past the budget (or with no n_rows bound) the
+    # vector join below is the scale plan — candidates there are bounded
+    # by lsh_params (<= 8n), not quadratic.
+    if n_rows is not None and n_rows * dim * 4 <= _LSH_GATHER_BYTES:
+        gdot = _gather_dot(base, id_col, vec_col)
+        na = base.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+        nb = base.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+        return (
+            cand.join(na, "id_a")
+            .join(nb, "id_b")
+            .withColumn(sim_col, gdot(F.col("id_a"), F.col("id_b")) / (F.col("__na") * F.col("__nb")))
+            .filter(F.col(sim_col) >= F.lit(threshold))
+            .select(F.col("id_a").alias(f"a_{id_col}"), F.col("id_b").alias(f"b_{id_col}"), F.col(sim_col))
+        )
     va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
     pdot = dot_arrow()

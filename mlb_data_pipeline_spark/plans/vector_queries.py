@@ -68,7 +68,10 @@ ORDER BY query_id, rank
 def q36_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    topk = knn_join(emb, queries, "vec_id", "embedding", k=2)
+    # max_queries=None: the vec_id < 10 predicate bounds the query side
+    # to <= 10 rows by construction, so the guard's limit-probe job
+    # (one action per invocation) proves nothing the filter doesn't.
+    topk = knn_join(emb, queries, "vec_id", "embedding", k=2, max_queries=None)
     return topk.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -159,9 +162,13 @@ def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands) guards the pathological point-mass case; a non-degenerate
     # corpus never trips it, so rows are unchanged at every bench sf.
     n = emb.count()
+    # n_rows feeds the residual-scoring gather guard only (params are
+    # explicit here): the count above already bounds the corpus, so the
+    # broadcast-gather tier can score candidate pairs by id instead of
+    # shipping both 64-float vectors per pair through Arrow.
     pairs = cosine_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.3, n_planes=32, bands=8, dim=64,
-        max_band_freq=band_freq_cap(n, 32 // 8),
+        max_band_freq=band_freq_cap(n, 32 // 8), n_rows=n,
     )
     return pairs.select(
         F.col("a_vec_id").alias("vec_a"),
@@ -538,7 +545,10 @@ def q18_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    top = sq8_knn_join(emb, queries, "vec_id", "embedding", k=2, dim=64)
+    # max_queries=None: vec_id < 10 bounds the query side statically —
+    # same caller-proved-bound contract as q36 (saves the guard's
+    # limit-probe action per invocation).
+    top = sq8_knn_join(emb, queries, "vec_id", "embedding", k=2, dim=64, max_queries=None)
     return top.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
