@@ -1481,19 +1481,34 @@ def sq8_bounds(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
     # dim guard folded INTO the aggregate (round 10): a wrong dim would
-    # yield NULL bounds (element_at past the end) and silently null
-    # scores downstream, but probing with a separate first() job doubled
-    # the train cost in the knn hot path — instead min/max vector sizes
-    # ride the same single pass and an in-plan raise fires on mismatch
-    v = F.col(vec_col)
-    aggs = [
-        F.min(F.size(v)).alias("__sz_min"),
-        F.max(F.size(v)).alias("__sz_max"),
-    ]
-    for i in range(1, dim + 1):
-        e = F.element_at(v, i).cast("double")
-        aggs.append(F.min(e).alias(f"__lo_{i}"))
-        aggs.append(F.max(e).alias(f"__hi_{i}"))
+    # yield NULL bounds and silently null scores downstream, but probing
+    # with a separate first() job doubled the train cost in the knn hot
+    # path — instead min/max vector sizes ride the same single pass and
+    # an in-plan raise fires on mismatch.
+    #
+    # Shape (round 14): posexplode + two-level aggregate instead of
+    # 2*dim+2 element_at aggregates in one row. The wide-agg form spent
+    # more on plan analysis + interpreted aggregate evaluation than on
+    # data (130 expressions: ~0.6 s planning + ~0.6 s execution per call
+    # at sf0.1); the exploded form is 4 codegen expressions and a
+    # partial-aggregated shuffle of dim groups (measured 1.6 s -> 0.3 s).
+    # min/max are order-free, so the bounds are bit-identical.
+    ex = corpus.select(
+        F.size(F.col(vec_col)).alias("__sz"),
+        F.posexplode_outer(F.col(vec_col).cast("array<double>")).alias("__i", "__x"),
+    )
+    per = ex.groupBy("__i").agg(
+        F.min("__sz").alias("__szmn"),
+        F.max("__sz").alias("__szmx"),
+        F.min("__x").alias("__lo"),
+        F.max("__x").alias("__hi"),
+    )
+    agged = per.agg(
+        F.min("__szmn").alias("__sz_min"),
+        F.max("__szmx").alias("__sz_max"),
+        F.array_sort(F.collect_list(F.struct(F.col("__i").alias("i"), F.col("__lo").alias("v")))).alias("__los"),
+        F.array_sort(F.collect_list(F.struct(F.col("__i").alias("i"), F.col("__hi").alias("v")))).alias("__his"),
+    )
     dim_ok = (F.col("__sz_min") == dim) & (F.col("__sz_max") == dim)
     # coalesce the size columns in the message: on an EMPTY corpus the
     # agg row is all NULLs, dim_ok is NULL, the otherwise branch fires —
@@ -1509,11 +1524,11 @@ def sq8_bounds(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
             F.lit(" elements"),
         )
     )
-    return corpus.agg(*aggs).select(
-        F.when(dim_ok, F.array(*[F.col(f"__lo_{i}") for i in range(1, dim + 1)]))
+    return agged.select(
+        F.when(dim_ok, F.transform(F.col("__los"), lambda s: s["v"]))
         .otherwise(err.cast("array<double>"))
         .alias("sq_lo"),
-        F.array(*[F.col(f"__hi_{i}") for i in range(1, dim + 1)]).alias("sq_hi"),
+        F.transform(F.col("__his"), lambda s: s["v"]).alias("sq_hi"),
     )
 
 
@@ -1624,6 +1639,63 @@ def sq8_knn_join(
         .drop("sq_lo", "sq_hi")
         .withColumn("__cn", norm("__recon"))
     )
+    if not rerank:
+        # Matrix-scored path: the query side is broadcast-bounded (the
+        # max_queries contract above), so ship each reconstructed corpus
+        # row through the Arrow boundary ONCE and score it against the
+        # whole query matrix inside the UDF — dim doubles in + n_q dots
+        # out per corpus row, vs 2*dim doubles per (corpus x query) PAIR
+        # through the old cross-join (a ~2*n_q/(1 + n_q/dim)x cut in
+        # boundary bytes; guide §4.1/§2.3). The fold is the SAME
+        # left-to-right per-dimension sequence as dot_arrow_seq /
+        # DuckDB's list_dot_product, vectorized across queries, so every
+        # dot is bit-identical and the path stays oracle-exact (q18).
+        qrows = queries.select(id_col, vec_col).collect()
+        if qrows:
+            qmat = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+            bcq = ce.sparkSession.sparkContext.broadcast(qmat)
+
+            @F.pandas_udf("array<double>")
+            def qdots(recon: pd.Series) -> pd.Series:
+                qm = bcq.value
+                if len(recon) == 0:
+                    return pd.Series([], dtype=object)
+                rm = np.stack(recon.to_numpy()).astype("float64")
+                acc = np.zeros((rm.shape[0], qm.shape[0]), dtype="float64")
+                for j in range(rm.shape[1]):  # sequential over dims = exact fold order
+                    acc = acc + rm[:, j : j + 1] * qm[None, :, j]
+                return pd.Series(list(acc))
+
+            # positional query metadata: __qpos indexes the broadcast
+            # matrix rows; __qn is the SAME JVM norm fold as before
+            qmeta = (
+                ce.sparkSession.createDataFrame(
+                    [(i, r[0]) for i, r in enumerate(qrows)],
+                    schema=f"__qpos int, __qid {queries.schema[id_col].dataType.simpleString()}",
+                )
+                .join(F.broadcast(queries.select(F.col(id_col).alias("__qid"), vec_col)), "__qid")
+                .withColumn("__qn", norm(vec_col))
+                .select("__qpos", F.col("__qid").alias("query_id"), "__qn")
+            )
+            scored = (
+                ce.select(id_col, vec_col, F.col("__cn"), F.posexplode(qdots("__recon")).alias("__qpos", "__dot"))
+                .join(F.broadcast(qmeta), "__qpos")
+                .filter(F.col("query_id") != F.col(id_col))
+                .withColumn("sim", F.col("__dot") / (F.col("__cn") * F.col("__qn")))
+            )
+        else:  # empty query side: nothing to score
+            scored = (
+                ce.select(id_col, vec_col, F.col("__cn"))
+                .withColumn("query_id", F.col(id_col))
+                .withColumn("sim", F.lit(0.0))
+                .filter(F.lit(False))
+            )
+        w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, vec_col, "query_id", "sim", "rank")
+        )
     q = _prefix(queries.select(id_col, vec_col), "q_").withColumn("__qn", norm(f"q_{vec_col}"))
     joined = ce.join(F.broadcast(q)).filter(F.col(f"q_{id_col}") != F.col(id_col))
     pdot = dot_arrow_seq()
@@ -1633,10 +1705,8 @@ def sq8_knn_join(
         "sim", pdot("__recon", f"q_{vec_col}") / (F.col("__cn") * F.col("__qn"))
     ).drop("__recon", "__cn", "__qn")
     w = Window.partitionBy(f"q_{id_col}").orderBy(F.col("sim").desc(), F.col(id_col).asc())
-    pre_k = k * rerank_factor if rerank else k
+    pre_k = k * rerank_factor
     top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= pre_k)
-    if not rerank:
-        return top.drop(f"q_{vec_col}", "sq8").withColumnRenamed(f"q_{id_col}", "query_id")
     # exact-cosine rerank over the bounded candidate set (k*factor per query)
     rescored = top.withColumn("sim", cosine(vec_col, f"q_{vec_col}")).drop("rank")
     w2 = Window.partitionBy(f"q_{id_col}").orderBy(F.col("sim").desc(), F.col(id_col).asc())
