@@ -1639,63 +1639,6 @@ def sq8_knn_join(
         .drop("sq_lo", "sq_hi")
         .withColumn("__cn", norm("__recon"))
     )
-    if not rerank:
-        # Matrix-scored path: the query side is broadcast-bounded (the
-        # max_queries contract above), so ship each reconstructed corpus
-        # row through the Arrow boundary ONCE and score it against the
-        # whole query matrix inside the UDF — dim doubles in + n_q dots
-        # out per corpus row, vs 2*dim doubles per (corpus x query) PAIR
-        # through the old cross-join (a ~2*n_q/(1 + n_q/dim)x cut in
-        # boundary bytes; guide §4.1/§2.3). The fold is the SAME
-        # left-to-right per-dimension sequence as dot_arrow_seq /
-        # DuckDB's list_dot_product, vectorized across queries, so every
-        # dot is bit-identical and the path stays oracle-exact (q18).
-        qrows = queries.select(id_col, vec_col).collect()
-        if qrows:
-            qmat = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
-            bcq = ce.sparkSession.sparkContext.broadcast(qmat)
-
-            @F.pandas_udf("array<double>")
-            def qdots(recon: pd.Series) -> pd.Series:
-                qm = bcq.value
-                if len(recon) == 0:
-                    return pd.Series([], dtype=object)
-                rm = np.stack(recon.to_numpy()).astype("float64")
-                acc = np.zeros((rm.shape[0], qm.shape[0]), dtype="float64")
-                for j in range(rm.shape[1]):  # sequential over dims = exact fold order
-                    acc = acc + rm[:, j : j + 1] * qm[None, :, j]
-                return pd.Series(list(acc))
-
-            # positional query metadata: __qpos indexes the broadcast
-            # matrix rows; __qn is the SAME JVM norm fold as before
-            qmeta = (
-                ce.sparkSession.createDataFrame(
-                    [(i, r[0]) for i, r in enumerate(qrows)],
-                    schema=f"__qpos int, __qid {queries.schema[id_col].dataType.simpleString()}",
-                )
-                .join(F.broadcast(queries.select(F.col(id_col).alias("__qid"), vec_col)), "__qid")
-                .withColumn("__qn", norm(vec_col))
-                .select("__qpos", F.col("__qid").alias("query_id"), "__qn")
-            )
-            scored = (
-                ce.select(id_col, vec_col, F.col("__cn"), F.posexplode(qdots("__recon")).alias("__qpos", "__dot"))
-                .join(F.broadcast(qmeta), "__qpos")
-                .filter(F.col("query_id") != F.col(id_col))
-                .withColumn("sim", F.col("__dot") / (F.col("__cn") * F.col("__qn")))
-            )
-        else:  # empty query side: nothing to score
-            scored = (
-                ce.select(id_col, vec_col, F.col("__cn"))
-                .withColumn("query_id", F.col(id_col))
-                .withColumn("sim", F.lit(0.0))
-                .filter(F.lit(False))
-            )
-        w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(id_col, vec_col, "query_id", "sim", "rank")
-        )
     q = _prefix(queries.select(id_col, vec_col), "q_").withColumn("__qn", norm(f"q_{vec_col}"))
     joined = ce.join(F.broadcast(q)).filter(F.col(f"q_{id_col}") != F.col(id_col))
     pdot = dot_arrow_seq()
@@ -1705,8 +1648,10 @@ def sq8_knn_join(
         "sim", pdot("__recon", f"q_{vec_col}") / (F.col("__cn") * F.col("__qn"))
     ).drop("__recon", "__cn", "__qn")
     w = Window.partitionBy(f"q_{id_col}").orderBy(F.col("sim").desc(), F.col(id_col).asc())
-    pre_k = k * rerank_factor
+    pre_k = k * rerank_factor if rerank else k
     top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= pre_k)
+    if not rerank:
+        return top.drop(f"q_{vec_col}", "sq8").withColumnRenamed(f"q_{id_col}", "query_id")
     # exact-cosine rerank over the bounded candidate set (k*factor per query)
     rescored = top.withColumn("sim", cosine(vec_col, f"q_{vec_col}")).drop("rank")
     w2 = Window.partitionBy(f"q_{id_col}").orderBy(F.col("sim").desc(), F.col(id_col).asc())
