@@ -45,6 +45,29 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a catalog table from parquet FOOTER metadata —
+    no Spark job. The parquet footer's num_rows is exact by format
+    contract, so this equals ``load_table(...).count()`` while costing a
+    driver-side footer read instead of a scan job (guide §1: a count
+    used only to SIZE an operator — LSH caps, gather budgets — is
+    metadata, not computation). Handles both a single parquet file and a
+    directory of part files; at cluster scale a catalog table with
+    thousands of files belongs in the lake layer, whose metadata count
+    (``lake_count``) distributes footer reads — this helper is the plain
+    path-table sibling."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            int(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return int(pq.ParquetFile(path).metadata.num_rows)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Resolve ``name`` to a DataFrame over ``sf_dir``'s parquet.
 

@@ -77,27 +77,33 @@ def dot_arrow_seq():
     return pdot
 
 
-def _gather_dot(base: DataFrame, id_col: str, vec_col: str):
+def _gather_sim(base: DataFrame, id_col: str, vec_col: str, norm_col: str):
     """Pair scoring over a BROADCAST id->vector matrix: a pandas UDF
-    ``(id_a, id_b) -> dot`` that gathers both rows from one executor-held
-    float32 matrix instead of shipping both vectors per candidate pair
-    through the Arrow boundary.
+    ``(id_a, id_b) -> cosine sim`` that gathers both rows (and their
+    precomputed JVM norms) from one executor-held float32 matrix instead
+    of shipping both vectors per candidate pair through the Arrow
+    boundary — AND instead of joining the norms back onto the pair
+    stream (the norms ride the same broadcast, so the two per-side
+    norm joins disappear from the plan).
 
-    Same arithmetic as ``dot_arrow`` to the bit: the matrix dtype is
+    Same arithmetic as the join path to the bit: the matrix dtype is
     matched to what Arrow delivers for the column's element type
     (float32 for ``array<float>``, float64 for ``array<double>``), so
     the per-pair ``einsum`` sees the identical operands in the identical
-    order — only the TRANSPORT changes (2 longs per pair instead of
-    2 x dim floats, a ~dim*4x cut in Python-boundary bytes; the guide's
-    §8 rule: move decisions on lightweight proxies, not payloads).
+    order; the norms are the JVM ``norm()`` doubles collected as-is and
+    the division is the same IEEE ``dot / (na * nb)`` double op — only
+    the TRANSPORT changes (2 longs per pair instead of 2 x dim floats
+    plus two joined norm doubles, a ~dim*4x cut in Python-boundary
+    bytes; the guide's §8 rule: move decisions on lightweight proxies,
+    not payloads).
 
-    Collects the (id, vector) frame to the driver ONCE per call — the
-    caller must size-guard (see ``cosine_pairs_lsh``'s ``n_rows`` gate):
-    this is the standard broadcast-side collect of a broadcast join,
-    never legal on an unbounded corpus."""
+    Collects the (id, vector, norm) frame to the driver ONCE per call —
+    the caller must size-guard (see ``cosine_pairs_lsh``'s ``n_rows``
+    gate): this is the standard broadcast-side collect of a broadcast
+    join, never legal on an unbounded corpus."""
     from pyspark.sql.types import DoubleType, FloatType
 
-    pdf = base.select(id_col, vec_col).toPandas()
+    pdf = base.select(id_col, vec_col, norm_col).toPandas()
     idx = pd.Index(pdf[id_col].to_numpy())
     mat = np.stack(pdf[vec_col].to_numpy())
     # match the dtype Arrow would deliver to the join-path UDF exactly:
@@ -108,18 +114,23 @@ def _gather_dot(base: DataFrame, id_col: str, vec_col: str):
         mat = mat.astype("float32", copy=False)
     elif isinstance(elem, DoubleType):
         mat = mat.astype("float64", copy=False)
-    bc = base.sparkSession.sparkContext.broadcast((idx, mat))
+    nrm = pdf[norm_col].to_numpy().astype("float64", copy=False)
+    bc = base.sparkSession.sparkContext.broadcast((idx, mat, nrm))
 
     @F.pandas_udf("double")
-    def gdot(a_ids: pd.Series, b_ids: pd.Series) -> pd.Series:
-        gidx, gmat = bc.value
+    def gsim(a_ids: pd.Series, b_ids: pd.Series) -> pd.Series:
+        gidx, gmat, gn = bc.value
         if len(a_ids) == 0:
             return pd.Series(np.zeros(0))
-        va = gmat[gidx.get_indexer(a_ids.to_numpy())]
-        vb = gmat[gidx.get_indexer(b_ids.to_numpy())]
-        return pd.Series(np.einsum("ij,ij->i", va, vb))
+        ia = gidx.get_indexer(a_ids.to_numpy())
+        ib = gidx.get_indexer(b_ids.to_numpy())
+        # float32 einsum == the join path's dot_arrow on array<float>
+        # operands; the float64 cast then the (na*nb)-first division
+        # reproduce the JVM's `dot / (norm_a * norm_b)` bit-for-bit
+        d = np.einsum("ij,ij->i", gmat[ia], gmat[ib]).astype("float64")
+        return pd.Series(d / (gn[ia] * gn[ib]))
 
-    return gdot
+    return gsim
 
 
 # gather-scoring budget: float32 matrix bytes broadcast to each Python
@@ -501,29 +512,31 @@ def cosine_pairs_lsh(
         .join(banded.select(F.col(id_col).alias("id_b"), "__bk"), "__bk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
     # Residual scoring. The candidate set is the large side here (a 4-bit
     # recall-study point yields ~n^2/4 candidates), so shipping BOTH full
     # vectors per pair through the Arrow boundary dominates the wall.
     # When the corpus provably fits the gather budget (caller passed
     # n_rows), score via a broadcast id->matrix gather instead: the pair
-    # stream carries 2 longs + the two precomputed norm doubles, a
-    # ~dim*4x cut in boundary and join bytes with bit-identical float32
-    # einsum arithmetic. Past the budget (or with no n_rows bound) the
-    # vector join below is the scale plan — candidates there are bounded
-    # by lsh_params (<= 8n), not quadratic.
+    # stream carries 2 longs only (norms ride the broadcast), a ~dim*4x
+    # cut in boundary and join bytes with bit-identical float32 einsum
+    # arithmetic — and scoring runs on the RAW band matches so the
+    # dedupe aggregate moves from the full candidate volume down to the
+    # threshold survivors (sim is a pure function of the pair, so
+    # distinct-after-score keeps the same set). Past the budget (or with
+    # no n_rows bound) the vector join below is the scale plan —
+    # candidates there are bounded by lsh_params (<= 8n), not quadratic,
+    # and distinct-first stays right because every extra pair costs
+    # 2 x dim floats through the join.
     if n_rows is not None and n_rows * dim * 4 <= _LSH_GATHER_BYTES:
-        gdot = _gather_dot(base, id_col, vec_col)
-        na = base.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-        nb = base.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+        gsim = _gather_sim(base, id_col, vec_col, "__n")
         return (
-            cand.join(na, "id_a")
-            .join(nb, "id_b")
-            .withColumn(sim_col, gdot(F.col("id_a"), F.col("id_b")) / (F.col("__na") * F.col("__nb")))
+            cand.withColumn(sim_col, gsim(F.col("id_a"), F.col("id_b")))
             .filter(F.col(sim_col) >= F.lit(threshold))
+            .distinct()
             .select(F.col("id_a").alias(f"a_{id_col}"), F.col("id_b").alias(f"b_{id_col}"), F.col(sim_col))
         )
+    cand = cand.distinct()
     va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
     pdot = dot_arrow()
@@ -1575,6 +1588,33 @@ def sq8_reconstruct(code_col: str, lo_col: str = "sq_lo", hi_col: str = "sq_hi")
     return F.transform(F.col(code_col), recon)
 
 
+def sq8_quantize_reconstruct(vec_col: str, lo_col: str = "sq_lo", hi_col: str = "sq_hi"):
+    """Fused encode->midpoint-dequantize in ONE array transform:
+    x̂_i = lo_i + ((clamp(floor(((x_i - lo_i) * 255.0) / (hi_i - lo_i)), 0, 255) + 0.5)
+                   * (hi_i - lo_i)) / 255.0,
+    with degenerate dims (hi == lo) pinned to lo — exactly
+    ``sq8_reconstruct(sq8_encode(x))`` expression-for-expression: the
+    int8 round-trip there is lossless ((c + 128) recovers the clamped
+    long bit-for-bit), so fusing skips the intermediate codes array, a
+    second 64-element lambda pass per row, and the second bounds
+    broadcast — while every IEEE op keeps the same operands in the same
+    order (bit-exact vs the oracle's codes->recon mirror). For callers
+    that PERSIST codes (the index tiers), the split ``sq8_encode`` /
+    ``sq8_reconstruct`` pair stays the storage path."""
+
+    def qr(x, i):
+        lo = F.element_at(F.col(lo_col), i + F.lit(1))
+        hi = F.element_at(F.col(hi_col), i + F.lit(1))
+        span = hi - lo
+        raw = F.floor(((x.cast("double") - lo) * F.lit(255.0)) / span)
+        clamped = F.least(F.greatest(raw, F.lit(0).cast("long")), F.lit(255).cast("long"))
+        # sq8_encode's degenerate-dim convention: hi == lo -> code 0
+        level = F.when(hi > lo, clamped).otherwise(F.lit(0).cast("long"))
+        return lo + ((level.cast("double") + F.lit(0.5)) * span) / F.lit(255.0)
+
+    return F.transform(F.col(vec_col), qr)
+
+
 def sq8_knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1623,19 +1663,24 @@ def sq8_knn_join(
             "query rows; route through similarity_join / ivf_knn_join at scale"
         )
     if bounds is None:
-        # the 1-row bounds frame feeds BOTH the encode and the scoring
-        # dequantize; an eager local checkpoint computes the aggregate
-        # once instead of once per appearance (never driver-collected)
-        bounds = sq8_bounds(corpus, vec_col, dim).localCheckpoint(eager=True)
+        # single consumer below (the fused quantize-reconstruct), so the
+        # aggregate is built exactly once inside the broadcast build —
+        # no checkpoint job needed (never driver-collected either way)
+        bounds = sq8_bounds(corpus, vec_col, dim)
     from .relational import spread_for_cpu
 
-    # encode/dequantize are CPU-bound per-element lambdas: unlock every
-    # core when the scan's split count is degenerate (no-op at scale)
-    ce = sq8_encode(spread_for_cpu(corpus.select(id_col, vec_col)), vec_col, bounds)
-    # midpoint dequantize + norm fold: once per corpus ROW, pre-join
+    # fused encode->midpoint-dequantize + norm fold: ONE 64-element
+    # lambda pass and ONE bounds broadcast per corpus ROW, pre-join
+    # (the split encode/reconstruct pair ran two passes and broadcast
+    # the bounds twice; the int8 round-trip between them is lossless,
+    # so the fused expression is bit-identical — see
+    # sq8_quantize_reconstruct). spread_for_cpu: the per-element
+    # lambdas are the CPU-bound step; unlock every core when the scan's
+    # split count is degenerate (no-op at scale).
     ce = (
-        ce.crossJoin(F.broadcast(bounds))
-        .withColumn("__recon", sq8_reconstruct("sq8"))
+        spread_for_cpu(corpus.select(id_col, vec_col))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("__recon", sq8_quantize_reconstruct(vec_col))
         .drop("sq_lo", "sq_hi")
         .withColumn("__cn", norm("__recon"))
     )

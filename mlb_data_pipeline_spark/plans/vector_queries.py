@@ -152,6 +152,7 @@ def r62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q52_embedding_neardup_lsh", oracle=None, covers="V3,V4", bench=True)
 def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_row_count
     from ..operators.vector import band_freq_cap
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -161,7 +162,9 @@ def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The hot-bucket cap (8x expected uniform occupancy — n/2 at 4-bit
     # bands) guards the pathological point-mass case; a non-degenerate
     # corpus never trips it, so rows are unchanged at every bench sf.
-    n = emb.count()
+    # n sizes the cap and the gather budget only — parquet footer
+    # metadata gives the identical exact count without a scan job.
+    n = table_row_count(sf_dir, "embeddings")
     # n_rows feeds the residual-scoring gather guard only (params are
     # explicit here): the count above already bounds the corpus, so the
     # broadcast-gather tier can score candidate pairs by id instead of

@@ -1009,3 +1009,62 @@ def test_sq8_knn_join_supplied_bounds_skip_the_train_agg(spark, emb):
     assert "min(" not in plan and "max(" not in plan, plan[:2000]
     without = sq8_knn_join(emb, queries, "vec_id", "embedding", k=3, dim=64)
     assert sorted(map(tuple, with_b.collect())) == sorted(map(tuple, without.collect()))
+
+
+def test_lsh_gather_tier_matches_join_tier_bitexact(spark, emb):
+    # round 14: the broadcast-gather scoring tier (n_rows within the
+    # budget) must emit the IDENTICAL (pair, sim) set as the unbounded
+    # vector-join tier — the gather changes transport (2 longs/pair vs
+    # 2 x dim floats) and dedupe placement (survivors vs candidates),
+    # never values
+    n = emb.count()
+    join_tier = {
+        (r.a_vec_id, r.b_vec_id, r.sim)
+        for r in cosine_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.3, dim=64, n_planes=32, bands=8
+        ).collect()
+    }
+    gather_tier = {
+        (r.a_vec_id, r.b_vec_id, r.sim)
+        for r in cosine_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.3, dim=64, n_planes=32, bands=8, n_rows=n
+        ).collect()
+    }
+    assert gather_tier == join_tier
+
+
+def test_sq8_fused_quantize_reconstruct_matches_split_path(spark, emb):
+    # round 14: the fused encode->dequantize transform must reproduce
+    # sq8_reconstruct(sq8_encode(x)) bit-for-bit (the int8 round-trip it
+    # skips is lossless), including the degenerate hi == lo convention
+    from mlb_data_pipeline_spark.operators.vector import (
+        sq8_bounds,
+        sq8_encode,
+        sq8_quantize_reconstruct,
+        sq8_reconstruct,
+    )
+
+    # append a constant dim so one dimension is degenerate (hi == lo)
+    aug = emb.select(
+        "vec_id", F.concat(F.col("embedding").cast("array<double>"), F.array(F.lit(7.5))).alias("embedding")
+    )
+    bounds = sq8_bounds(aug, "embedding", 65).localCheckpoint(eager=True)
+    split = (
+        sq8_encode(aug, "embedding", bounds)
+        .crossJoin(F.broadcast(bounds))
+        .select("vec_id", sq8_reconstruct("sq8").alias("recon"))
+    )
+    fused = (
+        aug.crossJoin(F.broadcast(bounds))
+        .select("vec_id", sq8_quantize_reconstruct("embedding").alias("recon"))
+    )
+    s = {(r.vec_id, tuple(r.recon)) for r in split.collect()}
+    f = {(r.vec_id, tuple(r.recon)) for r in fused.collect()}
+    assert s == f
+
+
+def test_table_row_count_matches_scan_count(spark, sf_dir):
+    from mlb_data_pipeline_spark.catalog import table_row_count
+
+    for name in ("embeddings", "documents", "nation"):
+        assert table_row_count(sf_dir, name) == load_table(spark, sf_dir, name).count()
