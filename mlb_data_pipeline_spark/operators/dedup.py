@@ -22,6 +22,8 @@ of emitted pairs.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -63,6 +65,19 @@ def jaccard(a: Column, b: Column) -> Column:
     """Set Jaccard of two array columns. int/int double division —
     bit-identical across engines, no rounding needed."""
     return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def jaccard_presized(a: Column, b: Column, size_a: Column, size_b: Column) -> Column:
+    """``jaccard`` for arrays KNOWN to be distinct, with their sizes
+    precomputed per SIDE (one ``size()`` per row instead of per pair):
+    |A∪B| = |A| + |B| - |A∩B| exactly when A and B are sets, so the
+    per-pair ``array_union`` allocation (a fresh ~|A|+|B| array built
+    only to take its length) drops out of the verify join. Same integer
+    operands, same single int/int double division — bit-identical to
+    ``jaccard`` on distinct inputs (every verify site feeds
+    ``array_distinct``-constructed arrays)."""
+    overlap = F.size(F.array_intersect(a, b))
+    return overlap.cast("double") / (size_a + size_b - overlap)
 
 
 _MH_MASK = (1 << 30) - 1  # low 30 bits
@@ -194,12 +209,14 @@ def minhash_neardup_pairs(
         .localCheckpoint(eager=False)
     )
     cand = minhash_candidate_pairs(sh, id_col, "__sh", n_hashes, max_band_freq=max_band_freq)
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"), F.size("__sh").alias("__sza"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"), F.size("__sh").alias("__szb"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jacc", jaccard(F.col("__sha"), F.col("__shb")))
+        .withColumn(
+            "jacc", jaccard_presized(F.col("__sha"), F.col("__shb"), F.col("__sza"), F.col("__szb"))
+        )
         .filter(F.col("jacc") >= F.lit(threshold))
         .select("id_a", "id_b", "jacc")
     )
@@ -291,15 +308,68 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    ta = sigs.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__toks_a"))
-    tb = sigs.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__toks_b"))
+    ta = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("__toks").alias("__toks_a"), F.size("__toks").alias("__sza")
+    )
+    tb = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("__toks").alias("__toks_b"), F.size("__toks").alias("__szb")
+    )
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn("jacc", jaccard(F.col("__toks_a"), F.col("__toks_b")))
+        .withColumn(
+            "jacc",
+            jaccard_presized(F.col("__toks_a"), F.col("__toks_b"), F.col("__sza"), F.col("__szb")),
+        )
         .filter(F.col("jacc") >= F.lit(threshold))
         .select("id_a", "id_b", "jacc")
     )
+
+
+def _cc_local(edges_rows, src_type) -> tuple:
+    """Driver-side union-find (path-halving) over a SMALL edge list:
+    (id, component) with component = min reachable id — the identical
+    fixpoint the iterative operator converges to, computed in one pass.
+    Returns (rows, schema) for createDataFrame."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges_rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so every root is its component's smallest id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(x, find(x)) for x in parent]
+    schema = StructType(
+        [StructField("id", src_type, True), StructField("component", src_type, True)]
+    )
+    return rows, schema
+
+
+# Driver union-find budget for connected_components: below this many
+# symmetrized edges the component fixpoint is computed driver-side in
+# one pass instead of O(diameter) iterative join+count rounds (each a
+# full Spark job). 16 bytes/edge -> the default 1M edges is ~16 MB of
+# driver rows, the same order as a broadcast-join build side. Cluster
+# deployments size it via SPARK_GRAFT_CC_LOCAL_EDGES (docs/DEPLOY.md);
+# 0 disables the local tier entirely.
+_CC_LOCAL_EDGES = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", str(1_000_000)))
 
 
 def connected_components(
@@ -308,6 +378,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     pointer_doubling: bool = False,
+    local_edge_budget: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: (id, component)
     where component = the minimum id reachable. Near-dup similarity is
@@ -329,6 +400,19 @@ def connected_components(
     shallow chains (sf0.1 converges in 2 rounds), and at cluster scale
     the extra join is a full shuffle of the label set — so the shortcut
     is opt-in for genuinely deep graphs, not the default.
+
+    SMALL-GRAPH TIER (round 14): when the symmetrized edge list is
+    within ``local_edge_budget`` (default env
+    ``SPARK_GRAFT_CC_LOCAL_EDGES``, 1M edges ~ 16 MB — broadcast-build
+    scale), the fixpoint is computed driver-side by union-find in one
+    pass over the collected (src, dst) longs instead of O(diameter)
+    sequential join+count rounds, each of which is a full Spark job.
+    Near-dup pair graphs are tiny relative to their corpora (a 30x
+    corpus sweep measured 255 -> 7,676 pairs), so this is the common
+    case; past the budget the iterative operator runs unchanged. Same
+    result by construction: union-by-min + path compression yields
+    component = min reachable id, the identical fixpoint — pinned
+    against the iterative path in tests/test_dedup_ops.py.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -336,6 +420,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    budget = _CC_LOCAL_EDGES if local_edge_budget is None else local_edge_budget
+    # plain count, not a limit probe: the count doubles as the edge
+    # checkpoint's materialization (which EITHER tier needs before its
+    # first join/collect), whereas limit(budget+1) on a frame smaller
+    # than the budget re-scans partitions in sequential scale-up waves
+    if budget > 0 and edges.count() <= budget:
+        rows, schema = _cc_local(edges.collect(), edges.schema["src"].dataType)
+        return pairs.sparkSession.createDataFrame(rows, schema)
     # Seed labels with round 1 already applied: against identity labels
     # the first neighbor-min join degenerates to min(dst) per src, so one
     # aggregation replaces that round's two joins and its convergence
@@ -547,12 +639,18 @@ def incremental_neardup_pairs(
     )
     cand = cross.unionByName(_pairs_from_sig_rows(sig_delta, id_col)).distinct()
     lookup = sh_delta.unionByName(spark.read.parquet(sh_path).select(id_col, "shingles"))
-    sa = lookup.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sha"))
-    sb = lookup.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__shb"))
+    sa = lookup.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("__sha"), F.size("shingles").alias("__sza")
+    )
+    sb = lookup.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("__shb"), F.size("shingles").alias("__szb")
+    )
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jacc", jaccard(F.col("__sha"), F.col("__shb")))
+        .withColumn(
+            "jacc", jaccard_presized(F.col("__sha"), F.col("__shb"), F.col("__sza"), F.col("__szb"))
+        )
         .filter(F.col("jacc") >= F.lit(threshold))
         .select("id_a", "id_b", "jacc")
     )

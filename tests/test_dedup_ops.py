@@ -14,6 +14,12 @@ def test_connected_components_chains(spark):
     )
     comp = {r.id: r.component for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # the iterative tier (budget 0 disables the driver union-find) must
+    # compute the identical fixpoint, schema included
+    local_df = connected_components(pairs)
+    iter_df = connected_components(pairs, local_edge_budget=0)
+    assert {tuple(r) for r in local_df.collect()} == {tuple(r) for r in iter_df.collect()}
+    assert local_df.schema == iter_df.schema
 
 
 def test_neardup_dedup_keeps_canonical_and_singletons(spark):
@@ -31,7 +37,9 @@ def test_connected_components_raises_when_iterations_exhausted(spark):
 
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a BIGINT, id_b BIGINT")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=1)
+        # budget 0: the driver union-find tier never iterates, so the
+        # round-budget guard lives on the iterative tier only
+        connected_components(pairs, max_iter=1, local_edge_budget=0)
 
 
 def test_neardup_dedup_with_id_col_named_id(spark):
@@ -900,3 +908,44 @@ def test_incremental_jaccard_store_matches_batch_and_day2(spark, tmp_path):
         if o != 300 and 100 * len(data[o] & data[300]) >= 80 * len(data[o] | data[300])
     }
     assert got2 == want2 and (200, 300) in got2  # yesterday's delta is corpus now
+
+
+def test_jaccard_presized_matches_jaccard_on_distinct_arrays(spark):
+    # round 14: the verify joins compute |A∪B| as |A|+|B|-|A∩B| (valid
+    # exactly when both arrays are sets) — must be bit-identical to the
+    # array_union form on every distinct-array input, including empties
+    from mlb_data_pipeline_spark.operators.dedup import jaccard, jaccard_presized
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2, 3], [2, 3, 4]),
+            (2, [1, 2], [5, 6]),
+            (3, [], [1]),
+            # ([], []) is 0/0 — BOTH forms raise under ANSI; unreachable in
+            # production (an empty set has no band keys, so it never pairs)
+            (5, [7, 8, 9, 10], [7, 8, 9, 10]),
+        ],
+        "k INT, a ARRAY<INT>, b ARRAY<INT>",
+    )
+    out = df.select(
+        "k",
+        jaccard(F.col("a"), F.col("b")).alias("ju"),
+        jaccard_presized(F.col("a"), F.col("b"), F.size("a"), F.size("b")).alias("jp"),
+    ).collect()
+    for r in out:
+        assert r.ju == r.jp, (r.k, r.ju, r.jp)
+
+
+def test_connected_components_local_matches_iterative_on_dense_graph(spark):
+    # round 14 parity pin for the driver union-find tier: a graph with
+    # merging chains, cross-links and isolated pairs must produce the
+    # identical (id, component) fixpoint through both tiers
+    edges = [(i, i + 1) for i in range(0, 40, 2)]          # 20 two-node pairs
+    edges += [(i, i + 2) for i in range(0, 38, 4)]         # links merging some pairs
+    edges += [(100, 140), (140, 120), (120, 100)]          # a cycle
+    edges += [(200, 201), (201, 202), (202, 203), (203, 200), (203, 250)]
+    pairs = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    local = {tuple(r) for r in connected_components(pairs).collect()}
+    iterative = {tuple(r) for r in connected_components(pairs, local_edge_budget=0).collect()}
+    assert local == iterative
