@@ -744,15 +744,21 @@ def ivf_knn_join(
         order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
+    # norms once per ROW (query pre-explode, corpus pre-join), never per
+    # candidate pair — the knn_join __qn/__cn shape; same fold, same
+    # (qn*cn)-first IEEE division, bit-identical scores
     probed = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .withColumn("__qn", norm("__qv"))
         .withColumn("__list", F.explode(probe_lists(F.col("__qv"))))
     )
     pdot = dot_arrow()
-    cand = probed.join(assigned, "__list").filter(F.col("query_id") != F.col(id_col))
+    cand = probed.join(assigned.withColumn("__cn", norm(vec_col)), "__list").filter(
+        F.col("query_id") != F.col(id_col)
+    )
     scored = cand.withColumn(
         sim_col,
-        pdot("__qv", vec_col) / (norm("__qv") * norm(vec_col)),
+        pdot("__qv", vec_col) / (F.col("__qn") * F.col("__cn")),
     )
     w = Window.partitionBy("query_id").orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
     return (
@@ -1294,15 +1300,17 @@ def semantic_contamination(
         order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
-    probed = benchmark.select(
-        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("__bv")
-    ).withColumn("__list", F.explode(probe_lists(F.col("__bv"))))
+    # norms once per ROW (bench pre-explode, corpus pre-join), never per
+    # candidate pair — same fold and division order, bit-identical scores
+    probed = (
+        benchmark.select(F.col(id_col).alias("bench_id"), F.col(vec_col).alias("__bv"))
+        .withColumn("__bn", norm("__bv"))
+        .withColumn("__list", F.explode(probe_lists(F.col("__bv"))))
+    )
     pdot = dot_arrow()
-    cand = F.broadcast(probed).join(assigned, "__list")
+    cand = F.broadcast(probed).join(assigned.withColumn("__cn", norm(vec_col)), "__list")
     return (
-        cand.withColumn(
-            sim_col, pdot("__bv", vec_col) / (norm("__bv") * norm(vec_col))
-        )
+        cand.withColumn(sim_col, pdot("__bv", vec_col) / (F.col("__bn") * F.col("__cn")))
         .filter(F.col(sim_col) >= threshold)
         .select(id_col, "bench_id", sim_col)
     )

@@ -54,20 +54,25 @@ def q00_monthly_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
     region = load_table(spark, sf_dir, "region")
 
     # Year filter on orders prunes before the big join. Only the fixed-size
-    # dims (nation=25, region=5) are force-broadcast; cust_geo scales with
-    # SF, so its join strategy is left to AQE + autoBroadcastJoinThreshold
-    # (shuffle join at 100 TB, runtime broadcast when it actually fits).
+    # dims (nation=25, region=5) are force-broadcast; customer scales with
+    # SF, so its join strategy is left to the planner (shuffle join at
+    # 100 TB, broadcast while it fits). Round 14: the fact stream joins
+    # the RAW customer scan, with nation/region broadcast-joined after —
+    # the previous shape pre-joined customer⋈nation⋈region into cust_geo,
+    # whose join-product size ESTIMATE blew past the broadcast threshold,
+    # so the planner statically picked a SortMergeJoin and wrote both
+    # fact-side shuffles (AQE then downgraded the read to local, but the
+    # write was already paid). A plain customer scan estimates at file
+    # size, so the same planner picks a broadcast join outright: zero
+    # fact-side exchanges at bench scale, identical fallback at 100 TB.
     orders_96 = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
-    cust_geo = (
-        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("c_custkey", "r_name")
-    )
     return (
         lineitem.join(orders_96, lineitem.l_orderkey == orders_96.o_orderkey)
-        .join(cust_geo, orders_96.o_custkey == cust_geo.c_custkey)
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(
             F.col("r_name").alias("region"),
             F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
