@@ -60,10 +60,28 @@ def table_row_count(sf_dir: str, name: str) -> int:
 
     path = table_path(sf_dir, name)
     if os.path.isdir(path):
+        entries = sorted(os.listdir(path))
+        # fail LOUDLY on layouts this flat walk cannot count (ADVICE
+        # r14): spark.read.parquet recurses into partition
+        # subdirectories, so silently skipping them (or an empty match)
+        # would return an undercount that downstream operators use to
+        # size LSH caps and gather budgets — wrong rows, not just wrong
+        # speed. Partitioned/nested tables belong to the lake layer's
+        # metadata count (lake_count).
+        if any(os.path.isdir(os.path.join(path, e)) for e in entries):
+            raise ValueError(
+                f"table_row_count({name!r}): {path} contains subdirectories "
+                "(partitioned/nested layout); use the lake layer's metadata "
+                "count or a Spark count for non-flat tables"
+            )
+        files = [e for e in entries if e.endswith(".parquet")]
+        if not files:
+            raise ValueError(
+                f"table_row_count({name!r}): no .parquet files under {path}"
+            )
         return sum(
             int(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows)
-            for f in sorted(os.listdir(path))
-            if f.endswith(".parquet")
+            for f in files
         )
     return int(pq.ParquetFile(path).metadata.num_rows)
 

@@ -330,7 +330,9 @@ def _cc_local(edges_rows, src_type) -> tuple:
     """Driver-side union-find (path-halving) over a SMALL edge list:
     (id, component) with component = min reachable id — the identical
     fixpoint the iterative operator converges to, computed in one pass.
-    Returns (rows, schema) for createDataFrame."""
+    ``edges_rows`` is any iterable of (src, dst) pairs (plain tuples
+    from an Arrow collect — no Row boxing). Returns (rows, schema) for
+    createDataFrame."""
     from pyspark.sql.types import StructField, StructType
 
     parent: dict = {}
@@ -362,14 +364,19 @@ def _cc_local(edges_rows, src_type) -> tuple:
     return rows, schema
 
 
-# Driver union-find budget for connected_components: below this many
-# symmetrized edges the component fixpoint is computed driver-side in
-# one pass instead of O(diameter) iterative join+count rounds (each a
-# full Spark job). 16 bytes/edge -> the default 1M edges is ~16 MB of
-# driver rows, the same order as a broadcast-join build side. Cluster
-# deployments size it via SPARK_GRAFT_CC_LOCAL_EDGES (docs/DEPLOY.md);
-# 0 disables the local tier entirely.
-_CC_LOCAL_EDGES = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", str(1_000_000)))
+def _cc_local_budget() -> int:
+    """Driver union-find budget for connected_components: below this
+    many symmetrized edges the component fixpoint is computed
+    driver-side in one pass instead of O(diameter) iterative join+count
+    rounds (each a full Spark job). Honest sizing (ADVICE r14): the
+    Arrow collect itself is 16 B/edge, but the union-find parent dict
+    holds up to 2 boxed Python ints per edge — ~150-300 B/edge of
+    transient driver heap — so the default 250k edges costs tens of MB,
+    the same order as a broadcast-join build side, not the raw buffer
+    size. Read at CALL time (not import) so a long-lived driver can
+    retune via SPARK_GRAFT_CC_LOCAL_EDGES (docs/DEPLOY.md); 0 disables
+    the local tier entirely."""
+    return int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", str(250_000)))
 
 
 def connected_components(
@@ -401,18 +408,25 @@ def connected_components(
     the extra join is a full shuffle of the label set — so the shortcut
     is opt-in for genuinely deep graphs, not the default.
 
-    SMALL-GRAPH TIER (round 14): when the symmetrized edge list is
-    within ``local_edge_budget`` (default env
-    ``SPARK_GRAFT_CC_LOCAL_EDGES``, 1M edges ~ 16 MB — broadcast-build
-    scale), the fixpoint is computed driver-side by union-find in one
-    pass over the collected (src, dst) longs instead of O(diameter)
-    sequential join+count rounds, each of which is a full Spark job.
-    Near-dup pair graphs are tiny relative to their corpora (a 30x
-    corpus sweep measured 255 -> 7,676 pairs), so this is the common
-    case; past the budget the iterative operator runs unchanged. Same
-    result by construction: union-by-min + path compression yields
-    component = min reachable id, the identical fixpoint — pinned
-    against the iterative path in tests/test_dedup_ops.py.
+    SMALL-GRAPH TIER (round 14, tightened round 15): when the
+    symmetrized edge list is within ``local_edge_budget`` (default env
+    ``SPARK_GRAFT_CC_LOCAL_EDGES``, see ``_cc_local_budget`` for the
+    honest driver-heap sizing), the fixpoint is computed driver-side by
+    union-find in one pass over the collected (src, dst) pairs instead
+    of O(diameter) sequential join+count rounds, each of which is a
+    full Spark job. Near-dup pair graphs are tiny relative to their
+    corpora (a 30x corpus sweep measured 255 -> 7,676 pairs), so this
+    is the common case; past the budget the iterative operator runs
+    unchanged. Same result by construction: union-by-min + path
+    compression yields component = min reachable id, the identical
+    fixpoint — pinned against the iterative path in
+    tests/test_dedup_ops.py. The collect goes through Arrow
+    (``toArrow`` — two flat columns, no Row boxing) and the returned
+    frame carries an explicit BROADCAST hint: its size is proved by the
+    tier's own gate (<= 2 x budget rows held on the driver), and
+    without the hint a downstream corpus join sees an unknown-size
+    ExistingRDD relation and writes a corpus-side shuffle for a
+    SortMergeJoin (the r14 q59 plan) that AQE can only partially undo.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -420,14 +434,25 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    budget = _CC_LOCAL_EDGES if local_edge_budget is None else local_edge_budget
+    budget = _cc_local_budget() if local_edge_budget is None else local_edge_budget
     # plain count, not a limit probe: the count doubles as the edge
     # checkpoint's materialization (which EITHER tier needs before its
     # first join/collect), whereas limit(budget+1) on a frame smaller
     # than the budget re-scans partitions in sequential scale-up waves
     if budget > 0 and edges.count() <= budget:
-        rows, schema = _cc_local(edges.collect(), edges.schema["src"].dataType)
-        return pairs.sparkSession.createDataFrame(rows, schema)
+        tbl = edges.toArrow()  # cached checkpoint blocks -> Arrow, no Rows
+        rows, schema = _cc_local(
+            zip(tbl.column("src").to_pylist(), tbl.column("dst").to_pylist()),
+            edges.schema["src"].dataType,
+        )
+        out = pairs.sparkSession.createDataFrame(rows, schema)
+        # size is proved by the gate (<= 2 x budget driver-held rows):
+        # hint the broadcast so consumers joining the corpus against the
+        # labels get a BroadcastHashJoin statically instead of shuffling
+        # the corpus into a SortMergeJoin against an unknown-size
+        # ExistingRDD (guide §3.1 — estimates are wrong after collects;
+        # hint when the bound is known)
+        return F.broadcast(out)
     # Seed labels with round 1 already applied: against identity labels
     # the first neighbor-min join degenerates to min(dst) per src, so one
     # aggregation replaces that round's two joins and its convergence
@@ -1130,16 +1155,23 @@ def incremental_dedup_keep(delta: DataFrame, pairs: DataFrame, id_col: str) -> D
 def neardup_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Keep one canonical row (min id) per near-dup cluster, plus every
     row that belongs to no cluster — the corpus-dedup end state the
-    reference approximates with id-keyed upsert (pipeline.py:69)."""
-    # reserved aliases: a bare .drop("id") would also drop the caller's
-    # id_col if it is literally named "id" (Spark drops ALL name matches)
-    comp = connected_components(pairs).select(
-        F.col("id").alias("__cc_id"), F.col("component").alias("__cc_component")
+    reference approximates with id-keyed upsert (pipeline.py:69).
+
+    Shape (round 15): one ANTI-join against the LOSERS (clustered ids
+    that are not their cluster's minimum — at most one row per pair
+    graph node, a pairs-scale frame) instead of a left join against the
+    full (id, component) labeling plus a filter. Same kept set row for
+    row: a row was kept iff it had no label or equaled its component,
+    i.e. iff its id is not a loser; unmatched (incl. NULL) ids never
+    join, so they pass through both forms. The corpus side carries one
+    fewer wide column through the join and — with the CC local tier's
+    broadcast-hinted labels — the whole dedup tail is a single
+    BroadcastHashJoin LeftAnti with ZERO corpus-side exchange."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
     )
-    labeled = df.join(comp, df[id_col] == comp["__cc_id"], "left")
-    return labeled.filter(
-        F.col("__cc_component").isNull() | (F.col(id_col) == F.col("__cc_component"))
-    ).drop("__cc_id", "__cc_component")
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def neardup_dedup_keep_best(
