@@ -37,14 +37,19 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Approximate subword count: ceil(len(word)/4) summed over words."""
+    """Approximate subword count: ceil(len(word)/4) summed over words.
+
+    Computed as the COUNT of greedy 1-4-char word chunks: a maximal
+    ``[A-Za-z0-9]+`` run of length L tokenizes under ``{1,4}`` greedy
+    matching into exactly ceil(L/4) pieces (floor(L/4) full chunks plus
+    one remainder chunk iff L % 4), so ``size(regexp_extract_all(..))``
+    is the identical integer to the per-word ceil sum — without the
+    ``aggregate`` higher-order lambda, which Catalyst evaluates
+    INTERPRETED per array element (guide §4.1: prefer codegen'd
+    built-ins). Equality is pinned on crafted edges and whole-corpus
+    sweeps in tests; NULL input stays NULL through both forms."""
     c = F.col(col) if isinstance(col, str) else col
-    words = F.regexp_extract_all(c, F.lit(WORD_RE), 0)  # idx 0: whole match (pattern has no groups)
-    return F.aggregate(
-        words,
-        F.lit(0),
-        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
-    )
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]{1,4}"), 0))
 
 
 def clean_tts_lines(col: Column | str) -> Column:

@@ -196,7 +196,16 @@ def minhash_neardup_pairs(
     the hashed shingle sets. Emitted pairs are exactly correct for the
     hashed-shingle Jaccard (identical in any engine; 60-bit collisions
     are the only divergence from raw-string Jaccard); banding only
-    affects recall."""
+    affects recall.
+
+    The verify stage deliberately stays a JOIN: a round-15 gather tier
+    (broadcast id->shingle-set dict scored by a pandas UDF, the q52
+    move) was built, parity-pinned bit-exact, and A/B'd SLOWER —
+    1.43 -> 1.73 s median at sf0.1 and 3.70 -> 6.16 s at sf1
+    (interleaved runs): collecting the whole shingled corpus through
+    the driver costs far more than the candidate-bounded verify join it
+    replaces, because near-dup candidate volume is capped at ~8n by the
+    banding while the dict is O(corpus). Kept as a negative result."""
     from .relational import spread_for_cpu
 
     # lazy localCheckpoint: the hashed-shingle corpus feeds THREE
