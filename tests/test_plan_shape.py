@@ -464,3 +464,15 @@ def test_lake_join_scan_broadcasts_the_dim(spark, tmp_path):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # and the fact side reads only the two pruned files
     assert len(df.inputFiles()) == 2
+
+
+def test_neardup_dedup_tail_broadcasts_local_cc_labels(spark, sf_dir):
+    # round 15: with the CC local tier engaged, the q59 dedup tail must
+    # plan ONE BroadcastHashJoin LeftAnti against the losers frame and
+    # NO corpus-side exchange/sort-merge join — the r14 plan shuffled
+    # the whole corpus into a SortMergeJoin against the unknown-size
+    # collected-label relation (broadcast hint is legal there: the
+    # tier's own gate proves the bound)
+    plan = plan_of(spark, sf_dir, "q59_neardup_cluster_dedup")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
