@@ -437,17 +437,32 @@ def connected_components(
     ExistingRDD relation and writes a corpus-side shuffle for a
     SortMergeJoin (the r14 q59 plan) that AQE can only partially undo.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)
+    # lazy localCheckpoint on the NARROW pair projection: the
+    # symmetrizing union references it twice, and without the
+    # checkpoint Catalyst computes the whole upstream pair pipeline
+    # (shingling + banding + verify for the near-dup callers) once per
+    # union branch (round 15; the same §2.4 shared-pass move as the
+    # banding checkpoints)
+    p2 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint(
+        eager=False
     )
+    # no distinct here (round 15): both tiers compute the same fixpoint
+    # under duplicate edges (union-find unions are idempotent; min-label
+    # is a min), every internal caller emits unique id_a < id_b pairs
+    # anyway, and the distinct was a full extra shuffle+aggregate stage
+    # per invocation (interleaved A/B on q59: median 2.07 -> 1.91 s).
+    # The iterative tier re-adds it below, where dup edges would
+    # otherwise multiply EVERY round's neighbor-min join.
+    edges = p2.unionByName(
+        p2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
     budget = _cc_local_budget() if local_edge_budget is None else local_edge_budget
     # plain count, not a limit probe: the count doubles as the edge
     # checkpoint's materialization (which EITHER tier needs before its
     # first join/collect), whereas limit(budget+1) on a frame smaller
-    # than the budget re-scans partitions in sequential scale-up waves
+    # than the budget re-scans partitions in sequential scale-up waves.
+    # The count (and so the budget) is over pre-distinct rows — exactly
+    # what the collect below would materialize.
     if budget > 0 and edges.count() <= budget:
         tbl = edges.toArrow()  # cached checkpoint blocks -> Arrow, no Rows
         rows, schema = _cc_local(
@@ -462,6 +477,12 @@ def connected_components(
         # ExistingRDD (guide §3.1 — estimates are wrong after collects;
         # hint when the bound is known)
         return F.broadcast(out)
+    # Iterative tier: dedup the edges first — duplicates would multiply
+    # every round's neighbor-min join fan-out, and this tier runs
+    # O(diameter) rounds over them. Reads the already-materialized raw
+    # edge checkpoint, so the distinct costs one aggregate, not a
+    # pipeline recompute.
+    edges = edges.distinct().localCheckpoint(eager=False)
     # Seed labels with round 1 already applied: against identity labels
     # the first neighbor-min join degenerates to min(dst) per src, so one
     # aggregation replaces that round's two joins and its convergence
